@@ -1,0 +1,463 @@
+package graft.queries
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Sessions.tablePath
+import graft.operators.Ops
+import graft.sources.Testdata
+import graft.tables.{Incremental, LakeTable, Merge}
+
+/** The reference-surface operator inventory (SURVEY §2) exercised over
+  * the driver's TPC-H-ish testdata, one query per operator family, each
+  * paired with ANSI SQL for the DuckDB oracle (see
+  * [[CoreQueries.oracleSql]]).
+  *
+  * Conventions for oracle parity:
+  *   - every computed column is aliased identically in both engines;
+  *   - double aggregates are rounded (sum order across partitions is not
+  *     deterministic in the last bits);
+  *   - timestamps are emitted as formatted strings (parquet physical
+  *     type / tz-annotation differences between engines otherwise break
+  *     value-hash comparison);
+  *   - ordering-sensitive picks (open/close of a candle, dedup winner)
+  *     use a deterministic total order: event time then unique id —
+  *     the deterministic `min_by`/`max_by` variant SURVEY §7.5.2 calls
+  *     for, instead of the reference's arrival-order `first`/`last`.
+  */
+object CoreQueries {
+
+  private def p(sfDir: String, t: String) = tablePath(sfDir, t)
+
+  /** Unique scratch dir for queries that need a LakeTable round trip. */
+  private def scratch(tag: String): String =
+    Files.createTempDirectory(s"graft-$tag-").toString
+
+  private val fmt = "yyyy-MM-dd HH:mm:ss"
+
+  // ---- A: aggregation -----------------------------------------------------
+
+  /** TPC-H Q1-style pricing summary: the groupBy/agg surface (A1 shape,
+    * batch). Partial (map-side) aggregation + single hash shuffle on the
+    * two low-cardinality group keys — the plan that survives 100 TB.
+    */
+  def aggPricingSummary(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read
+      .parquet(p(sfDir, "lineitem"))
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 4).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        count(lit(1)).as("n_rows"))
+
+  val aggPricingSummarySql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 4) AS sum_qty,
+      |  round(sum(l_extendedprice), 4) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+      |  round(avg(l_quantity), 4) AS avg_qty,
+      |  count(*) AS n_rows
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Scalar max + count — the high-watermark probe (A3/A4). */
+  def aggScalarMax(spark: SparkSession, sfDir: String): DataFrame =
+    Testdata.events(spark, sfDir)
+      .agg(
+        date_format(max(col("ts")), fmt).as("max_ts"),
+        count(lit(1)).as("n_rows"))
+
+  val aggScalarMaxSql: String =
+    "SELECT strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS max_ts, count(*) AS n_rows FROM events"
+
+  // ---- P: projection / filter / cleaning ----------------------------------
+
+  /** Row-level filter + narrow projection: both must reach the parquet
+    * scan (PushedFilters + pruned ReadSchema — P11 plus pushdown audit).
+    */
+  def filterPushdown(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read
+      .parquet(p(sfDir, "lineitem"))
+      .filter(
+        col("l_returnflag") === "R" &&
+          col("l_shipdate") >= lit("1995-01-01") &&
+          col("l_shipdate") < lit("1995-04-01"))
+      .select(
+        col("l_orderkey"),
+        col("l_partkey"),
+        col("l_linenumber"),
+        col("l_quantity"),
+        col("l_extendedprice"))
+
+  val filterPushdownSql: String =
+    """SELECT l_orderkey, l_partkey, l_linenumber, l_quantity, l_extendedprice
+      |FROM lineitem
+      |WHERE l_returnflag = 'R'
+      |  AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1995-04-01 00:00:00'""".stripMargin
+
+  /** Cleaning pipeline (P8 trim + P9 non-positive→NULL + P10 dropna),
+    * then aggregate. `value` is cleaned with the reference's domain rule.
+    */
+  def cleanPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = Testdata.events(spark, sfDir)
+    val cleaned = Ops.handleNull(
+      Ops.handleNumeric(
+        Ops.handleString(raw, Seq("event_type")),
+        Seq("value")),
+      dropCols = Seq("value", "event_type"))
+    cleaned
+      .groupBy(col("event_type"))
+      .agg(round(sum(col("value")), 4).as("sum_value"), count(lit(1)).as("n_rows"))
+  }
+
+  val cleanPipelineSql: String =
+    """SELECT event_type, round(sum(value), 4) AS sum_value, count(*) AS n_rows
+      |FROM (
+      |  SELECT trim(event_type) AS event_type,
+      |         CASE WHEN value <= 0 THEN NULL ELSE value END AS value
+      |  FROM events)
+      |WHERE value IS NOT NULL AND event_type IS NOT NULL
+      |GROUP BY event_type""".stripMargin
+
+  /** Schema normalization (P7, gold semantics: drop extras): cast, add
+    * missing as typed NULL, project target schema only.
+    */
+  def normalizeSchema(spark: SparkSession, sfDir: String): DataFrame = {
+    val target = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("user_id", IntegerType), // narrowing cast long -> int
+      StructField("value", DoubleType),
+      StructField("severity", StringType))) // absent -> typed NULL
+    Ops.normalizeSchema(
+      Testdata.events(spark, sfDir),
+      target,
+      keepExtra = false)
+  }
+
+  val normalizeSchemaSql: String =
+    """SELECT event_id, CAST(user_id AS INTEGER) AS user_id, value,
+      |       CAST(NULL AS VARCHAR) AS severity
+      |FROM events""".stripMargin
+
+  /** Tolerant map-driven rename (P4): one mapping hits, one misses. */
+  def renameCols(spark: SparkSession, sfDir: String): DataFrame =
+    Ops.renameCols(
+      spark.read.parquet(p(sfDir, "nation")),
+      Map("n_name" -> "nation_name", "no_such_col" -> "zzz"))
+
+  val renameColsSql: String =
+    "SELECT n_nationkey, n_name AS nation_name, n_regionkey FROM nation"
+
+  /** Date-part derivation for partition layout (P5). */
+  def dateParts(spark: SparkSession, sfDir: String): DataFrame =
+    Ops
+      .datePartCols(
+        Testdata.events(spark, sfDir),
+        "ts")
+      .groupBy(col("event_year"), col("event_month"), col("event_day"))
+      .agg(count(lit(1)).as("n_rows"))
+
+  val datePartsSql: String =
+    """SELECT CAST(EXTRACT(year FROM ts) AS INTEGER) AS event_year,
+      |       CAST(EXTRACT(month FROM ts) AS INTEGER) AS event_month,
+      |       CAST(EXTRACT(day FROM ts) AS INTEGER) AS event_day,
+      |       count(*) AS n_rows
+      |FROM events GROUP BY 1, 2, 3""".stripMargin
+
+  /** Trading-hours style filter on the hour of a timestamp (P12). */
+  def hourFilter(spark: SparkSession, sfDir: String): DataFrame =
+    Testdata.events(spark, sfDir)
+      .filter(hour(col("ts")) <= 14)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"))
+
+  val hourFilterSql: String =
+    """SELECT event_type, count(*) AS n_rows FROM events
+      |WHERE EXTRACT(hour FROM ts) <= 14 GROUP BY event_type""".stripMargin
+
+  /** Kafka-envelope JSON round trip (P1+P2+K8 shape): encode rows into a
+    * (key, value-json) envelope, then decode with an explicit StructType
+    * and flatten — identity on the payload columns.
+    */
+  def jsonRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = Testdata.events(spark, sfDir)
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("event_type"),
+        col("value"),
+        date_format(col("ts"), fmt).as("ts_str"))
+    val enveloped = Ops.jsonEnvelopeEncode(events, Seq("user_id", "event_id"))
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("ts_str", StringType)))
+    Ops.jsonEnvelopeDecode(enveloped, "value", schema)
+  }
+
+  val jsonRoundtripSql: String =
+    """SELECT event_id, user_id, event_type, value,
+      |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
+      |FROM events""".stripMargin
+
+  // ---- W: window dedup ----------------------------------------------------
+
+  /** Latest-record-per-key dedup via ranked window (W1), deterministic
+    * tie-break on the unique event_id.
+    */
+  def dedupLatest(spark: SparkSession, sfDir: String): DataFrame =
+    Ops
+      .deduplicate(
+        Testdata.events(spark, sfDir),
+        keyCols = Seq("user_id"),
+        orderCol = "ts",
+        tieBreakers = Seq("event_id"))
+      .select(
+        col("user_id"),
+        col("event_id"),
+        col("event_type"),
+        col("value"),
+        date_format(col("ts"), fmt).as("ts_str"))
+
+  val dedupLatestSql: String =
+    """SELECT user_id, event_id, event_type, value,
+      |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
+      |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+      |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+      |WHERE rn = 1""".stripMargin
+
+  // ---- J: joins -----------------------------------------------------------
+
+  /** Star-schema broadcast left join: fact → two small dims (J1 shape).
+    * Both dims are broadcast; the fact side never shuffles.
+    */
+  def joinStar(spark: SparkSession, sfDir: String): DataFrame = {
+    val customer = spark.read.parquet(p(sfDir, "customer"))
+    val nation = spark.read.parquet(p(sfDir, "nation"))
+    val region = spark.read.parquet(p(sfDir, "region"))
+    customer
+      .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"), "left")
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"), "left")
+      .select(
+        col("c_custkey"),
+        col("c_name"),
+        col("c_mktsegment"),
+        col("n_name").as("nation_name"),
+        col("r_name").as("region_name"))
+  }
+
+  val joinStarSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment,
+      |       n.n_name AS nation_name, r.r_name AS region_name
+      |FROM customer c
+      |LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |LEFT JOIN region r ON n.n_regionkey = r.r_regionkey""".stripMargin
+
+  /** Iterated snowflake-flatten join (J1 exactly): the same dim folded on
+    * twice with per-level payload rename + key drop — the reference's
+    * 4-level ICB denormalization pattern
+    * (/root/reference/src/gold/dim_company.py:32-43). The second level
+    * key is derived so unmatched keys exercise left-join NULL semantics.
+    */
+  def joinSnowflakeIterated(spark: SparkSession, sfDir: String): DataFrame = {
+    val customer = spark.read.parquet(p(sfDir, "customer"))
+    val dim = spark.read.parquet(p(sfDir, "nation")).select(col("n_nationkey"), col("n_name"))
+    val fact = customer
+      .withColumn("nk_1", col("c_nationkey"))
+      .withColumn("nk_2", col("c_nationkey") + 40) // mostly unmatched -> NULLs
+    Ops
+      .joinDimIterated(fact, dim, "n_nationkey", Seq("n_name"), Seq("nk_1" -> "_1", "nk_2" -> "_2"))
+      .select(col("c_custkey"), col("c_name"), col("n_name_1"), col("n_name_2"))
+  }
+
+  val joinSnowflakeIteratedSql: String =
+    """SELECT c_custkey, c_name, n1.n_name AS n_name_1, n2.n_name AS n_name_2
+      |FROM customer c
+      |LEFT JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+      |LEFT JOIN nation n2 ON c.c_nationkey + 40 = n2.n_nationkey""".stripMargin
+
+  // ---- S: incremental scan ------------------------------------------------
+
+  /** High-watermark incremental scan (S5/S6): lineitem rows strictly
+    * newer than the newest order date — the cross-table watermark
+    * contract, then aggregated.
+    */
+  def incrementalScan(spark: SparkSession, sfDir: String): DataFrame = {
+    val lineitem = spark.read.parquet(p(sfDir, "lineitem"))
+    val orders = spark.read.parquet(p(sfDir, "orders"))
+    Incremental
+      .highWatermark(lineitem, orders.filter(col("o_orderstatus") === "F"), "l_shipdate", "o_orderdate")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"), round(sum(col("l_quantity")), 4).as("sum_qty"))
+  }
+
+  val incrementalScanSql: String =
+    """SELECT l_returnflag, count(*) AS n_rows, round(sum(l_quantity), 4) AS sum_qty
+      |FROM lineitem
+      |WHERE l_shipdate > (SELECT max(o_orderdate) FROM orders WHERE o_orderstatus = 'F')
+      |GROUP BY l_returnflag""".stripMargin
+
+  /** CSV batch scan round trip (S1): write parquet rows as header CSV,
+    * read back with `inferSchema=false` — everything arrives as strings,
+    * the reference's bronze contract
+    * (/root/reference/src/bronze/_bronze_utils.py:26-28).
+    */
+  def csvRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = scratch("csv")
+    spark.read
+      .parquet(p(sfDir, "region"))
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .option("header", "true")
+      .csv(dir)
+    spark.read
+      .option("header", "true")
+      .option("inferSchema", "false")
+      .csv(dir)
+      .select(col("r_regionkey"), col("r_name"))
+  }
+
+  val csvRoundtripSql: String =
+    "SELECT CAST(r_regionkey AS VARCHAR) AS r_regionkey, r_name FROM region"
+
+  // ---- K/M: lake table, merge, time travel --------------------------------
+
+  /** SCD Type 2 merge (K6): two deterministic batches over customer.
+    * Batch 2 changes acctbal for custkey % 3 = 0 (→ close + insert),
+    * resends custkey % 3 = 1 unchanged (→ silently skipped), and omits
+    * custkey % 3 = 2 (→ untouched). Output is the full version history.
+    */
+  def scd2Versions(spark: SparkSession, sfDir: String): DataFrame = {
+    val t1 = Timestamp.valueOf("2020-01-01 00:00:00")
+    val t2 = Timestamp.valueOf("2020-02-01 00:00:00")
+    val customer = spark.read
+      .parquet(p(sfDir, "customer"))
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val table = LakeTable(spark, scratch("scd2"))
+    Merge.mergeScd2(table, customer, Seq("c_custkey"), Seq("c_acctbal"), t1)
+    val batch2 = customer
+      .filter(col("c_custkey") % 3 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + 100)
+      .unionByName(customer.filter(col("c_custkey") % 3 === 1))
+    Merge.mergeScd2(table, batch2, Seq("c_custkey"), Seq("c_acctbal"), t2)
+    table
+      .read()
+      .select(
+        col("c_custkey"),
+        col("c_name"),
+        col("c_acctbal"),
+        date_format(col("start_timestamp"), fmt).as("start_ts"),
+        date_format(col("end_timestamp"), fmt).as("end_ts"),
+        col("is_current"))
+  }
+
+  val scd2VersionsSql: String =
+    """SELECT c_custkey, c_name, c_acctbal,
+      |       '2020-01-01 00:00:00' AS start_ts,
+      |       '2020-02-01 00:00:00' AS end_ts, 0 AS is_current
+      |FROM customer WHERE c_custkey % 3 = 0
+      |UNION ALL
+      |SELECT c_custkey, c_name, c_acctbal + 100,
+      |       '2020-02-01 00:00:00', NULL, 1
+      |FROM customer WHERE c_custkey % 3 = 0
+      |UNION ALL
+      |SELECT c_custkey, c_name, c_acctbal,
+      |       '2020-01-01 00:00:00', NULL, 1
+      |FROM customer WHERE c_custkey % 3 <> 0""".stripMargin
+
+  /** SCD Type 1 merge (K7): upsert — custkey % 4 = 0 updated in place
+    * (acctbal doubled), custkey % 7 = 0 re-inserted under a shifted new
+    * key; everything else survives untouched.
+    */
+  def scd1Upsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val customer = spark.read
+      .parquet(p(sfDir, "customer"))
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val table = LakeTable(spark, scratch("scd1"))
+    Merge.mergeScd1(table, customer, Seq("c_custkey"))
+    val updates = customer
+      .filter(col("c_custkey") % 4 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") * 2)
+    val inserts = customer
+      .filter(col("c_custkey") % 7 === 0)
+      .withColumn("c_custkey", col("c_custkey") + 1000000)
+    Merge.mergeScd1(table, updates.unionByName(inserts), Seq("c_custkey"))
+    table.read()
+  }
+
+  val scd1UpsertSql: String =
+    """SELECT c_custkey, c_name,
+      |       CASE WHEN c_custkey % 4 = 0 THEN c_acctbal * 2 ELSE c_acctbal END AS c_acctbal
+      |FROM customer
+      |UNION ALL
+      |SELECT c_custkey + 1000000, c_name, c_acctbal
+      |FROM customer WHERE c_custkey % 7 = 0""".stripMargin
+
+  /** Snapshot + time travel (§2.10): append v0, append v1, read back
+    * `VERSION AS OF` 0 — only the first batch is visible.
+    */
+  def timeTravel(spark: SparkSession, sfDir: String): DataFrame = {
+    val nation = spark.read.parquet(p(sfDir, "nation"))
+    val table = LakeTable(spark, scratch("tt"))
+    table.append(nation)
+    table.append(nation.withColumn("n_nationkey", col("n_nationkey") + 100))
+    assert(table.snapshots().count() == 2)
+    table.read(versionAsOf = Some(0L))
+  }
+
+  val timeTravelSql: String =
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation"
+
+  // --------------------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_pricing_summary" -> (aggPricingSummary _),
+    "q_agg_scalar_max" -> (aggScalarMax _),
+    "q_filter_pushdown" -> (filterPushdown _),
+    "q_clean_pipeline" -> (cleanPipeline _),
+    "q_normalize_schema" -> (normalizeSchema _),
+    "q_rename_cols" -> (renameCols _),
+    "q_date_parts" -> (dateParts _),
+    "q_hour_filter" -> (hourFilter _),
+    "q_json_roundtrip" -> (jsonRoundtrip _),
+    "q_dedup_latest" -> (dedupLatest _),
+    "q_join_star" -> (joinStar _),
+    "q_join_snowflake_iterated" -> (joinSnowflakeIterated _),
+    "q_incremental_scan" -> (incrementalScan _),
+    "q_csv_roundtrip" -> (csvRoundtrip _),
+    "q_scd2_versions" -> (scd2Versions _),
+    "q_scd1_upsert" -> (scd1Upsert _),
+    "q_time_travel" -> (timeTravel _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_agg_pricing_summary" -> aggPricingSummarySql,
+    "q_agg_scalar_max" -> aggScalarMaxSql,
+    "q_filter_pushdown" -> filterPushdownSql,
+    "q_clean_pipeline" -> cleanPipelineSql,
+    "q_normalize_schema" -> normalizeSchemaSql,
+    "q_rename_cols" -> renameColsSql,
+    "q_date_parts" -> datePartsSql,
+    "q_hour_filter" -> hourFilterSql,
+    "q_json_roundtrip" -> jsonRoundtripSql,
+    "q_dedup_latest" -> dedupLatestSql,
+    "q_join_star" -> joinStarSql,
+    "q_join_snowflake_iterated" -> joinSnowflakeIteratedSql,
+    "q_incremental_scan" -> incrementalScanSql,
+    "q_csv_roundtrip" -> csvRoundtripSql,
+    "q_scd2_versions" -> scd2VersionsSql,
+    "q_scd1_upsert" -> scd1UpsertSql,
+    "q_time_travel" -> timeTravelSql)
+}

@@ -1,0 +1,54 @@
+package graft.tables
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+class LakeTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("append accumulates; overwrite replaces; time travel reads old versions") {
+    val t = LakeTable(spark, scratchDir("lt"))
+    t.append(Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    t.append(Seq((3, "c")).toDF("k", "v"))
+    assert(t.read().count() == 3)
+    assert(t.read(versionAsOf = Some(0L)).count() == 2)
+    t.overwrite(Seq((9, "z")).toDF("k", "v"))
+    assert(t.read().collect().map(_.getInt(0)).toSeq == Seq(9))
+    assert(t.read(versionAsOf = Some(1L)).count() == 3)
+    val snaps = t.snapshots().orderBy("version").collect()
+    assert(snaps.map(_.getAs[String]("operation")).toSeq == Seq("append", "append", "overwrite"))
+  }
+
+  test("partitioned append preserves partition columns and prunes") {
+    val t = LakeTable(spark, scratchDir("part"))
+    val df = Seq((1, 2024, 1), (2, 2024, 2), (3, 2025, 1)).toDF("id", "y", "m")
+    t.append(df, partitionBy = Seq("y", "m"))
+    val read = t.read()
+    assert(read.columns.toSet == Set("id", "y", "m"))
+    assert(read.filter($"y" === 2024).count() == 2)
+    // partition filter must prune to the matching directories
+    val plan = read.filter($"y" === 2025).queryExecution.executedPlan.toString
+    assert(read.filter($"y" === 2025).count() == 1)
+    assert(plan.contains("PartitionFilters") || plan.toLowerCase.contains("partition"))
+  }
+
+  test("incrementalFrom: full scan on empty target, strict > afterwards") {
+    val t = LakeTable(spark, scratchDir("incr"))
+    val mk = (s: String) => Timestamp.valueOf(s)
+    val src = Seq(
+      (1, mk("2024-01-01 00:00:00")),
+      (2, mk("2024-01-02 00:00:00")),
+      (3, mk("2024-01-03 00:00:00"))).toDF("id", "ts")
+    assert(t.incrementalFrom(src, "ts").count() == 3)
+    t.append(src.filter($"id" <= 2))
+    // strict >: the row sharing the max target timestamp is excluded
+    assert(t.incrementalFrom(src, "ts").collect().map(_.getInt(0)).toSeq == Seq(3))
+  }
+
+  test("empty append still commits and read returns schema'd empty frame") {
+    val t = LakeTable(spark, scratchDir("empty"))
+    t.append(Seq.empty[(Int, String)].toDF("k", "v"))
+    assert(t.read().isEmpty && t.read().columns.toSeq == Seq("k", "v"))
+  }
+}

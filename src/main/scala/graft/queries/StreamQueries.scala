@@ -1,0 +1,98 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Testdata
+import graft.streaming.{Candles, StreamJobs}
+
+/** Streaming surface (SURVEY §2.9) exercised end-to-end: the candle
+  * aggregation in batch and as a real two-hop Structured Streaming
+  * pipeline, both checked against the same DuckDB oracle — which is the
+  * point: watermark + append-mode streaming must converge to the batch
+  * answer.
+  */
+object StreamQueries {
+
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  private def workDir(tag: String): String =
+    Files.createTempDirectory(s"graft-$tag-").toString
+
+  /** Deterministic OHLCV candles, batch mode (A1+A2 with the
+    * deterministic min_by/max_by-by-event-time variant, SURVEY §7.5.2).
+    */
+  def batchCandles(spark: SparkSession, sfDir: String): DataFrame =
+    Candles.present(
+      Candles.candles(Testdata.events(spark, sfDir), "ts", "event_id", "event_type", "value"),
+      "event_type")
+
+  val candlesOracleSql: String =
+    """SELECT event_type,
+      |  strftime(make_timestamp(bucket * 900 * 1000000), '%Y-%m-%d %H:%M:%S') AS start_window,
+      |  strftime(make_timestamp((bucket + 1) * 900 * 1000000), '%Y-%m-%d %H:%M:%S') AS end_window,
+      |  struct_extract(min((ts, event_id, value)), 3) AS open,
+      |  max(value) AS high,
+      |  min(value) AS low,
+      |  struct_extract(max((ts, event_id, value)), 3) AS close,
+      |  round(sum(value), 4) AS volume,
+      |  count(*) AS n_rows
+      |FROM (SELECT *, CAST(floor(epoch(ts) / 900) AS BIGINT) AS bucket FROM events)
+      |GROUP BY event_type, bucket""".stripMargin
+
+  /** Hop 1 alone: envelope → streaming decode → checkpointed
+    * partitioned parquet sink; output must be the identity on the
+    * payload (effectively-once ingest).
+    */
+  def streamIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    val wd = workDir("ingest")
+    val input = Testdata.events(spark, sfDir)
+    StreamJobs.stageEnvelope(input, Seq("event_type", "event_id"), s"$wd/stage")
+    val bronze = StreamJobs.runIngest(spark, eventsSchema, "ts", wd, partitioned = true)
+    spark.read
+      .parquet(bronze)
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("event_type"),
+        col("value"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_str"))
+  }
+
+  val streamIngestSql: String =
+    """SELECT event_id, user_id, event_type, value,
+      |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
+      |FROM events""".stripMargin
+
+  /** The full two-hop streaming pipeline: stage → ingest → bronze →
+    * watermarked windowed agg (append mode) → finalized candles. Must
+    * equal the batch candle oracle exactly.
+    */
+  def streamCandles(spark: SparkSession, sfDir: String): DataFrame = {
+    val wd = workDir("twohop")
+    val input = Testdata.events(spark, sfDir)
+    Candles.present(
+      StreamJobs.runTwoHopCandles(
+        spark, input, eventsSchema, "ts", "event_id", "event_type", "value", wd),
+      "event_type")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_batch_candles" -> (batchCandles _),
+    "q_stream_ingest" -> (streamIngest _),
+    "q_stream_candles" -> (streamCandles _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_batch_candles" -> candlesOracleSql,
+    "q_stream_ingest" -> streamIngestSql,
+    "q_stream_candles" -> candlesOracleSql)
+}

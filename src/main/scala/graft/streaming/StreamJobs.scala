@@ -1,0 +1,186 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** Structured Streaming jobs reproducing the reference's two-hop stream
+  * topology (SURVEY §2.9): a checkpointed ingest hop (Kafka→bronze,
+  * /root/reference/src/bronze/ohlcv_1m.py) and a stateful
+  * watermark+window aggregation hop (bronze→silver,
+  * /root/reference/src/silver/ohlcv_agg.py), decoupled through the
+  * table directory exactly like the reference's two separate Spark
+  * applications.
+  *
+  * With no Kafka jar in the environment (SURVEY §7.1), the replayable
+  * source is Spark's file stream source over a staging directory with
+  * the same (key, value) JSON envelope; its offsets-by-file log gives
+  * the same at-least-once replay contract, and the file sink's
+  * `_spark_metadata` commit log makes the micro-batch append
+  * effectively-once — the reference's Kafka+Iceberg guarantees.
+  */
+object StreamJobs {
+
+  /** Timestamps inside the JSON envelope carry full microseconds —
+    * Spark's to_json default truncates to millis, which would break
+    * event-time ordering fidelity through the ingest hop.
+    */
+  val envelopeTsFormat: Map[String, String] =
+    Map("timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+
+  private val envelopeSchema = StructType(
+    Seq(StructField("key", StringType), StructField("value", StringType)))
+
+  private def dir(base: String, name: String): String = {
+    val p = Paths.get(base, name)
+    Files.createDirectories(p)
+    p.toString
+  }
+
+  /** Append a batch of rows to the staging directory as the
+    * (key, value-json) envelope — the test-harness stand-in for the
+    * reference's rate-limited Kafka producer (K8,
+    * /root/reference/src/producer/ohlcv_producer.py:42-61).
+    */
+  def stageEnvelope(input: DataFrame, keyCols: Seq[String], stageDir: String): Unit =
+    input
+      .select(
+        concat_ws("_", keyCols.map(col): _*).as("key"),
+        to_json(struct(input.columns.map(col): _*), envelopeTsFormat).as("value"))
+      .write
+      .mode("append")
+      .parquet(stageDir)
+
+  /** Hop 1 — streaming ingest (S3+P1+P2+P5+K2): stream the envelope
+    * staging dir, decode JSON against the declared schema, stamp
+    * date-part columns, and append to a parquet bronze table through a
+    * checkpointed streaming file sink. `Trigger.AvailableNow` drains
+    * everything currently staged and terminates; calling it again after
+    * more data is staged processes only the new files (same checkpoint),
+    * which is exactly the micro-batch replay contract.
+    */
+  def runIngest(
+      spark: SparkSession,
+      payloadSchema: StructType,
+      tsCol: String,
+      workDir: String,
+      partitioned: Boolean = false): String = {
+    val stage = dir(workDir, "stage")
+    val bronze = dir(workDir, "bronze")
+    val checkpoint = dir(workDir, "checkpoint-ingest")
+
+    val envelope = spark.readStream.schema(envelopeSchema).parquet(stage)
+    val decoded = envelope
+      .select(from_json(col("value").cast(StringType), payloadSchema, envelopeTsFormat).as("data"))
+      .select(col("data.*"))
+    val withParts = graft.operators.Ops.datePartCols(decoded, tsCol)
+
+    val writer = withParts.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", bronze)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+    val q = (if (partitioned) writer.partitionBy("event_year", "event_month", "event_day")
+             else writer).start()
+    q.awaitTermination()
+    bronze
+  }
+
+  /** Hop 2 — stateful streaming aggregation (S4+A1+P12+K3) driven to a
+    * deterministic fixpoint.
+    *
+    * Streams the bronze table, applies watermark + tumbling-window
+    * candle aggregation in *append* mode (only watermark-finalized
+    * windows are emitted — the reference's exact semantics,
+    * ohlcv_agg.py:20,47). Because append mode withholds trailing
+    * windows forever once data is exhausted, the caller-provided
+    * `pushSentinel` callback must stage one far-future row through the
+    * SAME ingest hop (so it is visible in the bronze commit log); the
+    * watermark then passes every real window and flushes them. The
+    * sentinel's own never-finalized window is filtered from the result.
+    */
+  def runWindowedAgg(
+      spark: SparkSession,
+      bronzeDir: String,
+      bronzeSchema: StructType,
+      tsCol: String,
+      idCol: String,
+      keyCol: String,
+      valueCol: String,
+      workDir: String,
+      pushSentinel: () => Unit,
+      windowDuration: String = "15 minutes",
+      watermarkDelay: String = "1 minutes",
+      sentinelKey: String = "__sentinel__"): DataFrame = {
+    val checkpoint = dir(workDir, "checkpoint-agg")
+    val queryName = s"candles_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+
+    val stream = spark.readStream.schema(bronzeSchema).parquet(bronzeDir)
+    val agg = Candles.candles(
+      stream.withWatermark(tsCol, watermarkDelay),
+      tsCol,
+      idCol,
+      keyCol,
+      valueCol,
+      windowDuration)
+
+    val q = agg.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .option("checkpointLocation", checkpoint)
+      .start()
+    try {
+      q.processAllAvailable() // all real micro-batches
+      pushSentinel() // one far-future row via the ingest hop
+      q.processAllAvailable() // sentinel batch + no-data flush batch
+    } finally q.stop()
+
+    spark.table(queryName).filter(col(keyCol) =!= sentinelKey)
+  }
+
+  /** The full two-hop pipeline on a batch input, end to end: stage →
+    * ingest hop → bronze → windowed-agg hop → finalized candles.
+    * Deterministic: equivalent to the batch [[Candles.candles]] over
+    * `input` (the oracle), which is the whole point of the
+    * watermark+append design.
+    */
+  def runTwoHopCandles(
+      spark: SparkSession,
+      input: DataFrame,
+      payloadSchema: StructType,
+      tsCol: String,
+      idCol: String,
+      keyCol: String,
+      valueCol: String,
+      workDir: String,
+      windowDuration: String = "15 minutes",
+      watermarkDelay: String = "1 minutes"): DataFrame = {
+    val stage = dir(workDir, "stage")
+    val sentinelKey = "__sentinel__"
+
+    stageEnvelope(input, Seq(keyCol, idCol), stage)
+    val bronze = runIngest(spark, payloadSchema, tsCol, workDir)
+
+    val maxTs = input.agg(max(col(tsCol))).head().getAs[java.sql.Timestamp](0)
+    val bronzeSchema = spark.read.parquet(bronze).schema
+
+    val pushSentinel = () => {
+      val sentinel = input
+        .limit(1)
+        .withColumn(tsCol, lit(maxTs) + expr("INTERVAL 30 DAYS"))
+        .withColumn(keyCol, lit(sentinelKey))
+      stageEnvelope(sentinel, Seq(keyCol, idCol), stage)
+      runIngest(spark, payloadSchema, tsCol, workDir)
+      ()
+    }
+
+    runWindowedAgg(
+      spark, bronze, bronzeSchema, tsCol, idCol, keyCol, valueCol,
+      workDir, pushSentinel, windowDuration, watermarkDelay, sentinelKey)
+  }
+}

@@ -1,0 +1,80 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+class StreamJobsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("ts", TimestampType),
+    StructField("sym", StringType),
+    StructField("v", DoubleType)))
+
+  private def mk(s: String) = Timestamp.valueOf(s)
+
+  test("two-hop streaming candles equal batch candles") {
+    val wd = scratchDir("twohop")
+    val input = Seq(
+      (1L, mk("2024-01-01 10:00:10"), "A", 5.0),
+      (2L, mk("2024-01-01 10:05:00"), "A", 9.0),
+      (3L, mk("2024-01-01 10:14:59"), "A", 7.0),
+      (4L, mk("2024-01-01 10:20:00"), "A", 3.0),
+      (5L, mk("2024-01-01 10:01:00"), "B", 2.0)).toDF("id", "ts", "sym", "v")
+
+    val streamed = StreamJobs
+      .runTwoHopCandles(spark, input, schema, "ts", "id", "sym", "v", wd)
+      .orderBy("sym", "start_window")
+      .collect()
+    val batch = Candles
+      .candles(input, "ts", "id", "sym", "v")
+      .orderBy("sym", "start_window")
+      .collect()
+    assert(streamed.toSeq == batch.toSeq)
+    // candle math: A's 10:00 window opens at v=5 (earliest), closes at v=7
+    val a0 = streamed(0)
+    assert(a0.getAs[Double]("open") == 5.0 && a0.getAs[Double]("close") == 7.0)
+    assert(a0.getAs[Double]("high") == 9.0 && a0.getAs[Double]("low") == 5.0)
+  }
+
+  test("append mode + watermark drops rows later than the watermark") {
+    val wd = scratchDir("late")
+    val stage = s"$wd/stage"
+    val batch1 = Seq(
+      (1L, mk("2024-01-01 10:00:00"), "A", 5.0),
+      (2L, mk("2024-01-01 11:00:00"), "A", 9.0)).toDF("id", "ts", "sym", "v")
+    StreamJobs.stageEnvelope(batch1, Seq("sym", "id"), stage)
+    val bronze = StreamJobs.runIngest(spark, schema, "ts", wd)
+    val bronzeSchema = spark.read.parquet(bronze).schema
+
+    // the 10:00 row arrives again (duplicate id, different value) AFTER the
+    // watermark has advanced to 10:59 — it must be silently dropped, so the
+    // 10:00 window still aggregates only the original row
+    var pushedLate = false
+    val pushSentinel = () => {
+      if (!pushedLate) {
+        pushedLate = true
+        val late = Seq((3L, mk("2024-01-01 10:00:30"), "A", 1000.0)).toDF("id", "ts", "sym", "v")
+        StreamJobs.stageEnvelope(late, Seq("sym", "id"), stage)
+        StreamJobs.runIngest(spark, schema, "ts", wd)
+      }
+      val sentinel = Seq((99L, mk("2024-03-01 00:00:00"), "__sentinel__", 0.0)).toDF("id", "ts", "sym", "v")
+      StreamJobs.stageEnvelope(sentinel, Seq("sym", "id"), stage)
+      StreamJobs.runIngest(spark, schema, "ts", wd)
+      ()
+    }
+
+    val out = StreamJobs.runWindowedAgg(
+      spark, bronze, bronzeSchema, "ts", "id", "sym", "v", wd, pushSentinel)
+    // run pushSentinel twice via two processAllAvailable passes: late row then sentinel
+    val w1000 = out.filter(col("start_window") === mk("2024-01-01 10:00:00")).collect()
+    assert(w1000.length == 1)
+    assert(w1000(0).getAs[Double]("high") == 5.0, "late row must not land in the finalized window")
+    assert(w1000(0).getAs[Long]("n_rows") == 1L)
+  }
+}

@@ -1,0 +1,245 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, from exact to
+  * near-dup: hash groupBy, MinHash+LSH, SimHash, n-gram Jaccard
+  * verification, and embedding-cosine near-dup.
+  *
+  * Scale design:
+  *   - Signatures (minhash/simhash/fingerprints) are pure column
+  *     algebra over token arrays — one codegen'd map stage, no UDFs.
+  *   - Candidate generation is *bucket join*, never all-pairs: LSH
+  *     bands (minhash) or signature chunks (simhash) are exploded and
+  *     self-joined on the bucket key, so cost is Σ|bucket|², not N².
+  *     Oversized buckets (degenerate content, e.g. empty docs) are
+  *     capped — the standard guardrail that keeps the shuffle bounded
+  *     at corpus scale.
+  *   - Verification (exact Jaccard) runs only on candidate pairs.
+  */
+object Dedup {
+
+  // ---- exact ---------------------------------------------------------------
+
+  /** Exact dedup by content fingerprint: keep the lowest id per
+    * distinct normalized text. A single hash-aggregate (min) — no
+    * window sort, no skew risk even when one document repeats millions
+    * of times.
+    */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(TextAnalysis.fingerprintMd5(col(textCol)).as("fingerprint"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Exact-dedup'd corpus: one row per distinct content (lowest id
+    * wins), implemented as a semi-join against [[exactGroups]].
+    */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.join(
+      exactGroups(df, idCol, textCol).select(col("keep_id").as(idCol)),
+      Seq(idCol),
+      "left_semi")
+
+  // ---- shingles + minhash --------------------------------------------------
+
+  /** Word n-gram shingles (distinct), lowercased. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = split(trim(lower(text)), "\\s+")
+    array_distinct(
+      when(size(toks) < n, array(concat_ws(" ", toks)))
+        .otherwise(
+          transform(
+            sequence(lit(0), size(toks) - n),
+            j => concat_ws(" ", slice(toks, j + 1, lit(n))))))
+  }
+
+  /** Prime just above 2^32 for the universal-hash permutations: with
+    * x < P and a, b < 2^31 the product a·x + b stays under 2^63, so the
+    * expression is safe under ANSI arithmetic (Spark 4 default) without
+    * relying on silent wraparound.
+    */
+  private val P = 4294967311L
+
+  private def perm(i: Int): (Long, Long) = {
+    // deterministic pseudo-random (a, b) per permutation, a != 0
+    val mix = 0x9E3779B97F4A7C15L * (i + 1) + 0xC2B2AE3D27D4EB4FL
+    val a = (math.abs(mix) % (Int.MaxValue - 1L)) + 1L
+    val b = math.abs(java.lang.Long.rotateLeft(mix, 31)) % Int.MaxValue
+    (a, b)
+  }
+
+  /** MinHash signature: k universal-hash permutations
+    * h_i(x) = (a_i·x + b_i) mod p over xxhash64 shingle hashes, each
+    * reduced with an associative array-aggregate `least` — the
+    * classical Broder construction, fully codegen'd.
+    */
+  def minhashSignature(text: Column, k: Int = 64, shingleN: Int = 3): Column = {
+    val hashes = transform(shingles(text, shingleN), s => pmod(xxhash64(s), lit(P)))
+    array((0 until k).map { i =>
+      val (a, b) = perm(i)
+      aggregate(
+        hashes,
+        lit(Long.MaxValue),
+        (acc, x) => least(acc, pmod(x * lit(a) + lit(b), lit(P))))
+    }: _*)
+  }
+
+  /** LSH banding: split the k-length signature into `bands` bands of
+    * k/bands rows; each band hashes to a bucket key. Two documents
+    * collide in ≥1 band with probability 1-(1-j^r)^b (j = true
+    * Jaccard).
+    */
+  def lshBands(sig: Column, k: Int, bands: Int): Column = {
+    val r = k / bands
+    array((0 until bands).map { b =>
+      struct(
+        lit(b).as("band"),
+        xxhash64(concat_ws(",", slice(sig, b * r + 1, r))).as("bucket"))
+    }: _*)
+  }
+
+  /** Candidate near-dup pairs via MinHash LSH: explode bands, self-join
+    * on (band, bucket), keep each unordered pair once. `maxBucket` caps
+    * degenerate buckets (skew guardrail). Output: id_a < id_b plus the
+    * signature-estimated Jaccard.
+    */
+  def minhashCandidates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 64,
+      bands: Int = 16,
+      shingleN: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
+    val sigs = df
+      .select(col(idCol).as("id"), minhashSignature(col(textCol), k, shingleN).as("sig"))
+    val exploded = sigs
+      .select(col("id"), col("sig"), explode(lshBands(col("sig"), k, bands)).as("bb"))
+      .select(col("id"), col("sig"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val bounded = exploded
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+    val l = bounded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val r = bounded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(
+        col("id_a"),
+        col("id_b"),
+        round(
+          aggregate(
+            zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+            lit(0),
+            (acc, v) => acc + v) / lit(k.toDouble),
+          4).as("est_jaccard"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard for verification: |A∩B| / |A∪B| over distinct
+    * shingle sets — computed only for candidate pairs.
+    */
+  def jaccard(textA: Column, textB: Column, n: Int = 3): Column = {
+    val a = shingles(textA, n)
+    val b = shingles(textB, n)
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(array_union(a, b)).cast("double")
+    when(uni === 0, 0.0).otherwise(inter / uni)
+  }
+
+  /** End-to-end MinHash+LSH near-dup detection: candidates from LSH,
+    * verified with exact shingle Jaccard ≥ `threshold`.
+    */
+  def minhashDedupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.5,
+      k: Int = 64,
+      bands: Int = 16,
+      shingleN: Int = 3): DataFrame = {
+    val cands = minhashCandidates(df, idCol, textCol, k, bands, shingleN)
+    val docs = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    cands
+      .join(docs.select(col("id").as("id_a"), col("text").as("text_a")), "id_a")
+      .join(docs.select(col("id").as("id_b"), col("text").as("text_b")), "id_b")
+      .withColumn("jaccard", round(jaccard(col("text_a"), col("text_b"), shingleN), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  // ---- simhash -------------------------------------------------------------
+
+  /** 64-bit SimHash over token hashes: per-bit signed tally of all
+    * token hashes, sign → bit. Near-dups land within small Hamming
+    * distance. Pure column algebra: one constant-shift aggregate per
+    * bit (shift amounts must be literals in the functions API), then a
+    * fold packing the 64 signs into a long.
+    */
+  def simhash64(text: Column): Column = {
+    val hashes = transform(split(trim(lower(text)), "\\s+"), t => xxhash64(t))
+    val tallies = (0 until 64).map { i =>
+      aggregate(
+        hashes,
+        lit(0),
+        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1).otherwise(-1))
+    }
+    // MSB-first fold: shift-or packs the 64 signs without the ANSI
+    // overflow a multiply would hit on the sign bit
+    aggregate(
+      array(tallies: _*),
+      lit(0L),
+      (acc, t) => shiftleft(acc, 1).bitwiseOR(when(t > 0, lit(1L)).otherwise(lit(0L))))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming64(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: bucket on each of four 16-bit signature
+    * chunks (pigeonhole: Hamming ≤ 3 ⇒ at least one chunk equal),
+    * verify with full Hamming distance ≤ `maxHamming`.
+    */
+  def simhashDedupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
+    val chunked = sigs.select(
+      col("id"),
+      col("sig"),
+      explode(array((0 until 4).map { c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("sig"), c * 16).bitwiseAND(0xFFFFL).as("bucket"))
+      }: _*)).as("cb"))
+      .select(col("id"), col("sig"), col("cb.chunk").as("chunk"), col("cb.bucket").as("bucket"))
+    val l = chunked.select(col("chunk"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val r = chunked.select(col("chunk"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
+    l.join(r, Seq("chunk", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), hamming64(col("sig_a"), col("sig_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ---- embedding near-dup --------------------------------------------------
+
+  /** Embedding-cosine near-dup pairs above `threshold`, brute force
+    * (the exact baseline; LSH-bucketed scale path lives in
+    * [[Similarity]]).
+    */
+  def embeddingNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine", round(Similarity.cosine(col("vec_a"), col("vec_b")), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+}

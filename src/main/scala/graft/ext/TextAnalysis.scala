@@ -1,0 +1,135 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language identification, document
+  * fingerprinting. Everything is built from codegen'd
+  * `org.apache.spark.sql.functions` (no UDFs), so the whole stage stays
+  * inside WholeStageCodegen and scales as a pure map over the corpus —
+  * no shuffle, no state, embarrassingly parallel at 100 TB.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens (the baseline tokenizer). */
+  def tokensWs(text: Column): Column =
+    split(trim(text), "\\s+")
+
+  /** BPE-ish pre-tokenization: runs of lowercase alphanumerics OR a
+    * single non-space symbol — the GPT-style pre-split shape, as a pure
+    * regex so it stays codegen'd.
+    */
+  val bpeIshPattern = "[a-z0-9]+|[^a-z0-9\\s]"
+
+  def tokenCountWs(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0)).otherwise(size(tokensWs(text)))
+
+  /** `textColName` must be a plain column name (used in a SQL
+    * expression — Spark exposes regexp_extract_all only in SQL form).
+    */
+  def tokenCountBpeIsh(textColName: String): Column =
+    // \\s doubled: Spark's SQL string literal parser applies C-style
+    // unescaping before the regex engine sees the pattern
+    size(expr(s"regexp_extract_all(lower($textColName), '[a-z0-9]+|[^a-z0-9\\\\s]', 0)"))
+
+  /** Quality features + a composite score in [0,1]: favors documents of
+    * reasonable length with low punctuation density, a healthy stopword
+    * ratio and lexical diversity — the standard cheap pre-filter ahead
+    * of model-based quality classifiers.
+    */
+  def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokensWs(t)
+    df.withColumn("n_chars_q", length(t))
+      .withColumn("n_tokens_q", when(length(trim(t)) === 0, 0).otherwise(size(toks)))
+      .withColumn(
+        "punct_ratio",
+        when(length(t) === 0, 0.0)
+          .otherwise(length(regexp_replace(t, "[^.,;:!?]", "")) / length(t).cast("double")))
+      .withColumn(
+        "stopword_ratio", {
+          val sw = array(Stopwords.en.map(lit): _*)
+          when(size(toks) === 0, 0.0)
+            .otherwise(size(filter(toks, tk => array_contains(sw, tk))) / size(toks).cast("double"))
+        })
+      .withColumn(
+        "uniq_ratio",
+        when(size(toks) === 0, 0.0)
+          .otherwise(size(array_distinct(toks)) / size(toks).cast("double")))
+      .withColumn(
+        "quality_score",
+        round(
+          least(lit(1.0), col("n_tokens_q") / lit(100.0)) * lit(0.3) +
+            (lit(1.0) - least(lit(1.0), col("punct_ratio") * 5)) * lit(0.2) +
+            least(lit(1.0), col("stopword_ratio") * 4) * lit(0.2) +
+            col("uniq_ratio") * lit(0.3),
+          4))
+  }
+
+  /** Language identification: stopword-profile scoring over the five
+    * supported languages + a CJK character-class check for Chinese. An
+    * n-gram-free heuristic chosen because it is expressible as pure
+    * column algebra (single map stage, no shuffle); precision on real
+    * prose is validated in TextAnalysisSpec on hand-written fixtures.
+    */
+  def langId(text: Column): Column = {
+    val toks = tokensWs(lower(text))
+    def score(words: Seq[String]): Column = {
+      val wordArr = array(words.map(lit): _*)
+      when(size(toks) === 0, 0.0)
+        .otherwise(size(filter(toks, t => array_contains(wordArr, t))) / size(toks).cast("double"))
+    }
+    val cjkRatio =
+      when(length(text) === 0, 0.0)
+        .otherwise(length(regexp_replace(text, "[^\\u4e00-\\u9fff]", "")) / length(text).cast("double"))
+    val scores: Seq[(String, Column)] =
+      Seq("en" -> score(Stopwords.en), "fr" -> score(Stopwords.fr), "es" -> score(Stopwords.es),
+        "de" -> score(Stopwords.de))
+    // Chinese wins on any meaningful CJK presence; otherwise argmax of
+    // stopword ratios with deterministic tie order en>fr>es>de, 'und'
+    // (undetermined) when nothing scores.
+    val (n1, c1) = scores(0); val (n2, c2) = scores(1)
+    val (n3, c3) = scores(2); val (n4, c4) = scores(3)
+    val maxScore = greatest(c1, c2, c3, c4)
+    when(cjkRatio > 0.05, lit("zh"))
+      .when(maxScore <= 0.0, lit("und"))
+      .when(c1 === maxScore, lit(n1))
+      .when(c2 === maxScore, lit(n2))
+      .when(c3 === maxScore, lit(n3))
+      .otherwise(lit(n4))
+  }
+
+  /** Content fingerprint: md5 of whitespace-normalized lowercase text —
+    * the canonical exact-dup key (stable across engines).
+    */
+  def fingerprintMd5(text: Column): Column =
+    md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+
+  /** Rolling polynomial fingerprint over token hashes (order-sensitive,
+    * Rabin-Karp style): fp = Σ h(tok_i)·31^(n-i) mod p, reduced at
+    * every step so the arithmetic stays within Long under ANSI mode.
+    */
+  def fingerprintRolling(text: Column): Column = {
+    val p = 1000000007L
+    aggregate(
+      transform(tokensWs(lower(text)), t => pmod(xxhash64(t), lit(p))),
+      lit(0L),
+      (acc, h) => pmod(acc * lit(31L) + h, lit(p)))
+  }
+}
+
+/** Minimal stopword profiles (public common-word lists, truncated to
+  * the highest-frequency function words — enough to separate the five
+  * target languages).
+  */
+object Stopwords {
+  val en = Seq("the", "and", "of", "to", "a", "in", "is", "it", "that", "was",
+    "for", "on", "are", "with", "as", "his", "they", "at", "be", "this")
+  val fr = Seq("le", "la", "les", "de", "des", "du", "et", "un", "une", "dans",
+    "est", "pour", "que", "qui", "sur", "avec", "pas", "au", "ce", "il")
+  val es = Seq("el", "la", "los", "las", "de", "del", "y", "un", "una", "en",
+    "es", "por", "que", "con", "para", "su", "al", "lo", "como", "más")
+  val de = Seq("der", "die", "das", "und", "ein", "eine", "in", "ist", "von",
+    "mit", "den", "des", "dem", "nicht", "auch", "auf", "für", "sich", "im", "zu")
+}

@@ -1,0 +1,268 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Sessions.tablePath
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Training-data-pipeline extension queries (the BASELINE north star):
+  * text analysis, dedup family, similarity search, multimodal plumbing
+  * — over the `documents` and `embeddings` tables, oracle-checked
+  * wherever the semantics are SQL-expressible (the probabilistic /
+  * non-SQL operators are spec-verified in the ext test suites and
+  * exposed here rows-only).
+  */
+object ExtQueries {
+
+  private def docs(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(tablePath(sfDir, "documents"))
+
+  private def embs(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(tablePath(sfDir, "embeddings"))
+
+  /** documents ∪ exact copies (doc_id%7=0, shifted id): exact-dedup input. */
+  private def corpusExactDups(d: DataFrame): DataFrame =
+    d.unionByName(
+      d.filter(col("doc_id") % 7 === 0).withColumn("doc_id", col("doc_id") + 2000000))
+
+  /** documents ∪ near-copies (doc_id%5=0, shifted id, last 2 tokens
+    * dropped): near-dup input with known planted pairs.
+    */
+  private def corpusNearDups(d: DataFrame): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    d.unionByName(
+      d.filter(col("doc_id") % 5 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000)
+        .withColumn("text", array_join(slice(toks, lit(1), greatest(size(toks) - 2, lit(0))), " ")))
+  }
+
+  // ---- text analysis -------------------------------------------------------
+
+  def textStats(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir).select(
+      col("doc_id"),
+      length(col("text")).as("n_chars_calc"),
+      TextAnalysis.tokenCountWs(col("text")).as("n_tokens_ws"),
+      TextAnalysis.tokenCountBpeIsh("text").as("n_tokens_bpe"))
+
+  val textStatsSql: String =
+    """SELECT doc_id,
+      |  length(text) AS n_chars_calc,
+      |  CASE WHEN length(trim(text)) = 0 THEN 0
+      |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens_ws,
+      |  len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS n_tokens_bpe
+      |FROM documents""".stripMargin
+
+  def textQuality(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis
+      .qualityFeatures(docs(spark, sfDir), "text")
+      .select(
+        col("doc_id"),
+        round(col("punct_ratio"), 4).as("punct_ratio"),
+        round(col("stopword_ratio"), 4).as("stopword_ratio"),
+        round(col("uniq_ratio"), 4).as("uniq_ratio"),
+        col("quality_score"))
+
+  val textQualitySql: String = {
+    val sw = graft.ext.Stopwords.en.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""SELECT doc_id,
+       |  round(punct_ratio, 4) AS punct_ratio,
+       |  round(stopword_ratio, 4) AS stopword_ratio,
+       |  round(uniq_ratio, 4) AS uniq_ratio,
+       |  round(least(1.0, n_tokens / 100.0) * 0.3
+       |        + (1.0 - least(1.0, punct_ratio * 5)) * 0.2
+       |        + least(1.0, stopword_ratio * 4) * 0.2
+       |        + uniq_ratio * 0.3, 4) AS quality_score
+       |FROM (
+       |  SELECT doc_id, n_tokens,
+       |    CASE WHEN length(text) = 0 THEN 0.0
+       |         ELSE CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(text) END AS punct_ratio,
+       |    CASE WHEN n_tokens = 0 THEN 0.0
+       |         ELSE CAST(len(list_filter(toks, t -> list_contains($sw, t))) AS DOUBLE) / n_tokens END AS stopword_ratio,
+       |    CASE WHEN n_tokens = 0 THEN 0.0
+       |         ELSE CAST(len(list_distinct(toks)) AS DOUBLE) / n_tokens END AS uniq_ratio
+       |  FROM (
+       |    SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks,
+       |      CASE WHEN length(trim(text)) = 0 THEN 0
+       |           ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+       |    FROM documents))""".stripMargin
+  }
+
+  def textFingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir).select(
+      col("doc_id"),
+      TextAnalysis.fingerprintMd5(col("text")).as("fingerprint"))
+
+  val textFingerprintSql: String =
+    """SELECT doc_id,
+      |       md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
+      |FROM documents""".stripMargin
+
+  /** Language id — heuristic, not SQL-expressible cleanly; rows-only
+    * here, accuracy pinned on prose fixtures in TextAnalysisSpec.
+    */
+  def textLangId(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir).select(
+      col("doc_id"),
+      TextAnalysis.langId(col("text")).as("lang_pred"))
+
+  // ---- dedup ---------------------------------------------------------------
+
+  def dedupExact(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup
+      .exactGroups(corpusExactDups(docs(spark, sfDir)), "doc_id", "text")
+      .select(col("fingerprint"), col("keep_id"), col("n_copies"))
+
+  val dedupExactSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 7 = 0)
+      |SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint,
+      |       min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM corpus GROUP BY 1""".stripMargin
+
+  /** MinHash+LSH near-dup pairs verified with exact shingle Jaccard.
+    * Oracle = ground-truth all-pairs Jaccard ≥ 0.5 (LSH with k=64,
+    * b=16 has ~1-3e-8 recall at the planted ~0.95 similarity level).
+    */
+  def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.minhashDedupPairs(corpusNearDups(docs(spark, sfDir)), "doc_id", "text", 0.5)
+
+  val dedupMinhashSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000,
+      |         array_to_string(toks[1:greatest(len(toks) - 2, 0)], ' ')
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      |        FROM documents WHERE doc_id % 5 = 0)),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |      ELSE list_transform(range(1, len(toks) - 1),
+      |                          j -> array_to_string(toks[j:j+2], ' ')) END) AS s
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      |        FROM corpus))
+      |SELECT id_a, id_b, jaccard FROM (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |          / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      |WHERE jaccard >= 0.5""".stripMargin
+
+  /** SimHash near-dups — probabilistic bucketing, spec-verified;
+    * rows-only here.
+    */
+  def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.simhashDedupPairs(corpusNearDups(docs(spark, sfDir)), "doc_id", "text", maxHamming = 3)
+
+  /** Embedding-cosine near-dup: planted exact copies must come back at
+    * cosine 1.0; brute-force both sides.
+    */
+  def dedupEmbedding(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = embs(spark, sfDir)
+    val corpus = e.unionByName(
+      e.filter(col("vec_id") % 10 === 0).withColumn("vec_id", col("vec_id") + 100000))
+    Dedup.embeddingNearDupPairs(corpus, "vec_id", "embedding", 0.9)
+  }
+
+  val dedupEmbeddingSql: String =
+    """WITH corpus AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 10 = 0)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                                    CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+      |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+      |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.9""".stripMargin
+
+  // ---- similarity search ---------------------------------------------------
+
+  /** Exact cosine top-5 for every 100th vector (brute-force baseline). */
+  def similarityTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = embs(spark, sfDir)
+    Similarity.bruteForceTopK(e.filter(col("vec_id") % 100 === 0), e, "vec_id", "embedding", 5)
+  }
+
+  val similarityTopKSql: String =
+    """SELECT query_id, neighbor_id, cosine,
+      |       CAST(row_number() OVER (PARTITION BY query_id
+      |              ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+      |FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                      CAST(c.embedding AS DOUBLE[])), 6) AS cosine
+      |  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+      |  WHERE q.vec_id % 100 = 0)
+      |QUALIFY rank <= 5""".stripMargin
+
+  /** LSH-bucketed ANN — probabilistic recall, spec-verified; rows-only. */
+  def similarityAnn(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = embs(spark, sfDir)
+    Similarity.lshTopK(e.filter(col("vec_id") % 100 === 0), e, "vec_id", "embedding", 5)
+  }
+
+  // ---- multimodal ----------------------------------------------------------
+
+  /** Binary-column metadata extraction over text-as-bytes payloads. */
+  def multimodalMeta(spark: SparkSession, sfDir: String): DataFrame =
+    Multimodal
+      .attachMetadata(
+        docs(spark, sfDir).select(col("doc_id"), col("text").cast("binary").as("payload")),
+        "payload")
+      .select(
+        col("doc_id"),
+        col("media_bytes"),
+        upper(col("media_magic")).as("media_magic"),
+        col("media_sha"))
+
+  val multimodalMetaSql: String =
+    """SELECT doc_id,
+      |       octet_length(encode(text)) AS media_bytes,
+      |       upper(substring(hex(encode(text)), 1, 8)) AS media_magic,
+      |       sha256(text) AS media_sha
+      |FROM documents""".stripMargin
+
+  /** Stubbed decode + frame sampling plumbing — rows-only (the decode
+    * is a deterministic fake; shape and determinism are spec-pinned).
+    */
+  def multimodalDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    val bin = docs(spark, sfDir).select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val decoded = Multimodal.decodeStub(spark, bin, "doc_id", "payload")
+    val frames = Multimodal.frameSample(bin, "doc_id", "payload", 4)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sampled"), max(col("frame_crc")).as("max_crc"))
+    decoded.join(frames, decoded("media_id") === frames("doc_id"))
+      .select(col("media_id"), col("width"), col("height"), col("n_frames"),
+        col("n_sampled"), col("max_crc"))
+  }
+
+  // --------------------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_stats" -> (textStats _),
+    "q_text_quality" -> (textQuality _),
+    "q_text_fingerprint" -> (textFingerprint _),
+    "q_text_langid" -> (textLangId _),
+    "q_dedup_exact" -> (dedupExact _),
+    "q_dedup_minhash" -> (dedupMinhash _),
+    "q_dedup_simhash" -> (dedupSimhash _),
+    "q_dedup_embedding" -> (dedupEmbedding _),
+    "q_similarity_topk" -> (similarityTopK _),
+    "q_similarity_ann" -> (similarityAnn _),
+    "q_multimodal_meta" -> (multimodalMeta _),
+    "q_multimodal_decode" -> (multimodalDecode _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_text_stats" -> textStatsSql,
+    "q_text_quality" -> textQualitySql,
+    "q_text_fingerprint" -> textFingerprintSql,
+    "q_dedup_exact" -> dedupExactSql,
+    "q_dedup_minhash" -> dedupMinhashSql,
+    "q_dedup_embedding" -> dedupEmbeddingSql,
+    "q_similarity_topk" -> similarityTopKSql,
+    "q_multimodal_meta" -> multimodalMetaSql)
+}

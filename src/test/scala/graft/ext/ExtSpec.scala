@@ -1,0 +1,136 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("langId identifies prose in the five supported languages") {
+    val fixtures = Seq(
+      ("en", "the cat sat on the mat and it was happy with this state of things"),
+      ("fr", "le chat est dans la maison et il dort sur le tapis avec les enfants"),
+      ("es", "el gato está en la casa y duerme en la alfombra con los niños"),
+      ("de", "die katze ist in dem haus und sie schläft auf dem teppich mit den kindern"),
+      ("zh", "猫在房子里睡觉 它很开心 今天天气很好"),
+      ("und", "zxqv blorp fnord quux")).toDF("expected", "text")
+    val out = fixtures.withColumn("pred", TextAnalysis.langId(col("text"))).collect()
+    out.foreach(r => assert(r.getAs[String]("pred") == r.getAs[String]("expected"),
+      s"text='${r.getAs[String]("text")}'"))
+  }
+
+  test("fingerprintMd5 is whitespace/case-normalized; rolling fingerprint is order-sensitive") {
+    val df = Seq(
+      ("a", "Hello   World"),
+      ("b", "hello world"),
+      ("c", "world hello")).toDF("id", "t")
+    val fp = df.select(col("id"), TextAnalysis.fingerprintMd5(col("t")).as("m"),
+      TextAnalysis.fingerprintRolling(col("t")).as("r")).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(fp("a")._1 == fp("b")._1) // normalization collapses case+ws
+    assert(fp("b")._1 != fp("c")._1) // order matters for content identity
+    assert(fp("b")._2 != fp("c")._2) // rolling hash is order-sensitive
+    assert(fp("a")._2 == fp("b")._2)
+  }
+
+  test("quality score favors long diverse prose over punctuation soup") {
+    val df = Seq(
+      ("good", ("the quick brown fox jumps over the lazy dog and runs through the field " * 4)),
+      ("bad", ";;;,,,!!!??? ;;; ,,, !!!")).toDF("id", "text")
+    val out = TextAnalysis.qualityFeatures(df, "text")
+      .select(col("id"), col("quality_score")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out("good") > 0.6 && out("bad") < 0.4)
+  }
+}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = {
+    val base = (0 until 60).map { i =>
+      val words = (0 until 40).map(j => s"w${(i * 7 + j * 13) % 97}")
+      (i.toLong, words.mkString(" "))
+    }
+    // planted near-dups: ids 1000+i are copies of i%3==0 docs with last 2 words dropped
+    val dups = base.filter(_._1 % 3 == 0).map { case (id, t) =>
+      (1000L + id, t.split(" ").dropRight(2).mkString(" "))
+    }
+    (base ++ dups).toDF("id", "text")
+  }
+
+  test("minhash LSH finds every planted near-dup pair and estimates jaccard") {
+    val pairs = Dedup.minhashDedupPairs(corpus, "id", "text", 0.5).collect()
+    val found = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0 until 60 by 3).map(i => (i.toLong, 1000L + i)).toSet
+    assert(planted.subsetOf(found), s"missing ${planted -- found}")
+    pairs.filter(r => planted((r.getLong(0), r.getLong(1))))
+      .foreach(r => assert(r.getAs[Double]("jaccard") > 0.8))
+  }
+
+  test("simhash buckets recover planted near-dups within hamming distance") {
+    val pairs = Dedup.simhashDedupPairs(corpus, "id", "text", maxHamming = 10).collect()
+    val found = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0 until 60 by 3).map(i => (i.toLong, 1000L + i)).toSet
+    // simhash is coarser than minhash; demand high recall, not perfection
+    assert((planted & found).size >= (planted.size * 0.8).toInt,
+      s"recall too low: ${(planted & found).size}/${planted.size}")
+  }
+
+  test("exactDedup keeps lowest id per distinct content") {
+    val df = Seq((5L, "x y z"), (2L, "x  Y z"), (9L, "other")).toDF("id", "text")
+    val kept = Dedup.exactDedup(df, "id", "text").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 9L))
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vectors = {
+    val rnd = new scala.util.Random(7)
+    (0 until 200).map(i => (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1).toSeq))
+      .toDF("id", "vec")
+  }
+
+  test("lsh ANN reaches high recall@5 against the brute-force baseline") {
+    val qs = vectors.filter(col("id") % 20 === 0)
+    val exact = Similarity.bruteForceTopK(qs, vectors, "id", "vec", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(qs, vectors, "id", "vec", 5, bits = 6, tables = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall@5 = $recall")
+  }
+
+  test("cosine of identical vectors is 1; orthogonal is 0") {
+    val df = Seq(
+      (Seq(1f, 0f), Seq(1f, 0f), 1.0),
+      (Seq(1f, 0f), Seq(0f, 1f), 0.0)).toDF("a", "b", "expected")
+    df.select(round(Similarity.cosine(col("a"), col("b")), 9).as("c"), col("expected"))
+      .collect()
+      .foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("metadata sniffs magic bytes and decode stub is deterministic with declared schema") {
+    val png = Array[Byte]('P', 'N', 'G', 1, 2, 3, 4, 5, 6, 7)
+    val df = Seq((1L, png), (2L, "plain bytes".getBytes)).toDF("id", "payload")
+    val meta = Multimodal.attachMetadata(df, "payload").collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("media_kind")).toMap
+    assert(meta(1L) == "image/png" && meta(2L) == "application/octet-stream")
+
+    val d1 = Multimodal.decodeStub(spark, df, "id", "payload").collect().sortBy(_.getLong(0))
+    val d2 = Multimodal.decodeStub(spark, df, "id", "payload").collect().sortBy(_.getLong(0))
+    assert(d1.toSeq == d2.toSeq)
+    assert(d1.head.schema.fieldNames.toSeq ==
+      Seq("media_id", "width", "height", "n_frames", "feature"))
+
+    val frames = Multimodal.frameSample(df, "id", "payload", 4)
+    assert(frames.filter(col("id") === 1L).count() == 4)
+  }
+}

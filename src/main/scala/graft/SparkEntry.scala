@@ -9,11 +9,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     _root_.graft.queries.CoreQueries.queries ++
       _root_.graft.queries.StreamQueries.queries ++
-      _root_.graft.queries.ExtQueries.queries
+      _root_.graft.queries.ExtQueries.queries ++
+      _root_.graft.queries.PipelineQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     _root_.graft.queries.CoreQueries.oracleSql ++
       _root_.graft.queries.StreamQueries.oracleSql ++
-      _root_.graft.queries.ExtQueries.oracleSql
+      _root_.graft.queries.ExtQueries.oracleSql ++
+      _root_.graft.queries.PipelineQueries.oracleSql
 }

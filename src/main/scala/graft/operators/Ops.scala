@@ -33,8 +33,11 @@ object Ops {
     */
   def normalizeSchema(df: DataFrame, target: StructType, keepExtra: Boolean = true): DataFrame = {
     val present = df.columns.toSet
+    // try_cast, not cast: under ANSI mode (Spark 4 default) a malformed
+    // value must degrade to NULL (and be caught by the downstream dropna)
+    // exactly like the reference's non-ANSI PySpark cast, not abort the job
     val schemaCols: Seq[Column] = target.fields.toSeq.map { f =>
-      if (present.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      if (present.contains(f.name)) col(f.name).try_cast(f.dataType).as(f.name)
       else lit(null).cast(f.dataType).as(f.name)
     }
     val targetNames = target.fieldNames.toSet

@@ -1,0 +1,71 @@
+package graft.queries
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Sessions.tablePath
+import graft.tables.{LakeTable, Merge}
+
+/** End-to-end lakehouse pipeline over the testdata star schema: bronze
+  * append (with ingestion metadata) → silver SCD2 merge → gold broadcast
+  * dim join — the reference's batch ELT (SURVEY §3.3) exercised through
+  * the LakeTable storage layer and checked against a plain-SQL oracle.
+  * (The reference-domain CSV fixture variant of the same DAG runs in
+  * BatchEltSpec; this one uses the oracle-visible tables.)
+  */
+object PipelineQueries {
+
+  private val t1 = Timestamp.valueOf("2024-03-01 00:00:00")
+
+  def pipelineDim(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = Files.createTempDirectory("graft-pipe-").toString
+    val customer = spark.read.parquet(tablePath(sfDir, "customer"))
+    val nation = spark.read.parquet(tablePath(sfDir, "nation"))
+    val region = spark.read.parquet(tablePath(sfDir, "region"))
+
+    // bronze: append with ingestion metadata, partitioned by ingest date
+    val bronze = LakeTable(spark, s"$root/bronze/raw_customer")
+    bronze.append(
+      graft.operators.Ops.addMetadata(customer, Some(t1), dateParts = true, Some("b1")),
+      partitionBy = Seq("ingest_year", "ingest_month"))
+
+    // silver: SCD2 on the customer key, tracking the account balance
+    val silver = LakeTable(spark, s"$root/silver/customer_scd")
+    Merge.mergeScd2(
+      silver,
+      bronze.read().drop("ingest_year", "ingest_month", "ingest_day", "batch_id"),
+      Seq("c_custkey"),
+      Seq("c_acctbal"),
+      t1)
+
+    // gold: current versions, broadcast-joined to the geo dims
+    val current = silver.read().filter(col("is_current") === 1)
+    current
+      .join(broadcast(nation), current("c_nationkey") === nation("n_nationkey"), "left")
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"), "left")
+      .select(
+        col("c_custkey"),
+        col("c_name"),
+        col("c_acctbal"),
+        col("n_name").as("nation_name"),
+        col("r_name").as("region_name"),
+        date_format(col("start_timestamp"), "yyyy-MM-dd HH:mm:ss").as("start_ts"))
+  }
+
+  val pipelineDimSql: String =
+    """SELECT c_custkey, c_name, c_acctbal,
+      |       n.n_name AS nation_name, r.r_name AS region_name,
+      |       '2024-03-01 00:00:00' AS start_ts
+      |FROM customer c
+      |LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |LEFT JOIN region r ON n.n_regionkey = r.r_regionkey""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pipeline_dim" -> (pipelineDim _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_pipeline_dim" -> pipelineDimSql)
+}

@@ -139,12 +139,19 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
     if (m.commitDirs.isEmpty) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    } else {
+    } else if (m.partitionBy.isEmpty) {
       val paths = m.commitDirs.map(d => dataDir.resolve(d).toString)
-      spark.read
-        .option("basePath", dataDir.toString)
-        .schema(schema)
-        .parquet(paths: _*)
+      spark.read.schema(schema).parquet(paths: _*)
+    } else {
+      // Hive-partitioned commits: each commit dir is its own partition
+      // root (basePath), so partition columns resolve per commit and the
+      // union preserves them. Commit counts stay small because merges
+      // rewrite (compact) the table; a production variant would also
+      // compact append-heavy histories.
+      m.commitDirs
+        .map(d => spark.read.option("basePath", dataDir.resolve(d).toString)
+          .schema(schema).parquet(dataDir.resolve(d).toString))
+        .reduce(_ unionByName _)
     }
   }
 

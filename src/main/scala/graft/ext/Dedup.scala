@@ -68,13 +68,25 @@ object Dedup {
     (a, b)
   }
 
-  /** MinHash signature: k universal-hash permutations
-    * h_i(x) = (a_i·x + b_i) mod p over xxhash64 shingle hashes, each
+  private[graft] def permParams(k: Int): (Seq[Long], Seq[Long]) = {
+    val ps = (0 until k).map(perm)
+    (ps.map(_._1), ps.map(_._2))
+  }
+
+  /** Shingle hashes reduced mod P — materialize this ONCE (own
+    * projection) before fanning out into the k signature aggregates:
+    * Spark does not CSE subexpressions across lambda-function
+    * aggregates, so inlining it k times costs k× the tokenization.
+    */
+  def shingleHashes(text: Column, shingleN: Int = 3): Column =
+    transform(shingles(text, shingleN), s => pmod(xxhash64(s), lit(P)))
+
+  /** MinHash signature from pre-materialized shingle hashes: k
+    * universal-hash permutations h_i(x) = (a_i·x + b_i) mod p, each
     * reduced with an associative array-aggregate `least` — the
     * classical Broder construction, fully codegen'd.
     */
-  def minhashSignature(text: Column, k: Int = 64, shingleN: Int = 3): Column = {
-    val hashes = transform(shingles(text, shingleN), s => pmod(xxhash64(s), lit(P)))
+  def minhashFromHashes(hashes: Column, k: Int = 64): Column =
     array((0 until k).map { i =>
       val (a, b) = perm(i)
       aggregate(
@@ -82,7 +94,10 @@ object Dedup {
         lit(Long.MaxValue),
         (acc, x) => least(acc, pmod(x * lit(a) + lit(b), lit(P))))
     }: _*)
-  }
+
+  /** Convenience single-expression form (small inputs / tests). */
+  def minhashSignature(text: Column, k: Int = 64, shingleN: Int = 3): Column =
+    minhashFromHashes(shingleHashes(text, shingleN), k)
 
   /** LSH banding: split the k-length signature into `bands` bands of
     * k/bands rows; each band hashes to a bucket key. Two documents
@@ -111,8 +126,22 @@ object Dedup {
       bands: Int = 16,
       shingleN: Int = 3,
       maxBucket: Int = 1000): DataFrame = {
+    val (as, bs) = permParams(k)
     val sigs = df
-      .select(col(idCol).as("id"), minhashSignature(col(textCol), k, shingleN).as("sig"))
+      .select(
+        col(idCol).as("id"),
+        graft.functions.VectorExprs
+          .shingleHashes(
+            df.sparkSession,
+            split(trim(lower(col(textCol))), "\\s+"),
+            shingleN,
+            P)
+          .as("hashes"))
+      .select(
+        col("id"),
+        graft.functions.VectorExprs
+          .minhashSig(df.sparkSession, col("hashes"), as, bs, P)
+          .as("sig"))
     val exploded = sigs
       .select(col("id"), col("sig"), explode(lshBands(col("sig"), k, bands)).as("bb"))
       .select(col("id"), col("sig"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
@@ -159,12 +188,24 @@ object Dedup {
       k: Int = 64,
       bands: Int = 16,
       shingleN: Int = 3): DataFrame = {
+    val spark = df.sparkSession
     val cands = minhashCandidates(df, idCol, textCol, k, bands, shingleN)
-    val docs = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    // Verification shingle sets use the FULL 64-bit hash space (no mod-P
+    // reduction): set Jaccard over them equals string-set Jaccard up to
+    // ~1e-12 collision probability, so the value is oracle-exact, and
+    // the compiled set-probe replaces an interpreted per-pair
+    // array_intersect walk.
+    val hashed = df.select(
+      col(idCol).as("id"),
+      graft.functions.VectorExprs
+        .shingleHashes(spark, split(trim(lower(col(textCol))), "\\s+"), shingleN, Long.MaxValue)
+        .as("sh"))
     cands
-      .join(docs.select(col("id").as("id_a"), col("text").as("text_a")), "id_a")
-      .join(docs.select(col("id").as("id_b"), col("text").as("text_b")), "id_b")
-      .withColumn("jaccard", round(jaccard(col("text_a"), col("text_b"), shingleN), 4))
+      .join(hashed.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(hashed.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn(
+        "jaccard",
+        round(graft.functions.VectorExprs.jaccardLongs(spark, col("sh_a"), col("sh_b")), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -177,8 +218,14 @@ object Dedup {
     * bit (shift amounts must be literals in the functions API), then a
     * fold packing the 64 signs into a long.
     */
-  def simhash64(text: Column): Column = {
-    val hashes = transform(split(trim(lower(text)), "\\s+"), t => xxhash64(t))
+  /** Token hashes for simhash — materialize once before the 64 per-bit
+    * tallies (same no-CSE-across-aggregates reason as
+    * [[shingleHashes]]).
+    */
+  def tokenHashes(text: Column): Column =
+    transform(split(trim(lower(text)), "\\s+"), t => xxhash64(t))
+
+  def simhashFromHashes(hashes: Column): Column = {
     val tallies = (0 until 64).map { i =>
       aggregate(
         hashes,
@@ -193,6 +240,8 @@ object Dedup {
       (acc, t) => shiftleft(acc, 1).bitwiseOR(when(t > 0, lit(1L)).otherwise(lit(0L))))
   }
 
+  def simhash64(text: Column): Column = simhashFromHashes(tokenHashes(text))
+
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
@@ -206,7 +255,11 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
+    val sigs = df.select(
+      col(idCol).as("id"),
+      graft.functions.VectorExprs
+        .simhash64(df.sparkSession, split(trim(lower(col(textCol))), "\\s+"))
+        .as("sig"))
     val chunked = sigs.select(
       col("id"),
       col("sig"),
@@ -238,7 +291,11 @@ object Dedup {
     val a = df.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cosine", round(Similarity.cosine(col("vec_a"), col("vec_b")), 6))
+      .withColumn(
+        "cosine",
+        round(
+          graft.functions.VectorExprs.arrayCosine(df.sparkSession, col("vec_a"), col("vec_b")),
+          6))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }

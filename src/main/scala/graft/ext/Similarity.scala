@@ -34,6 +34,13 @@ object Similarity {
     when(na === 0 || nb === 0, 0.0).otherwise(dot / (na * nb))
   }
 
+  /** The similarity joins below score pairs with
+    * [[graft.functions.VectorExprs.ArrayCosine]] — one compiled loop
+    * per pair, bit-identical arithmetic to [[cosine]] — because
+    * interpreted higher-order functions dominate the cost of an O(N²)
+    * candidate join.
+    */
+
   /** Exact cosine top-k: for each query vector, the `k` most similar
     * corpus vectors (excluding itself). Deterministic ranking: rounded
     * similarity desc, then neighbor id asc.
@@ -48,7 +55,11 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
     val scored = c
       .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", round(cosine(col("q_vec"), col("c_vec")), 6))
+      .withColumn(
+        "cosine",
+        round(
+          graft.functions.VectorExprs.arrayCosine(corpus.sparkSession, col("q_vec"), col("c_vec")),
+          6))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
@@ -110,7 +121,11 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id", "q_vec", "c_vec")
       .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("cosine", round(cosine(col("q_vec"), col("c_vec")), 6))
+      .withColumn(
+        "cosine",
+        round(
+          graft.functions.VectorExprs.arrayCosine(corpus.sparkSession, col("q_vec"), col("c_vec")),
+          6))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)

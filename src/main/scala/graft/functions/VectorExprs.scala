@@ -1,0 +1,247 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.{call_function, col}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the numeric hot paths.
+  *
+  * Spark's higher-order functions (`aggregate`/`zip_with`/`transform`)
+  * are *interpreted* per element — every lambda step allocates and
+  * evaluates an expression tree. Fine for a projection over N rows;
+  * deadly inside an O(N²) similarity join or a 64-permutation signature
+  * where the same array is walked tens of times. These expressions do
+  * the same arithmetic in one compiled JVM loop (preference order (b)
+  * of the build rules: a native `Expression` beats a UDF).
+  *
+  * `CodegenFallback` is deliberate: the body IS compiled Scala; codegen
+  * would only fuse the surrounding projection, and these evaluate one
+  * tight loop per row, so fallback costs ~nothing while keeping the
+  * implementation auditable.
+  */
+object VectorExprs {
+
+  /** Cosine similarity over two numeric arrays — identical operation
+    * order to the `zip_with`/`aggregate` formulation in
+    * [[graft.ext.Similarity.cosine]] (sequential dot, then norms), so
+    * results are bit-for-bit equal and DuckDB-oracle-safe.
+    */
+  case class ArrayCosine(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val xs = a.asInstanceOf[ArrayData]
+      val ys = b.asInstanceOf[ArrayData]
+      val n = math.min(xs.numElements(), ys.numElements())
+      val elemT = left.dataType.asInstanceOf[ArrayType].elementType
+      var dot = 0.0
+      var sa = 0.0
+      var sb = 0.0
+      var i = 0
+      if (elemT == FloatType) {
+        while (i < n) {
+          val x = xs.getFloat(i).toDouble
+          val y = ys.getFloat(i).toDouble
+          dot += x * y; sa += x * x; sb += y * y; i += 1
+        }
+      } else {
+        while (i < n) {
+          val x = xs.getDouble(i)
+          val y = ys.getDouble(i)
+          dot += x * y; sa += x * x; sb += y * y; i += 1
+        }
+      }
+      val na = math.sqrt(sa)
+      val nb = math.sqrt(sb)
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (na * nb)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** MinHash signature from an array of (already mod-P-reduced) shingle
+    * hashes: k universal-hash permutations in one pass —
+    * sig_i = min_x (a_i·x + b_i) mod P. Same (P, a_i, b_i) family as
+    * [[graft.ext.Dedup]]; the parameters are injected so the two
+    * definitions cannot drift.
+    */
+  case class MinHashSig(child: Expression, as: Seq[Long], bs: Seq[Long], p: Long)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    private val k = as.length
+    override def nullSafeEval(input: Any): Any = {
+      val hashes = input.asInstanceOf[ArrayData]
+      val n = hashes.numElements()
+      val sig = Array.fill(k)(Long.MaxValue)
+      var j = 0
+      while (j < n) {
+        val x = hashes.getLong(j)
+        var i = 0
+        while (i < k) {
+          val v = (as(i) * x + bs(i)) % p
+          if (v < sig(i)) sig(i) = v
+          i += 1
+        }
+        j += 1
+      }
+      new GenericArrayData(sig)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Distinct word-n-gram shingle hashes from a token-string array:
+    * joins each n-token window with single spaces, hashes with Spark's
+    * seed-42 XXH64, reduces mod p, de-duplicates — the compiled
+    * equivalent of the `transform(sequence…, slice/concat_ws)` +
+    * `array_distinct` column formulation, minus per-shingle string
+    * allocation churn in the interpreter.
+    */
+  case class ShingleHashes(child: Expression, n: Int, p: Long)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val toks = input.asInstanceOf[ArrayData]
+      val len = toks.numElements()
+      def tok(i: Int): UTF8String = toks.get(i, StringType).asInstanceOf[UTF8String]
+      val seen = new java.util.LinkedHashSet[java.lang.Long]()
+      def add(s: UTF8String): Unit = {
+        val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(s, StringType, 42L)
+        // p == Long.MaxValue means "no reduction" (full 64-bit space for
+        // verification sets); the ((h%p)+p)%p form would overflow there
+        seen.add(if (p == Long.MaxValue) h else ((h % p) + p) % p)
+      }
+      if (len < n) {
+        val parts = (0 until len).map(tok)
+        add(UTF8String.concatWs(UTF8String.fromString(" "), parts: _*))
+      } else {
+        var j = 0
+        while (j <= len - n) {
+          val parts = (j until j + n).map(tok)
+          add(UTF8String.concatWs(UTF8String.fromString(" "), parts: _*))
+          j += 1
+        }
+      }
+      val out = new Array[Long](seen.size)
+      val it = seen.iterator()
+      var i = 0
+      while (it.hasNext) { out(i) = it.next(); i += 1 }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Exact Jaccard over two long-array SETS (distinct elements assumed,
+    * as [[ShingleHashes]] emits): |A∩B| / |A∪B| via one hash-set probe
+    * — the compiled verification step for candidate near-dup pairs.
+    */
+  case class JaccardLongs(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val xs = a.asInstanceOf[ArrayData]
+      val ys = b.asInstanceOf[ArrayData]
+      val na = xs.numElements()
+      val nb = ys.numElements()
+      val set = new java.util.HashSet[java.lang.Long](na * 2)
+      var i = 0
+      while (i < na) { set.add(xs.getLong(i)); i += 1 }
+      var inter = 0
+      i = 0
+      while (i < nb) { if (set.contains(ys.getLong(i))) inter += 1; i += 1 }
+      val union = na + nb - inter
+      if (union == 0) 0.0 else inter.toDouble / union
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  def jaccardLongs(spark: org.apache.spark.sql.SparkSession, a: Column, b: Column): Column = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_jaccard_longs", exprs => JaccardLongs(exprs(0), exprs(1)), "scala_udf")
+    call_function("graft_jaccard_longs", a, b)
+  }
+
+  /** 64-bit SimHash from a token-string array: xxhash64 each token
+    * (Spark's own seed-42 XXH64, same as the `xxhash64` function),
+    * tally signs per bit, pack MSB-first — one pass, compiled.
+    */
+  case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any = {
+      val toks = input.asInstanceOf[ArrayData]
+      val n = toks.numElements()
+      val tally = new Array[Int](64)
+      var j = 0
+      while (j < n) {
+        val t = toks.get(j, StringType).asInstanceOf[UTF8String]
+        val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(t, StringType, 42L)
+        var i = 0
+        while (i < 64) {
+          if (((h >>> i) & 1L) == 1L) tally(i) += 1 else tally(i) -= 1
+          i += 1
+        }
+        j += 1
+      }
+      var sig = 0L
+      var i = 0
+      while (i < 64) { // MSB-first: bit 0's tally lands highest
+        sig = (sig << 1) | (if (tally(i) > 0) 1L else 0L)
+        i += 1
+      }
+      sig
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Register SQL-callable forms once per session; idempotent. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "graft_array_cosine", exprs => ArrayCosine(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "graft_simhash64", exprs => SimHash64(exprs.head), "scala_udf")
+  }
+
+  def arrayCosine(spark: org.apache.spark.sql.SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    call_function("graft_array_cosine", a, b)
+  }
+
+  def simhash64(spark: org.apache.spark.sql.SparkSession, tokens: Column): Column = {
+    register(spark)
+    call_function("graft_simhash64", tokens)
+  }
+
+  /** Shingle hashes with given (n, p) baked into the registration. */
+  def shingleHashes(
+      spark: org.apache.spark.sql.SparkSession,
+      tokens: Column,
+      n: Int,
+      p: Long): Column = {
+    val name = s"graft_shingles_$n"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => ShingleHashes(exprs.head, n, p), "scala_udf")
+    call_function(name, tokens)
+  }
+
+  /** MinHash with a given permutation family: registered per distinct
+    * k (the (a,b,p) parameters are baked into the registered closure).
+    */
+  def minhashSig(
+      spark: org.apache.spark.sql.SparkSession,
+      hashes: Column,
+      as: Seq[Long],
+      bs: Seq[Long],
+      p: Long): Column = {
+    val name = s"graft_minhash_${as.length}"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => MinHashSig(exprs.head, as, bs, p), "scala_udf")
+    call_function(name, hashes)
+  }
+}

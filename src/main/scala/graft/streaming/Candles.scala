@@ -55,6 +55,38 @@ object Candles {
         col("n_rows"))
   }
 
+  /** Reference-faithful variant: open/close via `first`/`last`
+    * (arrival-order-dependent, exactly like
+    * /root/reference/src/silver/ohlcv_agg.py:22-27 which leans on Kafka
+    * per-key ordering). Provided for behavioral parity; NOT used in
+    * oracle checks — use [[candles]] (deterministic event-time picks)
+    * for anything that must be reproducible. See SURVEY §7.5.2.
+    */
+  def candlesArrivalOrder(
+      df: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      valueCol: String,
+      windowDuration: String = "15 minutes"): DataFrame =
+    df.groupBy(col(keyCol), window(col(tsCol), windowDuration).as("w"))
+      .agg(
+        first(col(valueCol)).as("open"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        last(col(valueCol)).as("close"),
+        sum(col(valueCol)).as("volume"),
+        count(lit(1)).as("n_rows"))
+      .select(
+        col(keyCol),
+        col("w.start").as("start_window"),
+        col("w.end").as("end_window"),
+        col("open"),
+        col("high"),
+        col("low"),
+        col("close"),
+        col("volume"),
+        col("n_rows"))
+
   /** Presentation projection shared by the batch query and the
     * streaming query's memory-sink output: string windows, rounded sum.
     */

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Scale audit, enforced: the physical plans that matter must keep the
+  * shape that survives a 100 TB / 1000-executor scale-up — filters and
+  * projections reaching the parquet scan, small dims broadcast (never
+  * shuffled), aggregates doing map-side partial combine. A regression
+  * here is a performance bug even while results stay correct.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("filter + narrow projection push down to the parquet scan") {
+    val p = plan(graft.queries.CoreQueries.filterPushdown(spark, sf))
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("l_returnflag"), p)
+    // pruned read schema: the scan must not read the unused columns
+    assert(!p.split("ReadSchema")(1).split("\n")(0).contains("l_tax"), p)
+  }
+
+  test("star joins broadcast the dims — no shuffle of the fact side") {
+    val p = plan(graft.queries.CoreQueries.joinStar(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("iterated snowflake flatten broadcasts every level") {
+    val p = plan(graft.queries.CoreQueries.joinSnowflakeIterated(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("group-agg does map-side partial aggregation before the shuffle") {
+    val p = plan(graft.queries.CoreQueries.aggPricingSummary(spark, sf))
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial_sum") || p.contains("Partial"), p)
+  }
+
+  test("incremental watermark scan plans as a literal pushable predicate") {
+    val df = graft.queries.CoreQueries.incrementalScan(spark, sf)
+    val p = plan(df)
+    // the high-watermark comparison must reach the scan as a pushed filter
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate"), p)
+  }
+
+  test("brute-force topk broadcasts the query side") {
+    val p = plan(graft.queries.ExtQueries.similarityTopK(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+}

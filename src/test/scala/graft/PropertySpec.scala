@@ -1,0 +1,121 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.operators.Ops
+import graft.streaming.Candles
+import graft.tables.{LakeTable, Merge}
+
+/** Property-based invariants (SURVEY §5): SCD2 structural guarantees,
+  * dedup idempotence, and OHLCV candle math over generated inputs.
+  */
+class PropertySpec extends SparkSpec {
+
+  /** scalatestplus isn't in the offline cache; drive ScalaCheck Gens
+    * directly with fixed seeds for reproducible property runs.
+    */
+  private def forAllSeeded[A](gen: Gen[A], runs: Int)(body: A => Unit): Unit =
+    (1 to runs).foreach { i =>
+      body(gen.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+    }
+  import spark.implicits._
+
+  private val t1 = Timestamp.valueOf("2020-01-01 00:00:00")
+  private val t2 = Timestamp.valueOf("2020-02-01 00:00:00")
+  private val t3 = Timestamp.valueOf("2020-03-01 00:00:00")
+
+  private val batchGen: Gen[List[(String, Long)]] =
+    Gen.listOfN(
+      12,
+      for {
+        k <- Gen.oneOf((1 to 6).map(i => s"k$i"))
+        v <- Gen.chooseNum(1L, 5L)
+      } yield (k, v)).map(_.distinctBy(_._1))
+
+  test("SCD2: ≤1 current row per key; intervals contiguous; replay is a no-op") {
+    forAllSeeded(Gen.zip(batchGen, batchGen), 6) { case (b1, b2) =>
+      if (b1.nonEmpty) {
+        val table = LakeTable(spark, scratchDir("prop-scd2"))
+        Merge.mergeScd2(table, b1.toDF("key", "v"), Seq("key"), Seq("v"), t1)
+        Merge.mergeScd2(table, b2.toDF("key", "v"), Seq("key"), Seq("v"), t2)
+        val afterTwo = table.read().collect()
+        // replaying batch 2 must change nothing (unchanged rows skipped)
+        Merge.mergeScd2(table, b2.toDF("key", "v"), Seq("key"), Seq("v"), t3)
+        val afterReplay = table.read().collect()
+        assert(afterReplay.map(_.toString).sorted.toSeq == afterTwo.map(_.toString).sorted.toSeq)
+
+        val rows = table.read()
+        // at most one current row per key
+        val maxCurrent = rows.filter($"is_current" === 1)
+          .groupBy("key").count().agg(max("count")).head().getLong(0)
+        assert(maxCurrent <= 1)
+        // closed rows end exactly where the next version starts
+        val closed = rows.filter($"is_current" === 0).collect()
+        closed.foreach { r =>
+          val key = r.getAs[String]("key")
+          val end = r.getAs[Timestamp]("end_timestamp")
+          assert(end != null)
+          val successors = rows
+            .filter($"key" === key && $"start_timestamp" === end).count()
+          assert(successors >= 1, s"no successor version for closed $key at $end")
+        }
+      }
+    }
+  }
+
+  test("deduplicate is idempotent and keeps exactly one row per key") {
+    val rowsGen = Gen.listOfN(
+      30,
+      for {
+        k <- Gen.chooseNum(1, 8)
+        ord <- Gen.chooseNum(1, 100)
+        id <- Gen.chooseNum(1, 100000)
+      } yield (k, ord, id))
+    forAllSeeded(rowsGen, 8) { rows =>
+      if (rows.nonEmpty) {
+        val df = rows.toDF("k", "ord", "id").dropDuplicates("k", "ord", "id")
+        val once = Ops.deduplicate(df, Seq("k"), "ord", Seq("id"))
+        val twice = Ops.deduplicate(once, Seq("k"), "ord", Seq("id"))
+        assert(once.collect().sortBy(_.getInt(0)).toSeq ==
+          twice.collect().sortBy(_.getInt(0)).toSeq)
+        assert(once.groupBy("k").count().agg(max("count")).head().getLong(0) == 1L)
+        // winner has the max (ord, id) per key
+        val winners = once.collect().map(r => r.getInt(0) -> (r.getInt(1), r.getInt(2))).toMap
+        rows.distinct.groupBy(_._1).foreach { case (k, g) =>
+          assert(winners(k) == g.map(t => (t._2, t._3)).max)
+        }
+      }
+    }
+  }
+
+  test("candles: low ≤ open/close ≤ high and volume = sum per window") {
+    val rowsGen = Gen.listOfN(
+      40,
+      for {
+        minute <- Gen.chooseNum(0, 59)
+        v <- Gen.chooseNum(1, 1000)
+        id <- Gen.chooseNum(1, 1000000)
+      } yield (id.toLong, Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00"), "S", v.toDouble))
+    forAllSeeded(rowsGen, 8) { rawRows =>
+      val rows = rawRows.distinctBy(r => (r._1, r._2))
+      if (rows.nonEmpty) {
+        val df = rows.toDF("id", "ts", "sym", "v")
+        val out = Candles.candles(df, "ts", "id", "sym", "v").collect()
+        out.foreach { r =>
+          val (open, high, low, close) = (
+            r.getAs[Double]("open"), r.getAs[Double]("high"),
+            r.getAs[Double]("low"), r.getAs[Double]("close"))
+          assert(low <= open && open <= high)
+          assert(low <= close && close <= high)
+        }
+        assert(out.map(_.getAs[Long]("n_rows")).sum == rows.size)
+        val totalVol = out.map(_.getAs[Double]("volume")).sum
+        assert(math.abs(totalVol - rows.map(_._4).sum) < 1e-6)
+      }
+    }
+  }
+}

@@ -421,6 +421,27 @@ object CoreQueries {
   val timeTravelSql: String =
     "SELECT n_nationkey, n_name, n_regionkey FROM nation"
 
+  /** Snapshot-history listing (§2.10, the reference's `t.snapshots`
+    * metadata query): three commits → three deterministic rows
+    * (commit timestamps excluded — wall clock).
+    */
+  def snapshotsListing(spark: SparkSession, sfDir: String): DataFrame = {
+    val nation = spark.read.parquet(p(sfDir, "nation"))
+    val table = LakeTable(spark, scratch("snap"))
+    table.append(nation)
+    table.append(nation)
+    table.overwrite(nation.limit(3))
+    table
+      .snapshots()
+      .select(col("version"), col("operation"), col("num_commit_dirs"))
+  }
+
+  val snapshotsListingSql: String =
+    """SELECT * FROM (VALUES (CAST(0 AS BIGINT), 'append', 1),
+      |                      (CAST(1 AS BIGINT), 'append', 2),
+      |                      (CAST(2 AS BIGINT), 'overwrite', 1))
+      |       t(version, operation, num_commit_dirs)""".stripMargin
+
   // --------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -440,7 +461,8 @@ object CoreQueries {
     "q_csv_roundtrip" -> (csvRoundtrip _),
     "q_scd2_versions" -> (scd2Versions _),
     "q_scd1_upsert" -> (scd1Upsert _),
-    "q_time_travel" -> (timeTravel _))
+    "q_time_travel" -> (timeTravel _),
+    "q_snapshots" -> (snapshotsListing _))
 
   val oracleSql: Map[String, String] = Map(
     "q_agg_pricing_summary" -> aggPricingSummarySql,
@@ -459,5 +481,6 @@ object CoreQueries {
     "q_csv_roundtrip" -> csvRoundtripSql,
     "q_scd2_versions" -> scd2VersionsSql,
     "q_scd1_upsert" -> scd1UpsertSql,
-    "q_time_travel" -> timeTravelSql)
+    "q_time_travel" -> timeTravelSql,
+    "q_snapshots" -> snapshotsListingSql)
 }

@@ -10,12 +10,14 @@ object SparkEntry {
     _root_.graft.queries.CoreQueries.queries ++
       _root_.graft.queries.StreamQueries.queries ++
       _root_.graft.queries.ExtQueries.queries ++
-      _root_.graft.queries.PipelineQueries.queries
+      _root_.graft.queries.PipelineQueries.queries ++
+      _root_.graft.queries.ScaleQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     _root_.graft.queries.CoreQueries.oracleSql ++
       _root_.graft.queries.StreamQueries.oracleSql ++
       _root_.graft.queries.ExtQueries.oracleSql ++
-      _root_.graft.queries.PipelineQueries.oracleSql
+      _root_.graft.queries.PipelineQueries.oracleSql ++
+      _root_.graft.queries.ScaleQueries.oracleSql
 }

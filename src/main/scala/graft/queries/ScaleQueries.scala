@@ -1,0 +1,104 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Sessions.tablePath
+import graft.operators.Skew
+import graft.sources.Testdata
+import graft.streaming.StreamJobs
+import graft.tables.Catalog
+
+/** Scale-path operators exposed to the oracle gate: salted skew join,
+  * SQL over the lake catalog, and bounded-state streaming dedup.
+  */
+object ScaleQueries {
+
+  /** Salted equi-join must be result-identical to the plain join (the
+    * salt is an execution detail, not a semantic one).
+    */
+  def skewSaltedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = spark.read
+      .parquet(tablePath(sfDir, "orders"))
+      .withColumnRenamed("o_custkey", "custkey")
+    val customer = spark.read
+      .parquet(tablePath(sfDir, "customer"))
+      .withColumnRenamed("c_custkey", "custkey")
+      .select(col("custkey"), col("c_name"), col("c_mktsegment"))
+    Skew
+      .saltedJoin(orders, customer, "custkey", "o_orderkey", saltFactor = 8)
+      .select(col("o_orderkey"), col("custkey"), col("c_name"), col("o_totalprice"))
+  }
+
+  val skewSaltedJoinSql: String =
+    """SELECT o_orderkey, o_custkey AS custkey, c_name, o_totalprice
+      |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin
+
+  /** spark.sql over LakeTables registered in the session catalog — the
+    * reference's Trino-over-Iceberg capability, engine-side (§2.10).
+    */
+  def sqlOverCatalog(spark: SparkSession, sfDir: String): DataFrame = {
+    val cat = Catalog(spark, Files.createTempDirectory("graft-cat-").toString)
+    cat.createSchema("gold")
+    cat.table("gold", "nation").append(spark.read.parquet(tablePath(sfDir, "nation")))
+    cat.table("gold", "region").append(spark.read.parquet(tablePath(sfDir, "region")))
+    cat.registerView("gold", "nation")
+    cat.registerView("gold", "region")
+    cat.sql(
+      """SELECT r.r_name AS region_name, count(*) AS n_nations
+        |FROM gold_nation n JOIN gold_region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r.r_name""".stripMargin)
+  }
+
+  val sqlOverCatalogSql: String =
+    """SELECT r.r_name AS region_name, count(*) AS n_nations
+      |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+      |GROUP BY r.r_name""".stripMargin
+
+  /** Streaming dedup with bounded state: events unioned with an exact
+    * copy of itself, streamed, deduplicated on event_id within the
+    * watermark horizon → exactly the original rows (duplicates are
+    * byte-identical, so arrival order cannot change the outcome).
+    */
+  def streamDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val wd = Files.createTempDirectory("graft-sdedup-").toString
+    val src = s"$wd/src"
+    val events = Testdata.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    events.write.mode("append").parquet(src)
+    events.write.mode("append").parquet(src) // exact duplicate wave
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", TimestampType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    StreamJobs
+      .runStreamingDedup(spark, src, schema, "ts", Seq("event_id"), wd,
+        watermarkDelay = "45 days")
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("event_type"),
+        col("value"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_str"))
+  }
+
+  val streamDedupSql: String =
+    """SELECT event_id, user_id, event_type, value,
+      |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
+      |FROM events""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skew_salted_join" -> (skewSaltedJoin _),
+    "q_sql_catalog" -> (sqlOverCatalog _),
+    "q_stream_dedup" -> (streamDedup _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_skew_salted_join" -> skewSaltedJoinSql,
+    "q_sql_catalog" -> sqlOverCatalogSql,
+    "q_stream_dedup" -> streamDedupSql)
+}

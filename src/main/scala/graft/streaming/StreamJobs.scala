@@ -143,6 +143,71 @@ object StreamJobs {
     spark.table(queryName).filter(col(keyCol) =!= sentinelKey)
   }
 
+  /** Streaming exact dedup (training-data pipeline on a stream): drop
+    * duplicate keys arriving within the watermark horizon —
+    * `dropDuplicatesWithinWatermark` keys state by `keyCols` and evicts
+    * it once the watermark passes, so state stays bounded (the
+    * unbounded-state trap of plain dropDuplicates on streams). Returns
+    * the deduplicated rows collected through a memory sink.
+    */
+  def runStreamingDedup(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      tsCol: String,
+      keyCols: Seq[String],
+      workDir: String,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val checkpoint = dir(workDir, "checkpoint-dedup")
+    val queryName = s"dedup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val stream = spark.readStream
+      .schema(schema)
+      .parquet(sourceDir)
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+    val q = stream.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .option("checkpointLocation", checkpoint)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(queryName)
+  }
+
+  /** Streaming upsert into a lakehouse table: each micro-batch is
+    * SCD1-merged into the target through `foreachBatch` — the
+    * stream-to-MERGE bridge Iceberg/Delta users rely on, expressed over
+    * [[graft.tables.LakeTable]]. Idempotence note: replayed batches
+    * re-merge the same rows, and SCD1 upsert is idempotent, so
+    * at-least-once delivery still yields exactly-once table state.
+    */
+  def runStreamingUpsert(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      keyCols: Seq[String],
+      table: graft.tables.LakeTable,
+      workDir: String): Unit = {
+    val checkpoint = dir(workDir, "checkpoint-upsert")
+    val q = spark.readStream
+      .schema(schema)
+      .parquet(sourceDir)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          graft.tables.Merge.mergeScd1(table, batch, keyCols)
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** The full two-hop pipeline on a batch input, end to end: stage →
     * ingest hop → bronze → windowed-agg hop → finalized candles.
     * Deterministic: equivalent to the batch [[Candles.candles]] over

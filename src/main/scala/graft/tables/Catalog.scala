@@ -1,0 +1,48 @@
+package graft.tables
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Catalog surface over LakeTables (SURVEY §2.10): schemas as
+  * directories, tables registered as session views so plain
+  * `spark.sql(...)` works over the stored data — the capability the
+  * reference gets from Hive Metastore + Trino ("external SQL over the
+  * same stored tables"), provided engine-side.
+  */
+final case class Catalog(spark: SparkSession, root: String) {
+
+  /** CREATE SCHEMA IF NOT EXISTS — a namespace directory. */
+  def createSchema(schema: String): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root, schema))
+    ()
+  }
+
+  def table(schema: String, name: String): LakeTable =
+    LakeTable(spark, s"$root/$schema/$name")
+
+  /** Register a lake table as `<schema>_<name>` for spark.sql use,
+    * reading the current snapshot.
+    */
+  def registerView(schema: String, name: String): String = {
+    val viewName = s"${schema}_$name"
+    table(schema, name).read().createOrReplaceTempView(viewName)
+    viewName
+  }
+
+  /** SHOW TABLES analog: every lake table under a schema dir. */
+  def listTables(schema: String): Seq[String] = {
+    val p = java.nio.file.Paths.get(root, schema)
+    if (!java.nio.file.Files.isDirectory(p)) Seq.empty
+    else {
+      val it = java.nio.file.Files.list(p).iterator()
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        val d = it.next()
+        if (java.nio.file.Files.isDirectory(d.resolve("_graft_log")))
+          out += d.getFileName.toString
+      }
+      out.toSeq.sorted
+    }
+  }
+
+  def sql(query: String): DataFrame = spark.sql(query)
+}

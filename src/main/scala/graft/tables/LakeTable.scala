@@ -166,6 +166,17 @@ final class LakeTable(val spark: SparkSession, val root: String) {
       .toDF("version", "committed_at", "operation", "num_commit_dirs")
   }
 
+  /** Compaction: rewrite the current snapshot as one commit dir (an
+    * `overwrite` of the table with itself). Append-heavy histories
+    * accumulate commit dirs, each a separate partition-root read —
+    * compaction restores O(1) read planning; history stays time-travel
+    * readable (old manifests keep their dirs).
+    */
+  def compact(): Long = {
+    val prev = latestVersion().map(readManifest)
+    overwrite(read(), prev.map(_.partitionBy).getOrElse(Seq.empty))
+  }
+
   /** High-watermark incremental scan (S5/S6 —
     * /root/reference/src/silver/_silver_utils.py:35-49): full source when
     * this table is empty, else strictly-greater-than the max of `tsCol`

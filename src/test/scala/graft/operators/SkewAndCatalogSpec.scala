@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.tables.{Catalog, LakeTable}
+
+class SkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedJoin equals plain join and spreads the hot key across salts") {
+    // one pathological key (90% of rows) + a long tail
+    val left = ((1 to 900).map(i => ("hot", i)) ++ (1 to 100).map(i => (s"k$i", i)))
+      .toDF("key", "uid")
+    val right = (Seq("hot") ++ (1 to 100).map(i => s"k$i")).map(k => (k, s"payload-$k"))
+      .toDF("key", "payload")
+
+    val plain = left.join(right, Seq("key")).select("key", "uid", "payload").collect().toSet
+    val salted = Skew.saltedJoin(left, right, "key", "uid", saltFactor = 8)
+      .select("key", "uid", "payload").collect().toSet
+    assert(salted == plain)
+
+    // the hot key's rows actually land in multiple salt groups
+    val saltSpread = left
+      .withColumn("salt", pmod(xxhash64(col("uid")), lit(8)))
+      .filter($"key" === "hot")
+      .select("salt").distinct().count()
+    assert(saltSpread >= 4, s"salt spread only $saltSpread")
+  }
+
+  test("heavyKeys surfaces the skewed key first") {
+    val df = ((1 to 500).map(_ => "hot") ++ (1 to 10).map(i => s"k$i")).toDF("key")
+    val top = Skew.heavyKeys(df, "key", 3).collect()
+    assert(top.head.getString(0) == "hot" && top.head.getLong(1) == 500L)
+  }
+}
+
+class CatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("catalog: schemas, view registration, spark.sql over lake tables, listing") {
+    val cat = Catalog(spark, scratchDir("cat"))
+    cat.createSchema("silver")
+    cat.table("silver", "orders").append(Seq((1, "A", 10.0), (2, "B", 5.0)).toDF("id", "sym", "amt"))
+    cat.table("silver", "syms").append(Seq(("A", "Alpha"), ("B", "Beta")).toDF("sym", "name"))
+    cat.registerView("silver", "orders")
+    cat.registerView("silver", "syms")
+
+    val out = cat.sql(
+      """SELECT o.id, s.name, o.amt FROM silver_orders o
+        |JOIN silver_syms s USING (sym) ORDER BY o.id""".stripMargin).collect()
+    assert(out.map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSeq ==
+      Seq((1, "Alpha", 10.0), (2, "Beta", 5.0)))
+    assert(cat.listTables("silver") == Seq("orders", "syms"))
+  }
+
+  test("compaction collapses commit dirs, preserves data and history") {
+    val t = LakeTable(spark, scratchDir("compact"))
+    (1 to 5).foreach(i => t.append(Seq((i, s"v$i")).toDF("k", "v")))
+    val before = t.read().collect().sortBy(_.getInt(0)).toSeq
+    val v = t.compact()
+    assert(v == 5)
+    val after = t.read().collect().sortBy(_.getInt(0)).toSeq
+    assert(after == before)
+    // compacted snapshot reads one commit dir; pre-compaction versions intact
+    assert(t.snapshots().filter(col("version") === 5).head().getAs[Int]("num_commit_dirs") == 1)
+    assert(t.read(versionAsOf = Some(2L)).count() == 3)
+  }
+}

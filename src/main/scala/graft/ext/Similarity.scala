@@ -93,6 +93,97 @@ object Similarity {
     signs.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** IVF (inverted-file) approximate top-k — the other scale path.
+    *
+    * Build: `nlist` coarse centroids (deterministic seed sample from
+    * the corpus, refined with `iters` Lloyd steps — every step is
+    * DataFrame algebra: broadcast-join assignment + per-dimension mean),
+    * then invert: each corpus vector lands in the list of its nearest
+    * centroid. Search: a query probes its `nprobe` nearest lists and
+    * ranks only those candidates with exact cosine. Probe cost is
+    * ~(nprobe/nlist)·N versus N for brute force; recall is tunable and
+    * measured against the brute-force baseline in SimilaritySpec.
+    */
+  def ivfTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      iters: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    val cos = (a: Column, b: Column) => graft.functions.VectorExprs.arrayCosine(spark, a, b)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__vid"))
+      .orderBy(col("__sim").desc, col("list_id").asc)
+
+    // deterministic seeds: hash-select ~nlist vectors (no global sort of
+    // the corpus — only the tiny selected set is row-numbered)
+    val n = corpus.count()
+    val stride = math.max(1L, n / nlist)
+    val seedW = org.apache.spark.sql.expressions.Window.orderBy(col(idCol))
+    var centroids = corpus
+      .filter(pmod(xxhash64(col(idCol)), lit(stride)) === 0)
+      .withColumn("__rn", row_number().over(seedW))
+      .filter(col("__rn") <= nlist)
+      .select(
+        (col("__rn") - 1).cast("int").as("list_id"),
+        transform(col(vecCol), x => x.cast("double")).as("centroid"))
+
+    def nearestList(df: DataFrame, vec: String, keep: Seq[Column]): DataFrame =
+      df.withColumn("__vid", monotonically_increasing_id())
+        .crossJoin(broadcast(centroids))
+        .withColumn("__sim", cos(col(vec), col("centroid")))
+        .withColumn("__r", row_number().over(w))
+        .filter(col("__r") === 1)
+        .select(keep :+ col("list_id"): _*)
+
+    // Lloyd refinement: assign, then per-dimension mean per list
+    (1 to iters).foreach { _ =>
+      val assigned = nearestList(
+        corpus.select(col(idCol), col(vecCol)),
+        vecCol,
+        Seq(col(idCol), col(vecCol)))
+      centroids = assigned
+        .select(col("list_id"), posexplode(transform(col(vecCol), x => x.cast("double"))))
+        .groupBy(col("list_id"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .groupBy(col("list_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("list_id"), transform(col("pm"), p => p.getField("m")).as("centroid"))
+    }
+
+    val inverted = nearestList(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")),
+      "c_vec",
+      Seq(col("neighbor_id"), col("c_vec")))
+
+    // each query probes its nprobe nearest lists
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("__sim", cos(col("q_vec"), col("centroid")))
+      .withColumn("__r", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("__sim").desc, col("list_id").asc)))
+      .filter(col("__r") <= nprobe)
+      .select(col("query_id"), col("q_vec"), col("list_id"))
+
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    probes
+      .join(inverted, Seq("list_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(cos(col("q_vec"), col("c_vec")), 6))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
   /** LSH-bucketed approximate top-k: candidates are corpus vectors
     * sharing a bucket with the query in any of `tables` signature
     * tables; exact cosine + ranking within candidates only.

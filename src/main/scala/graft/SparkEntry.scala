@@ -11,7 +11,8 @@ object SparkEntry {
       _root_.graft.queries.StreamQueries.queries ++
       _root_.graft.queries.ExtQueries.queries ++
       _root_.graft.queries.PipelineQueries.queries ++
-      _root_.graft.queries.ScaleQueries.queries
+      _root_.graft.queries.ScaleQueries.queries ++
+      _root_.graft.queries.AnalyticsQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -19,5 +20,6 @@ object SparkEntry {
       _root_.graft.queries.StreamQueries.oracleSql ++
       _root_.graft.queries.ExtQueries.oracleSql ++
       _root_.graft.queries.PipelineQueries.oracleSql ++
-      _root_.graft.queries.ScaleQueries.oracleSql
+      _root_.graft.queries.ScaleQueries.oracleSql ++
+      _root_.graft.queries.AnalyticsQueries.oracleSql
 }

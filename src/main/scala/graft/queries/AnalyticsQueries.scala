@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Sessions.tablePath
+import graft.sources.Testdata
+
+/** Analytics surface beyond the reference's tumbling windows: sliding
+  * and session event-time windows (the other two Structured Streaming
+  * window kinds), distinct aggregation, and rollup — each with a DuckDB
+  * oracle that reconstructs the same semantics in plain SQL.
+  */
+object AnalyticsQueries {
+
+  /** Sliding (hopping) window: 30-minute windows every 15 minutes —
+    * each event lands in exactly two windows. Oracle unnests the two
+    * epoch-aligned starts per row.
+    */
+  def slidingWindow(spark: SparkSession, sfDir: String): DataFrame =
+    Testdata.events(spark, sfDir)
+      .groupBy(col("event_type"), window(col("ts"), "30 minutes", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n_rows"), round(sum(col("value")), 4).as("sum_value"))
+      .select(
+        col("event_type"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("start_window"),
+        col("n_rows"),
+        col("sum_value"))
+
+  val slidingWindowSql: String =
+    """SELECT event_type,
+      |       strftime(make_timestamp(s * 1000000), '%Y-%m-%d %H:%M:%S') AS start_window,
+      |       count(*) AS n_rows, round(sum(value), 4) AS sum_value
+      |FROM (
+      |  SELECT event_type, value,
+      |         unnest([(CAST(floor(epoch(ts) / 900) AS BIGINT) - 1) * 900,
+      |                 CAST(floor(epoch(ts) / 900) AS BIGINT) * 900]) AS s
+      |  FROM events)
+      |GROUP BY event_type, s""".stripMargin
+
+  /** Session window: per-user sessions closed by a 10-minute
+    * inactivity gap (`session_window`). Oracle rebuilds sessions with
+    * the classic lag + cumulative-sum island construction.
+    */
+  def sessionWindow(spark: SparkSession, sfDir: String): DataFrame =
+    Testdata.events(spark, sfDir)
+      .groupBy(col("user_id"), session_window(col("ts"), "10 minutes").as("w"))
+      .agg(count(lit(1)).as("n_rows"), round(sum(col("value")), 4).as("sum_value"))
+      .select(
+        col("user_id"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("n_rows"),
+        col("sum_value"))
+
+  val sessionWindowSql: String =
+    """SELECT user_id,
+      |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |       strftime(max(ts) + INTERVAL 10 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+      |       count(*) AS n_rows, round(sum(value), 4) AS sum_value
+      |FROM (
+      |  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                                   ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM (
+      |    SELECT *, CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |                        <= INTERVAL 10 MINUTE THEN 0 ELSE 1 END AS new_session
+      |    FROM events))
+      |GROUP BY user_id, session_id""".stripMargin
+
+  /** Distinct aggregation: exact distinct users / types per day. */
+  def distinctAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Testdata.events(spark, sfDir)
+      .groupBy(dayofmonth(col("ts")).as("event_day"))
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("event_type")).as("n_types"),
+        count(lit(1)).as("n_rows"))
+
+  val distinctAggSql: String =
+    """SELECT CAST(EXTRACT(day FROM ts) AS INTEGER) AS event_day,
+      |       count(DISTINCT user_id) AS n_users,
+      |       count(DISTINCT event_type) AS n_types,
+      |       count(*) AS n_rows
+      |FROM events GROUP BY 1""".stripMargin
+
+  /** Rollup: subtotals per (returnflag, linestatus), per returnflag,
+    * and grand total in one pass.
+    */
+  def rollupAgg(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read
+      .parquet(tablePath(sfDir, "lineitem"))
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 4).as("sum_qty"), count(lit(1)).as("n_rows"))
+
+  val rollupAggSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       round(sum(l_quantity), 4) AS sum_qty, count(*) AS n_rows
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sliding_window" -> (slidingWindow _),
+    "q_session_window" -> (sessionWindow _),
+    "q_distinct_agg" -> (distinctAgg _),
+    "q_rollup_agg" -> (rollupAgg _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_sliding_window" -> slidingWindowSql,
+    "q_session_window" -> sessionWindowSql,
+    "q_distinct_agg" -> distinctAggSql,
+    "q_rollup_agg" -> rollupAggSql)
+}

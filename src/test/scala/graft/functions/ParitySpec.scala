@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ext.{Dedup, Similarity}
+
+/** The compiled hot-path expressions must be value-identical to the
+  * column-algebra reference implementations they replaced — this is
+  * what keeps the DuckDB oracle stable across the optimization.
+  */
+class ParitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ArrayCosine is bit-identical to the zip_with/aggregate cosine") {
+    val rnd = new scala.util.Random(11)
+    val df = (1 to 50)
+      .map(_ => (Array.fill(64)(rnd.nextFloat() * 2 - 1).toSeq,
+        Array.fill(64)(rnd.nextFloat() * 2 - 1).toSeq))
+      .toDF("a", "b")
+    val out = df.select(
+      Similarity.cosine(col("a"), col("b")).as("hof"),
+      VectorExprs.arrayCosine(spark, col("a"), col("b")).as("compiled"))
+    assert(out.filter(col("hof") =!= col("compiled")).count() == 0)
+  }
+
+  test("JaccardLongs over full-64-bit shingle hashes equals string-set jaccard") {
+    val docs = Seq(
+      ("a b c d e f g", "a b c d e f"),
+      ("x y z", "x y z"),
+      ("one two three four", "five six seven eight"),
+      ("t", "t u v w")).toDF("ta", "tb")
+    val out = docs.select(
+      round(Dedup.jaccard(col("ta"), col("tb")), 9).as("strings"),
+      round(
+        VectorExprs.jaccardLongs(
+          spark,
+          VectorExprs.shingleHashes(spark, split(trim(lower(col("ta"))), "\\s+"), 3, Long.MaxValue),
+          VectorExprs.shingleHashes(spark, split(trim(lower(col("tb"))), "\\s+"), 3, Long.MaxValue)),
+        9).as("hashed"))
+    assert(out.filter(col("strings") =!= col("hashed")).count() == 0)
+  }
+
+  test("compiled shingle+minhash signatures match the column-algebra construction") {
+    val (as, bs) = Dedup.permParams(16)
+    val df = Seq("the quick brown fox jumps over the lazy dog", "a b").toDF("t")
+    val toks = split(trim(lower(col("t"))), "\\s+")
+    val out = df.select(
+      Dedup.minhashSignature(col("t"), 16, 3).as("hof"),
+      VectorExprs
+        .minhashSig(spark,
+          VectorExprs.shingleHashes(spark, toks, 3, 4294967311L), as, bs, 4294967311L)
+        .as("compiled"))
+    // same shingle set + same permutation family -> same signature values
+    out.collect().foreach { r =>
+      assert(r.getSeq[Long](0).sorted == r.getSeq[Long](1).sorted)
+    }
+  }
+}

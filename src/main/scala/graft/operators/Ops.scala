@@ -147,6 +147,62 @@ object Ops {
       concat_ws(sep, keyCols.map(col): _*).as("key"),
       to_json(struct(df.columns.map(col): _*)).as("value"))
 
+  /** As-of join: attach to each left row the latest right-side payload
+    * at-or-before its timestamp, per key — the time-series lookup Spark
+    * has no native operator for (quotes→trades, candles→events).
+    *
+    * Built by composition (preference (a) of the build rules): tag and
+    * union both sides, then per key a single ordered window carries the
+    * last non-null payload forward (`last(..., ignoreNulls)` over rows
+    * unbounded-preceding..current), and left rows are filtered back
+    * out. Cost is ONE shuffle+sort on (key, ts) — no range join blowup,
+    * no per-row probe — which is also the plan that scales: at 100 TB
+    * this is a sort-merge pass, not an O(|L|·|R|) theta join.
+    *
+    * Right rows must be unique per (key, ts); ties at equal ts resolve
+    * inclusively (the right row at exactly left.ts matches, like
+    * DuckDB's ASOF JOIN with >=).
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTs: String,
+      rightTs: String,
+      payloadCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    require(
+      payloadCols.intersect(leftCols).isEmpty,
+      s"payload columns collide with left columns: ${payloadCols.intersect(leftCols)}")
+    val l = payloadCols
+      .foldLeft(
+        left
+          .withColumn("__ts", col(leftTs))
+          .withColumn("__tag", lit(1))) { (df, p) =>
+        df.withColumn(p, lit(null))
+      }
+    val r = leftCols
+      .filterNot(c => c == keyCol)
+      .foldLeft(
+        right
+          .withColumn("__ts", col(rightTs))
+          .withColumn("__tag", lit(0))) { (df, c) =>
+        df.withColumn(c, lit(null))
+      }
+      .drop(rightTs)
+    val unioned = l.unionByName(r.select(l.columns.map(col): _*))
+    val w = Window
+      .partitionBy(col(keyCol))
+      .orderBy(col("__ts").asc, col("__tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payloadCols.foldLeft(unioned) { (df, p) =>
+      df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
+    }
+    carried
+      .filter(col("__tag") === 1)
+      .select((leftCols ++ payloadCols).map(col): _*)
+  }
+
   /** Iterated broadcast left equi-join: fold a (small, broadcast) dim
     * onto the fact once per level, renaming the payload column each round
     * and dropping the used code column — the reference's 4-level

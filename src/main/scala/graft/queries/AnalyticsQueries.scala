@@ -97,13 +97,49 @@ object AnalyticsQueries {
       |       round(sum(l_quantity), 4) AS sum_qty, count(*) AS n_rows
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
 
+  /** As-of join: each event picks up the close of the latest 15-minute
+    * candle that STARTED at-or-before it, per event type. Oracle uses
+    * DuckDB's native ASOF JOIN against the same candle subquery.
+    */
+  def asofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = Testdata.events(spark, sfDir)
+    val candles = graft.streaming.Candles
+      .candles(events, "ts", "event_id", "event_type", "value")
+      .select(
+        col("event_type"),
+        col("start_window"),
+        col("close").as("candle_close"))
+    graft.operators.Ops
+      .asofJoin(
+        events.select(col("event_id"), col("event_type"), col("ts"), col("value")),
+        candles,
+        "event_type",
+        "ts",
+        "start_window",
+        Seq("candle_close"))
+      .select(col("event_id"), col("event_type"), col("value"), col("candle_close"))
+  }
+
+  val asofJoinSql: String =
+    """WITH candles AS (
+      |  SELECT event_type,
+      |         make_timestamp(bucket * 900 * 1000000) AS start_window,
+      |         struct_extract(max((ts, event_id, value)), 3) AS candle_close
+      |  FROM (SELECT *, CAST(floor(epoch(ts) / 900) AS BIGINT) AS bucket FROM events)
+      |  GROUP BY event_type, bucket)
+      |SELECT e.event_id, e.event_type, e.value, c.candle_close
+      |FROM events e ASOF LEFT JOIN candles c
+      |  ON e.event_type = c.event_type AND e.ts >= c.start_window""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof_join" -> (asofJoin _),
     "q_sliding_window" -> (slidingWindow _),
     "q_session_window" -> (sessionWindow _),
     "q_distinct_agg" -> (distinctAgg _),
     "q_rollup_agg" -> (rollupAgg _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_asof_join" -> asofJoinSql,
     "q_sliding_window" -> slidingWindowSql,
     "q_session_window" -> sessionWindowSql,
     "q_distinct_agg" -> distinctAggSql,

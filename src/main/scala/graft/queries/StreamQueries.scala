@@ -86,13 +86,62 @@ object StreamQueries {
       "event_type")
   }
 
+  /** Streaming session windows: per-user sessions (10-minute gap) over
+    * the two-hop pipeline, flushed to the fixpoint — must equal the
+    * batch session-window oracle exactly. The session key is the user
+    * id cast to string (the sentinel key shares the column).
+    */
+  def streamSessions(spark: SparkSession, sfDir: String): DataFrame = {
+    val wd = workDir("sessions")
+    val input = Testdata.events(spark, sfDir)
+      .select(
+        col("event_id"),
+        col("ts"),
+        col("user_id").cast(StringType).as("uid"),
+        col("value"))
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", TimestampType),
+      StructField("uid", StringType),
+      StructField("value", DoubleType)))
+    StreamJobs
+      .runTwoHopStateful(
+        spark, input, schema, "ts", "event_id", "uid", wd,
+        stream =>
+          stream
+            .groupBy(col("uid"), session_window(col("ts"), "10 minutes").as("w"))
+            .agg(count(lit(1)).as("n_rows"), round(sum(col("value")), 4).as("sum_value")))
+      .select(
+        col("uid"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("n_rows"),
+        col("sum_value"))
+  }
+
+  val streamSessionsSql: String =
+    """SELECT CAST(user_id AS VARCHAR) AS uid,
+      |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |       strftime(max(ts) + INTERVAL 10 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+      |       count(*) AS n_rows, round(sum(value), 4) AS sum_value
+      |FROM (
+      |  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                                   ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM (
+      |    SELECT *, CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |                        <= INTERVAL 10 MINUTE THEN 0 ELSE 1 END AS new_session
+      |    FROM events))
+      |GROUP BY user_id, session_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_batch_candles" -> (batchCandles _),
     "q_stream_ingest" -> (streamIngest _),
-    "q_stream_candles" -> (streamCandles _))
+    "q_stream_candles" -> (streamCandles _),
+    "q_stream_sessions" -> (streamSessions _))
 
   val oracleSql: Map[String, String] = Map(
     "q_batch_candles" -> candlesOracleSql,
     "q_stream_ingest" -> streamIngestSql,
-    "q_stream_candles" -> candlesOracleSql)
+    "q_stream_candles" -> candlesOracleSql,
+    "q_stream_sessions" -> streamSessionsSql)
 }

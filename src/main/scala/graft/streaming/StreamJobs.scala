@@ -115,20 +115,35 @@ object StreamJobs {
       pushSentinel: () => Unit,
       windowDuration: String = "15 minutes",
       watermarkDelay: String = "1 minutes",
+      sentinelKey: String = "__sentinel__"): DataFrame =
+    runStatefulAgg(
+      spark, bronzeDir, bronzeSchema, tsCol, workDir, pushSentinel,
+      stream => Candles.candles(stream, tsCol, idCol, keyCol, valueCol, windowDuration),
+      keyCol, watermarkDelay, sentinelKey)
+
+  /** Generic driver for watermarked stateful aggregations in append
+    * mode: stream the table dir, apply `agg` to the watermarked stream,
+    * collect through a memory sink, flush trailing state with the
+    * caller's sentinel, and filter the sentinel's own key back out.
+    */
+  def runStatefulAgg(
+      spark: SparkSession,
+      bronzeDir: String,
+      bronzeSchema: StructType,
+      tsCol: String,
+      workDir: String,
+      pushSentinel: () => Unit,
+      agg: DataFrame => DataFrame,
+      sentinelFilterCol: String,
+      watermarkDelay: String = "1 minutes",
       sentinelKey: String = "__sentinel__"): DataFrame = {
-    val checkpoint = dir(workDir, "checkpoint-agg")
-    val queryName = s"candles_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val checkpoint = dir(workDir, s"checkpoint-agg-${java.util.UUID.randomUUID()}")
+    val queryName = s"agg_${java.util.UUID.randomUUID().toString.replace("-", "")}"
 
     val stream = spark.readStream.schema(bronzeSchema).parquet(bronzeDir)
-    val agg = Candles.candles(
-      stream.withWatermark(tsCol, watermarkDelay),
-      tsCol,
-      idCol,
-      keyCol,
-      valueCol,
-      windowDuration)
+    val out = agg(stream.withWatermark(tsCol, watermarkDelay))
 
-    val q = agg.writeStream
+    val q = out.writeStream
       .outputMode("append")
       .format("memory")
       .queryName(queryName)
@@ -140,7 +155,7 @@ object StreamJobs {
       q.processAllAvailable() // sentinel batch + no-data flush batch
     } finally q.stop()
 
-    spark.table(queryName).filter(col(keyCol) =!= sentinelKey)
+    spark.table(queryName).filter(col(sentinelFilterCol) =!= sentinelKey)
   }
 
   /** Streaming exact dedup (training-data pipeline on a stream): drop
@@ -224,6 +239,26 @@ object StreamJobs {
       valueCol: String,
       workDir: String,
       windowDuration: String = "15 minutes",
+      watermarkDelay: String = "1 minutes"): DataFrame =
+    runTwoHopStateful(
+      spark, input, payloadSchema, tsCol, idCol, keyCol, workDir,
+      stream => Candles.candles(stream, tsCol, idCol, keyCol, valueCol, windowDuration),
+      watermarkDelay)
+
+  /** Generic two-hop pipeline: stage → ingest hop → bronze → any
+    * watermarked stateful aggregation, flushed to a fixpoint with a
+    * sentinel pushed through the ingest hop. `keyCol` must be a string
+    * column (the sentinel key lands there and is filtered back out).
+    */
+  def runTwoHopStateful(
+      spark: SparkSession,
+      input: DataFrame,
+      payloadSchema: StructType,
+      tsCol: String,
+      idCol: String,
+      keyCol: String,
+      workDir: String,
+      agg: DataFrame => DataFrame,
       watermarkDelay: String = "1 minutes"): DataFrame = {
     val stage = dir(workDir, "stage")
     val sentinelKey = "__sentinel__"
@@ -244,8 +279,8 @@ object StreamJobs {
       ()
     }
 
-    runWindowedAgg(
-      spark, bronze, bronzeSchema, tsCol, idCol, keyCol, valueCol,
-      workDir, pushSentinel, windowDuration, watermarkDelay, sentinelKey)
+    runStatefulAgg(
+      spark, bronze, bronzeSchema, tsCol, workDir, pushSentinel,
+      agg, keyCol, watermarkDelay, sentinelKey)
   }
 }

@@ -136,19 +136,30 @@ object StreamJobs {
       agg: DataFrame => DataFrame,
       sentinelFilterCol: String,
       watermarkDelay: String = "1 minutes",
-      sentinelKey: String = "__sentinel__"): DataFrame = {
+      sentinelKey: String = "__sentinel__",
+      statePartitions: Int = 8): DataFrame = {
     val checkpoint = dir(workDir, s"checkpoint-agg-${java.util.UUID.randomUUID()}")
     val queryName = s"agg_${java.util.UUID.randomUUID().toString.replace("-", "")}"
 
     val stream = spark.readStream.schema(bronzeSchema).parquet(bronzeDir)
     val out = agg(stream.withWatermark(tsCol, watermarkDelay))
 
-    val q = out.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(queryName)
-      .option("checkpointLocation", checkpoint)
-      .start()
+    // State-store count is pinned per query at first start from the
+    // session's shuffle-partition conf. Unlike batch shuffles, it should
+    // be sized to stateful-key cardinality, not core count: every
+    // micro-batch pays per-store commit overhead. Scope the override to
+    // the query start and restore the session conf after.
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val q =
+      try {
+        out.writeStream
+          .outputMode("append")
+          .format("memory")
+          .queryName(queryName)
+          .option("checkpointLocation", checkpoint)
+          .start()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     try {
       q.processAllAvailable() // all real micro-batches
       pushSentinel() // one far-future row via the ingest hop

@@ -79,6 +79,22 @@ object Multimodal {
     spark.createDataFrame(rows, decodedSchema)
   }
 
+  /** Resize stage (stub): recompute target dimensions preserving aspect
+    * ratio and rescale the fake feature vector — the plumbing contract
+    * of an image-resize stage (pure projection over the decoded frame,
+    * no shuffle; a real implementation swaps the arithmetic for a
+    * resampling kernel over the pixel buffer).
+    */
+  def resizeStub(decoded: DataFrame, maxSide: Int): DataFrame = {
+    val scale = least(
+      lit(1.0),
+      lit(maxSide) / greatest(col("width"), col("height")).cast("double"))
+    decoded
+      .withColumn("resized_width", ceil(col("width") * scale).cast("int"))
+      .withColumn("resized_height", ceil(col("height") * scale).cast("int"))
+      .withColumn("feature", transform(col("feature"), x => x * scale.cast("float")))
+  }
+
   /** Frame sampling plumbing for "video" payloads: deterministically
     * slice the byte stream into `n` equal-offset frames (stub for
     * keyframe extraction), exploded to one row per sampled frame.

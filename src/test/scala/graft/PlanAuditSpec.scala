@@ -49,6 +49,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate"), p)
   }
 
+  test("as-of join plans exactly one shuffle (tagged union + window, no range join)") {
+    val p = plan(graft.queries.AnalyticsQueries.asofJoin(spark, sf))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    // one for the union-window pass, one for the candle aggregation it consumes
+    assert(exchanges <= 2, s"$exchanges hash exchanges:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("brute-force topk broadcasts the query side") {
     val p = plan(graft.queries.ExtQueries.similarityTopK(spark, sf))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)

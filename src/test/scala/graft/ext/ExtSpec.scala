@@ -144,5 +144,11 @@ class MultimodalSpec extends SparkSpec {
 
     val frames = Multimodal.frameSample(df, "id", "payload", 4)
     assert(frames.filter(col("id") === 1L).count() == 4)
+
+    val resized = Multimodal.resizeStub(
+      Multimodal.decodeStub(spark, df, "id", "payload"), maxSide = 16).collect()
+    resized.foreach { r =>
+      assert(r.getAs[Int]("resized_width") <= 16 && r.getAs[Int]("resized_height") <= 16)
+    }
   }
 }

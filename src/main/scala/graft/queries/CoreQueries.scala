@@ -421,6 +421,40 @@ object CoreQueries {
   val timeTravelSql: String =
     "SELECT n_nationkey, n_name, n_regionkey FROM nation"
 
+  /** Partition-scoped SCD1 merge (the 100 TB merge path): same upsert
+    * semantics as q_scd1_upsert, but the target is identity-partitioned
+    * and the second batch rewrites only the partitions it touches
+    * (LakeTable.replacePartitions narrows older commit scopes).
+    */
+  def scd1Partitioned(spark: SparkSession, sfDir: String): DataFrame = {
+    val customer = spark.read
+      .parquet(p(sfDir, "customer"))
+      .select(
+        col("c_custkey"),
+        col("c_name"),
+        col("c_acctbal"),
+        (col("c_nationkey") % 5).as("bucket"))
+    val table = LakeTable(spark, scratch("scd1p"))
+    Merge.mergeScd1Partitioned(table, customer, Seq("c_custkey"), "bucket")
+    val updates = customer
+      .filter(col("c_custkey") % 4 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") * 2)
+    val inserts = customer
+      .filter(col("c_custkey") % 7 === 0)
+      .withColumn("c_custkey", col("c_custkey") + 1000000)
+    Merge.mergeScd1Partitioned(table, updates.unionByName(inserts), Seq("c_custkey"), "bucket")
+    table.read()
+  }
+
+  val scd1PartitionedSql: String =
+    """SELECT c_custkey, c_name,
+      |       CASE WHEN c_custkey % 4 = 0 THEN c_acctbal * 2 ELSE c_acctbal END AS c_acctbal,
+      |       c_nationkey % 5 AS bucket
+      |FROM customer
+      |UNION ALL
+      |SELECT c_custkey + 1000000, c_name, c_acctbal, c_nationkey % 5
+      |FROM customer WHERE c_custkey % 7 = 0""".stripMargin
+
   /** Snapshot-history listing (§2.10, the reference's `t.snapshots`
     * metadata query): three commits → three deterministic rows
     * (commit timestamps excluded — wall clock).
@@ -462,7 +496,8 @@ object CoreQueries {
     "q_scd2_versions" -> (scd2Versions _),
     "q_scd1_upsert" -> (scd1Upsert _),
     "q_time_travel" -> (timeTravel _),
-    "q_snapshots" -> (snapshotsListing _))
+    "q_snapshots" -> (snapshotsListing _),
+    "q_scd1_partitioned" -> (scd1Partitioned _))
 
   val oracleSql: Map[String, String] = Map(
     "q_agg_pricing_summary" -> aggPricingSummarySql,
@@ -482,5 +517,6 @@ object CoreQueries {
     "q_scd2_versions" -> scd2VersionsSql,
     "q_scd1_upsert" -> scd1UpsertSql,
     "q_time_travel" -> timeTravelSql,
-    "q_snapshots" -> snapshotsListingSql)
+    "q_snapshots" -> snapshotsListingSql,
+    "q_scd1_partitioned" -> scd1PartitionedSql)
 }

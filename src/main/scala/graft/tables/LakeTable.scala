@@ -110,9 +110,13 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     val prev = latestVersion().map(readManifest)
     val version = prev.map(_.version + 1).getOrElse(0L)
     val existing = if (keepExisting) prev.map(_.commitDirs).getOrElse(Seq.empty) else Seq.empty
+    val existingScopes =
+      if (keepExisting) prev.map(_.effectiveScopes).getOrElse(Seq.empty) else Seq.empty
     val parts = if (partitionBy.nonEmpty) partitionBy else prev.map(_.partitionBy).getOrElse(Seq.empty)
     writeManifest(
-      Manifest(version, op, System.currentTimeMillis(), existing ++ newDirs, schema.json, parts))
+      Manifest(
+        version, op, System.currentTimeMillis(), existing ++ newDirs, schema.json, parts,
+        existingScopes ++ newDirs.map(_ => Seq.empty)))
     version
   }
 
@@ -126,6 +130,58 @@ final class LakeTable(val spark: SparkSession, val root: String) {
   def overwrite(df: DataFrame, partitionBy: Seq[String] = Seq.empty): Long = {
     val dirs = writeCommitDir(df, partitionBy).toSeq
     commit("overwrite", dirs, keepExisting = false, df.schema, partitionBy)
+  }
+
+  /** Hive-style partition values (`col=value` subdir names) present in
+    * a commit dir for the leading partition column.
+    */
+  private def listPartitionValues(dirName: String): Seq[String] = {
+    val d = dataDir.resolve(dirName)
+    if (!Files.isDirectory(d)) Seq.empty
+    else
+      Files
+        .list(d)
+        .iterator()
+        .asScala
+        .map(_.getFileName.toString)
+        .filter(_.contains("="))
+        .map(_.split("=", 2)(1))
+        .toSeq
+        .sorted
+  }
+
+  /** Partition-scoped replace — the merge path that survives 100 TB:
+    * rewrite ONLY the partitions named in `affected` (leading partition
+    * column values, as written in the `col=value` dir names). Untouched
+    * partitions keep their existing files; the new manifest narrows the
+    * scope of every older commit dir so readers skip the replaced
+    * partition subdirs. No data outside `affected` is copied or moved.
+    */
+  def replacePartitions(df: DataFrame, affected: Seq[String]): Long = {
+    val prev = latestVersion()
+      .map(readManifest)
+      .getOrElse(throw new IllegalStateException(s"replacePartitions on empty table $root"))
+    require(prev.partitionBy.nonEmpty, "replacePartitions requires a partitioned table")
+    val affectedSet = affected.toSet
+
+    val newDir = writeCommitDir(df, prev.partitionBy).get
+    val narrowed = prev.commitDirs.zip(prev.effectiveScopes).flatMap { case (dir, scope) =>
+      val eff = if (scope.nonEmpty) scope else listPartitionValues(dir)
+      val remaining = eff.filterNot(affectedSet.contains)
+      if (remaining.isEmpty) None else Some((dir, remaining))
+    }
+    val entries = narrowed :+ ((newDir, affected.sorted))
+    val version = prev.version + 1
+    writeManifest(
+      Manifest(
+        version,
+        "replacePartitions",
+        System.currentTimeMillis(),
+        entries.map(_._1),
+        df.schema.json,
+        prev.partitionBy,
+        entries.map(_._2)))
+    version
   }
 
   // ---- reads --------------------------------------------------------------
@@ -145,12 +201,17 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     } else {
       // Hive-partitioned commits: each commit dir is its own partition
       // root (basePath), so partition columns resolve per commit and the
-      // union preserves them. Commit counts stay small because merges
-      // rewrite (compact) the table; a production variant would also
-      // compact append-heavy histories.
-      m.commitDirs
-        .map(d => spark.read.option("basePath", dataDir.resolve(d).toString)
-          .schema(schema).parquet(dataDir.resolve(d).toString))
+      // union preserves them. A dir with a narrowed scope (after a
+      // partition-scoped merge) reads only its live `col=value` subdirs.
+      val p0 = m.partitionBy.head
+      m.commitDirs.zip(m.effectiveScopes)
+        .map { case (d, scope) =>
+          val base = dataDir.resolve(d).toString
+          val paths =
+            if (scope.isEmpty) Seq(base)
+            else scope.map(v => s"$base/$p0=$v")
+          spark.read.option("basePath", base).schema(schema).parquet(paths: _*)
+        }
         .reduce(_ unionByName _)
     }
   }
@@ -205,7 +266,15 @@ object LakeTable {
       timestampMs: Long,
       commitDirs: Seq[String],
       schemaJson: String,
-      partitionBy: Seq[String]) {
+      partitionBy: Seq[String],
+      scopes: Seq[Seq[String]] = Seq.empty) {
+
+    /** Per-dir partition scope (leading partition column values); empty
+      * seq = whole dir. Normalized to commitDirs length.
+      */
+    def effectiveScopes: Seq[Seq[String]] =
+      if (scopes.length == commitDirs.length) scopes
+      else commitDirs.map(_ => Seq.empty[String])
 
     def toJson: String = {
       def qs(s: String) = "\"" + s.flatMap {
@@ -215,9 +284,13 @@ object LakeTable {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
+      val scopesJson = effectiveScopes
+        .map(sc => sc.map(qs).mkString("[", ",", "]"))
+        .mkString("[", ",", "]")
       s"""{"version":$version,"operation":${qs(operation)},"timestampMs":$timestampMs,""" +
         s""""commitDirs":[${commitDirs.map(qs).mkString(",")}],""" +
         s""""partitionBy":[${partitionBy.map(qs).mkString(",")}],""" +
+        s""""scopes":$scopesJson,""" +
         s""""schema":${qs(schemaJson)}}"""
     }
   }
@@ -232,13 +305,23 @@ object LakeTable {
         val arr = node.get(field)
         (0 until arr.size()).map(i => arr.get(i).asText())
       }
+      val scopes =
+        if (!node.has("scopes")) Seq.empty[Seq[String]]
+        else {
+          val arr = node.get("scopes")
+          (0 until arr.size()).map { i =>
+            val inner = arr.get(i)
+            (0 until inner.size()).map(j => inner.get(j).asText()): Seq[String]
+          }
+        }
       Manifest(
         node.get("version").asLong(),
         node.get("operation").asText(),
         node.get("timestampMs").asLong(),
         strings("commitDirs"),
         node.get("schema").asText(),
-        strings("partitionBy"))
+        strings("partitionBy"),
+        scopes)
     }
   }
 }

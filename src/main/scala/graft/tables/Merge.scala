@@ -17,13 +17,15 @@ import org.apache.spark.sql.functions._
   * what those engines execute under the hood (a join between target and
   * source, then a rewrite of matched files).
   *
-  * Scale note: both merges broadcast nothing by default — the target and
-  * source shuffle-hash-join on the key columns, so the plan scales with
-  * partition count. The rewrite commits the whole table, which is correct
-  * for dimension-sized targets (the reference's use case: ≈30-row company
-  * dim). A 100 TB fact-table merge would instead rewrite only affected
-  * partitions: pair this with partition pruning by restricting the
-  * rewrite to `touchedPartitions` when the target is partitioned.
+  * Two commit granularities:
+  *   - `mergeScd1` / `mergeScd2` rewrite the whole table — right for
+  *     dimension-sized targets (the reference's use case: ≈30-row
+  *     company dim).
+  *   - `mergeScd1Partitioned` / `mergeScd2Partitioned` rewrite ONLY the
+  *     partitions containing matched target rows or receiving source
+  *     rows, via [[LakeTable.replacePartitions]] — the shape that holds
+  *     at 100 TB, where a merge touching one day must not copy years of
+  *     history.
   */
 object Merge {
 
@@ -39,30 +41,16 @@ object Merge {
       .withColumn(EndCol, lit(null).cast("timestamp"))
       .withColumn(CurrentCol, lit(1))
 
-  /** SCD Type 2 merge. Reference semantics (SURVEY §2.4) preserved:
-    *   - brand-new key → insert one open version;
-    *   - existing key, any tracked column differs (null-safely) → the
-    *     open target version is closed (`end_timestamp = at`,
-    *     `is_current = 0`) and one new open version is inserted;
-    *   - existing key, tracked columns identical → source row silently
-    *     skipped (no duplicate version);
-    *   - historical (`is_current = 0`) rows are never touched.
-    *
-    * `at` is the merge instant (the reference uses CURRENT_TIMESTAMP();
-    * deterministic tests pass a fixed clock).
+  /** The SCD2 rewrite plan over an arbitrary target slice: close-pass
+    * update of changed current rows + insert pass for new/changed keys.
     */
-  def mergeScd2(
-      table: LakeTable,
-      source: DataFrame,
+  private def scd2Rewrite(
+      target: DataFrame,
+      stamped: DataFrame,
       keyCols: Seq[String],
       trackedCols: Seq[String],
-      at: Timestamp): Long = {
-    val stamped = addScd2Cols(source, at)
-    if (!table.exists || table.isEmpty) return table.append(stamped)
-
-    val target = table.read()
+      at: Timestamp): DataFrame = {
     val dataCols = target.columns.toSeq // includes scd2 bookkeeping cols
-
     val src = stamped.select(dataCols.map(col): _*).alias("s")
     val tgt = target.alias("t")
 
@@ -95,7 +83,30 @@ object Merge {
         "left_anti")
       .select(dataCols.map(c => col(s"s.$c").as(c)): _*)
 
-    table.overwrite(rewrittenTarget.unionByName(inserts))
+    rewrittenTarget.unionByName(inserts)
+  }
+
+  /** SCD Type 2 merge. Reference semantics (SURVEY §2.4) preserved:
+    *   - brand-new key → insert one open version;
+    *   - existing key, any tracked column differs (null-safely) → the
+    *     open target version is closed (`end_timestamp = at`,
+    *     `is_current = 0`) and one new open version is inserted;
+    *   - existing key, tracked columns identical → source row silently
+    *     skipped (no duplicate version);
+    *   - historical (`is_current = 0`) rows are never touched.
+    *
+    * `at` is the merge instant (the reference uses CURRENT_TIMESTAMP();
+    * deterministic tests pass a fixed clock).
+    */
+  def mergeScd2(
+      table: LakeTable,
+      source: DataFrame,
+      keyCols: Seq[String],
+      trackedCols: Seq[String],
+      at: Timestamp): Long = {
+    val stamped = addScd2Cols(source, at)
+    if (!table.exists || table.isEmpty) return table.append(stamped)
+    table.overwrite(scd2Rewrite(table.read(), stamped, keyCols, trackedCols, at))
   }
 
   /** SCD Type 1 merge: upsert — matched keys take all source columns,
@@ -109,5 +120,63 @@ object Merge {
     val src = source.select(dataCols.map(col): _*)
     val survivors = target.join(src.select(keyCols.map(col): _*), keyCols, "left_anti")
     table.overwrite(survivors.unionByName(src))
+  }
+
+  /** Partitions a merge must rewrite: those holding target rows matched
+    * by source keys, plus those receiving source rows. Collected to the
+    * driver as dir-name strings (the list is small — it is the whole
+    * point of partition-scoped merging).
+    */
+  private def affectedPartitions(
+      target: DataFrame,
+      source: DataFrame,
+      keyCols: Seq[String],
+      partCol: String): Seq[String] = {
+    val fromTarget = target
+      .join(source.select(keyCols.map(col): _*).distinct(), keyCols, "left_semi")
+      .select(col(partCol).cast("string"))
+    val fromSource = source.select(col(partCol).cast("string"))
+    fromTarget.union(fromSource).distinct().collect().map(_.getString(0)).toSeq.sorted
+  }
+
+  /** SCD1 upsert rewriting only affected partitions. `partCol` must be
+    * the table's leading identity-partition column with
+    * directory-name-safe values.
+    */
+  def mergeScd1Partitioned(
+      table: LakeTable,
+      source: DataFrame,
+      keyCols: Seq[String],
+      partCol: String): Long = {
+    if (!table.exists || table.isEmpty) return table.append(source, partitionBy = Seq(partCol))
+    val target = table.read()
+    val affected = affectedPartitions(target, source, keyCols, partCol)
+    val dataCols = target.columns.toSeq
+    val src = source.select(dataCols.map(col): _*)
+    val targetAff = target.filter(col(partCol).cast("string").isin(affected: _*))
+    val survivors = targetAff.join(src.select(keyCols.map(col): _*), keyCols, "left_anti")
+    table.replacePartitions(survivors.unionByName(src), affected)
+  }
+
+  /** SCD2 merge rewriting only affected partitions (same three-way
+    * semantics as [[mergeScd2]]; history in untouched partitions is
+    * never copied).
+    */
+  def mergeScd2Partitioned(
+      table: LakeTable,
+      source: DataFrame,
+      keyCols: Seq[String],
+      trackedCols: Seq[String],
+      at: Timestamp,
+      partCol: String): Long = {
+    val stamped = addScd2Cols(source, at)
+    if (!table.exists || table.isEmpty)
+      return table.append(stamped, partitionBy = Seq(partCol))
+    val target = table.read()
+    val affected = affectedPartitions(target, stamped, keyCols, partCol)
+    val targetAff = target.filter(col(partCol).cast("string").isin(affected: _*))
+    table.replacePartitions(
+      scd2Rewrite(targetAff, stamped, keyCols, trackedCols, at),
+      affected)
   }
 }

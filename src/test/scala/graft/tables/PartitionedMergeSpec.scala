@@ -1,0 +1,73 @@
+package graft.tables
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class PartitionedMergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val t1 = Timestamp.valueOf("2020-01-01 00:00:00")
+  private val t2 = Timestamp.valueOf("2020-02-01 00:00:00")
+
+  private def seed = Seq(
+    ("k1", 10L, 2023), ("k2", 20L, 2023),
+    ("k3", 30L, 2024), ("k4", 40L, 2024),
+    ("k5", 50L, 2025)).toDF("key", "v", "year")
+
+  test("partitioned SCD1 rewrites only affected partitions; untouched files survive verbatim") {
+    val table = LakeTable(spark, scratchDir("pmerge1"))
+    Merge.mergeScd1Partitioned(table, seed, Seq("key"), "year")
+
+    // record the physical files of the untouched 2023 partition
+    def files2023() = {
+      import scala.jdk.CollectionConverters._
+      val dataDir = java.nio.file.Paths.get(table.root, "data")
+      java.nio.file.Files.walk(dataDir).iterator().asScala
+        .filter(p => p.toString.contains("year=2023") && p.toString.endsWith(".parquet"))
+        .map(_.toString).toSet
+    }
+    val before2023 = files2023()
+
+    // update one 2024 key + insert a new 2025 key: 2024 and 2025 rewrite, 2023 must not
+    val batch2 = Seq(("k3", 99L, 2024), ("k6", 60L, 2025)).toDF("key", "v", "year")
+    Merge.mergeScd1Partitioned(table, batch2, Seq("key"), "year")
+
+    val rows = table.read().orderBy("key").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(rows == Seq(
+      ("k1", 10L, 2023), ("k2", 20L, 2023),
+      ("k3", 99L, 2024), ("k4", 40L, 2024),
+      ("k5", 50L, 2025), ("k6", 60L, 2025)))
+
+    assert(files2023() == before2023, "2023 partition files must be untouched")
+    // partition pruning still works through narrowed scopes
+    assert(table.read().filter($"year" === 2024).count() == 2)
+    // time travel across the scoped commit still works
+    assert(table.read(versionAsOf = Some(0L)).count() == 5)
+  }
+
+  test("partitioned SCD2 keeps three-way semantics and leaves other partitions alone") {
+    val table = LakeTable(spark, scratchDir("pmerge2"))
+    Merge.mergeScd2Partitioned(table, seed, Seq("key"), Seq("v"), t1, "year")
+
+    // change k3 (2024), resend k4 unchanged, new k6 (2025); 2023 untouched
+    val batch2 = Seq(("k3", 31L, 2024), ("k4", 40L, 2024), ("k6", 60L, 2025))
+      .toDF("key", "v", "year")
+    Merge.mergeScd2Partitioned(table, batch2, Seq("key"), Seq("v"), t2, "year")
+
+    val all = table.read()
+    assert(all.count() == 7) // 5 + closed k3's new version + k6
+    val k3 = all.filter($"key" === "k3").orderBy("start_timestamp").collect()
+    assert(k3.length == 2)
+    assert(k3(0).getAs[Int]("is_current") == 0 && k3(0).getAs[Timestamp]("end_timestamp") == t2)
+    assert(k3(1).getAs[Int]("is_current") == 1 && k3(1).getAs[Long]("v") == 31L)
+    assert(all.filter($"key" === "k4").count() == 1) // unchanged -> skipped
+    assert(all.filter($"key" === "k1" && $"is_current" === 1).count() == 1)
+    val maxCurrent = all.filter($"is_current" === 1)
+      .groupBy("key").count().agg(max("count")).head().getLong(0)
+    assert(maxCurrent == 1L)
+  }
+}

@@ -89,8 +89,8 @@ object Ops {
     * At 100 TB this is a single hash shuffle on the key columns followed
     * by a per-partition sort — no global sort. Skewed keys are handled by
     * AQE; for pathological single-key skew prefer
-    * [[graft.ext.Dedup.exactByKey]] which does a max-aggregate instead of
-    * a full window sort.
+    * [[graft.ext.Dedup.exactGroups]]-style hash aggregation instead of a
+    * full window sort.
     */
   def deduplicate(
       df: DataFrame,

@@ -277,6 +277,60 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** All unordered exact-duplicate pairs (same normalized content),
+    * id_a < id_b — the edge list for cluster-based dedup.
+    */
+  def exactDupPairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val fp = df.select(
+      col(idCol).as("id"),
+      TextAnalysis.fingerprintMd5(col(textCol)).as("fp"))
+    val l = fp.select(col("fp"), col("id").as("id_a"))
+    val r = fp.select(col("fp"), col("id").as("id_b"))
+    l.join(r, Seq("fp")).filter(col("id_a") < col("id_b")).select("id_a", "id_b")
+  }
+
+  /** Connected components over a near/exact-dup pair list: every node
+    * ends up labeled with the minimum id reachable from it — the
+    * canonical "cluster representative" used to keep one document per
+    * duplicate group.
+    *
+    * Iterative min-label propagation (each round: join labels across
+    * edges, take the min) until a fixpoint; rounds = graph diameter,
+    * which for dup clusters is tiny. Each round is one shuffle join +
+    * one aggregate — the standard distributed connected-components
+    * shape (large-star/small-star is the published optimization if
+    * diameters ever grow).
+    */
+  def clusterPairs(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+    var labels = edges
+      .select(col("src").as("id"))
+      .distinct()
+      .withColumn("cluster_rep", col("id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val neighborLabels = edges
+        .join(labels, edges("dst") === labels("id"))
+        .select(col("src").as("id"), col("cluster_rep"))
+      val next = labels
+        .select(col("id"), col("cluster_rep"))
+        .unionByName(neighborLabels)
+        .groupBy(col("id"))
+        .agg(min(col("cluster_rep")).as("cluster_rep"))
+      converged = next
+        .join(labels.withColumnRenamed("cluster_rep", "prev"), "id")
+        .filter(col("cluster_rep") =!= col("prev"))
+        .isEmpty
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
   // ---- embedding near-dup --------------------------------------------------
 
   /** Embedding-cosine near-dup pairs above `threshold`, brute force

@@ -180,6 +180,62 @@ object ExtQueries {
       |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
       |                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.9""".stripMargin
 
+  /** Cluster-based exact dedup: a corpus with two extra copies of every
+    * 7th document forms 3-node duplicate clusters; connected components
+    * over the exact-dup pair edges must label every member with the
+    * original id as representative (transitivity exercised by the
+    * copy↔copy edges).
+    */
+  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val dups = d.filter(col("doc_id") % 7 === 0)
+    val corpus = d
+      .unionByName(dups.withColumn("doc_id", col("doc_id") + 2000000))
+      .unionByName(dups.withColumn("doc_id", col("doc_id") + 4000000))
+    Dedup
+      .clusterPairs(Dedup.exactDupPairs(corpus, "doc_id", "text"))
+      .select(col("id").as("doc_id"), col("cluster_rep"))
+  }
+
+  val dedupClustersSql: String =
+    """SELECT doc_id, doc_id AS cluster_rep FROM documents WHERE doc_id % 7 = 0
+      |UNION ALL
+      |SELECT doc_id + 2000000, doc_id FROM documents WHERE doc_id % 7 = 0
+      |UNION ALL
+      |SELECT doc_id + 4000000, doc_id FROM documents WHERE doc_id % 7 = 0""".stripMargin
+
+  /** Vocabulary building: global top-25 terms by document frequency
+    * (distinct doc per term), ties broken lexicographically.
+    */
+  def textTopTerms(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(col("doc_id"), explode(array_distinct(split(trim(lower(col("text"))), "\\s+"))).as("term"))
+      .groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("term").asc)
+      .limit(25)
+
+  val textTopTermsSql: String =
+    """SELECT term, count(DISTINCT doc_id) AS doc_freq
+      |FROM (SELECT doc_id,
+      |             unnest(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))) AS term
+      |      FROM documents)
+      |GROUP BY term
+      |ORDER BY doc_freq DESC, term ASC
+      |LIMIT 25""".stripMargin
+
+  /** JSON-path extraction from the events `props` payload column. */
+  def jsonPath(spark: SparkSession, sfDir: String): DataFrame =
+    graft.sources.Testdata
+      .events(spark, sfDir)
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("prop_k"))
+
+  val jsonPathSql: String =
+    """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS prop_k
+      |FROM events""".stripMargin
+
   // ---- similarity search ---------------------------------------------------
 
   /** Exact cosine top-5 for every 100th vector (brute-force baseline). */
@@ -256,6 +312,9 @@ object ExtQueries {
     "q_text_fingerprint" -> (textFingerprint _),
     "q_text_langid" -> (textLangId _),
     "q_dedup_exact" -> (dedupExact _),
+    "q_dedup_clusters" -> (dedupClusters _),
+    "q_text_top_terms" -> (textTopTerms _),
+    "q_json_path" -> (jsonPath _),
     "q_dedup_minhash" -> (dedupMinhash _),
     "q_dedup_simhash" -> (dedupSimhash _),
     "q_dedup_embedding" -> (dedupEmbedding _),
@@ -270,6 +329,9 @@ object ExtQueries {
     "q_text_quality" -> textQualitySql,
     "q_text_fingerprint" -> textFingerprintSql,
     "q_dedup_exact" -> dedupExactSql,
+    "q_dedup_clusters" -> dedupClustersSql,
+    "q_text_top_terms" -> textTopTermsSql,
+    "q_json_path" -> jsonPathSql,
     "q_dedup_minhash" -> dedupMinhashSql,
     "q_dedup_embedding" -> dedupEmbeddingSql,
     "q_similarity_topk" -> similarityTopKSql,

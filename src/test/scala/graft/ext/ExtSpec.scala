@@ -78,6 +78,15 @@ class DedupSpec extends SparkSpec {
       s"recall too low: ${(planted & found).size}/${planted.size}")
   }
 
+  test("clusterPairs converges over a multi-hop chain to the minimum id") {
+    // chain 1-2, 2-3, 3-4 plus isolated pair 10-11: diameter > 1 forces
+    // multiple propagation rounds
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val labels = Dedup.clusterPairs(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("exactDedup keeps lowest id per distinct content") {
     val df = Seq((5L, "x y z"), (2L, "x  Y z"), (9L, "other")).toDF("id", "text")
     val kept = Dedup.exactDedup(df, "id", "text").collect().map(_.getLong(0)).toSet

@@ -131,7 +131,75 @@ object AnalyticsQueries {
       |FROM events e ASOF LEFT JOIN candles c
       |  ON e.event_type = c.event_type AND e.ts >= c.start_window""".stripMargin
 
+  /** TF-IDF keyword extraction: top-3 terms per document by
+    * tf·ln(N/df), ranked on the rounded score with lexicographic
+    * tie-break (deterministic across engines).
+    */
+  def tfidfKeywords(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = spark.read.parquet(tablePath(sfDir, "documents"))
+    val n = docs.count()
+    val terms = docs.select(
+      col("doc_id"),
+      explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = terms.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    tf.join(df, "term")
+      .withColumn("tfidf", round(col("tf") * log(lit(n.toDouble) / col("df")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("term"), col("tfidf"), col("rank"))
+  }
+
+  val tfidfKeywordsSql: String =
+    """WITH terms AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+      |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
+      |n AS (SELECT count(*) AS n FROM documents)
+      |SELECT doc_id, term, tfidf,
+      |       CAST(row_number() OVER (PARTITION BY doc_id
+      |              ORDER BY tfidf DESC, term ASC) AS INTEGER) AS rank
+      |FROM (
+      |  SELECT tf.doc_id, tf.term,
+      |         round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 4) AS tfidf
+      |  FROM tf JOIN df USING (term) CROSS JOIN n)
+      |QUALIFY rank <= 3""".stripMargin
+
+  /** Discrete median (lower middle element) per group, built from an
+    * explicit row_number construction so both engines pick the exact
+    * same element — no interpolation-semantics mismatch.
+    */
+  def medianDisc(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = Testdata.events(spark, sfDir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("value").asc, col("event_id").asc)
+    val counted = events
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))))
+    counted
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("event_type"), col("value").as("median_value"), col("n").as("n_rows"))
+  }
+
+  val medianDiscSql: String =
+    """SELECT event_type, value AS median_value, n AS n_rows
+      |FROM (
+      |  SELECT event_type, value, event_id,
+      |         row_number() OVER (PARTITION BY event_type
+      |           ORDER BY value ASC, event_id ASC) AS rn,
+      |         count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events)
+      |WHERE rn = (n + 1) // 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tfidf_keywords" -> (tfidfKeywords _),
+    "q_median_disc" -> (medianDisc _),
     "q_asof_join" -> (asofJoin _),
     "q_sliding_window" -> (slidingWindow _),
     "q_session_window" -> (sessionWindow _),
@@ -139,6 +207,8 @@ object AnalyticsQueries {
     "q_rollup_agg" -> (rollupAgg _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_tfidf_keywords" -> tfidfKeywordsSql,
+    "q_median_disc" -> medianDiscSql,
     "q_asof_join" -> asofJoinSql,
     "q_sliding_window" -> slidingWindowSql,
     "q_session_window" -> sessionWindowSql,

@@ -133,13 +133,57 @@ object StreamQueries {
       |    FROM events))
       |GROUP BY user_id, session_id""".stripMargin
 
+  /** Stream-stream join: every purchase joined to the same user's
+    * signup events within the preceding 24 hours — run as a real
+    * watermarked streaming join, checked against the equivalent batch
+    * range join in DuckDB.
+    */
+  def streamStreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val wd = workDir("ssjoin")
+    val src = s"$wd/src"
+    Testdata.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .write.mode("append").parquet(src)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", TimestampType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    StreamJobs
+      .runStreamStreamJoin(
+        spark, src, schema, "ts",
+        col("event_type") === "purchase",
+        col("event_type") === "signup",
+        "user_id",
+        (_, _) =>
+          col("l.ts") >= col("r.ts") &&
+            col("l.ts") <= col("r.ts") + expr("INTERVAL 24 HOURS"),
+        joined => joined.select(
+          col("l.event_id").as("purchase_id"),
+          col("r.event_id").as("signup_id"),
+          col("l.user_id").as("user_id"),
+          round(col("l.value"), 4).as("purchase_value")),
+        wd)
+  }
+
+  val streamStreamJoinSql: String =
+    """SELECT p.event_id AS purchase_id, s.event_id AS signup_id,
+      |       p.user_id, round(p.value, 4) AS purchase_value
+      |FROM events p JOIN events s
+      |  ON p.user_id = s.user_id
+      | AND p.event_type = 'purchase' AND s.event_type = 'signup'
+      | AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 24 HOURS""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_stream_join" -> (streamStreamJoin _),
     "q_batch_candles" -> (batchCandles _),
     "q_stream_ingest" -> (streamIngest _),
     "q_stream_candles" -> (streamCandles _),
     "q_stream_sessions" -> (streamSessions _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_stream_stream_join" -> streamStreamJoinSql,
     "q_batch_candles" -> candlesOracleSql,
     "q_stream_ingest" -> streamIngestSql,
     "q_stream_candles" -> candlesOracleSql,

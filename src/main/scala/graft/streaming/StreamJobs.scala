@@ -186,6 +186,56 @@ object StreamJobs {
     spark.table(queryName).filter(col(sentinelFilterCol) =!= sentinelKey)
   }
 
+  /** Stream-stream inner join with event-time bounds: two streams over
+    * the same bronze dir (filtered to different event classes) joined on
+    * key with a time-range predicate. Watermarks on BOTH sides bound the
+    * join state (Spark evicts buffered rows once the watermark passes
+    * the range), which is what makes an unbounded stream-stream join
+    * feasible at all. Inner-join matches emit as soon as both sides
+    * arrive, so draining the source yields the complete (batch-equal)
+    * result — no sentinel needed.
+    */
+  def runStreamStreamJoin(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      tsCol: String,
+      leftFilter: org.apache.spark.sql.Column,
+      rightFilter: org.apache.spark.sql.Column,
+      keyCol: String,
+      rangeCondition: (DataFrame, DataFrame) => org.apache.spark.sql.Column,
+      project: DataFrame => DataFrame,
+      workDir: String,
+      watermarkDelay: String = "1 minutes"): DataFrame = {
+    val checkpoint = dir(workDir, s"checkpoint-ssjoin-${java.util.UUID.randomUUID()}")
+    val queryName = s"ssjoin_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+
+    def side(f: org.apache.spark.sql.Column, alias: String): DataFrame =
+      spark.readStream
+        .schema(schema)
+        .parquet(sourceDir)
+        .filter(f)
+        .withWatermark(tsCol, watermarkDelay)
+        .alias(alias)
+
+    val l = side(leftFilter, "l")
+    val r = side(rightFilter, "r")
+    // project while the l/r qualifiers are still resolvable — the memory
+    // sink flattens the join output into positional duplicate columns
+    val joined = project(
+      l.join(r, col(s"l.$keyCol") === col(s"r.$keyCol") && rangeCondition(l, r)))
+
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .option("checkpointLocation", checkpoint)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(queryName)
+  }
+
   /** Streaming exact dedup (training-data pipeline on a stream): drop
     * duplicate keys arriving within the watermark horizon —
     * `dropDuplicatesWithinWatermark` keys state by `keyCols` and evicts

@@ -236,6 +236,65 @@ object StreamJobs {
     spark.table(queryName)
   }
 
+  /** Typed row for the custom-state demo pipeline. */
+  final case class KeyedValue(k: String, ts: java.sql.Timestamp, v: Double)
+
+  /** Output of [[runRunningMaxWithState]]: the running maximum per key,
+    * one emission per key per micro-batch that touched it.
+    */
+  final case class RunningMax(k: String, running_max: Double, updates: Long)
+
+  /** Custom keyed state via `flatMapGroupsWithState` (the API for
+    * semantics the built-in window aggregations can't express —
+    * SURVEY §2.9 notes the reference never needs it; provided as
+    * engine surface): per key, carry the running maximum and an update
+    * counter across micro-batches, emitting the refreshed state each
+    * time the key appears. State lives in the state store and survives
+    * restarts through the checkpoint.
+    */
+  def runRunningMaxWithState(
+      spark: SparkSession,
+      sourceDir: String,
+      workDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val checkpoint = dir(workDir, s"checkpoint-fmgws-${java.util.UUID.randomUUID()}")
+    val queryName = s"fmgws_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+
+    val schema = StructType(Seq(
+      StructField("k", StringType),
+      StructField("ts", org.apache.spark.sql.types.TimestampType),
+      StructField("v", org.apache.spark.sql.types.DoubleType)))
+
+    def update(
+        key: String,
+        rows: Iterator[KeyedValue],
+        state: GroupState[RunningMax]): Iterator[RunningMax] = {
+      val batchMax = rows.map(_.v).foldLeft(Double.MinValue)(math.max)
+      val prev = state.getOption.getOrElse(RunningMax(key, Double.MinValue, 0L))
+      val next = RunningMax(key, math.max(prev.running_max, batchMax), prev.updates + 1)
+      state.update(next)
+      Iterator.single(next)
+    }
+
+    val stream = spark.readStream
+      .schema(schema)
+      .parquet(sourceDir)
+      .as[KeyedValue]
+      .groupByKey(_.k)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+
+    val q = stream.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .option("checkpointLocation", checkpoint)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(queryName)
+  }
+
   /** Streaming exact dedup (training-data pipeline on a stream): drop
     * duplicate keys arriving within the watermark horizon —
     * `dropDuplicatesWithinWatermark` keys state by `keyCols` and evicts

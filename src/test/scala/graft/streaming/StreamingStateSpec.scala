@@ -33,6 +33,27 @@ class StreamingStateSpec extends SparkSpec {
     assert(out.filter(col("id") === 1L).count() == 1)
   }
 
+  test("flatMapGroupsWithState carries custom running-max state across micro-batches") {
+    val wd = scratchDir("fmgws")
+    val src = s"$wd/src"
+    // batch 1: A peaks at 9
+    Seq(("A", mk("2024-01-01 10:00:00"), 9.0), ("A", mk("2024-01-01 10:01:00"), 2.0),
+      ("B", mk("2024-01-01 10:00:00"), 1.0))
+      .toDF("k", "ts", "v").write.mode("append").parquet(src)
+    val out1 = StreamJobs.runRunningMaxWithState(spark, src, wd)
+    val a1 = out1.filter(col("k") === "A").collect()
+    assert(a1.length == 1 && a1(0).getAs[Double]("running_max") == 9.0)
+
+    // batch 2 (fresh query, same logic — state demo is per run): lower
+    // value must NOT reduce the running max when both batches replay
+    Seq(("A", mk("2024-01-01 10:05:00"), 5.0)).toDF("k", "ts", "v")
+      .write.mode("append").parquet(src)
+    val out2 = StreamJobs.runRunningMaxWithState(spark, src, wd)
+    val a2 = out2.filter(col("k") === "A")
+      .orderBy(col("updates").desc).collect()
+    assert(a2.head.getAs[Double]("running_max") == 9.0)
+  }
+
   test("foreachBatch streaming upsert merges micro-batches into a LakeTable") {
     val wd = scratchDir("supsert")
     val src = s"$wd/src"

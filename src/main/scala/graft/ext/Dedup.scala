@@ -306,21 +306,27 @@ object Dedup {
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
-    var labels = edges
+    // localCheckpoint each round: iterative plans otherwise grow a
+    // doubling lineage, and the convergence probe would recompute the
+    // whole chain every iteration
+    val cachedEdges = edges.localCheckpoint(true)
+    var labels = cachedEdges
       .select(col("src").as("id"))
       .distinct()
       .withColumn("cluster_rep", col("id"))
+      .localCheckpoint(true)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
-      val neighborLabels = edges
-        .join(labels, edges("dst") === labels("id"))
+      val neighborLabels = cachedEdges
+        .join(labels, cachedEdges("dst") === labels("id"))
         .select(col("src").as("id"), col("cluster_rep"))
       val next = labels
         .select(col("id"), col("cluster_rep"))
         .unionByName(neighborLabels)
         .groupBy(col("id"))
         .agg(min(col("cluster_rep")).as("cluster_rep"))
+        .localCheckpoint(true)
       converged = next
         .join(labels.withColumnRenamed("cluster_rep", "prev"), "id")
         .filter(col("cluster_rep") =!= col("prev"))

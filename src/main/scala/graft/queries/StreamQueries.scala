@@ -175,7 +175,65 @@ object StreamQueries {
       | AND p.event_type = 'purchase' AND s.event_type = 'signup'
       | AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 24 HOURS""".stripMargin
 
+  /** LEFT OUTER stream-stream join: each purchase paired with every
+    * signup of the same user in the prior 24 hours; purchases with no
+    * such signup emit with a NULL signup once the watermark proves none
+    * can arrive (sentinel rows on both sides flush the outer results).
+    */
+  def streamStreamJoinOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    val wd = workDir("ssouter")
+    val src = s"$wd/src"
+    val events = Testdata.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    events.write.mode("append").parquet(src)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", TimestampType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val maxTs = events.agg(max(col("ts"))).head().getTimestamp(0)
+    val far = new java.sql.Timestamp(maxTs.getTime + 40L * 24 * 3600 * 1000)
+    val pushSentinels = () => {
+      import org.apache.spark.sql.Row
+      spark
+        .createDataFrame(
+          java.util.Arrays.asList(
+            Row(-1L, far, -1L, "purchase", 0.0),
+            Row(-2L, far, -1L, "signup", 0.0)),
+          schema)
+        .write.mode("append").parquet(src)
+      ()
+    }
+    StreamJobs
+      .runStreamStreamJoinOuter(
+        spark, src, schema, "ts",
+        col("event_type") === "purchase",
+        col("event_type") === "signup",
+        "user_id",
+        (_, _) =>
+          col("l.ts") >= col("r.ts") &&
+            col("l.ts") <= col("r.ts") + expr("INTERVAL 24 HOURS"),
+        joined => joined.select(
+          col("l.event_id").as("purchase_id"),
+          col("r.event_id").as("signup_id"),
+          col("l.user_id").as("user_id"),
+          round(col("l.value"), 4).as("purchase_value")),
+        pushSentinels,
+        col("user_id") === -1L,
+        wd)
+  }
+
+  val streamStreamJoinOuterSql: String =
+    """SELECT p.event_id AS purchase_id, s.event_id AS signup_id,
+      |       p.user_id, round(p.value, 4) AS purchase_value
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      |  ON p.user_id = s.user_id
+      | AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 24 HOURS""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_join_outer" -> (streamStreamJoinOuter _),
     "q_stream_stream_join" -> (streamStreamJoin _),
     "q_batch_candles" -> (batchCandles _),
     "q_stream_ingest" -> (streamIngest _),
@@ -183,6 +241,7 @@ object StreamQueries {
     "q_stream_sessions" -> (streamSessions _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_stream_join_outer" -> streamStreamJoinOuterSql,
     "q_stream_stream_join" -> streamStreamJoinSql,
     "q_batch_candles" -> candlesOracleSql,
     "q_stream_ingest" -> streamIngestSql,

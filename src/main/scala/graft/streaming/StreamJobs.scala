@@ -295,6 +295,60 @@ object StreamJobs {
     spark.table(queryName)
   }
 
+  /** Stream-stream LEFT OUTER join: like [[runStreamStreamJoin]] but
+    * unmatched left rows must also emit — which can only happen once
+    * the watermark proves no future right row can match, so the caller
+    * appends far-future sentinel rows (passing BOTH side filters, so
+    * both per-stream watermarks advance) after the real data drains.
+    * Sentinel-keyed output is filtered back out via `sentinelPred`.
+    */
+  def runStreamStreamJoinOuter(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      tsCol: String,
+      leftFilter: org.apache.spark.sql.Column,
+      rightFilter: org.apache.spark.sql.Column,
+      keyCol: String,
+      rangeCondition: (DataFrame, DataFrame) => org.apache.spark.sql.Column,
+      project: DataFrame => DataFrame,
+      pushSentinels: () => Unit,
+      sentinelPred: org.apache.spark.sql.Column,
+      workDir: String,
+      watermarkDelay: String = "1 minutes"): DataFrame = {
+    val checkpoint = dir(workDir, s"checkpoint-ssouter-${java.util.UUID.randomUUID()}")
+    val queryName = s"ssouter_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+
+    def side(f: org.apache.spark.sql.Column, alias: String): DataFrame =
+      spark.readStream
+        .schema(schema)
+        .parquet(sourceDir)
+        .filter(f)
+        .withWatermark(tsCol, watermarkDelay)
+        .alias(alias)
+
+    val l = side(leftFilter, "l")
+    val r = side(rightFilter, "r")
+    val joined = project(
+      l.join(
+        r,
+        col(s"l.$keyCol") === col(s"r.$keyCol") && rangeCondition(l, r),
+        "left_outer"))
+
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .option("checkpointLocation", checkpoint)
+      .start()
+    try {
+      q.processAllAvailable()
+      pushSentinels() // advance both watermarks past every real row
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(queryName).filter(!sentinelPred)
+  }
+
   /** Streaming exact dedup (training-data pipeline on a stream): drop
     * duplicate keys arriving within the watermark horizon —
     * `dropDuplicatesWithinWatermark` keys state by `keyCols` and evicts

@@ -34,8 +34,7 @@ object CoreQueries {
   private def p(sfDir: String, t: String) = tablePath(sfDir, t)
 
   /** Unique scratch dir for queries that need a LakeTable round trip. */
-  private def scratch(tag: String): String =
-    Files.createTempDirectory(s"graft-$tag-").toString
+  private def scratch(tag: String): String = graft.util.TempDirs.scratch(tag)
 
   private val fmt = "yyyy-MM-dd HH:mm:ss"
 

@@ -21,7 +21,7 @@ object PipelineQueries {
   private val t1 = Timestamp.valueOf("2024-03-01 00:00:00")
 
   def pipelineDim(spark: SparkSession, sfDir: String): DataFrame = {
-    val root = Files.createTempDirectory("graft-pipe-").toString
+    val root = graft.util.TempDirs.scratch("pipe")
     val customer = spark.read.parquet(tablePath(sfDir, "customer"))
     val nation = spark.read.parquet(tablePath(sfDir, "nation"))
     val region = spark.read.parquet(tablePath(sfDir, "region"))

@@ -41,7 +41,7 @@ object ScaleQueries {
     * reference's Trino-over-Iceberg capability, engine-side (§2.10).
     */
   def sqlOverCatalog(spark: SparkSession, sfDir: String): DataFrame = {
-    val cat = Catalog(spark, Files.createTempDirectory("graft-cat-").toString)
+    val cat = Catalog(spark, graft.util.TempDirs.scratch("cat"))
     cat.createSchema("gold")
     cat.table("gold", "nation").append(spark.read.parquet(tablePath(sfDir, "nation")))
     cat.table("gold", "region").append(spark.read.parquet(tablePath(sfDir, "region")))
@@ -64,7 +64,7 @@ object ScaleQueries {
     * byte-identical, so arrival order cannot change the outcome).
     */
   def streamDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val wd = Files.createTempDirectory("graft-sdedup-").toString
+    val wd = graft.util.TempDirs.scratch("sdedup")
     val src = s"$wd/src"
     val events = Testdata.events(spark, sfDir)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))

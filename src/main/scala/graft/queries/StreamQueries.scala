@@ -25,8 +25,7 @@ object StreamQueries {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  private def workDir(tag: String): String =
-    Files.createTempDirectory(s"graft-$tag-").toString
+  private def workDir(tag: String): String = graft.util.TempDirs.scratch(tag)
 
   /** Deterministic OHLCV candles, batch mode (A1+A2 with the
     * deterministic min_by/max_by-by-event-time variant, SURVEY §7.5.2).

@@ -107,6 +107,28 @@ object StreamJobs {
     bronze
   }
 
+  /** Start a memory-sink append query with the state-store partition
+    * override scoped to the start (see [[runStatefulAgg]] for why state
+    * partitions track key cardinality, not core count).
+    */
+  private def startMemorySink(
+      spark: SparkSession,
+      out: DataFrame,
+      queryName: String,
+      checkpoint: String,
+      statePartitions: Int): org.apache.spark.sql.streaming.StreamingQuery = {
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    try
+      out.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
   /** Hop 2 — stateful streaming aggregation (S4+A1+P12+K3) driven to a
     * deterministic fixpoint.
     *
@@ -225,12 +247,7 @@ object StreamJobs {
     val joined = project(
       l.join(r, col(s"l.$keyCol") === col(s"r.$keyCol") && rangeCondition(l, r)))
 
-    val q = joined.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(queryName)
-      .option("checkpointLocation", checkpoint)
-      .start()
+    val q = startMemorySink(spark, joined, queryName, checkpoint, statePartitions = 8)
     try q.processAllAvailable()
     finally q.stop()
     spark.table(queryName)
@@ -335,12 +352,7 @@ object StreamJobs {
         col(s"l.$keyCol") === col(s"r.$keyCol") && rangeCondition(l, r),
         "left_outer"))
 
-    val q = joined.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(queryName)
-      .option("checkpointLocation", checkpoint)
-      .start()
+    val q = startMemorySink(spark, joined, queryName, checkpoint, statePartitions = 8)
     try {
       q.processAllAvailable()
       pushSentinels() // advance both watermarks past every real row
@@ -371,12 +383,7 @@ object StreamJobs {
       .parquet(sourceDir)
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
-    val q = stream.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(queryName)
-      .option("checkpointLocation", checkpoint)
-      .start()
+    val q = startMemorySink(spark, stream, queryName, checkpoint, statePartitions = 8)
     try q.processAllAvailable()
     finally q.stop()
     spark.table(queryName)

@@ -169,6 +169,19 @@ object AnalyticsQueries {
       |  FROM tf JOIN df USING (term) CROSS JOIN n)
       |QUALIFY rank <= 3""".stripMargin
 
+  /** Approximate distinct counting (HLL-sketch register-max merge:
+    * order-insensitive, deterministic for a given input). No cross-engine
+    * oracle — DuckDB's approx_distinct uses a different sketch — so this
+    * is rows-only; the ≤5% relative-error contract vs the exact count is
+    * asserted in-query (the output includes both) and by AnalyticsSpec.
+    */
+  def approxDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    Testdata.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+
   /** Discrete median (lower middle element) per group, built from an
     * explicit row_number construction so both engines pick the exact
     * same element — no interpolation-semantics mismatch.
@@ -200,6 +213,7 @@ object AnalyticsQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tfidf_keywords" -> (tfidfKeywords _),
     "q_median_disc" -> (medianDisc _),
+    "q_approx_distinct" -> (approxDistinct _),
     "q_asof_join" -> (asofJoin _),
     "q_sliding_window" -> (slidingWindow _),
     "q_session_window" -> (sessionWindow _),

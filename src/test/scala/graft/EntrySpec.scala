@@ -18,7 +18,7 @@ class EntrySpec extends SparkSpec {
     // probabilistic / stub operators only — everything else must be oracle-checked
     assert(rowsOnly == Set(
       "q_text_langid", "q_dedup_simhash", "q_similarity_ann",
-      "q_similarity_ivf", "q_multimodal_decode"),
+      "q_similarity_ivf", "q_multimodal_decode", "q_approx_distinct"),
       s"unexpected rows-only queries: $rowsOnly")
   }
 }

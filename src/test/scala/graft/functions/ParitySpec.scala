@@ -41,6 +41,16 @@ class ParitySpec extends SparkSpec {
     assert(out.filter(col("strings") =!= col("hashed")).count() == 0)
   }
 
+  test("compiled SimHash64 matches the column-algebra construction bit-for-bit") {
+    val df = Seq(
+      "the quick brown fox", "lorem ipsum dolor sit amet", "a", "", "x y z x y z")
+      .toDF("t")
+    val out = df.select(
+      Dedup.simhash64(col("t")).as("hof"),
+      VectorExprs.simhash64(spark, split(trim(lower(col("t"))), "\\s+")).as("compiled"))
+    assert(out.filter(col("hof") =!= col("compiled")).count() == 0)
+  }
+
   test("compiled shingle+minhash signatures match the column-algebra construction") {
     val (as, bs) = Dedup.permParams(16)
     val df = Seq("the quick brown fox jumps over the lazy dog", "a b").toDF("t")

@@ -42,6 +42,21 @@ class StreamJobsSpec extends SparkSpec {
     assert(a0.getAs[Double]("high") == 9.0 && a0.getAs[Double]("low") == 5.0)
   }
 
+  test("arrival-order candles equal deterministic candles on ordered single-partition input") {
+    val input = Seq(
+      (1L, mk("2024-01-01 10:00:10"), "A", 5.0),
+      (2L, mk("2024-01-01 10:05:00"), "A", 9.0),
+      (3L, mk("2024-01-01 10:14:59"), "A", 7.0)).toDF("id", "ts", "sym", "v").coalesce(1)
+    val det = Candles.candles(input, "ts", "id", "sym", "v")
+      .select("sym", "start_window", "open", "close").collect().toSeq
+    val arr = Candles.candlesArrivalOrder(input, "ts", "sym", "v")
+      .select("sym", "start_window", "open", "close").collect().toSeq
+    // with event-time-ordered single-partition arrival, first/last picks
+    // coincide with the deterministic event-time picks (the reference's
+    // Kafka-per-key-ordering assumption made explicit)
+    assert(det == arr)
+  }
+
   test("append mode + watermark drops rows later than the watermark") {
     val wd = scratchDir("late")
     val stage = s"$wd/stage"

@@ -210,7 +210,39 @@ object AnalyticsQueries {
       |  FROM events)
       |WHERE rn = (n + 1) // 2""".stripMargin
 
+  /** Analytic window functions over per-user event sequences: lag/lead
+    * neighbors, quartile bucketing, and a running cumulative sum — all
+    * on the deterministic (ts, event_id) total order.
+    */
+  def windowAnalytics(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Testdata.events(spark, sfDir)
+      .select(
+        col("user_id"),
+        col("event_id"),
+        col("value"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        lead(col("value"), 1).over(w).as("next_value"),
+        ntile(4).over(w).as("quartile"),
+        round(sum(col("value")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)), 4)
+          .as("running_sum"))
+  }
+
+  val windowAnalyticsSql: String =
+    """SELECT user_id, event_id, value,
+      |       lag(value, 1) OVER w AS prev_value,
+      |       lead(value, 1) OVER w AS next_value,
+      |       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+      |       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                              ROWS UNBOUNDED PRECEDING), 4) AS running_sum
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_analytics" -> (windowAnalytics _),
     "q_tfidf_keywords" -> (tfidfKeywords _),
     "q_median_disc" -> (medianDisc _),
     "q_approx_distinct" -> (approxDistinct _),
@@ -221,6 +253,7 @@ object AnalyticsQueries {
     "q_rollup_agg" -> (rollupAgg _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_window_analytics" -> windowAnalyticsSql,
     "q_tfidf_keywords" -> tfidfKeywordsSql,
     "q_median_disc" -> medianDiscSql,
     "q_asof_join" -> asofJoinSql,

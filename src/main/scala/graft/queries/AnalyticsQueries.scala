@@ -241,7 +241,36 @@ object AnalyticsQueries {
       |FROM events
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
 
+  /** Set operations (§2.7 — absent from the reference, provided as
+    * engine surface): customers in the automobile segment UNION those
+    * in the building segment, INTERSECTed with high-balance accounts,
+    * EXCEPT a nation — all as keys, fully deterministic.
+    */
+  def setOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = spark.read.parquet(tablePath(sfDir, "customer"))
+    val auto = c.filter(col("c_mktsegment") === "AUTOMOBILE").select(col("c_custkey"))
+    val building = c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val rich = c.filter(col("c_acctbal") > 1000).select(col("c_custkey"))
+    val nation0 = c.filter(col("c_nationkey") === 0).select(col("c_custkey"))
+    auto
+      .union(building)
+      .intersect(rich)
+      .except(nation0)
+  }
+
+  // parenthesized: SQL gives INTERSECT higher precedence than UNION,
+  // while the DataFrame chain evaluates strictly left-to-right
+  val setOpsSql: String =
+    """((SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+      |  UNION
+      |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      | INTERSECT
+      | SELECT c_custkey FROM customer WHERE c_acctbal > 1000)
+      |EXCEPT
+      |SELECT c_custkey FROM customer WHERE c_nationkey = 0""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_set_ops" -> (setOps _),
     "q_window_analytics" -> (windowAnalytics _),
     "q_tfidf_keywords" -> (tfidfKeywords _),
     "q_median_disc" -> (medianDisc _),
@@ -253,6 +282,7 @@ object AnalyticsQueries {
     "q_rollup_agg" -> (rollupAgg _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_set_ops" -> setOpsSql,
     "q_window_analytics" -> windowAnalyticsSql,
     "q_tfidf_keywords" -> tfidfKeywordsSql,
     "q_median_disc" -> medianDiscSql,

@@ -30,9 +30,27 @@ object Multimodal {
       .withColumn("media_sha", sha2(b, 256))
       .withColumn(
         "media_kind",
-        when(substring(b, 1, 3) === lit("PNG".getBytes), "image/png")
+        // Full 8-byte PNG signature 0x89 'P' 'N' 'G' \r \n 0x1A \n; RIFF
+        // containers are audio/wav only when the form type at offset 9-12
+        // is "WAVE" (AVI/WebP are RIFF too).
+        when(
+          substring(b, 1, 8) === lit(
+            Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte,
+              '\r'.toByte, '\n'.toByte, 0x1A.toByte, '\n'.toByte)),
+          "image/png")
           .when(substring(b, 1, 2) === lit(Array(0xFF.toByte, 0xD8.toByte)), "image/jpeg")
-          .when(substring(b, 1, 4) === lit("RIFF".getBytes), "audio/wav")
+          .when(
+            substring(b, 1, 4) === lit("RIFF".getBytes) &&
+              substring(b, 9, 4) === lit("WAVE".getBytes),
+            "audio/wav")
+          .when(
+            substring(b, 1, 4) === lit("RIFF".getBytes) &&
+              substring(b, 9, 4) === lit("AVI ".getBytes),
+            "video/avi")
+          .when(
+            substring(b, 1, 4) === lit("RIFF".getBytes) &&
+              substring(b, 9, 4) === lit("WEBP".getBytes),
+            "image/webp")
           .otherwise("application/octet-stream"))
   }
 

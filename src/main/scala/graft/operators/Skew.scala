@@ -29,6 +29,15 @@ object Skew {
       saltFactor: Int = 8,
       joinType: String = "inner"): DataFrame = {
     require(saltFactor > 0)
+    // Replicating the right side saltFactor ways breaks right/full_outer
+    // semantics: an unmatched right row would emit saltFactor duplicate
+    // null-padded rows. Only left-preserving/inner types are salt-safe.
+    val saltSafe =
+      Set("inner", "left", "leftouter", "leftsemi", "leftanti", "semi", "anti")
+    require(
+      saltSafe.contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin does not support joinType=$joinType (unmatched right rows would " +
+        s"duplicate ${saltFactor}x); use inner/left/left_semi/left_anti")
     val salted = left.withColumn(
       "__graft_salt",
       pmod(xxhash64(col(leftUniqueCol)), lit(saltFactor)).cast("int"))

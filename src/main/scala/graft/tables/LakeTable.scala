@@ -120,16 +120,27 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     version
   }
 
-  /** Append rows (bronze/gold append sink — K1/K4). */
+  /** Append rows (bronze/gold append sink — K1/K4). Appends to a
+    * partitioned table conform to the table's layout even when the caller
+    * passes no `partitionBy` (as Hive/Iceberg inserts do): a commit dir
+    * without `col=value` subdirs could not be scoped by a later
+    * partition-scoped merge.
+    */
   def append(df: DataFrame, partitionBy: Seq[String] = Seq.empty): Long = {
-    val dirs = writeCommitDir(df, partitionBy).toSeq
-    commit("append", dirs, keepExisting = true, df.schema, partitionBy)
+    val tableParts = latestVersion().map(readManifest(_).partitionBy).getOrElse(Seq.empty)
+    val effParts = if (partitionBy.nonEmpty) partitionBy else tableParts
+    val dirs = writeCommitDir(df, effParts).toSeq
+    commit("append", dirs, keepExisting = true, df.schema, effParts)
   }
 
-  /** Replace the table contents atomically (merge rewrites land here). */
+  /** Replace the table contents atomically (merge rewrites land here).
+    * Conforms to the table's partition layout like [[append]].
+    */
   def overwrite(df: DataFrame, partitionBy: Seq[String] = Seq.empty): Long = {
-    val dirs = writeCommitDir(df, partitionBy).toSeq
-    commit("overwrite", dirs, keepExisting = false, df.schema, partitionBy)
+    val tableParts = latestVersion().map(readManifest(_).partitionBy).getOrElse(Seq.empty)
+    val effParts = if (partitionBy.nonEmpty) partitionBy else tableParts
+    val dirs = writeCommitDir(df, effParts).toSeq
+    commit("overwrite", dirs, keepExisting = false, df.schema, effParts)
   }
 
   /** Hive-style partition values (`col=value` subdir names) present in
@@ -150,6 +161,15 @@ final class LakeTable(val spark: SparkSession, val root: String) {
         .sorted
   }
 
+  private def dirHasDataFiles(dirName: String): Boolean = {
+    val d = dataDir.resolve(dirName)
+    Files.isDirectory(d) && {
+      val walk = Files.walk(d)
+      try walk.iterator().asScala.exists(_.getFileName.toString.endsWith(".parquet"))
+      finally walk.close()
+    }
+  }
+
   /** Partition-scoped replace — the merge path that survives 100 TB:
     * rewrite ONLY the partitions named in `affected` (leading partition
     * column values, as written in the `col=value` dir names). Untouched
@@ -163,12 +183,24 @@ final class LakeTable(val spark: SparkSession, val root: String) {
       .getOrElse(throw new IllegalStateException(s"replacePartitions on empty table $root"))
     require(prev.partitionBy.nonEmpty, "replacePartitions requires a partitioned table")
     val affectedSet = affected.toSet
+    val p0Name = prev.partitionBy.head
 
     val newDir = writeCommitDir(df, prev.partitionBy).get
     val narrowed = prev.commitDirs.zip(prev.effectiveScopes).flatMap { case (dir, scope) =>
       val eff = if (scope.nonEmpty) scope else listPartitionValues(dir)
-      val remaining = eff.filterNot(affectedSet.contains)
-      if (remaining.isEmpty) None else Some((dir, remaining))
+      if (eff.isEmpty) {
+        // Unknown scope: the dir has no Hive col=value subdirs (a legacy
+        // unpartitioned append). Excluding it would silently lose every
+        // row outside `affected`; refuse unless it holds no data at all.
+        if (dirHasDataFiles(dir))
+          throw new IllegalStateException(
+            s"commit dir $dir of $root has data but no $p0Name=value layout; " +
+              "partition-scoped replace cannot narrow it (rewrite via overwrite/compact first)")
+        None
+      } else {
+        val remaining = eff.filterNot(affectedSet.contains)
+        if (remaining.isEmpty) None else Some((dir, remaining))
+      }
     }
     val entries = narrowed :+ ((newDir, affected.sorted))
     val version = prev.version + 1

@@ -136,7 +136,20 @@ object Merge {
       .join(source.select(keyCols.map(col): _*).distinct(), keyCols, "left_semi")
       .select(col(partCol).cast("string"))
     val fromSource = source.select(col(partCol).cast("string"))
-    fromTarget.union(fromSource).distinct().collect().map(_.getString(0)).toSeq.sorted
+    val values = fromTarget.union(fromSource).distinct().collect().map(row =>
+      if (row.isNullAt(0)) null else row.getString(0))
+    // Enforce what the doc comment promises: NULL or non-dir-name-safe
+    // values would never match the written `col=value` subdir names, so
+    // their partitions would silently be treated as unaffected.
+    require(
+      !values.contains(null),
+      s"partition column $partCol has NULL values; partition-scoped merge requires non-null values")
+    val unsafe = values.filter(v => v.exists(c => "/\\:*?\"<>|={}%".indexOf(c.toInt) >= 0 || c <= ' '))
+    require(
+      unsafe.isEmpty,
+      s"partition column $partCol has values needing Hive dir-name escaping " +
+        s"(${unsafe.take(3).mkString(", ")}); partition-scoped merge requires dir-name-safe values")
+    values.toSeq.sorted
   }
 
   /** SCD1 upsert rewriting only affected partitions. `partCol` must be

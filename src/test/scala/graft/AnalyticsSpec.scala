@@ -17,4 +17,39 @@ class AnalyticsSpec extends SparkSpec {
         s"${r.getAs[String]("event_type")}: approx=$approx exact=$exact")
     }
   }
+
+  test("session_window exact-gap boundary: Spark MERGES an event at exactly lastTs+gap") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // Verified empirically (contra ADVICE r1's half-open claim): Spark's
+    // session merge condition is `start <= currentEnd`, so an event at
+    // exactly lastTs+gap joins the running session. The DuckDB oracle's
+    // island construction therefore correctly uses `<=` on the lag delta.
+    val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val events = Seq(
+      ("u1", ts(0)), ("u1", ts(10)), // exactly 10 min apart -> still ONE session
+      ("u2", ts(0)), ("u2", ts(11))  // 11 min apart -> TWO sessions
+    ).toDF("user_id", "ts")
+
+    val viaSessionWindow = events
+      .groupBy($"user_id", session_window($"ts", "10 minutes"))
+      .count()
+      .groupBy($"user_id").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaSessionWindow == Map("u1" -> 1L, "u2" -> 2L))
+
+    // the oracle's lag+cumsum island construction with `<=` agrees
+    events.createOrReplaceTempView("boundary_events")
+    val viaIslands = spark.sql(
+      """SELECT user_id, count(DISTINCT session_id) AS n FROM (
+        |  SELECT user_id, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts) AS session_id
+        |  FROM (
+        |    SELECT user_id, ts,
+        |           CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |                     <= INTERVAL 10 MINUTE THEN 0 ELSE 1 END AS new_session
+        |    FROM boundary_events))
+        |GROUP BY user_id""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaIslands == viaSessionWindow)
+  }
 }

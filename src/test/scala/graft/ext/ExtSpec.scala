@@ -139,11 +139,19 @@ class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
   test("metadata sniffs magic bytes and decode stub is deterministic with declared schema") {
-    val png = Array[Byte]('P', 'N', 'G', 1, 2, 3, 4, 5, 6, 7)
-    val df = Seq((1L, png), (2L, "plain bytes".getBytes)).toDF("id", "payload")
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1A, '\n', 1, 2)
+    val wav = "RIFF1234WAVEfmt ".getBytes
+    val webp = "RIFF1234WEBPVP8 ".getBytes
+    val avi = "RIFF1234AVI LIST".getBytes
+    val fakePng = Array[Byte]('P', 'N', 'G', 1, 2, 3, 4, 5, 6, 7) // not the real signature
+    val df = Seq(
+      (1L, png), (2L, "plain bytes".getBytes), (3L, wav), (4L, webp), (5L, avi), (6L, fakePng)
+    ).toDF("id", "payload")
     val meta = Multimodal.attachMetadata(df, "payload").collect()
       .map(r => r.getLong(0) -> r.getAs[String]("media_kind")).toMap
     assert(meta(1L) == "image/png" && meta(2L) == "application/octet-stream")
+    assert(meta(3L) == "audio/wav" && meta(4L) == "image/webp" && meta(5L) == "video/avi")
+    assert(meta(6L) == "application/octet-stream")
 
     val d1 = Multimodal.decodeStub(spark, df, "id", "payload").collect().sortBy(_.getLong(0))
     val d2 = Multimodal.decodeStub(spark, df, "id", "payload").collect().sortBy(_.getLong(0))

@@ -28,6 +28,19 @@ class SkewSpec extends SparkSpec {
     assert(saltSpread >= 4, s"salt spread only $saltSpread")
   }
 
+  test("saltedJoin rejects right-preserving join types") {
+    val left = Seq(("a", 1)).toDF("key", "uid")
+    val right = Seq(("a", "p")).toDF("key", "payload")
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(left, right, "key", "uid", joinType = "full_outer")
+    }
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(left, right, "key", "uid", joinType = "right")
+    }
+    // left-preserving types still work
+    assert(Skew.saltedJoin(left, right, "key", "uid", joinType = "left_semi").count() == 1)
+  }
+
   test("heavyKeys surfaces the skewed key first") {
     val df = ((1 to 500).map(_ => "hot") ++ (1 to 10).map(i => s"k$i")).toDF("key")
     val top = Skew.heavyKeys(df, "key", 3).collect()

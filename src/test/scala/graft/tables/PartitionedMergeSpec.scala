@@ -49,6 +49,42 @@ class PartitionedMergeSpec extends SparkSpec {
     assert(table.read(versionAsOf = Some(0L)).count() == 5)
   }
 
+  test("plain append to a partitioned table conforms to its layout; scoped merge keeps its rows") {
+    // The ADVICE r1 data-loss scenario: append(df) with no partitionBy on a
+    // partitioned table, then a partition-scoped merge. The appended commit
+    // must be Hive-partitioned (so it can be scope-narrowed) and its rows
+    // outside the affected partitions must survive.
+    val table = LakeTable(spark, scratchDir("pmerge3"))
+    Merge.mergeScd1Partitioned(table, seed, Seq("key"), "year")
+    table.append(Seq(("k7", 70L, 2023), ("k8", 80L, 2025)).toDF("key", "v", "year"))
+
+    val batch = Seq(("k8", 81L, 2025)).toDF("key", "v", "year") // touches 2025 only
+    Merge.mergeScd1Partitioned(table, batch, Seq("key"), "year")
+
+    val rows = table.read().orderBy("key").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(rows == Seq(
+      ("k1", 10L, 2023), ("k2", 20L, 2023),
+      ("k3", 30L, 2024), ("k4", 40L, 2024),
+      ("k5", 50L, 2025), ("k7", 70L, 2023), ("k8", 81L, 2025)))
+  }
+
+  test("merge rejects NULL and dir-unsafe partition values instead of silently skipping them") {
+    val table = LakeTable(spark, scratchDir("pmerge4"))
+    Merge.mergeScd1Partitioned(table, Seq(("k1", 1L, "2023")).toDF("key", "v", "part"),
+      Seq("key"), "part")
+    intercept[IllegalArgumentException] {
+      Merge.mergeScd1Partitioned(
+        table,
+        Seq(("k2", 2L, null.asInstanceOf[String])).toDF("key", "v", "part"),
+        Seq("key"), "part")
+    }
+    intercept[IllegalArgumentException] {
+      Merge.mergeScd1Partitioned(
+        table, Seq(("k3", 3L, "a/b")).toDF("key", "v", "part"), Seq("key"), "part")
+    }
+  }
+
   test("partitioned SCD2 keeps three-way semantics and leaves other partitions alone") {
     val table = LakeTable(spark, scratchDir("pmerge2"))
     Merge.mergeScd2Partitioned(table, seed, Seq("key"), Seq("v"), t1, "year")

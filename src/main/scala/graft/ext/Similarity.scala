@@ -184,9 +184,22 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** Signature width that keeps expected bucket occupancy ≈
+    * `targetBucket` vectors: more corpus → more bits, logarithmically.
+    * Too many bits for the corpus size is the classic small-N LSH
+    * failure (every vector in its own bucket → zero candidates);
+    * too few makes probing approach a full scan.
+    */
+  def autoBits(corpusCount: Long, targetBucket: Int = 32): Int = {
+    val raw = math.floor(math.log(math.max(1.0, corpusCount.toDouble / targetBucket)) / math.log(2.0)).toInt
+    math.max(2, math.min(20, raw))
+  }
+
   /** LSH-bucketed approximate top-k: candidates are corpus vectors
     * sharing a bucket with the query in any of `tables` signature
     * tables; exact cosine + ranking within candidates only.
+    * `bits <= 0` auto-sizes the signature from the corpus cardinality
+    * (one metadata-cheap count) so buckets stay populated at any scale.
     */
   def lshTopK(
       queries: DataFrame,
@@ -194,14 +207,15 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int,
-      bits: Int = 12,
+      bits: Int = -1,
       tables: Int = 4): DataFrame = {
+    val effBits = if (bits > 0) bits else autoBits(corpus.count())
     def signed(df: DataFrame, id: String, vec: String): DataFrame =
       df.select(
         col(idCol).as(id),
         col(vecCol).as(vec),
         explode(array((0 until tables).map { t =>
-          struct(lit(t).as("tbl"), lshSignature(col(vecCol), t, bits).as("bucket"))
+          struct(lit(t).as("tbl"), lshSignature(col(vecCol), t, effBits).as("bucket"))
         }: _*)).as("tb"))
         .select(col(id), col(vec), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
 

@@ -113,6 +113,20 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"recall@5 = $recall")
   }
 
+  test("lsh ANN auto-sizes bits to the corpus: small corpora still yield candidates") {
+    // The sf0.01 failure mode: 500 vectors with 12-bit signatures put
+    // every vector in a singleton bucket -> zero candidates, zero rows.
+    val qs = vectors.filter(col("id") % 20 === 0)
+    val auto = Similarity.lshTopK(qs, vectors, "id", "vec", 5) // bits auto
+    val perQuery = auto.groupBy("query_id").count().collect()
+    assert(perQuery.length == 10, s"every query must return neighbors, got ${perQuery.length}")
+    perQuery.foreach(r => assert(r.getLong(1) == 5L, s"query ${r.get(0)} returned ${r.getLong(1)}"))
+    assert(Similarity.autoBits(200) == 2)
+    assert(Similarity.autoBits(500) == 3)
+    assert(Similarity.autoBits(1000000) == 14)
+    assert(Similarity.autoBits(1000000000L) == 20) // capped
+  }
+
   test("IVF ANN reaches reasonable recall@5 and beats random probing") {
     val qs = vectors.filter(col("id") % 20 === 0)
     val exact = Similarity.bruteForceTopK(qs, vectors, "id", "vec", 5)

@@ -166,6 +166,67 @@ object Dedup {
       .distinct()
   }
 
+  /** Exact n-gram Jaccard similarity join via inverted index — the
+    * deterministic counterpart to MinHash LSH. Each document explodes
+    * into (shingle-hash, id, set-size) postings; pairs sharing a
+    * posting are counted once per shared shingle, so
+    * |A∩B| = count(*) per pair and J = I / (|A| + |B| − I). No
+    * signature approximation: the result is exactly the pairs with
+    * string-shingle Jaccard ≥ threshold (64-bit hash collisions aside,
+    * ~1e-12).
+    *
+    * Scale design: cost is Σ_shingle |postings|², not N² — the shape of
+    * a PPJoin-family set-similarity join. Two prunings keep the shuffle
+    * bounded at corpus scale:
+    *   - length-ratio filter inside the join (lossless: J ≥ t forces
+    *     t·|B| ≤ |A| ≤ |B|/t);
+    *   - `maxPostings` caps degenerate stop-shingles (lossy guardrail,
+    *     off by default; production corpora need it — same role as
+    *     `maxBucket` in the LSH path).
+    */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.5,
+      shingleN: Int = 3,
+      maxPostings: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val sets = df
+      .select(
+        col(idCol).as("id"),
+        graft.functions.VectorExprs
+          .shingleHashes(
+            spark,
+            split(trim(lower(col(textCol))), "\\s+"),
+            shingleN,
+            Long.MaxValue)
+          .as("sh"))
+      .select(col("id"), size(col("sh")).as("set_size"), explode(col("sh")).as("shingle"))
+    val bounded =
+      if (maxPostings <= 0) sets
+      else
+        sets
+          .withColumn("post_n", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))))
+          .filter(col("post_n") <= maxPostings)
+          .drop("post_n")
+    val a = bounded.select(col("shingle").as("sh_a"), col("id").as("id_a"), col("set_size").as("size_a"))
+    val b = bounded.select(col("shingle").as("sh_b"), col("id").as("id_b"), col("set_size").as("size_b"))
+    a.join(
+        b,
+        col("sh_a") === col("sh_b") && col("id_a") < col("id_b") &&
+          col("size_a") * lit(threshold) <= col("size_b") &&
+          col("size_b") * lit(threshold) <= col("size_a"))
+      .groupBy(col("id_a"), col("id_b"), col("size_a"), col("size_b"))
+      .agg(count(lit(1)).as("shared"))
+      .withColumn(
+        "jaccard",
+        round(col("shared") / (col("size_a") + col("size_b") - col("shared")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** Exact n-gram Jaccard for verification: |A∩B| / |A∪B| over distinct
     * shingle sets — computed only for candidate pairs.
     */
@@ -175,6 +236,51 @@ object Dedup {
     val inter = size(array_intersect(a, b)).cast("double")
     val uni = size(array_union(a, b)).cast("double")
     when(uni === 0, 0.0).otherwise(inter / uni)
+  }
+
+  /** Candidate pairs only — the verification path's input: same bucket
+    * join as [[minhashCandidates]] but carries nothing through the
+    * shuffle except (band, bucket, id). No signature arrays move, and
+    * no per-pair signature agreement is computed (the verifier rescores
+    * with exact Jaccard anyway).
+    */
+  def minhashCandidatePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 64,
+      bands: Int = 16,
+      shingleN: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
+    val (as, bs) = permParams(k)
+    val sigs = df
+      .select(
+        col(idCol).as("id"),
+        graft.functions.VectorExprs
+          .shingleHashes(
+            df.sparkSession,
+            split(trim(lower(col(textCol))), "\\s+"),
+            shingleN,
+            P)
+          .as("hashes"))
+      .select(
+        col("id"),
+        graft.functions.VectorExprs
+          .minhashSig(df.sparkSession, col("hashes"), as, bs, P)
+          .as("sig"))
+    val exploded = sigs
+      .select(col("id"), explode(lshBands(col("sig"), k, bands)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val bounded = exploded
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+    bounded.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(bounded.select(col("band"), col("bucket"), col("id").as("id_b")), Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
   }
 
   /** End-to-end MinHash+LSH near-dup detection: candidates from LSH,
@@ -189,7 +295,7 @@ object Dedup {
       bands: Int = 16,
       shingleN: Int = 3): DataFrame = {
     val spark = df.sparkSession
-    val cands = minhashCandidates(df, idCol, textCol, k, bands, shingleN)
+    val cands = minhashCandidatePairs(df, idCol, textCol, k, bands, shingleN)
     // Verification shingle sets use the FULL 64-bit hash space (no mod-P
     // reduction): set Jaccard over them equals string-set Jaccard up to
     // ~1e-12 collision probability, so the value is oracle-exact, and

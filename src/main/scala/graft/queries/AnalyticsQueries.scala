@@ -269,7 +269,97 @@ object AnalyticsQueries {
       |EXCEPT
       |SELECT c_custkey FROM customer WHERE c_nationkey = 0""".stripMargin
 
+  /** Cube: all 4 grouping-set combinations over (returnflag,
+    * linestatus) plus the grouping_id disambiguator (NULL-vs-subtotal).
+    */
+  def cubeAgg(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read
+      .parquet(tablePath(sfDir, "lineitem"))
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 4).as("sum_qty"),
+        count(lit(1)).as("n_rows"),
+        grouping_id(col("l_returnflag"), col("l_linestatus")).cast("int").as("gid"))
+
+  val cubeAggSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       round(sum(l_quantity), 4) AS sum_qty, count(*) AS n_rows,
+      |       CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
+
+  /** Exact interpolated quantiles (percentile ≙ DuckDB quantile_cont)
+    * per group — the deterministic complement to approx_percentile.
+    */
+  def quantiles(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read
+      .parquet(tablePath(sfDir, "lineitem"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+
+  val quantilesSql: String =
+    """SELECT l_returnflag,
+      |       round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+      |       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+      |       round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+      |       round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  /** Range (theta) join: orders bucketed into half-open price bands via
+    * a non-equi join. The band table is tiny and broadcast, so the
+    * plan is a broadcast nested-loop — the right shape for a
+    * band-dimension join at any fact-side scale (no shuffle of orders).
+    */
+  def rangeJoinBands(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val bands = Seq(
+      ("band_0_100k", 0.0, 100000.0),
+      ("band_100k_200k", 100000.0, 200000.0),
+      ("band_200k_300k", 200000.0, 300000.0),
+      ("band_300k_plus", 300000.0, Double.MaxValue)).toDF("band", "lo", "hi")
+    spark.read
+      .parquet(tablePath(sfDir, "orders"))
+      .join(broadcast(bands), col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 4).as("sum_price"))
+  }
+
+  val rangeJoinBandsSql: String =
+    """SELECT band, count(*) AS n_orders, round(sum(o_totalprice), 4) AS sum_price
+      |FROM orders
+      |JOIN (VALUES ('band_0_100k', 0.0, 100000.0),
+      |             ('band_100k_200k', 100000.0, 200000.0),
+      |             ('band_200k_300k', 200000.0, 300000.0),
+      |             ('band_300k_plus', 300000.0, 1e308)) AS bands(band, lo, hi)
+      |  ON o_totalprice >= lo AND o_totalprice < hi
+      |GROUP BY band""".stripMargin
+
+  /** Pivot: linestatus values become columns (explicit value list — one
+    * pass, no value-discovery scan).
+    */
+  def pivotAgg(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read
+      .parquet(tablePath(sfDir, "lineitem"))
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(round(sum(col("l_quantity")), 4))
+      .withColumnRenamed("F", "qty_f")
+      .withColumnRenamed("O", "qty_o")
+
+  val pivotAggSql: String =
+    """SELECT l_returnflag,
+      |       round(sum(l_quantity) FILTER (l_linestatus = 'F'), 4) AS qty_f,
+      |       round(sum(l_quantity) FILTER (l_linestatus = 'O'), 4) AS qty_o
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cube_agg" -> (cubeAgg _),
+    "q_quantiles" -> (quantiles _),
+    "q_range_join_bands" -> (rangeJoinBands _),
+    "q_pivot_agg" -> (pivotAgg _),
     "q_set_ops" -> (setOps _),
     "q_window_analytics" -> (windowAnalytics _),
     "q_tfidf_keywords" -> (tfidfKeywords _),
@@ -282,6 +372,10 @@ object AnalyticsQueries {
     "q_rollup_agg" -> (rollupAgg _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_cube_agg" -> cubeAggSql,
+    "q_quantiles" -> quantilesSql,
+    "q_range_join_bands" -> rangeJoinBandsSql,
+    "q_pivot_agg" -> pivotAggSql,
     "q_set_ops" -> setOpsSql,
     "q_window_analytics" -> windowAnalyticsSql,
     "q_tfidf_keywords" -> tfidfKeywordsSql,

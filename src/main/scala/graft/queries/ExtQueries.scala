@@ -152,6 +152,35 @@ object ExtQueries {
       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
       |WHERE jaccard >= 0.5""".stripMargin
 
+  /** Exact n-gram Jaccard similarity join (inverted index + lossless
+    * length-ratio pruning) — deterministic, so the oracle is the same
+    * ground-truth all-pairs Jaccard as the MinHash query's.
+    */
+  def dedupNgram(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.ngramJaccardPairs(corpusNearDups(docs(spark, sfDir)), "doc_id", "text", 0.5)
+
+  val dedupNgramSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000,
+      |         array_to_string(toks[1:greatest(len(toks) - 2, 0)], ' ')
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      |        FROM documents WHERE doc_id % 5 = 0)),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |      ELSE list_transform(range(1, len(toks) - 1),
+      |                          j -> array_to_string(toks[j:j+2], ' ')) END) AS s
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      |        FROM corpus))
+      |SELECT id_a, id_b, jaccard FROM (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |          / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      |WHERE jaccard >= 0.5""".stripMargin
+
   /** SimHash near-dups — probabilistic bucketing, spec-verified;
     * rows-only here.
     */
@@ -316,6 +345,7 @@ object ExtQueries {
     "q_text_top_terms" -> (textTopTerms _),
     "q_json_path" -> (jsonPath _),
     "q_dedup_minhash" -> (dedupMinhash _),
+    "q_dedup_ngram" -> (dedupNgram _),
     "q_dedup_simhash" -> (dedupSimhash _),
     "q_dedup_embedding" -> (dedupEmbedding _),
     "q_similarity_topk" -> (similarityTopK _),
@@ -333,6 +363,7 @@ object ExtQueries {
     "q_text_top_terms" -> textTopTermsSql,
     "q_json_path" -> jsonPathSql,
     "q_dedup_minhash" -> dedupMinhashSql,
+    "q_dedup_ngram" -> dedupNgramSql,
     "q_dedup_embedding" -> dedupEmbeddingSql,
     "q_similarity_topk" -> similarityTopKSql,
     "q_multimodal_meta" -> multimodalMetaSql)

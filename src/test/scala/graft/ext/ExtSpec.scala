@@ -69,6 +69,22 @@ class DedupSpec extends SparkSpec {
       .foreach(r => assert(r.getAs[Double]("jaccard") > 0.8))
   }
 
+  test("ngram Jaccard join is exact: agrees with brute-force verification on every pair") {
+    val viaIndex = Dedup.ngramJaccardPairs(corpus, "id", "text", 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap
+    // brute-force ground truth via the column-level jaccard over all pairs
+    val a = corpus.select(col("id").as("id_a"), col("text").as("text_a"))
+    val b = corpus.select(col("id").as("id_b"), col("text").as("text_b"))
+    val exact = a.join(b, col("id_a") < col("id_b"))
+      .withColumn("jaccard", round(Dedup.jaccard(col("text_a"), col("text_b")), 4))
+      .filter(col("jaccard") >= 0.5)
+      .select("id_a", "id_b", "jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap
+    assert(viaIndex == exact, s"index-join=${viaIndex.size} pairs, brute=${exact.size}")
+    val planted = (0 until 60 by 3).map(i => (i.toLong, 1000L + i)).toSet
+    assert(planted.subsetOf(viaIndex.keySet))
+  }
+
   test("simhash buckets recover planted near-dups within hamming distance") {
     val pairs = Dedup.simhashDedupPairs(corpus, "id", "text", maxHamming = 10).collect()
     val found = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -107,6 +107,34 @@ object ExtQueries {
       col("doc_id"),
       TextAnalysis.langId(col("text")).as("lang_pred"))
 
+  /** The n-gram/stopword heuristic is deterministic column algebra —
+    * the oracle replays the same stopword-hit ratios, CJK char ratio,
+    * and argmax tie order (en>fr>es>de) in DuckDB.
+    */
+  val textLangIdSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, text,
+      |         regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+      |         CASE WHEN length(text) = 0 THEN 0.0
+      |              ELSE CAST(length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS DOUBLE)
+      |                   / length(text) END AS cjk
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, cjk,
+      |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len(list_filter(toks, x -> list_contains(['the','and','of','to','a','in','is','it','that','was','for','on','are','with','as','his','they','at','be','this'], x))) AS DOUBLE) / len(toks) END AS c_en,
+      |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len(list_filter(toks, x -> list_contains(['le','la','les','de','des','du','et','un','une','dans','est','pour','que','qui','sur','avec','pas','au','ce','il'], x))) AS DOUBLE) / len(toks) END AS c_fr,
+      |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len(list_filter(toks, x -> list_contains(['el','la','los','las','de','del','y','un','una','en','es','por','que','con','para','su','al','lo','como','más'], x))) AS DOUBLE) / len(toks) END AS c_es,
+      |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len(list_filter(toks, x -> list_contains(['der','die','das','und','ein','eine','in','ist','von','mit','den','des','dem','nicht','auch','auf','für','sich','im','zu'], x))) AS DOUBLE) / len(toks) END AS c_de
+      |  FROM t)
+      |SELECT doc_id,
+      |  CASE WHEN cjk > 0.05 THEN 'zh'
+      |       WHEN greatest(c_en, c_fr, c_es, c_de) <= 0.0 THEN 'und'
+      |       WHEN c_en = greatest(c_en, c_fr, c_es, c_de) THEN 'en'
+      |       WHEN c_fr = greatest(c_en, c_fr, c_es, c_de) THEN 'fr'
+      |       WHEN c_es = greatest(c_en, c_fr, c_es, c_de) THEN 'es'
+      |       ELSE 'de' END AS lang_pred
+      |FROM s""".stripMargin
+
   // ---- dedup ---------------------------------------------------------------
 
   def dedupExact(spark: SparkSession, sfDir: String): DataFrame =
@@ -327,11 +355,33 @@ object ExtQueries {
     val bin = docs(spark, sfDir).select(col("doc_id"), col("text").cast("binary").as("payload"))
     val decoded = Multimodal.decodeStub(spark, bin, "doc_id", "payload")
     val frames = Multimodal.frameSample(bin, "doc_id", "payload", 4)
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sampled"), max(col("frame_crc")).as("max_crc"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sampled"), max(md5(col("frame_bytes"))).as("max_md5"))
     decoded.join(frames, decoded("media_id") === frames("doc_id"))
       .select(col("media_id"), col("width"), col("height"), col("n_frames"),
-        col("n_sampled"), col("max_crc"))
+        col("n_sampled"), col("max_md5"))
   }
+
+  /** The decode stub's arithmetic is deterministic byte algebra, so it
+    * IS oracle-checkable: the payloads are ASCII (byte == code point),
+    * letting DuckDB reproduce width/height (first-byte masks), frame
+    * boundaries (truncating casts mirrored with trunc()), and frame
+    * digests (md5 over the same byte slices).
+    */
+  val multimodalDecodeSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text, length(text) AS n,
+      |         greatest(length(text) / 4.0, 1.0) AS flen
+      |  FROM documents)
+      |SELECT doc_id AS media_id,
+      |  CASE WHEN n = 0 THEN 0 ELSE 16 + unicode(substring(text, 1, 1)) % 64 END AS width,
+      |  CASE WHEN n < 2 THEN 0 ELSE 16 + unicode(substring(text, 2, 1)) % 64 END AS height,
+      |  CAST(1 + n % 4 AS INTEGER) AS n_frames,
+      |  CAST(4 AS BIGINT) AS n_sampled,
+      |  list_max(list_transform(range(0, 4),
+      |    i -> md5(substring(text, CAST(trunc(i * flen + 1) AS INT),
+      |                       CAST(trunc(flen) AS INT))))) AS max_md5
+      |FROM d""".stripMargin
 
   // --------------------------------------------------------------------------
 
@@ -366,5 +416,7 @@ object ExtQueries {
     "q_dedup_ngram" -> dedupNgramSql,
     "q_dedup_embedding" -> dedupEmbeddingSql,
     "q_similarity_topk" -> similarityTopKSql,
-    "q_multimodal_meta" -> multimodalMetaSql)
+    "q_multimodal_meta" -> multimodalMetaSql,
+    "q_multimodal_decode" -> multimodalDecodeSql,
+    "q_text_langid" -> textLangIdSql)
 }

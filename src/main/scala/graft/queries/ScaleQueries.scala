@@ -40,6 +40,39 @@ object ScaleQueries {
   /** spark.sql over LakeTables registered in the session catalog — the
     * reference's Trino-over-Iceberg capability, engine-side (§2.10).
     */
+  /** Bucketed co-located join: both sides written bucketed (and
+    * per-file sorted) on the join key, so the sort-merge join reads
+    * bucket i against bucket i with NO exchange on either side — the
+    * layout that turns the biggest recurring fact-fact join at 100 TB
+    * from a full shuffle into a local merge. The only shuffle in this
+    * plan is the small post-join re-aggregation. The `merge` hint pins
+    * SMJ so the bucket layout is exercised at every data size
+    * (broadcast would also be shuffle-free but proves nothing about
+    * the layout). Result-identical to the plain join (oracle).
+    */
+  def bucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val (t1, t2) = (s"graft_li_$tag", s"graft_ord_$tag")
+    spark.read.parquet(tablePath(sfDir, "lineitem"))
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", graft.util.TempDirs.scratch(s"bkt-li-$tag"))
+      .saveAsTable(t1)
+    spark.read.parquet(tablePath(sfDir, "orders"))
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", graft.util.TempDirs.scratch(s"bkt-ord-$tag"))
+      .saveAsTable(t2)
+    spark.table(t1).hint("merge")
+      .join(spark.table(t2), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"), round(sum(col("l_extendedprice")), 4).as("sum_price"))
+  }
+
+  val bucketedJoinSql: String =
+    """SELECT o_orderpriority, count(*) AS n_items,
+      |       round(sum(l_extendedprice), 4) AS sum_price
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority""".stripMargin
+
   def sqlOverCatalog(spark: SparkSession, sfDir: String): DataFrame = {
     val cat = Catalog(spark, graft.util.TempDirs.scratch("cat"))
     cat.createSchema("gold")
@@ -94,11 +127,13 @@ object ScaleQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_skew_salted_join" -> (skewSaltedJoin _),
+    "q_bucketed_join" -> (bucketedJoin _),
     "q_sql_catalog" -> (sqlOverCatalog _),
     "q_stream_dedup" -> (streamDedup _))
 
   val oracleSql: Map[String, String] = Map(
     "q_skew_salted_join" -> skewSaltedJoinSql,
+    "q_bucketed_join" -> bucketedJoinSql,
     "q_sql_catalog" -> sqlOverCatalogSql,
     "q_stream_dedup" -> streamDedupSql)
 }

@@ -57,6 +57,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("bucketed join reads bucket-to-bucket: no exchange on either join side") {
+    val df = graft.queries.ScaleQueries.bucketedJoin(spark, sf)
+    val p = plan(df)
+    assert(p.contains("SortMergeJoin"), p)
+    // the ONLY exchange allowed is the post-join re-aggregation; the join
+    // inputs come straight from the bucketed scans
+    val exchanges = "\\+- Exchange|:- Exchange".r.findAllIn(p).length
+    assert(exchanges == 1, s"$exchanges exchanges (want 1, the final agg):\n$p")
+    assert(p.contains("SelectedBucketsCount") || p.contains("Bucketed: true"), p)
+  }
+
   test("brute-force topk broadcasts the query side") {
     val p = plan(graft.queries.ExtQueries.similarityTopK(spark, sf))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)

@@ -73,6 +73,24 @@ object ScaleQueries {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority""".stripMargin
 
+  /** Lakehouse schema evolution: a column added by a later commit is
+    * read as typed NULL for older commits — no rewrite of existing
+    * files (the Iceberg/Delta add-column behavior). The manifest pins
+    * the latest schema; the parquet reader fills missing columns.
+    */
+  def schemaEvolution(spark: SparkSession, sfDir: String): DataFrame = {
+    val table = Catalog(spark, graft.util.TempDirs.scratch("sevo")).table("silver", "nation_evo")
+    val nation = spark.read.parquet(tablePath(sfDir, "nation"))
+    table.append(nation.select(col("n_nationkey"), col("n_name")))
+    table.append(nation.select(col("n_nationkey"), col("n_name"), col("n_regionkey")))
+    table.read()
+  }
+
+  val schemaEvolutionSql: String =
+    """SELECT n_nationkey, n_name, CAST(NULL AS INTEGER) AS n_regionkey FROM nation
+      |UNION ALL
+      |SELECT n_nationkey, n_name, n_regionkey FROM nation""".stripMargin
+
   def sqlOverCatalog(spark: SparkSession, sfDir: String): DataFrame = {
     val cat = Catalog(spark, graft.util.TempDirs.scratch("cat"))
     cat.createSchema("gold")
@@ -128,12 +146,14 @@ object ScaleQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_skew_salted_join" -> (skewSaltedJoin _),
     "q_bucketed_join" -> (bucketedJoin _),
+    "q_schema_evolution" -> (schemaEvolution _),
     "q_sql_catalog" -> (sqlOverCatalog _),
     "q_stream_dedup" -> (streamDedup _))
 
   val oracleSql: Map[String, String] = Map(
     "q_skew_salted_join" -> skewSaltedJoinSql,
     "q_bucketed_join" -> bucketedJoinSql,
+    "q_schema_evolution" -> schemaEvolutionSql,
     "q_sql_catalog" -> sqlOverCatalogSql,
     "q_stream_dedup" -> streamDedupSql)
 }

@@ -231,7 +231,48 @@ object StreamQueries {
       |  ON p.user_id = s.user_id
       | AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 24 HOURS""".stripMargin
 
+  /** Streaming CDC upsert: two event waves (before/after Jan 15) stream
+    * through `foreachBatch` → SCD1 merge into a lake table keyed by
+    * user. Waves are time-ordered, so last-writer-wins equals the
+    * global latest event per user — the oracle. This is the
+    * foreachBatch-merge pattern every lakehouse CDC sink uses.
+    */
+  def streamUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val wd = workDir("supsert")
+    val src = s"$wd/src"
+    val table = graft.tables.LakeTable(spark, s"$wd/target")
+    val schema = StructType(eventsSchema.fields.filterNot(_.name == "props"))
+    val events = Testdata.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    val cut = lit(java.sql.Timestamp.valueOf("2024-01-15 00:00:00"))
+    def latestPerUser(df: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    }
+    latestPerUser(events.filter(col("ts") < cut)).write.mode("append").parquet(src)
+    StreamJobs.runStreamingUpsert(spark, src, schema, Seq("user_id"), table, wd)
+    latestPerUser(events.filter(col("ts") >= cut)).write.mode("append").parquet(src)
+    StreamJobs.runStreamingUpsert(spark, src, schema, Seq("user_id"), table, wd)
+    table.read().select(
+      col("user_id"),
+      col("event_id"),
+      col("event_type"),
+      col("value"),
+      date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_str"))
+  }
+
+  val streamUpsertSql: String =
+    """SELECT user_id, event_id, event_type, value,
+      |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
+      |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+      |                                   ORDER BY ts DESC, event_id DESC) AS rn
+      |      FROM events)
+      |WHERE rn = 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_upsert" -> (streamUpsert _),
     "q_stream_join_outer" -> (streamStreamJoinOuter _),
     "q_stream_stream_join" -> (streamStreamJoin _),
     "q_batch_candles" -> (batchCandles _),
@@ -240,6 +281,7 @@ object StreamQueries {
     "q_stream_sessions" -> (streamSessions _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_stream_upsert" -> streamUpsertSql,
     "q_stream_join_outer" -> streamStreamJoinOuterSql,
     "q_stream_stream_join" -> streamStreamJoinSql,
     "q_batch_candles" -> candlesOracleSql,

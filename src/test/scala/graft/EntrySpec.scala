@@ -15,10 +15,10 @@ class EntrySpec extends SparkSpec {
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracle keys without query: ${o -- q}")
     val rowsOnly = q -- o
-    // probabilistic / stub operators only — everything else must be oracle-checked
+    // genuinely non-replicable operators only (HLL sketch, xxhash64-seeded
+    // probabilistic structures) — everything else must be oracle-checked
     assert(rowsOnly == Set(
-      "q_text_langid", "q_dedup_simhash", "q_similarity_ann",
-      "q_similarity_ivf", "q_multimodal_decode", "q_approx_distinct"),
+      "q_dedup_simhash", "q_similarity_ann", "q_similarity_ivf", "q_approx_distinct"),
       s"unexpected rows-only queries: $rowsOnly")
   }
 }

@@ -269,6 +269,71 @@ object AnalyticsQueries {
       |EXCEPT
       |SELECT c_custkey FROM customer WHERE c_nationkey = 0""".stripMargin
 
+  /** Custom typed Aggregator (UDAF): weighted average of price by
+    * quantity — merges partial (Σvw, Σw) states map-side like any
+    * declarative aggregate.
+    */
+  def weightedAvg(spark: SparkSession, sfDir: String): DataFrame = {
+    val wavg = udaf(graft.functions.Aggregators.WeightedAvg)
+    spark.read
+      .parquet(tablePath(sfDir, "lineitem"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(wavg(col("l_extendedprice"), col("l_quantity")), 4).as("wavg_price"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  val weightedAvgSql: String =
+    """SELECT l_returnflag,
+      |       round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS wavg_price,
+      |       count(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  /** Typed Dataset pipeline: case-class Encoder scan (after a narrow
+    * `select`, so column pruning still reaches the parquet scan),
+    * lambda filter, groupByKey + mapGroups with order-insensitive
+    * per-group math (count / max — exact, so oracle-safe).
+    */
+  def typedPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.read
+      .parquet(tablePath(sfDir, "lineitem"))
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"), col("l_returnflag"))
+      .as[LineitemSlim]
+      .filter(li => li.l_quantity > 30.0)
+      .groupByKey(_.l_returnflag)
+      .mapGroups { (flag, rows) =>
+        var n = 0L
+        var maxPrice = Double.MinValue
+        rows.foreach { li =>
+          n += 1
+          if (li.l_extendedprice > maxPrice) maxPrice = li.l_extendedprice
+        }
+        (flag, n, maxPrice)
+      }
+      .toDF("l_returnflag", "n_big", "max_price")
+  }
+
+  val typedPipelineSql: String =
+    """SELECT l_returnflag, count(*) AS n_big, max(l_extendedprice) AS max_price
+      |FROM lineitem WHERE l_quantity > 30 GROUP BY l_returnflag""".stripMargin
+
+  /** ORC round trip: same rows back through the other columnar format
+    * (sources/sinks beyond parquet/CSV/JSON).
+    */
+  def orcRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = graft.util.TempDirs.scratch("orc")
+    spark.read.parquet(tablePath(sfDir, "part")).write.mode("overwrite").orc(dir)
+    spark.read
+      .orc(dir)
+      .filter(col("p_size") >= 25)
+      .select(col("p_partkey"), col("p_brand"), col("p_size"), col("p_retailprice"))
+  }
+
+  val orcRoundtripSql: String =
+    """SELECT p_partkey, p_brand, p_size, p_retailprice
+      |FROM part WHERE p_size >= 25""".stripMargin
+
   /** Cube: all 4 grouping-set combinations over (returnflag,
     * linestatus) plus the grouping_id disambiguator (NULL-vs-subtotal).
     */
@@ -356,6 +421,9 @@ object AnalyticsQueries {
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_weighted_avg" -> (weightedAvg _),
+    "q_typed_pipeline" -> (typedPipeline _),
+    "q_orc_roundtrip" -> (orcRoundtrip _),
     "q_cube_agg" -> (cubeAgg _),
     "q_quantiles" -> (quantiles _),
     "q_range_join_bands" -> (rangeJoinBands _),
@@ -372,6 +440,9 @@ object AnalyticsQueries {
     "q_rollup_agg" -> (rollupAgg _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_weighted_avg" -> weightedAvgSql,
+    "q_typed_pipeline" -> typedPipelineSql,
+    "q_orc_roundtrip" -> orcRoundtripSql,
     "q_cube_agg" -> cubeAggSql,
     "q_quantiles" -> quantilesSql,
     "q_range_join_bands" -> rangeJoinBandsSql,
@@ -386,3 +457,10 @@ object AnalyticsQueries {
     "q_distinct_agg" -> distinctAggSql,
     "q_rollup_agg" -> rollupAggSql)
 }
+
+/** Narrow typed view of lineitem for the Dataset[T] pipeline. */
+final case class LineitemSlim(
+    l_orderkey: Long,
+    l_quantity: Double,
+    l_extendedprice: Double,
+    l_returnflag: String)

@@ -53,11 +53,19 @@ object ScaleQueries {
   def bucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
     val (t1, t2) = (s"graft_li_$tag", s"graft_ord_$tag")
+    // repartition on the bucket key first: task partitioning aligns with
+    // bucket hashing, so each task writes one file per bucket instead of
+    // every task writing a sliver of every bucket (N_tasks × N_buckets
+    // small files — the classic bucketed-write mistake at scale)
     spark.read.parquet(tablePath(sfDir, "lineitem"))
+      .select(col("l_orderkey"), col("l_extendedprice"))
+      .repartition(8, col("l_orderkey"))
       .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
       .option("path", graft.util.TempDirs.scratch(s"bkt-li-$tag"))
       .saveAsTable(t1)
     spark.read.parquet(tablePath(sfDir, "orders"))
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .repartition(8, col("o_orderkey"))
       .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
       .option("path", graft.util.TempDirs.scratch(s"bkt-ord-$tag"))
       .saveAsTable(t2)

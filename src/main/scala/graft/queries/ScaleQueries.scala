@@ -81,6 +81,39 @@ object ScaleQueries {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority""".stripMargin
 
+  /** Bloom-filter runtime pruning: build a bloom over the selective
+    * side's join keys (driver-aggregated, ~1 MB bitmap), broadcast it,
+    * and drop non-matching fact rows BEFORE the join shuffle. False
+    * positives are removed by the exact join that follows, so the
+    * result is identical to the plain join (the oracle) — only the
+    * shuffled volume changes. This is the explicit form of Spark's
+    * injected runtime bloom filters, needed when the build side lives
+    * in a different job (cross-job pruning over a lakehouse table).
+    */
+  def bloomPruneJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val urgent = spark.read
+      .parquet(tablePath(sfDir, "orders"))
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val bloom = urgent.stat.bloomFilter("o_orderkey", 100000L, 0.01)
+    val bloomBc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((k: Long) => bloomBc.value.mightContain(k))
+    spark.read
+      .parquet(tablePath(sfDir, "lineitem"))
+      .select(col("l_orderkey"), col("l_extendedprice"))
+      .filter(mightContain(col("l_orderkey")))
+      .join(urgent, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"), round(sum(col("l_extendedprice")), 4).as("sum_price"))
+  }
+
+  val bloomPruneJoinSql: String =
+    """SELECT o_orderpriority, count(*) AS n_items,
+      |       round(sum(l_extendedprice), 4) AS sum_price
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY o_orderpriority""".stripMargin
+
   /** Lakehouse schema evolution: a column added by a later commit is
     * read as typed NULL for older commits — no rewrite of existing
     * files (the Iceberg/Delta add-column behavior). The manifest pins
@@ -154,6 +187,7 @@ object ScaleQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_skew_salted_join" -> (skewSaltedJoin _),
     "q_bucketed_join" -> (bucketedJoin _),
+    "q_bloom_prune_join" -> (bloomPruneJoin _),
     "q_schema_evolution" -> (schemaEvolution _),
     "q_sql_catalog" -> (sqlOverCatalog _),
     "q_stream_dedup" -> (streamDedup _))
@@ -161,6 +195,7 @@ object ScaleQueries {
   val oracleSql: Map[String, String] = Map(
     "q_skew_salted_join" -> skewSaltedJoinSql,
     "q_bucketed_join" -> bucketedJoinSql,
+    "q_bloom_prune_join" -> bloomPruneJoinSql,
     "q_schema_evolution" -> schemaEvolutionSql,
     "q_sql_catalog" -> sqlOverCatalogSql,
     "q_stream_dedup" -> streamDedupSql)

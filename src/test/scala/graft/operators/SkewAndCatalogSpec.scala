@@ -41,6 +41,23 @@ class SkewSpec extends SparkSpec {
     assert(Skew.saltedJoin(left, right, "key", "uid", joinType = "left_semi").count() == 1)
   }
 
+  test("bloom prefilter prunes most non-matching fact rows before the join shuffle") {
+    val sf = "/root/testdata/sf0.001"
+    val urgent = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_orderpriority") === "1-URGENT")
+    val bloom = urgent.stat.bloomFilter("o_orderkey", 100000L, 0.01)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val mightContain = org.apache.spark.sql.functions.udf((k: Long) => bc.value.mightContain(k))
+    val lineitem = spark.read.parquet(s"$sf/lineitem.parquet")
+    val total = lineitem.count().toDouble
+    val kept = lineitem.filter(mightContain(col("l_orderkey"))).count().toDouble
+    val trueFrac = urgent.count().toDouble /
+      spark.read.parquet(s"$sf/orders.parquet").count().toDouble
+    // kept fraction ≈ true match fraction + fpp — i.e. the shuffle volume
+    // really drops to roughly the selective side's share
+    assert(kept / total <= trueFrac + 0.05, s"kept ${kept / total}, true $trueFrac")
+  }
+
   test("heavyKeys surfaces the skewed key first") {
     val df = ((1 to 500).map(_ => "hot") ++ (1 to 10).map(i => s"k$i")).toDF("key")
     val top = Skew.heavyKeys(df, "key", 3).collect()

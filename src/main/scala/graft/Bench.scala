@@ -14,6 +14,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.plans.GraftExtensions.install(spark)
     // JVM/session warm-up so the first measured query isn't charged for
     // codegen + executor spin-up
     spark.read.parquet(s"$sfDir/nation.parquet").count()

@@ -30,6 +30,10 @@ object Sessions {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // engine extensions (compiled SQL functions + HOF strength-reduction
+    // rule); on a cluster the same thing ships as
+    // spark.sql.extensions=graft.plans.GraftExtensions
+    graft.plans.GraftExtensions.install(spark)
     spark
   }
 

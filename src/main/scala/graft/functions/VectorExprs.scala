@@ -64,6 +64,42 @@ object VectorExprs {
       copy(left = l, right = r)
   }
 
+  /** Dot product over two numeric arrays with the EXACT null/length
+    * semantics of the declarative
+    * `aggregate(zip_with(a, b, _ * _), 0.0, _ + _)` it replaces (see
+    * [[graft.plans.GraftExtensions]]'s strength-reduction rule):
+    * zip_with pads the shorter array with NULLs and a NULL product
+    * poisons the sum, so unequal lengths or NULL elements yield NULL.
+    * Accumulation is sequential in index order — bit-identical.
+    */
+  case class ArrayDot(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    private def elemT(e: Expression): DataType =
+      e.dataType.asInstanceOf[ArrayType].elementType
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val xs = a.asInstanceOf[ArrayData]
+      val ys = b.asInstanceOf[ArrayData]
+      if (xs.numElements() != ys.numElements()) return null
+      val n = xs.numElements()
+      val lt = elemT(left)
+      val rt = elemT(right)
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        if (xs.isNullAt(i) || ys.isNullAt(i)) return null
+        val x = if (lt == FloatType) xs.getFloat(i).toDouble else xs.getDouble(i)
+        val y = if (rt == FloatType) ys.getFloat(i).toDouble else ys.getDouble(i)
+        dot += x * y
+        i += 1
+      }
+      dot
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   /** MinHash signature from an array of (already mod-P-reduced) shingle
     * hashes: k universal-hash permutations in one pass —
     * sig_i = min_x (a_i·x + b_i) mod P. Same (P, a_i, b_i) family as

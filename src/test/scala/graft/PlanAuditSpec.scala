@@ -68,6 +68,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("SelectedBucketsCount") || p.contains("Bucketed: true"), p)
   }
 
+  test("rank<=k filters plan as WindowGroupLimit — bounded per-key state, not a full sort-rank") {
+    // Spark 4's WindowGroupLimit pushes the row_number()<=k filter into a
+    // bounded top-k buffer per key (partial before the shuffle, final
+    // after) — each task retains k rows per key instead of ranking
+    // everything. Our top-k operators are written to trigger it.
+    val p = plan(graft.queries.ExtQueries.similarityTopK(spark, sf))
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("brute-force topk broadcasts the query side") {
     val p = plan(graft.queries.ExtQueries.similarityTopK(spark, sf))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)

@@ -135,6 +135,28 @@ object ExtQueries {
       |       ELSE 'de' END AS lang_pred
       |FROM s""".stripMargin
 
+  /** Deterministic train/validation split: hash-bucket each doc id
+    * (md5 → first 8 hex digits → mod 100) and assign 80/20. Unlike
+    * `sample()`/`randomSplit()`, the assignment is a pure function of
+    * the id — stable across runs, engines, partitionings, and corpus
+    * growth (a doc never migrates between splits), which is the
+    * property a training pipeline needs.
+    */
+  def trainValSplit(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(
+        col("doc_id"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long") % 100)
+          .as("bucket"))
+      .withColumn("split", when(col("bucket") < 80, "train").otherwise("val"))
+
+  val trainValSplitSql: String =
+    """SELECT doc_id,
+      |       CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket,
+      |       CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80
+      |            THEN 'train' ELSE 'val' END AS split
+      |FROM documents""".stripMargin
+
   // ---- dedup ---------------------------------------------------------------
 
   def dedupExact(spark: SparkSession, sfDir: String): DataFrame =
@@ -390,6 +412,7 @@ object ExtQueries {
     "q_text_quality" -> (textQuality _),
     "q_text_fingerprint" -> (textFingerprint _),
     "q_text_langid" -> (textLangId _),
+    "q_train_val_split" -> (trainValSplit _),
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_clusters" -> (dedupClusters _),
     "q_text_top_terms" -> (textTopTerms _),
@@ -418,5 +441,6 @@ object ExtQueries {
     "q_similarity_topk" -> similarityTopKSql,
     "q_multimodal_meta" -> multimodalMetaSql,
     "q_multimodal_decode" -> multimodalDecodeSql,
-    "q_text_langid" -> textLangIdSql)
+    "q_text_langid" -> textLangIdSql,
+    "q_train_val_split" -> trainValSplitSql)
 }

@@ -114,6 +114,30 @@ object ScaleQueries {
       |WHERE o_orderpriority = '1-URGENT'
       |GROUP BY o_orderpriority""".stripMargin
 
+  /** Row-level DELETE over a partitioned lake table: only partitions
+    * containing matched rows are rewritten; fully-deleted partitions
+    * drop out of the manifest scope. Oracle = the surviving rows.
+    */
+  def deleteWhere(spark: SparkSession, sfDir: String): DataFrame = {
+    val table = graft.tables.LakeTable(spark, graft.util.TempDirs.scratch("delw"))
+    val orders = spark.read
+      .parquet(tablePath(sfDir, "orders"))
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"), col("o_orderpriority"))
+    table.append(orders, partitionBy = Seq("o_orderstatus"))
+    // delete all F-status rows (whole partition vanishes) AND every very
+    // large order elsewhere (partial rewrites)
+    graft.tables.Merge.deleteWherePartitioned(
+      table,
+      col("o_orderstatus") === "F" || col("o_totalprice") > 400000.0,
+      "o_orderstatus")
+    table.read().select(col("o_orderkey"), col("o_orderstatus"), round(col("o_totalprice"), 4).as("o_totalprice"))
+  }
+
+  val deleteWhereSql: String =
+    """SELECT o_orderkey, o_orderstatus, round(o_totalprice, 4) AS o_totalprice
+      |FROM orders
+      |WHERE NOT (o_orderstatus = 'F' OR o_totalprice > 400000.0)""".stripMargin
+
   /** Lakehouse schema evolution: a column added by a later commit is
     * read as typed NULL for older commits — no rewrite of existing
     * files (the Iceberg/Delta add-column behavior). The manifest pins
@@ -188,6 +212,7 @@ object ScaleQueries {
     "q_skew_salted_join" -> (skewSaltedJoin _),
     "q_bucketed_join" -> (bucketedJoin _),
     "q_bloom_prune_join" -> (bloomPruneJoin _),
+    "q_delete_where" -> (deleteWhere _),
     "q_schema_evolution" -> (schemaEvolution _),
     "q_sql_catalog" -> (sqlOverCatalog _),
     "q_stream_dedup" -> (streamDedup _))
@@ -196,6 +221,7 @@ object ScaleQueries {
     "q_skew_salted_join" -> skewSaltedJoinSql,
     "q_bucketed_join" -> bucketedJoinSql,
     "q_bloom_prune_join" -> bloomPruneJoinSql,
+    "q_delete_where" -> deleteWhereSql,
     "q_schema_evolution" -> schemaEvolutionSql,
     "q_sql_catalog" -> sqlOverCatalogSql,
     "q_stream_dedup" -> streamDedupSql)

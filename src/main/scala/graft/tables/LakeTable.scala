@@ -202,7 +202,11 @@ final class LakeTable(val spark: SparkSession, val root: String) {
         if (remaining.isEmpty) None else Some((dir, remaining))
       }
     }
-    val entries = narrowed :+ ((newDir, affected.sorted))
+    // scope the new dir to the partitions it actually wrote: an affected
+    // partition whose rows were all deleted has no subdir, and must not
+    // be claimed (a reader would try to open a missing path)
+    val written = listPartitionValues(newDir).toSet
+    val entries = narrowed :+ ((newDir, affected.filter(written.contains).sorted))
     val version = prev.version + 1
     writeManifest(
       Manifest(
@@ -268,6 +272,34 @@ final class LakeTable(val spark: SparkSession, val root: String) {
   def compact(): Long = {
     val prev = latestVersion().map(readManifest)
     overwrite(read(), prev.map(_.partitionBy).getOrElse(Seq.empty))
+  }
+
+  /** Expire old snapshots (Iceberg `expire_snapshots` / Delta VACUUM):
+    * drop manifests older than the latest `keepLast` versions and
+    * delete data dirs no newer manifest references. Bounds storage
+    * growth from append/merge churn; time travel remains available for
+    * the kept versions only. Returns the number of commit dirs deleted.
+    */
+  def expireSnapshots(keepLast: Int = 1): Int = {
+    require(keepLast >= 1, "must keep at least the latest snapshot")
+    val versions = listVersions()
+    if (versions.length <= keepLast) return 0
+    val (expired, kept) = versions.splitAt(versions.length - keepLast)
+    val liveDirs = kept.flatMap(p => readManifest(versionOf(p)).commitDirs).toSet
+    val deadDirs = expired
+      .flatMap(p => readManifest(versionOf(p)).commitDirs)
+      .toSet
+      .diff(liveDirs)
+    deadDirs.foreach { d =>
+      val dir = dataDir.resolve(d)
+      if (Files.isDirectory(dir)) {
+        val walk = Files.walk(dir)
+        try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+        finally walk.close()
+      }
+    }
+    expired.foreach(Files.deleteIfExists(_))
+    deadDirs.size
   }
 
   /** High-watermark incremental scan (S5/S6 —

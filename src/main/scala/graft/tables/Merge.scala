@@ -122,6 +122,32 @@ object Merge {
     table.overwrite(survivors.unionByName(src))
   }
 
+  /** DELETE FROM semantics: atomically rewrite the table keeping only
+    * rows NOT matching `condition` (Iceberg/Delta row-level delete as a
+    * copy-on-write rewrite — right for dimension-sized targets).
+    */
+  def deleteWhere(table: LakeTable, condition: Column): Long =
+    table.overwrite(table.read().filter(!condition))
+
+  /** DELETE rewriting only the partitions that contain matching rows;
+    * untouched partitions keep their files (the 100 TB shape). A
+    * partition whose rows are ALL deleted simply drops out of the new
+    * manifest scope.
+    */
+  def deleteWherePartitioned(table: LakeTable, condition: Column, partCol: String): Long = {
+    val target = table.read()
+    val affectedRows = target.filter(condition).select(col(partCol).cast("string")).distinct()
+    val affected = affectedRows.collect().map { r =>
+      require(!r.isNullAt(0), s"partition column $partCol has NULL values in matched rows")
+      r.getString(0)
+    }.toSeq.sorted
+    if (affected.isEmpty) return table.latestVersion().getOrElse(0L)
+    val survivors = target
+      .filter(col(partCol).cast("string").isin(affected: _*))
+      .filter(!condition)
+    table.replacePartitions(survivors, affected)
+  }
+
   /** Partitions a merge must rewrite: those holding target rows matched
     * by source keys, plus those receiving source rows. Collected to the
     * driver as dir-name strings (the list is small — it is the whole

@@ -85,6 +85,42 @@ class PartitionedMergeSpec extends SparkSpec {
     }
   }
 
+  test("partitioned DELETE rewrites matched partitions; a fully-deleted partition vanishes") {
+    val table = LakeTable(spark, scratchDir("pdel"))
+    table.append(seed, partitionBy = Seq("year"))
+    def files2023() = {
+      import scala.jdk.CollectionConverters._
+      val dataDir = java.nio.file.Paths.get(table.root, "data")
+      java.nio.file.Files.walk(dataDir).iterator().asScala
+        .filter(p => p.toString.contains("year=2023") && p.toString.endsWith(".parquet"))
+        .map(_.toString).toSet
+    }
+    val before2023 = files2023()
+
+    // whole 2025 partition goes; 2024 partially rewritten; 2023 untouched
+    Merge.deleteWherePartitioned(table, col("year") === 2025 || col("key") === "k3", "year")
+    val rows = table.read().orderBy("key").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(rows == Seq(("k1", 10L, 2023), ("k2", 20L, 2023), ("k4", 40L, 2024)))
+    assert(files2023() == before2023, "2023 partition files must be untouched")
+    assert(table.read(versionAsOf = Some(0L)).count() == 5) // time travel intact
+  }
+
+  test("expireSnapshots deletes unreferenced commit dirs and keeps recent versions readable") {
+    val table = LakeTable(spark, scratchDir("expire"))
+    table.append(seed, partitionBy = Seq("year"))
+    table.overwrite(seed.filter($"year" =!= 2025), Seq("year")) // v1 orphans v0's dir? no — v0's dir dropped from v1
+    table.append(Seq(("k9", 90L, 2025)).toDF("key", "v", "year"))
+    assert(table.snapshots().count() == 3)
+    val deleted = table.expireSnapshots(keepLast = 2)
+    assert(deleted == 1, s"expected v0's sole dir deleted, got $deleted")
+    // latest two versions still read correctly
+    assert(table.read().count() == 5)
+    assert(table.read(versionAsOf = Some(1L)).count() == 4)
+    // the expired version is gone
+    intercept[Exception] { table.read(versionAsOf = Some(0L)).collect() }
+  }
+
   test("partitioned SCD2 keeps three-way semantics and leaves other partitions alone") {
     val table = LakeTable(spark, scratchDir("pmerge2"))
     Merge.mergeScd2Partitioned(table, seed, Seq("key"), Seq("v"), t1, "year")

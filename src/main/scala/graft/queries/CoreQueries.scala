@@ -216,6 +216,41 @@ object CoreQueries {
   /** Latest-record-per-key dedup via ranked window (W1), deterministic
     * tie-break on the unique event_id.
     */
+  /** Corrupt-record-tolerant JSON decode (PERMISSIVE +
+    * columnNameOfCorruptRecord): rows whose payload is deterministically
+    * truncated parse to NULL fields with the raw text captured in the
+    * corrupt column — schema-on-read ingest that never drops or fails a
+    * batch on bad input. Oracle classifies with json_valid.
+    */
+  def jsonCorrupt(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField(
+        "_corrupt_record", org.apache.spark.sql.types.StringType)))
+    graft.sources.Testdata.events(spark, sfDir)
+      .withColumn(
+        "raw",
+        when(col("event_id") % 7 === 0, substring(col("props"), 1, 4)).otherwise(col("props")))
+      .withColumn(
+        "parsed",
+        from_json(
+          col("raw"),
+          schema,
+          Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt_record")))
+      .select(
+        col("event_id"),
+        col("parsed.k").as("k"),
+        col("parsed._corrupt_record").as("corrupt_raw"))
+  }
+
+  val jsonCorruptSql: String =
+    """SELECT event_id,
+      |       CASE WHEN event_id % 7 = 0 THEN NULL
+      |            ELSE CAST(json_extract(props, '$.k') AS BIGINT) END AS k,
+      |       CASE WHEN event_id % 7 = 0 THEN substring(props, 1, 4)
+      |            ELSE NULL END AS corrupt_raw
+      |FROM events""".stripMargin
+
   def dedupLatest(spark: SparkSession, sfDir: String): DataFrame =
     Ops
       .deduplicate(
@@ -487,6 +522,7 @@ object CoreQueries {
     "q_date_parts" -> (dateParts _),
     "q_hour_filter" -> (hourFilter _),
     "q_json_roundtrip" -> (jsonRoundtrip _),
+    "q_json_corrupt" -> (jsonCorrupt _),
     "q_dedup_latest" -> (dedupLatest _),
     "q_join_star" -> (joinStar _),
     "q_join_snowflake_iterated" -> (joinSnowflakeIterated _),
@@ -508,6 +544,7 @@ object CoreQueries {
     "q_date_parts" -> datePartsSql,
     "q_hour_filter" -> hourFilterSql,
     "q_json_roundtrip" -> jsonRoundtripSql,
+    "q_json_corrupt" -> jsonCorruptSql,
     "q_dedup_latest" -> dedupLatestSql,
     "q_join_star" -> joinStarSql,
     "q_join_snowflake_iterated" -> joinSnowflakeIteratedSql,

@@ -18,6 +18,21 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("approx_percentile stays within its accuracy envelope against exact percentile") {
+    import org.apache.spark.sql.functions._
+    // relative-rank error <= 1/accuracy (Greenwald-Khanna bound): compare
+    // value-at-quantile against exact values at the rank-error-shifted
+    // quantiles rather than assuming value-space closeness
+    val df = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    val acc = 100 // error <= 1%
+    val r = df.agg(
+      expr(s"approx_percentile(l_extendedprice, 0.5, $acc)").as("approx"),
+      expr("percentile(l_extendedprice, 0.49)").as("lo"),
+      expr("percentile(l_extendedprice, 0.51)").as("hi")).head()
+    val (approx, lo, hi) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+    assert(approx >= lo && approx <= hi, s"approx=$approx outside [$lo, $hi]")
+  }
+
   test("session_window exact-gap boundary: Spark MERGES an event at exactly lastTs+gap") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

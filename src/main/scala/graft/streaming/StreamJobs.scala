@@ -84,12 +84,19 @@ object StreamJobs {
       payloadSchema: StructType,
       tsCol: String,
       workDir: String,
-      partitioned: Boolean = false): String = {
+      partitioned: Boolean = false,
+      maxFilesPerTrigger: Option[Int] = None): String = {
     val stage = dir(workDir, "stage")
     val bronze = dir(workDir, "bronze")
     val checkpoint = dir(workDir, "checkpoint-ingest")
 
-    val envelope = spark.readStream.schema(envelopeSchema).parquet(stage)
+    val reader = spark.readStream.schema(envelopeSchema)
+    // bounded micro-batches — the file-source analog of the reference's
+    // rate-limited Kafka cadence (~150 rows per 5 s trigger); AvailableNow
+    // then drains in several checkpointed batches instead of one
+    val envelope = maxFilesPerTrigger
+      .map(n => reader.option("maxFilesPerTrigger", n).parquet(stage))
+      .getOrElse(reader.parquet(stage))
     val decoded = envelope
       .select(from_json(col("value").cast(StringType), payloadSchema, envelopeTsFormat).as("data"))
       .select(col("data.*"))

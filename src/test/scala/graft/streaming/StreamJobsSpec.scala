@@ -42,6 +42,30 @@ class StreamJobsSpec extends SparkSpec {
     assert(a0.getAs[Double]("high") == 9.0 && a0.getAs[Double]("low") == 5.0)
   }
 
+  test("rate-bounded ingest drains staged waves in multiple checkpointed micro-batches") {
+    val wd = scratchDir("rated")
+    def wave(ids: Range) =
+      ids.map(i => (i.toLong, mk(f"2024-01-01 10:${i % 60}%02d:00"), "A", i.toDouble)).toSeq
+        .toDF("id", "ts", "sym", "v")
+    // three separately staged waves -> at least 3 stage files
+    StreamJobs.stageEnvelope(wave(0 until 5).coalesce(1), Seq("sym", "id"), s"$wd/stage")
+    StreamJobs.stageEnvelope(wave(5 until 10).coalesce(1), Seq("sym", "id"), s"$wd/stage")
+    StreamJobs.stageEnvelope(wave(10 until 15).coalesce(1), Seq("sym", "id"), s"$wd/stage")
+
+    val bronze = StreamJobs.runIngest(spark, schema, "ts", wd, maxFilesPerTrigger = Some(1))
+    assert(spark.read.parquet(bronze).count() == 15)
+
+    // one offsets entry per committed micro-batch: bounded batches, not one gulp
+    val offsets = new java.io.File(s"$wd/checkpoint-ingest/offsets").list()
+    assert(offsets != null && offsets.count(!_.startsWith(".")) >= 3, offsets.mkString(","))
+
+    // restart with more data staged: resumes from the checkpoint, appends only the new wave
+    StreamJobs.stageEnvelope(wave(15 until 20).coalesce(1), Seq("sym", "id"), s"$wd/stage")
+    StreamJobs.runIngest(spark, schema, "ts", wd, maxFilesPerTrigger = Some(1))
+    val ids = spark.read.parquet(bronze).select("id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == (0L until 20L), s"got ${ids.length} rows")
+  }
+
   test("arrival-order candles equal deterministic candles on ordered single-partition input") {
     val input = Seq(
       (1L, mk("2024-01-01 10:00:10"), "A", 5.0),

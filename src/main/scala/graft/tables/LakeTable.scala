@@ -71,7 +71,7 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     Manifest.fromJson(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
   }
 
-  private def writeManifest(m: Manifest): Unit = {
+  private[tables] def writeManifest(m: Manifest): Unit = {
     Files.createDirectories(logDir)
     val target = logDir.resolve(f"v${m.version}%020d.json")
     if (Files.exists(target))

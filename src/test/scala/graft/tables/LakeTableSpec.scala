@@ -46,6 +46,21 @@ class LakeTableSpec extends SparkSpec {
     assert(t.incrementalFrom(src, "ts").collect().map(_.getInt(0)).toSeq == Seq(3))
   }
 
+  test("conflicting concurrent commit is detected, not silently overwritten") {
+    val t = LakeTable(spark, scratchDir("conflict"))
+    t.append(Seq((1, "a")).toDF("k", "v"))
+    // two writers that both computed "next version = 1": the second
+    // manifest write must fail, never overwrite (optimistic concurrency
+    // on the atomic create of the version file)
+    val m = LakeTable.Manifest(1L, "append", 0L, Seq.empty, "{}", Seq.empty)
+    t.writeManifest(m)
+    val e = intercept[IllegalStateException] { t.writeManifest(m) }
+    assert(e.getMessage.contains("concurrent write"), e.getMessage)
+    // a fresh append simply builds on the winner's version
+    t.append(Seq((2, "b")).toDF("k", "v"))
+    assert(t.latestVersion().contains(2L))
+  }
+
   test("empty append still commits and read returns schema'd empty frame") {
     val t = LakeTable(spark, scratchDir("empty"))
     t.append(Seq.empty[(Int, String)].toDF("k", "v"))

@@ -334,6 +334,63 @@ object AnalyticsQueries {
     """SELECT p_partkey, p_brand, p_size, p_retailprice
       |FROM part WHERE p_size >= 25""".stripMargin
 
+  /** Unpivot (melt): wide per-row metrics to long (metric, value)
+    * pairs — the inverse of pivot, one Expand pass, no shuffle.
+    */
+  def unpivotMetrics(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read
+      .parquet(tablePath(sfDir, "lineitem"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "metric",
+        "metric_value")
+
+  val unpivotMetricsSql: String =
+    """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS metric_value FROM lineitem
+      |UNION ALL
+      |SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+      |UNION ALL
+      |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem""".stripMargin
+
+  /** Explicit window frames: a ROWS-frame moving aggregate (last 4
+    * events per user, deterministic total order) and a RANGE frame
+    * bounded by the ordering value — the two frame kinds beyond the
+    * default. ROWS frames need a total order to be well-defined; the
+    * (ts, event_id) tie-break provides it (same in the oracle).
+    */
+  def movingWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rowsFrame = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-3, 0)
+    // RANGE frames require a single ordering column
+    val rangeFrame = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    Testdata.events(spark, sfDir)
+      .select(
+        col("user_id"),
+        col("event_id"),
+        round(sum(col("value")).over(rowsFrame), 4).as("moving_sum_4"),
+        round(avg(col("value")).over(rowsFrame), 4).as("moving_avg_4"),
+        count(lit(1)).over(rangeFrame).as("n_at_or_before"))
+  }
+
+  val movingWindowSql: String =
+    """SELECT user_id, event_id,
+      |       round(sum(value) OVER w4, 4) AS moving_sum_4,
+      |       round(avg(value) OVER w4, 4) AS moving_avg_4,
+      |       count(*) OVER (PARTITION BY user_id ORDER BY ts
+      |                      RANGE UNBOUNDED PRECEDING) AS n_at_or_before
+      |FROM events
+      |WINDOW w4 AS (PARTITION BY user_id ORDER BY ts, event_id
+      |              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin
+
   /** Cube: all 4 grouping-set combinations over (returnflag,
     * linestatus) plus the grouping_id disambiguator (NULL-vs-subtotal).
     */
@@ -421,6 +478,8 @@ object AnalyticsQueries {
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_unpivot" -> (unpivotMetrics _),
+    "q_moving_window" -> (movingWindow _),
     "q_weighted_avg" -> (weightedAvg _),
     "q_typed_pipeline" -> (typedPipeline _),
     "q_orc_roundtrip" -> (orcRoundtrip _),
@@ -440,6 +499,8 @@ object AnalyticsQueries {
     "q_rollup_agg" -> (rollupAgg _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_unpivot" -> unpivotMetricsSql,
+    "q_moving_window" -> movingWindowSql,
     "q_weighted_avg" -> weightedAvgSql,
     "q_typed_pipeline" -> typedPipelineSql,
     "q_orc_roundtrip" -> orcRoundtripSql,

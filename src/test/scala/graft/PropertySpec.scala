@@ -118,4 +118,35 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  private val deleteTableGen: Gen[List[(String, Long, Int)]] =
+    Gen.listOfN(
+      15,
+      for {
+        k <- Gen.oneOf((1 to 10).map(i => s"k$i"))
+        v <- Gen.chooseNum(1L, 100L)
+        year <- Gen.oneOf(2023, 2024, 2025)
+      } yield (k, v, year)).map(_.distinctBy(_._1))
+
+  test("partitioned delete ≡ whole-table delete for random tables and thresholds") {
+    forAllSeeded(Gen.zip(deleteTableGen, Gen.chooseNum(1L, 100L)), 5) { case (rows, cut) =>
+      if (rows.nonEmpty) {
+        val df = rows.toDF("key", "v", "year")
+        val cond = col("v") >= cut || col("year") === 2024
+
+        val whole = LakeTable(spark, scratchDir("pd-whole"))
+        whole.append(df, partitionBy = Seq("year"))
+        Merge.deleteWhere(whole, cond)
+
+        val scoped = LakeTable(spark, scratchDir("pd-scoped"))
+        scoped.append(df, partitionBy = Seq("year"))
+        Merge.deleteWherePartitioned(scoped, cond, "year")
+
+        def snap(t: LakeTable) = t.read().select("key", "v", "year").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+        assert(snap(whole) == snap(scoped), s"cut=$cut rows=$rows")
+        assert(snap(scoped) == rows.filterNot { case (_, v, y) => v >= cut || y == 2024 }.toSet)
+      }
+    }
+  }
 }

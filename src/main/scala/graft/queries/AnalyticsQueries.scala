@@ -334,6 +334,49 @@ object AnalyticsQueries {
     """SELECT p_partkey, p_brand, p_size, p_retailprice
       |FROM part WHERE p_size >= 25""".stripMargin
 
+  /** Calendar gap-filling: a generated date spine left-joined to the
+    * facts so empty days surface as zero rows (Jan 31 has no events —
+    * it must appear). `sequence` + `explode` generates the spine
+    * engine-side; no stored calendar dim needed.
+    */
+  def gapFill(spark: SparkSession, sfDir: String): DataFrame = {
+    val spine = spark.range(1).select(
+      explode(sequence(
+        lit(java.sql.Date.valueOf("2024-01-01")),
+        lit(java.sql.Date.valueOf("2024-01-31")),
+        expr("INTERVAL 1 DAY"))).as("day"))
+    val events = Testdata.events(spark, sfDir)
+      .select(to_date(col("ts")).as("day"), col("event_id"))
+    spine
+      .join(events, Seq("day"), "left")
+      .groupBy(col("day"))
+      .agg(count(col("event_id")).as("n_events"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("n_events"))
+  }
+
+  val gapFillSql: String =
+    """SELECT strftime(CAST(d AS DATE), '%Y-%m-%d') AS day, count(e.event_id) AS n_events
+      |FROM generate_series(DATE '2024-01-01', DATE '2024-01-31', INTERVAL 1 DAY) AS t(d)
+      |LEFT JOIN events e ON CAST(e.ts AS DATE) = CAST(d AS DATE)
+      |GROUP BY 1""".stripMargin
+
+  /** Deterministic set aggregation: collect_list made order-stable via
+    * array_distinct + array_sort (raw collect_list order is
+    * partition-arrival-dependent and must never be exposed).
+    */
+  def collectSet(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read
+      .parquet(tablePath(sfDir, "lineitem"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        array_sort(array_distinct(collect_list(col("l_linestatus")))).as("statuses"),
+        count(lit(1)).as("n_rows"))
+
+  val collectSetSql: String =
+    """SELECT l_returnflag, list_sort(list(DISTINCT l_linestatus)) AS statuses,
+      |       count(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
   /** Unpivot (melt): wide per-row metrics to long (metric, value)
     * pairs — the inverse of pivot, one Expand pass, no shuffle.
     */
@@ -480,6 +523,8 @@ object AnalyticsQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_unpivot" -> (unpivotMetrics _),
     "q_moving_window" -> (movingWindow _),
+    "q_gap_fill" -> (gapFill _),
+    "q_collect_set" -> (collectSet _),
     "q_weighted_avg" -> (weightedAvg _),
     "q_typed_pipeline" -> (typedPipeline _),
     "q_orc_roundtrip" -> (orcRoundtrip _),
@@ -501,6 +546,8 @@ object AnalyticsQueries {
   val oracleSql: Map[String, String] = Map(
     "q_unpivot" -> unpivotMetricsSql,
     "q_moving_window" -> movingWindowSql,
+    "q_gap_fill" -> gapFillSql,
+    "q_collect_set" -> collectSetSql,
     "q_weighted_avg" -> weightedAvgSql,
     "q_typed_pipeline" -> typedPipelineSql,
     "q_orc_roundtrip" -> orcRoundtripSql,

@@ -113,22 +113,15 @@ object Dedup {
     }: _*)
   }
 
-  /** Candidate near-dup pairs via MinHash LSH: explode bands, self-join
-    * on (band, bucket), keep each unordered pair once. `maxBucket` caps
-    * degenerate buckets (skew guardrail). Output: id_a < id_b plus the
-    * signature-estimated Jaccard.
-    */
-  def minhashCandidates(
+  /** MinHash signatures (id, sig) — shared by the candidate paths. */
+  private def minhashSigs(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      k: Int = 64,
-      bands: Int = 16,
-      shingleN: Int = 3,
-      maxBucket: Int = 1000): DataFrame = {
+      k: Int,
+      shingleN: Int): DataFrame = {
     val (as, bs) = permParams(k)
-    val sigs = df
-      .select(
+    df.select(
         col(idCol).as("id"),
         graft.functions.VectorExprs
           .shingleHashes(
@@ -142,18 +135,27 @@ object Dedup {
         graft.functions.VectorExprs
           .minhashSig(df.sparkSession, col("hashes"), as, bs, P)
           .as("sig"))
-    val exploded = sigs
-      .select(col("id"), col("sig"), explode(lshBands(col("sig"), k, bands)).as("bb"))
-      .select(col("id"), col("sig"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val bounded = exploded
-      .withColumn("bucket_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))))
-      .filter(col("bucket_n") <= maxBucket)
-      .drop("bucket_n")
-    val l = bounded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val r = bounded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
-    l.join(r, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
+  }
+
+  /** Candidate near-dup pairs with the signature-estimated Jaccard:
+    * the lean (band, bucket, id) bucket join of
+    * [[minhashCandidatePairs]], then signatures joined back onto the
+    * (small) pair set for the estimate — signatures never move through
+    * the bucket shuffle.
+    */
+  def minhashCandidates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 64,
+      bands: Int = 16,
+      shingleN: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
+    val pairs = minhashCandidatePairs(df, idCol, textCol, k, bands, shingleN, maxBucket)
+    val sigs = minhashSigs(df, idCol, textCol, k, shingleN)
+    pairs
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .select(
         col("id_a"),
         col("id_b"),
@@ -163,7 +165,6 @@ object Dedup {
             lit(0),
             (acc, v) => acc + v) / lit(k.toDouble),
           4).as("est_jaccard"))
-      .distinct()
   }
 
   /** Exact n-gram Jaccard similarity join via inverted index — the
@@ -252,23 +253,7 @@ object Dedup {
       bands: Int = 16,
       shingleN: Int = 3,
       maxBucket: Int = 1000): DataFrame = {
-    val (as, bs) = permParams(k)
-    val sigs = df
-      .select(
-        col(idCol).as("id"),
-        graft.functions.VectorExprs
-          .shingleHashes(
-            df.sparkSession,
-            split(trim(lower(col(textCol))), "\\s+"),
-            shingleN,
-            P)
-          .as("hashes"))
-      .select(
-        col("id"),
-        graft.functions.VectorExprs
-          .minhashSig(df.sparkSession, col("hashes"), as, bs, P)
-          .as("sig"))
-    val exploded = sigs
+    val exploded = minhashSigs(df, idCol, textCol, k, shingleN)
       .select(col("id"), explode(lshBands(col("sig"), k, bands)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val bounded = exploded

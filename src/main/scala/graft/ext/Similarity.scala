@@ -199,7 +199,10 @@ object Similarity {
     * sharing a bucket with the query in any of `tables` signature
     * tables; exact cosine + ranking within candidates only.
     * `bits <= 0` auto-sizes the signature from the corpus cardinality
-    * (one metadata-cheap count) so buckets stay populated at any scale.
+    * so buckets stay populated at any scale. The sizing `count()` is one
+    * extra job — cheap for a parquet-backed corpus (stats-only), a full
+    * evaluation for a derived one: pass explicit `bits` (or count once
+    * yourself) when the corpus is an expensive transform.
     */
   def lshTopK(
       queries: DataFrame,

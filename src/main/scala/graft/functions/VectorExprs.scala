@@ -26,6 +26,25 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object VectorExprs {
 
+  /** Shared analysis-time check for the fractional-array expressions
+    * (SQL-visible via GraftExtensions, so inputs are user-controlled):
+    * reject non-float/double element types instead of mis-striding
+    * UnsafeArrayData reads at runtime.
+    */
+  private def checkFractionalArrays(
+      name: String,
+      exprs: Seq[Expression]): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    val bad = exprs.zipWithIndex.collectFirst {
+      case (e, i) if (e.dataType match {
+            case ArrayType(FloatType | DoubleType, _) => false
+            case _ => true
+          }) =>
+        s"argument ${i + 1} of $name must be array<float> or array<double>, got ${e.dataType.sql}"
+    }
+    bad.map(TypeCheckResult.TypeCheckFailure).getOrElse(TypeCheckResult.TypeCheckSuccess)
+  }
+
   /** Cosine similarity over two numeric arrays — identical operation
     * order to the `zip_with`/`aggregate` formulation in
     * [[graft.ext.Similarity.cosine]] (sequential dot, then norms), so
@@ -34,6 +53,8 @@ object VectorExprs {
   case class ArrayCosine(left: Expression, right: Expression)
       extends BinaryExpression with CodegenFallback {
     override def dataType: DataType = DoubleType
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      checkFractionalArrays("graft_array_cosine", Seq(left, right))
     override def nullSafeEval(a: Any, b: Any): Any = {
       val xs = a.asInstanceOf[ArrayData]
       val ys = b.asInstanceOf[ArrayData]
@@ -76,6 +97,8 @@ object VectorExprs {
       extends BinaryExpression with CodegenFallback {
     override def dataType: DataType = DoubleType
     override def nullable: Boolean = true
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      checkFractionalArrays("graft_array_dot", Seq(left, right))
     private def elemT(e: Expression): DataType =
       e.dataType.asInstanceOf[ArrayType].elementType
     override def nullSafeEval(a: Any, b: Any): Any = {

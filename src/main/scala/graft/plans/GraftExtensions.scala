@@ -83,11 +83,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
+  private def arity(name: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    exprs => {
+      require(
+        exprs.length == n,
+        s"$name expects $n argument(s), got ${exprs.length}")
+      build(exprs)
+    }
+
   private[plans] val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "graft_array_cosine" -> (exprs => VectorExprs.ArrayCosine(exprs(0), exprs(1))),
-    "graft_array_dot" -> (exprs => VectorExprs.ArrayDot(exprs(0), exprs(1))),
-    "graft_jaccard_longs" -> (exprs => VectorExprs.JaccardLongs(exprs(0), exprs(1))),
-    "graft_simhash64" -> (exprs => VectorExprs.SimHash64(exprs.head)))
+    "graft_array_cosine" -> arity("graft_array_cosine", 2)(e => VectorExprs.ArrayCosine(e(0), e(1))),
+    "graft_array_dot" -> arity("graft_array_dot", 2)(e => VectorExprs.ArrayDot(e(0), e(1))),
+    "graft_jaccard_longs" -> arity("graft_jaccard_longs", 2)(e => VectorExprs.JaccardLongs(e(0), e(1))),
+    "graft_simhash64" -> arity("graft_simhash64", 1)(e => VectorExprs.SimHash64(e.head)))
 
   /** Install on an ALREADY-BUILT session (tests, notebooks):
     * `experimental.extraOptimizations` for the rule, temp-function

@@ -51,7 +51,9 @@ object ScaleQueries {
     * the layout). Result-identical to the plain join (oracle).
     */
   def bucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    // stable per-dataset names + overwrite: repeat invocations reuse the
+    // two catalog entries instead of accumulating UUID-named orphans
+    val tag = (sfDir.hashCode.toLong & 0xFFFFFFFFL).toHexString
     val (t1, t2) = (s"graft_li_$tag", s"graft_ord_$tag")
     // repartition on the bucket key first: task partitioning aligns with
     // bucket hashing, so each task writes one file per bucket instead of
@@ -60,13 +62,13 @@ object ScaleQueries {
     spark.read.parquet(tablePath(sfDir, "lineitem"))
       .select(col("l_orderkey"), col("l_extendedprice"))
       .repartition(8, col("l_orderkey"))
-      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
       .option("path", graft.util.TempDirs.scratch(s"bkt-li-$tag"))
       .saveAsTable(t1)
     spark.read.parquet(tablePath(sfDir, "orders"))
       .select(col("o_orderkey"), col("o_orderpriority"))
       .repartition(8, col("o_orderkey"))
-      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
       .option("path", graft.util.TempDirs.scratch(s"bkt-ord-$tag"))
       .saveAsTable(t2)
     spark.table(t1).hint("merge")
@@ -95,7 +97,10 @@ object ScaleQueries {
       .parquet(tablePath(sfDir, "orders"))
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey"), col("o_orderpriority"))
-    val bloom = urgent.stat.bloomFilter("o_orderkey", 100000L, 0.01)
+    // size the filter from the actual build-side cardinality: a constant
+    // saturates at larger SFs and silently stops pruning
+    val nKeys = math.max(urgent.count(), 1000L)
+    val bloom = urgent.stat.bloomFilter("o_orderkey", nKeys, 0.01)
     val bloomBc = spark.sparkContext.broadcast(bloom)
     val mightContain = udf((k: Long) => bloomBc.value.mightContain(k))
     spark.read

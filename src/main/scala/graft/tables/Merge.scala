@@ -137,10 +137,9 @@ object Merge {
   def deleteWherePartitioned(table: LakeTable, condition: Column, partCol: String): Long = {
     val target = table.read()
     val affectedRows = target.filter(condition).select(col(partCol).cast("string")).distinct()
-    val affected = affectedRows.collect().map { r =>
-      require(!r.isNullAt(0), s"partition column $partCol has NULL values in matched rows")
-      r.getString(0)
-    }.toSeq.sorted
+    val values = affectedRows.collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
+    requireDirSafe(values, partCol)
+    val affected = values.toSeq.sorted
     if (affected.isEmpty) return table.latestVersion().getOrElse(0L)
     val survivors = target
       .filter(col(partCol).cast("string").isin(affected: _*))
@@ -164,18 +163,26 @@ object Merge {
     val fromSource = source.select(col(partCol).cast("string"))
     val values = fromTarget.union(fromSource).distinct().collect().map(row =>
       if (row.isNullAt(0)) null else row.getString(0))
-    // Enforce what the doc comment promises: NULL or non-dir-name-safe
-    // values would never match the written `col=value` subdir names, so
-    // their partitions would silently be treated as unaffected.
+    requireDirSafe(values, partCol)
+    values.toSeq.sorted
+  }
+
+  /** Enforce what partition-scoped rewrites assume: NULL or any value
+    * Hive path-escaping would alter can never match the written
+    * `col=value` subdir names, so its partition would silently be
+    * treated as unaffected. Uses Spark's own escaper as the exact
+    * definition of "dir-name-safe".
+    */
+  private def requireDirSafe(values: Iterable[String], partCol: String): Unit = {
     require(
-      !values.contains(null),
-      s"partition column $partCol has NULL values; partition-scoped merge requires non-null values")
-    val unsafe = values.filter(v => v.exists(c => "/\\:*?\"<>|={}%".indexOf(c.toInt) >= 0 || c <= ' '))
+      !values.exists(_ == null),
+      s"partition column $partCol has NULL values; partition-scoped rewrite requires non-null values")
+    val unsafe = values.filter(v =>
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(v) != v)
     require(
       unsafe.isEmpty,
       s"partition column $partCol has values needing Hive dir-name escaping " +
-        s"(${unsafe.take(3).mkString(", ")}); partition-scoped merge requires dir-name-safe values")
-    values.toSeq.sorted
+        s"(${unsafe.take(3).mkString(", ")}); partition-scoped rewrite requires dir-name-safe values")
   }
 
   /** SCD1 upsert rewriting only affected partitions. `partCol` must be

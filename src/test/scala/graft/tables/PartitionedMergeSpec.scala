@@ -83,6 +83,20 @@ class PartitionedMergeSpec extends SparkSpec {
       Merge.mergeScd1Partitioned(
         table, Seq(("k3", 3L, "a/b")).toDF("key", "v", "part"), Seq("key"), "part")
     }
+    // '#' is Hive-escaped too (%23) — the guard must use Spark's own escaper
+    intercept[IllegalArgumentException] {
+      Merge.mergeScd1Partitioned(
+        table, Seq(("k4", 4L, "room#1")).toDF("key", "v", "part"), Seq("key"), "part")
+    }
+    // deletes share the same guard
+    intercept[IllegalArgumentException] {
+      Merge.deleteWherePartitioned(
+        LakeTable(spark, scratchDir("pdel-unsafe")) match { case t =>
+          t.append(Seq(("k1", 1L, "50%")).toDF("key", "v", "part"), partitionBy = Seq("part")); t
+        },
+        col("v") >= 0L,
+        "part")
+    }
   }
 
   test("partitioned DELETE rewrites matched partitions; a fully-deleted partition vanishes") {

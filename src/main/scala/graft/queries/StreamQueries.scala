@@ -271,7 +271,43 @@ object StreamQueries {
       |      FROM events)
       |WHERE rn = 1""".stripMargin
 
+  /** Stream-static enrichment: the event stream joined to a broadcast
+    * in-memory dimension (type → code/weight); stateless append, no
+    * watermark. Oracle = the equivalent batch join.
+    */
+  def streamStaticJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val wd = workDir("sstatic")
+    val src = s"$wd/src"
+    val schema = StructType(eventsSchema.fields.filterNot(_.name == "props"))
+    Testdata.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .write.mode("append").parquet(src)
+    val dim = Seq(
+      ("click", 1, 0.5), ("view", 2, 0.25), ("purchase", 3, 2.0),
+      ("signup", 4, 1.5), ("error", 5, 0.0))
+      .toDF("event_type", "type_code", "weight")
+    StreamJobs.runStreamStaticJoin(
+      spark, src, schema, dim, Seq("event_type"),
+      df => df.select(
+        col("event_id"),
+        col("event_type"),
+        col("type_code"),
+        round(col("value") * col("weight"), 4).as("weighted_value")),
+      wd)
+  }
+
+  val streamStaticJoinSql: String =
+    """SELECT event_id, e.event_type, type_code,
+      |       round(value * weight, 4) AS weighted_value
+      |FROM events e
+      |LEFT JOIN (VALUES ('click', 1, 0.5), ('view', 2, 0.25), ('purchase', 3, 2.0),
+      |                  ('signup', 4, 1.5), ('error', 5, 0.0))
+      |  AS dim(event_type, type_code, weight)
+      |  ON e.event_type = dim.event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_static_join" -> (streamStaticJoin _),
     "q_stream_upsert" -> (streamUpsert _),
     "q_stream_join_outer" -> (streamStreamJoinOuter _),
     "q_stream_stream_join" -> (streamStreamJoin _),
@@ -281,6 +317,7 @@ object StreamQueries {
     "q_stream_sessions" -> (streamSessions _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_stream_static_join" -> streamStaticJoinSql,
     "q_stream_upsert" -> streamUpsertSql,
     "q_stream_join_outer" -> streamStreamJoinOuterSql,
     "q_stream_stream_join" -> streamStreamJoinSql,

@@ -136,6 +136,30 @@ object StreamJobs {
     finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 
+  /** Stream-static join: enrich a stream against a static (batch)
+    * dimension — stateless, no watermark needed; the static side is
+    * broadcast per micro-batch, so the stream never shuffles. The
+    * lakehouse pattern for dimension enrichment on the ingest path.
+    */
+  def runStreamStaticJoin(
+      spark: SparkSession,
+      sourceDir: String,
+      sourceSchema: StructType,
+      staticDim: DataFrame,
+      joinCols: Seq[String],
+      project: DataFrame => DataFrame,
+      workDir: String): DataFrame = {
+    val checkpoint = dir(workDir, s"checkpoint-sstatic-${java.util.UUID.randomUUID()}")
+    val queryName = s"sstatic_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val stream = spark.readStream.schema(sourceSchema).parquet(sourceDir)
+    val joined = project(
+      stream.join(org.apache.spark.sql.functions.broadcast(staticDim), joinCols, "left"))
+    val q = startMemorySink(spark, joined, queryName, checkpoint, statePartitions = 8)
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(queryName)
+  }
+
   /** Hop 2 — stateful streaming aggregation (S4+A1+P12+K3) driven to a
     * deterministic fixpoint.
     *

@@ -85,6 +85,50 @@ object VectorExprs {
       copy(left = l, right = r)
   }
 
+  /** 64-bit Z-order (Morton) key: bit-interleave two 32-bit values so
+    * lexicographic order on the key preserves 2-D locality — the sort
+    * key behind multi-dimensional file skipping (cluster by z, write,
+    * and every file's min/max footer stats are tight on BOTH columns).
+    * Inputs are truncated to unsigned 32-bit; NULL in → NULL out.
+    */
+  case class ZOrder2(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      val ok = Seq(left, right).forall(e =>
+        e.dataType == LongType || e.dataType == IntegerType)
+      if (ok) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"graft_zorder2 expects integral arguments, got ${left.dataType.sql}, ${right.dataType.sql}")
+    }
+    private def spread(v: Long): Long = {
+      // interleave-ready: spread the low 32 bits to even positions
+      var x = v & 0xFFFFFFFFL
+      x = (x | (x << 16)) & 0x0000FFFF0000FFFFL
+      x = (x | (x << 8)) & 0x00FF00FF00FF00FFL
+      x = (x | (x << 4)) & 0x0F0F0F0F0F0F0F0FL
+      x = (x | (x << 2)) & 0x3333333333333333L
+      x = (x | (x << 1)) & 0x5555555555555555L
+      x
+    }
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      def toL(v: Any): Long = v match {
+        case i: java.lang.Integer => i.toLong
+        case l: java.lang.Long => l
+      }
+      spread(toL(a)) | (spread(toL(b)) << 1)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  def zorder2(spark: org.apache.spark.sql.SparkSession, a: Column, b: Column): Column = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_zorder2", exprs => ZOrder2(exprs(0), exprs(1)), "scala_udf")
+    call_function("graft_zorder2", a, b)
+  }
+
   /** Dot product over two numeric arrays with the EXACT null/length
     * semantics of the declarative
     * `aggregate(zip_with(a, b, _ * _), 0.0, _ + _)` it replaces (see

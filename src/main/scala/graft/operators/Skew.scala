@@ -64,4 +64,19 @@ object Skew {
     */
   def clusterByTime(df: DataFrame, tsCol: String, partitions: Int): DataFrame =
     df.repartitionByRange(partitions, col(tsCol)).sortWithinPartitions(col(tsCol))
+
+  /** Z-order clustering on two integral columns: range-partition + sort
+    * by the Morton key so each written file is tight on BOTH dimensions
+    * (multi-dim file skipping — 1-D `clusterByTime` only prunes on one
+    * column; linear clustering on (a, b) leaves b's per-file ranges as
+    * wide as the table).
+    */
+  def clusterByZOrder(df: DataFrame, colA: String, colB: String, partitions: Int): DataFrame = {
+    val z = graft.functions.VectorExprs
+      .zorder2(df.sparkSession, col(colA).cast("long"), col(colB).cast("long"))
+    df.withColumn("__graft_z", z)
+      .repartitionByRange(partitions, col("__graft_z"))
+      .sortWithinPartitions(col("__graft_z"))
+      .drop("__graft_z")
+  }
 }

@@ -263,6 +263,40 @@ final class LakeTable(val spark: SparkSession, val root: String) {
       .toDF("version", "committed_at", "operation", "num_commit_dirs")
   }
 
+  /** Live data files of the current (or pinned) snapshot with size and
+    * partition subpath — the `table$files` ops surface (what Iceberg's
+    * files metadata table gives you): input to compaction decisions,
+    * small-file monitoring, and storage accounting.
+    */
+  def files(versionAsOf: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val v = versionAsOf.orElse(latestVersion()).getOrElse {
+      throw new IllegalStateException(s"table at $root has no commits")
+    }
+    val m = readManifest(v)
+    val rows = m.commitDirs.zip(m.effectiveScopes).flatMap { case (d, scope) =>
+      val base = dataDir.resolve(d)
+      if (!Files.isDirectory(base)) Seq.empty
+      else {
+        val walk = Files.walk(base)
+        try {
+          val p0 = m.partitionBy.headOption
+          walk.iterator().asScala
+            .filter(p => p.getFileName.toString.endsWith(".parquet"))
+            .map { p =>
+              val rel = base.relativize(p).toString
+              (d, rel, Files.size(p))
+            }
+            .filter { case (_, rel, _) =>
+              scope.isEmpty || p0.forall(c => scope.exists(s => rel.startsWith(s"$c=$s/")))
+            }
+            .toSeq
+        } finally walk.close()
+      }
+    }
+    rows.toDF("commit_dir", "relative_path", "size_bytes")
+  }
+
   /** Compaction: rewrite the current snapshot as one commit dir (an
     * `overwrite` of the table with itself). Append-heavy histories
     * accumulate commit dirs, each a separate partition-root read —

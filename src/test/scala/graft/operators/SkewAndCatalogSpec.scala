@@ -58,6 +58,25 @@ class SkewSpec extends SparkSpec {
     assert(kept / total <= trueFrac + 0.05, s"kept ${kept / total}, true $trueFrac")
   }
 
+  test("zorder2 interleaves bits; z-clustering tightens per-partition ranges on BOTH dims") {
+    // exact interleave: z(0b11, 0) = 0b0101; z(0, 0b11) = 0b1010
+    val z = graft.functions.VectorExprs.zorder2(spark, col("a").cast("long"), col("b").cast("long"))
+    val exact = Seq((3L, 0L), (0L, 3L), (1L, 1L)).toDF("a", "b")
+      .select(z.as("z")).collect().map(_.getLong(0)).toSeq
+    assert(exact == Seq(5L, 10L, 3L), exact)
+
+    // locality: on a 64x64 grid, z-clustered partitions bound BOTH dims
+    // far tighter than clustering on `a` alone bounds `b`
+    val grid = (for { a <- 0 until 64; b <- 0 until 64 } yield (a, b)).toDF("a", "b")
+    def avgSpanB(df: org.apache.spark.sql.DataFrame): Double =
+      df.withColumn("pid", spark_partition_id())
+        .groupBy("pid").agg((max($"b") - min($"b")).as("span"))
+        .agg(avg($"span")).head().getDouble(0)
+    val zSpan = avgSpanB(Skew.clusterByZOrder(grid, "a", "b", 16))
+    val aSpan = avgSpanB(grid.repartitionByRange(16, $"a").sortWithinPartitions($"a"))
+    assert(zSpan < aSpan / 2, s"z-clustered b-span $zSpan vs a-clustered $aSpan")
+  }
+
   test("heavyKeys surfaces the skewed key first") {
     val df = ((1 to 500).map(_ => "hot") ++ (1 to 10).map(i => s"k$i")).toDF("key")
     val top = Skew.heavyKeys(df, "key", 3).collect()

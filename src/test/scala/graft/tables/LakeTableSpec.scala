@@ -61,6 +61,23 @@ class LakeTableSpec extends SparkSpec {
     assert(t.latestVersion().contains(2L))
   }
 
+  test("files() lists live data files with sizes; scope-narrowed subdirs are excluded") {
+    val t = LakeTable(spark, scratchDir("files"))
+    t.append(Seq((1, "a", 2023), (2, "b", 2024)).toDF("k", "v", "year"), Seq("year"))
+    val all = t.files().collect()
+    assert(all.nonEmpty && all.forall(_.getLong(2) > 0))
+    assert(all.exists(_.getString(1).contains("year=2023")))
+    // narrow 2023 away via a partition-scoped replace; its files drop out
+    t.replacePartitions(Seq((3, "c", 2024)).toDF("k", "v", "year"), Seq("2024"))
+    val after = t.files().collect()
+    assert(after.exists(_.getString(1).contains("year=2023")))
+    // the replaced partition's files come from exactly one (the new) commit:
+    // the old dir's year=2024 subdir was scoped out of the listing
+    val dirs2024 = after.filter(_.getString(1).contains("year=2024")).map(_.getString(0)).distinct
+    assert(dirs2024.length == 1, dirs2024.mkString(","))
+    assert(t.read().filter($"year" === 2024).count() == 1)
+  }
+
   test("empty append still commits and read returns schema'd empty frame") {
     val t = LakeTable(spark, scratchDir("empty"))
     t.append(Seq.empty[(Int, String)].toDF("k", "v"))

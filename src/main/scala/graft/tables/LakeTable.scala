@@ -308,6 +308,17 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     overwrite(read(), prev.map(_.partitionBy).getOrElse(Seq.empty))
   }
 
+  /** Compaction policy: compact when the live snapshot has accumulated
+    * more than `maxCommitDirs` commit dirs (append/merge churn). Returns
+    * the new version when compaction ran. Call after ingest batches —
+    * the object-store small-file policy, driven off the manifest (no
+    * listing).
+    */
+  def compactIfNeeded(maxCommitDirs: Int = 16): Option[Long] = {
+    val dirs = latestVersion().map(readManifest(_).commitDirs.size).getOrElse(0)
+    if (dirs > maxCommitDirs) Some(compact()) else None
+  }
+
   /** Expire old snapshots (Iceberg `expire_snapshots` / Delta VACUUM):
     * drop manifests older than the latest `keepLast` versions and
     * delete data dirs no newer manifest references. Bounds storage

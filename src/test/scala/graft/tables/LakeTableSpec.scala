@@ -78,6 +78,15 @@ class LakeTableSpec extends SparkSpec {
     assert(t.read().filter($"year" === 2024).count() == 1)
   }
 
+  test("compactIfNeeded triggers only past the commit-dir threshold and preserves data") {
+    val t = LakeTable(spark, scratchDir("autocompact"))
+    (1 to 5).foreach(i => t.append(Seq((i, s"v$i")).toDF("k", "v")))
+    assert(t.compactIfNeeded(maxCommitDirs = 8).isEmpty) // under threshold: no-op
+    assert(t.compactIfNeeded(maxCommitDirs = 3).isDefined) // over: compacts
+    assert(t.read().count() == 5)
+    assert(t.compactIfNeeded(maxCommitDirs = 3).isEmpty) // compacted: single dir now
+  }
+
   test("empty append still commits and read returns schema'd empty frame") {
     val t = LakeTable(spark, scratchDir("empty"))
     t.append(Seq.empty[(Int, String)].toDF("k", "v"))

@@ -86,10 +86,18 @@ object VectorExprs {
   }
 
   /** 64-bit Z-order (Morton) key: bit-interleave two 32-bit values so
-    * lexicographic order on the key preserves 2-D locality — the sort
+    * SIGNED-long order on the key preserves 2-D locality — the sort
     * key behind multi-dimensional file skipping (cluster by z, write,
     * and every file's min/max footer stats are tight on BOTH columns).
-    * Inputs are truncated to unsigned 32-bit; NULL in → NULL out.
+    * Inputs are truncated to 32 bits and sign-biased (x ^ 0x80000000)
+    * so signed input order maps to unsigned interleave order; the
+    * output's top bit is flipped back so Spark's signed Long
+    * comparisons (range partitioner, min/max stats) see a monotonic
+    * key — without this, bit 31 of the second input would land in the
+    * Long sign bit and split the curve at 2^31 (review r2 finding).
+    * Domain: values must fit in signed 32 bits ([-2^31, 2^31));
+    * larger magnitudes alias modulo 2^32 (pre-scale epoch-seconds or
+    * hashes into the domain first). NULL in → NULL out.
     */
   case class ZOrder2(left: Expression, right: Expression)
       extends BinaryExpression with CodegenFallback {
@@ -117,7 +125,9 @@ object VectorExprs {
         case i: java.lang.Integer => i.toLong
         case l: java.lang.Long => l
       }
-      spread(toL(a)) | (spread(toL(b)) << 1)
+      val xa = (toL(a) & 0xFFFFFFFFL) ^ 0x80000000L // signed -> unsigned order
+      val xb = (toL(b) & 0xFFFFFFFFL) ^ 0x80000000L
+      (spread(xa) | (spread(xb) << 1)) ^ Long.MinValue // monotone under signed compare
     }
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
       copy(left = l, right = r)

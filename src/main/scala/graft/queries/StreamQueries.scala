@@ -27,6 +27,20 @@ object StreamQueries {
 
   private def workDir(tag: String): String = graft.util.TempDirs.scratch(tag)
 
+  /** events sans the json props column — the payload every streaming
+    * query stages (one definition; four queries stage it).
+    */
+  private val eventsSchemaNoProps: StructType =
+    StructType(eventsSchema.fields.filterNot(_.name == "props"))
+
+  /** Stage the events payload as the streaming source input. */
+  private def stageEvents(spark: SparkSession, sfDir: String, src: String): DataFrame = {
+    val events = Testdata.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    events.write.mode("append").parquet(src)
+    events
+  }
+
   /** Deterministic OHLCV candles, batch mode (A1+A2 with the
     * deterministic min_by/max_by-by-event-time variant, SURVEY §7.5.2).
     */
@@ -140,15 +154,8 @@ object StreamQueries {
   def streamStreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val wd = workDir("ssjoin")
     val src = s"$wd/src"
-    Testdata.events(spark, sfDir)
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
-      .write.mode("append").parquet(src)
-    val schema = StructType(Seq(
-      StructField("event_id", LongType),
-      StructField("ts", TimestampType),
-      StructField("user_id", LongType),
-      StructField("event_type", StringType),
-      StructField("value", DoubleType)))
+    stageEvents(spark, sfDir, src)
+    val schema = eventsSchemaNoProps
     StreamJobs
       .runStreamStreamJoin(
         spark, src, schema, "ts",
@@ -182,15 +189,8 @@ object StreamQueries {
   def streamStreamJoinOuter(spark: SparkSession, sfDir: String): DataFrame = {
     val wd = workDir("ssouter")
     val src = s"$wd/src"
-    val events = Testdata.events(spark, sfDir)
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
-    events.write.mode("append").parquet(src)
-    val schema = StructType(Seq(
-      StructField("event_id", LongType),
-      StructField("ts", TimestampType),
-      StructField("user_id", LongType),
-      StructField("event_type", StringType),
-      StructField("value", DoubleType)))
+    val events = stageEvents(spark, sfDir, src)
+    val schema = eventsSchemaNoProps
     val maxTs = events.agg(max(col("ts"))).head().getTimestamp(0)
     val far = new java.sql.Timestamp(maxTs.getTime + 40L * 24 * 3600 * 1000)
     val pushSentinels = () => {
@@ -241,7 +241,7 @@ object StreamQueries {
     val wd = workDir("supsert")
     val src = s"$wd/src"
     val table = graft.tables.LakeTable(spark, s"$wd/target")
-    val schema = StructType(eventsSchema.fields.filterNot(_.name == "props"))
+    val schema = eventsSchemaNoProps
     val events = Testdata.events(spark, sfDir)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
     val cut = lit(java.sql.Timestamp.valueOf("2024-01-15 00:00:00"))
@@ -279,10 +279,8 @@ object StreamQueries {
     import spark.implicits._
     val wd = workDir("sstatic")
     val src = s"$wd/src"
-    val schema = StructType(eventsSchema.fields.filterNot(_.name == "props"))
-    Testdata.events(spark, sfDir)
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
-      .write.mode("append").parquet(src)
+    val schema = eventsSchemaNoProps
+    stageEvents(spark, sfDir, src)
     val dim = Seq(
       ("click", 1, 0.5), ("view", 2, 0.25), ("purchase", 3, 2.0),
       ("signup", 4, 1.5), ("error", 5, 0.0))

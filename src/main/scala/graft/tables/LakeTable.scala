@@ -278,20 +278,25 @@ final class LakeTable(val spark: SparkSession, val root: String) {
       val base = dataDir.resolve(d)
       if (!Files.isDirectory(base)) Seq.empty
       else {
-        val walk = Files.walk(base)
-        try {
-          val p0 = m.partitionBy.headOption
-          walk.iterator().asScala
-            .filter(p => p.getFileName.toString.endsWith(".parquet"))
-            .map { p =>
-              val rel = base.relativize(p).toString
-              (d, rel, Files.size(p))
+        // single traversal: the visitor receives each file's attributes
+        // (incl. size) during the walk — no second stat per file
+        val p0 = m.partitionBy.headOption
+        val acc = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        Files.walkFileTree(
+          base,
+          new java.nio.file.SimpleFileVisitor[Path] {
+            override def visitFile(
+                p: Path,
+                attrs: java.nio.file.attribute.BasicFileAttributes): java.nio.file.FileVisitResult = {
+              if (attrs.isRegularFile && p.getFileName.toString.endsWith(".parquet")) {
+                val rel = base.relativize(p).toString
+                if (scope.isEmpty || p0.forall(c => scope.exists(s => rel.startsWith(s"$c=$s/"))))
+                  acc += ((d, rel, attrs.size()))
+              }
+              java.nio.file.FileVisitResult.CONTINUE
             }
-            .filter { case (_, rel, _) =>
-              scope.isEmpty || p0.forall(c => scope.exists(s => rel.startsWith(s"$c=$s/")))
-            }
-            .toSeq
-        } finally walk.close()
+          })
+        acc.toSeq
       }
     }
     rows.toDF("commit_dir", "relative_path", "size_bytes")

@@ -367,6 +367,30 @@ object CoreQueries {
   val csvRoundtripSql: String =
     "SELECT CAST(r_regionkey AS VARCHAR) AS r_regionkey, r_name FROM region"
 
+  /** CSV with schema inference (S2): the experiment-only reference
+    * variant — numeric columns come back typed, not as strings (the
+    * oracle keeps nation's original integral/varchar types, so a
+    * failed inference would hash-mismatch on value repr).
+    */
+  def csvInfer(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = scratch("csvinf")
+    spark.read
+      .parquet(p(sfDir, "nation"))
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .option("header", "true")
+      .csv(dir)
+    spark.read
+      .option("header", "true")
+      .option("inferSchema", "true")
+      .csv(dir)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+  }
+
+  val csvInferSql: String =
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation"
+
   // ---- K/M: lake table, merge, time travel --------------------------------
 
   /** SCD Type 2 merge (K6): two deterministic batches over customer.
@@ -528,6 +552,7 @@ object CoreQueries {
     "q_join_snowflake_iterated" -> (joinSnowflakeIterated _),
     "q_incremental_scan" -> (incrementalScan _),
     "q_csv_roundtrip" -> (csvRoundtrip _),
+    "q_csv_infer" -> (csvInfer _),
     "q_scd2_versions" -> (scd2Versions _),
     "q_scd1_upsert" -> (scd1Upsert _),
     "q_time_travel" -> (timeTravel _),
@@ -550,6 +575,7 @@ object CoreQueries {
     "q_join_snowflake_iterated" -> joinSnowflakeIteratedSql,
     "q_incremental_scan" -> incrementalScanSql,
     "q_csv_roundtrip" -> csvRoundtripSql,
+    "q_csv_infer" -> csvInferSql,
     "q_scd2_versions" -> scd2VersionsSql,
     "q_scd1_upsert" -> scd1UpsertSql,
     "q_time_travel" -> timeTravelSql,

@@ -492,24 +492,23 @@ object StreamJobs {
     val stage = dir(workDir, "stage")
     val sentinelKey = "__sentinel__"
 
-    stageEnvelope(input, Seq(keyCol, idCol), stage)
-    val bronze = runIngest(spark, payloadSchema, tsCol, workDir)
-
+    // Stage the real rows AND the far-future sentinel before the single
+    // ingest pass: the watermark is computed from the max event time of
+    // the PREVIOUS micro-batch, so a sentinel present in batch 1 still
+    // flushes every real window in batch 2 (processAllAvailable runs
+    // both) — no second ingest hop per query.
     val maxTs = input.agg(max(col(tsCol))).head().getAs[java.sql.Timestamp](0)
+    val sentinel = input
+      .limit(1)
+      .withColumn(tsCol, lit(maxTs) + expr("INTERVAL 30 DAYS"))
+      .withColumn(keyCol, lit(sentinelKey))
+    stageEnvelope(input, Seq(keyCol, idCol), stage)
+    stageEnvelope(sentinel, Seq(keyCol, idCol), stage)
+    val bronze = runIngest(spark, payloadSchema, tsCol, workDir)
     val bronzeSchema = spark.read.parquet(bronze).schema
 
-    val pushSentinel = () => {
-      val sentinel = input
-        .limit(1)
-        .withColumn(tsCol, lit(maxTs) + expr("INTERVAL 30 DAYS"))
-        .withColumn(keyCol, lit(sentinelKey))
-      stageEnvelope(sentinel, Seq(keyCol, idCol), stage)
-      runIngest(spark, payloadSchema, tsCol, workDir)
-      ()
-    }
-
     runStatefulAgg(
-      spark, bronze, bronzeSchema, tsCol, workDir, pushSentinel,
+      spark, bronze, bronzeSchema, tsCol, workDir, () => (),
       agg, keyCol, watermarkDelay, sentinelKey)
   }
 }

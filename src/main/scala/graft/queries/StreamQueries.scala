@@ -193,7 +193,10 @@ object StreamQueries {
     val schema = eventsSchemaNoProps
     val maxTs = events.agg(max(col("ts"))).head().getTimestamp(0)
     val far = new java.sql.Timestamp(maxTs.getTime + 40L * 24 * 3600 * 1000)
-    val pushSentinels = () => {
+    // sentinels staged upfront (same argument as runTwoHopStateful): both
+    // watermarks derive from batch 1's max event time, so the NULL-padded
+    // outer rows emit in batch 2 — no second staging pass needed
+    locally {
       import org.apache.spark.sql.Row
       spark
         .createDataFrame(
@@ -202,7 +205,6 @@ object StreamQueries {
             Row(-2L, far, -1L, "signup", 0.0)),
           schema)
         .write.mode("append").parquet(src)
-      ()
     }
     StreamJobs
       .runStreamStreamJoinOuter(
@@ -218,7 +220,7 @@ object StreamQueries {
           col("r.event_id").as("signup_id"),
           col("l.user_id").as("user_id"),
           round(col("l.value"), 4).as("purchase_value")),
-        pushSentinels,
+        () => (),
         col("user_id") === -1L,
         wd)
   }

@@ -201,8 +201,9 @@ object Similarity {
     * `bits <= 0` auto-sizes the signature from the corpus cardinality
     * so buckets stay populated at any scale. The sizing `count()` is one
     * extra job — cheap for a parquet-backed corpus (stats-only), a full
-    * evaluation for a derived one: pass explicit `bits` (or count once
-    * yourself) when the corpus is an expensive transform.
+    * evaluation for a derived one: pass explicit `bits`, or pass the
+    * cardinality you already know as `corpusCount` (auto-sizing then
+    * runs no job at all).
     */
   def lshTopK(
       queries: DataFrame,
@@ -211,8 +212,11 @@ object Similarity {
       vecCol: String,
       k: Int,
       bits: Int = -1,
-      tables: Int = 4): DataFrame = {
-    val effBits = if (bits > 0) bits else autoBits(corpus.count())
+      tables: Int = 4,
+      corpusCount: Long = -1L): DataFrame = {
+    val effBits =
+      if (bits > 0) bits
+      else autoBits(if (corpusCount >= 0) corpusCount else corpus.count())
     def signed(df: DataFrame, id: String, vec: String): DataFrame =
       df.select(
         col(idCol).as(id),

@@ -369,11 +369,17 @@ object AnalyticsQueries {
       .parquet(tablePath(sfDir, "lineitem"))
       .groupBy(col("l_returnflag"))
       .agg(
-        array_sort(array_distinct(collect_list(col("l_linestatus")))).as("statuses"),
+        // Deterministic set aggregation, serialized: the sorted distinct
+        // list joined to one string. The serialization is what makes the
+        // result oracle-comparable (the driver's pandas hash-compare
+        // cannot sort raw array<string> columns).
+        array_join(array_sort(array_distinct(collect_list(col("l_linestatus")))), ",")
+          .as("statuses"),
         count(lit(1)).as("n_rows"))
 
   val collectSetSql: String =
-    """SELECT l_returnflag, list_sort(list(DISTINCT l_linestatus)) AS statuses,
+    """SELECT l_returnflag,
+      |       array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
       |       count(*) AS n_rows
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 

@@ -126,6 +126,11 @@ object StreamJobs {
       statePartitions: Int): org.apache.spark.sql.streaming.StreamingQuery = {
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    // Sentinel-driven flushes emit final windows in a NO-DATA micro-batch
+    // (the watermark advances after the sentinel batch commits). That
+    // batch only runs when noDataMicroBatches is enabled — pin it, don't
+    // assume the session default survived caller config.
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     try
       out.writeStream
         .outputMode("append")
@@ -221,6 +226,8 @@ object StreamJobs {
     // the query start and restore the session conf after.
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    // See startMemorySink: the final windows emit in a no-data batch.
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     val q =
       try {
         out.writeStream
@@ -231,9 +238,12 @@ object StreamJobs {
           .start()
       } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     try {
-      q.processAllAvailable() // all real micro-batches
-      pushSentinel() // one far-future row via the ingest hop
-      q.processAllAvailable() // sentinel batch + no-data flush batch
+      q.processAllAvailable() // all real micro-batches (incl. upfront-staged sentinel)
+      pushSentinel() // optional second staging pass (legacy two-pass callers)
+      // The flush batch is a no-data micro-batch that runs AFTER the last
+      // data batch commits its watermark. A second processAllAvailable
+      // observes it even if the first returned before the flush ran.
+      q.processAllAvailable()
     } finally q.stop()
 
     spark.table(queryName).filter(col(sentinelFilterCol) =!= sentinelKey)

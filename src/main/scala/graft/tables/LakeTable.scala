@@ -340,6 +340,11 @@ final class LakeTable(val spark: SparkSession, val root: String) {
       .flatMap(p => readManifest(versionOf(p)).commitDirs)
       .toSet
       .diff(liveDirs)
+    // Manifests first, then the newly-unreferenced data dirs: a crash in
+    // between leaves harmless orphan dirs, never an expired manifest
+    // pointing at deleted data (which would make versionAsOf on that
+    // version silently return partial results instead of failing).
+    expired.foreach(Files.deleteIfExists(_))
     deadDirs.foreach { d =>
       val dir = dataDir.resolve(d)
       if (Files.isDirectory(dir)) {
@@ -348,7 +353,6 @@ final class LakeTable(val spark: SparkSession, val root: String) {
         finally walk.close()
       }
     }
-    expired.foreach(Files.deleteIfExists(_))
     deadDirs.size
   }
 

@@ -123,11 +123,13 @@ object Merge {
   }
 
   /** DELETE FROM semantics: atomically rewrite the table keeping only
-    * rows NOT matching `condition` (Iceberg/Delta row-level delete as a
-    * copy-on-write rewrite — right for dimension-sized targets).
+    * rows where `condition` is not TRUE (Iceberg/Delta row-level delete
+    * as a copy-on-write rewrite — right for dimension-sized targets).
+    * SQL DELETE keeps NULL-condition rows; a bare `filter(!cond)` would
+    * drop them, so survivors are `NOT coalesce(cond, false)`.
     */
   def deleteWhere(table: LakeTable, condition: Column): Long =
-    table.overwrite(table.read().filter(!condition))
+    table.overwrite(table.read().filter(!coalesce(condition, lit(false))))
 
   /** DELETE rewriting only the partitions that contain matching rows;
     * untouched partitions keep their files (the 100 TB shape). A
@@ -143,7 +145,7 @@ object Merge {
     if (affected.isEmpty) return table.latestVersion().getOrElse(0L)
     val survivors = target
       .filter(col(partCol).cast("string").isin(affected: _*))
-      .filter(!condition)
+      .filter(!coalesce(condition, lit(false)))
     table.replacePartitions(survivors, affected)
   }
 

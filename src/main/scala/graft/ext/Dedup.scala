@@ -430,9 +430,10 @@ object Dedup {
 
   // ---- embedding near-dup --------------------------------------------------
 
-  /** Embedding-cosine near-dup pairs above `threshold`, brute force
-    * (the exact baseline; LSH-bucketed scale path lives in
-    * [[Similarity]]).
+  /** Embedding-cosine near-dup pairs above `threshold`, brute force —
+    * the exact O(N²) baseline, kept ONLY as the small-SF oracle
+    * cross-check for [[embeddingNearDupPairsLsh]], which is the plan
+    * that runs at corpus scale.
     */
   def embeddingNearDupPairs(
       df: DataFrame,
@@ -446,6 +447,67 @@ object Dedup {
         "cosine",
         round(
           graft.functions.VectorExprs.arrayCosine(df.sparkSession, col("vec_a"), col("vec_b")),
+          6))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /** Embedding-cosine near-dup pairs above `threshold`, LSH-bucketed —
+    * the scale path: candidate pairs are vectors sharing a
+    * random-hyperplane sign-signature bucket ([[Similarity.lshSignature]])
+    * in ANY of `tables` signature tables, verified with exact compiled
+    * cosine. Cost is Σ|bucket|² per table instead of N², and only
+    * (table, bucket, id) triples move through the candidate shuffle —
+    * vectors are joined back onto the (small) verified-candidate set.
+    *
+    * Recall: a pair at cosine c collides per table with probability
+    * (1 − acos(c)/π)^bits; exact duplicates (c = 1) have identical
+    * signatures in every table, so recall for them is exactly 1. At the
+    * 0.9-threshold near-dup level with auto-sized bits and 8 tables the
+    * miss probability is <1%, tunable with (bits, tables). `maxBucket`
+    * caps degenerate buckets (e.g. the all-zeros signature of dead
+    * embeddings) — the same guardrail as the MinHash path.
+    */
+  def embeddingNearDupPairsLsh(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      tables: Int = 8,
+      bits: Int = -1,
+      corpusCount: Long = -1L,
+      maxBucket: Int = 10000): DataFrame = {
+    val spark = df.sparkSession
+    val effBits =
+      if (bits > 0) bits
+      else Similarity.autoBits(if (corpusCount >= 0) corpusCount else df.count())
+    val bucketed = df
+      .select(
+        col(idCol).as("id"),
+        explode(array((0 until tables).map { t =>
+          struct(
+            lit(t).as("tbl"),
+            Similarity.lshSignature(col(vecCol), t, effBits).as("bucket"))
+        }: _*)).as("tb"))
+      .select(col("id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val bounded = bucketed
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("tbl"), col("bucket"))))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+    val cands = bounded.select(col("tbl"), col("bucket"), col("id").as("id_a"))
+      .join(bounded.select(col("tbl"), col("bucket"), col("id").as("id_b")), Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    cands
+      .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
+      .withColumn(
+        "cosine",
+        round(
+          graft.functions.VectorExprs.arrayCosine(spark, col("vec_a"), col("vec_b")),
           6))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))

@@ -96,13 +96,23 @@ object Similarity {
   /** IVF (inverted-file) approximate top-k — the other scale path.
     *
     * Build: `nlist` coarse centroids (deterministic seed sample from
-    * the corpus, refined with `iters` Lloyd steps — every step is
-    * DataFrame algebra: broadcast-join assignment + per-dimension mean),
-    * then invert: each corpus vector lands in the list of its nearest
-    * centroid. Search: a query probes its `nprobe` nearest lists and
-    * ranks only those candidates with exact cosine. Probe cost is
-    * ~(nprobe/nlist)·N versus N for brute force; recall is tunable and
-    * measured against the brute-force baseline in SimilaritySpec.
+    * the corpus, refined with `iters` Lloyd steps), then invert: each
+    * corpus vector lands in the list of its nearest centroid. Search: a
+    * query probes its `nprobe` nearest lists and ranks only those
+    * candidates with exact cosine. Probe cost is ~(nprobe/nlist)·N
+    * versus N for brute force; recall is tunable and measured against
+    * the brute-force baseline in SimilaritySpec.
+    *
+    * Scale shape: centroids are collected to the driver (nlist × dim
+    * doubles — KBs) and baked into the plan as literals, so
+    * nearest-centroid assignment is a PURE PROJECTION over the corpus —
+    * an argmax fold over the literal centroid array, no shuffle, no
+    * join, no row ids. The only shuffles in the whole search are the
+    * per-dimension mean of the Lloyd step (an aggregation over
+    * nlist × dim keys, map-side combined) and the final per-query rank
+    * over the candidate set. The corpus itself is never repartitioned.
+    * `corpusCount` skips the seed-stride sizing job when the caller
+    * already knows the cardinality (same hint as [[lshTopK]]).
     */
   def ivfTopK(
       queries: DataFrame,
@@ -112,71 +122,76 @@ object Similarity {
       k: Int,
       nlist: Int = 16,
       nprobe: Int = 4,
-      iters: Int = 2): DataFrame = {
+      iters: Int = 2,
+      corpusCount: Long = -1L): DataFrame = {
     val spark = corpus.sparkSession
     val cos = (a: Column, b: Column) => graft.functions.VectorExprs.arrayCosine(spark, a, b)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__vid"))
-      .orderBy(col("__sim").desc, col("list_id").asc)
 
     // deterministic seeds: hash-select ~nlist vectors (no global sort of
     // the corpus — only the tiny selected set is row-numbered)
-    val n = corpus.count()
+    val n = if (corpusCount >= 0) corpusCount else corpus.count()
     val stride = math.max(1L, n / nlist)
     val seedW = org.apache.spark.sql.expressions.Window.orderBy(col(idCol))
-    var centroids = corpus
+    var centroids: Seq[(Int, Seq[Double])] = corpus
       .filter(pmod(xxhash64(col(idCol)), lit(stride)) === 0)
       .withColumn("__rn", row_number().over(seedW))
       .filter(col("__rn") <= nlist)
       .select(
         (col("__rn") - 1).cast("int").as("list_id"),
         transform(col(vecCol), x => x.cast("double")).as("centroid"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+      .toSeq
 
-    def nearestList(df: DataFrame, vec: String, keep: Seq[Column]): DataFrame =
-      df.withColumn("__vid", monotonically_increasing_id())
-        .crossJoin(broadcast(centroids))
-        .withColumn("__sim", cos(col(vec), col("centroid")))
-        .withColumn("__r", row_number().over(w))
-        .filter(col("__r") === 1)
-        .select(keep :+ col("list_id"): _*)
+    // scored literal-centroid array: struct(sim, -list_id) so array_max's
+    // lexicographic compare IS "max sim, ties -> min list_id"
+    def scored(vec: Column): Column =
+      array(centroids.map { case (lid, cvec) =>
+        struct(cos(vec, typedlit(cvec)).as("s"), lit(-lid).as("nl"))
+      }: _*)
+    def nearestListId(vec: Column): Column =
+      (-array_max(scored(vec)).getField("nl")).cast("int")
 
-    // Lloyd refinement: assign, then per-dimension mean per list
+    // Lloyd refinement: projection-argmax assign, per-dimension mean per
+    // list, collect the (tiny) refreshed centroid set
     (1 to iters).foreach { _ =>
-      val assigned = nearestList(
-        corpus.select(col(idCol), col(vecCol)),
-        vecCol,
-        Seq(col(idCol), col(vecCol)))
-      centroids = assigned
-        .select(col("list_id"), posexplode(transform(col(vecCol), x => x.cast("double"))))
+      centroids = corpus
+        .select(
+          nearestListId(col(vecCol)).as("list_id"),
+          posexplode(transform(col(vecCol), x => x.cast("double"))))
         .groupBy(col("list_id"), col("pos"))
         .agg(avg(col("col")).as("m"))
         .groupBy(col("list_id"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("list_id"), transform(col("pm"), p => p.getField("m")).as("centroid"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1)))
+        .toSeq
     }
 
-    val inverted = nearestList(
-      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")),
-      "c_vec",
-      Seq(col("neighbor_id"), col("c_vec")))
+    // invert: one narrow projection over the corpus — NO exchange
+    val inverted = corpus.select(
+      col(idCol).as("neighbor_id"),
+      col(vecCol).as("c_vec"),
+      nearestListId(col(vecCol)).as("list_id"))
 
-    // each query probes its nprobe nearest lists
+    // each query probes its nprobe nearest lists: sort the scored array
+    // descending, slice, explode — again projection-only
     val probes = queries
-      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("__sim", cos(col("q_vec"), col("centroid")))
-      .withColumn("__r", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("query_id"))
-          .orderBy(col("__sim").desc, col("list_id").asc)))
-      .filter(col("__r") <= nprobe)
-      .select(col("query_id"), col("q_vec"), col("list_id"))
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"), scored(col(vecCol)).as("sc"))
+      .select(
+        col("query_id"),
+        col("q_vec"),
+        explode(slice(reverse(array_sort(col("sc"))), 1, nprobe)).as("p"))
+      .select(col("query_id"), col("q_vec"), (-col("p.nl")).cast("int").as("list_id"))
 
     val rankW = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    probes
-      .join(inverted, Seq("list_id"))
+    // broadcast the (small) probe set: the corpus-sized inverted index
+    // streams through a broadcast hash join without repartitioning
+    inverted
+      .join(broadcast(probes), Seq("list_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", round(cos(col("q_vec"), col("c_vec")), 6))
       .withColumn("rank", row_number().over(rankW))

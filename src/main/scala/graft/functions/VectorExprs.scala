@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.functions.{call_function, col}
+import org.apache.spark.sql.functions.{call_function, col, lit}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -59,23 +59,18 @@ object VectorExprs {
       val xs = a.asInstanceOf[ArrayData]
       val ys = b.asInstanceOf[ArrayData]
       val n = math.min(xs.numElements(), ys.numElements())
-      val elemT = left.dataType.asInstanceOf[ArrayType].elementType
+      // per-side element types: array<float> · array<double> (e.g. a raw
+      // embedding against a double centroid literal) must not mis-stride
+      val lFloat = left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+      val rFloat = right.dataType.asInstanceOf[ArrayType].elementType == FloatType
       var dot = 0.0
       var sa = 0.0
       var sb = 0.0
       var i = 0
-      if (elemT == FloatType) {
-        while (i < n) {
-          val x = xs.getFloat(i).toDouble
-          val y = ys.getFloat(i).toDouble
-          dot += x * y; sa += x * x; sb += y * y; i += 1
-        }
-      } else {
-        while (i < n) {
-          val x = xs.getDouble(i)
-          val y = ys.getDouble(i)
-          dot += x * y; sa += x * x; sb += y * y; i += 1
-        }
+      while (i < n) {
+        val x = if (lFloat) xs.getFloat(i).toDouble else xs.getDouble(i)
+        val y = if (rFloat) ys.getFloat(i).toDouble else ys.getDouble(i)
+        dot += x * y; sa += x * x; sb += y * y; i += 1
       }
       val na = math.sqrt(sa)
       val nb = math.sqrt(sb)
@@ -310,6 +305,72 @@ object VectorExprs {
       sig
     }
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Bloom-filter membership probe: `left` is the serialized
+    * `org.apache.spark.util.sketch.BloomFilter` bitmap (a foldable
+    * binary — typically a literal produced from `df.stat.bloomFilter`),
+    * `right` the probed key. The filter is deserialized ONCE per task
+    * (transient lazy), so the per-row cost is the pure bit probe — the
+    * explicit-form counterpart of Spark's internal
+    * `BloomFilterMightContain` (not public API), needed when the build
+    * side comes from a different job (cross-job pruning over a
+    * lakehouse table). NULL key → false, matching the join that the
+    * probe pre-filters (a NULL key can never equi-match).
+    */
+  case class BloomMightContain(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = BooleanType
+    override def nullable: Boolean = false
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      if (left.dataType != BinaryType)
+        TypeCheckResult.TypeCheckFailure(
+          s"argument 1 of graft_bloom_might_contain must be binary, got ${left.dataType.sql}")
+      else if (!left.foldable)
+        TypeCheckResult.TypeCheckFailure(
+          "argument 1 of graft_bloom_might_contain must be a foldable serialized bloom filter")
+      else
+        right.dataType match {
+          case LongType | IntegerType | ShortType | ByteType | StringType =>
+            TypeCheckResult.TypeCheckSuccess
+          case t =>
+            TypeCheckResult.TypeCheckFailure(
+              s"argument 2 of graft_bloom_might_contain must be integral or string, got ${t.sql}")
+        }
+    }
+    @transient private lazy val filter: org.apache.spark.util.sketch.BloomFilter = {
+      val bytes = left.eval(null).asInstanceOf[Array[Byte]]
+      org.apache.spark.util.sketch.BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
+    }
+    // Override eval (not nullSafeEval): BinaryExpression.eval would
+    // re-evaluate the megabyte-sized bitmap literal for every row.
+    override def eval(input: InternalRow): Any = {
+      val k = right.eval(input)
+      if (k == null) false
+      else
+        k match {
+          case l: java.lang.Long => filter.mightContainLong(l)
+          case i: java.lang.Integer => filter.mightContainLong(i.toLong)
+          case s: java.lang.Short => filter.mightContainLong(s.toLong)
+          case b: java.lang.Byte => filter.mightContainLong(b.toLong)
+          case u: UTF8String => filter.mightContainBinary(u.getBytes)
+        }
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** Probe a pre-built bloom filter as a compiled column predicate. */
+  def bloomMightContain(
+      spark: org.apache.spark.sql.SparkSession,
+      filter: org.apache.spark.util.sketch.BloomFilter,
+      key: Column): Column = {
+    val bos = new java.io.ByteArrayOutputStream()
+    filter.writeTo(bos)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_might_contain", exprs => BloomMightContain(exprs(0), exprs(1)), "scala_udf")
+    call_function("graft_bloom_might_contain", lit(bos.toByteArray), key)
   }
 
   /** Register SQL-callable forms once per session; idempotent. */

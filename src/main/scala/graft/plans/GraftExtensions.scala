@@ -96,7 +96,9 @@ object GraftExtensions {
     "graft_array_cosine" -> arity("graft_array_cosine", 2)(e => VectorExprs.ArrayCosine(e(0), e(1))),
     "graft_array_dot" -> arity("graft_array_dot", 2)(e => VectorExprs.ArrayDot(e(0), e(1))),
     "graft_jaccard_longs" -> arity("graft_jaccard_longs", 2)(e => VectorExprs.JaccardLongs(e(0), e(1))),
-    "graft_simhash64" -> arity("graft_simhash64", 1)(e => VectorExprs.SimHash64(e.head)))
+    "graft_simhash64" -> arity("graft_simhash64", 1)(e => VectorExprs.SimHash64(e.head)),
+    "graft_bloom_might_contain" -> arity("graft_bloom_might_contain", 2)(e =>
+      VectorExprs.BloomMightContain(e(0), e(1))))
 
   /** Install on an ALREADY-BUILT session (tests, notebooks):
     * `experimental.extraOptimizations` for the rule, temp-function

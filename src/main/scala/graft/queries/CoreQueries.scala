@@ -513,6 +513,57 @@ object CoreQueries {
       |SELECT c_custkey + 1000000, c_name, c_acctbal, c_nationkey % 5
       |FROM customer WHERE c_custkey % 7 = 0""".stripMargin
 
+  /** Partition-scoped SCD2 merge (the 100 TB versioned-merge path):
+    * same three-way semantics as q_scd2_versions, but the target is
+    * identity-partitioned and the second merge rewrites only the
+    * partitions it touches — history in untouched partitions is never
+    * copied (byte-identity pinned in PartitionedMergeSpec).
+    */
+  def scd2Partitioned(spark: SparkSession, sfDir: String): DataFrame = {
+    val t1 = Timestamp.valueOf("2020-01-01 00:00:00")
+    val t2 = Timestamp.valueOf("2020-02-01 00:00:00")
+    val customer = spark.read
+      .parquet(p(sfDir, "customer"))
+      .select(
+        col("c_custkey"),
+        col("c_name"),
+        col("c_acctbal"),
+        (col("c_nationkey") % 5).as("bucket"))
+    val table = LakeTable(spark, scratch("scd2p"))
+    Merge.mergeScd2Partitioned(
+      table, customer, Seq("c_custkey"), Seq("c_acctbal"), t1, "bucket")
+    val batch2 = customer
+      .filter(col("c_custkey") % 3 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + 100)
+      .unionByName(customer.filter(col("c_custkey") % 3 === 1))
+    Merge.mergeScd2Partitioned(
+      table, batch2, Seq("c_custkey"), Seq("c_acctbal"), t2, "bucket")
+    table
+      .read()
+      .select(
+        col("c_custkey"),
+        col("c_name"),
+        col("c_acctbal"),
+        col("bucket"),
+        date_format(col("start_timestamp"), fmt).as("start_ts"),
+        date_format(col("end_timestamp"), fmt).as("end_ts"),
+        col("is_current"))
+  }
+
+  val scd2PartitionedSql: String =
+    """SELECT c_custkey, c_name, c_acctbal, c_nationkey % 5 AS bucket,
+      |       '2020-01-01 00:00:00' AS start_ts,
+      |       '2020-02-01 00:00:00' AS end_ts, 0 AS is_current
+      |FROM customer WHERE c_custkey % 3 = 0
+      |UNION ALL
+      |SELECT c_custkey, c_name, c_acctbal + 100, c_nationkey % 5,
+      |       '2020-02-01 00:00:00', NULL, 1
+      |FROM customer WHERE c_custkey % 3 = 0
+      |UNION ALL
+      |SELECT c_custkey, c_name, c_acctbal, c_nationkey % 5,
+      |       '2020-01-01 00:00:00', NULL, 1
+      |FROM customer WHERE c_custkey % 3 <> 0""".stripMargin
+
   /** Snapshot-history listing (§2.10, the reference's `t.snapshots`
     * metadata query): three commits → three deterministic rows
     * (commit timestamps excluded — wall clock).
@@ -557,7 +608,8 @@ object CoreQueries {
     "q_scd1_upsert" -> (scd1Upsert _),
     "q_time_travel" -> (timeTravel _),
     "q_snapshots" -> (snapshotsListing _),
-    "q_scd1_partitioned" -> (scd1Partitioned _))
+    "q_scd1_partitioned" -> (scd1Partitioned _),
+    "q_scd2_partitioned" -> (scd2Partitioned _))
 
   val oracleSql: Map[String, String] = Map(
     "q_agg_pricing_summary" -> aggPricingSummarySql,
@@ -580,5 +632,6 @@ object CoreQueries {
     "q_scd1_upsert" -> scd1UpsertSql,
     "q_time_travel" -> timeTravelSql,
     "q_snapshots" -> snapshotsListingSql,
-    "q_scd1_partitioned" -> scd1PartitionedSql)
+    "q_scd1_partitioned" -> scd1PartitionedSql,
+    "q_scd2_partitioned" -> scd2PartitionedSql)
 }

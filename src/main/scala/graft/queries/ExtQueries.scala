@@ -259,6 +259,19 @@ object ExtQueries {
       |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
       |                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.9""".stripMargin
 
+  /** Embedding-cosine near-dup, LSH-bucketed (the 100 TB plan): same
+    * corpus, same threshold, same oracle as `q_dedup_embedding` — the
+    * bucketed candidate join must reproduce the brute-force result
+    * exactly (planted copies sit at cosine 1.0, where hyperplane-LSH
+    * recall is exactly 1).
+    */
+  def dedupEmbeddingLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = embs(spark, sfDir)
+    val corpus = e.unionByName(
+      e.filter(col("vec_id") % 10 === 0).withColumn("vec_id", col("vec_id") + 100000))
+    Dedup.embeddingNearDupPairsLsh(corpus, "vec_id", "embedding", 0.9)
+  }
+
   /** Cluster-based exact dedup: a corpus with two extra copies of every
     * 7th document forms 3-node duplicate clusters; connected components
     * over the exact-dup pair edges must label every member with the
@@ -421,6 +434,7 @@ object ExtQueries {
     "q_dedup_ngram" -> (dedupNgram _),
     "q_dedup_simhash" -> (dedupSimhash _),
     "q_dedup_embedding" -> (dedupEmbedding _),
+    "q_dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
     "q_similarity_topk" -> (similarityTopK _),
     "q_similarity_ann" -> (similarityAnn _),
     "q_similarity_ivf" -> (similarityIvf _),
@@ -438,6 +452,7 @@ object ExtQueries {
     "q_dedup_minhash" -> dedupMinhashSql,
     "q_dedup_ngram" -> dedupNgramSql,
     "q_dedup_embedding" -> dedupEmbeddingSql,
+    "q_dedup_embedding_lsh" -> dedupEmbeddingSql,
     "q_similarity_topk" -> similarityTopKSql,
     "q_multimodal_meta" -> multimodalMetaSql,
     "q_multimodal_decode" -> multimodalDecodeSql,

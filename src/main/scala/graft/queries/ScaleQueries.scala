@@ -101,12 +101,12 @@ object ScaleQueries {
     // saturates at larger SFs and silently stops pruning
     val nKeys = math.max(urgent.count(), 1000L)
     val bloom = urgent.stat.bloomFilter("o_orderkey", nKeys, 0.01)
-    val bloomBc = spark.sparkContext.broadcast(bloom)
-    val mightContain = udf((k: Long) => bloomBc.value.mightContain(k))
+    // compiled probe expression (deserialized once per task), not a
+    // ScalaUDF: keeps the hot pre-shuffle filter out of the interpreter
     spark.read
       .parquet(tablePath(sfDir, "lineitem"))
       .select(col("l_orderkey"), col("l_extendedprice"))
-      .filter(mightContain(col("l_orderkey")))
+      .filter(graft.functions.VectorExprs.bloomMightContain(spark, bloom, col("l_orderkey")))
       .join(urgent, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_items"), round(sum(col("l_extendedprice")), 4).as("sum_price"))

@@ -34,6 +34,63 @@ object StreamJobs {
   private val envelopeSchema = StructType(
     Seq(StructField("key", StringType), StructField("value", StringType)))
 
+  /** Pluggable replayable source for the ingest hop (SURVEY §7.1): the
+    * production impl is Kafka (`format("kafka")` yields the same
+    * (key, value) envelope columns; a cluster with the kafka jar slots a
+    * one-line impl in here — reference
+    * /root/reference/src/bronze/_bronze_utils.py:31-38). This
+    * environment ships no kafka jar, so the provided impls are the
+    * file stream (offsets-by-file replay log — the durable stand-in)
+    * and an in-memory stream (tests). The contract: a STREAMING
+    * DataFrame with columns (key string, value string) whose source is
+    * replayable from checkpointed offsets.
+    */
+  trait EnvelopeSource {
+    def load(spark: SparkSession): DataFrame
+  }
+
+  /** File-stream envelope source over a staging directory; its
+    * offsets-by-file log gives Kafka's at-least-once replay contract.
+    */
+  final case class FileEnvelopeSource(
+      stageDir: String,
+      maxFilesPerTrigger: Option[Int] = None) extends EnvelopeSource {
+    override def load(spark: SparkSession): DataFrame = {
+      val reader = spark.readStream.schema(envelopeSchema)
+      // bounded micro-batches — the file-source analog of the reference's
+      // rate-limited Kafka cadence (~150 rows per 5 s trigger);
+      // AvailableNow then drains in several checkpointed batches
+      maxFilesPerTrigger
+        .map(n => reader.option("maxFilesPerTrigger", n))
+        .getOrElse(reader)
+        .parquet(stageDir)
+    }
+  }
+
+  /** In-memory envelope source (tests / notebooks): push batches with
+    * [[add]]; supports `Trigger.AvailableNow` like the file source.
+    */
+  final class MemoryEnvelopeSource(spark: SparkSession) extends EnvelopeSource {
+    private implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    private val stream =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String)]
+    /** Stage rows as the same (key, value-json) envelope the file
+      * producer writes ([[stageEnvelope]]).
+      */
+    def add(input: DataFrame, keyCols: Seq[String]): Unit = {
+      val rows = input
+        .select(
+          concat_ws("_", keyCols.map(col): _*).as("key"),
+          to_json(struct(input.columns.map(col): _*), envelopeTsFormat).as("value"))
+        .as[(String, String)]
+        .collect()
+      stream.addData(rows.toIndexedSeq)
+    }
+    override def load(spark: SparkSession): DataFrame =
+      stream.toDF().toDF("key", "value")
+  }
+
   private def dir(base: String, name: String): String = {
     val p = Paths.get(base, name)
     Files.createDirectories(p)
@@ -85,18 +142,15 @@ object StreamJobs {
       tsCol: String,
       workDir: String,
       partitioned: Boolean = false,
-      maxFilesPerTrigger: Option[Int] = None): String = {
+      maxFilesPerTrigger: Option[Int] = None,
+      source: Option[EnvelopeSource] = None): String = {
     val stage = dir(workDir, "stage")
     val bronze = dir(workDir, "bronze")
     val checkpoint = dir(workDir, "checkpoint-ingest")
 
-    val reader = spark.readStream.schema(envelopeSchema)
-    // bounded micro-batches — the file-source analog of the reference's
-    // rate-limited Kafka cadence (~150 rows per 5 s trigger); AvailableNow
-    // then drains in several checkpointed batches instead of one
-    val envelope = maxFilesPerTrigger
-      .map(n => reader.option("maxFilesPerTrigger", n).parquet(stage))
-      .getOrElse(reader.parquet(stage))
+    val envelope = source
+      .getOrElse(FileEnvelopeSource(stage, maxFilesPerTrigger))
+      .load(spark)
     val decoded = envelope
       .select(from_json(col("value").cast(StringType), payloadSchema, envelopeTsFormat).as("data"))
       .select(col("data.*"))
@@ -125,11 +179,14 @@ object StreamJobs {
       checkpoint: String,
       statePartitions: Int): org.apache.spark.sql.streaming.StreamingQuery = {
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevNoData = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     // Sentinel-driven flushes emit final windows in a NO-DATA micro-batch
     // (the watermark advances after the sentinel batch commits). That
     // batch only runs when noDataMicroBatches is enabled — pin it, don't
-    // assume the session default survived caller config.
+    // assume the session default survived caller config. Both overrides
+    // are scoped to the query start (pinned into the query at start) and
+    // restored so nothing leaks to later caller code on the session.
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     try
       out.writeStream
@@ -138,7 +195,10 @@ object StreamJobs {
         .queryName(queryName)
         .option("checkpointLocation", checkpoint)
         .start()
-    finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+    }
   }
 
   /** Stream-static join: enrich a stream against a static (batch)
@@ -225,8 +285,11 @@ object StreamJobs {
     // micro-batch pays per-store commit overhead. Scope the override to
     // the query start and restore the session conf after.
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevNoData = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     // See startMemorySink: the final windows emit in a no-data batch.
+    // Both conf overrides are captured by the query at start and restored
+    // here so they never leak to later caller code on the same session.
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     val q =
       try {
@@ -236,7 +299,10 @@ object StreamJobs {
           .queryName(queryName)
           .option("checkpointLocation", checkpoint)
           .start()
-      } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+      }
     try {
       q.processAllAvailable() // all real micro-batches (incl. upfront-staged sentinel)
       pushSentinel() // optional second staging pass (legacy two-pass callers)

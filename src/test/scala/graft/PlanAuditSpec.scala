@@ -81,4 +81,20 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan(graft.queries.ExtQueries.similarityTopK(spark, sf))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
+
+  test("IVF assignment is a pure projection: corpus never shuffles, probes broadcast") {
+    // the ONLY hash exchange allowed is the final per-query rank window;
+    // nearest-centroid assignment must not repartition the corpus
+    val p = plan(graft.queries.ExtQueries.similarityIvf(spark, sf))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 1, s"$exchanges hash exchanges (want <=1, the rank window):\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("bloom-prune probe is a compiled expression, not a ScalaUDF") {
+    val p = plan(graft.queries.ScaleQueries.bloomPruneJoin(spark, sf))
+    assert(!p.contains("ScalaUDF"), p)
+    assert(p.contains("graft_bloom_might_contain") || p.contains("bloommightcontain"),
+      s"bloom probe missing from plan:\n$p")
+  }
 }

@@ -103,6 +103,20 @@ class DedupSpec extends SparkSpec {
     assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("LSH embedding near-dup pairs match the brute-force baseline on planted copies") {
+    val rnd = new scala.util.Random(11)
+    val base = (0 until 200).map(i => (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1).toSeq))
+    // planted exact copies (cosine 1.0 -> identical signatures in every
+    // table -> LSH recall exactly 1) plus the rest of the corpus
+    val dups = base.filter(_._1 % 10 == 0).map { case (id, v) => (1000L + id, v) }
+    val corpus = (base ++ dups).toDF("id", "vec")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val brute = pairs(Dedup.embeddingNearDupPairs(corpus, "id", "vec", 0.9))
+    val lsh = pairs(Dedup.embeddingNearDupPairsLsh(corpus, "id", "vec", 0.9))
+    assert(brute.nonEmpty && lsh == brute, s"lsh=${lsh.size} brute=${brute.size}")
+  }
+
   test("exactDedup keeps lowest id per distinct content") {
     val df = Seq((5L, "x y z"), (2L, "x  Y z"), (9L, "other")).toDF("id", "text")
     val kept = Dedup.exactDedup(df, "id", "text").collect().map(_.getLong(0)).toSet

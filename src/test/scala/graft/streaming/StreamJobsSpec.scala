@@ -66,6 +66,29 @@ class StreamJobsSpec extends SparkSpec {
     assert(ids.toSeq == (0L until 20L), s"got ${ids.length} rows")
   }
 
+  test("ingest hop runs identically through the file and memory EnvelopeSource impls") {
+    val input = Seq(
+      (1L, mk("2024-01-01 10:00:10"), "A", 5.0),
+      (2L, mk("2024-01-01 10:05:00"), "B", 9.0),
+      (3L, mk("2024-01-01 10:14:59"), "A", 7.0)).toDF("id", "ts", "sym", "v")
+
+    // file impl (the default seam binding)
+    val wdF = scratchDir("seam-file")
+    StreamJobs.stageEnvelope(input, Seq("sym", "id"), s"$wdF/stage")
+    val bronzeF = StreamJobs.runIngest(spark, schema, "ts", wdF)
+
+    // memory impl through the same decode+stamp+sink path
+    val wdM = scratchDir("seam-mem")
+    val mem = new StreamJobs.MemoryEnvelopeSource(spark)
+    mem.add(input, Seq("sym", "id"))
+    val bronzeM = StreamJobs.runIngest(spark, schema, "ts", wdM, source = Some(mem))
+
+    val cols = Seq("id", "ts", "sym", "v", "event_year", "event_month", "event_day")
+    val f = spark.read.parquet(bronzeF).select(cols.map(col): _*).orderBy("id").collect().toSeq
+    val m = spark.read.parquet(bronzeM).select(cols.map(col): _*).orderBy("id").collect().toSeq
+    assert(f == m && f.length == 3, s"file=${f.length} mem=${m.length}")
+  }
+
   test("arrival-order candles equal deterministic candles on ordered single-partition input") {
     val input = Seq(
       (1L, mk("2024-01-01 10:00:10"), "A", 5.0),

@@ -107,7 +107,10 @@ object BatchElt {
     if (!cleaned.isEmpty) {
       val deduped = Ops.deduplicate(cleaned, Seq("symbol"), "ingest_timestamp")
       if (!deduped.isEmpty)
-        Merge.mergeScd2(silver, deduped, Seq("symbol"), Seq("issued_shares"), clock)
+        // ingest_timestamp stats: the next incrementalFrom probe is a
+        // manifest lookup, not a silver-table scan
+        Merge.mergeScd2(silver, deduped, Seq("symbol"), Seq("issued_shares"), clock,
+          statsCols = Seq("ingest_timestamp"))
     }
   }
 
@@ -127,7 +130,8 @@ object BatchElt {
       dropCols = silverIndustrySchema.fieldNames.toSeq)
     if (!cleaned.isEmpty) {
       val deduped = Ops.deduplicate(cleaned, Seq("icb_code"), "ingest_timestamp")
-      if (!deduped.isEmpty) Merge.mergeScd1(silver, deduped, Seq("icb_code"))
+      if (!deduped.isEmpty)
+        Merge.mergeScd1(silver, deduped, Seq("icb_code"), statsCols = Seq("ingest_timestamp"))
     }
   }
 
@@ -154,7 +158,9 @@ object BatchElt {
     val renamed = (1 to 4).foldLeft(joined) { (df, i) =>
       df.withColumnRenamed(s"en_icb_name_$i", s"icb_name_$i")
     }
-    gold.append(Ops.normalizeSchema(renamed, goldDimSchema, keepExtra = false))
+    gold.append(
+      Ops.normalizeSchema(renamed, goldDimSchema, keepExtra = false),
+      statsCols = Seq("ingest_timestamp"))
   }
 
   /** A task in the mini DAG runner: name, upstream dependencies, body. */

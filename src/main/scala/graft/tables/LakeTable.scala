@@ -106,7 +106,8 @@ final class LakeTable(val spark: SparkSession, val root: String) {
       newDirs: Seq[String],
       keepExisting: Boolean,
       schema: StructType,
-      partitionBy: Seq[String]): Long = {
+      partitionBy: Seq[String],
+      colMax: Map[String, String]): Long = {
     val prev = latestVersion().map(readManifest)
     val version = prev.map(_.version + 1).getOrElse(0L)
     val existing = if (keepExisting) prev.map(_.commitDirs).getOrElse(Seq.empty) else Seq.empty
@@ -116,8 +117,28 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     writeManifest(
       Manifest(
         version, op, System.currentTimeMillis(), existing ++ newDirs, schema.json, parts,
-        existingScopes ++ newDirs.map(_ => Seq.empty)))
+        existingScopes ++ newDirs.map(_ => Seq.empty), colMax))
     version
+  }
+
+  /** Manifest-level max stats for the just-written commit dir: one agg
+    * over the NEW files only (parquet footer stats make this near-free),
+    * never a scan of the table. Columns without a non-null value are
+    * simply absent from the result.
+    */
+  private def statsOf(newDirs: Seq[String], statsCols: Seq[String]): Map[String, String] = {
+    if (statsCols.isEmpty || newDirs.isEmpty) return Map.empty
+    val paths = newDirs.map(d => dataDir.resolve(d).toString)
+    val batch = spark.read.option("basePath", paths.head).parquet(paths: _*)
+    val present = statsCols.filter(batch.columns.contains)
+    if (present.isEmpty) return Map.empty
+    present.foreach(c => Stats.requireSupported(batch.schema(c).dataType, c))
+    val row = batch.agg(
+      max(col(present.head)),
+      present.tail.map(c => max(col(c))): _*).head()
+    present.zipWithIndex.flatMap { case (c, i) =>
+      if (row.isNullAt(i)) None else Some(c -> Stats.toStringValue(row.get(i)))
+    }.toMap
   }
 
   /** Append rows (bronze/gold append sink — K1/K4). Appends to a
@@ -125,22 +146,43 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     * passes no `partitionBy` (as Hive/Iceberg inserts do): a commit dir
     * without `col=value` subdirs could not be scoped by a later
     * partition-scoped merge.
+    *
+    * `statsCols` declares watermark columns (timestamp/date/numeric)
+    * whose running MAX is maintained in the manifest — Iceberg-style
+    * column stats at manifest granularity. Declared once, the set is
+    * inherited by every later append/overwrite, and
+    * [[incrementalFrom]]'s high-watermark probe becomes a manifest read
+    * instead of a full-table aggregation — the difference between a
+    * metadata lookup and a 100 TB scan per incremental batch.
     */
-  def append(df: DataFrame, partitionBy: Seq[String] = Seq.empty): Long = {
-    val tableParts = latestVersion().map(readManifest(_).partitionBy).getOrElse(Seq.empty)
+  def append(
+      df: DataFrame,
+      partitionBy: Seq[String] = Seq.empty,
+      statsCols: Seq[String] = Seq.empty): Long = {
+    val prev = latestVersion().map(readManifest)
+    val tableParts = prev.map(_.partitionBy).getOrElse(Seq.empty)
     val effParts = if (partitionBy.nonEmpty) partitionBy else tableParts
+    val effStats =
+      if (statsCols.nonEmpty) statsCols else prev.map(_.colMax.keys.toSeq).getOrElse(Seq.empty)
     val dirs = writeCommitDir(df, effParts).toSeq
-    commit("append", dirs, keepExisting = true, df.schema, effParts)
+    val batchMax = statsOf(dirs, effStats)
+    val merged = Stats.merge(prev.map(_.colMax).getOrElse(Map.empty), batchMax, df.schema)
+    commit("append", dirs, keepExisting = true, df.schema, effParts, merged)
   }
 
   /** Replace the table contents atomically (merge rewrites land here).
-    * Conforms to the table's partition layout like [[append]].
+    * Conforms to the table's partition layout and inherits declared
+    * stats columns like [[append]] (recomputed from the new contents —
+    * an overwrite invalidates the previous running max).
     */
   def overwrite(df: DataFrame, partitionBy: Seq[String] = Seq.empty): Long = {
-    val tableParts = latestVersion().map(readManifest(_).partitionBy).getOrElse(Seq.empty)
+    val prev = latestVersion().map(readManifest)
+    val tableParts = prev.map(_.partitionBy).getOrElse(Seq.empty)
     val effParts = if (partitionBy.nonEmpty) partitionBy else tableParts
+    val effStats = prev.map(_.colMax.keys.toSeq).getOrElse(Seq.empty)
     val dirs = writeCommitDir(df, effParts).toSeq
-    commit("overwrite", dirs, keepExisting = false, df.schema, effParts)
+    commit("overwrite", dirs, keepExisting = false, df.schema, effParts,
+      statsOf(dirs, effStats))
   }
 
   /** Hive-style partition values (`col=value` subdir names) present in
@@ -208,6 +250,14 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     val written = listPartitionValues(newDir).toSet
     val entries = narrowed :+ ((newDir, affected.filter(written.contains).sorted))
     val version = prev.version + 1
+    // colMax: the rewritten partitions may have held the old max, and an
+    // exact recompute would scan the untouched partitions — keep the stat
+    // only when provably still a max (new batch >= previous), else drop
+    // it and let incrementalFrom fall back to the aggregation probe.
+    val newMax = statsOf(Seq(newDir), prev.colMax.keys.toSeq)
+    val keptMax = prev.colMax.flatMap { case (c, old) =>
+      newMax.get(c).filter(nv => Stats.geq(nv, old, df.schema(c).dataType)).map(c -> _)
+    }
     writeManifest(
       Manifest(
         version,
@@ -216,7 +266,8 @@ final class LakeTable(val spark: SparkSession, val root: String) {
         entries.map(_._1),
         df.schema.json,
         prev.partitionBy,
-        entries.map(_._2)))
+        entries.map(_._2),
+        keptMax))
     version
   }
 
@@ -345,15 +396,45 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     // pointing at deleted data (which would make versionAsOf on that
     // version silently return partial results instead of failing).
     expired.foreach(Files.deleteIfExists(_))
-    deadDirs.foreach { d =>
-      val dir = dataDir.resolve(d)
-      if (Files.isDirectory(dir)) {
-        val walk = Files.walk(dir)
-        try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-        finally walk.close()
-      }
-    }
+    deadDirs.foreach(deleteDataDir)
     deadDirs.size
+  }
+
+  private def deleteDataDir(d: String): Unit = {
+    val dir = dataDir.resolve(d)
+    if (Files.isDirectory(dir)) {
+      val walk = Files.walk(dir)
+      try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
+  /** Reclaim orphan commit dirs: data dirs referenced by NO existing
+    * manifest. Two ways they arise — a crash between expireSnapshots'
+    * manifest delete and data delete (deadDirs is derived from manifests
+    * that still exist, so a later expire can never find them), and a
+    * crash between writeCommitDir and its manifest commit. `graceMs`
+    * protects the second case's in-flight twin: a dir younger than the
+    * grace window may belong to a commit that simply hasn't published
+    * its manifest yet (Iceberg's remove_orphan_files has the same
+    * age guard). Returns the dirs deleted.
+    */
+  def sweepOrphans(graceMs: Long = 24L * 3600 * 1000): Seq[String] = {
+    if (!Files.isDirectory(dataDir)) return Seq.empty
+    val live = listVersions().flatMap(p => readManifest(versionOf(p)).commitDirs).toSet
+    val cutoff = System.currentTimeMillis() - graceMs
+    val orphans = Files
+      .list(dataDir)
+      .iterator()
+      .asScala
+      .filter(p => Files.isDirectory(p))
+      .filter(p => !live.contains(p.getFileName.toString))
+      .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
+      .map(_.getFileName.toString)
+      .toSeq
+      .sorted
+    orphans.foreach(deleteDataDir)
+    orphans
   }
 
   /** High-watermark incremental scan (S5/S6 —
@@ -365,9 +446,18 @@ final class LakeTable(val spark: SparkSession, val root: String) {
   def incrementalFrom(source: DataFrame, tsCol: String): DataFrame = {
     if (!exists || isEmpty) source
     else {
-      val hwmRow = read().agg(max(col(tsCol))).head()
-      if (hwmRow.isNullAt(0)) source
-      else source.filter(col(tsCol) > lit(hwmRow.get(0)))
+      val m = readManifest(latestVersion().get)
+      m.colMax.get(tsCol) match {
+        case Some(s) =>
+          // manifest-level watermark (maintained by append's statsCols):
+          // the probe reads NO data files — metadata only
+          val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+          source.filter(col(tsCol) > lit(Stats.fromStringValue(s, schema(tsCol).dataType)))
+        case None =>
+          val hwmRow = read().agg(max(col(tsCol))).head()
+          if (hwmRow.isNullAt(0)) source
+          else source.filter(col(tsCol) > lit(hwmRow.get(0)))
+      }
     }
   }
 }
@@ -385,7 +475,8 @@ object LakeTable {
       commitDirs: Seq[String],
       schemaJson: String,
       partitionBy: Seq[String],
-      scopes: Seq[Seq[String]] = Seq.empty) {
+      scopes: Seq[Seq[String]] = Seq.empty,
+      colMax: Map[String, String] = Map.empty) {
 
     /** Per-dir partition scope (leading partition column values); empty
       * seq = whole dir. Normalized to commitDirs length.
@@ -405,12 +496,79 @@ object LakeTable {
       val scopesJson = effectiveScopes
         .map(sc => sc.map(qs).mkString("[", ",", "]"))
         .mkString("[", ",", "]")
+      val colMaxJson = colMax.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${qs(k)}:${qs(v)}" }
+        .mkString("{", ",", "}")
       s"""{"version":$version,"operation":${qs(operation)},"timestampMs":$timestampMs,""" +
         s""""commitDirs":[${commitDirs.map(qs).mkString(",")}],""" +
         s""""partitionBy":[${partitionBy.map(qs).mkString(",")}],""" +
         s""""scopes":$scopesJson,""" +
+        s""""colMax":$colMaxJson,""" +
         s""""schema":${qs(schemaJson)}}"""
     }
+  }
+
+  /** Serialized manifest stats: timezone-safe string encodings for the
+    * watermark column types (timestamps as epoch micros, dates as epoch
+    * days — `Timestamp.toString` would shift across driver timezones).
+    */
+  private[tables] object Stats {
+    import org.apache.spark.sql.types._
+
+    def requireSupported(dt: DataType, name: String): Unit = dt match {
+      case TimestampType | DateType | LongType | IntegerType | ShortType | ByteType |
+          DoubleType | FloatType | _: DecimalType => ()
+      case other =>
+        throw new IllegalArgumentException(
+          s"statsCols column $name has unsupported type ${other.sql} " +
+            "(timestamp/date/numeric only)")
+    }
+
+    def toStringValue(v: Any): String = v match {
+      case t: java.sql.Timestamp => (t.getTime / 1000 * 1000000L + t.getNanos / 1000).toString
+      case d: java.sql.Date => d.toLocalDate.toEpochDay.toString
+      case o => o.toString
+    }
+
+    def fromStringValue(s: String, dt: DataType): Any = dt match {
+      case TimestampType =>
+        val micros = s.toLong
+        val t = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
+        t.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
+        t
+      case DateType => java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(s.toLong))
+      case LongType => s.toLong
+      case IntegerType => s.toInt
+      case ShortType => s.toShort
+      case ByteType => s.toByte
+      case DoubleType => s.toDouble
+      case FloatType => s.toFloat
+      case d: DecimalType => new java.math.BigDecimal(s)
+      case other =>
+        throw new IllegalArgumentException(s"unsupported stats type ${other.sql}")
+    }
+
+    def geq(a: String, b: String, dt: DataType): Boolean = dt match {
+      case DoubleType | FloatType => a.toDouble >= b.toDouble
+      case _: DecimalType => new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b)) >= 0
+      case _ => a.toLong >= b.toLong // micros / epoch days / integral
+    }
+
+    /** Running max: prev manifest's values folded with the new batch's. */
+    def merge(
+        prev: Map[String, String],
+        batch: Map[String, String],
+        schema: StructType): Map[String, String] =
+      (prev.keySet ++ batch.keySet).flatMap { c =>
+        val dt = if (schema.fieldNames.contains(c)) Some(schema(c).dataType) else None
+        (prev.get(c), batch.get(c)) match {
+          case (Some(p), Some(b)) =>
+            dt.map(t => c -> (if (geq(b, p, t)) b else p))
+          case (Some(p), None) => Some(c -> p)
+          case (None, Some(b)) => Some(c -> b)
+          case _ => None
+        }
+      }.toMap
   }
 
   object Manifest {
@@ -432,6 +590,15 @@ object LakeTable {
             (0 until inner.size()).map(j => inner.get(j).asText()): Seq[String]
           }
         }
+      val colMax =
+        if (!node.has("colMax")) Map.empty[String, String]
+        else {
+          val obj = node.get("colMax")
+          val it = obj.fieldNames()
+          val b = Map.newBuilder[String, String]
+          while (it.hasNext) { val k = it.next(); b += k -> obj.get(k).asText() }
+          b.result()
+        }
       Manifest(
         node.get("version").asLong(),
         node.get("operation").asText(),
@@ -439,7 +606,8 @@ object LakeTable {
         strings("commitDirs"),
         node.get("schema").asText(),
         strings("partitionBy"),
-        scopes)
+        scopes,
+        colMax)
     }
   }
 }

@@ -103,9 +103,11 @@ object Merge {
       source: DataFrame,
       keyCols: Seq[String],
       trackedCols: Seq[String],
-      at: Timestamp): Long = {
+      at: Timestamp,
+      statsCols: Seq[String] = Seq.empty): Long = {
     val stamped = addScd2Cols(source, at)
-    if (!table.exists || table.isEmpty) return table.append(stamped)
+    if (!table.exists || table.isEmpty)
+      return table.append(stamped, statsCols = statsCols)
     table.overwrite(scd2Rewrite(table.read(), stamped, keyCols, trackedCols, at))
   }
 
@@ -113,8 +115,13 @@ object Merge {
     * unmatched target rows survive, unmatched source rows insert
     * (reference merge_scd1, _silver_utils.py:157-186).
     */
-  def mergeScd1(table: LakeTable, source: DataFrame, keyCols: Seq[String]): Long = {
-    if (!table.exists || table.isEmpty) return table.append(source)
+  def mergeScd1(
+      table: LakeTable,
+      source: DataFrame,
+      keyCols: Seq[String],
+      statsCols: Seq[String] = Seq.empty): Long = {
+    if (!table.exists || table.isEmpty)
+      return table.append(source, statsCols = statsCols)
     val target = table.read()
     val dataCols = target.columns.toSeq
     val src = source.select(dataCols.map(col): _*)

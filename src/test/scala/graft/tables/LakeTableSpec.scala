@@ -92,4 +92,85 @@ class LakeTableSpec extends SparkSpec {
     t.append(Seq.empty[(Int, String)].toDF("k", "v"))
     assert(t.read().isEmpty && t.read().columns.toSeq == Seq("k", "v"))
   }
+
+  test("statsCols watermark: incrementalFrom probe reads manifests only, never data files") {
+    val root = scratchDir("stats")
+    val t = LakeTable(spark, root)
+    val mk = (s: String) => Timestamp.valueOf(s)
+    val src = Seq(
+      (1, mk("2024-01-01 00:00:00")),
+      (2, mk("2024-01-02 00:00:00")),
+      (3, mk("2024-01-03 00:00:00")),
+      (4, mk("2024-01-04 00:00:00"))).toDF("id", "ts")
+    t.append(src.filter($"id" === 1), statsCols = Seq("ts"))
+    t.append(src.filter($"id" === 2)) // statsCols inherited from the manifest
+    // destroy every data file: if the probe still works, it provably
+    // read only the manifest-level colMax, not the table
+    import scala.jdk.CollectionConverters._
+    val dataDir = java.nio.file.Paths.get(root, "data")
+    val walk = java.nio.file.Files.walk(dataDir)
+    try walk.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    finally walk.close()
+    val got = t.incrementalFrom(src, "ts").collect().map(_.getInt(0)).sorted.toSeq
+    assert(got == Seq(3, 4), s"watermark must be 01-02 from the manifest, got rows $got")
+  }
+
+  test("statsCols survive overwrite (recomputed) and partition-scoped replace keeps only provable maxima") {
+    val t = LakeTable(spark, scratchDir("stats2"))
+    val mk = (s: String) => Timestamp.valueOf(s)
+    t.append(
+      Seq((1, mk("2024-01-05 00:00:00"), 2024)).toDF("id", "ts", "y"),
+      partitionBy = Seq("y"),
+      statsCols = Seq("ts"))
+    // replace with an OLDER row: the old max is no longer provable -> stat dropped,
+    // incrementalFrom falls back to the aggregation probe and stays correct
+    t.replacePartitions(Seq((2, mk("2024-01-02 00:00:00"), 2024)).toDF("id", "ts", "y"), Seq("2024"))
+    val src = Seq(
+      (3, mk("2024-01-02 00:00:00"), 2024),
+      (4, mk("2024-01-03 00:00:00"), 2024)).toDF("id", "ts", "y")
+    assert(t.incrementalFrom(src, "ts").collect().map(_.getInt(0)).toSeq == Seq(4))
+
+    // fresh table, replace with a NEWER row: still provably the max -> stat kept
+    // (verified the same way as the probe test: data gone, manifest answers)
+    val root2 = scratchDir("stats3")
+    val t2 = LakeTable(spark, root2)
+    t2.append(
+      Seq((1, mk("2024-01-05 00:00:00"), 2024)).toDF("id", "ts", "y"),
+      partitionBy = Seq("y"),
+      statsCols = Seq("ts"))
+    t2.replacePartitions(Seq((5, mk("2024-01-09 00:00:00"), 2024)).toDF("id", "ts", "y"), Seq("2024"))
+    import scala.jdk.CollectionConverters._
+    val dataDir2 = java.nio.file.Paths.get(root2, "data")
+    val walk2 = java.nio.file.Files.walk(dataDir2)
+    try walk2.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    finally walk2.close()
+    assert(t2.incrementalFrom(src, "ts").isEmpty)
+  }
+
+  test("expire crash window: manifests-first ordering keeps kept versions whole; sweepOrphans reclaims") {
+    val root = scratchDir("expirecrash")
+    val t = LakeTable(spark, root)
+    t.append(Seq((1, "a")).toDF("k", "v"))
+    t.append(Seq((2, "b")).toDF("k", "v"))
+    t.overwrite(Seq((9, "z")).toDF("k", "v"))
+    // simulate the crash BETWEEN expire's two steps: expired manifests
+    // (v0, v1) deleted, their now-dead data dirs still on disk
+    import scala.jdk.CollectionConverters._
+    val logDir = java.nio.file.Paths.get(root, "_graft_log")
+    java.nio.file.Files.list(logDir).iterator().asScala.toSeq
+      .filter(_.getFileName.toString.matches("v\\d+\\.json"))
+      .sortBy(_.getFileName.toString)
+      .dropRight(1)
+      .foreach(java.nio.file.Files.delete(_))
+    // kept version reads complete data; expired versions fail loudly
+    assert(t.read().collect().map(_.getInt(0)).toSeq == Seq(9))
+    intercept[Exception] { t.read(versionAsOf = Some(0L)).collect() }
+    // the orphaned dirs are invisible to expireSnapshots (no manifest
+    // names them) but the sweep reclaims them; the live dir survives
+    assert(t.expireSnapshots(keepLast = 1) == 0)
+    val swept = t.sweepOrphans(graceMs = 0L)
+    assert(swept.size == 2, s"expected the two dead append dirs, got $swept")
+    assert(t.read().collect().map(_.getInt(0)).toSeq == Seq(9))
+    assert(t.sweepOrphans(graceMs = 0L).isEmpty)
+  }
 }

@@ -487,7 +487,7 @@ object Dedup {
         explode(array((0 until tables).map { t =>
           struct(
             lit(t).as("tbl"),
-            Similarity.lshSignature(col(vecCol), t, effBits).as("bucket"))
+            Similarity.lshSignatureCompiled(spark, col(vecCol), t, effBits).as("bucket"))
         }: _*)).as("tb"))
       .select(col("id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
     val bounded = bucketed

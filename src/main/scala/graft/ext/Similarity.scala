@@ -79,6 +79,11 @@ object Similarity {
 
   /** Sign-pattern signature: for each of `bits` hyperplanes, the sign
     * of vec·plane packed into a long bucket key.
+    *
+    * This is the declarative reference form; the hot paths call
+    * [[lshSignatureCompiled]] — one compiled pass with the plane matrix
+    * cached per dimension instead of bits × dim hash expressions per
+    * row — which produces bit-identical buckets (ParitySpec).
     */
   def lshSignature(vec: Column, table: Int, bits: Int): Column = {
     val vd = transform(vec, x => x.cast("double"))
@@ -92,6 +97,14 @@ object Similarity {
     }
     signs.reduce((a, b) => a.bitwiseOR(b))
   }
+
+  /** Compiled [[lshSignature]] (identical buckets, one pass per row). */
+  def lshSignatureCompiled(
+      spark: org.apache.spark.sql.SparkSession,
+      vec: Column,
+      table: Int,
+      bits: Int): Column =
+    graft.functions.VectorExprs.hyperplaneSig(spark, vec, table, bits)
 
   /** IVF (inverted-file) approximate top-k — the other scale path.
     *
@@ -232,12 +245,15 @@ object Similarity {
     val effBits =
       if (bits > 0) bits
       else autoBits(if (corpusCount >= 0) corpusCount else corpus.count())
+    val spark = corpus.sparkSession
     def signed(df: DataFrame, id: String, vec: String): DataFrame =
       df.select(
         col(idCol).as(id),
         col(vecCol).as(vec),
         explode(array((0 until tables).map { t =>
-          struct(lit(t).as("tbl"), lshSignature(col(vecCol), t, effBits).as("bucket"))
+          struct(
+            lit(t).as("tbl"),
+            lshSignatureCompiled(spark, col(vecCol), t, effBits).as("bucket"))
         }: _*)).as("tb"))
         .select(col(id), col(vec), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
 

@@ -100,6 +100,36 @@ object TextAnalysis {
       .otherwise(lit(n4))
   }
 
+  /** Within-document repetition features — the Gopher repetition
+    * filters (Rae et al. 2021, "Scaling Language Models", §A1.1): the
+    * fraction of tokens taken by the single most frequent token, and
+    * the fraction of duplicate 2-gram occurrences. High values mark
+    * boilerplate/spam/keyword-stuffing that CROSS-document near-dup
+    * detection cannot see (the repetition is inside one document).
+    * Pure column algebra — a map stage with no shuffle; `is_repetitive`
+    * applies the published-style thresholds (0.3 / 0.2) as an int flag.
+    */
+  def repetitionFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokensWs(lower(t))
+    val n = when(length(trim(t)) === 0, 0).otherwise(size(toks))
+    val topTokenRatio =
+      when(n === 0, 0.0).otherwise(
+        array_max(transform(array_distinct(toks), d =>
+          size(filter(toks, tk => tk === d)))).cast("double") / n)
+    val grams = transform(
+      sequence(lit(0), size(toks) - 2),
+      j => concat_ws(" ", element_at(toks, j + 1), element_at(toks, j + 2)))
+    val dupBigramRatio =
+      when(n < 2, 0.0).otherwise(
+        (size(grams) - size(array_distinct(grams))).cast("double") / size(grams))
+    df.withColumn("top_token_ratio", round(topTokenRatio, 4))
+      .withColumn("dup_bigram_ratio", round(dupBigramRatio, 4))
+      .withColumn(
+        "is_repetitive",
+        when(col("top_token_ratio") > 0.3 || col("dup_bigram_ratio") > 0.2, 1).otherwise(0))
+  }
+
   /** Content fingerprint: md5 of whitespace-normalized lowercase text —
     * the canonical exact-dup key (stable across engines).
     */

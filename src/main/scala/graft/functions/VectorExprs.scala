@@ -55,22 +55,41 @@ object VectorExprs {
     override def dataType: DataType = DoubleType
     override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
       checkFractionalArrays("graft_array_cosine", Seq(left, right))
+    // per-side element types: array<float> · array<double> (e.g. a raw
+    // embedding against a double centroid literal) must not mis-stride;
+    // resolved once per expression instance, specialized loops below
+    // keep the hot path branch-free (this runs O(N²) times in the
+    // similarity joins)
+    @transient private lazy val lFloat =
+      left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    @transient private lazy val rFloat =
+      right.dataType.asInstanceOf[ArrayType].elementType == FloatType
     override def nullSafeEval(a: Any, b: Any): Any = {
       val xs = a.asInstanceOf[ArrayData]
       val ys = b.asInstanceOf[ArrayData]
       val n = math.min(xs.numElements(), ys.numElements())
-      // per-side element types: array<float> · array<double> (e.g. a raw
-      // embedding against a double centroid literal) must not mis-stride
-      val lFloat = left.dataType.asInstanceOf[ArrayType].elementType == FloatType
-      val rFloat = right.dataType.asInstanceOf[ArrayType].elementType == FloatType
       var dot = 0.0
       var sa = 0.0
       var sb = 0.0
       var i = 0
-      while (i < n) {
-        val x = if (lFloat) xs.getFloat(i).toDouble else xs.getDouble(i)
-        val y = if (rFloat) ys.getFloat(i).toDouble else ys.getDouble(i)
-        dot += x * y; sa += x * x; sb += y * y; i += 1
+      if (lFloat && rFloat) {
+        while (i < n) {
+          val x = xs.getFloat(i).toDouble
+          val y = ys.getFloat(i).toDouble
+          dot += x * y; sa += x * x; sb += y * y; i += 1
+        }
+      } else if (!lFloat && !rFloat) {
+        while (i < n) {
+          val x = xs.getDouble(i)
+          val y = ys.getDouble(i)
+          dot += x * y; sa += x * x; sb += y * y; i += 1
+        }
+      } else {
+        while (i < n) {
+          val x = if (lFloat) xs.getFloat(i).toDouble else xs.getDouble(i)
+          val y = if (rFloat) ys.getFloat(i).toDouble else ys.getDouble(i)
+          dot += x * y; sa += x * x; sb += y * y; i += 1
+        }
       }
       val na = math.sqrt(sa)
       val nb = math.sqrt(sb)
@@ -305,6 +324,77 @@ object VectorExprs {
       sig
     }
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Random-hyperplane LSH signature: for each of `bits` hyperplanes,
+    * the sign of vec·plane packed into a long bucket key — the compiled
+    * form of [[graft.ext.Similarity.lshSignature]]'s column algebra,
+    * producing IDENTICAL buckets (the plane weights reproduce the
+    * xxhash64-derived pseudo-random components bit-for-bit).
+    *
+    * Why an expression: the declarative form evaluates `bits` separate
+    * interpreted dot products per row, each re-deriving the plane
+    * weights per element via hash expressions (~bits × dim hash evals
+    * and allocations PER ROW). Here the plane matrix is computed once
+    * per (dimension) and cached on the expression instance — the per-row
+    * cost drops to bits × dim fused multiply-adds.
+    */
+  case class HyperplaneSig(child: Expression, table: Int, bits: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      checkFractionalArrays("graft_hyperplane_sig", Seq(child))
+    @transient private lazy val isFloat =
+      child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    // plane weights per observed dimensionality (corpora are fixed-dim;
+    // the map handles ragged inputs correctly anyway)
+    @transient private lazy val planesByDim =
+      new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Double]]]()
+    private def planes(dim: Int): Array[Array[Double]] =
+      planesByDim.computeIfAbsent(
+        dim,
+        _ => Array.tabulate(bits, dim) { (p, d) =>
+          // bit-for-bit the column form's planeComponent:
+          // xxhash64('graft-lsh-<table>-<plane>', dim) chains the string
+          // hash (seed 42) into the int hash, then pmod into [-1, 1]
+          import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          val seed = XxHash64Function.hash(
+            UTF8String.fromString(s"graft-lsh-$table-$p"), StringType, 42L)
+          val h = XxHash64Function.hash(d, IntegerType, seed)
+          (((h % 2000001L) + 2000001L) % 2000001L - 1000000L) / 1000000.0
+        })
+    override def nullSafeEval(input: Any): Any = {
+      val xs = input.asInstanceOf[ArrayData]
+      val n = xs.numElements()
+      val w = planes(n)
+      var sig = 0L
+      var p = 0
+      while (p < bits) {
+        val wp = w(p)
+        var dot = 0.0
+        var i = 0
+        if (isFloat) while (i < n) { dot += xs.getFloat(i) * wp(i); i += 1 }
+        else while (i < n) { dot += xs.getDouble(i) * wp(i); i += 1 }
+        if (dot >= 0) sig |= 1L << p
+        p += 1
+      }
+      sig
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Compiled hyperplane signature with (table, bits) baked into the
+    * registration.
+    */
+  def hyperplaneSig(
+      spark: org.apache.spark.sql.SparkSession,
+      vec: Column,
+      table: Int,
+      bits: Int): Column = {
+    val name = s"graft_hplane_${table}_$bits"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => HyperplaneSig(exprs.head, table, bits), "scala_udf")
+    call_function(name, vec)
   }
 
   /** Bloom-filter membership probe: `left` is the serialized

@@ -89,6 +89,37 @@ object ExtQueries {
        |    FROM documents))""".stripMargin
   }
 
+  /** Gopher-style repetition filter features (within-document): the
+    * quality signal dedup can't provide, over the same documents table.
+    */
+  def textRepetition(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis
+      .repetitionFeatures(docs(spark, sfDir), "text")
+      .select(col("doc_id"), col("top_token_ratio"), col("dup_bigram_ratio"), col("is_repetitive"))
+
+  val textRepetitionSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+      |         CASE WHEN length(trim(text)) = 0 THEN 0
+      |              ELSE len(regexp_split_to_array(trim(lower(text)), '\s+')) END AS n
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id,
+      |    CASE WHEN n = 0 THEN 0.0
+      |         ELSE round(CAST(list_max(list_transform(list_distinct(toks),
+      |                d -> len(list_filter(toks, tk -> tk = d)))) AS DOUBLE) / n, 4)
+      |    END AS top_token_ratio,
+      |    CASE WHEN n < 2 THEN 0.0
+      |         ELSE round(CAST(n - 1 - len(list_distinct(list_transform(range(1, n),
+      |                j -> toks[j] || ' ' || toks[j + 1]))) AS DOUBLE) / (n - 1), 4)
+      |    END AS dup_bigram_ratio
+      |  FROM t)
+      |SELECT doc_id, top_token_ratio, dup_bigram_ratio,
+      |       CASE WHEN top_token_ratio > 0.3 OR dup_bigram_ratio > 0.2
+      |            THEN 1 ELSE 0 END AS is_repetitive
+      |FROM f""".stripMargin
+
   def textFingerprint(spark: SparkSession, sfDir: String): DataFrame =
     docs(spark, sfDir).select(
       col("doc_id"),
@@ -424,6 +455,7 @@ object ExtQueries {
     "q_text_stats" -> (textStats _),
     "q_text_quality" -> (textQuality _),
     "q_text_fingerprint" -> (textFingerprint _),
+    "q_text_repetition" -> (textRepetition _),
     "q_text_langid" -> (textLangId _),
     "q_train_val_split" -> (trainValSplit _),
     "q_dedup_exact" -> (dedupExact _),
@@ -445,6 +477,7 @@ object ExtQueries {
     "q_text_stats" -> textStatsSql,
     "q_text_quality" -> textQualitySql,
     "q_text_fingerprint" -> textFingerprintSql,
+    "q_text_repetition" -> textRepetitionSql,
     "q_dedup_exact" -> dedupExactSql,
     "q_dedup_clusters" -> dedupClustersSql,
     "q_text_top_terms" -> textTopTermsSql,

@@ -34,6 +34,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fp("a")._2 == fp("b")._2)
   }
 
+  test("repetition features flag keyword stuffing and repeated phrases, pass prose") {
+    val df = Seq(
+      ("stuffed", "buy now buy now buy now buy now buy now"),
+      ("loop", ("the same phrase again " * 10).trim),
+      ("prose", "a quick brown fox jumps over one lazy dog near the quiet river bank"),
+      ("empty", ""),
+      ("single", "word")).toDF("id", "text")
+    val out = TextAnalysis.repetitionFeatures(df, "text")
+      .select(col("id"), col("top_token_ratio"), col("dup_bigram_ratio"), col("is_repetitive"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getInt(3)))).toMap
+    assert(out("stuffed")._3 == 1 && out("stuffed")._1 == 0.5) // "buy"/"now" are 5 of 10 each
+    assert(out("loop")._3 == 1 && out("loop")._2 > 0.8) // repeated 4-word phrase
+    assert(out("prose")._3 == 0)
+    assert(out("empty") == ((0.0, 0.0, 0)) && out("single") == ((1.0, 0.0, 1)))
+  }
+
   test("quality score favors long diverse prose over punctuation soup") {
     val df = Seq(
       ("good", ("the quick brown fox jumps over the lazy dog and runs through the field " * 4)),

@@ -24,6 +24,19 @@ class ParitySpec extends SparkSpec {
     assert(out.filter(col("hof") =!= col("compiled")).count() == 0)
   }
 
+  test("compiled HyperplaneSig buckets are bit-identical to the declarative lshSignature") {
+    val rnd = new scala.util.Random(23)
+    val df = (1 to 40)
+      .map(_ => Tuple1(Array.fill(24)(rnd.nextFloat() * 2 - 1).toSeq))
+      .toDF("vec")
+    for (table <- 0 until 3; bits <- Seq(4, 11)) {
+      val out = df.select(
+        Similarity.lshSignature(col("vec"), table, bits).as("hof"),
+        Similarity.lshSignatureCompiled(spark, col("vec"), table, bits).as("compiled"))
+      assert(out.filter(col("hof") =!= col("compiled")).count() == 0, s"t=$table bits=$bits")
+    }
+  }
+
   test("JaccardLongs over full-64-bit shingle hashes equals string-set jaccard") {
     val docs = Seq(
       ("a b c d e f g", "a b c d e f"),

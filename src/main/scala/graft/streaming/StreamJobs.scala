@@ -67,6 +67,36 @@ object StreamJobs {
     }
   }
 
+  /** Kafka envelope source — the production binding (reference
+    * topology: /root/reference/src/bronze/_bronze_utils.py:31-38).
+    * Resolves `format("kafka")` by name, so this compiles without the
+    * connector and runs on any cluster with `spark-sql-kafka-0-10` on
+    * the classpath (this environment ships no kafka jar, so it is
+    * compile-checked only — the file impl is the tested stand-in with
+    * the same replay contract). `startingOffsets=earliest` mirrors the
+    * reference's from-beginning bootstrap; offsets are tracked by the
+    * query checkpoint thereafter.
+    */
+  final case class KafkaEnvelopeSource(
+      bootstrapServers: String,
+      topic: String,
+      maxOffsetsPerTrigger: Option[Long] = None) extends EnvelopeSource {
+    override def load(spark: SparkSession): DataFrame = {
+      val reader = spark.readStream
+        .format("kafka")
+        .option("kafka.bootstrap.servers", bootstrapServers)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+      maxOffsetsPerTrigger
+        .map(n => reader.option("maxOffsetsPerTrigger", n.toString))
+        .getOrElse(reader)
+        .load()
+        .select(
+          col("key").cast(StringType).as("key"),
+          col("value").cast(StringType).as("value"))
+    }
+  }
+
   /** In-memory envelope source (tests / notebooks): push batches with
     * [[add]]; supports `Trigger.AvailableNow` like the file source.
     */

@@ -428,6 +428,54 @@ object Dedup {
     labels
   }
 
+  // ---- decontamination -----------------------------------------------------
+
+  /** Benchmark decontamination: flag corpus documents sharing word
+    * n-grams with an evaluation set — the pretraining hygiene step that
+    * keeps test data out of training corpora (the GPT-3/PaLM 13-gram
+    * overlap check, shortened to `shingleN` here). Per document: the
+    * count of DISTINCT eval n-grams it contains, and a flag at
+    * `minOverlap`.
+    *
+    * Scale shape: the eval side (benchmarks — MBs, not TBs) collapses
+    * to a distinct hashed-shingle set and BROADCASTS; the corpus side
+    * is one compiled shingle pass + a broadcast semi-join + a per-doc
+    * count. The 100 TB side never shuffles on anything wider than
+    * (doc_id, matched-gram).
+    */
+  def contaminationFlags(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      eval: DataFrame,
+      evalTextCol: String,
+      shingleN: Int = 3,
+      minOverlap: Int = 1): DataFrame = {
+    val spark = corpus.sparkSession
+    def hashed(df: DataFrame, tc: String, keep: Seq[Column]): DataFrame =
+      df.select(
+        keep :+ graft.functions.VectorExprs
+          .shingleHashes(spark, split(trim(lower(col(tc))), "\\s+"), shingleN, Long.MaxValue)
+          .as("sh"): _*)
+    val evalGrams = hashed(eval, evalTextCol, Seq.empty)
+      .select(explode(col("sh")).as("g"))
+      .distinct()
+    val corpusSh = hashed(corpus, textCol, Seq(col(idCol).as("doc_id")))
+    val matched = corpusSh
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+      .join(broadcast(evalGrams), "g") // per-doc shingles are distinct: count = distinct matches
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matched"))
+    corpusSh
+      .select(col("doc_id"))
+      .join(matched, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        when(coalesce(col("n_matched"), lit(0L)) >= minOverlap, 1).otherwise(0)
+          .as("is_contaminated"))
+  }
+
   // ---- embedding near-dup --------------------------------------------------
 
   /** Embedding-cosine near-dup pairs above `threshold`, brute force —

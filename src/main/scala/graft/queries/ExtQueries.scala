@@ -303,6 +303,33 @@ object ExtQueries {
     Dedup.embeddingNearDupPairsLsh(corpus, "vec_id", "embedding", 0.9)
   }
 
+  /** Benchmark decontamination over documents: every 50th document
+    * plays the eval set; each corpus doc reports how many distinct eval
+    * 3-grams it contains (eval docs flag themselves — the self-match is
+    * the sanity anchor; near-dups of eval docs are the real catch).
+    */
+  def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    Dedup.contaminationFlags(d, "doc_id", "text", d.filter(col("doc_id") % 50 === 0), "text")
+  }
+
+  val decontaminateSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |      ELSE list_transform(range(1, len(toks) - 1),
+      |                          j -> array_to_string(toks[j:j+2], ' ')) END) AS s
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      |        FROM documents)),
+      |ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 50 = 0),
+      |grams AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      |m AS (SELECT doc_id, count(*) AS n_matched
+      |      FROM grams JOIN ev USING (g) GROUP BY doc_id)
+      |SELECT s.doc_id,
+      |       coalesce(m.n_matched, 0) AS n_matched,
+      |       CASE WHEN coalesce(m.n_matched, 0) >= 1 THEN 1 ELSE 0 END AS is_contaminated
+      |FROM sh s LEFT JOIN m USING (doc_id)""".stripMargin
+
   /** Cluster-based exact dedup: a corpus with two extra copies of every
     * 7th document forms 3-node duplicate clusters; connected components
     * over the exact-dup pair edges must label every member with the
@@ -460,6 +487,7 @@ object ExtQueries {
     "q_train_val_split" -> (trainValSplit _),
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_clusters" -> (dedupClusters _),
+    "q_decontaminate" -> (decontaminate _),
     "q_text_top_terms" -> (textTopTerms _),
     "q_json_path" -> (jsonPath _),
     "q_dedup_minhash" -> (dedupMinhash _),
@@ -480,6 +508,7 @@ object ExtQueries {
     "q_text_repetition" -> textRepetitionSql,
     "q_dedup_exact" -> dedupExactSql,
     "q_dedup_clusters" -> dedupClustersSql,
+    "q_decontaminate" -> decontaminateSql,
     "q_text_top_terms" -> textTopTermsSql,
     "q_json_path" -> jsonPathSql,
     "q_dedup_minhash" -> dedupMinhashSql,

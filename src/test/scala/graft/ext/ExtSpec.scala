@@ -134,6 +134,22 @@ class DedupSpec extends SparkSpec {
     assert(brute.nonEmpty && lsh == brute, s"lsh=${lsh.size} brute=${brute.size}")
   }
 
+  test("contaminationFlags catches eval docs, their near-copies, and passes clean docs") {
+    val corpusDocs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // the "benchmark" doc
+      (2L, "alpha beta gamma delta something else entirely"), // leading 4 tokens shared
+      (3L, "totally unrelated words with no overlap at all"),
+      (4L, "zeta epsilon delta gamma beta alpha")) // reversed: shares no 3-gram
+      .toDF("id", "text")
+    val eval = corpusDocs.filter(col("id") === 1L)
+    val out = Dedup.contaminationFlags(corpusDocs, "id", "text", eval, "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(out(1L) == ((4L, 1))) // self-match: all 4 of its own 3-grams
+    assert(out(2L) == ((2L, 1))) // "alpha beta gamma", "beta gamma delta"
+    assert(out(3L) == ((0L, 0)))
+    assert(out(4L) == ((0L, 0))) // order matters for n-grams
+  }
+
   test("exactDedup keeps lowest id per distinct content") {
     val df = Seq((5L, "x y z"), (2L, "x  Y z"), (9L, "other")).toDF("id", "text")
     val kept = Dedup.exactDedup(df, "id", "text").collect().map(_.getLong(0)).toSet

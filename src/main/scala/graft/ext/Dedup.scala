@@ -460,20 +460,20 @@ object Dedup {
     val evalGrams = hashed(eval, evalTextCol, Seq.empty)
       .select(explode(col("sh")).as("g"))
       .distinct()
-    val corpusSh = hashed(corpus, textCol, Seq(col(idCol).as("doc_id")))
-    val matched = corpusSh
-      .select(col("doc_id"), explode(col("sh")).as("g"))
-      .join(broadcast(evalGrams), "g") // per-doc shingles are distinct: count = distinct matches
+      .withColumn("__hit", lit(1L))
+    // single corpus pass: explode shingles, LEFT broadcast-probe the eval
+    // set, count hits per doc (per-doc shingles are distinct, so the sum
+    // of hits IS the distinct-match count; unmatched and shingle-less
+    // docs survive through the outer explode + left join with 0)
+    hashed(corpus, textCol, Seq(col(idCol).as("doc_id")))
+      .select(col("doc_id"), explode_outer(col("sh")).as("g"))
+      .join(broadcast(evalGrams), Seq("g"), "left")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_matched"))
-    corpusSh
-      .select(col("doc_id"))
-      .join(matched, Seq("doc_id"), "left")
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_matched"))
       .select(
         col("doc_id"),
-        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
-        when(coalesce(col("n_matched"), lit(0L)) >= minOverlap, 1).otherwise(0)
-          .as("is_contaminated"))
+        col("n_matched"),
+        when(col("n_matched") >= minOverlap, 1).otherwise(0).as("is_contaminated"))
   }
 
   // ---- embedding near-dup --------------------------------------------------

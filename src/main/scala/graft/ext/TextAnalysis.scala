@@ -130,6 +130,38 @@ object TextAnalysis {
         when(col("top_token_ratio") > 0.3 || col("dup_bigram_ratio") > 0.2, 1).otherwise(0))
   }
 
+  /** Token-budget sequence packing: assign each document to a training
+    * pack of ≤ `budget` tokens (long docs overflow into their own bin
+    * boundary), greedily in id order WITHIN hash shards — the streaming
+    * pack construction used to build fixed-budget training batches.
+    *
+    * Determinism + scale: the shard is a pure md5 function of the id
+    * (stable across runs/engines, like [[graft.queries.ExtQueries]]'s
+    * train/val split), and the running token sum is a window per shard —
+    * state bounded by shard size, `shards` of them in parallel, no
+    * global sort. Output key is (shard, pack_bin): bin b holds the docs
+    * whose running token offset falls in [b·budget, (b+1)·budget).
+    */
+  def packSequences(
+      df: DataFrame,
+      idCol: String,
+      tokenCol: String,
+      budget: Int,
+      shards: Int = 16): DataFrame = {
+    val shard = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long") % shards).as("shard")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"))
+      .orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.withColumn("shard", shard)
+      .withColumn("__running", sum(col(tokenCol)).over(w))
+      .withColumn(
+        "pack_bin",
+        floor((col("__running") - col(tokenCol)) / lit(budget.toDouble)).cast("long"))
+      .drop("__running")
+  }
+
   /** Content fingerprint: md5 of whitespace-normalized lowercase text —
     * the canonical exact-dup key (stable across engines).
     */

@@ -188,6 +188,34 @@ object ExtQueries {
       |            THEN 'train' ELSE 'val' END AS split
       |FROM documents""".stripMargin
 
+  /** Token-budget packing of documents into training bins (2048-token
+    * budget, 8 hash shards) — deterministic, so fully oracle-checked.
+    */
+  def packSequences(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis
+      .packSequences(
+        docs(spark, sfDir).select(
+          col("doc_id"),
+          TextAnalysis.tokenCountWs(col("text")).as("n_tokens")),
+        "doc_id",
+        "n_tokens",
+        budget = 2048,
+        shards = 8)
+      .select(col("doc_id"), col("n_tokens"), col("shard"), col("pack_bin"))
+
+  val packSequencesSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+      |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS shard
+      |  FROM documents)
+      |SELECT doc_id, n_tokens, shard,
+      |       CAST(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      |                     ROWS UNBOUNDED PRECEDING) - n_tokens) / 2048.0) AS BIGINT)
+      |         AS pack_bin
+      |FROM t""".stripMargin
+
   // ---- dedup ---------------------------------------------------------------
 
   def dedupExact(spark: SparkSession, sfDir: String): DataFrame =
@@ -485,6 +513,7 @@ object ExtQueries {
     "q_text_repetition" -> (textRepetition _),
     "q_text_langid" -> (textLangId _),
     "q_train_val_split" -> (trainValSplit _),
+    "q_pack_sequences" -> (packSequences _),
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_clusters" -> (dedupClusters _),
     "q_decontaminate" -> (decontaminate _),
@@ -519,5 +548,6 @@ object ExtQueries {
     "q_multimodal_meta" -> multimodalMetaSql,
     "q_multimodal_decode" -> multimodalDecodeSql,
     "q_text_langid" -> textLangIdSql,
-    "q_train_val_split" -> trainValSplitSql)
+    "q_train_val_split" -> trainValSplitSql,
+    "q_pack_sequences" -> packSequencesSql)
 }

@@ -51,6 +51,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out("empty") == ((0.0, 0.0, 0)) && out("single") == ((1.0, 0.0, 1)))
   }
 
+  test("packSequences fills bins to the budget in id order and never splits mid-doc") {
+    val df = (1L to 100L).map(i => (i, 100 + (i % 7).toInt * 50)).toDF("id", "toks")
+    val out = TextAnalysis.packSequences(df, "id", "toks", budget = 1000, shards = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == 100)
+    // within a shard, bins are assigned in id order with non-decreasing ids,
+    // and each bin STARTS under the budget (a doc may overflow its bin's end
+    // - contiguous packing never splits a document)
+    out.groupBy(_._3).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._1)
+      var running = 0L
+      sorted.foreach { case (_, toks, _, bin) =>
+        assert(bin == running / 1000, s"bin must be the running-offset bucket")
+        running += toks
+      }
+    }
+    // same doc -> same shard/bin on re-run (pure function of the input)
+    val again = TextAnalysis.packSequences(df, "id", "toks", budget = 1000, shards = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
   test("quality score favors long diverse prose over punctuation soup") {
     val df = Seq(
       ("good", ("the quick brown fox jumps over the lazy dog and runs through the field " * 4)),

@@ -91,6 +91,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("decontamination probes eval grams via broadcast — the corpus side never sort-merges") {
+    val p = plan(graft.queries.ExtQueries.decontaminate(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("bloom-prune probe is a compiled expression, not a ScalaUDF") {
     val p = plan(graft.queries.ScaleQueries.bloomPruneJoin(spark, sf))
     assert(!p.contains("ScalaUDF"), p)

@@ -334,6 +334,23 @@ object AnalyticsQueries {
     """SELECT p_partkey, p_brand, p_size, p_retailprice
       |FROM part WHERE p_size >= 25""".stripMargin
 
+  /** JSON-lines round trip — the de-facto interchange format for LLM
+    * training corpora: write the documents table as .jsonl, read it
+    * back with a DECLARED schema (inference over a 100 TB corpus is a
+    * full extra pass; production readers always declare). Escaping,
+    * unicode, and field order survive the trip (oracle = identity).
+    */
+  def jsonlRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = graft.util.TempDirs.scratch("jsonl")
+    val d = spark.read.parquet(tablePath(sfDir, "documents"))
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+    d.write.mode("overwrite").json(dir)
+    spark.read.schema(d.schema).json(dir)
+  }
+
+  val jsonlRoundtripSql: String =
+    "SELECT doc_id, lang, source, text FROM documents"
+
   /** Calendar gap-filling: a generated date spine left-joined to the
     * facts so empty days surface as zero rows (Jan 31 has no events —
     * it must appear). `sequence` + `explode` generates the spine
@@ -534,6 +551,7 @@ object AnalyticsQueries {
     "q_weighted_avg" -> (weightedAvg _),
     "q_typed_pipeline" -> (typedPipeline _),
     "q_orc_roundtrip" -> (orcRoundtrip _),
+    "q_jsonl_roundtrip" -> (jsonlRoundtrip _),
     "q_cube_agg" -> (cubeAgg _),
     "q_quantiles" -> (quantiles _),
     "q_range_join_bands" -> (rangeJoinBands _),
@@ -557,6 +575,7 @@ object AnalyticsQueries {
     "q_weighted_avg" -> weightedAvgSql,
     "q_typed_pipeline" -> typedPipelineSql,
     "q_orc_roundtrip" -> orcRoundtripSql,
+    "q_jsonl_roundtrip" -> jsonlRoundtripSql,
     "q_cube_agg" -> cubeAggSql,
     "q_quantiles" -> quantilesSql,
     "q_range_join_bands" -> rangeJoinBandsSql,

@@ -130,6 +130,48 @@ object TextAnalysis {
         when(col("top_token_ratio") > 0.3 || col("dup_bigram_ratio") > 0.2, 1).otherwise(0))
   }
 
+  /** PII redaction — the standard scrub pass before training: URLs,
+    * then emails, then dotted-quad IPs are replaced with typed
+    * placeholder tokens. Patterns are kept to the regex subset shared
+    * by Java regex and RE2 so the DuckDB oracle replays them verbatim;
+    * order matters (URLs can embed '@', so they are redacted first).
+    * One codegen'd map pass, no shuffle.
+    */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val urlPattern = "https?://[^\\s]+"
+  val ipPattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, urlPattern, "<URL>"),
+        emailPattern,
+        "<EMAIL>"),
+      ipPattern,
+      "<IP>")
+
+  /** Deterministic corpus mixing (domain weighting): keep each document
+    * with its source's sampling rate, decided by an md5 hash of the id —
+    * the per-domain up/down-sampling step of training-data curation.
+    * Like [[graft.queries.ExtQueries]]'s train/val split, the decision
+    * is a pure function of (id, weight): stable across runs, engines,
+    * partitionings, and corpus growth. Sources absent from `weights`
+    * keep `defaultWeight`.
+    */
+  def mixSources(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      weights: Map[String, Double],
+      defaultWeight: Double = 1.0): DataFrame = {
+    val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long") % 10000
+    val rate = weights.foldLeft(lit(defaultWeight)) { case (acc, (s, w)) =>
+      when(col(sourceCol) === s, lit(w)).otherwise(acc)
+    }
+    df.filter(bucket < rate * 10000)
+  }
+
   /** Token-budget sequence packing: assign each document to a training
     * pack of ≤ `budget` tokens (long docs overflow into their own bin
     * boundary), greedily in id order WITHIN hash shards — the streaming

@@ -216,6 +216,65 @@ object ExtQueries {
       |         AS pack_bin
       |FROM t""".stripMargin
 
+  /** PII scrub before training: every 10th document gets a planted
+    * email/URL/IP suffix (the raw corpus is synthetic word soup), then
+    * the redaction pass must replace exactly those spans — the oracle
+    * replays the same shared-regex-subset patterns in DuckDB.
+    */
+  def piiRedact(spark: SparkSession, sfDir: String): DataFrame = {
+    val planted = docs(spark, sfDir).withColumn(
+      "text2",
+      when(
+        col("doc_id") % 10 === 0,
+        concat(
+          col("text"),
+          lit(" contact bob@example.com via https://example.com/page?x=1 from 10.0.0.1")))
+        .otherwise(col("text")))
+    planted.select(
+      col("doc_id"),
+      TextAnalysis.redactPii(col("text2")).as("clean_text"),
+      when(TextAnalysis.redactPii(col("text2")) =!= col("text2"), 1).otherwise(0)
+        .as("was_redacted"))
+  }
+
+  val piiRedactSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 10 = 0
+      |         THEN text || ' contact bob@example.com via https://example.com/page?x=1 from 10.0.0.1'
+      |         ELSE text END AS text2
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, text2,
+      |    regexp_replace(
+      |      regexp_replace(
+      |        regexp_replace(text2, 'https?://[^\s]+', '<URL>', 'g'),
+      |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS clean_text
+      |  FROM t)
+      |SELECT doc_id, clean_text,
+      |       CASE WHEN clean_text <> text2 THEN 1 ELSE 0 END AS was_redacted
+      |FROM r""".stripMargin
+
+  /** Deterministic corpus mixing: per-source sampling rates (domain
+    * weighting) decided by an id hash — rerunnable, engine-stable.
+    */
+  def mixSources(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis
+      .mixSources(
+        docs(spark, sfDir),
+        "doc_id",
+        "source",
+        Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
+        defaultWeight = 0.1)
+      .select(col("doc_id"), col("source"))
+
+  val mixSourcesSql: String =
+    """SELECT doc_id, source FROM documents
+      |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000
+      |      < (CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+      |              WHEN 'src2' THEN 0.25 ELSE 0.1 END) * 10000""".stripMargin
+
   // ---- dedup ---------------------------------------------------------------
 
   def dedupExact(spark: SparkSession, sfDir: String): DataFrame =
@@ -514,6 +573,8 @@ object ExtQueries {
     "q_text_langid" -> (textLangId _),
     "q_train_val_split" -> (trainValSplit _),
     "q_pack_sequences" -> (packSequences _),
+    "q_pii_redact" -> (piiRedact _),
+    "q_mix_sources" -> (mixSources _),
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_clusters" -> (dedupClusters _),
     "q_decontaminate" -> (decontaminate _),
@@ -549,5 +610,7 @@ object ExtQueries {
     "q_multimodal_decode" -> multimodalDecodeSql,
     "q_text_langid" -> textLangIdSql,
     "q_train_val_split" -> trainValSplitSql,
-    "q_pack_sequences" -> packSequencesSql)
+    "q_pack_sequences" -> packSequencesSql,
+    "q_pii_redact" -> piiRedactSql,
+    "q_mix_sources" -> mixSourcesSql)
 }

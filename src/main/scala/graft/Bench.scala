@@ -26,10 +26,29 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def fmt(v: Double): String = f"$v%.3f"
+    // Full-precision per-query detail goes to a file (the driver only
+    // captures a 2000-char stdout tail, which an 84-entry map overflows —
+    // BENCH_r05.json came back parsed:null because of exactly that).
+    val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val detailPath = java.nio.file.Paths.get("bench_detail.json")
+    java.nio.file.Files.write(
+      detailPath,
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"sf":"$sfDir"}""".getBytes("UTF-8"))
+    // The single stdout JSON line keeps the slowest queries (they dominate
+    // the total) up to a byte budget that fits the tail window.
+    val budget = 1700
+    val slowestFirst = results.sortBy(-_._2)
+    val kept = scala.collection.mutable.ListBuffer.empty[String]
+    var used = 120 // envelope overhead
+    slowestFirst.foreach { case (k, v) =>
+      val ent = s"\"" + k + "\":" + fmt(v)
+      if (used + ent.length + 1 <= budget) { kept += ent; used += ent.length + 1 }
+    }
+    val qs = kept.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir","detail":"bench_detail.json"}""")
     spark.stop()
   }
 }

@@ -113,10 +113,23 @@ object TextAnalysis {
     val t = col(textCol)
     val toks = tokensWs(lower(t))
     val n = when(length(trim(t)) === 0, 0).otherwise(size(toks))
+    // Max token frequency as the longest run in the SORTED token array —
+    // one O(n log n) sort plus one linear fold, instead of re-scanning the
+    // array once per distinct token (quadratic on long repetitive docs,
+    // exactly the docs this filter exists to catch).
+    val maxRun = aggregate(
+      array_sort(toks),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, tk) => {
+        val run = when(tk === acc.getField("prev"), acc.getField("run") + 1).otherwise(lit(1))
+        struct(
+          tk.as("prev"),
+          run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
     val topTokenRatio =
-      when(n === 0, 0.0).otherwise(
-        array_max(transform(array_distinct(toks), d =>
-          size(filter(toks, tk => tk === d)))).cast("double") / n)
+      when(n === 0, 0.0).otherwise(maxRun.cast("double") / n)
     val grams = transform(
       sequence(lit(0), size(toks) - 2),
       j => concat_ws(" ", element_at(toks, j + 1), element_at(toks, j + 2)))

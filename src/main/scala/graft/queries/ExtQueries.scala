@@ -382,6 +382,15 @@ object ExtQueries {
     * bucketed candidate join must reproduce the brute-force result
     * exactly (planted copies sit at cosine 1.0, where hyperplane-LSH
     * recall is exactly 1).
+    *
+    * VALIDITY: sharing the brute-force oracle is exact only while the
+    * corpus has no organic pairs in [0.9, 1) — true of the shipped
+    * testdata at every SF the driver runs (verified empirically at
+    * sf0.01 and sf0.1; ExtSpec guards the precondition on sf0.001). On
+    * data with organic near-dups below cosine 1.0 this query remains a
+    * correct high-recall candidate generator, but the oracle comparison
+    * would have to switch to the recall-bounded rows-only check used by
+    * `q_similarity_ann`.
     */
   def dedupEmbeddingLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val e = embs(spark, sfDir)

@@ -175,11 +175,17 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     * stats columns like [[append]] (recomputed from the new contents —
     * an overwrite invalidates the previous running max).
     */
-  def overwrite(df: DataFrame, partitionBy: Seq[String] = Seq.empty): Long = {
+  def overwrite(
+      df: DataFrame,
+      partitionBy: Seq[String] = Seq.empty,
+      statsCols: Seq[String] = Seq.empty): Long = {
     val prev = latestVersion().map(readManifest)
     val tableParts = prev.map(_.partitionBy).getOrElse(Seq.empty)
     val effParts = if (partitionBy.nonEmpty) partitionBy else tableParts
-    val effStats = prev.map(_.colMax.keys.toSeq).getOrElse(Seq.empty)
+    // Union, not either/or: a caller declaring statsCols on a table that
+    // predates the declaration must still establish the watermark.
+    val effStats =
+      (statsCols ++ prev.map(_.colMax.keys.toSeq).getOrElse(Seq.empty)).distinct
     val dirs = writeCommitDir(df, effParts).toSeq
     commit("overwrite", dirs, keepExisting = false, df.schema, effParts,
       statsOf(dirs, effStats))
@@ -525,7 +531,11 @@ object LakeTable {
     }
 
     def toStringValue(v: Any): String = v match {
-      case t: java.sql.Timestamp => (t.getTime / 1000 * 1000000L + t.getNanos / 1000).toString
+      // floorDiv: for pre-epoch timestamps getTime is negative and plain
+      // `/ 1000` truncates toward zero, shifting the epoch-second by one —
+      // the watermark would round-trip to a different instant.
+      case t: java.sql.Timestamp =>
+        (Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000).toString
       case d: java.sql.Date => d.toLocalDate.toEpochDay.toString
       case o => o.toString
     }

@@ -108,7 +108,9 @@ object Merge {
     val stamped = addScd2Cols(source, at)
     if (!table.exists || table.isEmpty)
       return table.append(stamped, statsCols = statsCols)
-    table.overwrite(scd2Rewrite(table.read(), stamped, keyCols, trackedCols, at))
+    table.overwrite(
+      scd2Rewrite(table.read(), stamped, keyCols, trackedCols, at),
+      statsCols = statsCols)
   }
 
   /** SCD Type 1 merge: upsert — matched keys take all source columns,
@@ -126,7 +128,7 @@ object Merge {
     val dataCols = target.columns.toSeq
     val src = source.select(dataCols.map(col): _*)
     val survivors = target.join(src.select(keyCols.map(col): _*), keyCols, "left_anti")
-    table.overwrite(survivors.unionByName(src))
+    table.overwrite(survivors.unionByName(src), statsCols = statsCols)
   }
 
   /** DELETE FROM semantics: atomically rewrite the table keeping only

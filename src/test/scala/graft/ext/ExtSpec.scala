@@ -190,6 +190,25 @@ class DedupSpec extends SparkSpec {
     assert(brute.nonEmpty && lsh == brute, s"lsh=${lsh.size} brute=${brute.size}")
   }
 
+  test("q_dedup_embedding_lsh oracle precondition holds on the shipped testdata") {
+    // The LSH query shares the brute-force SQL oracle; that equivalence is
+    // only guaranteed when every threshold-crossing pair is a planted copy
+    // (cosine 1.0, where hyperplane-LSH recall is exactly 1). Organic pairs
+    // in [0.9, 1) would make the oracle check data-dependent. Guard the
+    // precondition on the real corpus so a testdata change fails HERE with
+    // a message, not downstream as an opaque hash mismatch.
+    val sfDir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$sfDir/embeddings.parquet").exists())
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val corpus = e.unionByName(
+      e.filter(col("vec_id") % 10 === 0).withColumn("vec_id", col("vec_id") + 100000))
+    val organic = Dedup.embeddingNearDupPairs(corpus, "vec_id", "embedding", 0.9)
+      .filter(col("cosine") < 0.999999).count()
+    assert(organic == 0L,
+      s"$organic organic pairs in [0.9, 1) — q_dedup_embedding_lsh's shared " +
+        "brute-force oracle is no longer guaranteed exact; see ExtQueries.dedupEmbeddingLsh")
+  }
+
   test("contaminationFlags catches eval docs, their near-copies, and passes clean docs") {
     val corpusDocs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"), // the "benchmark" doc

@@ -428,6 +428,43 @@ object Dedup {
     labels
   }
 
+  /** Canonical-document selection: given near/exact-dup `pairs`
+    * (`id_a`, `id_b`) and a per-document score, keep the best-scoring
+    * member of every dup cluster (ties broken by lowest id) — the step
+    * after dup *detection* that decides which copy survives into the
+    * training set. Choosing by quality instead of "first seen" is the
+    * difference between keeping the clean article and keeping its
+    * boilerplate-wrapped mirror.
+    *
+    * Output: (cluster_rep, canonical_id, n_members, best_score), one
+    * row per cluster. Scale shape: [[clusterPairs]] label propagation
+    * over the pair list (pairs only — the unclustered bulk of the
+    * corpus never enters), then one hash join against the score table
+    * and a per-cluster `row_number` that plans as `WindowGroupLimit`
+    * (map-side pruned; clusters are dup groups, so partitions are tiny
+    * by construction).
+    */
+  def canonicalPerCluster(
+      pairs: DataFrame,
+      scored: DataFrame,
+      idCol: String,
+      scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labels = clusterPairs(pairs)
+    val members = labels.join(scored, labels("id") === scored(idCol))
+    val byCluster = Window.partitionBy(col("cluster_rep"))
+    val pick = byCluster.orderBy(col(scoreCol).desc, col("id").asc)
+    members
+      .withColumn("rn", row_number().over(pick))
+      .withColumn("n_members", count(lit(1)).over(byCluster))
+      .filter(col("rn") === 1)
+      .select(
+        col("cluster_rep"),
+        col("id").as("canonical_id"),
+        col("n_members"),
+        col(scoreCol).as("best_score"))
+  }
+
   // ---- decontamination -----------------------------------------------------
 
   /** Benchmark decontamination: flag corpus documents sharing word

@@ -1,0 +1,48 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators for corpus construction.
+  *
+  * Everything here is a pure function of the row's id — no RNG state, no
+  * `rand()` — so a sample is reproducible across runs, engines, and
+  * cluster sizes, and a row's membership can be audited after the fact
+  * (the property that matters when a training mix has to be rebuilt
+  * bit-identically months later). Rate-based sampling with the same
+  * hash trick lives in [[TextAnalysis.mixSources]]; this file covers
+  * the exact-count variants.
+  */
+object Sampling {
+
+  /** Uniform hash bucket in [0, 10000) as a pure function of the id —
+    * the first 8 hex chars of md5, the same keyspace split used by
+    * `q_train_val_split` and [[TextAnalysis.mixSources]].
+    */
+  def hashBucket(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long") % 10000
+
+  /** Exactly `n` rows per stratum, deterministically: rank rows within
+    * each stratum by (md5 hash bucket, id) and keep the first `n`.
+    * Strata with fewer than `n` rows are kept whole.
+    *
+    * Scale shape: the rank-filter plans as `WindowGroupLimit`
+    * (PlanAuditSpec pins it) — every map task pre-prunes to its local
+    * top-`n` per stratum BEFORE the shuffle, so the exchange carries at
+    * most `n × tasks` rows per stratum instead of the whole stratum. A
+    * 100 TB stratum therefore never funnels through one reducer; only
+    * the candidate set does. No driver-side counts, no two-phase rate
+    * guessing, no failure mode when a stratum is small.
+    */
+  def stratifiedExact(
+      df: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      n: Int): DataFrame = {
+    require(n > 0, s"sample size must be positive, got $n")
+    val w = Window.partitionBy(col(stratumCol)).orderBy(hashBucket(col(idCol)), col(idCol))
+    df.withColumn("sample_rank", row_number().over(w).cast("int"))
+      .filter(col("sample_rank") <= n)
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Sessions.tablePath
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Embeddings, LanguageModel, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** Training-data-pipeline extension queries (the BASELINE north star):
   * text analysis, dedup family, similarity search, multimodal plumbing
@@ -572,9 +572,166 @@ object ExtQueries {
       |                       CAST(trunc(flen) AS INT))))) AS max_md5
       |FROM d""".stripMargin
 
+  // ---- corpus construction -------------------------------------------------
+
+  /** Exact-count stratified sample: 50 documents per source,
+    * deterministic (md5-hash order within stratum). The rank filter
+    * plans as `WindowGroupLimit` so each map task pre-prunes to its
+    * local 50 before the shuffle — no stratum ever funnels whole
+    * through one reducer.
+    */
+  def sampleStratified(spark: SparkSession, sfDir: String): DataFrame =
+    Sampling
+      .stratifiedExact(docs(spark, sfDir), "doc_id", "source", 50)
+      .select(col("doc_id"), col("source"), col("sample_rank"))
+
+  val sampleStratifiedSql: String =
+    """SELECT doc_id, source, CAST(rn AS INTEGER) AS sample_rank FROM (
+      |  SELECT doc_id, source,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000,
+      |               doc_id) AS rn
+      |  FROM documents)
+      |WHERE rn <= 50""".stripMargin
+
+  /** Symmetric int8 quantization of the embedding column (4× storage
+    * cut, the FAISS-SQ8 trade): per-vector scale, quantized checksum,
+    * and max reconstruction error — all pure map-stage column algebra.
+    * floor(x + 0.5) round-half-up on BOTH engines, so the byte values
+    * are engine-exact, not approximately equal.
+    */
+  def embeddingQuantize(spark: SparkSession, sfDir: String): DataFrame =
+    embs(spark, sfDir)
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("scale", Embeddings.int8Scale(col("v")))
+      .withColumn("q", Embeddings.quantizeInt8(col("v"), col("scale")))
+      .select(
+        col("vec_id"),
+        size(col("q")).as("dim"),
+        round(col("scale"), 6).as("scale_q"),
+        aggregate(col("q"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+        round(Embeddings.maxAbsError(col("v"), col("q"), col("scale")), 6).as("max_abs_err"))
+
+  val embeddingQuantizeSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |s AS (SELECT vec_id, v,
+      |        coalesce(list_max(list_transform(v, x -> abs(x))), 0) / 127.0 AS scale
+      |      FROM e),
+      |q AS (SELECT vec_id, v, scale,
+      |        list_transform(v, x -> CASE WHEN scale = 0 THEN 0
+      |          ELSE CAST(least(127, greatest(-127, floor(x / scale + 0.5))) AS INTEGER) END) AS qv
+      |      FROM s)
+      |SELECT vec_id, CAST(len(qv) AS INTEGER) AS dim, round(scale, 6) AS scale_q,
+      |       CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum,
+      |       round(coalesce(list_max(list_transform(range(1, len(v) + 1),
+      |               i -> abs(v[i] - qv[i] * scale))), 0), 6) AS max_abs_err
+      |FROM q""".stripMargin
+
+  /** Bigram-LM quality scoring (the CCNet-shaped LM filter): train
+    * bigram/unigram counts on the corpus, score each document's average
+    * negative log-likelihood with add-0.5 smoothing. High = garbled.
+    */
+  def bigramLm(spark: SparkSession, sfDir: String): DataFrame =
+    LanguageModel.bigramNll(docs(spark, sfDir), "doc_id", "text", 0.5)
+
+  val bigramLmSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |grams AS (
+      |  SELECT doc_id, t[j] AS w1, t[j + 1] AS w2
+      |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS j FROM toks)),
+      |unic AS (SELECT w, count(*) AS c1
+      |         FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1),
+      |big AS (SELECT w1, w2, count(*) AS c12 FROM grams GROUP BY 1, 2),
+      |v AS (SELECT count(*) AS v FROM unic)
+      |SELECT g.doc_id, count(*) AS n_bigrams,
+      |       round(avg(-ln((b.c12 + 0.5) / (u.c1 + 0.5 * v.v))), 4) AS avg_nll
+      |FROM grams g JOIN big b USING (w1, w2) JOIN unic u ON g.w1 = u.w CROSS JOIN v
+      |GROUP BY g.doc_id""".stripMargin
+
+  /** Canonical-doc-per-cluster: minhash near-dup pairs → connected
+    * components → keep the highest-quality member of each cluster
+    * (quality-score argmax, ties to lowest id). The decision step after
+    * dup detection: which copy survives into the training set.
+    */
+  def dedupCanonical(spark: SparkSession, sfDir: String): DataFrame = {
+    val corpus = corpusNearDups(docs(spark, sfDir))
+    val pairs = Dedup
+      .minhashDedupPairs(corpus, "doc_id", "text", 0.5)
+      .select(col("id_a"), col("id_b"))
+    val scored = TextAnalysis
+      .qualityFeatures(corpus, "text")
+      .select(col("doc_id"), col("quality_score"))
+    Dedup.canonicalPerCluster(pairs, scored, "doc_id", "quality_score")
+  }
+
+  val dedupCanonicalSql: String = {
+    val sw = graft.ext.Stopwords.en.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH RECURSIVE corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000,
+       |         array_to_string(toks[1:greatest(len(toks) - 2, 0)], ' ')
+       |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |        FROM documents WHERE doc_id % 5 = 0)),
+       |sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+       |      ELSE list_transform(range(1, len(toks) - 1),
+       |                          j -> array_to_string(toks[j:j+2], ' ')) END) AS s
+       |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+       |        FROM corpus)),
+       |pairs AS (
+       |  SELECT id_a, id_b FROM (
+       |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |      round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |            / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+       |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+       |  WHERE jaccard >= 0.5),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |          UNION SELECT id_b, id_a FROM pairs),
+       |walk(id, lbl) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.id),
+       |labels AS (SELECT id, min(lbl) AS cluster_rep FROM walk GROUP BY id),
+       |quality AS (
+       |  SELECT doc_id,
+       |    round(least(1.0, n_tokens / 100.0) * 0.3
+       |          + (1.0 - least(1.0, punct_ratio * 5)) * 0.2
+       |          + least(1.0, stopword_ratio * 4) * 0.2
+       |          + uniq_ratio * 0.3, 4) AS quality_score
+       |  FROM (
+       |    SELECT doc_id, n_tokens,
+       |      CASE WHEN length(text) = 0 THEN 0.0
+       |           ELSE CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(text) END AS punct_ratio,
+       |      CASE WHEN n_tokens = 0 THEN 0.0
+       |           ELSE CAST(len(list_filter(toks, t -> list_contains($sw, t))) AS DOUBLE) / n_tokens END AS stopword_ratio,
+       |      CASE WHEN n_tokens = 0 THEN 0.0
+       |           ELSE CAST(len(list_distinct(toks)) AS DOUBLE) / n_tokens END AS uniq_ratio
+       |    FROM (
+       |      SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks,
+       |        CASE WHEN length(trim(text)) = 0 THEN 0
+       |             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+       |      FROM corpus)))
+       |SELECT cluster_rep, canonical_id, n_members, best_score FROM (
+       |  SELECT l.cluster_rep, q.doc_id AS canonical_id,
+       |         count(*) OVER (PARTITION BY l.cluster_rep) AS n_members,
+       |         q.quality_score AS best_score,
+       |         row_number() OVER (PARTITION BY l.cluster_rep
+       |           ORDER BY q.quality_score DESC, q.doc_id ASC) AS rn
+       |  FROM labels l JOIN quality q ON q.doc_id = l.id)
+       |WHERE rn = 1""".stripMargin
+  }
+
   // --------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sample_stratified" -> (sampleStratified _),
+    "q_embedding_quantize" -> (embeddingQuantize _),
+    "q_bigram_lm" -> (bigramLm _),
+    "q_dedup_canonical" -> (dedupCanonical _),
     "q_text_stats" -> (textStats _),
     "q_text_quality" -> (textQuality _),
     "q_text_fingerprint" -> (textFingerprint _),
@@ -601,6 +758,10 @@ object ExtQueries {
     "q_multimodal_decode" -> (multimodalDecode _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_sample_stratified" -> sampleStratifiedSql,
+    "q_embedding_quantize" -> embeddingQuantizeSql,
+    "q_bigram_lm" -> bigramLmSql,
+    "q_dedup_canonical" -> dedupCanonicalSql,
     "q_text_stats" -> textStatsSql,
     "q_text_quality" -> textQualitySql,
     "q_text_fingerprint" -> textFingerprintSql,

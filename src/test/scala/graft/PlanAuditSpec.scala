@@ -77,6 +77,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("stratified sample plans as WindowGroupLimit with a single stratum exchange") {
+    val p = plan(graft.queries.ExtQueries.sampleStratified(spark, sf))
+    // rank<=n must map-side-prune each stratum before the shuffle
+    assert(p.contains("WindowGroupLimit"), p)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 1, s"$exchanges hash exchanges:\n$p")
+  }
+
+  test("embedding quantization is a pure map stage: no exchange at all") {
+    val p = plan(graft.queries.ExtQueries.embeddingQuantize(spark, sf))
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("bigram LM scoring joins on the gram key without broadcasting the model's big side") {
+    val p = plan(graft.queries.ExtQueries.bigramLm(spark, sf))
+    // No cartesian shapes. The single permitted BroadcastNestedLoopJoin is
+    // the 1-row vocabulary-size attach, and it must sit on the bounded
+    // unigram-model side (LanguageModel pre-computes `denom` there), never
+    // over the unbounded doc-gram stream.
+    assert(!p.contains("CartesianProduct"), p)
+    // formatted explain names each node twice (tree + details): 2 hits = 1 node
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 2, p)
+  }
+
   test("brute-force topk broadcasts the query side") {
     val p = plan(graft.queries.ExtQueries.similarityTopK(spark, sf))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)

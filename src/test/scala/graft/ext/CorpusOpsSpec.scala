@@ -1,0 +1,99 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stratifiedExact keeps exactly n per stratum, whole strata when smaller") {
+    val df = ((1 to 100).map(i => (i.toLong, "big")) ++ (1 to 3).map(i => (1000L + i, "small")))
+      .toDF("id", "stratum")
+    val out = Sampling.stratifiedExact(df, "id", "stratum", 10)
+      .groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("big" -> 10L, "small" -> 3L))
+  }
+
+  test("stratifiedExact is deterministic and hash-ordered, not input-ordered") {
+    val df = (1 to 50).map(i => (i.toLong, "s")).toDF("id", "stratum")
+    val shuffled = df.orderBy(rand(42))
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      Sampling.stratifiedExact(d, "id", "stratum", 5).collect().map(_.getLong(0)).toSet
+    val a = ids(df)
+    assert(ids(shuffled) == a, "sample must not depend on input order")
+    // hash order: the picked set is the 5 smallest (bucket, id), which for
+    // md5 hashing is not simply ids 1..5
+    assert(a != (1L to 5L).toSet, s"suspicious: sample equals first-ids $a")
+  }
+}
+
+class EmbeddingsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("int8 quantization bounds reconstruction error by scale/2 and hits the clamp at max") {
+    val df = Seq(
+      (1L, Seq(0.5f, -1.27f, 1.27f, 0.003f)),
+      (2L, Seq(0.0f, 0.0f)), // zero vector: scale 0, all-zero quant
+      (3L, Seq(-0.004f))).toDF("id", "v")
+    val out = df
+      .withColumn("scale", Embeddings.int8Scale(col("v")))
+      .withColumn("q", Embeddings.quantizeInt8(col("v"), col("scale")))
+      .withColumn("err", Embeddings.maxAbsError(col("v"), col("q"), col("scale")))
+      .collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Double]("scale"), r.getSeq[Int](r.fieldIndex("q")), r.getAs[Double]("err")))).toMap
+    val (s1, q1, e1) = out(1L)
+    assert(math.abs(s1 - 1.27 / 127) < 1e-6)
+    assert(q1.head == 50 && q1(1) == -127 && q1(2) == 127, q1)
+    assert(e1 <= s1 / 2 + 1e-9, s"err $e1 > scale/2 ${s1 / 2}")
+    val (s2, q2, e2) = out(2L)
+    assert(s2 == 0.0 && q2.forall(_ == 0) && e2 == 0.0)
+    val (s3, q3, _) = out(3L)
+    assert(q3.head == -127, s"single-component vector quantizes to ±127, got $q3 (scale $s3)")
+  }
+}
+
+class LanguageModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bigramNll matches a hand-computed add-k score on a 2-doc corpus") {
+    // corpus: "a b a b" and "a b c": bigrams ab,ba,ab | ab,bc
+    // counts: c(a)=3 c(b)=3 c(c)=1, V=3; c(ab)=3 c(ba)=1 c(bc)=1, k=0.5
+    val df = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val out = LanguageModel.bigramNll(df, "doc_id", "text", 0.5).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    def p(c12: Double, c1: Double) = -math.log((c12 + 0.5) / (c1 + 0.5 * 3))
+    val d1 = (p(3, 3) + p(1, 3) + p(3, 3)) / 3
+    val d2 = (p(3, 3) + p(1, 3)) / 2
+    assert(out(1L)._1 == 3 && math.abs(out(1L)._2 - d1) < 5e-5, s"${out(1L)} vs $d1")
+    assert(out(2L)._1 == 2 && math.abs(out(2L)._2 - d2) < 5e-5, s"${out(2L)} vs $d2")
+  }
+
+  test("single-token and empty docs are excluded; common phrasing scores lower than rare") {
+    val df = Seq(
+      (1L, "the cat sat"), (2L, "the cat sat"), (3L, "the cat sat"),
+      (4L, "zqv cat blorp"), (5L, "solo"), (6L, " ")).toDF("doc_id", "text")
+    val out = LanguageModel.bigramNll(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(!out.contains(5L) && !out.contains(6L))
+    assert(out(1L) < out(4L), s"common ${out(1L)} should score below rare ${out(4L)}")
+  }
+}
+
+class CanonicalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("canonicalPerCluster picks the best score, ties to lowest id, counts members") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val scored = Seq(
+      (1L, 0.2), (2L, 0.9), (3L, 0.4), // chain cluster rep=1: best is 2
+      (10L, 0.7), (11L, 0.7)) // tie: lowest id 10 wins
+      .toDF("doc_id", "score")
+    val out = Dedup.canonicalPerCluster(pairs, scored, "doc_id", "score").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((2L, 3L, 0.9)), out)
+    assert(out(10L) == ((10L, 2L, 0.7)), out)
+  }
+}

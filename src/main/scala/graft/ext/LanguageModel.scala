@@ -43,7 +43,11 @@ object LanguageModel {
       .filter(length(trim(col(textCol))) > 0)
       .select(col(idCol), toks.as("toks"))
 
-    // one row per bigram occurrence, keyed (w1, w2)
+    // One row per bigram occurrence, keyed (w1, w2). Materialized once
+    // (localCheckpoint): the model build AND the scoring join both consume
+    // it — without the checkpoint the tokenize+explode runs twice. At
+    // cluster scale this is the "stage the gram table" step every LM
+    // filter pipeline performs before training counts.
     val grams = base
       .select(
         col(idCol),
@@ -53,6 +57,7 @@ object LanguageModel {
             slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
             (a, b) => struct(a.as("w1"), b.as("w2")))).as("g"))
       .select(col(idCol), col("g.w1").as("w1"), col("g.w2").as("w2"))
+      .localCheckpoint(true)
 
     val unigrams = base
       .select(explode(col("toks")).as("w"))

@@ -115,6 +115,38 @@ class LakeTableSpec extends SparkSpec {
     assert(got == Seq(3, 4), s"watermark must be 01-02 from the manifest, got rows $got")
   }
 
+  test("merge statsCols establish the watermark on a table that predates the declaration") {
+    // regression: mergeScd1's overwrite path used to drop the caller's
+    // statsCols when the table already existed without declared stats,
+    // so the manifest watermark was never established
+    val root = scratchDir("stats-late")
+    val t = LakeTable(spark, root)
+    val mk = (s: String) => Timestamp.valueOf(s)
+    t.append(Seq((1, "a", mk("2024-01-01 00:00:00"))).toDF("id", "v", "ts")) // no stats declared
+    Merge.mergeScd1(
+      t,
+      Seq((2, "b", mk("2024-01-03 00:00:00"))).toDF("id", "v", "ts"),
+      keyCols = Seq("id"),
+      statsCols = Seq("ts"))
+    // destroy data files: the probe must answer from the manifest alone
+    import scala.jdk.CollectionConverters._
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(root, "data"))
+    try walk.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    finally walk.close()
+    val src = Seq(
+      (3, "c", mk("2024-01-03 00:00:00")),
+      (4, "d", mk("2024-01-04 00:00:00"))).toDF("id", "v", "ts")
+    assert(t.incrementalFrom(src, "ts").collect().map(_.getInt(0)).toSeq == Seq(4))
+  }
+
+  test("manifest stats round-trip pre-epoch timestamps exactly (floorDiv encoding)") {
+    import org.apache.spark.sql.types.TimestampType
+    val pre = Timestamp.valueOf("1969-12-31 23:59:59.123456")
+    val enc = LakeTable.Stats.toStringValue(pre)
+    assert(LakeTable.Stats.fromStringValue(enc, TimestampType) == pre,
+      s"pre-epoch watermark mangled: $pre -> $enc -> ${LakeTable.Stats.fromStringValue(enc, TimestampType)}")
+  }
+
   test("statsCols survive overwrite (recomputed) and partition-scoped replace keeps only provable maxima") {
     val t = LakeTable(spark, scratchDir("stats2"))
     val mk = (s: String) => Timestamp.valueOf(s)

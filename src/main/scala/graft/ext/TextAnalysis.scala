@@ -220,6 +220,49 @@ object TextAnalysis {
   /** Content fingerprint: md5 of whitespace-normalized lowercase text —
     * the canonical exact-dup key (stable across engines).
     */
+  /** Fixed-token-window document chunking with overlap — the context
+    * splitter every pretraining / retrieval pipeline runs before
+    * embedding or packing. Chunk k covers tokens
+    * `[1 + k·stride, 1 + k·stride + chunkTokens)` (stride =
+    * chunkTokens − overlap); the last chunk is the first one reaching
+    * the document end, so no trailing chunk is a strict subset of its
+    * predecessor. Blank documents produce no chunks.
+    *
+    * Pure per-row column algebra (tokenize → computed chunk count →
+    * `posexplode` of the chunk index): a map stage that scales linearly
+    * with corpus size, no shuffle, no state.
+    */
+  def chunkDocuments(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkTokens: Int,
+      overlap: Int): DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap < chunkTokens, got chunk=$chunkTokens overlap=$overlap")
+    val stride = chunkTokens - overlap
+    val toks = tokensWs(trim(col(textCol)))
+    val n = size(toks)
+    // chunks = 1 + ceil((n - chunkTokens) / stride), floored at 1
+    val extra = greatest(lit(0),
+      ((n - chunkTokens + stride - 1).cast("double") / stride).cast("int"))
+    df.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol), toks.as("__toks"), (extra + 1).as("__k"))
+      .select(
+        col(idCol),
+        col("__toks"),
+        posexplode(sequence(lit(0), col("__k") - 1)))
+      .select(
+        col(idCol),
+        col("col").cast("int").as("chunk_idx"),
+        slice(col("__toks"), col("col") * stride + 1, lit(chunkTokens)).as("__c"))
+      .select(
+        col(idCol),
+        col("chunk_idx"),
+        size(col("__c")).as("n_chunk_tokens"),
+        array_join(col("__c"), " ").as("chunk_text"))
+  }
+
   def fingerprintMd5(text: Column): Column =
     md5(lower(regexp_replace(trim(text), "\\s+", " ")))
 

@@ -725,9 +725,113 @@ object ExtQueries {
        |WHERE rn = 1""".stripMargin
   }
 
+  /** Fixed-window chunking: 64-token chunks, 16-token overlap — the
+    * pre-embedding context splitter. Map-only; no shuffle.
+    */
+  def chunkDocuments(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.chunkDocuments(docs(spark, sfDir), "doc_id", "text", 64, 16)
+
+  val chunkDocumentsSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |k AS (
+      |  SELECT doc_id, toks,
+      |    1 + greatest(0, CAST(trunc((len(toks) - 64 + 47) / 48.0) AS INTEGER)) AS nk
+      |  FROM t),
+      |c AS (SELECT doc_id, toks, unnest(range(0, nk)) AS ci FROM k)
+      |SELECT doc_id, CAST(ci AS INTEGER) AS chunk_idx,
+      |       CAST(len(toks[ci * 48 + 1 : ci * 48 + 64]) AS INTEGER) AS n_chunk_tokens,
+      |       array_to_string(toks[ci * 48 + 1 : ci * 48 + 64], ' ') AS chunk_text
+      |FROM c""".stripMargin
+
+  /** Per-source corpus report card: doc counts, token volume, median
+    * doc length, mean quality — the summary table a curation run ends
+    * with. One hash aggregation over the quality map stage.
+    */
+  def corpusReport(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis
+      .qualityFeatures(docs(spark, sfDir), "text")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens_q").cast("long")).as("total_tokens"),
+        round(expr("percentile(n_tokens_q, 0.5)"), 4).as("p50_tokens"),
+        round(avg(col("quality_score")), 4).as("avg_quality"))
+
+  val corpusReportSql: String = {
+    val sw = graft.ext.Stopwords.en.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""SELECT source, count(*) AS n_docs,
+       |  sum(CAST(n_tokens AS BIGINT)) AS total_tokens,
+       |  round(quantile_cont(n_tokens, 0.5), 4) AS p50_tokens,
+       |  round(avg(quality_score), 4) AS avg_quality
+       |FROM (
+       |  SELECT source, n_tokens,
+       |    round(least(1.0, n_tokens / 100.0) * 0.3
+       |          + (1.0 - least(1.0, punct_ratio * 5)) * 0.2
+       |          + least(1.0, stopword_ratio * 4) * 0.2
+       |          + uniq_ratio * 0.3, 4) AS quality_score
+       |  FROM (
+       |    SELECT source, n_tokens,
+       |      CASE WHEN length(text) = 0 THEN 0.0
+       |           ELSE CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(text) END AS punct_ratio,
+       |      CASE WHEN n_tokens = 0 THEN 0.0
+       |           ELSE CAST(len(list_filter(toks, t -> list_contains($sw, t))) AS DOUBLE) / n_tokens END AS stopword_ratio,
+       |      CASE WHEN n_tokens = 0 THEN 0.0
+       |           ELSE CAST(len(list_distinct(toks)) AS DOUBLE) / n_tokens END AS uniq_ratio
+       |    FROM (
+       |      SELECT source, text, regexp_split_to_array(trim(text), '\\s+') AS toks,
+       |        CASE WHEN length(trim(text)) = 0 THEN 0
+       |             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+       |      FROM documents)))
+       |GROUP BY source""".stripMargin
+  }
+
+  /** Vocabulary coverage: top-50 terms by occurrence with cumulative
+    * corpus share — the "how big must the vocab be" curve. The global
+    * running sum is over the AGGREGATED vocab table (|V| rows, post
+    * map-side combine), never the raw token stream, so the single-
+    * partition window is bounded by vocabulary size, not corpus size.
+    */
+  def vocabCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs(spark, sfDir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("cnt"))
+    val ord = Window.orderBy(col("cnt").desc, col("term").asc)
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .withColumn("rank", row_number().over(ord).cast("int"))
+      .withColumn(
+        "cum_share",
+        round(sum(col("cnt")).over(run) /
+          sum(col("cnt")).over(Window.partitionBy(lit(1))), 6))
+      .filter(col("rank") <= 50)
+      .select(col("term"), col("cnt"), col("rank"), col("cum_share"))
+  }
+
+  val vocabCoverageSql: String =
+    """SELECT term, cnt, rank, cum_share FROM (
+      |  SELECT term, cnt,
+      |    CAST(row_number() OVER (ORDER BY cnt DESC, term ASC) AS INTEGER) AS rank,
+      |    round(sum(cnt) OVER (ORDER BY cnt DESC, term ASC
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |          / sum(cnt) OVER (), 6) AS cum_share
+      |  FROM (
+      |    SELECT term, count(*) AS cnt
+      |    FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      |          FROM documents WHERE length(trim(text)) > 0)
+      |    GROUP BY term))
+      |WHERE rank <= 50""".stripMargin
+
   // --------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_chunk_documents" -> (chunkDocuments _),
+    "q_corpus_report" -> (corpusReport _),
+    "q_vocab_coverage" -> (vocabCoverage _),
     "q_sample_stratified" -> (sampleStratified _),
     "q_embedding_quantize" -> (embeddingQuantize _),
     "q_bigram_lm" -> (bigramLm _),
@@ -758,6 +862,9 @@ object ExtQueries {
     "q_multimodal_decode" -> (multimodalDecode _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_chunk_documents" -> chunkDocumentsSql,
+    "q_corpus_report" -> corpusReportSql,
+    "q_vocab_coverage" -> vocabCoverageSql,
     "q_sample_stratified" -> sampleStratifiedSql,
     "q_embedding_quantize" -> embeddingQuantizeSql,
     "q_bigram_lm" -> bigramLmSql,

@@ -82,6 +82,30 @@ class LanguageModelSpec extends SparkSpec {
   }
 }
 
+class ChunkingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chunking covers every token, honors overlap, and never emits a subset chunk") {
+    val text = (1 to 150).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, text), (2L, "short doc"), (3L, " ")).toDF("id", "text")
+    val out = TextAnalysis.chunkDocuments(df, "id", "text", 64, 16).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(!out.exists(_._1 == 3L), "blank doc must produce no chunks")
+    val short = out.filter(_._1 == 2L)
+    assert(short.length == 1 && short.head._3 == 2 && short.head._4 == "short doc")
+    val long = out.filter(_._1 == 1L).sortBy(_._2)
+    // 150 tokens, chunk 64, stride 48 -> chunks at 1, 49, 97 (covers 97..150)
+    assert(long.length == 3, long.map(_._2).toSeq)
+    assert(long.head._4.startsWith("t1 ") && long.head._3 == 64)
+    assert(long(1)._4.startsWith("t49 "), "stride must be chunk - overlap")
+    assert(long(2)._4.endsWith(" t150"), "last chunk must reach the document end")
+    // overlap: chunk k's first 16 tokens == chunk k-1's last 16
+    val c0 = long.head._4.split(" ")
+    val c1 = long(1)._4.split(" ")
+    assert(c0.takeRight(16).toSeq == c1.take(16).toSeq)
+  }
+}
+
 class CanonicalSpec extends SparkSpec {
   import spark.implicits._
 

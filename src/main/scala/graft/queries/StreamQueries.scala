@@ -306,7 +306,54 @@ object StreamQueries {
       |  AS dim(event_type, type_code, weight)
       |  ON e.event_type = dim.event_type""".stripMargin
 
+  /** Streaming quality gate: the ext quality scorer applied at INGEST
+    * time — documents stream through `qualityFeatures` and only rows at
+    * or above the score threshold pass. Stateless, so the streaming
+    * result must equal the batch run of the same filter, which is
+    * exactly what the shared oracle checks (ext × streaming
+    * composition, not a new operator).
+    */
+  def streamQualityGate(spark: SparkSession, sfDir: String): DataFrame = {
+    val wd = workDir("squality")
+    val src = s"$wd/src"
+    val d = spark.read.parquet(graft.Sessions.tablePath(sfDir, "documents"))
+    d.write.mode("overwrite").parquet(src)
+    StreamJobs.runStatelessTransform(
+      spark, src, d.schema,
+      df =>
+        graft.ext.TextAnalysis
+          .qualityFeatures(df, "text")
+          .filter(col("quality_score") >= 0.5)
+          .select(col("doc_id"), col("n_tokens_q"), col("quality_score")),
+      wd)
+  }
+
+  val streamQualityGateSql: String = {
+    val sw = graft.ext.Stopwords.en.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""SELECT doc_id, n_tokens AS n_tokens_q, quality_score FROM (
+       |  SELECT doc_id, n_tokens,
+       |    round(least(1.0, n_tokens / 100.0) * 0.3
+       |          + (1.0 - least(1.0, punct_ratio * 5)) * 0.2
+       |          + least(1.0, stopword_ratio * 4) * 0.2
+       |          + uniq_ratio * 0.3, 4) AS quality_score
+       |  FROM (
+       |    SELECT doc_id, n_tokens,
+       |      CASE WHEN length(text) = 0 THEN 0.0
+       |           ELSE CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(text) END AS punct_ratio,
+       |      CASE WHEN n_tokens = 0 THEN 0.0
+       |           ELSE CAST(len(list_filter(toks, t -> list_contains($sw, t))) AS DOUBLE) / n_tokens END AS stopword_ratio,
+       |      CASE WHEN n_tokens = 0 THEN 0.0
+       |           ELSE CAST(len(list_distinct(toks)) AS DOUBLE) / n_tokens END AS uniq_ratio
+       |    FROM (
+       |      SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks,
+       |        CASE WHEN length(trim(text)) = 0 THEN 0
+       |             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+       |      FROM documents)))
+       |WHERE quality_score >= 0.5""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_quality_gate" -> (streamQualityGate _),
     "q_stream_static_join" -> (streamStaticJoin _),
     "q_stream_upsert" -> (streamUpsert _),
     "q_stream_join_outer" -> (streamStreamJoinOuter _),
@@ -317,6 +364,7 @@ object StreamQueries {
     "q_stream_sessions" -> (streamSessions _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_stream_quality_gate" -> streamQualityGateSql,
     "q_stream_static_join" -> streamStaticJoinSql,
     "q_stream_upsert" -> streamUpsertSql,
     "q_stream_join_outer" -> streamStreamJoinOuterSql,

@@ -255,6 +255,30 @@ object StreamJobs {
     spark.table(queryName)
   }
 
+  /** Stateless streaming transform: stream the source, apply a pure
+    * row-level `transform` (filters/projections/scoring — anything
+    * shuffle-free), collect through a memory sink. The streaming analog
+    * of a curation map stage: because the transform is stateless, the
+    * result is exactly the batch run of the same transform, which is
+    * what the oracle checks. At scale this is the shape of an
+    * ingest-time quality gate — per-micro-batch, no state store, no
+    * watermark, back-pressure from the source's trigger bounds.
+    */
+  def runStatelessTransform(
+      spark: SparkSession,
+      sourceDir: String,
+      sourceSchema: StructType,
+      transform: DataFrame => DataFrame,
+      workDir: String): DataFrame = {
+    val checkpoint = dir(workDir, s"checkpoint-stateless-${java.util.UUID.randomUUID()}")
+    val queryName = s"stateless_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val stream = spark.readStream.schema(sourceSchema).parquet(sourceDir)
+    val q = startMemorySink(spark, transform(stream), queryName, checkpoint, statePartitions = 8)
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(queryName)
+  }
+
   /** Hop 2 — stateful streaming aggregation (S4+A1+P12+K3) driven to a
     * deterministic fixpoint.
     *

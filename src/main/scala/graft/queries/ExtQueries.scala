@@ -748,6 +748,14 @@ object ExtQueries {
   /** Per-source corpus report card: doc counts, token volume, median
     * doc length, mean quality — the summary table a curation run ends
     * with. One hash aggregation over the quality map stage.
+    *
+    * `avg_quality` is an exact integer-scaled mean, not `avg(double)`:
+    * quality_score is 4-dp by construction, so summing
+    * `round(q*10000)` as BIGINT is exact and ORDER-INDEPENDENT — a
+    * float `avg` under partial aggregation can flip the 4th decimal vs
+    * a single-threaded engine purely from summation order (the
+    * r6 oracle mismatch). The final division of two exact integers is
+    * one IEEE double op, identical on any engine.
     */
   def corpusReport(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis
@@ -757,14 +765,18 @@ object ExtQueries {
         count(lit(1)).as("n_docs"),
         sum(col("n_tokens_q").cast("long")).as("total_tokens"),
         round(expr("percentile(n_tokens_q, 0.5)"), 4).as("p50_tokens"),
-        round(avg(col("quality_score")), 4).as("avg_quality"))
+        round(
+          sum(expr("cast(round(quality_score * 10000) as bigint)")).cast("double") /
+            (count(lit(1)) * lit(10000L)).cast("double"),
+          4).as("avg_quality"))
 
   val corpusReportSql: String = {
     val sw = graft.ext.Stopwords.en.map(w => s"'$w'").mkString("[", ", ", "]")
     s"""SELECT source, count(*) AS n_docs,
        |  sum(CAST(n_tokens AS BIGINT)) AS total_tokens,
        |  round(quantile_cont(n_tokens, 0.5), 4) AS p50_tokens,
-       |  round(avg(quality_score), 4) AS avg_quality
+       |  round(CAST(sum(CAST(round(quality_score * 10000) AS BIGINT)) AS DOUBLE)
+       |        / CAST(count(*) * 10000 AS DOUBLE), 4) AS avg_quality
        |FROM (
        |  SELECT source, n_tokens,
        |    round(least(1.0, n_tokens / 100.0) * 0.3

@@ -90,15 +90,52 @@ final class LakeTable(val spark: SparkSession, val root: String) {
   // ---- writes -------------------------------------------------------------
 
   /** Write `df`'s rows as a new immutable commit dir; return its relative
-    * name (empty input still commits an empty dir entry-less manifest).
+    * name (empty input still commits an empty dir entry-less manifest)
+    * plus the batch's max-stats for `statsCols`.
+    *
+    * Stats ride the write job itself via `df.observe` (CollectMetrics):
+    * the max is folded in as the rows stream to parquet, so declaring
+    * watermark columns costs zero extra scans — at 100 TB a post-write
+    * re-read of the committed files would be a second pass over the
+    * whole batch. If the observation did not fire (defensive: metrics
+    * are delivered by a listener), fall back to the footer-stats rescan.
     */
-  private def writeCommitDir(df: DataFrame, partitionBy: Seq[String]): Option[String] = {
+  private def writeCommitDir(
+      df: DataFrame,
+      partitionBy: Seq[String],
+      statsCols: Seq[String] = Seq.empty): (Option[String], Map[String, String]) = {
     val commitName = s"commit-${UUID.randomUUID()}"
     val dest = dataDir.resolve(commitName)
-    val writer = df.write.mode("overwrite")
+    val present = statsCols.filter(df.columns.contains)
+    present.foreach(c => Stats.requireSupported(df.schema(c).dataType, c))
+    val obs =
+      if (present.isEmpty) None else Some(new org.apache.spark.sql.Observation(commitName))
+    val toWrite = obs match {
+      case None => df
+      case Some(o) =>
+        df.observe(
+          o,
+          max(col(present.head)).as(present.head),
+          present.tail.map(c => max(col(c)).as(c)): _*)
+    }
+    val writer = toWrite.write.mode("overwrite")
     val w = if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer
     w.parquet(dest.toString)
-    Some(commitName)
+    val stats: Map[String, String] = obs match {
+      case None => Map.empty[String, String]
+      case Some(o) =>
+        try {
+          val row = scala.concurrent.Await.result(
+            o.future, scala.concurrent.duration.Duration(30, "seconds"))
+          present.flatMap { c =>
+            Option(row.get(row.fieldIndex(c))).map(v => c -> Stats.toStringValue(v))
+          }.toMap
+        } catch {
+          case _: java.util.concurrent.TimeoutException =>
+            statsOf(Seq(commitName), present)
+        }
+    }
+    (Some(commitName), stats)
   }
 
   private def commit(
@@ -164,8 +201,8 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     val effParts = if (partitionBy.nonEmpty) partitionBy else tableParts
     val effStats =
       if (statsCols.nonEmpty) statsCols else prev.map(_.colMax.keys.toSeq).getOrElse(Seq.empty)
-    val dirs = writeCommitDir(df, effParts).toSeq
-    val batchMax = statsOf(dirs, effStats)
+    val (dirOpt, batchMax) = writeCommitDir(df, effParts, effStats)
+    val dirs = dirOpt.toSeq
     val merged = Stats.merge(prev.map(_.colMax).getOrElse(Map.empty), batchMax, df.schema)
     commit("append", dirs, keepExisting = true, df.schema, effParts, merged)
   }
@@ -186,9 +223,8 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     // predates the declaration must still establish the watermark.
     val effStats =
       (statsCols ++ prev.map(_.colMax.keys.toSeq).getOrElse(Seq.empty)).distinct
-    val dirs = writeCommitDir(df, effParts).toSeq
-    commit("overwrite", dirs, keepExisting = false, df.schema, effParts,
-      statsOf(dirs, effStats))
+    val (dirOpt, batchMax) = writeCommitDir(df, effParts, effStats)
+    commit("overwrite", dirOpt.toSeq, keepExisting = false, df.schema, effParts, batchMax)
   }
 
   /** Hive-style partition values (`col=value` subdir names) present in
@@ -233,7 +269,8 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     val affectedSet = affected.toSet
     val p0Name = prev.partitionBy.head
 
-    val newDir = writeCommitDir(df, prev.partitionBy).get
+    val (newDirOpt, newMax) = writeCommitDir(df, prev.partitionBy, prev.colMax.keys.toSeq)
+    val newDir = newDirOpt.get
     val narrowed = prev.commitDirs.zip(prev.effectiveScopes).flatMap { case (dir, scope) =>
       val eff = if (scope.nonEmpty) scope else listPartitionValues(dir)
       if (eff.isEmpty) {
@@ -258,9 +295,9 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     val version = prev.version + 1
     // colMax: the rewritten partitions may have held the old max, and an
     // exact recompute would scan the untouched partitions — keep the stat
-    // only when provably still a max (new batch >= previous), else drop
-    // it and let incrementalFrom fall back to the aggregation probe.
-    val newMax = statsOf(Seq(newDir), prev.colMax.keys.toSeq)
+    // only when provably still a max (new batch >= previous, observed
+    // during the write above), else drop it and let incrementalFrom fall
+    // back to the aggregation probe.
     val keptMax = prev.colMax.flatMap { case (c, old) =>
       newMax.get(c).filter(nv => Stats.geq(nv, old, df.schema(c).dataType)).map(c -> _)
     }
@@ -537,6 +574,10 @@ object LakeTable {
       case t: java.sql.Timestamp =>
         (Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000).toString
       case d: java.sql.Date => d.toLocalDate.toEpochDay.toString
+      // java8 datetime API variants (spark.sql.datetime.java8API.enabled)
+      case i: java.time.Instant =>
+        java.time.temporal.ChronoUnit.MICROS.between(java.time.Instant.EPOCH, i).toString
+      case d: java.time.LocalDate => d.toEpochDay.toString
       case o => o.toString
     }
 

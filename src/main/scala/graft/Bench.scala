@@ -20,23 +20,33 @@ object Bench {
     spark.read.parquet(s"$sfDir/nation.parquet").count()
     // optional comma-separated query filter for profiling single operators
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+    // Brute-force oracle baselines are excluded at sf >= 0.1 (their role
+    // is small-SF cross-checking; the bucketed twins stay benched). An
+    // explicit SPARK_GRAFT_ONLY filter overrides for profiling.
+    val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1).toDouble).getOrElse(1.0)
+    val skipped =
+      if (only.isEmpty && sf >= 0.1) SparkEntry.oracleOnlyAtScale else Set.empty[String]
+    val selected = SparkEntry.queries.filter { case (n, _) =>
+      only.forall(_.contains(n)) && !skipped.contains(n)
+    }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val total = results.map(_._2).sum
-    def fmt(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
+    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     // Full-precision per-query detail goes to a file (the driver only
     // captures a 2000-char stdout tail, which an 84-entry map overflows —
     // BENCH_r05.json came back parsed:null because of exactly that).
     val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val detailPath = java.nio.file.Paths.get("bench_detail.json")
+    val skippedJson = skipped.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     java.nio.file.Files.write(
       detailPath,
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"sf":"$sfDir"}""".getBytes("UTF-8"))
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"skipped":$skippedJson,"sf":"$sfDir"}""".getBytes("UTF-8"))
     // The single stdout JSON line keeps the slowest queries (they dominate
     // the total) up to a byte budget that fits the tail window.
     val budget = 1700
@@ -48,7 +58,7 @@ object Bench {
       if (used + ent.length + 1 <= budget) { kept += ent; used += ent.length + 1 }
     }
     val qs = kept.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir","detail":"bench_detail.json"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"skipped":$skippedJson,"sf":"$sfDir","detail":"bench_detail.json"}""")
     spark.stop()
   }
 }

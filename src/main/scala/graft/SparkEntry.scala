@@ -13,6 +13,13 @@ object SparkEntry {
       _root_.graft.queries.PipelineQueries.queries ++
       _root_.graft.queries.ScaleQueries.queries ++
       _root_.graft.queries.AnalyticsQueries.queries
+  /** Brute-force O(N²) baselines whose ROLE is small-SF oracle
+    * cross-checking of a bucketed variant (the LSH twin hash-matches the
+    * same oracle): correctness-gated at sf0.01 like every query, but
+    * excluded from large-SF benchmarking — a quadratic self-join is not
+    * a plan this library endorses at scale, so timing it at sf0.1+
+    * would grade a path no user should run there. */
+  val oracleOnlyAtScale: Set[String] = Set("q_dedup_embedding")
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

@@ -181,9 +181,13 @@ object Dedup {
     * bounded at corpus scale:
     *   - length-ratio filter inside the join (lossless: J ≥ t forces
     *     t·|B| ≤ |A| ≤ |B|/t);
-    *   - `maxPostings` caps degenerate stop-shingles (lossy guardrail,
-    *     off by default; production corpora need it — same role as
-    *     `maxBucket` in the LSH path).
+    *   - `maxPostings` drops stop-shingles whose posting list exceeds
+    *     the cap (deterministic guardrail — same role as `maxBucket` in
+    *     the LSH path; the shipped query enables it). A pair's Jaccard
+    *     is then computed over KEPT shingles only (shared count shrinks,
+    *     set sizes stay full) — a conservative, mirrorable semantics:
+    *     capped-jaccard ≤ true jaccard, so the length-ratio pruning
+    *     stays lossless.
     */
   def ngramJaccardPairs(
       df: DataFrame,
@@ -206,12 +210,19 @@ object Dedup {
       .select(col("id"), size(col("sh")).as("set_size"), explode(col("sh")).as("shingle"))
     val bounded =
       if (maxPostings <= 0) sets
-      else
-        sets
-          .withColumn("post_n", count(lit(1)).over(
-            org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))))
-          .filter(col("post_n") <= maxPostings)
-          .drop("post_n")
+      else {
+        // Drop heavy-hitter shingles (posting list > maxPostings) from the
+        // index. Aggregate + broadcast anti-join, not a count-window: the
+        // heavy list is tiny by construction (≤ Σ|postings|/maxPostings
+        // entries), so the exploded index is pruned map-side without a
+        // second full shuffle. Deterministic, so an oracle can mirror it.
+        val heavy = sets
+          .groupBy(col("shingle"))
+          .agg(count(lit(1)).as("post_n"))
+          .filter(col("post_n") > maxPostings)
+          .select(col("shingle"))
+        sets.join(broadcast(heavy), Seq("shingle"), "left_anti")
+      }
     val a = bounded.select(col("shingle").as("sh_a"), col("id").as("id_a"), col("set_size").as("size_a"))
     val b = bounded.select(col("shingle").as("sh_b"), col("id").as("id_b"), col("set_size").as("size_b"))
     a.join(
@@ -345,7 +356,8 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
     val sigs = df.select(
       col(idCol).as("id"),
       graft.functions.VectorExprs
@@ -359,8 +371,16 @@ object Dedup {
           shiftright(col("sig"), c * 16).bitwiseAND(0xFFFFL).as("bucket"))
       }: _*)).as("cb"))
       .select(col("id"), col("sig"), col("cb.chunk").as("chunk"), col("cb.bucket").as("bucket"))
-    val l = chunked.select(col("chunk"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val r = chunked.select(col("chunk"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
+    // Degenerate-content guard (same as the minhash/embedding-LSH paths):
+    // a corpus of near-identical-signature docs collapses into one 16-bit
+    // bucket and the chunk join goes quadratic without this cap.
+    val bounded = chunked
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("chunk"), col("bucket"))))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+    val l = bounded.select(col("chunk"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val r = bounded.select(col("chunk"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
     l.join(r, Seq("chunk", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), hamming64(col("sig_a"), col("sig_b")).as("hamming"))
@@ -368,16 +388,23 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** All unordered exact-duplicate pairs (same normalized content),
-    * id_a < id_b — the edge list for cluster-based dedup.
+  /** Exact-duplicate edges (same normalized content), id_a < id_b — the
+    * edge list for cluster-based dedup, as a spanning STAR per
+    * fingerprint group: each member linked to the group's minimum id.
+    * Connectivity (and therefore [[clusterPairs]]'s components) is
+    * identical to the all-pairs edge set, but the output is O(M) per
+    * group where the fp self-join emits M² — a 10 M-copy boilerplate
+    * group would otherwise produce 10¹⁴ edges. One shuffle (window min
+    * over the fingerprint), no join.
     */
   def exactDupPairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val fp = df.select(
       col(idCol).as("id"),
       TextAnalysis.fingerprintMd5(col(textCol)).as("fp"))
-    val l = fp.select(col("fp"), col("id").as("id_a"))
-    val r = fp.select(col("fp"), col("id").as("id_b"))
-    l.join(r, Seq("fp")).filter(col("id_a") < col("id_b")).select("id_a", "id_b")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    fp.withColumn("rep", min(col("id")).over(w))
+      .filter(col("id") =!= col("rep"))
+      .select(col("rep").as("id_a"), col("id").as("id_b"))
   }
 
   /** Connected components over a near/exact-dup pair list: every node

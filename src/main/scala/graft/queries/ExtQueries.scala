@@ -321,33 +321,54 @@ object ExtQueries {
       |WHERE jaccard >= 0.5""".stripMargin
 
   /** Exact n-gram Jaccard similarity join (inverted index + lossless
-    * length-ratio pruning) — deterministic, so the oracle is the same
-    * ground-truth all-pairs Jaccard as the MinHash query's.
+    * length-ratio pruning), with the stop-shingle postings cap ENABLED —
+    * the production configuration: a shingle appearing in more than
+    * `NgramMaxPostings` documents is boilerplate, and an uncapped
+    * posting list costs Σ|postings|² join fanout at corpus scale. The
+    * cap is deterministic, so the oracle mirrors it exactly: shared
+    * counts over kept shingles, full set sizes in the denominator.
     */
   def dedupNgram(spark: SparkSession, sfDir: String): DataFrame =
-    Dedup.ngramJaccardPairs(corpusNearDups(docs(spark, sfDir)), "doc_id", "text", 0.5)
+    Dedup.ngramJaccardPairs(
+      corpusNearDups(docs(spark, sfDir)), "doc_id", "text", 0.5,
+      maxPostings = NgramMaxPostings)
+
+  /** Stop-shingle cap for `q_dedup_ngram` (docs sharing a 3-gram above
+    * this are boilerplate; ~4% of the sf0.1 corpus).
+    */
+  val NgramMaxPostings = 256
 
   val dedupNgramSql: String =
-    """WITH corpus AS (
+    s"""WITH corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
       |  SELECT doc_id + 1000000,
       |         array_to_string(toks[1:greatest(len(toks) - 2, 0)], ' ')
-      |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
       |        FROM documents WHERE doc_id % 5 = 0)),
       |sh AS (
       |  SELECT doc_id,
       |    list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
       |      ELSE list_transform(range(1, len(toks) - 1),
       |                          j -> array_to_string(toks[j:j+2], ' ')) END) AS s
-      |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
-      |        FROM corpus))
-      |SELECT id_a, id_b, jaccard FROM (
-      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-      |    round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-      |          / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
-      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-      |WHERE jaccard >= 0.5""".stripMargin
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+      |        FROM corpus)),
+      |posting AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      |kept AS (
+      |  SELECT doc_id, g FROM posting
+      |  WHERE g NOT IN (SELECT g FROM posting GROUP BY g
+      |                  HAVING count(*) > $NgramMaxPostings)),
+      |shared AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      |  FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |sz AS (SELECT doc_id, len(s) AS n FROM sh)
+      |SELECT id_a, id_b,
+      |       round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 4) AS jaccard
+      |FROM shared
+      |JOIN sz sa ON sa.doc_id = id_a
+      |JOIN sz sb ON sb.doc_id = id_b
+      |WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 4) >= 0.5""".stripMargin
 
   /** SimHash near-dups — probabilistic bucketing, spec-verified;
     * rows-only here.
@@ -800,10 +821,13 @@ object ExtQueries {
   }
 
   /** Vocabulary coverage: top-50 terms by occurrence with cumulative
-    * corpus share — the "how big must the vocab be" curve. The global
-    * running sum is over the AGGREGATED vocab table (|V| rows, post
-    * map-side combine), never the raw token stream, so the single-
-    * partition window is bounded by vocabulary size, not corpus size.
+    * corpus share — the "how big must the vocab be" curve. Scale shape:
+    * the grand total is one scalar aggregate (map-side combined, 1 row),
+    * the top-50 is `orderBy().limit()` (TakeOrderedAndProject — each
+    * partition keeps 50, never a global sort), and only then does a
+    * window run — over at most 50 rows. At web scale |V| runs to
+    * hundreds of millions of distinct tokens; an unpartitioned window
+    * over the full vocab table would funnel them through one task.
     */
   def vocabCoverage(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -812,15 +836,16 @@ object ExtQueries {
       .select(explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
       .groupBy(col("term"))
       .agg(count(lit(1)).as("cnt"))
-    val ord = Window.orderBy(col("cnt").desc, col("term").asc)
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    val top = counts.orderBy(col("cnt").desc, col("term").asc).limit(50)
+    // constant partition key: the input is ≤50 rows by construction, and
+    // an explicit spec keeps this out of the "No Partition Defined" path
+    val ord = Window.partitionBy(lit(0)).orderBy(col("cnt").desc, col("term").asc)
     val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    counts
+    top
+      .crossJoin(broadcast(total))
       .withColumn("rank", row_number().over(ord).cast("int"))
-      .withColumn(
-        "cum_share",
-        round(sum(col("cnt")).over(run) /
-          sum(col("cnt")).over(Window.partitionBy(lit(1))), 6))
-      .filter(col("rank") <= 50)
+      .withColumn("cum_share", round(sum(col("cnt")).over(run) / col("total"), 6))
       .select(col("term"), col("cnt"), col("rank"), col("cum_share"))
   }
 

@@ -230,6 +230,70 @@ class DedupSpec extends SparkSpec {
     val kept = Dedup.exactDedup(df, "id", "text").collect().map(_.getLong(0)).toSet
     assert(kept == Set(2L, 9L))
   }
+
+  test("exactDupPairs emits a spanning star per fingerprint group, not all pairs") {
+    val df = Seq(
+      (3L, "same text here"), (1L, "same text here"), (2L, "same text here"),
+      (11L, "pair text"), (10L, "pair text"),
+      (20L, "unique")).toDF("id", "text")
+    val edges = Dedup.exactDupPairs(df, "id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // star around the min id — O(M) edges, never the M² self-join
+    assert(edges == Set((1L, 2L), (1L, 3L), (10L, 11L)))
+    // connectivity unchanged: clusterPairs yields the same components
+    val labels = Dedup.clusterPairs(Dedup.exactDupPairs(df, "id", "text")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("ngram postings cap drops boilerplate-only pairs, keeps true dups") {
+    val boiler = (0 until 40).map(j => s"b$j").mkString(" ")
+    // 30 docs: 5 unique words + the same 40-word boilerplate tail →
+    // pairwise Jaccard ≈ 0.79 purely from boilerplate
+    val noise = (0 until 30).map(i =>
+      (i.toLong, (0 until 5).map(j => s"u${i}_$j").mkString(" ") + " " + boiler))
+    // one true dup pair with unique, boilerplate-free text
+    val dup = Seq(
+      (500L, (0 until 40).map(j => s"d$j").mkString(" ")),
+      (501L, (0 until 40).map(j => s"d$j").mkString(" ")))
+    val df = (noise ++ dup).toDF("id", "text")
+    val uncapped = Dedup.ngramJaccardPairs(df, "id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.size > 100 && uncapped((500L, 501L))) // C(30,2) boilerplate pairs + dup
+    val capped = Dedup.ngramJaccardPairs(df, "id", "text", 0.5, maxPostings = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((500L, 501L)), s"capped=$capped")
+  }
+
+  test("simhash bucketed pairs equal brute-force Hamming<=3 pairs (pigeonhole recall 1)") {
+    val withCopies = corpus.unionByName(
+      corpus.filter(col("id") % 5 === 0 && col("id") < 100)
+        .withColumn("id", col("id") + 2000L))
+    val bucketed = Dedup.simhashDedupPairs(withCopies, "id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sigs = withCopies.select(
+      col("id"),
+      graft.functions.VectorExprs
+        .simhash64(spark, split(trim(lower(col("text"))), "\\s+")).as("sig"))
+    val a = sigs.select(col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = sigs.select(col("id").as("id_b"), col("sig").as("sig_b"))
+    val brute = a.join(b, col("id_a") < col("id_b"))
+      .filter(Dedup.hamming64(col("sig_a"), col("sig_b")) <= 3)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bucketed.nonEmpty && bucketed == brute,
+      s"bucketed=${bucketed.size} brute=${brute.size}")
+  }
+
+  test("simhash bucket cap bounds a degenerate identical-content corpus") {
+    // 50 identical docs: every signature equal, all four chunk buckets
+    // collapse to one — without the cap this is a quadratic self-join
+    val df = (0 until 50).map(i => (i.toLong, "the same words every time")).toDF("id", "text")
+    val capped = Dedup.simhashDedupPairs(df, "id", "text", maxHamming = 3, maxBucket = 10)
+    assert(capped.count() == 0L) // over-cap buckets dropped entirely, job completes
+    val uncapped = Dedup.simhashDedupPairs(df, "id", "text", maxHamming = 3, maxBucket = 1000)
+    assert(uncapped.count() == 50L * 49 / 2)
+  }
 }
 
 class SimilaritySpec extends SparkSpec {

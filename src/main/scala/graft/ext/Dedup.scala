@@ -40,6 +40,33 @@ object Dedup {
       Seq(idCol),
       "left_semi")
 
+  /** Incremental dedup: drop from `batch` every document whose
+    * normalized content already exists in `corpus` — the ingest-time
+    * shape at 100 TB, where re-pairing the historical corpus against
+    * itself on every arriving batch is not an option. One fingerprint
+    * map over each side + a left-anti hash join keyed on the
+    * fingerprint: O(|batch| + |corpus|), and only (fp) ever shuffles
+    * from the corpus side. In production the corpus side is the
+    * append-only fingerprint index the pipeline maintains batch over
+    * batch (optionally fronted by a bloom probe —
+    * `graft_bloom_might_contain` — to prune the index scan).
+    * Within-batch duplicates are intentionally NOT collapsed here;
+    * compose with [[exactDedup]] for that.
+    */
+  def dedupAgainstCorpus(
+      batch: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val fps = corpus
+      .select(TextAnalysis.fingerprintMd5(col(textCol)).as("__fp"))
+      .distinct()
+    batch
+      .withColumn("__fp", TextAnalysis.fingerprintMd5(col(textCol)))
+      .join(fps, Seq("__fp"), "left_anti")
+      .drop("__fp")
+  }
+
   // ---- shingles + minhash --------------------------------------------------
 
   /** Word n-gram shingles (distinct), lowercased. */

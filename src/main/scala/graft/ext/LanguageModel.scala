@@ -43,11 +43,14 @@ object LanguageModel {
       .filter(length(trim(col(textCol))) > 0)
       .select(col(idCol), toks.as("toks"))
 
-    // One row per bigram occurrence, keyed (w1, w2). Materialized once
-    // (localCheckpoint): the model build AND the scoring join both consume
-    // it — without the checkpoint the tokenize+explode runs twice. At
-    // cluster scale this is the "stage the gram table" step every LM
-    // filter pipeline performs before training counts.
+    // One row per bigram occurrence, keyed (w1, w2). Cached once
+    // (MEMORY_AND_DISK): the model build AND the scoring join both
+    // consume it — uncached, the tokenize+explode runs twice. Cache, not
+    // localCheckpoint: cache keeps lineage, so an evicted or lost block
+    // recomputes instead of failing the job (lineage-free local blocks
+    // die with their executor — wrong trade at cluster scale). A
+    // production pipeline staging grams for MANY downstream jobs would
+    // write them to table storage instead.
     val grams = base
       .select(
         col(idCol),
@@ -57,7 +60,7 @@ object LanguageModel {
             slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
             (a, b) => struct(a.as("w1"), b.as("w2")))).as("g"))
       .select(col(idCol), col("g.w1").as("w1"), col("g.w2").as("w2"))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val unigrams = base
       .select(explode(col("toks")).as("w"))

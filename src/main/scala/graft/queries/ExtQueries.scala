@@ -471,6 +471,41 @@ object ExtQueries {
       |UNION ALL
       |SELECT doc_id + 4000000, doc_id FROM documents WHERE doc_id % 7 = 0""".stripMargin
 
+  /** Incremental ingest dedup: an arriving batch (every 3rd document
+    * re-submitted verbatim under a new id + every 4th with genuinely
+    * new content) is anti-joined against the existing corpus's
+    * fingerprint index — only the new content survives. The per-batch
+    * cost is O(batch + index), never corpus², which is the only dedup
+    * shape that works batch-over-batch at 100 TB.
+    */
+  def dedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val batch = d
+      .filter(col("doc_id") % 3 === 0)
+      .withColumn("doc_id", col("doc_id") + 3000000)
+      .unionByName(
+        d.filter(col("doc_id") % 4 === 0)
+          .withColumn("doc_id", col("doc_id") + 4000000)
+          .withColumn("text", concat(col("text"), lit(" freshly arrived content"))))
+    Dedup
+      .dedupAgainstCorpus(batch, d, "doc_id", "text")
+      .select(col("doc_id"), col("source"))
+  }
+
+  val dedupIncrementalSql: String =
+    """WITH fp AS (
+      |  SELECT DISTINCT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS f
+      |  FROM documents),
+      |batch AS (
+      |  SELECT doc_id + 3000000 AS doc_id, source, text
+      |  FROM documents WHERE doc_id % 3 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 4000000, source, text || ' freshly arrived content'
+      |  FROM documents WHERE doc_id % 4 = 0)
+      |SELECT doc_id, source FROM batch
+      |WHERE md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+      |      NOT IN (SELECT f FROM fp)""".stripMargin
+
   /** Vocabulary building: global top-25 terms by document frequency
     * (distinct doc per term), ties broken lexicographically.
     */
@@ -820,6 +855,83 @@ object ExtQueries {
        |GROUP BY source""".stripMargin
   }
 
+  /** Per-source quality-threshold selection: keep each source's top 60%
+    * of documents by quality score (drop everything at or below the
+    * source's 40th-percentile mass) — the "keep the best X% per domain"
+    * curation step. Exact and engine-portable by construction: scores
+    * are integer-scaled (4-dp quality → e4 bigint), the cumulative
+    * distribution runs over the per-(source, score) HISTOGRAM (≤10001
+    * distinct values per source, never the row stream), and the only
+    * float op is cum/n — a single division of two exact integers that
+    * every IEEE engine computes identically. At 100 TB the same plan
+    * holds: two hash aggregations, a window over the tiny histogram,
+    * and a broadcast cutoff join; the approximate alternative
+    * (`approx_percentile` cutoffs) trades this exactness for one fewer
+    * aggregation and is NOT needed since the histogram is bounded by
+    * the score's 4-dp codomain.
+    */
+  def qualityThreshold(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = TextAnalysis
+      .qualityFeatures(docs(spark, sfDir), "text")
+      .select(
+        col("doc_id"),
+        col("source"),
+        expr("cast(round(quality_score * 10000) as bigint)").as("quality_e4"))
+    val hist = q.groupBy(col("source"), col("quality_e4")).agg(count(lit(1)).as("c"))
+    val n = q.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val run = Window
+      .partitionBy(col("source"))
+      .orderBy(col("quality_e4").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cutoffs = hist
+      .withColumn("cum", sum(col("c")).over(run))
+      .join(n, "source")
+      .filter(col("cum").cast("double") / col("n").cast("double") > 0.4)
+      .groupBy(col("source"))
+      .agg(min(col("quality_e4")).as("cutoff"))
+    q.join(broadcast(cutoffs), "source")
+      .filter(col("quality_e4") >= col("cutoff"))
+      .select(col("doc_id"), col("source"), col("quality_e4"))
+  }
+
+  val qualityThresholdSql: String = {
+    val sw = graft.ext.Stopwords.en.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH q AS (
+       |  SELECT doc_id, source,
+       |    CAST(round(round(least(1.0, n_tokens / 100.0) * 0.3
+       |          + (1.0 - least(1.0, punct_ratio * 5)) * 0.2
+       |          + least(1.0, stopword_ratio * 4) * 0.2
+       |          + uniq_ratio * 0.3, 4) * 10000) AS BIGINT) AS quality_e4
+       |  FROM (
+       |    SELECT doc_id, source, n_tokens,
+       |      CASE WHEN length(text) = 0 THEN 0.0
+       |           ELSE CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(text) END AS punct_ratio,
+       |      CASE WHEN n_tokens = 0 THEN 0.0
+       |           ELSE CAST(len(list_filter(toks, t -> list_contains($sw, t))) AS DOUBLE) / n_tokens END AS stopword_ratio,
+       |      CASE WHEN n_tokens = 0 THEN 0.0
+       |           ELSE CAST(len(list_distinct(toks)) AS DOUBLE) / n_tokens END AS uniq_ratio
+       |    FROM (
+       |      SELECT doc_id, source, text, regexp_split_to_array(trim(text), '\\s+') AS toks,
+       |        CASE WHEN length(trim(text)) = 0 THEN 0
+       |             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+       |      FROM documents))),
+       |hist AS (SELECT source, quality_e4, count(*) AS c FROM q GROUP BY 1, 2),
+       |n AS (SELECT source, count(*) AS n FROM q GROUP BY 1),
+       |th AS (
+       |  SELECT source, min(quality_e4) AS cutoff FROM (
+       |    SELECT h.source, h.quality_e4,
+       |      sum(c) OVER (PARTITION BY h.source ORDER BY h.quality_e4 ASC
+       |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |      n.n AS n
+       |    FROM hist h JOIN n ON h.source = n.source)
+       |  WHERE CAST(cum AS DOUBLE) / CAST(n AS DOUBLE) > 0.4
+       |  GROUP BY source)
+       |SELECT q.doc_id, q.source, q.quality_e4
+       |FROM q JOIN th ON q.source = th.source
+       |WHERE q.quality_e4 >= th.cutoff""".stripMargin
+  }
+
   /** Vocabulary coverage: top-50 terms by occurrence with cumulative
     * corpus share — the "how big must the vocab be" curve. Scale shape:
     * the grand total is one scalar aggregate (map-side combined, 1 row),
@@ -884,6 +996,8 @@ object ExtQueries {
     "q_mix_sources" -> (mixSources _),
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_clusters" -> (dedupClusters _),
+    "q_dedup_incremental" -> (dedupIncremental _),
+    "q_quality_threshold" -> (qualityThreshold _),
     "q_decontaminate" -> (decontaminate _),
     "q_text_top_terms" -> (textTopTerms _),
     "q_json_path" -> (jsonPath _),
@@ -912,6 +1026,8 @@ object ExtQueries {
     "q_text_repetition" -> textRepetitionSql,
     "q_dedup_exact" -> dedupExactSql,
     "q_dedup_clusters" -> dedupClustersSql,
+    "q_dedup_incremental" -> dedupIncrementalSql,
+    "q_quality_threshold" -> qualityThresholdSql,
     "q_decontaminate" -> decontaminateSql,
     "q_text_top_terms" -> textTopTermsSql,
     "q_json_path" -> jsonPathSql,

@@ -28,6 +28,35 @@ final case class Catalog(spark: SparkSession, root: String) {
     viewName
   }
 
+  /** SHOW SCHEMAS analog: every namespace directory under the root. */
+  def listSchemas(): Seq[String] = {
+    val p = java.nio.file.Paths.get(root)
+    if (!java.nio.file.Files.isDirectory(p)) Seq.empty
+    else {
+      val it = java.nio.file.Files.list(p).iterator()
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        val d = it.next()
+        if (java.nio.file.Files.isDirectory(d)) out += d.getFileName.toString
+      }
+      out.toSeq.sorted
+    }
+  }
+
+  /** Metastore-style attach: discover and re-register EVERY lake table
+    * under the root as a `<schema>_<name>` view — the one call a fresh
+    * JVM (or `spark.newSession()`) makes to restore the full SQL
+    * surface over previously-written tables. The reference gets this
+    * durability from a shared Hive Metastore service
+    * (/root/reference/docker/spark/conf/spark-defaults.conf:8-12); here
+    * the filesystem layout IS the metastore — schemas are directories,
+    * tables are commit logs — so catalog state survives JVMs with no
+    * extra service, and attach is a directory walk plus one manifest
+    * read per table (no data files touched).
+    */
+  def attach(): Seq[String] =
+    listSchemas().flatMap(s => listTables(s).map(t => registerView(s, t)))
+
   /** SHOW TABLES analog: every lake table under a schema dir. */
   def listTables(schema: String): Seq[String] = {
     val p = java.nio.file.Paths.get(root, schema)

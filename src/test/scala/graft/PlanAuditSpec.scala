@@ -127,4 +127,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("graft_bloom_might_contain") || p.contains("bloommightcontain"),
       s"bloom probe missing from plan:\n$p")
   }
+
+  test("incremental dedup anti-joins the fingerprint index — never a nested loop") {
+    val p = plan(graft.queries.ExtQueries.dedupIncremental(spark, sf))
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("quality threshold broadcasts the per-source cutoffs to the row stream") {
+    val p = plan(graft.queries.ExtQueries.qualityThreshold(spark, sf))
+    // the row-stream side must meet the (tiny) cutoff table via broadcast
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the only window runs over the per-(source, score) histogram
+    val windows = "Window".r.findAllIn(p).length
+    assert(windows >= 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -231,6 +231,17 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(2L, 9L))
   }
 
+  test("dedupAgainstCorpus drops normalized matches, keeps new content uncollapsed") {
+    val corpus = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("id", "text")
+    val batch = Seq(
+      (10L, "alpha  BETA"), // normalization (case+whitespace) matches corpus id 1
+      (11L, "epsilon zeta"),
+      (12L, "epsilon zeta")).toDF("id", "text") // within-batch dup: NOT collapsed here
+    val out = Dedup.dedupAgainstCorpus(batch, corpus, "id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(out == Set(11L, 12L))
+  }
+
   test("exactDupPairs emits a spanning star per fingerprint group, not all pairs") {
     val df = Seq(
       (3L, "same text here"), (1L, "same text here"), (2L, "same text here"),

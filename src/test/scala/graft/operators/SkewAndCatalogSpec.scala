@@ -108,6 +108,26 @@ class CatalogSpec extends SparkSpec {
     assert(cat.listTables("silver") == Seq("orders", "syms"))
   }
 
+  test("catalog attach restores the SQL surface in a fresh session (metastore durability)") {
+    val root = scratchDir("cat-attach")
+    val cat = Catalog(spark, root)
+    cat.createSchema("silver")
+    cat.createSchema("gold")
+    cat.table("silver", "orders").append(Seq((1, 10.0), (2, 5.0)).toDF("id", "amt"))
+    cat.table("gold", "daily").append(Seq(("2024-01-01", 15.0)).toDF("d", "total"))
+
+    // a new session models a new JVM: temp views do NOT carry over...
+    val fresh = spark.newSession()
+    assert(!fresh.catalog.tableExists("silver_orders"))
+    // ...but one attach() walk restores every table from the filesystem
+    val restored = Catalog(fresh, root).attach()
+    assert(restored.toSet == Set("silver_orders", "gold_daily"))
+    assert(fresh.sql("SELECT sum(amt) FROM silver_orders").head().getDouble(0) == 15.0)
+    assert(fresh.sql("SELECT total FROM gold_daily").head().getDouble(0) == 15.0)
+    // the original session remains unpolluted by the fresh session's views
+    assert(!spark.catalog.tableExists("gold_daily"))
+  }
+
   test("compaction collapses commit dirs, preserves data and history") {
     val t = LakeTable(spark, scratchDir("compact"))
     (1 to 5).foreach(i => t.append(Seq((i, s"v$i")).toDF("k", "v")))

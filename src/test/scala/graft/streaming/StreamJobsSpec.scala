@@ -139,4 +139,22 @@ class StreamJobsSpec extends SparkSpec {
     assert(w1000(0).getAs[Double]("high") == 5.0, "late row must not land in the finalized window")
     assert(w1000(0).getAs[Long]("n_rows") == 1L)
   }
+
+  test("kafka envelope source wires through to provider resolution (jar-free pin)") {
+    // No kafka connector ships in this environment, so the seam cannot
+    // execute — but its failure mode pins the wiring: load() must reach
+    // DataSource provider lookup and fail on the MISSING JAR, not earlier
+    // (a typo'd option name, a bad select, or API rot would surface as a
+    // different error). On a cluster with spark-sql-kafka-0-10 the same
+    // call resolves and yields the (key, value) envelope contract.
+    val src = StreamJobs.KafkaEnvelopeSource("broker:9092", "ohlcv", Some(150L))
+    val e = intercept[Exception] { src.load(spark) }
+    val msg = Option(e.getMessage).getOrElse("") + e.getClass.getName
+    assert(msg.toLowerCase.contains("kafka"),
+      s"expected a missing-kafka-provider failure, got: ${e.getClass.getName}: $msg")
+    assert(
+      msg.contains("Failed to find") || msg.contains("DATA_SOURCE_NOT_FOUND") ||
+        msg.toLowerCase.contains("provider"),
+      s"failure should be provider lookup, got: ${e.getClass.getName}: $msg")
+  }
 }

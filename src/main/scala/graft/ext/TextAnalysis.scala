@@ -263,6 +263,48 @@ object TextAnalysis {
         array_join(col("__c"), " ").as("chunk_text"))
   }
 
+  /** Chunk-level duplication stats — the line-dedup analog (CCNet /
+    * RefinedWeb remove lines repeated across a corpus; for this corpus
+    * the unit is a non-overlapping `chunkTokens`-token window): per
+    * document, how many of its chunks appear more than once ANYWHERE in
+    * the corpus (including its own other positions). High ratios mark
+    * boilerplate-wrapped or templated documents even when no whole-doc
+    * dup exists. Scale shape: one map stage to explode chunks, one
+    * shuffle (count over the chunk-fingerprint partition), one per-doc
+    * re-aggregation — the raw text never moves twice, only
+    * (id, fingerprint) pairs.
+    *
+    * Output: (idCol, n_chunks, n_dup_chunks, dup_chunk_ratio).
+    */
+  def chunkDupStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkTokens: Int = 32): DataFrame = {
+    require(chunkTokens > 0, s"need chunkTokens > 0, got $chunkTokens")
+    val toks = split(trim(lower(col(textCol))), "\\s+")
+    val chunks = df
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol), toks.as("__toks"))
+      .select(
+        col(idCol),
+        explode(
+          expr(
+            s"transform(sequence(0, cast(ceil(size(__toks) / ${chunkTokens}.0) as int) - 1), " +
+              s"i -> md5(array_join(slice(__toks, i * $chunkTokens + 1, $chunkTokens), ' ')))"))
+          .as("fp"))
+    val occ = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    chunks
+      .withColumn("n_occ", count(lit(1)).over(occ))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("n_occ") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .withColumn(
+        "dup_chunk_ratio",
+        round(col("n_dup_chunks").cast("double") / col("n_chunks"), 4))
+  }
+
   def fingerprintMd5(text: Column): Column =
     md5(lower(regexp_replace(trim(text), "\\s+", " ")))
 

@@ -855,6 +855,36 @@ object ExtQueries {
        |GROUP BY source""".stripMargin
   }
 
+  /** Chunk-level duplication report (line-dedup analog): over a corpus
+    * with planted whole-doc copies, every chunk of a copied document —
+    * and of its original — is flagged as corpus-duplicated; organic
+    * 32-token repeats in unique docs surface as partial ratios. The
+    * per-document dup_chunk_ratio is the boilerplate signal curation
+    * thresholds on.
+    */
+  def chunkDupRatio(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis
+      .chunkDupStats(corpusExactDups(docs(spark, sfDir)), "doc_id", "text", 32)
+
+  val chunkDupRatioSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 7 = 0),
+      |t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      |      FROM corpus WHERE length(trim(text)) > 0),
+      |c AS (SELECT doc_id, toks, unnest(range(0, CAST(ceil(len(toks) / 32.0) AS INTEGER))) AS ci
+      |      FROM t),
+      |ch AS (SELECT doc_id, array_to_string(toks[ci * 32 + 1 : ci * 32 + 32], ' ') AS chunk
+      |       FROM c),
+      |f AS (SELECT doc_id, count(*) OVER (PARTITION BY chunk) AS n_occ FROM ch)
+      |SELECT doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_chunks,
+      |  CAST(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+      |  round(CAST(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4)
+      |    AS dup_chunk_ratio
+      |FROM f GROUP BY doc_id""".stripMargin
+
   /** Per-source quality-threshold selection: keep each source's top 60%
     * of documents by quality score (drop everything at or below the
     * source's 40th-percentile mass) — the "keep the best X% per domain"
@@ -998,6 +1028,7 @@ object ExtQueries {
     "q_dedup_clusters" -> (dedupClusters _),
     "q_dedup_incremental" -> (dedupIncremental _),
     "q_quality_threshold" -> (qualityThreshold _),
+    "q_chunk_dup_ratio" -> (chunkDupRatio _),
     "q_decontaminate" -> (decontaminate _),
     "q_text_top_terms" -> (textTopTerms _),
     "q_json_path" -> (jsonPath _),
@@ -1028,6 +1059,7 @@ object ExtQueries {
     "q_dedup_clusters" -> dedupClustersSql,
     "q_dedup_incremental" -> dedupIncrementalSql,
     "q_quality_threshold" -> qualityThresholdSql,
+    "q_chunk_dup_ratio" -> chunkDupRatioSql,
     "q_decontaminate" -> decontaminateSql,
     "q_text_top_terms" -> textTopTermsSql,
     "q_json_path" -> jsonPathSql,

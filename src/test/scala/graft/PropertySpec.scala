@@ -149,4 +149,33 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  // batches of epoch-micro offsets around 1970 — negative values exercise
+  // the pre-epoch floorDiv path in the watermark round-trip
+  private val microBatchesGen: Gen[List[List[Long]]] =
+    Gen.listOfN(3, Gen.nonEmptyListOf(Gen.chooseNum(-5000000000L, 5000000000L)))
+
+  test("observed manifest watermark equals the exact max over random timestamp batches") {
+    forAllSeeded(microBatchesGen, 5) { batches =>
+      val t = LakeTable(spark, scratchDir("prop-stats"))
+      batches.foreach { b =>
+        t.append(
+          b.toDF("us").select(expr("timestamp_micros(us)").as("ts")),
+          statsCols = Seq("ts"))
+      }
+      val trueMax = batches.flatten.max
+      // destroy data files: the probe below must answer from the manifest
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(t.root, "data"))
+      try walk.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+      // rows at exactly trueMax must be cut (watermark is inclusive);
+      // one microsecond later must pass — pins the EXACT observed value
+      val probe = Seq(trueMax, trueMax + 1L)
+        .toDF("us").select(col("us"), expr("timestamp_micros(us)").as("ts"))
+      val got = t.incrementalFrom(probe, "ts").collect().map(_.getLong(0)).toSeq
+      assert(got == Seq(trueMax + 1L), s"batches=$batches got=$got")
+    }
+  }
 }

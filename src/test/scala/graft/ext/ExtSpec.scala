@@ -118,6 +118,29 @@ class TextAnalysisSpec extends SparkSpec {
   }
 }
 
+class ChunkDupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chunkDupStats flags corpus-repeated chunks, not unique ones") {
+    val docs = Seq(
+      (1L, "a b c d"), // chunks: "a b", "c d"
+      (2L, "a b x y"), // shares "a b" with doc 1
+      (3L, "p q r s"), // fully unique
+      (4L, "e f e f"), // self-repeat: same chunk twice within one doc
+      (5L, "a b c")) // partial trailing chunk "c" (ceil division)
+      .toDF("id", "text")
+    val out = TextAnalysis.chunkDupStats(docs, "id", "text", chunkTokens = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out(1L) == ((2L, 1L, 0.5)))
+    assert(out(2L) == ((2L, 1L, 0.5)))
+    assert(out(3L) == ((2L, 0L, 0.0)))
+    assert(out(4L) == ((2L, 2L, 1.0)))
+    assert(out(5L) == ((2L, 1L, 0.5)))
+  }
+}
+
 class DedupSpec extends SparkSpec {
   import spark.implicits._
 

@@ -460,6 +460,16 @@ object Dedup {
       .distinct()
       .withColumn("cluster_rep", col("id"))
       .localCheckpoint(true)
+    // Convergence probe: labels under min-propagation are MONOTONICALLY
+    // non-increasing per node, so the fixpoint is reached exactly when
+    // the label sum stops changing — one scalar aggregate per round
+    // (decimal(38,0): overflow-free for any id range) instead of a
+    // join-and-scan comparison against the previous labeling.
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val v = df.agg(sum(col("cluster_rep").cast("decimal(38,0)"))).head()
+      if (v.isNullAt(0)) java.math.BigDecimal.ZERO else v.getDecimal(0)
+    }
+    var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -472,10 +482,9 @@ object Dedup {
         .groupBy(col("id"))
         .agg(min(col("cluster_rep")).as("cluster_rep"))
         .localCheckpoint(true)
-      converged = next
-        .join(labels.withColumnRenamed("cluster_rep", "prev"), "id")
-        .filter(col("cluster_rep") =!= col("prev"))
-        .isEmpty
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       labels = next
       i += 1
     }

@@ -42,4 +42,46 @@ object Embeddings {
     coalesce(
       array_max(zip_with(vec, quant, (v, q) => abs(v.cast("double") - q * scale))),
       lit(0.0))
+
+  /** Per-group element-wise centroids — the k-means / IVF-training
+    * update step. Scale shape: posexplode to (group, dim, value), one
+    * hash aggregation with map-side combine (the shuffle carries at
+    * most |groups|·dim partial rows per task, NEVER vectors), then a
+    * |groups|-sized re-assembly. The collect_list runs over exactly
+    * `dim` rows per group — no vector list is ever gathered. Components
+    * are summed as integer-scaled exact values (4-dp fixed point), so
+    * the result is independent of partial-aggregation order — float
+    * vector sums are not reproducible across engines or even runs.
+    *
+    * The 4-dp mean itself is rounded in INTEGER arithmetic
+    * (half-away-from-zero on the exact rational s/n), not with a float
+    * `round(x, 4)`: s/(n·10⁴) lands exactly on a 5th-decimal ".5"
+    * whenever 2s ≡ 50 (mod 100·n-factor), where decimal-string rounding
+    * (Spark's BigDecimal-of-shortest-repr) and binary rounding
+    * (std::round) systematically disagree.
+    *
+    * Output: (groupCol, n_vectors, centroid: array<double> at 4dp).
+    */
+  def groupCentroids(
+      df: org.apache.spark.sql.DataFrame,
+      groupCol: String,
+      vecCol: String): org.apache.spark.sql.DataFrame =
+    df.select(col(groupCol), posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .groupBy(col(groupCol), col("dim"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(expr("cast(round(cast(v as double) * 10000) as bigint)")).as("s"))
+      // exact half-away-from-zero of s/n at integer precision (= the
+      // centroid component in 1e-4 units); n > 0 by construction
+      .withColumn(
+        "c_e4",
+        expr("CASE WHEN s >= 0 THEN (2 * s + n) DIV (2 * n) " +
+          "ELSE -((-2 * s + n) DIV (2 * n)) END"))
+      .withColumn("c", col("c_e4").cast("double") / 10000.0)
+      .groupBy(col(groupCol))
+      .agg(
+        max(col("n")).as("n_vectors"),
+        transform(
+          sort_array(collect_list(struct(col("dim"), col("c")))),
+          p => p.getField("c")).as("centroid"))
 }

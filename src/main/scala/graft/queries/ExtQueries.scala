@@ -683,6 +683,34 @@ object ExtQueries {
       |               i -> abs(v[i] - qv[i] * scale))), 0), 6) AS max_abs_err
       |FROM q""".stripMargin
 
+  /** Per-label embedding centroids — the k-means / IVF-training update
+    * step as a first-class query: posexplode to (label, dim, value),
+    * map-side-combined exact integer-scaled sums, |labels|-sized
+    * re-assembly. No vector list is ever collected; the shuffle carries
+    * at most |labels|·dim partial rows per task.
+    */
+  def embeddingCentroids(spark: SparkSession, sfDir: String): DataFrame =
+    Embeddings.groupCentroids(embs(spark, sfDir), "label", "embedding")
+
+  val embeddingCentroidsSql: String =
+    """WITH ex AS (
+      |  SELECT label,
+      |    unnest(list_transform(range(1, len(embedding) + 1),
+      |                          i -> {'dim': i - 1, 'v': embedding[i]}), recursive := true)
+      |  FROM embeddings),
+      |agg AS (
+      |  SELECT label, dim, count(*) AS n,
+      |         sum(CAST(round(CAST(v AS DOUBLE) * 10000) AS BIGINT)) AS s
+      |  FROM ex GROUP BY 1, 2),
+      |c AS (
+      |  SELECT label, dim, n,
+      |    CASE WHEN s >= 0 THEN (2 * s + n) // (2 * n)
+      |         ELSE -((-2 * s + n) // (2 * n)) END AS c_e4
+      |  FROM agg)
+      |SELECT label, CAST(max(n) AS BIGINT) AS n_vectors,
+      |       list(CAST(c_e4 AS DOUBLE) / 10000.0 ORDER BY dim) AS centroid
+      |FROM c GROUP BY label""".stripMargin
+
   /** Bigram-LM quality scoring (the CCNet-shaped LM filter): train
     * bigram/unigram counts on the corpus, score each document's average
     * negative log-likelihood with add-0.5 smoothing. High = garbled.
@@ -810,8 +838,11 @@ object ExtQueries {
     * `round(q*10000)` as BIGINT is exact and ORDER-INDEPENDENT — a
     * float `avg` under partial aggregation can flip the 4th decimal vs
     * a single-threaded engine purely from summation order (the
-    * r6 oracle mismatch). The final division of two exact integers is
-    * one IEEE double op, identical on any engine.
+    * r6 oracle mismatch). The 4-dp rounding of the mean is then done in
+    * integer arithmetic (half-up on the exact rational s/n) rather than
+    * float `round(x, 4)`, which sits on a .5 boundary whenever n
+    * divides s accordingly and decimal-string vs binary rounding then
+    * disagree across engines.
     */
   def corpusReport(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis
@@ -821,18 +852,19 @@ object ExtQueries {
         count(lit(1)).as("n_docs"),
         sum(col("n_tokens_q").cast("long")).as("total_tokens"),
         round(expr("percentile(n_tokens_q, 0.5)"), 4).as("p50_tokens"),
-        round(
-          sum(expr("cast(round(quality_score * 10000) as bigint)")).cast("double") /
-            (count(lit(1)) * lit(10000L)).cast("double"),
-          4).as("avg_quality"))
+        sum(expr("cast(round(quality_score * 10000) as bigint)")).as("__s"))
+      .withColumn(
+        "avg_quality",
+        expr("(2 * __s + n_docs) DIV (2 * n_docs)").cast("double") / 10000.0)
+      .drop("__s")
 
   val corpusReportSql: String = {
     val sw = graft.ext.Stopwords.en.map(w => s"'$w'").mkString("[", ", ", "]")
     s"""SELECT source, count(*) AS n_docs,
        |  sum(CAST(n_tokens AS BIGINT)) AS total_tokens,
        |  round(quantile_cont(n_tokens, 0.5), 4) AS p50_tokens,
-       |  round(CAST(sum(CAST(round(quality_score * 10000) AS BIGINT)) AS DOUBLE)
-       |        / CAST(count(*) * 10000 AS DOUBLE), 4) AS avg_quality
+       |  CAST((2 * sum(CAST(round(quality_score * 10000) AS BIGINT)) + count(*))
+       |       // (2 * count(*)) AS DOUBLE) / 10000.0 AS avg_quality
        |FROM (
        |  SELECT source, n_tokens,
        |    round(least(1.0, n_tokens / 100.0) * 0.3
@@ -1013,6 +1045,7 @@ object ExtQueries {
     "q_vocab_coverage" -> (vocabCoverage _),
     "q_sample_stratified" -> (sampleStratified _),
     "q_embedding_quantize" -> (embeddingQuantize _),
+    "q_embedding_centroids" -> (embeddingCentroids _),
     "q_bigram_lm" -> (bigramLm _),
     "q_dedup_canonical" -> (dedupCanonical _),
     "q_text_stats" -> (textStats _),
@@ -1049,6 +1082,7 @@ object ExtQueries {
     "q_vocab_coverage" -> vocabCoverageSql,
     "q_sample_stratified" -> sampleStratifiedSql,
     "q_embedding_quantize" -> embeddingQuantizeSql,
+    "q_embedding_centroids" -> embeddingCentroidsSql,
     "q_bigram_lm" -> bigramLmSql,
     "q_dedup_canonical" -> dedupCanonicalSql,
     "q_text_stats" -> textStatsSql,

@@ -53,6 +53,17 @@ class EmbeddingsSpec extends SparkSpec {
     val (s3, q3, _) = out(3L)
     assert(q3.head == -127, s"single-component vector quantizes to ±127, got $q3 (scale $s3)")
   }
+
+  test("groupCentroids: exact per-dimension means, dim order preserved") {
+    val df = Seq(
+      (1, Seq(1.0f, 2.0f)),
+      (1, Seq(3.0f, 6.0f)),
+      (2, Seq(-1.0f, 0.5f))).toDF("label", "vec")
+    val out = Embeddings.groupCentroids(df, "label", "vec").collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getSeq[Double](2)))).toMap
+    assert(out(1) == ((2L, Seq(2.0, 4.0))))
+    assert(out(2) == ((1L, Seq(-1.0, 0.5))))
+  }
 }
 
 class LanguageModelSpec extends SparkSpec {

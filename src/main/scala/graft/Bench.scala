@@ -23,7 +23,11 @@ object Bench {
     // Brute-force oracle baselines are excluded at sf >= 0.1 (their role
     // is small-SF cross-checking; the bucketed twins stay benched). An
     // explicit SPARK_GRAFT_ONLY filter overrides for profiling.
-    val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1).toDouble).getOrElse(1.0)
+    // anchored numeric token ("sf0.1.bak" must parse 0.1, not throw);
+    // an unrecognizable dir defaults to 0.0 = run everything (never
+    // silently skip a correctness baseline on an unknown layout)
+    val sf = "sf([0-9]+(?:\\.[0-9]+)?)".r
+      .findFirstMatchIn(sfDir).map(_.group(1).toDouble).getOrElse(0.0)
     val skipped =
       if (only.isEmpty && sf >= 0.1) SparkEntry.oracleOnlyAtScale else Set.empty[String]
     val selected = SparkEntry.queries.filter { case (n, _) =>

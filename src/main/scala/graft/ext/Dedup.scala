@@ -239,16 +239,19 @@ object Dedup {
       if (maxPostings <= 0) sets
       else {
         // Drop heavy-hitter shingles (posting list > maxPostings) from the
-        // index. Aggregate + broadcast anti-join, not a count-window: the
-        // heavy list is tiny by construction (≤ Σ|postings|/maxPostings
-        // entries), so the exploded index is pruned map-side without a
-        // second full shuffle. Deterministic, so an oracle can mirror it.
+        // index via an aggregate + anti-join. The heavy list is bounded by
+        // Σ|postings|/maxPostings entries — usually tiny, and AQE then
+        // broadcasts it — but NOT forcibly broadcast: on a boilerplate-
+        // heavy web corpus that bound runs to 10⁸ rows, where a forced
+        // broadcast is a driver OOM. The shuffle case keys the anti-join
+        // on the same `shingle` the index self-join shuffles on anyway.
+        // Deterministic, so an oracle can mirror it.
         val heavy = sets
           .groupBy(col("shingle"))
           .agg(count(lit(1)).as("post_n"))
           .filter(col("post_n") > maxPostings)
           .select(col("shingle"))
-        sets.join(broadcast(heavy), Seq("shingle"), "left_anti")
+        sets.join(heavy, Seq("shingle"), "left_anti")
       }
     val a = bounded.select(col("shingle").as("sh_a"), col("id").as("id_a"), col("set_size").as("size_a"))
     val b = bounded.select(col("shingle").as("sh_b"), col("id").as("id_b"), col("set_size").as("size_b"))

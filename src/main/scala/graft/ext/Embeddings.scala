@@ -69,13 +69,16 @@ object Embeddings {
     df.select(col(groupCol), posexplode(col(vecCol)).as(Seq("dim", "v")))
       .groupBy(col(groupCol), col("dim"))
       .agg(
-        count(lit(1)).as("n"),
+        // count the VALUES, not the rows: a null component must not
+        // deflate the mean of the present ones
+        count(col("v")).as("n"),
         sum(expr("cast(round(cast(v as double) * 10000) as bigint)")).as("s"))
       // exact half-away-from-zero of s/n at integer precision (= the
-      // centroid component in 1e-4 units); n > 0 by construction
+      // centroid component in 1e-4 units); all-null dims yield NULL
       .withColumn(
         "c_e4",
-        expr("CASE WHEN s >= 0 THEN (2 * s + n) DIV (2 * n) " +
+        expr("CASE WHEN n = 0 THEN CAST(NULL AS BIGINT) " +
+          "WHEN s >= 0 THEN (2 * s + n) DIV (2 * n) " +
           "ELSE -((-2 * s + n) DIV (2 * n)) END"))
       .withColumn("c", col("c_e4").cast("double") / 10000.0)
       .groupBy(col(groupCol))

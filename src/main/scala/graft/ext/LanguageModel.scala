@@ -43,14 +43,15 @@ object LanguageModel {
       .filter(length(trim(col(textCol))) > 0)
       .select(col(idCol), toks.as("toks"))
 
-    // One row per bigram occurrence, keyed (w1, w2). Cached once
-    // (MEMORY_AND_DISK): the model build AND the scoring join both
-    // consume it — uncached, the tokenize+explode runs twice. Cache, not
-    // localCheckpoint: cache keeps lineage, so an evicted or lost block
-    // recomputes instead of failing the job (lineage-free local blocks
-    // die with their executor — wrong trade at cluster scale). A
-    // production pipeline staging grams for MANY downstream jobs would
-    // write them to table storage instead.
+    // One row per bigram occurrence, keyed (w1, w2). Deliberately NOT
+    // cached or checkpointed: the model-count branch and the scoring
+    // branch re-derive it independently, and Catalyst column-prunes the
+    // model branch down to bare (w1, w2) — a second cheap map pass.
+    // Caching the wide gram table would write MORE bytes to executor
+    // storage than the recompute reads, pin them for the session
+    // (persist has no release point here — the caller owns the result's
+    // lifetime), and a localCheckpoint would truncate lineage so an
+    // executor loss fails the job instead of recomputing.
     val grams = base
       .select(
         col(idCol),
@@ -60,7 +61,6 @@ object LanguageModel {
             slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
             (a, b) => struct(a.as("w1"), b.as("w2")))).as("g"))
       .select(col(idCol), col("g.w1").as("w1"), col("g.w2").as("w2"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val unigrams = base
       .select(explode(col("toks")).as("w"))

@@ -502,9 +502,10 @@ object ExtQueries {
       |  UNION ALL
       |  SELECT doc_id + 4000000, source, text || ' freshly arrived content'
       |  FROM documents WHERE doc_id % 4 = 0)
-      |SELECT doc_id, source FROM batch
-      |WHERE md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
-      |      NOT IN (SELECT f FROM fp)""".stripMargin
+      |SELECT doc_id, source FROM batch b
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM fp
+      |  WHERE fp.f = md5(lower(regexp_replace(trim(b.text), '\s+', ' ', 'g'))))""".stripMargin
 
   /** Vocabulary building: global top-25 terms by document frequency
     * (distinct doc per term), ties broken lexicographically.
@@ -699,12 +700,13 @@ object ExtQueries {
       |                          i -> {'dim': i - 1, 'v': embedding[i]}), recursive := true)
       |  FROM embeddings),
       |agg AS (
-      |  SELECT label, dim, count(*) AS n,
+      |  SELECT label, dim, count(v) AS n,
       |         sum(CAST(round(CAST(v AS DOUBLE) * 10000) AS BIGINT)) AS s
       |  FROM ex GROUP BY 1, 2),
       |c AS (
       |  SELECT label, dim, n,
-      |    CASE WHEN s >= 0 THEN (2 * s + n) // (2 * n)
+      |    CASE WHEN n = 0 THEN CAST(NULL AS BIGINT)
+      |         WHEN s >= 0 THEN (2 * s + n) // (2 * n)
       |         ELSE -((-2 * s + n) // (2 * n)) END AS c_e4
       |  FROM agg)
       |SELECT label, CAST(max(n) AS BIGINT) AS n_vectors,
@@ -941,7 +943,9 @@ object ExtQueries {
         col("source"),
         expr("cast(round(quality_score * 10000) as bigint)").as("quality_e4"))
     val hist = q.groupBy(col("source"), col("quality_e4")).agg(count(lit(1)).as("c"))
-    val n = q.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    // per-source totals from the HISTOGRAM, not a second pass over q —
+    // the corpus is scanned exactly twice (cutoff build + final filter)
+    val n = hist.groupBy(col("source")).agg(sum(col("c")).as("n"))
     val run = Window
       .partitionBy(col("source"))
       .orderBy(col("quality_e4").asc)
@@ -979,7 +983,7 @@ object ExtQueries {
        |             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
        |      FROM documents))),
        |hist AS (SELECT source, quality_e4, count(*) AS c FROM q GROUP BY 1, 2),
-       |n AS (SELECT source, count(*) AS n FROM q GROUP BY 1),
+       |n AS (SELECT source, sum(c) AS n FROM hist GROUP BY 1),
        |th AS (
        |  SELECT source, min(quality_e4) AS cutoff FROM (
        |    SELECT h.source, h.quality_e4,

@@ -33,13 +33,16 @@ final case class Catalog(spark: SparkSession, root: String) {
     val p = java.nio.file.Paths.get(root)
     if (!java.nio.file.Files.isDirectory(p)) Seq.empty
     else {
-      val it = java.nio.file.Files.list(p).iterator()
-      val out = scala.collection.mutable.ArrayBuffer.empty[String]
-      while (it.hasNext) {
-        val d = it.next()
-        if (java.nio.file.Files.isDirectory(d)) out += d.getFileName.toString
-      }
-      out.toSeq.sorted
+      val s = java.nio.file.Files.list(p)
+      try {
+        val it = s.iterator()
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (it.hasNext) {
+          val d = it.next()
+          if (java.nio.file.Files.isDirectory(d)) out += d.getFileName.toString
+        }
+        out.toSeq.sorted
+      } finally s.close()
     }
   }
 
@@ -62,14 +65,17 @@ final case class Catalog(spark: SparkSession, root: String) {
     val p = java.nio.file.Paths.get(root, schema)
     if (!java.nio.file.Files.isDirectory(p)) Seq.empty
     else {
-      val it = java.nio.file.Files.list(p).iterator()
-      val out = scala.collection.mutable.ArrayBuffer.empty[String]
-      while (it.hasNext) {
-        val d = it.next()
-        if (java.nio.file.Files.isDirectory(d.resolve("_graft_log")))
-          out += d.getFileName.toString
-      }
-      out.toSeq.sorted
+      val s = java.nio.file.Files.list(p)
+      try {
+        val it = s.iterator()
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (it.hasNext) {
+          val d = it.next()
+          if (java.nio.file.Files.isDirectory(d.resolve("_graft_log")))
+            out += d.getFileName.toString
+        }
+        out.toSeq.sorted
+      } finally s.close()
     }
   }
 

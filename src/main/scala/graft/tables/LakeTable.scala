@@ -55,14 +55,14 @@ final class LakeTable(val spark: SparkSession, val root: String) {
 
   private def listVersions(): Seq[Path] =
     if (!Files.isDirectory(logDir)) Seq.empty
-    else
-      Files
-        .list(logDir)
-        .iterator()
-        .asScala
+    else {
+      val s = Files.list(logDir)
+      try s.iterator().asScala
         .filter(p => p.getFileName.toString.matches("v\\d+\\.json"))
         .toSeq
         .sortBy(versionOf)
+      finally s.close()
+    }
 
   def latestVersion(): Option[Long] = listVersions().lastOption.map(versionOf)
 
@@ -233,16 +233,16 @@ final class LakeTable(val spark: SparkSession, val root: String) {
   private def listPartitionValues(dirName: String): Seq[String] = {
     val d = dataDir.resolve(dirName)
     if (!Files.isDirectory(d)) Seq.empty
-    else
-      Files
-        .list(d)
-        .iterator()
-        .asScala
+    else {
+      val s = Files.list(d)
+      try s.iterator().asScala
         .map(_.getFileName.toString)
         .filter(_.contains("="))
         .map(_.split("=", 2)(1))
         .toSeq
         .sorted
+      finally s.close()
+    }
   }
 
   private def dirHasDataFiles(dirName: String): Boolean = {

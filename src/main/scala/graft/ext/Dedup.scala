@@ -262,9 +262,14 @@ object Dedup {
           col("size_b") * lit(threshold) <= col("size_a"))
       .groupBy(col("id_a"), col("id_b"), col("size_a"), col("size_b"))
       .agg(count(lit(1)).as("shared"))
+      // floor(x·10⁴+0.5), not round(x, 4): both engines evaluate the SAME
+      // binary double, so the 4-dp value is engine-exact even when the
+      // rational i/u lands on a .5 rounding boundary (e.g. union 160,
+      // odd intersection), where decimal-string vs binary round() differ
       .withColumn(
         "jaccard",
-        round(col("shared") / (col("size_a") + col("size_b") - col("shared")), 4))
+        floor(col("shared") / (col("size_a") + col("size_b") - col("shared")) * 10000 + 0.5)
+          / 10000.0)
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -337,7 +342,11 @@ object Dedup {
       .join(hashed.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn(
         "jaccard",
-        round(graft.functions.VectorExprs.jaccardLongs(spark, col("sh_a"), col("sh_b")), 4))
+        // floor-form 4-dp rounding: engine-exact on .5 boundaries (see
+        // ngramJaccardPairs)
+        floor(
+          graft.functions.VectorExprs.jaccardLongs(spark, col("sh_a"), col("sh_b")) * 10000
+            + 0.5) / 10000.0)
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

@@ -300,9 +300,11 @@ object TextAnalysis {
       .agg(
         count(lit(1)).as("n_chunks"),
         sum(when(col("n_occ") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+      // floor-form 4-dp rounding: engine-exact on .5 boundaries (see
+      // Dedup.ngramJaccardPairs)
       .withColumn(
         "dup_chunk_ratio",
-        round(col("n_dup_chunks").cast("double") / col("n_chunks"), 4))
+        floor(col("n_dup_chunks").cast("double") / col("n_chunks") * 10000 + 0.5) / 10000.0)
   }
 
   def fingerprintMd5(text: Column): Column =

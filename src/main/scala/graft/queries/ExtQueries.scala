@@ -315,8 +315,8 @@ object ExtQueries {
       |        FROM corpus))
       |SELECT id_a, id_b, jaccard FROM (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-      |    round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-      |          / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+      |    floor(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |          / len(list_distinct(list_concat(a.s, b.s))) * 10000 + 0.5) / 10000.0 AS jaccard
       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
       |WHERE jaccard >= 0.5""".stripMargin
 
@@ -364,11 +364,11 @@ object ExtQueries {
       |  GROUP BY 1, 2),
       |sz AS (SELECT doc_id, len(s) AS n FROM sh)
       |SELECT id_a, id_b,
-      |       round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 4) AS jaccard
+      |       floor(CAST(c AS DOUBLE) / (sa.n + sb.n - c) * 10000 + 0.5) / 10000.0 AS jaccard
       |FROM shared
       |JOIN sz sa ON sa.doc_id = id_a
       |JOIN sz sb ON sb.doc_id = id_b
-      |WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 4) >= 0.5""".stripMargin
+      |WHERE floor(CAST(c AS DOUBLE) / (sa.n + sb.n - c) * 10000 + 0.5) / 10000.0 >= 0.5""".stripMargin
 
   /** SimHash near-dups — probabilistic bucketing, spec-verified;
     * rows-only here.
@@ -771,8 +771,8 @@ object ExtQueries {
        |pairs AS (
        |  SELECT id_a, id_b FROM (
        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       |      round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-       |            / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+       |      floor(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |            / len(list_distinct(list_concat(a.s, b.s))) * 10000 + 0.5) / 10000.0 AS jaccard
        |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
        |  WHERE jaccard >= 0.5),
        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
@@ -915,8 +915,8 @@ object ExtQueries {
       |SELECT doc_id,
       |  CAST(count(*) AS BIGINT) AS n_chunks,
       |  CAST(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
-      |  round(CAST(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4)
-      |    AS dup_chunk_ratio
+      |  floor(CAST(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+      |        * 10000 + 0.5) / 10000.0 AS dup_chunk_ratio
       |FROM f GROUP BY doc_id""".stripMargin
 
   /** Per-source quality-threshold selection: keep each source's top 60%

@@ -57,14 +57,17 @@ object TextAnalysis {
         "uniq_ratio",
         when(size(toks) === 0, 0.0)
           .otherwise(size(array_distinct(toks)) / size(toks).cast("double")))
+      // floor-form 4-dp rounding: the score is a rational combination, so
+      // round(x, 4) can land on a .5 boundary where decimal-string and
+      // binary rounding disagree across engines; floor(x*1e4+0.5)
+      // evaluates the identical binary double everywhere
       .withColumn(
         "quality_score",
-        round(
-          least(lit(1.0), col("n_tokens_q") / lit(100.0)) * lit(0.3) +
+        floor(
+          (least(lit(1.0), col("n_tokens_q") / lit(100.0)) * lit(0.3) +
             (lit(1.0) - least(lit(1.0), col("punct_ratio") * 5)) * lit(0.2) +
             least(lit(1.0), col("stopword_ratio") * 4) * lit(0.2) +
-            col("uniq_ratio") * lit(0.3),
-          4))
+            col("uniq_ratio") * lit(0.3)) * 10000 + 0.5) / 10000.0)
   }
 
   /** Language identification: stopword-profile scoring over the five
@@ -136,8 +139,9 @@ object TextAnalysis {
     val dupBigramRatio =
       when(n < 2, 0.0).otherwise(
         (size(grams) - size(array_distinct(grams))).cast("double") / size(grams))
-    df.withColumn("top_token_ratio", round(topTokenRatio, 4))
-      .withColumn("dup_bigram_ratio", round(dupBigramRatio, 4))
+    // floor-form 4-dp rounding (see quality_score): engine-exact rationals
+    df.withColumn("top_token_ratio", floor(topTokenRatio * 10000 + 0.5) / 10000.0)
+      .withColumn("dup_bigram_ratio", floor(dupBigramRatio * 10000 + 0.5) / 10000.0)
       .withColumn(
         "is_repetitive",
         when(col("top_token_ratio") > 0.3 || col("dup_bigram_ratio") > 0.2, 1).otherwise(0))

@@ -59,21 +59,21 @@ object ExtQueries {
       .qualityFeatures(docs(spark, sfDir), "text")
       .select(
         col("doc_id"),
-        round(col("punct_ratio"), 4).as("punct_ratio"),
-        round(col("stopword_ratio"), 4).as("stopword_ratio"),
-        round(col("uniq_ratio"), 4).as("uniq_ratio"),
+        (floor(col("punct_ratio") * 10000 + 0.5) / 10000.0).as("punct_ratio"),
+        (floor(col("stopword_ratio") * 10000 + 0.5) / 10000.0).as("stopword_ratio"),
+        (floor(col("uniq_ratio") * 10000 + 0.5) / 10000.0).as("uniq_ratio"),
         col("quality_score"))
 
   val textQualitySql: String = {
     val sw = graft.ext.Stopwords.en.map(w => s"'$w'").mkString("[", ", ", "]")
     s"""SELECT doc_id,
-       |  round(punct_ratio, 4) AS punct_ratio,
-       |  round(stopword_ratio, 4) AS stopword_ratio,
-       |  round(uniq_ratio, 4) AS uniq_ratio,
-       |  round(least(1.0, n_tokens / 100.0) * 0.3
+       |  floor(punct_ratio * 10000 + 0.5) / 10000.0 AS punct_ratio,
+       |  floor(stopword_ratio * 10000 + 0.5) / 10000.0 AS stopword_ratio,
+       |  floor(uniq_ratio * 10000 + 0.5) / 10000.0 AS uniq_ratio,
+       |  floor((least(1.0, n_tokens / 100.0) * 0.3
        |        + (1.0 - least(1.0, punct_ratio * 5)) * 0.2
        |        + least(1.0, stopword_ratio * 4) * 0.2
-       |        + uniq_ratio * 0.3, 4) AS quality_score
+       |        + uniq_ratio * 0.3) * 10000 + 0.5) / 10000.0 AS quality_score
        |FROM (
        |  SELECT doc_id, n_tokens,
        |    CASE WHEN length(text) = 0 THEN 0.0
@@ -107,12 +107,14 @@ object ExtQueries {
       |f AS (
       |  SELECT doc_id,
       |    CASE WHEN n = 0 THEN 0.0
-      |         ELSE round(CAST(list_max(list_transform(list_distinct(toks),
-      |                d -> len(list_filter(toks, tk -> tk = d)))) AS DOUBLE) / n, 4)
+      |         ELSE floor(CAST(list_max(list_transform(list_distinct(toks),
+      |                d -> len(list_filter(toks, tk -> tk = d)))) AS DOUBLE) / n
+      |              * 10000 + 0.5) / 10000.0
       |    END AS top_token_ratio,
       |    CASE WHEN n < 2 THEN 0.0
-      |         ELSE round(CAST(n - 1 - len(list_distinct(list_transform(range(1, n),
-      |                j -> toks[j] || ' ' || toks[j + 1]))) AS DOUBLE) / (n - 1), 4)
+      |         ELSE floor(CAST(n - 1 - len(list_distinct(list_transform(range(1, n),
+      |                j -> toks[j] || ' ' || toks[j + 1]))) AS DOUBLE) / (n - 1)
+      |              * 10000 + 0.5) / 10000.0
       |    END AS dup_bigram_ratio
       |  FROM t)
       |SELECT doc_id, top_token_ratio, dup_bigram_ratio,
@@ -784,10 +786,10 @@ object ExtQueries {
        |labels AS (SELECT id, min(lbl) AS cluster_rep FROM walk GROUP BY id),
        |quality AS (
        |  SELECT doc_id,
-       |    round(least(1.0, n_tokens / 100.0) * 0.3
+       |    floor((least(1.0, n_tokens / 100.0) * 0.3
        |          + (1.0 - least(1.0, punct_ratio * 5)) * 0.2
        |          + least(1.0, stopword_ratio * 4) * 0.2
-       |          + uniq_ratio * 0.3, 4) AS quality_score
+       |          + uniq_ratio * 0.3) * 10000 + 0.5) / 10000.0 AS quality_score
        |  FROM (
        |    SELECT doc_id, n_tokens,
        |      CASE WHEN length(text) = 0 THEN 0.0
@@ -869,10 +871,10 @@ object ExtQueries {
        |       // (2 * count(*)) AS DOUBLE) / 10000.0 AS avg_quality
        |FROM (
        |  SELECT source, n_tokens,
-       |    round(least(1.0, n_tokens / 100.0) * 0.3
+       |    floor((least(1.0, n_tokens / 100.0) * 0.3
        |          + (1.0 - least(1.0, punct_ratio * 5)) * 0.2
        |          + least(1.0, stopword_ratio * 4) * 0.2
-       |          + uniq_ratio * 0.3, 4) AS quality_score
+       |          + uniq_ratio * 0.3) * 10000 + 0.5) / 10000.0 AS quality_score
        |  FROM (
        |    SELECT source, n_tokens,
        |      CASE WHEN length(text) = 0 THEN 0.0
@@ -965,10 +967,10 @@ object ExtQueries {
     val sw = graft.ext.Stopwords.en.map(w => s"'$w'").mkString("[", ", ", "]")
     s"""WITH q AS (
        |  SELECT doc_id, source,
-       |    CAST(round(round(least(1.0, n_tokens / 100.0) * 0.3
+       |    CAST(round(floor((least(1.0, n_tokens / 100.0) * 0.3
        |          + (1.0 - least(1.0, punct_ratio * 5)) * 0.2
        |          + least(1.0, stopword_ratio * 4) * 0.2
-       |          + uniq_ratio * 0.3, 4) * 10000) AS BIGINT) AS quality_e4
+       |          + uniq_ratio * 0.3) * 10000 + 0.5) / 10000.0 * 10000) AS BIGINT) AS quality_e4
        |  FROM (
        |    SELECT doc_id, source, n_tokens,
        |      CASE WHEN length(text) = 0 THEN 0.0

@@ -332,10 +332,10 @@ object StreamQueries {
     val sw = graft.ext.Stopwords.en.map(w => s"'$w'").mkString("[", ", ", "]")
     s"""SELECT doc_id, n_tokens AS n_tokens_q, quality_score FROM (
        |  SELECT doc_id, n_tokens,
-       |    round(least(1.0, n_tokens / 100.0) * 0.3
+       |    floor((least(1.0, n_tokens / 100.0) * 0.3
        |          + (1.0 - least(1.0, punct_ratio * 5)) * 0.2
        |          + least(1.0, stopword_ratio * 4) * 0.2
-       |          + uniq_ratio * 0.3, 4) AS quality_score
+       |          + uniq_ratio * 0.3) * 10000 + 0.5) / 10000.0 AS quality_score
        |  FROM (
        |    SELECT doc_id, n_tokens,
        |      CASE WHEN length(text) = 0 THEN 0.0

@@ -472,16 +472,32 @@ object Dedup {
       .distinct()
       .withColumn("cluster_rep", col("id"))
       .localCheckpoint(true)
-    // Convergence probe: labels under min-propagation are MONOTONICALLY
-    // non-increasing per node, so the fixpoint is reached exactly when
-    // the label sum stops changing — one scalar aggregate per round
-    // (decimal(38,0): overflow-free for any id range) instead of a
-    // join-and-scan comparison against the previous labeling.
+    // Convergence probe, dispatched on the id TYPE. Integral ids
+    // (long/int/scale-0 decimal): labels under min-propagation are
+    // MONOTONICALLY non-increasing per node, so the fixpoint is reached
+    // exactly when the label sum stops changing — one scalar aggregate
+    // per round (decimal(38,0): overflow-free for any id range).
+    // Any other id type (string/UUID/md5 ids are a common dedup shape,
+    // doubles can alias to equal sums): the decimal cast would THROW
+    // under ANSI mode — and with ANSI off it yields NULL, making both
+    // sums zero and the loop "converge" after one round with wrong
+    // labels — so fall back to an anti-join changed-label probe
+    // (null-safe inequality, short-circuits at the first changed row).
+    import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType, ShortType}
+    val sumProbeSafe = labels.schema("cluster_rep").dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case d: DecimalType if d.scale == 0 => true
+      case _ => false
+    }
     def labelSum(df: DataFrame): java.math.BigDecimal = {
       val v = df.agg(sum(col("cluster_rep").cast("decimal(38,0)"))).head()
       if (v.isNullAt(0)) java.math.BigDecimal.ZERO else v.getDecimal(0)
     }
-    var prevSum = labelSum(labels)
+    def unchanged(next: DataFrame, prev: DataFrame): Boolean = next
+      .join(prev.select(col("id"), col("cluster_rep").as("__prev")), "id")
+      .filter(!(col("cluster_rep") <=> col("__prev")))
+      .isEmpty
+    var prevSum = if (sumProbeSafe) labelSum(labels) else null
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -494,9 +510,13 @@ object Dedup {
         .groupBy(col("id"))
         .agg(min(col("cluster_rep")).as("cluster_rep"))
         .localCheckpoint(true)
-      val nextSum = labelSum(next)
-      converged = nextSum.compareTo(prevSum) == 0
-      prevSum = nextSum
+      if (sumProbeSafe) {
+        val nextSum = labelSum(next)
+        converged = nextSum.compareTo(prevSum) == 0
+        prevSum = nextSum
+      } else {
+        converged = unchanged(next, labels)
+      }
       labels = next
       i += 1
     }

@@ -66,6 +66,24 @@ object Embeddings {
       df: org.apache.spark.sql.DataFrame,
       groupCol: String,
       vecCol: String): org.apache.spark.sql.DataFrame =
+    groupCentroidComponents(df, groupCol, vecCol)
+      .groupBy(col(groupCol))
+      .agg(
+        max(col("n")).as("n_vectors"),
+        transform(
+          sort_array(collect_list(struct(col("dim"), col("c")))),
+          p => p.getField("c")).as("centroid"))
+
+  /** The flat half of [[groupCentroids]]: one row per (group, dim) with
+    * the value count `n` and the exact 4-dp mean component `c` — the
+    * shape to use when the consumer wants scalar rows (result
+    * verification, downstream joins on (group, dim)) rather than the
+    * re-assembled vector.
+    */
+  def groupCentroidComponents(
+      df: org.apache.spark.sql.DataFrame,
+      groupCol: String,
+      vecCol: String): org.apache.spark.sql.DataFrame =
     df.select(col(groupCol), posexplode(col(vecCol)).as(Seq("dim", "v")))
       .groupBy(col(groupCol), col("dim"))
       .agg(
@@ -81,10 +99,5 @@ object Embeddings {
           "WHEN s >= 0 THEN (2 * s + n) DIV (2 * n) " +
           "ELSE -((-2 * s + n) DIV (2 * n)) END"))
       .withColumn("c", col("c_e4").cast("double") / 10000.0)
-      .groupBy(col(groupCol))
-      .agg(
-        max(col("n")).as("n_vectors"),
-        transform(
-          sort_array(collect_list(struct(col("dim"), col("c")))),
-          p => p.getField("c")).as("centroid"))
+      .drop("s", "c_e4")
 }

@@ -297,9 +297,14 @@ object TextAnalysis {
             s"transform(sequence(0, cast(ceil(size(__toks) / ${chunkTokens}.0) as int) - 1), " +
               s"i -> md5(array_join(slice(__toks, i * $chunkTokens + 1, $chunkTokens), ' ')))"))
           .as("fp"))
-    val occ = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    // groupBy+join instead of count().over(partitionBy(fp)): a window
+    // funnels every occurrence of a hot fingerprint (a boilerplate chunk
+    // repeated 10M×) through ONE task; the hash-agg side combines
+    // map-side so the hot key ships as one partial per task, and the
+    // join back is fp-to-fp with no skew amplification.
+    val occCounts = chunks.groupBy(col("fp")).agg(count(lit(1)).as("n_occ"))
     chunks
-      .withColumn("n_occ", count(lit(1)).over(occ))
+      .join(occCounts, "fp")
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_chunks"),

@@ -688,12 +688,15 @@ object ExtQueries {
 
   /** Per-label embedding centroids — the k-means / IVF-training update
     * step as a first-class query: posexplode to (label, dim, value),
-    * map-side-combined exact integer-scaled sums, |labels|-sized
-    * re-assembly. No vector list is ever collected; the shuffle carries
-    * at most |labels|·dim partial rows per task.
+    * map-side-combined exact integer-scaled sums. Emitted as one SCALAR
+    * row per (label, dim) — `(label, dim, n, c)` — rather than the
+    * re-assembled `array<double>` ([[Embeddings.groupCentroids]]): the
+    * verification harness row-sorts result frames and cannot order
+    * array-typed cells, so oracle-checked queries never emit a
+    * top-level array column (see QueryShapeSpec).
     */
   def embeddingCentroids(spark: SparkSession, sfDir: String): DataFrame =
-    Embeddings.groupCentroids(embs(spark, sfDir), "label", "embedding")
+    Embeddings.groupCentroidComponents(embs(spark, sfDir), "label", "embedding")
 
   val embeddingCentroidsSql: String =
     """WITH ex AS (
@@ -704,16 +707,12 @@ object ExtQueries {
       |agg AS (
       |  SELECT label, dim, count(v) AS n,
       |         sum(CAST(round(CAST(v AS DOUBLE) * 10000) AS BIGINT)) AS s
-      |  FROM ex GROUP BY 1, 2),
-      |c AS (
-      |  SELECT label, dim, n,
-      |    CASE WHEN n = 0 THEN CAST(NULL AS BIGINT)
-      |         WHEN s >= 0 THEN (2 * s + n) // (2 * n)
-      |         ELSE -((-2 * s + n) // (2 * n)) END AS c_e4
-      |  FROM agg)
-      |SELECT label, CAST(max(n) AS BIGINT) AS n_vectors,
-      |       list(CAST(c_e4 AS DOUBLE) / 10000.0 ORDER BY dim) AS centroid
-      |FROM c GROUP BY label""".stripMargin
+      |  FROM ex GROUP BY 1, 2)
+      |SELECT label, CAST(dim AS INTEGER) AS dim, CAST(n AS BIGINT) AS n,
+      |  CAST(CASE WHEN n = 0 THEN CAST(NULL AS BIGINT)
+      |       WHEN s >= 0 THEN (2 * s + n) // (2 * n)
+      |       ELSE -((-2 * s + n) // (2 * n)) END AS DOUBLE) / 10000.0 AS c
+      |FROM agg""".stripMargin
 
   /** Bigram-LM quality scoring (the CCNet-shaped LM filter): train
     * bigram/unigram counts on the corpus, score each document's average
@@ -865,7 +864,7 @@ object ExtQueries {
   val corpusReportSql: String = {
     val sw = graft.ext.Stopwords.en.map(w => s"'$w'").mkString("[", ", ", "]")
     s"""SELECT source, count(*) AS n_docs,
-       |  sum(CAST(n_tokens AS BIGINT)) AS total_tokens,
+       |  CAST(sum(CAST(n_tokens AS BIGINT)) AS BIGINT) AS total_tokens,
        |  round(quantile_cont(n_tokens, 0.5), 4) AS p50_tokens,
        |  CAST((2 * sum(CAST(round(quality_score * 10000) AS BIGINT)) + count(*))
        |       // (2 * count(*)) AS DOUBLE) / 10000.0 AS avg_quality

@@ -131,7 +131,12 @@ final class LakeTable(val spark: SparkSession, val root: String) {
             Option(row.get(row.fieldIndex(c))).map(v => c -> Stats.toStringValue(v))
           }.toMap
         } catch {
-          case _: java.util.concurrent.TimeoutException =>
+          // NonFatal, not just TimeoutException: the parquet data is
+          // already on disk at this point, so ANY await/listener failure
+          // (interrupt wrappers, metric-delivery errors) must degrade to
+          // the footer-stats rescan rather than abort and orphan the
+          // commit dir.
+          case scala.util.control.NonFatal(_) =>
             statsOf(Seq(commitName), present)
         }
     }

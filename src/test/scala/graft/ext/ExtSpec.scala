@@ -199,6 +199,20 @@ class DedupSpec extends SparkSpec {
     assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("clusterPairs handles string ids (md5/UUID dedup shape) under ANSI mode") {
+    // String ids make the integral-sum convergence probe unusable: the
+    // decimal cast throws under ANSI (and silently yields NULL with ANSI
+    // off, converging one round early with wrong labels). The fallback
+    // changed-label probe must still propagate a multi-hop chain to its
+    // lexicographic minimum.
+    val pairs = Seq(("b", "c"), ("c", "d"), ("d", "e"), ("x", "y"))
+      .toDF("id_a", "id_b")
+    val labels = Dedup.clusterPairs(pairs).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(labels == Map(
+      "b" -> "b", "c" -> "b", "d" -> "b", "e" -> "b", "x" -> "x", "y" -> "x"))
+  }
+
   test("LSH embedding near-dup pairs match the brute-force baseline on planted copies") {
     val rnd = new scala.util.Random(11)
     val base = (0 until 200).map(i => (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1).toSeq))
@@ -373,6 +387,32 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.4, s"IVF recall@5 = $recall")
     // probing half the lists must examine well under the full corpus
     assert(ivf.nonEmpty)
+  }
+
+  test("ANN results are CONTAINED in brute-force top-k': approximation only omits, never invents") {
+    // The exactness anchor the recall tests lack: ANN may miss a true
+    // neighbor (bucket/probe misses), but every pair it DOES return must
+    // be a genuine high-rank neighbor under the exact cosine — i.e. a
+    // member of the brute-force top-k' for a modest slack k' > k. A bug
+    // that scores candidates with a wrong distance, or leaks
+    // out-of-bucket ids, breaks containment even at perfect recall:
+    // mis-scored substitutes land at ~uniform true rank (~100 on this
+    // 200-vector corpus). k'=40 calibration: the worst honest LSH
+    // substitution on this seed is true rank 28 (a query whose buckets
+    // held only one high-ranker), so 40 gives margin over honest
+    // approximation while sitting far below the random-rank signature.
+    val qs = vectors.filter(col("id") % 20 === 0)
+    val kPrime = 40
+    val exactWide = Similarity.bruteForceTopK(qs, vectors, "id", "vec", kPrime)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(qs, vectors, "id", "vec", 5, bits = 6, tables = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(qs, vectors, "id", "vec", 5, nlist = 8, nprobe = 4, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((lsh -- exactWide).isEmpty,
+      s"LSH returned pairs outside brute top-$kPrime: ${(lsh -- exactWide).take(5)}")
+    assert((ivf -- exactWide).isEmpty,
+      s"IVF returned pairs outside brute top-$kPrime: ${(ivf -- exactWide).take(5)}")
   }
 
   test("cosine of identical vectors is 1; orthogonal is 0") {

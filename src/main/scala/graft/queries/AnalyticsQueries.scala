@@ -543,6 +543,90 @@ object AnalyticsQueries {
       |       round(sum(l_quantity) FILTER (l_linestatus = 'O'), 4) AS qty_o
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  /** Per-user ordered event sequences — the behavioral analog of
+    * sequence construction for training data: every user's event-type
+    * history joined into one ordered string. Scale shape: one hash
+    * aggregation with map-side combine; the per-user collect_list is
+    * bounded by that user's activity (the natural bound of any
+    * history-construction job), and ordering happens inside the already
+    * grouped array (array_sort over structs), never as a global sort.
+    */
+  def userSequences(spark: SparkSession, sfDir: String): DataFrame =
+    Testdata.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+            e => e.getField("event_type")),
+          ",").as("sequence"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("first_ts"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("last_ts"))
+
+  val userSequencesSql: String =
+    """SELECT user_id, count(*) AS n_events,
+      |       string_agg(event_type, ',' ORDER BY ts, event_id) AS sequence,
+      |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+      |       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+      |FROM events GROUP BY user_id""".stripMargin
+
+  /** Per-group z-score outliers (3σ): group statistics via ONE hash
+    * aggregation broadcast back to the fact rows — never a window over
+    * whole groups (a `avg() OVER (PARTITION BY type)` funnels every
+    * group through one task at scale; a 5-row stats broadcast does
+    * not). Moments are exact integer-scaled sums (4-dp fixed point), so
+    * mean/stddev are summation-order-independent and reproduce
+    * bit-identically in the oracle engine — the same rule every float
+    * mean in this repo follows.
+    */
+  def outliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = Testdata.events(spark, sfDir)
+      .select(
+        col("event_id"), col("event_type"), col("value"),
+        expr("cast(round(cast(value as double) * 10000) as bigint)").as("vq"))
+    val stats = q
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("vq")).as("s1"),
+        // second moment as decimal(38,0): a bigint sum of vq² overflows
+        // around n·(max|v|·10⁴)² ≈ 10²¹ — reachable at cluster scale
+        sum((col("vq") * col("vq")).cast("decimal(38,0)")).as("s2"))
+      .select(
+        col("event_type"),
+        (col("s1").cast("double") / col("n")).as("mu"),
+        sqrt(
+          col("s2").cast("double") / col("n") -
+            (col("s1").cast("double") / col("n")) * (col("s1").cast("double") / col("n")))
+          .as("sigma"))
+    q.join(broadcast(stats), Seq("event_type"))
+      .withColumn("z", (col("vq").cast("double") - col("mu")) / col("sigma"))
+      .filter(abs(col("z")) > 3.0)
+      .select(
+        col("event_id"),
+        col("event_type"),
+        round(col("value"), 4).as("value_r"),
+        round(col("z"), 4).as("z"))
+  }
+
+  val outliersSql: String =
+    """WITH q AS (
+      |  SELECT event_id, event_type, value,
+      |         CAST(round(CAST(value AS DOUBLE) * 10000) AS BIGINT) AS vq
+      |  FROM events),
+      |st AS (
+      |  SELECT event_type, count(*) AS n, sum(vq) AS s1, sum(vq * vq) AS s2
+      |  FROM q GROUP BY 1),
+      |zs AS (
+      |  SELECT event_id, q.event_type, value,
+      |         (CAST(vq AS DOUBLE) - CAST(s1 AS DOUBLE) / n)
+      |           / sqrt(CAST(s2 AS DOUBLE) / n
+      |                  - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) AS z
+      |  FROM q JOIN st USING (event_type))
+      |SELECT event_id, event_type, round(value, 4) AS value_r, round(z, 4) AS z
+      |FROM zs WHERE abs(z) > 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_unpivot" -> (unpivotMetrics _),
     "q_moving_window" -> (movingWindow _),
@@ -565,7 +649,9 @@ object AnalyticsQueries {
     "q_sliding_window" -> (slidingWindow _),
     "q_session_window" -> (sessionWindow _),
     "q_distinct_agg" -> (distinctAgg _),
-    "q_rollup_agg" -> (rollupAgg _))
+    "q_rollup_agg" -> (rollupAgg _),
+    "q_user_sequences" -> (userSequences _),
+    "q_outliers" -> (outliers _))
 
   val oracleSql: Map[String, String] = Map(
     "q_unpivot" -> unpivotMetricsSql,
@@ -588,7 +674,9 @@ object AnalyticsQueries {
     "q_sliding_window" -> slidingWindowSql,
     "q_session_window" -> sessionWindowSql,
     "q_distinct_agg" -> distinctAggSql,
-    "q_rollup_agg" -> rollupAggSql)
+    "q_rollup_agg" -> rollupAggSql,
+    "q_user_sequences" -> userSequencesSql,
+    "q_outliers" -> outliersSql)
 }
 
 /** Narrow typed view of lineitem for the Dataset[T] pipeline. */

@@ -33,6 +33,30 @@ class AnalyticsSpec extends SparkSpec {
     assert(approx >= lo && approx <= hi, s"approx=$approx outside [$lo, $hi]")
   }
 
+  test("userSequences orders event types by (ts, event_id) within each user") {
+    val rows = queries.AnalyticsQueries
+      .userSequences(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    // n_events must equal the sequence length for every user
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_events")
+      val seqLen = r.getAs[String]("sequence").split(",").length
+      assert(n == seqLen, s"user ${r.get(0)}: n_events=$n but sequence has $seqLen entries")
+    }
+  }
+
+  test("outliers: every emitted row is beyond 3 sigma and the stats side broadcasts") {
+    val df = queries.AnalyticsQueries.outliers(spark, "/root/testdata/sf0.01")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(math.abs(r.getAs[Double]("z")) > 3.0))
+    // the group-stats side must join as a broadcast, never a shuffle
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), "group-stats join degraded to a shuffle join")
+  }
+
   test("session_window exact-gap boundary: Spark MERGES an event at exactly lastTs+gap") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

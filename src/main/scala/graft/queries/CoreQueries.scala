@@ -343,6 +343,39 @@ object CoreQueries {
       |WHERE l_shipdate > (SELECT max(o_orderdate) FROM orders WHERE o_orderstatus = 'F')
       |GROUP BY l_returnflag""".stripMargin
 
+  /** Zonemap-pruned range scan: three time-ordered ingest waves land as
+    * three commit dirs whose per-dir (min, max) `ts` ranges ride the
+    * write job's manifest stats; a range query for the last window then
+    * reads ONLY the commit dirs whose range intersects it
+    * ([[graft.tables.LakeTable.readBetween]] — LakeTableSpec pins that
+    * the two earlier waves are actually skipped). Manifest-granularity
+    * data skipping is what keeps a time-range query on an append-only
+    * ingest from scanning the table's whole history at 100 TB.
+    */
+  def statsPruneScan(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = Testdata.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    val table = graft.tables.LakeTable(spark, scratch("zonemap"))
+    val w1 = lit(java.sql.Timestamp.valueOf("2024-01-11 00:00:00"))
+    val w2 = lit(java.sql.Timestamp.valueOf("2024-01-21 00:00:00"))
+    table.append(events.filter(col("ts") < w1), statsCols = Seq("ts"))
+    table.append(events.filter(col("ts") >= w1 && col("ts") < w2))
+    table.append(events.filter(col("ts") >= w2))
+    table
+      .readBetween(
+        "ts",
+        Some(java.sql.Timestamp.valueOf("2024-01-24 00:00:00")),
+        Some(java.sql.Timestamp.valueOf("2024-01-28 00:00:00")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"), round(sum(col("value")), 4).as("sum_value"))
+  }
+
+  val statsPruneScanSql: String =
+    """SELECT event_type, count(*) AS n_rows, round(sum(value), 4) AS sum_value
+      |FROM events
+      |WHERE ts BETWEEN TIMESTAMP '2024-01-24 00:00:00' AND TIMESTAMP '2024-01-28 00:00:00'
+      |GROUP BY event_type""".stripMargin
+
   /** CSV batch scan round trip (S1): write parquet rows as header CSV,
     * read back with `inferSchema=false` — everything arrives as strings,
     * the reference's bronze contract
@@ -602,6 +635,7 @@ object CoreQueries {
     "q_join_star" -> (joinStar _),
     "q_join_snowflake_iterated" -> (joinSnowflakeIterated _),
     "q_incremental_scan" -> (incrementalScan _),
+    "q_stats_prune_scan" -> (statsPruneScan _),
     "q_csv_roundtrip" -> (csvRoundtrip _),
     "q_csv_infer" -> (csvInfer _),
     "q_scd2_versions" -> (scd2Versions _),
@@ -626,6 +660,7 @@ object CoreQueries {
     "q_join_star" -> joinStarSql,
     "q_join_snowflake_iterated" -> joinSnowflakeIteratedSql,
     "q_incremental_scan" -> incrementalScanSql,
+    "q_stats_prune_scan" -> statsPruneScanSql,
     "q_csv_roundtrip" -> csvRoundtripSql,
     "q_csv_infer" -> csvInferSql,
     "q_scd2_versions" -> scd2VersionsSql,

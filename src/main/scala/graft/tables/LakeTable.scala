@@ -91,19 +91,22 @@ final class LakeTable(val spark: SparkSession, val root: String) {
 
   /** Write `df`'s rows as a new immutable commit dir; return its relative
     * name (empty input still commits an empty dir entry-less manifest)
-    * plus the batch's max-stats for `statsCols`.
+    * plus the batch's (min, max) range for each of `statsCols`.
     *
     * Stats ride the write job itself via `df.observe` (CollectMetrics):
-    * the max is folded in as the rows stream to parquet, so declaring
-    * watermark columns costs zero extra scans — at 100 TB a post-write
+    * min and max fold in as the rows stream to parquet, so declaring
+    * stats columns costs zero extra scans — at 100 TB a post-write
     * re-read of the committed files would be a second pass over the
-    * whole batch. If the observation did not fire (defensive: metrics
-    * are delivered by a listener), fall back to the footer-stats rescan.
+    * whole batch. The max half maintains the table-level incremental
+    * watermark; the full (min, max) pair is the commit dir's zonemap
+    * entry ([[LakeTable.readBetween]] prunes on it). If the observation
+    * did not fire (defensive: metrics are delivered by a listener), fall
+    * back to the footer-stats rescan.
     */
   private def writeCommitDir(
       df: DataFrame,
       partitionBy: Seq[String],
-      statsCols: Seq[String] = Seq.empty): (Option[String], Map[String, String]) = {
+      statsCols: Seq[String] = Seq.empty): (Option[String], Map[String, (String, String)]) = {
     val commitName = s"commit-${UUID.randomUUID()}"
     val dest = dataDir.resolve(commitName)
     val present = statsCols.filter(df.columns.contains)
@@ -113,22 +116,25 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     val toWrite = obs match {
       case None => df
       case Some(o) =>
-        df.observe(
-          o,
-          max(col(present.head)).as(present.head),
-          present.tail.map(c => max(col(c)).as(c)): _*)
+        val aggs = present.flatMap(c =>
+          Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c")))
+        df.observe(o, aggs.head, aggs.tail: _*)
     }
     val writer = toWrite.write.mode("overwrite")
     val w = if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer
     w.parquet(dest.toString)
-    val stats: Map[String, String] = obs match {
-      case None => Map.empty[String, String]
+    val stats: Map[String, (String, String)] = obs match {
+      case None => Map.empty
       case Some(o) =>
         try {
           val row = scala.concurrent.Await.result(
             o.future, scala.concurrent.duration.Duration(30, "seconds"))
           present.flatMap { c =>
-            Option(row.get(row.fieldIndex(c))).map(v => c -> Stats.toStringValue(v))
+            val mn = Option(row.get(row.fieldIndex(s"__min_$c")))
+            val mx = Option(row.get(row.fieldIndex(s"__max_$c")))
+            mn.zip(mx).map { case (a, b) =>
+              c -> ((Stats.toStringValue(a), Stats.toStringValue(b)))
+            }
           }.toMap
         } catch {
           // NonFatal, not just TimeoutException: the parquet data is
@@ -149,37 +155,43 @@ final class LakeTable(val spark: SparkSession, val root: String) {
       keepExisting: Boolean,
       schema: StructType,
       partitionBy: Seq[String],
-      colMax: Map[String, String]): Long = {
+      colMax: Map[String, String],
+      newDirStats: Seq[Map[String, (String, String)]]): Long = {
     val prev = latestVersion().map(readManifest)
     val version = prev.map(_.version + 1).getOrElse(0L)
     val existing = if (keepExisting) prev.map(_.commitDirs).getOrElse(Seq.empty) else Seq.empty
     val existingScopes =
       if (keepExisting) prev.map(_.effectiveScopes).getOrElse(Seq.empty) else Seq.empty
+    val existingStats =
+      if (keepExisting) prev.map(_.effectiveDirStats).getOrElse(Seq.empty) else Seq.empty
     val parts = if (partitionBy.nonEmpty) partitionBy else prev.map(_.partitionBy).getOrElse(Seq.empty)
     writeManifest(
       Manifest(
         version, op, System.currentTimeMillis(), existing ++ newDirs, schema.json, parts,
-        existingScopes ++ newDirs.map(_ => Seq.empty), colMax))
+        existingScopes ++ newDirs.map(_ => Seq.empty), colMax,
+        existingStats ++ newDirs.indices.map(i => newDirStats.lift(i).getOrElse(Map.empty))))
     version
   }
 
-  /** Manifest-level max stats for the just-written commit dir: one agg
-    * over the NEW files only (parquet footer stats make this near-free),
-    * never a scan of the table. Columns without a non-null value are
-    * simply absent from the result.
+  /** Manifest-level (min, max) stats for the just-written commit dir:
+    * one agg over the NEW files only (parquet footer stats make this
+    * near-free), never a scan of the table. Columns without a non-null
+    * value are simply absent from the result.
     */
-  private def statsOf(newDirs: Seq[String], statsCols: Seq[String]): Map[String, String] = {
+  private def statsOf(
+      newDirs: Seq[String],
+      statsCols: Seq[String]): Map[String, (String, String)] = {
     if (statsCols.isEmpty || newDirs.isEmpty) return Map.empty
     val paths = newDirs.map(d => dataDir.resolve(d).toString)
     val batch = spark.read.option("basePath", paths.head).parquet(paths: _*)
     val present = statsCols.filter(batch.columns.contains)
     if (present.isEmpty) return Map.empty
     present.foreach(c => Stats.requireSupported(batch.schema(c).dataType, c))
-    val row = batch.agg(
-      max(col(present.head)),
-      present.tail.map(c => max(col(c))): _*).head()
+    val aggs = present.flatMap(c => Seq(min(col(c)), max(col(c))))
+    val row = batch.agg(aggs.head, aggs.tail: _*).head()
     present.zipWithIndex.flatMap { case (c, i) =>
-      if (row.isNullAt(i)) None else Some(c -> Stats.toStringValue(row.get(i)))
+      if (row.isNullAt(2 * i) || row.isNullAt(2 * i + 1)) None
+      else Some(c -> ((Stats.toStringValue(row.get(2 * i)), Stats.toStringValue(row.get(2 * i + 1)))))
     }.toMap
   }
 
@@ -206,10 +218,12 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     val effParts = if (partitionBy.nonEmpty) partitionBy else tableParts
     val effStats =
       if (statsCols.nonEmpty) statsCols else prev.map(_.colMax.keys.toSeq).getOrElse(Seq.empty)
-    val (dirOpt, batchMax) = writeCommitDir(df, effParts, effStats)
+    val (dirOpt, batchStats) = writeCommitDir(df, effParts, effStats)
     val dirs = dirOpt.toSeq
+    val batchMax = batchStats.map { case (c, (_, mx)) => c -> mx }
     val merged = Stats.merge(prev.map(_.colMax).getOrElse(Map.empty), batchMax, df.schema)
-    commit("append", dirs, keepExisting = true, df.schema, effParts, merged)
+    commit("append", dirs, keepExisting = true, df.schema, effParts, merged,
+      dirs.map(_ => batchStats))
   }
 
   /** Replace the table contents atomically (merge rewrites land here).
@@ -228,8 +242,10 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     // predates the declaration must still establish the watermark.
     val effStats =
       (statsCols ++ prev.map(_.colMax.keys.toSeq).getOrElse(Seq.empty)).distinct
-    val (dirOpt, batchMax) = writeCommitDir(df, effParts, effStats)
-    commit("overwrite", dirOpt.toSeq, keepExisting = false, df.schema, effParts, batchMax)
+    val (dirOpt, batchStats) = writeCommitDir(df, effParts, effStats)
+    commit("overwrite", dirOpt.toSeq, keepExisting = false, df.schema, effParts,
+      batchStats.map { case (c, (_, mx)) => c -> mx },
+      dirOpt.toSeq.map(_ => batchStats))
   }
 
   /** Hive-style partition values (`col=value` subdir names) present in
@@ -274,8 +290,9 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     val affectedSet = affected.toSet
     val p0Name = prev.partitionBy.head
 
-    val (newDirOpt, newMax) = writeCommitDir(df, prev.partitionBy, prev.colMax.keys.toSeq)
+    val (newDirOpt, newStats) = writeCommitDir(df, prev.partitionBy, prev.colMax.keys.toSeq)
     val newDir = newDirOpt.get
+    val oldStats = prev.commitDirs.zip(prev.effectiveDirStats).toMap
     val narrowed = prev.commitDirs.zip(prev.effectiveScopes).flatMap { case (dir, scope) =>
       val eff = if (scope.nonEmpty) scope else listPartitionValues(dir)
       if (eff.isEmpty) {
@@ -303,6 +320,7 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     // only when provably still a max (new batch >= previous, observed
     // during the write above), else drop it and let incrementalFrom fall
     // back to the aggregation probe.
+    val newMax = newStats.map { case (c, (_, mx)) => c -> mx }
     val keptMax = prev.colMax.flatMap { case (c, old) =>
       newMax.get(c).filter(nv => Stats.geq(nv, old, df.schema(c).dataType)).map(c -> _)
     }
@@ -315,7 +333,12 @@ final class LakeTable(val spark: SparkSession, val root: String) {
         df.schema.json,
         prev.partitionBy,
         entries.map(_._2),
-        keptMax))
+        keptMax,
+        // a narrowed dir keeps its old range — the range of a superset of
+        // its remaining rows is still a valid (conservative) zonemap
+        entries.map { case (d, _) =>
+          if (d == newDir) newStats else oldStats.getOrElse(d, Map.empty)
+        }))
     version
   }
 
@@ -327,11 +350,16 @@ final class LakeTable(val spark: SparkSession, val root: String) {
       throw new IllegalStateException(s"table at $root has no commits")
     }
     val m = readManifest(v)
+    readEntries(m, m.commitDirs.zip(m.effectiveScopes))
+  }
+
+  /** Assemble a DataFrame over a subset of a manifest's commit dirs. */
+  private def readEntries(m: Manifest, entries: Seq[(String, Seq[String])]): DataFrame = {
     val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
-    if (m.commitDirs.isEmpty) {
+    if (entries.isEmpty) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     } else if (m.partitionBy.isEmpty) {
-      val paths = m.commitDirs.map(d => dataDir.resolve(d).toString)
+      val paths = entries.map { case (d, _) => dataDir.resolve(d).toString }
       spark.read.schema(schema).parquet(paths: _*)
     } else {
       // Hive-partitioned commits: each commit dir is its own partition
@@ -339,7 +367,7 @@ final class LakeTable(val spark: SparkSession, val root: String) {
       // union preserves them. A dir with a narrowed scope (after a
       // partition-scoped merge) reads only its live `col=value` subdirs.
       val p0 = m.partitionBy.head
-      m.commitDirs.zip(m.effectiveScopes)
+      entries
         .map { case (d, scope) =>
           val base = dataDir.resolve(d).toString
           val paths =
@@ -349,6 +377,64 @@ final class LakeTable(val spark: SparkSession, val root: String) {
         }
         .reduce(_ unionByName _)
     }
+  }
+
+  /** Zonemap-pruned range scan: rows with `colName` in the CLOSED
+    * interval [lower, upper] (either bound optional), reading ONLY the
+    * commit dirs whose manifest (min, max) range intersects it — the
+    * manifest-granularity half of Iceberg/Delta data skipping, on top of
+    * whatever footer-level row-group pruning parquet then does inside
+    * the surviving dirs. Dirs without a recorded range for `colName`
+    * (written before the column was declared in `statsCols`, or all-null
+    * batches) are always scanned — pruning is strictly conservative, and
+    * NULL rows never satisfy a range predicate, so non-null (min, max)
+    * bounds stay correct for dirs that also hold nulls.
+    *
+    * At 100 TB this is the difference between "scan the month the query
+    * asks about" and "scan every commit since table creation" on any
+    * time-ordered ingest — without requiring the ingest to have declared
+    * a Hive partition layout up front.
+    */
+  def readBetween(
+      colName: String,
+      lower: Option[Any],
+      upper: Option[Any],
+      versionAsOf: Option[Long] = None): DataFrame = {
+    val (df, _, _) = readBetweenWithPruneInfo(colName, lower, upper, versionAsOf)
+    df
+  }
+
+  /** [[readBetween]] plus the prune decision: (result, scanned dirs,
+    * skipped dirs) — the observability hook specs and ops tooling use.
+    */
+  def readBetweenWithPruneInfo(
+      colName: String,
+      lower: Option[Any],
+      upper: Option[Any],
+      versionAsOf: Option[Long] = None): (DataFrame, Seq[String], Seq[String]) = {
+    val v = versionAsOf.orElse(latestVersion()).getOrElse {
+      throw new IllegalStateException(s"table at $root has no commits")
+    }
+    val m = readManifest(v)
+    val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    require(schema.fieldNames.contains(colName), s"no column $colName in table $root")
+    val dt = schema(colName).dataType
+    val lowerS = lower.map(Stats.toStringValue)
+    val upperS = upper.map(Stats.toStringValue)
+    val (kept, skipped) = m.commitDirs.zip(m.effectiveScopes).zip(m.effectiveDirStats)
+      .partition { case (_, stats) =>
+        stats.get(colName) match {
+          // overlap test on the closed interval: max >= lower && min <= upper
+          case Some((mn, mx)) =>
+            lowerS.forall(l => Stats.geq(mx, l, dt)) &&
+              upperS.forall(u => Stats.geq(u, mn, dt))
+          case None => true // no range recorded — must scan
+        }
+      }
+    val pruned = readEntries(m, kept.map(_._1))
+    val withLower = lower.map(l => pruned.filter(col(colName) >= lit(l))).getOrElse(pruned)
+    val residual = upper.map(u => withLower.filter(col(colName) <= lit(u))).getOrElse(withLower)
+    (residual, kept.map(_._1._1), skipped.map(_._1._1))
   }
 
   /** Snapshot history (the reference queries `table.snapshots` —
@@ -524,7 +610,8 @@ object LakeTable {
       schemaJson: String,
       partitionBy: Seq[String],
       scopes: Seq[Seq[String]] = Seq.empty,
-      colMax: Map[String, String] = Map.empty) {
+      colMax: Map[String, String] = Map.empty,
+      dirStats: Seq[Map[String, (String, String)]] = Seq.empty) {
 
     /** Per-dir partition scope (leading partition column values); empty
       * seq = whole dir. Normalized to commitDirs length.
@@ -532,6 +619,16 @@ object LakeTable {
     def effectiveScopes: Seq[Seq[String]] =
       if (scopes.length == commitDirs.length) scopes
       else commitDirs.map(_ => Seq.empty[String])
+
+    /** Per-dir column (min, max) ranges for the declared stats columns —
+      * the zonemap that lets a range scan skip whole commit dirs. Empty
+      * map = no stats recorded for that dir (always scanned). Normalized
+      * to commitDirs length, so manifests written before this field
+      * simply prune nothing.
+      */
+    def effectiveDirStats: Seq[Map[String, (String, String)]] =
+      if (dirStats.length == commitDirs.length) dirStats
+      else commitDirs.map(_ => Map.empty[String, (String, String)])
 
     def toJson: String = {
       def qs(s: String) = "\"" + s.flatMap {
@@ -547,11 +644,17 @@ object LakeTable {
       val colMaxJson = colMax.toSeq.sortBy(_._1)
         .map { case (k, v) => s"${qs(k)}:${qs(v)}" }
         .mkString("{", ",", "}")
+      val dirStatsJson = effectiveDirStats
+        .map(m => m.toSeq.sortBy(_._1)
+          .map { case (c, (mn, mx)) => s"${qs(c)}:[${qs(mn)},${qs(mx)}]" }
+          .mkString("{", ",", "}"))
+        .mkString("[", ",", "]")
       s"""{"version":$version,"operation":${qs(operation)},"timestampMs":$timestampMs,""" +
         s""""commitDirs":[${commitDirs.map(qs).mkString(",")}],""" +
         s""""partitionBy":[${partitionBy.map(qs).mkString(",")}],""" +
         s""""scopes":$scopesJson,""" +
         s""""colMax":$colMaxJson,""" +
+        s""""dirStats":$dirStatsJson,""" +
         s""""schema":${qs(schemaJson)}}"""
     }
   }
@@ -655,6 +758,22 @@ object LakeTable {
           while (it.hasNext) { val k = it.next(); b += k -> obj.get(k).asText() }
           b.result()
         }
+      val dirStats =
+        if (!node.has("dirStats")) Seq.empty[Map[String, (String, String)]]
+        else {
+          val arr = node.get("dirStats")
+          (0 until arr.size()).map { i =>
+            val obj = arr.get(i)
+            val it = obj.fieldNames()
+            val b = Map.newBuilder[String, (String, String)]
+            while (it.hasNext) {
+              val k = it.next()
+              val pair = obj.get(k)
+              b += k -> ((pair.get(0).asText(), pair.get(1).asText()))
+            }
+            b.result()
+          }
+        }
       Manifest(
         node.get("version").asLong(),
         node.get("operation").asText(),
@@ -663,7 +782,8 @@ object LakeTable {
         node.get("schema").asText(),
         strings("partitionBy"),
         scopes,
-        colMax)
+        colMax,
+        dirStats)
     }
   }
 }

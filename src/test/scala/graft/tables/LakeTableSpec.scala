@@ -46,6 +46,58 @@ class LakeTableSpec extends SparkSpec {
     assert(t.incrementalFrom(src, "ts").collect().map(_.getInt(0)).toSeq == Seq(3))
   }
 
+  test("readBetween prunes commit dirs by manifest (min, max) range") {
+    val t = LakeTable(spark, scratchDir("zonemap"))
+    val mk = (s: String) => Timestamp.valueOf(s)
+    // three time-ordered waves -> three commit dirs with disjoint ranges
+    t.append(Seq((1, mk("2024-01-01 00:00:00")), (2, mk("2024-01-05 00:00:00"))).toDF("id", "ts"),
+      statsCols = Seq("ts"))
+    t.append(Seq((3, mk("2024-01-11 00:00:00")), (4, mk("2024-01-15 00:00:00"))).toDF("id", "ts"))
+    t.append(Seq((5, mk("2024-01-21 00:00:00")), (6, mk("2024-01-25 00:00:00"))).toDF("id", "ts"))
+    val (df, scanned, skipped) = t.readBetweenWithPruneInfo(
+      "ts", Some(mk("2024-01-20 00:00:00")), Some(mk("2024-01-31 00:00:00")))
+    assert(skipped.size == 2, s"expected 2 pruned dirs, got skipped=$skipped")
+    assert(scanned.size == 1)
+    assert(df.collect().map(_.getInt(0)).sorted.toSeq == Seq(5, 6))
+    // bounds are inclusive on both ends
+    val hit = t.readBetween("ts", Some(mk("2024-01-05 00:00:00")), Some(mk("2024-01-11 00:00:00")))
+    assert(hit.collect().map(_.getInt(0)).sorted.toSeq == Seq(2, 3))
+    // open-ended lower scan prunes nothing incorrectly
+    val all = t.readBetween("ts", None, Some(mk("2024-01-31 00:00:00")))
+    assert(all.count() == 6)
+  }
+
+  test("readBetween is conservative: dirs without a recorded range are scanned") {
+    val t = LakeTable(spark, scratchDir("zonemap-legacy"))
+    val mk = (s: String) => Timestamp.valueOf(s)
+    // first wave written with NO statsCols -> no range for ts on that dir
+    t.append(Seq((1, mk("2024-01-01 00:00:00"))).toDF("id", "ts"))
+    t.append(Seq((2, mk("2024-01-20 00:00:00"))).toDF("id", "ts"), statsCols = Seq("ts"))
+    val (df, scanned, skipped) = t.readBetweenWithPruneInfo(
+      "ts", Some(mk("2024-01-10 00:00:00")), None)
+    assert(skipped.isEmpty, "a dir without stats must never be pruned")
+    assert(scanned.size == 2)
+    assert(df.collect().map(_.getInt(0)).toSeq == Seq(2))
+  }
+
+  test("readBetween range survives partition-scoped replace (conservative keep)") {
+    val t = LakeTable(spark, scratchDir("zonemap-rp"))
+    val mk = (s: String) => Timestamp.valueOf(s)
+    val df = Seq(
+      (1, "a", mk("2024-01-01 00:00:00")),
+      (2, "b", mk("2024-01-10 00:00:00")),
+      (3, "b", mk("2024-01-20 00:00:00"))).toDF("id", "p", "ts")
+    t.append(df, partitionBy = Seq("p"), statsCols = Seq("ts"))
+    // rewrite partition b only; the surviving scope of the old dir keeps
+    // its (wider) original range — never wrongly pruned
+    t.replacePartitions(
+      Seq((4, "b", mk("2024-02-01 00:00:00"))).toDF("id", "p", "ts"), Seq("b"))
+    val (late, _, _) = t.readBetweenWithPruneInfo("ts", Some(mk("2024-01-25 00:00:00")), None)
+    assert(late.collect().map(_.getInt(0)).toSeq == Seq(4))
+    val early = t.readBetween("ts", None, Some(mk("2024-01-05 00:00:00")))
+    assert(early.collect().map(_.getInt(0)).toSeq == Seq(1))
+  }
+
   test("conflicting concurrent commit is detected, not silently overwritten") {
     val t = LakeTable(spark, scratchDir("conflict"))
     t.append(Seq((1, "a")).toDF("k", "v"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Sessions.tablePath
-import graft.ext.{Dedup, Embeddings, LanguageModel, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.ext.{Clustering, Dedup, Embeddings, LanguageModel, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** Training-data-pipeline extension queries (the BASELINE north star):
   * text analysis, dedup family, similarity search, multimodal plumbing
@@ -421,6 +421,112 @@ object ExtQueries {
       e.filter(col("vec_id") % 10 === 0).withColumn("vec_id", col("vec_id") + 100000))
     Dedup.embeddingNearDupPairsLsh(corpus, "vec_id", "embedding", 0.9)
   }
+
+  /** Deterministic Lloyd k-means over the embeddings table (k=8, two
+    * refinement iterations from lowest-id seeds): per-vector cluster
+    * assignment plus 6-dp cosine to the winning centroid. Every rule the
+    * oracle needs is deterministic — 4-dp integer-scaled centroid means,
+    * 6-dp rounded assignment cosine with ties to the lowest cluster id —
+    * so DuckDB replays the full two-iteration fit in unrolled SQL and
+    * must land on identical clusters.
+    */
+  def kmeansClusters(spark: SparkSession, sfDir: String): DataFrame =
+    Clustering.kmeansAssign(embs(spark, sfDir), "vec_id", "embedding", k = 8, iters = 2)
+
+  /** The unrolled two-iteration Lloyd fit. Stages per iteration:
+    * assign (tuple-max over the centroid cross join) → explode dims →
+    * exact e4 mean → reassemble centroid lists. Mirrors
+    * [[graft.ext.Clustering]] rule for rule.
+    */
+  val kmeansClustersSql: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, e AS c FROM v WHERE vec_id < 8),
+      |a1 AS (SELECT vec_id, e,
+      |         -struct_extract(max((round(list_cosine_similarity(e, c), 6), -cid)), 2) AS cl
+      |       FROM v CROSS JOIN c0 GROUP BY vec_id, e),
+      |ex1 AS (SELECT cl, unnest(list_transform(range(1, len(e) + 1),
+      |                          i -> {'dim': i - 1, 'v': e[i]}), recursive := true) FROM a1),
+      |ag1 AS (SELECT cl, dim, count(v) AS n,
+      |               sum(CAST(round(CAST(v AS DOUBLE) * 10000) AS BIGINT)) AS s
+      |        FROM ex1 GROUP BY 1, 2),
+      |c1 AS (SELECT CAST(cl AS INTEGER) AS cid,
+      |              list(CAST(CASE WHEN s >= 0 THEN (2 * s + n) // (2 * n)
+      |                             ELSE -((-2 * s + n) // (2 * n)) END AS DOUBLE) / 10000.0
+      |                   ORDER BY dim) AS c
+      |       FROM ag1 GROUP BY cl),
+      |a2 AS (SELECT vec_id, e,
+      |         -struct_extract(max((round(list_cosine_similarity(e, c), 6), -cid)), 2) AS cl
+      |       FROM v CROSS JOIN c1 GROUP BY vec_id, e),
+      |ex2 AS (SELECT cl, unnest(list_transform(range(1, len(e) + 1),
+      |                          i -> {'dim': i - 1, 'v': e[i]}), recursive := true) FROM a2),
+      |ag2 AS (SELECT cl, dim, count(v) AS n,
+      |               sum(CAST(round(CAST(v AS DOUBLE) * 10000) AS BIGINT)) AS s
+      |        FROM ex2 GROUP BY 1, 2),
+      |c2 AS (SELECT CAST(cl AS INTEGER) AS cid,
+      |              list(CAST(CASE WHEN s >= 0 THEN (2 * s + n) // (2 * n)
+      |                             ELSE -((-2 * s + n) // (2 * n)) END AS DOUBLE) / 10000.0
+      |                   ORDER BY dim) AS c
+      |       FROM ag2 GROUP BY cl),
+      |fin AS (SELECT vec_id, max((round(list_cosine_similarity(e, c), 6), -cid)) AS b
+      |        FROM v CROSS JOIN c2 GROUP BY vec_id, e)
+      |SELECT vec_id, CAST(-struct_extract(b, 2) AS INTEGER) AS cluster,
+      |       struct_extract(b, 1) AS cosine
+      |FROM fin""".stripMargin
+
+  /** SemDeDup-style semantic dedup: the same dup-planted corpus as
+    * `q_dedup_embedding`, clustered (k=8, 2 iterations), near-dup pairs
+    * detected WITHIN clusters only — O(Σ|cluster|²), not corpus². The
+    * oracle replays the identical fit + within-cluster pairing, so this
+    * checks the METHOD exactly (planted dups sit at cosine 1.0 where
+    * cluster-split recall loss cannot occur).
+    */
+  def dedupSemantic(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = embs(spark, sfDir)
+    val corpus = e.unionByName(
+      e.filter(col("vec_id") % 10 === 0).withColumn("vec_id", col("vec_id") + 100000))
+    Clustering.semanticDedupPairs(corpus, "vec_id", "embedding", 0.9, k = 8, iters = 2)
+  }
+
+  val dedupSemanticSql: String =
+    """WITH v AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) AS e
+      |  FROM embeddings WHERE vec_id % 10 = 0),
+      |c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, e AS c FROM v WHERE vec_id < 8),
+      |a1 AS (SELECT vec_id, e,
+      |         -struct_extract(max((round(list_cosine_similarity(e, c), 6), -cid)), 2) AS cl
+      |       FROM v CROSS JOIN c0 GROUP BY vec_id, e),
+      |ex1 AS (SELECT cl, unnest(list_transform(range(1, len(e) + 1),
+      |                          i -> {'dim': i - 1, 'v': e[i]}), recursive := true) FROM a1),
+      |ag1 AS (SELECT cl, dim, count(v) AS n,
+      |               sum(CAST(round(CAST(v AS DOUBLE) * 10000) AS BIGINT)) AS s
+      |        FROM ex1 GROUP BY 1, 2),
+      |c1 AS (SELECT CAST(cl AS INTEGER) AS cid,
+      |              list(CAST(CASE WHEN s >= 0 THEN (2 * s + n) // (2 * n)
+      |                             ELSE -((-2 * s + n) // (2 * n)) END AS DOUBLE) / 10000.0
+      |                   ORDER BY dim) AS c
+      |       FROM ag1 GROUP BY cl),
+      |a2 AS (SELECT vec_id, e,
+      |         -struct_extract(max((round(list_cosine_similarity(e, c), 6), -cid)), 2) AS cl
+      |       FROM v CROSS JOIN c1 GROUP BY vec_id, e),
+      |ex2 AS (SELECT cl, unnest(list_transform(range(1, len(e) + 1),
+      |                          i -> {'dim': i - 1, 'v': e[i]}), recursive := true) FROM a2),
+      |ag2 AS (SELECT cl, dim, count(v) AS n,
+      |               sum(CAST(round(CAST(v AS DOUBLE) * 10000) AS BIGINT)) AS s
+      |        FROM ex2 GROUP BY 1, 2),
+      |c2 AS (SELECT CAST(cl AS INTEGER) AS cid,
+      |              list(CAST(CASE WHEN s >= 0 THEN (2 * s + n) // (2 * n)
+      |                             ELSE -((-2 * s + n) // (2 * n)) END AS DOUBLE) / 10000.0
+      |                   ORDER BY dim) AS c
+      |       FROM ag2 GROUP BY cl),
+      |a3 AS (SELECT vec_id, e,
+      |         -struct_extract(max((round(list_cosine_similarity(e, c), 6), -cid)), 2) AS cl
+      |       FROM v CROSS JOIN c2 GROUP BY vec_id, e)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |       round(list_cosine_similarity(a.e, b.e), 6) AS cosine
+      |FROM a3 a JOIN a3 b ON a.cl = b.cl AND a.vec_id < b.vec_id
+      |WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.9""".stripMargin
 
   /** Benchmark decontamination over documents: every 50th document
     * plays the eval set; each corpus doc reports how many distinct eval
@@ -1075,6 +1181,8 @@ object ExtQueries {
     "q_dedup_simhash" -> (dedupSimhash _),
     "q_dedup_embedding" -> (dedupEmbedding _),
     "q_dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
+    "q_kmeans" -> (kmeansClusters _),
+    "q_dedup_semantic" -> (dedupSemantic _),
     "q_similarity_topk" -> (similarityTopK _),
     "q_similarity_ann" -> (similarityAnn _),
     "q_similarity_ivf" -> (similarityIvf _),
@@ -1105,6 +1213,8 @@ object ExtQueries {
     "q_dedup_minhash" -> dedupMinhashSql,
     "q_dedup_ngram" -> dedupNgramSql,
     "q_dedup_embedding" -> dedupEmbeddingSql,
+    "q_kmeans" -> kmeansClustersSql,
+    "q_dedup_semantic" -> dedupSemanticSql,
     "q_dedup_embedding_lsh" -> dedupEmbeddingSql,
     "q_similarity_topk" -> similarityTopKSql,
     "q_multimodal_meta" -> multimodalMetaSql,

@@ -415,6 +415,51 @@ class SimilaritySpec extends SparkSpec {
       s"IVF returned pairs outside brute top-$kPrime: ${(ivf -- exactWide).take(5)}")
   }
 
+  test("kmeans assignment is partitioning-independent and SemDeDup recovers planted dups") {
+    val sfDir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$sfDir/embeddings.parquet").exists())
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+    def asMap(df: org.apache.spark.sql.DataFrame): Map[Long, (Int, Double)] =
+      Clustering.kmeansAssign(df, "vec_id", "embedding", k = 4, iters = 2)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2))))
+        .toMap
+
+    // exact integer-scaled centroid means + rounded argmax => identical
+    // clusters whatever the physical partitioning (the 100 TB contract)
+    val a1 = asMap(e)
+    val a8 = asMap(e.repartition(8))
+    assert(a1 == a8, "assignment changed under repartitioning")
+    assert(a1.values.map(_._1).toSet.subsetOf((0 until 4).toSet))
+
+    // planted exact copies sit at cosine 1.0 -> same cluster, and the
+    // within-cluster pass must emit every planted pair
+    val corpus = e.unionByName(
+      e.filter(col("vec_id") % 10 === 0).withColumn("vec_id", col("vec_id") + 100000))
+    val pairs = Clustering
+      .semanticDedupPairs(corpus, "vec_id", "embedding", 0.999, k = 4, iters = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val planted = e.filter(col("vec_id") % 10 === 0)
+      .select("vec_id").collect().map(_.getLong(0))
+      .map(id => (id, id + 100000L)).toSet
+    assert(planted.subsetOf(pairs),
+      s"missing planted dup pairs: ${(planted -- pairs).take(5)}")
+  }
+
+  test("kmeans assignment is a projection: no exchange in the assign stage") {
+    val sfDir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$sfDir/embeddings.parquet").exists())
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val centroidsDone = Clustering.kmeansAssign(e, "vec_id", "embedding", k = 4, iters = 1)
+    // the final assignment plan reads the corpus once with zero shuffles
+    val exchanges = centroidsDone.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 0, s"expected projection-only assignment, found $exchanges exchanges")
+  }
+
   test("cosine of identical vectors is 1; orthogonal is 0") {
     val df = Seq(
       (Seq(1f, 0f), Seq(1f, 0f), 1.0),

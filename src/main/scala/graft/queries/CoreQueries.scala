@@ -376,6 +376,70 @@ object CoreQueries {
       |WHERE ts BETWEEN TIMESTAMP '2024-01-24 00:00:00' AND TIMESTAMP '2024-01-28 00:00:00'
       |GROUP BY event_type""".stripMargin
 
+  /** Table maintenance round trip (Iceberg `rewrite_data_files` +
+    * `expire_snapshots` / Delta OPTIMIZE + VACUUM): four append waves,
+    * threshold-triggered compaction, snapshot expiry, orphan sweep — then
+    * prove the data survived AND the maintenance actually ran by emitting
+    * the post-maintenance version/commit-dir counts as checked columns
+    * (the oracle expects exactly one snapshot and one commit dir).
+    */
+  def compactExpire(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = Testdata.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    val table = graft.tables.LakeTable(spark, scratch("maint"))
+    val waves = Seq(
+      col("event_id") % 4 === 0, col("event_id") % 4 === 1,
+      col("event_id") % 4 === 2, col("event_id") % 4 === 3)
+    table.append(events.filter(waves.head), statsCols = Seq("ts"))
+    waves.tail.foreach(w => table.append(events.filter(w)))
+    table.compactIfNeeded(maxCommitDirs = 2)
+    table.expireSnapshots(keepLast = 1)
+    table.sweepOrphans(graceMs = 0L) // nothing to reclaim: expiry deleted its dead dirs
+    val counts = table.snapshots().agg(
+      count(lit(1)).cast("int").as("n_versions"),
+      max(col("num_commit_dirs")).cast("int").as("n_commit_dirs"))
+    table.read()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"), round(sum(col("value")), 4).as("sum_value"))
+      .crossJoin(counts)
+  }
+
+  val compactExpireSql: String =
+    """SELECT event_type, count(*) AS n_rows, round(sum(value), 4) AS sum_value,
+      |       1 AS n_versions, 1 AS n_commit_dirs
+      |FROM events GROUP BY event_type""".stripMargin
+
+  /** Clustered compaction + file-level zonemap scan: interleaved ingest
+    * (every wave spans the whole month, so dir-level ranges can prune
+    * nothing), range-clustered rewrite on `ts`, then a window query that
+    * reads only the files whose (min, max) intersects. The oracle is the
+    * plain BETWEEN — correctness does not depend on pruning;
+    * LakeTableSpec pins that files were actually skipped.
+    */
+  def clusteredCompactScan(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = Testdata.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    val table = graft.tables.LakeTable(spark, scratch("cluster"))
+    // two interleaved waves: both cover Jan-Mar, so both dirs' ts ranges
+    // overlap any window — only file-granularity zonemaps can skip I/O
+    table.append(events.filter(col("event_id") % 2 === 0), statsCols = Seq("ts"))
+    table.append(events.filter(col("event_id") % 2 === 1))
+    table.compactClustered("ts", numFiles = 16)
+    table
+      .readBetween(
+        "ts",
+        Some(java.sql.Timestamp.valueOf("2024-01-10 00:00:00")),
+        Some(java.sql.Timestamp.valueOf("2024-01-14 00:00:00")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"), round(sum(col("value")), 4).as("sum_value"))
+  }
+
+  val clusteredCompactScanSql: String =
+    """SELECT event_type, count(*) AS n_rows, round(sum(value), 4) AS sum_value
+      |FROM events
+      |WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00' AND TIMESTAMP '2024-01-14 00:00:00'
+      |GROUP BY event_type""".stripMargin
+
   /** CSV batch scan round trip (S1): write parquet rows as header CSV,
     * read back with `inferSchema=false` — everything arrives as strings,
     * the reference's bronze contract
@@ -636,6 +700,8 @@ object CoreQueries {
     "q_join_snowflake_iterated" -> (joinSnowflakeIterated _),
     "q_incremental_scan" -> (incrementalScan _),
     "q_stats_prune_scan" -> (statsPruneScan _),
+    "q_compact_expire" -> (compactExpire _),
+    "q_clustered_compact_scan" -> (clusteredCompactScan _),
     "q_csv_roundtrip" -> (csvRoundtrip _),
     "q_csv_infer" -> (csvInfer _),
     "q_scd2_versions" -> (scd2Versions _),
@@ -661,6 +727,8 @@ object CoreQueries {
     "q_join_snowflake_iterated" -> joinSnowflakeIteratedSql,
     "q_incremental_scan" -> incrementalScanSql,
     "q_stats_prune_scan" -> statsPruneScanSql,
+    "q_compact_expire" -> compactExpireSql,
+    "q_clustered_compact_scan" -> clusteredCompactScanSql,
     "q_csv_roundtrip" -> csvRoundtripSql,
     "q_csv_infer" -> csvInferSql,
     "q_scd2_versions" -> scd2VersionsSql,

@@ -164,12 +164,15 @@ final class LakeTable(val spark: SparkSession, val root: String) {
       if (keepExisting) prev.map(_.effectiveScopes).getOrElse(Seq.empty) else Seq.empty
     val existingStats =
       if (keepExisting) prev.map(_.effectiveDirStats).getOrElse(Seq.empty) else Seq.empty
+    val existingFileStats =
+      if (keepExisting) prev.map(_.effectiveFileStats).getOrElse(Seq.empty) else Seq.empty
     val parts = if (partitionBy.nonEmpty) partitionBy else prev.map(_.partitionBy).getOrElse(Seq.empty)
     writeManifest(
       Manifest(
         version, op, System.currentTimeMillis(), existing ++ newDirs, schema.json, parts,
         existingScopes ++ newDirs.map(_ => Seq.empty), colMax,
-        existingStats ++ newDirs.indices.map(i => newDirStats.lift(i).getOrElse(Map.empty))))
+        existingStats ++ newDirs.indices.map(i => newDirStats.lift(i).getOrElse(Map.empty)),
+        existingFileStats ++ newDirs.map(_ => Map.empty[String, Map[String, (String, String)]])))
     version
   }
 
@@ -293,6 +296,7 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     val (newDirOpt, newStats) = writeCommitDir(df, prev.partitionBy, prev.colMax.keys.toSeq)
     val newDir = newDirOpt.get
     val oldStats = prev.commitDirs.zip(prev.effectiveDirStats).toMap
+    val oldFileStats = prev.commitDirs.zip(prev.effectiveFileStats).toMap
     val narrowed = prev.commitDirs.zip(prev.effectiveScopes).flatMap { case (dir, scope) =>
       val eff = if (scope.nonEmpty) scope else listPartitionValues(dir)
       if (eff.isEmpty) {
@@ -338,6 +342,12 @@ final class LakeTable(val spark: SparkSession, val root: String) {
         // its remaining rows is still a valid (conservative) zonemap
         entries.map { case (d, _) =>
           if (d == newDir) newStats else oldStats.getOrElse(d, Map.empty)
+        },
+        // per-file zonemaps survive narrowing too: the read path
+        // intersects them with the live scope, and files are immutable
+        entries.map { case (d, _) =>
+          if (d == newDir) Map.empty[String, Map[String, (String, String)]]
+          else oldFileStats.getOrElse(d, Map.empty)
         }))
     version
   }
@@ -354,25 +364,40 @@ final class LakeTable(val spark: SparkSession, val root: String) {
   }
 
   /** Assemble a DataFrame over a subset of a manifest's commit dirs. */
-  private def readEntries(m: Manifest, entries: Seq[(String, Seq[String])]): DataFrame = {
+  private def readEntries(m: Manifest, entries: Seq[(String, Seq[String])]): DataFrame =
+    readSelected(m, entries.map { case (d, s) => (d, s, None) })
+
+  /** Like [[readEntries]] but with an optional explicit file selection
+    * per dir (`None` = whole dir/scope) — the file-granularity half of
+    * zonemap pruning. Dirs whose selection is empty contribute nothing.
+    */
+  private def readSelected(
+      m: Manifest,
+      entries: Seq[(String, Seq[String], Option[Seq[String]])]): DataFrame = {
     val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
-    if (entries.isEmpty) {
+    val live = entries.filter(_._3.forall(_.nonEmpty))
+    if (live.isEmpty) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    } else if (m.partitionBy.isEmpty) {
-      val paths = entries.map { case (d, _) => dataDir.resolve(d).toString }
+    } else if (m.partitionBy.isEmpty && live.forall(_._3.isEmpty)) {
+      val paths = live.map { case (d, _, _) => dataDir.resolve(d).toString }
       spark.read.schema(schema).parquet(paths: _*)
     } else {
       // Hive-partitioned commits: each commit dir is its own partition
       // root (basePath), so partition columns resolve per commit and the
       // union preserves them. A dir with a narrowed scope (after a
-      // partition-scoped merge) reads only its live `col=value` subdirs.
-      val p0 = m.partitionBy.head
-      entries
-        .map { case (d, scope) =>
+      // partition-scoped merge) reads only its live `col=value` subdirs;
+      // a dir with an explicit file selection reads only those files
+      // (partition columns still resolve relative to the basePath).
+      val p0 = m.partitionBy.headOption
+      live
+        .map { case (d, scope, files) =>
           val base = dataDir.resolve(d).toString
-          val paths =
-            if (scope.isEmpty) Seq(base)
-            else scope.map(v => s"$base/$p0=$v")
+          val paths = files match {
+            case Some(fs) => fs.map(f => s"$base/$f")
+            case None =>
+              if (scope.isEmpty) Seq(base)
+              else scope.map(v => s"$base/${p0.get}=$v")
+          }
           spark.read.option("basePath", base).schema(schema).parquet(paths: _*)
         }
         .reduce(_ unionByName _)
@@ -412,6 +437,20 @@ final class LakeTable(val spark: SparkSession, val root: String) {
       lower: Option[Any],
       upper: Option[Any],
       versionAsOf: Option[Long] = None): (DataFrame, Seq[String], Seq[String]) = {
+    val (df, kept, skipped, _) = readBetweenWithFilePruneInfo(colName, lower, upper, versionAsOf)
+    (df, kept, skipped)
+  }
+
+  /** [[readBetweenWithPruneInfo]] plus the file-granularity decision:
+    * (result, scanned dirs, skipped dirs, (files scanned, files skipped))
+    * — file counts cover only dirs carrying per-file zonemaps (written by
+    * [[compactClustered]]); dirs without them are whole-dir reads.
+    */
+  def readBetweenWithFilePruneInfo(
+      colName: String,
+      lower: Option[Any],
+      upper: Option[Any],
+      versionAsOf: Option[Long] = None): (DataFrame, Seq[String], Seq[String], (Int, Int)) = {
     val v = versionAsOf.orElse(latestVersion()).getOrElse {
       throw new IllegalStateException(s"table at $root has no commits")
     }
@@ -421,20 +460,47 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     val dt = schema(colName).dataType
     val lowerS = lower.map(Stats.toStringValue)
     val upperS = upper.map(Stats.toStringValue)
-    val (kept, skipped) = m.commitDirs.zip(m.effectiveScopes).zip(m.effectiveDirStats)
-      .partition { case (_, stats) =>
-        stats.get(colName) match {
-          // overlap test on the closed interval: max >= lower && min <= upper
-          case Some((mn, mx)) =>
-            lowerS.forall(l => Stats.geq(mx, l, dt)) &&
-              upperS.forall(u => Stats.geq(u, mn, dt))
-          case None => true // no range recorded — must scan
-        }
+    // overlap test on the closed interval: max >= lower && min <= upper
+    def overlaps(mn: String, mx: String): Boolean =
+      lowerS.forall(l => Stats.geq(mx, l, dt)) && upperS.forall(u => Stats.geq(u, mn, dt))
+    val entries = m.commitDirs.zip(m.effectiveScopes).zip(m.effectiveDirStats)
+      .zip(m.effectiveFileStats)
+      .map { case (((d, scope), ds), fs) => (d, scope, ds, fs) }
+    val (kept, skipped) = entries.partition { case (_, _, stats, _) =>
+      stats.get(colName) match {
+        case Some((mn, mx)) => overlaps(mn, mx)
+        case None => true // no range recorded — must scan
       }
-    val pruned = readEntries(m, kept.map(_._1))
+    }
+    // file-granularity pass over the surviving dirs: a dir's file map
+    // enumerates every parquet file written to it (dirs are immutable),
+    // so selecting from the map is a complete, conservative refinement.
+    var scannedFiles = 0
+    var skippedFiles = 0
+    val refined = kept.map { case (d, scope, _, fs) =>
+      if (fs.isEmpty) (d, scope, None: Option[Seq[String]])
+      else {
+        val inScope =
+          if (scope.isEmpty) fs
+          else {
+            val p0 = m.partitionBy.head
+            fs.filter { case (rel, _) => scope.exists(s => rel.startsWith(s"$p0=$s/")) }
+          }
+        val surviving = inScope.filter { case (_, cols) =>
+          cols.get(colName) match {
+            case Some((mn, mx)) => overlaps(mn, mx)
+            case None => true // all-null or unrecorded column — must scan
+          }
+        }
+        scannedFiles += surviving.size
+        skippedFiles += inScope.size - surviving.size
+        (d, scope, Some(surviving.keys.toSeq.sorted))
+      }
+    }
+    val pruned = readSelected(m, refined)
     val withLower = lower.map(l => pruned.filter(col(colName) >= lit(l))).getOrElse(pruned)
     val residual = upper.map(u => withLower.filter(col(colName) <= lit(u))).getOrElse(withLower)
-    (residual, kept.map(_._1._1), skipped.map(_._1._1))
+    (residual, kept.map(_._1), skipped.map(_._1), (scannedFiles, skippedFiles))
   }
 
   /** Snapshot history (the reference queries `table.snapshots` —
@@ -507,6 +573,91 @@ final class LakeTable(val spark: SparkSession, val root: String) {
   def compactIfNeeded(maxCommitDirs: Int = 16): Option[Long] = {
     val dirs = latestVersion().map(readManifest(_).commitDirs.size).getOrElse(0)
     if (dirs > maxCommitDirs) Some(compact()) else None
+  }
+
+  /** Clustered compaction (Delta `OPTIMIZE ... ZORDER BY (c)` / Iceberg
+    * sort-order rewrite, 1-D): rewrite the snapshot range-clustered on
+    * `clusterCol` and record a per-FILE (min, max) zonemap in the
+    * manifest. A plain [[compact]] collapses the table into one commit
+    * dir and with it every dir-level zonemap — range queries degrade to
+    * full scans. Here `repartitionByRange` gives each of the
+    * `numFiles` output tasks a tight, near-disjoint key range, so
+    * [[readBetween]] afterwards prunes at file granularity: a window
+    * query on a compacted 100 TB ingest opens the handful of files whose
+    * range intersects, not the whole rewrite.
+    *
+    * Cost model: ONE shuffle write job (the range exchange is the
+    * rewrite's data movement) plus one column-pruned stats pass over the
+    * fresh files restricted to `clusterCol` and the table's declared
+    * stats columns — parquet column pruning makes that a ~1-column read
+    * of the new data, the same order as the footer-stats pass Iceberg's
+    * rewrite does. History stays time-travel readable.
+    */
+  def compactClustered(clusterCol: String, numFiles: Int = 32): Long = {
+    require(numFiles >= 1, "numFiles must be >= 1")
+    val prev = latestVersion()
+      .map(readManifest)
+      .getOrElse(throw new IllegalStateException(s"compactClustered on empty table $root"))
+    val df = read()
+    require(df.columns.contains(clusterCol), s"no column $clusterCol in table $root")
+    Stats.requireSupported(df.schema(clusterCol).dataType, clusterCol)
+    val statsCols = (prev.colMax.keys.toSeq :+ clusterCol).distinct
+
+    val commitName = s"commit-${UUID.randomUUID()}"
+    val dest = dataDir.resolve(commitName)
+    val writer = df.repartitionByRange(numFiles, col(clusterCol)).write.mode("overwrite")
+    val w = if (prev.partitionBy.nonEmpty) writer.partitionBy(prev.partitionBy: _*) else writer
+    w.parquet(dest.toString)
+
+    // one pass over the fresh files, pruned to the stats columns: per-file
+    // (min, max) plus the dir-level fold and the table colMax all come out
+    // of the same job
+    val written = spark.read.option("basePath", dest.toString).parquet(dest.toString)
+    val present = statsCols.filter(written.columns.contains)
+    val destAbs = dest.toAbsolutePath
+    val fileRows: Array[org.apache.spark.sql.Row] =
+      if (present.isEmpty) Array.empty
+      else {
+        val aggs = present.flatMap(c => Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c")))
+        written
+          .select((input_file_name().as("__file") +: present.map(col(_))): _*)
+          .groupBy(col("__file"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect() // bounded: one row per output file (~numFiles · partitions)
+      }
+    val types = present.map(c => c -> written.schema(c).dataType).toMap
+    val fileStatsMap: Map[String, Map[String, (String, String)]] = fileRows.map { r =>
+      val raw = r.getString(0)
+      val abs = Paths.get(new java.net.URI(raw).getPath).toAbsolutePath
+      val rel = destAbs.relativize(abs).toString
+      val cols = present.flatMap { c =>
+        val mn = Option(r.get(r.fieldIndex(s"__mn_$c")))
+        val mx = Option(r.get(r.fieldIndex(s"__mx_$c")))
+        mn.zip(mx).map { case (a, b) => c -> ((Stats.toStringValue(a), Stats.toStringValue(b))) }
+      }.toMap
+      rel -> cols
+    }.toMap
+    val dirStatsMap: Map[String, (String, String)] = present.flatMap { c =>
+      val ranges = fileStatsMap.values.flatMap(_.get(c)).toSeq
+      if (ranges.isEmpty) None
+      else {
+        val dt = types(c)
+        val mn = ranges.map(_._1).reduce((a, b) => if (Stats.geq(b, a, dt)) a else b)
+        val mx = ranges.map(_._2).reduce((a, b) => if (Stats.geq(a, b, dt)) a else b)
+        Some(c -> ((mn, mx)))
+      }
+    }.toMap
+    val newColMax = dirStatsMap.collect {
+      case (c, (_, mx)) if prev.colMax.contains(c) => c -> mx
+    }
+
+    val version = prev.version + 1
+    writeManifest(
+      Manifest(
+        version, "compactClustered", System.currentTimeMillis(), Seq(commitName),
+        df.schema.json, prev.partitionBy, Seq(Seq.empty), newColMax,
+        Seq(dirStatsMap), Seq(fileStatsMap)))
+    version
   }
 
   /** Expire old snapshots (Iceberg `expire_snapshots` / Delta VACUUM):
@@ -611,7 +762,8 @@ object LakeTable {
       partitionBy: Seq[String],
       scopes: Seq[Seq[String]] = Seq.empty,
       colMax: Map[String, String] = Map.empty,
-      dirStats: Seq[Map[String, (String, String)]] = Seq.empty) {
+      dirStats: Seq[Map[String, (String, String)]] = Seq.empty,
+      fileStats: Seq[Map[String, Map[String, (String, String)]]] = Seq.empty) {
 
     /** Per-dir partition scope (leading partition column values); empty
       * seq = whole dir. Normalized to commitDirs length.
@@ -629,6 +781,16 @@ object LakeTable {
     def effectiveDirStats: Seq[Map[String, (String, String)]] =
       if (dirStats.length == commitDirs.length) dirStats
       else commitDirs.map(_ => Map.empty[String, (String, String)])
+
+    /** Per-dir, per-FILE column ranges (relative path → col → (min, max))
+      * — file-granularity zonemaps written by clustered compaction, where
+      * `repartitionByRange` makes each task's output file cover a tight,
+      * near-disjoint range. Empty map = no file stats for that dir (dir-
+      * level pruning only). Normalized to commitDirs length.
+      */
+    def effectiveFileStats: Seq[Map[String, Map[String, (String, String)]]] =
+      if (fileStats.length == commitDirs.length) fileStats
+      else commitDirs.map(_ => Map.empty[String, Map[String, (String, String)]])
 
     def toJson: String = {
       def qs(s: String) = "\"" + s.flatMap {
@@ -649,12 +811,22 @@ object LakeTable {
           .map { case (c, (mn, mx)) => s"${qs(c)}:[${qs(mn)},${qs(mx)}]" }
           .mkString("{", ",", "}"))
         .mkString("[", ",", "]")
+      val fileStatsJson = effectiveFileStats
+        .map(byFile => byFile.toSeq.sortBy(_._1)
+          .map { case (f, cols) =>
+            s"${qs(f)}:" + cols.toSeq.sortBy(_._1)
+              .map { case (c, (mn, mx)) => s"${qs(c)}:[${qs(mn)},${qs(mx)}]" }
+              .mkString("{", ",", "}")
+          }
+          .mkString("{", ",", "}"))
+        .mkString("[", ",", "]")
       s"""{"version":$version,"operation":${qs(operation)},"timestampMs":$timestampMs,""" +
         s""""commitDirs":[${commitDirs.map(qs).mkString(",")}],""" +
         s""""partitionBy":[${partitionBy.map(qs).mkString(",")}],""" +
         s""""scopes":$scopesJson,""" +
         s""""colMax":$colMaxJson,""" +
         s""""dirStats":$dirStatsJson,""" +
+        s""""fileStats":$fileStatsJson,""" +
         s""""schema":${qs(schemaJson)}}"""
     }
   }
@@ -774,6 +946,29 @@ object LakeTable {
             b.result()
           }
         }
+      val fileStats =
+        if (!node.has("fileStats")) Seq.empty[Map[String, Map[String, (String, String)]]]
+        else {
+          val arr = node.get("fileStats")
+          (0 until arr.size()).map { i =>
+            val byFile = arr.get(i)
+            val fit = byFile.fieldNames()
+            val fb = Map.newBuilder[String, Map[String, (String, String)]]
+            while (fit.hasNext) {
+              val f = fit.next()
+              val cols = byFile.get(f)
+              val cit = cols.fieldNames()
+              val cb = Map.newBuilder[String, (String, String)]
+              while (cit.hasNext) {
+                val c = cit.next()
+                val pair = cols.get(c)
+                cb += c -> ((pair.get(0).asText(), pair.get(1).asText()))
+              }
+              fb += f -> cb.result()
+            }
+            fb.result()
+          }
+        }
       Manifest(
         node.get("version").asLong(),
         node.get("operation").asText(),
@@ -783,7 +978,8 @@ object LakeTable {
         strings("partitionBy"),
         scopes,
         colMax,
-        dirStats)
+        dirStats,
+        fileStats)
     }
   }
 }

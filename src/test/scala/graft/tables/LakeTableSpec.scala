@@ -231,6 +231,64 @@ class LakeTableSpec extends SparkSpec {
     assert(t2.incrementalFrom(src, "ts").isEmpty)
   }
 
+  test("compactClustered: per-file zonemaps prune files inside the compacted dir") {
+    val t = LakeTable(spark, scratchDir("cluster"))
+    val mk = (s: String) => Timestamp.valueOf(s)
+    // interleaved arrival order: dir-level ranges are useless after a
+    // plain compact (one dir spanning everything)
+    val rows = (0 until 64).map(i => (i, mk(f"2024-01-${i % 31 + 1}%02d 00:00:00")))
+    t.append(rows.toDF("id", "ts"), statsCols = Seq("ts"))
+    t.compactClustered("ts", numFiles = 8)
+    val (df, scanned, skipped, (fScan, fSkip)) = t.readBetweenWithFilePruneInfo(
+      "ts", Some(mk("2024-01-28 00:00:00")), Some(mk("2024-01-31 00:00:00")))
+    assert(scanned.size == 1 && skipped.isEmpty) // one dir — only files can prune
+    assert(fSkip > 0, s"clustered files must prune: scanned=$fScan skipped=$fSkip")
+    val expected = rows.filter { case (_, ts) =>
+      !ts.before(mk("2024-01-28 00:00:00")) && !ts.after(mk("2024-01-31 00:00:00"))
+    }.map(_._1).sorted
+    assert(df.collect().map(_.getInt(0)).sorted.toSeq == expected)
+    // results are complete table-wide too
+    assert(t.read().count() == 64)
+    // watermark survives the rewrite: probe answers from the manifest
+    assert(t.incrementalFrom(
+      Seq((99, mk("2024-02-01 00:00:00"))).toDF("id", "ts"), "ts").count() == 1)
+  }
+
+  test("compactClustered file stats survive a later append and prune conservatively") {
+    val t = LakeTable(spark, scratchDir("cluster2"))
+    val mk = (s: String) => Timestamp.valueOf(s)
+    val rows = (0 until 32).map(i => (i, mk(f"2024-01-${i % 16 + 1}%02d 00:00:00")))
+    t.append(rows.toDF("id", "ts"), statsCols = Seq("ts"))
+    t.compactClustered("ts", numFiles = 4)
+    // a later append (no file stats of its own) must keep the compacted
+    // dir's per-file zonemaps in the new manifest
+    t.append(Seq((100, mk("2024-02-05 00:00:00"))).toDF("id", "ts"))
+    val (df, scanned, _, (fScan, fSkip)) = t.readBetweenWithFilePruneInfo(
+      "ts", Some(mk("2024-01-14 00:00:00")), Some(mk("2024-01-16 00:00:00")))
+    assert(scanned.size == 1, s"the Feb append dir prunes at dir level: $scanned")
+    assert(fSkip > 0, s"file stats lost across append: scanned=$fScan skipped=$fSkip")
+    val expected = rows.filter { case (_, ts) =>
+      !ts.before(mk("2024-01-14 00:00:00")) && !ts.after(mk("2024-01-16 00:00:00"))
+    }.map(_._1).sorted
+    assert(df.collect().map(_.getInt(0)).sorted.toSeq == expected)
+  }
+
+  test("compactClustered on a partitioned table keeps partition columns and layout") {
+    val t = LakeTable(spark, scratchDir("cluster3"))
+    val mk = (s: String) => Timestamp.valueOf(s)
+    val df = Seq(
+      (1, 2024, mk("2024-01-02 00:00:00")),
+      (2, 2024, mk("2024-01-20 00:00:00")),
+      (3, 2025, mk("2025-01-05 00:00:00"))).toDF("id", "y", "ts")
+    t.append(df, partitionBy = Seq("y"), statsCols = Seq("ts"))
+    t.compactClustered("ts", numFiles = 2)
+    val read = t.read()
+    assert(read.columns.toSet == Set("id", "y", "ts"))
+    assert(read.filter($"y" === 2024).count() == 2)
+    assert(t.readBetween("ts", Some(mk("2025-01-01 00:00:00")), None)
+      .collect().map(_.getInt(0)).toSeq == Seq(3))
+  }
+
   test("expire crash window: manifests-first ordering keeps kept versions whole; sweepOrphans reclaims") {
     val root = scratchDir("expirecrash")
     val t = LakeTable(spark, root)

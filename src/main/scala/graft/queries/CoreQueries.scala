@@ -440,6 +440,31 @@ object CoreQueries {
       |WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00' AND TIMESTAMP '2024-01-14 00:00:00'
       |GROUP BY event_type""".stripMargin
 
+  /** Incrementally-maintained aggregate view: three ingest waves, a
+    * refresh after each — every refresh reads ONLY the new commit dirs
+    * ([[graft.tables.LakeTable.readAddedSince]]; IncrementalViewSpec
+    * proves it by destroying the earlier waves' files), and the additive
+    * integer-scaled state makes the three-step result bit-identical to
+    * the oracle's single full aggregation.
+    */
+  def incrementalAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = Testdata.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val table = graft.tables.LakeTable(spark, scratch("ivsrc"))
+    val v = graft.tables.IncrementalAggView(
+      table, scratch("ivview"), Seq("event_type"), Seq("value"))
+    Seq(0, 1, 2).foreach { w =>
+      table.append(events.filter(col("event_id") % 3 === w))
+      v.refresh()
+    }
+    v.read().select(col("event_type"), col("n_rows"), col("sum_value"))
+  }
+
+  val incrementalAggSql: String =
+    """SELECT event_type, count(*) AS n_rows,
+      |       round(sum(CAST(round(value * 10000) AS BIGINT)) / 10000.0, 4) AS sum_value
+      |FROM events GROUP BY event_type""".stripMargin
+
   /** CSV batch scan round trip (S1): write parquet rows as header CSV,
     * read back with `inferSchema=false` — everything arrives as strings,
     * the reference's bronze contract
@@ -702,6 +727,7 @@ object CoreQueries {
     "q_stats_prune_scan" -> (statsPruneScan _),
     "q_compact_expire" -> (compactExpire _),
     "q_clustered_compact_scan" -> (clusteredCompactScan _),
+    "q_incremental_agg" -> (incrementalAgg _),
     "q_csv_roundtrip" -> (csvRoundtrip _),
     "q_csv_infer" -> (csvInfer _),
     "q_scd2_versions" -> (scd2Versions _),
@@ -729,6 +755,7 @@ object CoreQueries {
     "q_stats_prune_scan" -> statsPruneScanSql,
     "q_compact_expire" -> compactExpireSql,
     "q_clustered_compact_scan" -> clusteredCompactScanSql,
+    "q_incremental_agg" -> incrementalAggSql,
     "q_csv_roundtrip" -> csvRoundtripSql,
     "q_csv_infer" -> csvInferSql,
     "q_scd2_versions" -> scd2VersionsSql,

@@ -465,6 +465,43 @@ object CoreQueries {
       |       round(sum(CAST(round(value * 10000) AS BIGINT)) / 10000.0, 4) AS sum_value
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** Change data feed across snapshots (Delta CDF): v0 = even customer
+    * keys, v1 = odds appended (additive — the feed is the new commit
+    * dirs, no diff executed), v2 = an overwrite keeping non-negative
+    * balances (rewrite — exact multiset EXCEPT ALL diff). Both regimes'
+    * inserts/deletes aggregate against the oracle's replay of the same
+    * set algebra.
+    */
+  def tableChanges(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = spark.read.parquet(p(sfDir, "customer"))
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val t = graft.tables.LakeTable(spark, scratch("cdf"))
+    t.append(cust.filter(col("c_custkey") % 2 === 0)) // v0
+    t.append(cust.filter(col("c_custkey") % 2 === 1)) // v1 (additive)
+    t.overwrite(t.read().filter(col("c_acctbal") >= 0)) // v2 (rewrite)
+    t.changes(0, Some(1)).withColumn("rng", lit("v0_v1"))
+      .unionByName(t.changes(0, Some(2)).withColumn("rng", lit("v0_v2")))
+      .groupBy(col("rng"), col("_change_type"))
+      .agg(count(lit(1)).as("n_rows"), round(sum(col("c_acctbal")), 4).as("sum_bal"))
+  }
+
+  val tableChangesSql: String =
+    """WITH before AS (
+      |  SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey % 2 = 0),
+      |after AS (
+      |  SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_acctbal >= 0),
+      |changes AS (
+      |  SELECT 'v0_v1' AS rng, 'insert' AS _change_type, c_acctbal
+      |  FROM customer WHERE c_custkey % 2 = 1
+      |  UNION ALL
+      |  SELECT 'v0_v2', 'insert', c_acctbal
+      |  FROM (SELECT * FROM after EXCEPT ALL SELECT * FROM before)
+      |  UNION ALL
+      |  SELECT 'v0_v2', 'delete', c_acctbal
+      |  FROM (SELECT * FROM before EXCEPT ALL SELECT * FROM after))
+      |SELECT rng, _change_type, count(*) AS n_rows, round(sum(c_acctbal), 4) AS sum_bal
+      |FROM changes GROUP BY rng, _change_type""".stripMargin
+
   /** CSV batch scan round trip (S1): write parquet rows as header CSV,
     * read back with `inferSchema=false` — everything arrives as strings,
     * the reference's bronze contract
@@ -728,6 +765,7 @@ object CoreQueries {
     "q_compact_expire" -> (compactExpire _),
     "q_clustered_compact_scan" -> (clusteredCompactScan _),
     "q_incremental_agg" -> (incrementalAgg _),
+    "q_table_changes" -> (tableChanges _),
     "q_csv_roundtrip" -> (csvRoundtrip _),
     "q_csv_infer" -> (csvInfer _),
     "q_scd2_versions" -> (scd2Versions _),
@@ -756,6 +794,7 @@ object CoreQueries {
     "q_compact_expire" -> compactExpireSql,
     "q_clustered_compact_scan" -> clusteredCompactScanSql,
     "q_incremental_agg" -> incrementalAggSql,
+    "q_table_changes" -> tableChangesSql,
     "q_csv_roundtrip" -> csvRoundtripSql,
     "q_csv_infer" -> csvInferSql,
     "q_scd2_versions" -> scd2VersionsSql,

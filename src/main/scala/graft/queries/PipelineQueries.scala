@@ -63,9 +63,53 @@ object PipelineQueries {
       |LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
       |LEFT JOIN region r ON n.n_regionkey = r.r_regionkey""".stripMargin
 
+  /** Declarative data-quality expectations (DLT `expect_or_drop` /
+    * `expect`): 'error'-typed or sub-1.0-value events are quarantined,
+    * oversized values warn but pass. Output buckets: per-type kept
+    * stats, the quarantine total, and the warn-violation count — all
+    * replayed as plain predicates in the oracle.
+    */
+  def expectationsGate(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Expectations
+    import graft.operators.Expectations.{Drop, Expectation, Warn}
+    val ev = graft.sources.Testdata.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val res = Expectations.check(
+      ev,
+      Seq(
+        Expectation("valid_type", col("event_type") =!= "error", Drop),
+        Expectation("value_at_least_1", col("value") >= 1.0, Drop),
+        Expectation("value_under_400", col("value") <= 400.0, Warn)))
+    val keptAgg = res.kept
+      .groupBy(col("event_type").as("bucket"))
+      .agg(count(lit(1)).as("n_rows"), round(sum(col("value")), 4).as("sum_value"))
+    val quarantineAgg = res.quarantined
+      .agg(count(lit(1)).as("n_rows"), round(sum(col("value")), 4).as("sum_value"))
+      .select(lit("__quarantined").as("bucket"), col("n_rows"), col("sum_value"))
+    val warnRow = spark.range(1).select(
+      lit("__warn_value_over_400").as("bucket"),
+      lit(res.violationCounts("value_under_400")).as("n_rows"),
+      lit(null).cast("double").as("sum_value"))
+    keptAgg.unionByName(quarantineAgg).unionByName(warnRow)
+  }
+
+  val expectationsGateSql: String =
+    """SELECT event_type AS bucket, count(*) AS n_rows, round(sum(value), 4) AS sum_value
+      |FROM events WHERE event_type <> 'error' AND value >= 1.0
+      |GROUP BY event_type
+      |UNION ALL
+      |SELECT '__quarantined', count(*), round(sum(value), 4)
+      |FROM events WHERE NOT (event_type <> 'error' AND value >= 1.0)
+      |UNION ALL
+      |SELECT '__warn_value_over_400', count(*) FILTER (NOT (value <= 400.0)),
+      |       CAST(NULL AS DOUBLE)
+      |FROM events""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_pipeline_dim" -> (pipelineDim _))
+    "q_pipeline_dim" -> (pipelineDim _),
+    "q_expectations" -> (expectationsGate _))
 
   val oracleSql: Map[String, String] = Map(
-    "q_pipeline_dim" -> pipelineDimSql)
+    "q_pipeline_dim" -> pipelineDimSql,
+    "q_expectations" -> expectationsGateSql)
 }

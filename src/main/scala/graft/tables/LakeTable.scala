@@ -766,6 +766,45 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     }
   }
 
+  /** Change data feed between two snapshots (Delta CDF / Iceberg
+    * changelog): every row added or removed from `fromVersion` to
+    * `toVersion`, tagged `_change_type` = `insert` | `delete` (an update
+    * appears as its delete+insert pair, CDF-style). Two cost regimes:
+    *
+    *   - additive history (appends only): the feed is exactly the added
+    *     commit dirs, read directly — O(changed data), no diff
+    *   - rewrites in between (overwrite/merge/replace): an exact
+    *     multiset `EXCEPT ALL` diff of the two snapshots — O(both
+    *     snapshots); correct always, and the regime a caller opts into
+    *     by rewriting instead of appending
+    *
+    * Multiset semantics matter: a merge that collapses duplicate rows
+    * must surface the lost copies as deletes, which a set-based EXCEPT
+    * would miss.
+    */
+  def changes(fromVersion: Long, toVersion: Option[Long] = None): DataFrame = {
+    val to = toVersion.orElse(latestVersion()).getOrElse {
+      throw new IllegalStateException(s"table at $root has no commits")
+    }
+    require(fromVersion <= to, s"changes($fromVersion, $to): from > to")
+    val cur = readManifest(to)
+    val old = readManifest(fromVersion)
+    val curScopes = cur.commitDirs.zip(cur.effectiveScopes).toMap
+    val additive = old.commitDirs.zip(old.effectiveScopes).forall { case (d, s) =>
+      curScopes.get(d).contains(s)
+    }
+    if (additive) {
+      val oldDirs = old.commitDirs.toSet
+      val added = cur.commitDirs.zip(cur.effectiveScopes).filterNot(e => oldDirs.contains(e._1))
+      readEntries(cur, added).withColumn("_change_type", lit("insert"))
+    } else {
+      val before = readEntries(old, old.commitDirs.zip(old.effectiveScopes))
+      val after = readEntries(cur, cur.commitDirs.zip(cur.effectiveScopes))
+      after.exceptAll(before).withColumn("_change_type", lit("insert"))
+        .unionByName(before.exceptAll(after).withColumn("_change_type", lit("delete")))
+    }
+  }
+
   /** High-watermark incremental scan (S5/S6 —
     * /root/reference/src/silver/_silver_utils.py:35-49): full source when
     * this table is empty, else strictly-greater-than the max of `tsCol`

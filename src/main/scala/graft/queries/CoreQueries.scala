@@ -440,6 +440,46 @@ object CoreQueries {
       |WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00' AND TIMESTAMP '2024-01-14 00:00:00'
       |GROUP BY event_type""".stripMargin
 
+  /** Z-order clustered rewrite (Delta OPTIMIZE ZORDER BY (user_id, day)):
+    * the Morton key interleaves user and day bits, so per-file zonemaps
+    * are tight on BOTH dimensions and a range scan on either column
+    * prunes files (LakeTableSpec pins the pruning and the 1-D
+    * lexicographic contrast). The query unions a user-range scan and a
+    * time-window scan off the same z-clustered table; the oracle is the
+    * two plain predicates.
+    */
+  def zorderScan(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.ZOrder.zorderKey
+    val events = Testdata.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    val table = graft.tables.LakeTable(spark, scratch("zorder"))
+    table.append(events, statsCols = Seq("ts", "user_id"))
+    val day = datediff(col("ts").cast("date"), to_date(lit("1970-01-01")))
+    table.compactClusteredBy(
+      zorderKey(col("user_id"), day.cast("long")), Seq("user_id", "ts"), numFiles = 16)
+    val byUser = table.readBetween("user_id", Some(10L), Some(20L))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"), round(sum(col("value")), 4).as("sum_value"))
+      .withColumn("dim", lit("user"))
+    val byTime = table.readBetween(
+      "ts",
+      Some(java.sql.Timestamp.valueOf("2024-01-05 00:00:00")),
+      Some(java.sql.Timestamp.valueOf("2024-01-07 00:00:00")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"), round(sum(col("value")), 4).as("sum_value"))
+      .withColumn("dim", lit("time"))
+    byUser.unionByName(byTime)
+  }
+
+  val zorderScanSql: String =
+    """SELECT event_type, count(*) AS n_rows, round(sum(value), 4) AS sum_value, 'user' AS dim
+      |FROM events WHERE user_id BETWEEN 10 AND 20 GROUP BY event_type
+      |UNION ALL
+      |SELECT event_type, count(*), round(sum(value), 4), 'time'
+      |FROM events
+      |WHERE ts BETWEEN TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-07 00:00:00'
+      |GROUP BY event_type""".stripMargin
+
   /** Incrementally-maintained aggregate view: three ingest waves, a
     * refresh after each — every refresh reads ONLY the new commit dirs
     * ([[graft.tables.LakeTable.readAddedSince]]; IncrementalViewSpec
@@ -766,6 +806,7 @@ object CoreQueries {
     "q_clustered_compact_scan" -> (clusteredCompactScan _),
     "q_incremental_agg" -> (incrementalAgg _),
     "q_table_changes" -> (tableChanges _),
+    "q_zorder_scan" -> (zorderScan _),
     "q_csv_roundtrip" -> (csvRoundtrip _),
     "q_csv_infer" -> (csvInfer _),
     "q_scd2_versions" -> (scd2Versions _),
@@ -795,6 +836,7 @@ object CoreQueries {
     "q_clustered_compact_scan" -> clusteredCompactScanSql,
     "q_incremental_agg" -> incrementalAggSql,
     "q_table_changes" -> tableChangesSql,
+    "q_zorder_scan" -> zorderScanSql,
     "q_csv_roundtrip" -> csvRoundtripSql,
     "q_csv_infer" -> csvInferSql,
     "q_scd2_versions" -> scd2VersionsSql,

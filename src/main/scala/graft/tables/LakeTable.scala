@@ -594,18 +594,43 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     * rewrite does. History stays time-travel readable.
     */
   def compactClustered(clusterCol: String, numFiles: Int = 32): Long = {
+    val df0 = read()
+    require(df0.columns.contains(clusterCol), s"no column $clusterCol in table $root")
+    compactClusteredBy(col(clusterCol), Seq(clusterCol), numFiles)
+  }
+
+  /** [[compactClustered]] on an arbitrary clustering key expression —
+    * e.g. [[graft.functions.ZOrder.zorderKey]] over two dimensions, so
+    * the per-file zonemaps come out tight on BOTH columns and a range
+    * query on either one prunes files. `statsCols` names the columns to
+    * record per-file (min, max) for (the table's declared watermark
+    * columns are always included).
+    */
+  def compactClusteredBy(
+      key: org.apache.spark.sql.Column,
+      statsCols: Seq[String],
+      numFiles: Int = 32): Long = {
     require(numFiles >= 1, "numFiles must be >= 1")
     val prev = latestVersion()
       .map(readManifest)
       .getOrElse(throw new IllegalStateException(s"compactClustered on empty table $root"))
     val df = read()
-    require(df.columns.contains(clusterCol), s"no column $clusterCol in table $root")
-    Stats.requireSupported(df.schema(clusterCol).dataType, clusterCol)
-    val statsCols = (prev.colMax.keys.toSeq :+ clusterCol).distinct
+    val declared = (prev.colMax.keys.toSeq ++ statsCols).distinct
+    declared.filter(df.columns.contains)
+      .foreach(c => Stats.requireSupported(df.schema(c).dataType, c))
+    compactClusteredImpl(prev, df, key, declared, numFiles)
+  }
+
+  private def compactClusteredImpl(
+      prev: Manifest,
+      df: DataFrame,
+      key: org.apache.spark.sql.Column,
+      statsCols: Seq[String],
+      numFiles: Int): Long = {
 
     val commitName = s"commit-${UUID.randomUUID()}"
     val dest = dataDir.resolve(commitName)
-    val writer = df.repartitionByRange(numFiles, col(clusterCol)).write.mode("overwrite")
+    val writer = df.repartitionByRange(numFiles, key).write.mode("overwrite")
     val w = if (prev.partitionBy.nonEmpty) writer.partitionBy(prev.partitionBy: _*) else writer
     w.parquet(dest.toString)
 

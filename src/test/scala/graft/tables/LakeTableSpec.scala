@@ -289,6 +289,36 @@ class LakeTableSpec extends SparkSpec {
       .collect().map(_.getInt(0)).toSeq == Seq(3))
   }
 
+  test("zorderKey interleaves bits; z-clustered compaction prunes files on BOTH dimensions") {
+    import graft.functions.ZOrder.zorderKey
+    // bit-level sanity: a=0b1010 on odd positions, b=0b0101 on even
+    val z = Seq((10L, 5L)).toDF("a", "b")
+      .select(zorderKey($"a", $"b").as("z")).head().getLong(0)
+    assert(z == 153L, s"zorderKey(0b1010, 0b0101) must be 0b10011001, got $z")
+
+    // 32x32 grid in row-major arrival order
+    val grid = for { x <- 0 until 32; y <- 0 until 32 } yield (x, y, x * 32 + y)
+    def mkTable(tag: String): LakeTable = {
+      val t = LakeTable(spark, scratchDir(tag))
+      t.append(grid.toDF("x", "y", "id"), statsCols = Seq("x", "y"))
+      t
+    }
+    val zt = mkTable("zorder")
+    zt.compactClusteredBy(zorderKey($"x", $"y"), Seq("x", "y"), numFiles = 16)
+    val (xs, _, _, (_, xSkip)) = zt.readBetweenWithFilePruneInfo("x", Some(3), Some(4))
+    val (ys, _, _, (_, ySkip)) = zt.readBetweenWithFilePruneInfo("y", Some(3), Some(4))
+    assert(xSkip > 0 && ySkip > 0, s"z-order must prune both dims: x=$xSkip y=$ySkip")
+    assert(xs.count() == 64 && ys.count() == 64)
+
+    // contrast: lexicographic 1-D clustering on x prunes x but never y
+    val lt = mkTable("lex")
+    lt.compactClustered("x", numFiles = 16)
+    val (_, _, _, (_, lxSkip)) = lt.readBetweenWithFilePruneInfo("x", Some(3), Some(4))
+    val (_, _, _, (_, lySkip)) = lt.readBetweenWithFilePruneInfo("y", Some(3), Some(4))
+    assert(lxSkip > 0 && lySkip == 0,
+      s"1-D clustering should prune only its own dim: x=$lxSkip y=$lySkip")
+  }
+
   test("changes(): additive feed is insert-only new commits; rewrites diff with multiset semantics") {
     val root = scratchDir("cdf")
     val t = LakeTable(spark, root)

@@ -492,17 +492,20 @@ object CoreQueries {
       .select(col("event_id"), col("event_type"), col("value"))
     val table = graft.tables.LakeTable(spark, scratch("ivsrc"))
     val v = graft.tables.IncrementalAggView(
-      table, scratch("ivview"), Seq("event_type"), Seq("value"))
+      table, scratch("ivview"), Seq("event_type"), Seq("value"), minMaxCols = Seq("value"))
     Seq(0, 1, 2).foreach { w =>
       table.append(events.filter(col("event_id") % 3 === w))
       v.refresh()
     }
-    v.read().select(col("event_type"), col("n_rows"), col("sum_value"))
+    v.read().select(
+      col("event_type"), col("n_rows"), col("sum_value"),
+      col("min_value"), col("max_value"))
   }
 
   val incrementalAggSql: String =
     """SELECT event_type, count(*) AS n_rows,
-      |       round(sum(CAST(round(value * 10000) AS BIGINT)) / 10000.0, 4) AS sum_value
+      |       round(sum(CAST(round(value * 10000) AS BIGINT)) / 10000.0, 4) AS sum_value,
+      |       min(value) AS min_value, max(value) AS max_value
       |FROM events GROUP BY event_type""".stripMargin
 
   /** Change data feed across snapshots (Delta CDF): v0 = even customer

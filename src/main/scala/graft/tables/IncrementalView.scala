@@ -35,7 +35,8 @@ final class IncrementalAggView(
     val view: LakeTable,
     source: LakeTable,
     keyCols: Seq[String],
-    sumCols: Seq[String]) {
+    sumCols: Seq[String],
+    minMaxCols: Seq[String] = Seq.empty) {
 
   private val metaPath = Paths.get(view.root, "_view_meta.json")
 
@@ -57,14 +58,20 @@ final class IncrementalAggView(
     Files.move(tmp, metaPath, StandardCopyOption.ATOMIC_MOVE)
   }
 
-  /** One hash aggregation to additive partial state. */
+  /** One hash aggregation to additive partial state. min/max ride along:
+    * under append-only history they are associative-commutative folds, so
+    * batched refresh equals full recompute exactly (no subtraction ever
+    * needed — deletes force the full-recompute path anyway).
+    */
   private def partial(df: DataFrame): DataFrame =
     df.groupBy(keyCols.map(col): _*)
       .agg(
         count(lit(1)).as("n_rows"),
         sumCols.map(c =>
           sum(expr(s"cast(round(`$c` * 10000) as bigint)").cast("decimal(38,0)"))
-            .as(stateCol(c))): _*)
+            .as(stateCol(c))) ++
+          minMaxCols.flatMap(c =>
+            Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))): _*)
 
   /** Bring the view up to the source's current snapshot. Reads only the
     * commits added since the last refresh when the history is provably
@@ -95,6 +102,13 @@ final class IncrementalAggView(
                 (coalesce(prev(stateCol(c)), lit(0).cast("decimal(38,0)")) +
                   coalesce(col(s"__d_${stateCol(c)}"), lit(0).cast("decimal(38,0)")))
                   .cast("decimal(38,0)").as(stateCol(c))
+              } ++
+              minMaxCols.flatMap { c =>
+                // least/greatest skip NULLs, so a one-sided group keeps
+                // its side's value
+                Seq(
+                  least(prev(s"min_$c"), col(s"__d_min_$c")).as(s"min_$c"),
+                  greatest(prev(s"max_$c"), col(s"__d_max_$c")).as(s"max_$c"))
               }: _*)
         merged
       case None => partial(source.read())
@@ -120,6 +134,8 @@ object IncrementalAggView {
       source: LakeTable,
       viewRoot: String,
       keyCols: Seq[String],
-      sumCols: Seq[String]): IncrementalAggView =
-    new IncrementalAggView(LakeTable(source.spark, viewRoot), source, keyCols, sumCols)
+      sumCols: Seq[String],
+      minMaxCols: Seq[String] = Seq.empty): IncrementalAggView =
+    new IncrementalAggView(
+      LakeTable(source.spark, viewRoot), source, keyCols, sumCols, minMaxCols)
 }

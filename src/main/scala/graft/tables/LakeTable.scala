@@ -363,6 +363,26 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     readEntries(m, m.commitDirs.zip(m.effectiveScopes))
   }
 
+  /** Time travel by wall clock (`FOR TIMESTAMP AS OF`): the newest
+    * snapshot committed at or before `tsMillis`. Fails loudly when the
+    * timestamp predates the table (same stance as Delta/Iceberg — a
+    * silent empty read would look like data loss) or when the snapshots
+    * covering it were expired.
+    */
+  def readAsOfTimestamp(tsMillis: Long): DataFrame = {
+    val versions = listVersions()
+    if (versions.isEmpty)
+      throw new IllegalStateException(s"table at $root has no commits")
+    val at = versions
+      .map(p => readManifest(versionOf(p)))
+      .filter(_.timestampMs <= tsMillis)
+      .lastOption
+      .getOrElse(throw new IllegalStateException(
+        s"no snapshot of $root at or before $tsMillis " +
+          "(timestamp predates the table or the snapshot was expired)"))
+    readEntries(at, at.commitDirs.zip(at.effectiveScopes))
+  }
+
   /** Assemble a DataFrame over a subset of a manifest's commit dirs. */
   private def readEntries(m: Manifest, entries: Seq[(String, Seq[String])]): DataFrame =
     readSelected(m, entries.map { case (d, s) => (d, s, None) })

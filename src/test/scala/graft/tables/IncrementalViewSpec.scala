@@ -35,14 +35,14 @@ class IncrementalViewSpec extends SparkSpec {
   test("refresh-in-steps equals one full recompute exactly (additive integer-scaled state)") {
     val src = LakeTable(spark, scratchDir("ivsrc2"))
     val all = (1 to 300).map(i => (s"g${i % 7}", i * 0.0001 + (i % 13) * 1.5))
-    val view = IncrementalAggView(src, scratchDir("ivview2"), Seq("k"), Seq("v"))
+    val view = IncrementalAggView(src, scratchDir("ivview2"), Seq("k"), Seq("v"), Seq("v"))
     all.grouped(100).foreach { chunk =>
       src.append(chunk.toDF("k", "v"))
       view.refresh()
     }
     val srcFull = LakeTable(spark, scratchDir("ivsrc2f"))
     srcFull.append(all.toDF("k", "v"))
-    val viewFull = IncrementalAggView(srcFull, scratchDir("ivview2f"), Seq("k"), Seq("v"))
+    val viewFull = IncrementalAggView(srcFull, scratchDir("ivview2f"), Seq("k"), Seq("v"), Seq("v"))
     viewFull.refresh()
     val a = view.read().orderBy("k").collect().toSeq
     val b = viewFull.read().orderBy("k").collect().toSeq

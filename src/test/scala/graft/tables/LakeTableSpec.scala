@@ -289,6 +289,20 @@ class LakeTableSpec extends SparkSpec {
       .collect().map(_.getInt(0)).toSeq == Seq(3))
   }
 
+  test("readAsOfTimestamp picks the newest snapshot at or before the clock; earlier times fail loudly") {
+    val t = LakeTable(spark, scratchDir("tsasof"))
+    val before = System.currentTimeMillis() - 1
+    t.append(Seq((1, "a")).toDF("k", "v"))
+    Thread.sleep(15)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(15)
+    t.append(Seq((2, "b")).toDF("k", "v"))
+    assert(t.readAsOfTimestamp(mid).collect().map(_.getInt(0)).toSeq == Seq(1))
+    assert(t.readAsOfTimestamp(System.currentTimeMillis()).count() == 2)
+    val e = intercept[IllegalStateException] { t.readAsOfTimestamp(before) }
+    assert(e.getMessage.contains("predates"), e.getMessage)
+  }
+
   test("zorderKey interleaves bits; z-clustered compaction prunes files on BOTH dimensions") {
     import graft.functions.ZOrder.zorderKey
     // bit-level sanity: a=0b1010 on odd positions, b=0b0101 on even

@@ -316,6 +316,87 @@ object TextAnalysis {
         floor(col("n_dup_chunks").cast("double") / col("n_chunks") * 10000 + 0.5) / 10000.0)
   }
 
+  /** BM25 (Okapi, Lucene's +1 idf variant) top-k retrieval for a fixed
+    * literal query — the lexical-search baseline every RAG / curation
+    * stack keeps next to its embedding index.
+    *
+    * Scale shape: document lengths are a PURE PROJECTION (token count,
+    * no explode); corpus size and average doc length are one scalar
+    * aggregate broadcast back as a 1-row cross join; the postings
+    * explode is immediately filtered to the literal query terms (a
+    * codegen'd `isin` — at 100 TB the scan emits only matching
+    * postings, a tiny fraction of the corpus); document frequencies
+    * aggregate to |Q| rows and broadcast-join back. The only wide
+    * operation over matching docs is one hash aggregation keyed on the
+    * doc id; the final top-k is TakeOrderedAndProject (no global sort).
+    *
+    * Determinism (what makes this oracle-checkable): the per-document
+    * score is NOT a `sum()` over an unordered term set — float addition
+    * order would differ across engines. Each query term gets its own
+    * aggregate column and the total is added in QUERY-TERM ORDER, a
+    * fixed left-to-right float expression both engines evaluate
+    * identically; ranking uses the 4-dp rounded score with ties to the
+    * lowest id.
+    */
+  def bm25TopK(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: Seq[String],
+      topK: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val lens = corpus.select(
+      col(idCol).as("id"),
+      tokenCountWs(col(textCol)).cast("long").as("dl"))
+    val stats = lens.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+    val postings = corpus
+      .select(
+        col(idCol).as("id"),
+        explode(tokensWs(lower(col(textCol)))).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+    val tf = postings.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = postings
+      .groupBy(col("term"))
+      .agg(countDistinct(col("id")).as("df"))
+    val scoredTerms = tf
+      .join(broadcast(dfreq), "term")
+      .join(lens, "id")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+      .withColumn(
+        "idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn(
+        "s",
+        col("idf") * (col("tf") * (k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl"))))
+    // one aggregate column per query term, then a FIXED-ORDER float add:
+    // the score expression tree is identical in every engine
+    val termCols = queryTerms.map(t =>
+      coalesce(max(when(col("term") === t, col("s"))), lit(0.0)).as(s"s_$t"))
+    val perTerm = scoredTerms
+      .groupBy(col("id"))
+      .agg(termCols.head, termCols.tail: _*)
+    val total = queryTerms.map(t => col(s"s_$t")).reduceLeft(_ + _)
+    val ranked = perTerm
+      .withColumn("score", round(total, 4))
+      .select(col("id").as(idCol), col("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(topK)
+    // rank over the ≤topK surviving rows only (constant partition key
+    // keeps WindowExec off the full corpus — same pattern as
+    // vocabCoverage)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0))
+      .orderBy(col("score").desc, col(idCol).asc)
+    ranked
+      .withColumn("rank", row_number().over(w))
+      .select(col(idCol), col("score"), col("rank"))
+  }
+
   def fingerprintMd5(text: Column): Column =
     md5(lower(regexp_replace(trim(text), "\\s+", " ")))
 

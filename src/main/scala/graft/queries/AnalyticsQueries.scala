@@ -627,7 +627,40 @@ object AnalyticsQueries {
       |SELECT event_id, event_type, round(value, 4) AS value_r, round(z, 4) AS z
       |FROM zs WHERE abs(z) > 3""".stripMargin
 
+  /** Column profiler over `orders` — the ANALYZE-TABLE statistics pass
+    * (see [[graft.operators.Profile]]): one aggregation scan, pivoted
+    * to a row per column after the aggregate.
+    */
+  def profileTable(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Profile.profile(
+      spark.read.parquet(tablePath(sfDir, "orders")))
+
+  val profileTableSql: String = {
+    def numCol(c: String) =
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+         |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  CAST(min($c) AS DOUBLE) AS min_num, CAST(max($c) AS DOUBLE) AS max_num,
+         |  CAST(NULL AS DOUBLE) AS avg_len FROM orders""".stripMargin
+    def tsCol(c: String) =
+      s"""SELECT '$c', count(*), CAST(count(*) - count($c) AS BIGINT),
+         |  CAST(count(DISTINCT $c) AS BIGINT),
+         |  CAST(CAST(floor(epoch(min($c))) AS BIGINT) AS DOUBLE),
+         |  CAST(CAST(floor(epoch(max($c))) AS BIGINT) AS DOUBLE),
+         |  CAST(NULL AS DOUBLE) FROM orders""".stripMargin
+    def strCol(c: String) =
+      s"""SELECT '$c', count(*), CAST(count(*) - count($c) AS BIGINT),
+         |  CAST(count(DISTINCT $c) AS BIGINT),
+         |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+         |  round(CAST(sum(length($c)) AS DOUBLE) / count($c), 4) FROM orders""".stripMargin
+    Seq(
+      numCol("o_orderkey"), numCol("o_custkey"), strCol("o_orderstatus"),
+      numCol("o_totalprice"), tsCol("o_orderdate"), strCol("o_orderpriority"))
+      .mkString("", "\nUNION ALL\n", "")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_profile_table" -> (profileTable _),
     "q_unpivot" -> (unpivotMetrics _),
     "q_moving_window" -> (movingWindow _),
     "q_gap_fill" -> (gapFill _),
@@ -654,6 +687,7 @@ object AnalyticsQueries {
     "q_outliers" -> (outliers _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_profile_table" -> profileTableSql,
     "q_unpivot" -> unpivotMetricsSql,
     "q_moving_window" -> movingWindowSql,
     "q_gap_fill" -> gapFillSql,

@@ -1148,9 +1148,56 @@ object ExtQueries {
       |    GROUP BY term))
       |WHERE rank <= 50""".stripMargin
 
+  /** BM25 top-20 lexical retrieval for a fixed three-term query over
+    * the documents corpus — the keyword-search baseline next to the
+    * embedding index. Query terms are in-vocabulary for the synthetic
+    * corpus; scoring is Lucene's +1 idf with k1=1.2, b=0.75.
+    */
+  private val bm25Terms = Seq("spark", "merge", "vector")
+
+  def bm25Search(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.bm25TopK(docs(spark, sfDir), "doc_id", "text", bm25Terms, 20)
+
+  val bm25SearchSql: String = {
+    val perTerm = bm25Terms
+      .map(t =>
+        s"coalesce(max(CASE WHEN term = '$t' THEN s END), 0.0) AS s_$t")
+      .mkString(",\n      |         ")
+    val total = bm25Terms.map(t => s"s_$t").mkString(" + ")
+    val inList = bm25Terms.map(t => s"'$t'").mkString("(", ", ", ")")
+    s"""WITH lens AS (
+       |  SELECT doc_id,
+       |         CASE WHEN length(trim(text)) = 0 THEN 0
+       |              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS dl
+       |  FROM documents),
+       |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM lens),
+       |postings AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+       |  FROM documents),
+       |p AS (SELECT doc_id, term FROM postings WHERE term IN $inList),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM p GROUP BY 1, 2),
+       |dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM p GROUP BY 1),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.term,
+       |         ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+       |           * (tf.tf * 2.2)
+       |           / (tf.tf + 1.2 * (1.0 - 0.75
+       |              + 0.75 * CAST(l.dl AS DOUBLE) / (CAST(s.sum_dl AS DOUBLE) / s.n_docs))) AS s
+       |  FROM tf JOIN dfreq d USING (term) JOIN lens l USING (doc_id) CROSS JOIN stats s),
+       |agg AS (
+       |  SELECT doc_id,
+       |         $perTerm
+       |  FROM scored GROUP BY doc_id)
+       |SELECT doc_id, score,
+       |       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+       |FROM (SELECT doc_id, round($total, 4) AS score FROM agg)
+       |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
+  }
+
   // --------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bm25_search" -> (bm25Search _),
     "q_chunk_documents" -> (chunkDocuments _),
     "q_corpus_report" -> (corpusReport _),
     "q_vocab_coverage" -> (vocabCoverage _),
@@ -1219,6 +1266,7 @@ object ExtQueries {
     "q_similarity_topk" -> similarityTopKSql,
     "q_multimodal_meta" -> multimodalMetaSql,
     "q_multimodal_decode" -> multimodalDecodeSql,
+    "q_bm25_search" -> bm25SearchSql,
     "q_text_langid" -> textLangIdSql,
     "q_train_val_split" -> trainValSplitSql,
     "q_pack_sequences" -> packSequencesSql,

@@ -139,6 +139,69 @@ class ChunkDupSpec extends SparkSpec {
     assert(out(4L) == ((2L, 2L, 1.0)))
     assert(out(5L) == ((2L, 1L, 0.5)))
   }
+
+  test("bm25TopK ranks term-dense short docs first and skips non-matching docs") {
+    val docs = Seq(
+      (1L, "spark spark spark"), // high tf for 'spark', short
+      (2L, "spark is a system for large data and more words here padding length"),
+      (3L, "nothing relevant at all"), // no query term: must be absent
+      (4L, "merge merge"), // rarest-term doc (if 'merge' rarer => higher idf)
+      (5L, "spark merge")) // both terms
+      .toDF("doc_id", "text")
+    val out = TextAnalysis
+      .bm25TopK(docs, "doc_id", "text", Seq("spark", "merge"), topK = 10)
+      .collect()
+    val ids = out.map(_.getLong(0)).toSet
+    assert(!ids.contains(3L), "doc without any query term must not appear")
+    assert(ids == Set(1L, 2L, 4L, 5L))
+    // ranks are 1..n dense and ordered by (score desc, id asc)
+    val byRank = out.sortBy(_.getInt(2))
+    assert(byRank.map(_.getInt(2)).toSeq == (1 to 4))
+    val scores = byRank.map(_.getDouble(1)).toSeq
+    assert(scores == scores.sorted.reverse)
+    // doc 5 covers both terms with short length: must beat the
+    // long single-term doc 2
+    val rankOf = out.map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(rankOf(5L) < rankOf(2L))
+  }
+
+  test("bm25TopK respects topK with deterministic id tie-break") {
+    val docs = (1L to 30L).map(i => (i, "common filler")).toDF("doc_id", "text")
+    val out = TextAnalysis
+      .bm25TopK(docs, "doc_id", "text", Seq("common"), topK = 7)
+      .collect()
+    // all scores equal -> ties resolve to the 7 lowest ids
+    assert(out.map(_.getLong(0)).sorted.toSeq == (1L to 7L))
+  }
+}
+
+class ProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("profile emits one scalar row per column with null/distinct/minmax/len stats") {
+    val df = Seq(
+      (Some(1L), Some(2.0), Some("ab"), Some(java.sql.Timestamp.valueOf("2020-01-01 00:00:00"))),
+      (Some(2L), None, Some("abcd"), None),
+      (Some(2L), Some(4.0), None, Some(java.sql.Timestamp.valueOf("2020-01-02 00:00:00"))))
+      .toDF("k", "v", "s", "ts")
+    val out = graft.operators.Profile.profile(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("k", "v", "s", "ts"))
+    val k = out("k")
+    assert(k.getLong(1) == 3L && k.getLong(2) == 0L && k.getLong(3) == 2L)
+    assert(k.getDouble(4) == 1.0 && k.getDouble(5) == 2.0 && k.isNullAt(6))
+    val v = out("v")
+    assert(v.getLong(2) == 1L && v.getLong(3) == 2L)
+    assert(v.getDouble(4) == 2.0 && v.getDouble(5) == 4.0)
+    val s = out("s")
+    assert(s.getLong(2) == 1L && s.getLong(3) == 2L)
+    assert(s.isNullAt(4) && s.isNullAt(5))
+    assert(s.getDouble(6) == 3.0) // (2 + 4) / 2
+    val ts = out("ts")
+    assert(ts.getLong(2) == 1L && ts.getLong(3) == 2L)
+    // UTC session: epoch seconds of the two midnights, 86400 apart
+    assert(ts.getDouble(5) - ts.getDouble(4) == 86400.0)
+  }
 }
 
 class DedupSpec extends SparkSpec {

@@ -463,11 +463,49 @@ object VectorExprs {
     call_function("graft_bloom_might_contain", lit(bos.toByteArray), key)
   }
 
+  /** Squared L2 distance over two numeric arrays — SEQUENTIAL
+    * left-to-right sum of (a_i - b_i)², the same operation order as
+    * `list_aggregate(list_transform(...), 'sum')` in DuckDB and a
+    * `zip_with`/`aggregate` fold in Spark, so 6-dp-rounded comparisons
+    * are engine-reproducible. The metric of the product-quantization
+    * codebook loop ([[graft.ext.ProductQuant]]) — runs once per
+    * (row × subspace × centroid), hence compiled.
+    */
+  case class ArrayL2Sq(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      checkFractionalArrays("graft_array_l2sq", Seq(left, right))
+    @transient private lazy val lFloat =
+      left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    @transient private lazy val rFloat =
+      right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val xs = a.asInstanceOf[ArrayData]
+      val ys = b.asInstanceOf[ArrayData]
+      val n = math.min(xs.numElements(), ys.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (lFloat) xs.getFloat(i).toDouble else xs.getDouble(i)
+        val y = if (rFloat) ys.getFloat(i).toDouble else ys.getDouble(i)
+        val d = x - y
+        s += d * d
+        i += 1
+      }
+      s
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   /** Register SQL-callable forms once per session; idempotent. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
       "graft_array_cosine", exprs => ArrayCosine(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "graft_array_l2sq", exprs => ArrayL2Sq(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction(
       "graft_simhash64", exprs => SimHash64(exprs.head), "scala_udf")
   }
@@ -475,6 +513,11 @@ object VectorExprs {
   def arrayCosine(spark: org.apache.spark.sql.SparkSession, a: Column, b: Column): Column = {
     register(spark)
     call_function("graft_array_cosine", a, b)
+  }
+
+  def arrayL2Sq(spark: org.apache.spark.sql.SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    call_function("graft_array_l2sq", a, b)
   }
 
   def simhash64(spark: org.apache.spark.sql.SparkSession, tokens: Column): Column = {

@@ -95,6 +95,7 @@ object GraftExtensions {
   private[plans] val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_array_cosine" -> arity("graft_array_cosine", 2)(e => VectorExprs.ArrayCosine(e(0), e(1))),
     "graft_array_dot" -> arity("graft_array_dot", 2)(e => VectorExprs.ArrayDot(e(0), e(1))),
+    "graft_array_l2sq" -> arity("graft_array_l2sq", 2)(e => VectorExprs.ArrayL2Sq(e(0), e(1))),
     "graft_jaccard_longs" -> arity("graft_jaccard_longs", 2)(e => VectorExprs.JaccardLongs(e(0), e(1))),
     "graft_simhash64" -> arity("graft_simhash64", 1)(e => VectorExprs.SimHash64(e.head)),
     "graft_bloom_might_contain" -> arity("graft_bloom_might_contain", 2)(e =>

@@ -1148,6 +1148,84 @@ object ExtQueries {
       |    GROUP BY term))
       |WHERE rank <= 50""".stripMargin
 
+  /** Product-quantization encode of the embeddings table: m=4
+    * subspaces × k=8 centroids, 1 Lloyd refinement round — each 64-dim
+    * fp32 vector (256 B) becomes one packed BIGINT code plus its exact
+    * 6-dp reconstruction error. Deterministic per
+    * [[graft.ext.ProductQuant]]'s contract, so the full train+encode
+    * path is oracle-checkable (the oracle unrolls the same per-subspace
+    * Lloyd round in SQL).
+    */
+  private val pqM = 4
+  private val pqK = 8
+  private val pqDsub = 16
+
+  private def pqBooks(e: DataFrame) =
+    graft.ext.ProductQuant.pqFit(e, "vec_id", "embedding", pqM, pqK, iters = 1)
+
+  def embeddingPq(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = embs(spark, sfDir)
+    graft.ext.ProductQuant.pqEncode(e, "vec_id", "embedding", pqBooks(e), pqK)
+  }
+
+  val embeddingPqSql: String = {
+    def l2(a: String, b: String): String =
+      s"round(list_aggregate(list_transform(range(1, ${pqDsub + 1}), " +
+        s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), 'sum'), 6)"
+    val perSub = (0 until pqM).map { j =>
+      val lo = j * pqDsub + 1
+      val hi = (j + 1) * pqDsub
+      s"""sub$j AS (SELECT vec_id, e[$lo:$hi] AS sub FROM v),
+         |c0$j AS (SELECT CAST(vec_id AS INTEGER) AS cid, sub AS c FROM sub$j WHERE vec_id < $pqK),
+         |a$j AS (SELECT vec_id, sub,
+         |         -struct_extract(max((-${l2("sub", "c")}, -cid)), 2) AS cl
+         |       FROM sub$j CROSS JOIN c0$j GROUP BY vec_id, sub),
+         |ex$j AS (SELECT cl, unnest(list_transform(range(1, ${pqDsub + 1}),
+         |                          i -> {'dim': i - 1, 'v': sub[i]}), recursive := true) FROM a$j),
+         |ag$j AS (SELECT cl, dim, count(v) AS n,
+         |               sum(CAST(round(CAST(v AS DOUBLE) * 10000) AS BIGINT)) AS s
+         |        FROM ex$j GROUP BY 1, 2),
+         |cb$j AS (SELECT CAST(cl AS INTEGER) AS cid,
+         |              list(CAST(CASE WHEN s >= 0 THEN (2 * s + n) // (2 * n)
+         |                             ELSE -((-2 * s + n) // (2 * n)) END AS DOUBLE) / 10000.0
+         |                   ORDER BY dim) AS c
+         |       FROM ag$j GROUP BY cl),
+         |f$j AS (SELECT vec_id, max((-${l2("sub", "c")}, -cid)) AS b
+         |       FROM sub$j CROSS JOIN cb$j GROUP BY vec_id, sub)""".stripMargin
+    }
+    val code = (0 until pqM)
+      .map(j => s"(-struct_extract(f$j.b, 2)) * ${math.pow(pqK, j).toLong}")
+      .mkString(" + ")
+    val err = (0 until pqM)
+      .map(j => s"(-struct_extract(f$j.b, 1))")
+      .mkString(" + ")
+    val joins = (0 until pqM).map(j => s"JOIN f$j USING (vec_id)").mkString(" ")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |${perSub.mkString(",\n")}
+       |SELECT v.vec_id, CAST($code AS BIGINT) AS code,
+       |       round($err, 6) AS recon_d2
+       |FROM v $joins""".stripMargin
+  }
+
+  /** ADC similarity search over the PQ-encoded corpus: the 3 lowest-id
+    * vectors as queries, top-10 by asymmetric-distance dot product —
+    * probes never touch the raw corpus vectors (rows-only; parity vs
+    * the exact dot product is spec-pinned in ProductQuantSpec).
+    */
+  def similarityAdc(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = embs(spark, sfDir)
+    val books = pqBooks(e)
+    val encoded = graft.ext.ProductQuant.pqEncode(e, "vec_id", "embedding", books, pqK)
+    val qs = e
+      .orderBy(col("vec_id"))
+      .limit(3)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+      .toSeq
+    graft.ext.ProductQuant.adcTopK(encoded, "vec_id", books, pqK, qs, 10)
+  }
+
   /** BM25 top-20 lexical retrieval for a fixed three-term query over
     * the documents corpus — the keyword-search baseline next to the
     * embedding index. Query terms are in-vocabulary for the synthetic
@@ -1198,6 +1276,8 @@ object ExtQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bm25_search" -> (bm25Search _),
+    "q_embedding_pq" -> (embeddingPq _),
+    "q_similarity_adc" -> (similarityAdc _),
     "q_chunk_documents" -> (chunkDocuments _),
     "q_corpus_report" -> (corpusReport _),
     "q_vocab_coverage" -> (vocabCoverage _),
@@ -1267,6 +1347,7 @@ object ExtQueries {
     "q_multimodal_meta" -> multimodalMetaSql,
     "q_multimodal_decode" -> multimodalDecodeSql,
     "q_bm25_search" -> bm25SearchSql,
+    "q_embedding_pq" -> embeddingPqSql,
     "q_text_langid" -> textLangIdSql,
     "q_train_val_split" -> trainValSplitSql,
     "q_pack_sequences" -> packSequencesSql,

@@ -66,6 +66,63 @@ class EmbeddingsSpec extends SparkSpec {
   }
 }
 
+class ProductQuantSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 4-dp-representable deterministic vectors: dim 8, m=2 subspaces
+  private def corpus(n: Int) =
+    (0L until n.toLong)
+      .map(i => (i, (0 until 8).map(d => ((i * 7 + d * 3) % 20).toFloat / 10.0f)))
+      .toDF("id", "v")
+
+  test("pq is lossless when every vector seeds its own centroid (k = n)") {
+    val df = corpus(4)
+    val books = ProductQuant.pqFit(df, "id", "v", m = 2, k = 4, iters = 1)
+    assert(books.length == 2 && books.forall(_.nonEmpty))
+    val out = ProductQuant.pqEncode(df, "id", "v", books, k = 4).collect()
+    assert(out.length == 4)
+    // every subvector is exactly a centroid -> zero reconstruction error
+    out.foreach(r => assert(r.getDouble(2) == 0.0, s"recon ${r.getDouble(2)} for id ${r.getLong(0)}"))
+    // packed codes decode to valid digits and are distinct for distinct vectors
+    val codes = out.map(_.getLong(1))
+    assert(codes.forall(c => c >= 0 && c < 16)) // k^m = 16
+    assert(codes.distinct.length == codes.length)
+  }
+
+  test("pq training is deterministic and a Lloyd round does not worsen total distortion") {
+    val df = corpus(24)
+    val b1 = ProductQuant.pqFit(df, "id", "v", m = 2, k = 4, iters = 1)
+    val b2 = ProductQuant.pqFit(df, "id", "v", m = 2, k = 4, iters = 1)
+    assert(b1 == b2, "pqFit must be bit-deterministic across runs")
+    val b0 = ProductQuant.pqFit(df, "id", "v", m = 2, k = 4, iters = 0)
+    def totalErr(books: Seq[ProductQuant.Codebook]): Double =
+      ProductQuant.pqEncode(df, "id", "v", books, k = 4)
+        .agg(org.apache.spark.sql.functions.sum("recon_d2")).head().getDouble(0)
+    // 4-dp centroid rounding can cost at most ~dim*(1e-4)^2 per vector
+    assert(totalErr(b1) <= totalErr(b0) + 1e-4,
+      s"refined ${totalErr(b1)} vs seed ${totalErr(b0)}")
+  }
+
+  test("adc over a lossless codebook reproduces exact dot products") {
+    val df = corpus(4)
+    val books = ProductQuant.pqFit(df, "id", "v", m = 2, k = 4, iters = 1)
+    val encoded = ProductQuant.pqEncode(df, "id", "v", books, k = 4)
+    val vecs = df.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq)
+      .toMap
+    val q = vecs(0L)
+    val out = ProductQuant
+      .adcTopK(encoded, "id", books, k = 4, queries = Seq((0L, q)), topK = 4)
+      .collect()
+      .map(r => r.getLong(1) -> r.getDouble(2))
+      .toMap
+    vecs.foreach { case (id, v) =>
+      val exact = q.zip(v).map { case (a, b) => a * b }.sum
+      assert(math.abs(out(id) - exact) < 1e-3, s"id $id adc ${out(id)} vs exact $exact")
+    }
+  }
+}
+
 class LanguageModelSpec extends SparkSpec {
   import spark.implicits._
 

@@ -143,4 +143,39 @@ class PlanAuditSpec extends SparkSpec {
     assert(windows >= 1, p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("bm25 plans a per-partition top-k and broadcasts df + corpus stats") {
+    val p = plan(graft.queries.ExtQueries.bm25Search(spark, sf))
+    // final top-k: TakeOrderedAndProject, never a global Sort+Limit
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // document frequencies (|Q| rows) and the 1-row stats scalar reach
+    // the scoring side via broadcast, not shuffle
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("pq encode is a pure projection: no exchange at all") {
+    val e = graft.sources.Testdata.read(spark, sf, "embeddings")
+    val books = graft.ext.ProductQuant.pqFit(e, "vec_id", "embedding", 4, 8, 1)
+    val p = plan(graft.ext.ProductQuant.pqEncode(e, "vec_id", "embedding", books, 8))
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("ScalaUDF"), p)
+  }
+
+  test("adc probe reads only the (id, code) columns — never the embedding") {
+    val e = graft.sources.Testdata.read(spark, sf, "embeddings")
+    val books = graft.ext.ProductQuant.pqFit(e, "vec_id", "embedding", 4, 8, 1)
+    val enc = graft.ext.ProductQuant
+      .pqEncode(e, "vec_id", "embedding", books, 8)
+    // materialize the encoded table the way a real index would be stored,
+    // then audit the probe-side scan schema
+    val dir = graft.util.TempDirs.scratch("pq-audit")
+    enc.write.mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val q = Seq((0L, (0 until 64).map(_.toDouble).toSeq))
+    val p = plan(graft.ext.ProductQuant.adcTopK(stored, "vec_id", books, 8, q, 5))
+    val read = p.split("ReadSchema")(1).split("\n")(0)
+    assert(!read.contains("embedding"), s"probe must not read vectors: $read")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
 }

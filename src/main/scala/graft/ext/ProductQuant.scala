@@ -117,14 +117,16 @@ object ProductQuant {
       idCol: String,
       vecCol: String,
       books: Seq[Codebook],
-      k: Int): DataFrame = {
+      k: Int,
+      keep: Seq[String] = Nil): DataFrame = {
     val spark = corpus.sparkSession
     val m = books.length
     val dsub = books.head.head._2.length
     val codes = (0 until m).map { j =>
       bestCode(corpus, subvec(col(vecCol), j, dsub), books(j)).cast("long").as(s"c_$j")
     }
-    val withCodes = corpus.select(col(idCol) +: col(vecCol).as("__v") +: codes: _*)
+    val withCodes = corpus.select(
+      (col(idCol) +: keep.map(col) :+ col(vecCol).as("__v")) ++ codes: _*)
     val packed = (0 until m)
       .map(j => col(s"c_$j") * lit(math.pow(k, j).toLong))
       .reduceLeft(_ + _)
@@ -142,9 +144,117 @@ object ProductQuant {
       }
       .reduceLeft(_ + _)
     withCodes.select(
-      col(idCol),
-      packed.as("code"),
-      round(err, 6).as("recon_d2"))
+      col(idCol) +: keep.map(col) :+ packed.as("code") :+ round(err, 6).as("recon_d2"): _*)
+  }
+
+  /** The full IVF-PQ index (FAISS's `IVFx,PQy` composition): a coarse
+    * quantizer partitions the corpus into `nlist` inverted lists, PQ
+    * encodes the RESIDUAL (vector − list centroid), and a query probes
+    * only its `nprobe` nearest lists, scoring codes by ADC:
+    *
+    *   q · v = q · c_list + q · residual ≈ q·c_list + Σ_j LUT[j][code_j]
+    *
+    * — the per-list offset `q·c_list` is one literal lookup and the
+    * residual LUT is shared across lists, so probe cost is
+    * (nprobe/nlist)·N lookup-sums, never N vector products.
+    *
+    * Scale shape: coarse centroids AND residual codebooks are plan
+    * literals; corpus-side work is two pure projections (assign,
+    * encode) and the probe is `list_id isin(...)` — partition-prunable
+    * when the encoded table is written partitioned by list — plus a
+    * TakeOrderedAndProject per query. Nothing ever shuffles the corpus.
+    *
+    * Returns per query the topK (qid, id, adc_dot), rank by 6-dp score
+    * with ties to lowest id. Deterministic end to end (same rules as
+    * [[pqFit]]; coarse seeds = nlist lowest-id vectors, 1 Lloyd round).
+    */
+  def ivfAdcTopK(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int,
+      m: Int,
+      k: Int,
+      nprobe: Int,
+      queries: Seq[(Long, Seq[Double])],
+      topK: Int): DataFrame = {
+    val spark = corpus.sparkSession
+
+    // coarse quantizer: same deterministic Lloyd as pqFit with m=1
+    val coarse: Codebook = pqFit(corpus, idCol, vecCol, m = 1, k = nlist, iters = 1).head
+    val coarseArr = typedlit(coarse.map(_._2))
+    val coarseIds = coarse.map(_._1)
+    // list_id of a vector: argmin 6-dp L2² over the literal centroids
+    def listOf(vec: Column): Column =
+      -array_max(array(coarse.map { case (cid, cv) =>
+        struct(
+          -round(graft.functions.VectorExprs.arrayL2Sq(spark, vec, typedlit(cv)), 6).as("d"),
+          lit(-cid).as("nc"))
+      }: _*)).getField("nc").cast("int")
+
+    // residuals: v − centroid[list]; the centroid array indexes by the
+    // POSITION of the list id in the codebook (ids need not be dense
+    // after empty-cluster drop)
+    val posOf = coarseIds.zipWithIndex.toMap
+    val posExpr = coarseIds.foldLeft(lit(-1)) { case (acc, cid) =>
+      when(col("__list") === cid, lit(posOf(cid))).otherwise(acc)
+    }
+    val withList = corpus
+      .withColumn("__list", listOf(col(vecCol)))
+      .withColumn(
+        "__res",
+        zip_with(
+          transform(col(vecCol), x => x.cast("double")),
+          element_at(coarseArr, posExpr + 1),
+          (x, c) => x - c))
+
+    // residual codebooks trained over the residual frame, then encode —
+    // list_id rides the same projection (no self-join back)
+    val books = pqFit(withList, idCol, "__res", m, k, iters = 1)
+    val encoded = pqEncode(withList, idCol, "__res", books, k, keep = Seq("__list"))
+      .withColumnRenamed("__list", "list_id")
+
+    val dsub = books.head.head._2.length
+    val perQuery = queries.map { case (qid, qv) =>
+      // nprobe nearest lists to the query (driver-side argmin over
+      // nlist centroids — microseconds)
+      def l2(a: Seq[Double], b: Seq[Double]): Double =
+        a.zip(b).foldLeft(0.0) { case (s, (x, y)) => val d = x - y; s + d * d }
+      val probed = coarse
+        .map { case (cid, cv) => (cid, l2(qv, cv)) }
+        .sortBy { case (cid, d) => (d, cid) }
+        .take(nprobe)
+        .map(_._1)
+      // per-list offset q·c and the shared residual LUT
+      val offsets: Map[Int, Double] = coarse.collect {
+        case (cid, cv) if probed.contains(cid) =>
+          cid -> qv.zip(cv).foldLeft(0.0) { case (s, (a, b)) => s + a * b }
+      }.toMap
+      val lut: Seq[Seq[Double]] = (0 until m).map { j =>
+        val qj = qv.slice(j * dsub, j * dsub + dsub)
+        books(j).map { case (_, cv) =>
+          qj.zip(cv).foldLeft(0.0) { case (s, (a, b)) => s + a * b }
+        }
+      }
+      val offsetExpr = probed.foldLeft(lit(0.0)) { case (acc, cid) =>
+        when(col("list_id") === cid, lit(offsets(cid))).otherwise(acc)
+      }
+      val residScore = (0 until m)
+        .map { j =>
+          val cj = (col("code") / lit(math.pow(k, j).toLong)).cast("long") % k
+          element_at(typedlit(lut(j)), (cj + 1).cast("int"))
+        }
+        .reduceLeft(_ + _)
+      encoded
+        .filter(col("list_id").isin(probed: _*))
+        .select(
+          lit(qid).as("qid"),
+          col(idCol),
+          round(offsetExpr + residScore, 6).as("adc_dot"))
+        .orderBy(col("adc_dot").desc, col(idCol).asc)
+        .limit(topK)
+    }
+    perQuery.reduceLeft(_ unionByName _)
   }
 
   /** Asymmetric-distance (ADC) top-k: score every ENCODED vector

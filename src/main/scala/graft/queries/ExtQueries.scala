@@ -1226,6 +1226,25 @@ object ExtQueries {
     graft.ext.ProductQuant.adcTopK(encoded, "vec_id", books, pqK, qs, 10)
   }
 
+  /** Full IVF-PQ search (FAISS `IVF8,PQ4`-shaped): coarse quantizer →
+    * residual PQ codes → ADC over the 3 probed lists per query
+    * (rows-only; lossless-parity, probed-list containment and
+    * determinism are spec-pinned in ProductQuantSpec).
+    */
+  def similarityIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = embs(spark, sfDir)
+    val qs = e
+      .orderBy(col("vec_id"))
+      .limit(3)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+      .toSeq
+    graft.ext.ProductQuant.ivfAdcTopK(
+      e, "vec_id", "embedding",
+      nlist = 8, m = pqM, k = pqK, nprobe = 3, queries = qs, topK = 10)
+  }
+
   /** BM25 top-20 lexical retrieval for a fixed three-term query over
     * the documents corpus — the keyword-search baseline next to the
     * embedding index. Query terms are in-vocabulary for the synthetic
@@ -1278,6 +1297,7 @@ object ExtQueries {
     "q_bm25_search" -> (bm25Search _),
     "q_embedding_pq" -> (embeddingPq _),
     "q_similarity_adc" -> (similarityAdc _),
+    "q_similarity_ivfpq" -> (similarityIvfPq _),
     "q_chunk_documents" -> (chunkDocuments _),
     "q_corpus_report" -> (corpusReport _),
     "q_vocab_coverage" -> (vocabCoverage _),

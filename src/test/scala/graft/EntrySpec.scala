@@ -19,9 +19,10 @@ class EntrySpec extends SparkSpec {
     // probabilistic structures) — everything else must be oracle-checked
     assert(rowsOnly == Set(
       "q_dedup_simhash", "q_similarity_ann", "q_similarity_ivf", "q_approx_distinct",
-      // ADC parity vs exact dot products is pinned in ProductQuantSpec;
-      // the trained-codebook path itself IS oracle-checked (q_embedding_pq)
-      "q_similarity_adc"),
+      // ADC/IVF-PQ parity vs exact dot products is pinned in
+      // ProductQuantSpec; the trained-codebook path itself IS
+      // oracle-checked (q_embedding_pq)
+      "q_similarity_adc", "q_similarity_ivfpq"),
       s"unexpected rows-only queries: $rowsOnly")
   }
 

@@ -178,4 +178,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!read.contains("embedding"), s"probe must not read vectors: $read")
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("ivf-pq search never shuffles the corpus") {
+    val e = graft.sources.Testdata.read(spark, sf, "embeddings")
+    val q = Seq((0L, (0 until 64).map(_.toDouble / 64).toSeq))
+    val p = plan(graft.ext.ProductQuant.ivfAdcTopK(
+      e, "vec_id", "embedding", nlist = 4, m = 4, k = 8, nprobe = 2,
+      queries = q, topK = 5))
+    // assign + residual-encode + probe are all projections/filters over
+    // literal codebooks; the only "wide" op is the per-query top-k
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("ScalaUDF"), p)
+  }
 }

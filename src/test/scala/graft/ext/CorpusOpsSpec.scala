@@ -103,6 +103,45 @@ class ProductQuantSpec extends SparkSpec {
       s"refined ${totalErr(b1)} vs seed ${totalErr(b0)}")
   }
 
+  test("ivf-pq with lossless residual codebooks reproduces exact dot products over all lists") {
+    val df = corpus(4)
+    val vecs = df.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq)
+      .toMap
+    val q = vecs(1L)
+    // nprobe = nlist: every list probed; k = n: every residual is its
+    // own centroid, so ADC scores are the exact dot products
+    val out = ProductQuant
+      .ivfAdcTopK(df, "id", "v", nlist = 2, m = 2, k = 4, nprobe = 2,
+        queries = Seq((1L, q)), topK = 4)
+      .collect()
+      .map(r => r.getLong(1) -> r.getDouble(2))
+      .toMap
+    assert(out.keySet == vecs.keySet)
+    vecs.foreach { case (id, v) =>
+      val exact = q.zip(v).map { case (a, b) => a * b }.sum
+      assert(math.abs(out(id) - exact) < 1e-3, s"id $id adc ${out(id)} vs exact $exact")
+    }
+  }
+
+  test("ivf-pq probes only nprobe lists and is deterministic") {
+    val df = corpus(24)
+    val q = df.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq)
+      .toMap.apply(0L)
+    def run() = ProductQuant
+      .ivfAdcTopK(df, "id", "v", nlist = 4, m = 2, k = 4, nprobe = 1,
+        queries = Seq((0L, q)), topK = 24)
+      .collect()
+      .map(r => (r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+      .toSeq
+    val a = run()
+    val b = run()
+    assert(a == b, "ivfAdcTopK must be deterministic across runs")
+    // nprobe=1 of 4 lists: the probe must return a strict subset of the corpus
+    assert(a.nonEmpty && a.length < 24, s"expected a strict subset, got ${a.length} rows")
+  }
+
   test("adc over a lossless codebook reproduces exact dot products") {
     val df = corpus(4)
     val books = ProductQuant.pqFit(df, "id", "v", m = 2, k = 4, iters = 1)

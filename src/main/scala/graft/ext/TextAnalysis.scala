@@ -397,6 +397,82 @@ object TextAnalysis {
       .select(col(idCol), col("score"), col("rank"))
   }
 
+  /** Exact repeated-SPAN statistics (the substring-dedup measure of
+    * Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better", arXiv 2107.06499, §3 ExactSubstr): for every
+    * position, the L-token shingle starting there; a position is
+    * "repeated" when its shingle occurs ≥2 times in the corpus
+    * (anywhere — same doc counts, as in the paper); per document,
+    * repeated positions merge into covered intervals whose union length
+    * is the repeated-token count. Where [[chunkDupStats]] sees only
+    * aligned fixed chunks, this catches repeats at ANY offset — the
+    * suffix-array result, computed with shingle-join machinery that
+    * distributes.
+    *
+    * Scale shape: shingling is a pure projection (one row per token
+    * position — the same linear blow-up the suffix array pays);
+    * occurrence counts are a map-side-combined hash agg + equi-join
+    * back (NOT a window over the shingle — a boilerplate span repeated
+    * 10 M× would funnel one task); the interval merge is a per-DOC
+    * window bounded by document length. Shingle keys here are the raw
+    * L-token strings so the DuckDB oracle can replay them verbatim; at
+    * 100 TB you'd xxhash64 them first (same plan, 8-byte keys).
+    *
+    * Output: (idCol, n_tokens, rep_tokens, rep_ratio 4-dp).
+    */
+  def repeatedSpanStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      spanTokens: Int): DataFrame = {
+    require(spanTokens > 0, s"need spanTokens > 0, got $spanTokens")
+    val L = spanTokens
+    val base = df
+      .select(col(idCol), tokensWs(lower(col(textCol))).as("__toks"))
+      // split("") yields [""]: an empty/whitespace doc has 0 tokens
+      .withColumn(
+        "n",
+        when(
+          size(col("__toks")) === 1 && length(col("__toks").getItem(0)) === 0, 0)
+          .otherwise(size(col("__toks"))))
+    val sh = base
+      .filter(col("n") >= L)
+      .select(
+        col(idCol),
+        col("n"),
+        posexplode(
+          transform(
+            sequence(lit(0), col("n") - L),
+            i => array_join(slice(col("__toks"), i + 1, lit(L)), " "))).as(Seq("pos", "sh")))
+    val repeated = sh
+      .groupBy(col("sh"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .select(col("sh"))
+    val rep = sh.join(repeated, "sh").select(col(idCol), col("n"), col("pos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("pos"))
+    val covered = rep
+      .withColumn("nxt", lead(col("pos"), 1).over(w))
+      .withColumn(
+        "cov",
+        when(col("nxt").isNull, lit(L)).otherwise(least(lit(L), col("nxt") - col("pos"))))
+      .groupBy(col(idCol))
+      .agg(sum(col("cov")).as("rep_tokens"))
+    base
+      .select(col(idCol), col("n"))
+      .join(covered, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        col("n").cast("long").as("n_tokens"),
+        coalesce(col("rep_tokens"), lit(0L)).cast("long").as("rep_tokens"),
+        when(col("n") === 0, lit(0.0)).otherwise(
+          floor(
+            coalesce(col("rep_tokens"), lit(0L)).cast("double") / col("n").cast("double")
+              * 10000 + 0.5) / 10000.0).as("rep_ratio"))
+  }
+
   def fingerprintMd5(text: Column): Column =
     md5(lower(regexp_replace(trim(text), "\\s+", " ")))
 

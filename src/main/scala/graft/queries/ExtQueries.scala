@@ -1226,6 +1226,50 @@ object ExtQueries {
     graft.ext.ProductQuant.adcTopK(encoded, "vec_id", books, pqK, qs, 10)
   }
 
+  /** Repeated-span (exact-substring) duplication stats over the
+    * planted-near-dup corpus: any-offset L=8-token repeats, interval-
+    * merged per document — the suffix-array dedup measure computed with
+    * distributable shingle joins (see [[TextAnalysis.repeatedSpanStats]]).
+    */
+  def dedupSubstring(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.repeatedSpanStats(
+      corpusNearDups(docs(spark, sfDir)), "doc_id", "text", spanTokens = 8)
+
+  val dedupSubstringSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000,
+      |         array_to_string(toks[1:greatest(len(toks) - 2, 0)], ' ')
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      |        FROM documents WHERE doc_id % 5 = 0)),
+      |base AS (
+      |  SELECT doc_id, toks,
+      |         CASE WHEN len(toks) = 1 AND length(toks[1]) = 0 THEN 0
+      |              ELSE len(toks) END AS n
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      |        FROM corpus)),
+      |sh AS (
+      |  SELECT doc_id, n, unnest(list_transform(range(0, n - 8 + 1),
+      |           i -> {'pos': i, 'sh': array_to_string(toks[i+1:i+8], ' ')}),
+      |         recursive := true)
+      |  FROM base WHERE n >= 8),
+      |cnt AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) >= 2),
+      |rep AS (SELECT doc_id, n, pos FROM sh JOIN cnt USING (sh)),
+      |cov AS (
+      |  SELECT doc_id,
+      |         CASE WHEN lead(pos) OVER w IS NULL THEN 8
+      |              ELSE least(8, lead(pos) OVER w - pos) END AS cov
+      |  FROM rep WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      |agg AS (SELECT doc_id, CAST(sum(cov) AS BIGINT) AS rep_tokens FROM cov GROUP BY 1)
+      |SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_tokens,
+      |       coalesce(a.rep_tokens, 0) AS rep_tokens,
+      |       CASE WHEN b.n = 0 THEN 0.0
+      |            ELSE floor(CAST(coalesce(a.rep_tokens, 0) AS DOUBLE)
+      |                       / CAST(b.n AS DOUBLE) * 10000 + 0.5) / 10000.0
+      |       END AS rep_ratio
+      |FROM base b LEFT JOIN agg a USING (doc_id)""".stripMargin
+
   /** Full IVF-PQ search (FAISS `IVF8,PQ4`-shaped): coarse quantizer →
     * residual PQ codes → ADC over the 3 probed lists per query
     * (rows-only; lossless-parity, probed-list containment and
@@ -1298,6 +1342,7 @@ object ExtQueries {
     "q_embedding_pq" -> (embeddingPq _),
     "q_similarity_adc" -> (similarityAdc _),
     "q_similarity_ivfpq" -> (similarityIvfPq _),
+    "q_dedup_substring" -> (dedupSubstring _),
     "q_chunk_documents" -> (chunkDocuments _),
     "q_corpus_report" -> (corpusReport _),
     "q_vocab_coverage" -> (vocabCoverage _),
@@ -1368,6 +1413,7 @@ object ExtQueries {
     "q_multimodal_decode" -> multimodalDecodeSql,
     "q_bm25_search" -> bm25SearchSql,
     "q_embedding_pq" -> embeddingPqSql,
+    "q_dedup_substring" -> dedupSubstringSql,
     "q_text_langid" -> textLangIdSql,
     "q_train_val_split" -> trainValSplitSql,
     "q_pack_sequences" -> packSequencesSql,

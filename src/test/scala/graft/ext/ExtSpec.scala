@@ -140,6 +140,30 @@ class ChunkDupSpec extends SparkSpec {
     assert(out(5L) == ((2L, 1L, 0.5)))
   }
 
+  test("repeatedSpanStats merges overlapping any-offset repeats; clean and short docs score 0") {
+    val docs = Seq(
+      // A and B share the 8-token prefix; A's pos-1 shingle also
+      // appears in C -> A covers the union [0,8) ∪ [1,9) = 9 tokens
+      (1L, "a b c d e f g h x y"),
+      (2L, "a b c d e f g h z w"),
+      (3L, "b c d e f g h x QQ RR"),
+      // self-repeat: the same 8-gram at pos 0 and pos 8
+      (4L, "p q r s t u v w p q r s t u v w"),
+      (5L, "entirely unique words that never repeat anywhere at all"),
+      (6L, "too short")) // < L tokens
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repeatedSpanStats(docs, "doc_id", "text", spanTokens = 8)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out(1L) == ((10L, 9L, 0.9)), s"A: ${out(1L)}")
+    assert(out(2L)._2 == 8L, s"B: ${out(2L)}")
+    assert(out(3L)._2 == 8L, s"C: ${out(3L)}")
+    assert(out(4L) == ((16L, 16L, 1.0)), s"self-repeat: ${out(4L)}")
+    assert(out(5L) == ((9L, 0L, 0.0)), s"clean: ${out(5L)}")
+    assert(out(6L) == ((2L, 0L, 0.0)), s"short: ${out(6L)}")
+  }
+
   test("bm25TopK ranks term-dense short docs first and skips non-matching docs") {
     val docs = Seq(
       (1L, "spark spark spark"), // high tf for 'spark', short

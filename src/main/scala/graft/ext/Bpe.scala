@@ -1,0 +1,105 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding vocabulary induction (Sennrich et al. 2016,
+  * "Neural Machine Translation of Rare Words with Subword Units",
+  * arXiv 1508.07909) — tokenizer TRAINING as an engine job: iteratively
+  * merge the most frequent adjacent symbol pair over the corpus's word
+  * types.
+  *
+  * Scale shape: the ONLY corpus-scale pass is the initial word-type
+  * count (one explode + one map-side-combined hash agg). Every merge
+  * round then runs over the word-TYPE table — Zipf-bounded (a 100 TB
+  * corpus has millions of types, not billions of tokens) and cached
+  * once. Per round: one pair-count aggregation (weighted by type
+  * frequency), a 1-row argmax collect, and a pure-projection merge
+  * fold. Nothing corpus-scale ever re-shuffles.
+  *
+  * Determinism (cross-engine contract): the winning pair ranks by
+  * (count DESC, lhs ASC, rhs ASC) — binary string order, identical in
+  * Spark and DuckDB; the merge applies LEFTMOST-GREEDY non-overlapping
+  * within each word, implemented as a sequential `aggregate` fold whose
+  * result provably equals the run-parity positional rule the SQL oracle
+  * replays (within a round the merged symbol `lhs+rhs` can never equal
+  * `lhs`, so a fresh merge never re-matches as the left of the pair).
+  */
+object Bpe {
+
+  /** One merge rule: (step, lhs, rhs, pairCount). */
+  final case class MergeRule(step: Int, lhs: String, rhs: String, pairCount: Long)
+
+  /** Word types with frequencies — the one corpus-scale aggregation. */
+  def wordTypes(corpus: DataFrame, textCol: String): DataFrame =
+    corpus
+      .select(explode(TextAnalysis.tokensWs(lower(col(textCol)))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Leftmost-greedy merge of (a, b) within a symbol array, as a
+    * sequential fold: merge when the accumulator's last element is `a`
+    * (and was not itself produced by a merge this step — guaranteed
+    * because a+b != a) and the next symbol is `b`.
+    */
+  private def foldMerge(seq: org.apache.spark.sql.Column, a: String, b: String) =
+    aggregate(
+      seq,
+      array().cast("array<string>"),
+      (acc, x) =>
+        when(
+          size(acc) > 0 && element_at(acc, -1) === a && x === b,
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(x))))
+
+  /** Run `merges` BPE rounds; returns the merge table in step order.
+    * Stops early when no adjacent pair remains.
+    */
+  def fit(corpus: DataFrame, textCol: String, merges: Int): Seq[MergeRule] = {
+    val words = wordTypes(corpus, textCol).persist()
+    try {
+      var seqs = words
+        .select(
+          col("word"),
+          col("cnt"),
+          expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))").as("seq"))
+        .localCheckpoint(true)
+
+      val rules = scala.collection.mutable.ListBuffer.empty[MergeRule]
+      var step = 1
+      var exhausted = false
+      while (step <= merges && !exhausted) {
+        val top = seqs
+          .filter(size(col("seq")) >= 2)
+          .select(
+            col("cnt"),
+            posexplode(expr(
+              "transform(sequence(0, size(seq) - 2), i -> struct(element_at(seq, i + 1) AS lhs, element_at(seq, i + 2) AS rhs))"))
+              .as(Seq("__p", "pair")))
+          .groupBy(col("pair.lhs").as("lhs"), col("pair.rhs").as("rhs"))
+          .agg(sum(col("cnt")).as("c"))
+          .orderBy(col("c").desc, col("lhs").asc, col("rhs").asc)
+          .limit(1)
+          .collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          rules += MergeRule(step, a, b, c)
+          seqs = seqs
+            .withColumn("seq", foldMerge(col("seq"), a, b))
+            .localCheckpoint(true)
+          step += 1
+        }
+      }
+      rules.toSeq
+    } finally words.unpersist()
+  }
+
+  /** The merge table as a DataFrame — (step, lhs, rhs, pair_count). */
+  def fitDf(spark: SparkSession, corpus: DataFrame, textCol: String, merges: Int): DataFrame = {
+    import spark.implicits._
+    fit(corpus, textCol, merges)
+      .toDF("step", "lhs", "rhs", "pair_count")
+  }
+}

@@ -1226,6 +1226,64 @@ object ExtQueries {
     graft.ext.ProductQuant.adcTopK(encoded, "vec_id", books, pqK, qs, 10)
   }
 
+  /** BPE vocabulary induction over the documents corpus: the first 6
+    * merge rules (step, lhs, rhs, pair_count) — tokenizer training as
+    * an engine job ([[graft.ext.Bpe]]). The oracle unrolls the same 6
+    * rounds in SQL: pair counts weighted by word-type frequency, argmax
+    * with (count DESC, lhs, rhs) tie-break, and the leftmost-greedy
+    * merge replayed positionally (match positions → consecutive-run
+    * parity → rebuild).
+    */
+  private val bpeMerges = 6
+
+  def bpeVocab(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ext.Bpe.fitDf(spark, docs(spark, sfDir), "text", bpeMerges)
+
+  val bpeVocabSql: String = {
+    val rounds = (1 to bpeMerges).map { r =>
+      val prev = s"w${r - 1}"
+      s"""pc$r AS MATERIALIZED (
+         |  SELECT lhs, rhs, sum(cnt) AS c FROM (
+         |    SELECT cnt, unnest(list_transform(range(1, len(seq)),
+         |             i -> {'lhs': seq[i], 'rhs': seq[i + 1]}), recursive := true)
+         |    FROM $prev WHERE len(seq) >= 2)
+         |  GROUP BY lhs, rhs),
+         |top$r AS MATERIALIZED (SELECT lhs, rhs, c FROM pc$r ORDER BY c DESC, lhs ASC, rhs ASC LIMIT 1),
+         |pos$r AS MATERIALIZED (
+         |  SELECT x.word, x.p FROM
+         |    (SELECT word, seq, unnest(range(1, len(seq))) AS p FROM $prev) x
+         |    CROSS JOIN top$r t
+         |  WHERE x.seq[x.p] = t.lhs AND x.seq[x.p + 1] = t.rhs),
+         |run$r AS MATERIALIZED (SELECT word, p,
+         |                 p - row_number() OVER (PARTITION BY word ORDER BY p) AS rn
+         |          FROM pos$r),
+         |keep$r AS MATERIALIZED (SELECT word, p FROM (
+         |    SELECT word, p, (p - min(p) OVER (PARTITION BY word, rn)) % 2 = 0 AS k
+         |    FROM run$r) WHERE k),
+         |w$r AS MATERIALIZED (
+         |  SELECT x.word, x.cnt,
+         |         list(CASE WHEN k1.p IS NOT NULL THEN x.seq[x.i] || x.seq[x.i + 1]
+         |              ELSE x.seq[x.i] END ORDER BY x.i) AS seq
+         |  FROM (SELECT word, cnt, seq, unnest(range(1, len(seq) + 1)) AS i FROM $prev) x
+         |  LEFT JOIN keep$r k1 ON k1.word = x.word AND k1.p = x.i
+         |  LEFT JOIN keep$r k2 ON k2.word = x.word AND k2.p = x.i - 1
+         |  WHERE k2.p IS NULL
+         |  GROUP BY x.word, x.cnt)""".stripMargin
+    }
+    val out = (1 to bpeMerges)
+      .map(r => s"SELECT $r AS step, lhs, rhs, CAST(c AS BIGINT) AS pair_count FROM top$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH w0 AS MATERIALIZED (
+       |  SELECT word, count(*) AS cnt,
+       |         list_transform(range(1, length(word) + 1), i -> word[i]) AS seq
+       |  FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+       |        FROM documents)
+       |  WHERE length(word) > 0
+       |  GROUP BY word),
+       |${rounds.mkString(",\n")}
+       |$out""".stripMargin
+  }
+
   /** Repeated-span (exact-substring) duplication stats over the
     * planted-near-dup corpus: any-offset L=8-token repeats, interval-
     * merged per document — the suffix-array dedup measure computed with
@@ -1343,6 +1401,7 @@ object ExtQueries {
     "q_similarity_adc" -> (similarityAdc _),
     "q_similarity_ivfpq" -> (similarityIvfPq _),
     "q_dedup_substring" -> (dedupSubstring _),
+    "q_bpe_vocab" -> (bpeVocab _),
     "q_chunk_documents" -> (chunkDocuments _),
     "q_corpus_report" -> (corpusReport _),
     "q_vocab_coverage" -> (vocabCoverage _),
@@ -1414,6 +1473,7 @@ object ExtQueries {
     "q_bm25_search" -> bm25SearchSql,
     "q_embedding_pq" -> embeddingPqSql,
     "q_dedup_substring" -> dedupSubstringSql,
+    "q_bpe_vocab" -> bpeVocabSql,
     "q_text_langid" -> textLangIdSql,
     "q_train_val_split" -> trainValSplitSql,
     "q_pack_sequences" -> packSequencesSql,

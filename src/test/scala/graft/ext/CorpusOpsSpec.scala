@@ -189,6 +189,37 @@ class LanguageModelSpec extends SparkSpec {
   }
 }
 
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bpe merges the most frequent pair first with deterministic tie-breaks") {
+    // word types: "aaab" x3, "aab" x2; pair counting runs over ALL
+    // adjacent positions, so "aaab" contributes (a,a) twice:
+    // (a,a) = 2*3 + 1*2 = 8 beats (a,b) = 5.
+    val docs = Seq(
+      (1L, "aaab aaab"),
+      (2L, "aaab aab"),
+      (3L, "aab")).toDF("id", "text")
+    val rules = Bpe.fit(docs, "text", merges = 2)
+    assert(rules.head.lhs == "a" && rules.head.rhs == "a", rules)
+    assert(rules.head.pairCount == 8L, rules)
+    // after merging (a,a): "aaab" -> [aa, a, b], "aab" -> [aa, b]
+    // round-2 pairs: (aa,a)=3, (a,b)=3, (aa,b)=2 -> tie on 3 broken
+    // lexicographically: (a,b) < (aa,a)  (binary order: "a" < "aa")
+    assert(rules(1).lhs == "a" && rules(1).rhs == "b", rules)
+    assert(rules(1).pairCount == 3L, rules)
+  }
+
+  test("bpe leftmost-greedy merge handles overlapping runs and stops when exhausted") {
+    // single word type "aaaa": round 1 (a,a)=3 -> merge -> [aa, aa]
+    // round 2 (aa,aa)=1 -> merge -> [aaaa]; round 3: no pairs left
+    val docs = Seq((1L, "aaaa")).toDF("id", "text")
+    val rules = Bpe.fit(docs, "text", merges = 5)
+    assert(rules.map(r => (r.lhs, r.rhs, r.pairCount)) ==
+      Seq(("a", "a", 3L), ("aa", "aa", 1L)), rules)
+  }
+}
+
 class ChunkingSpec extends SparkSpec {
   import spark.implicits._
 

@@ -96,6 +96,50 @@ object Bpe {
     } finally words.unpersist()
   }
 
+  /** Apply a trained merge table and count subword tokens per document.
+    *
+    * Scale shape: the merges replay over the word-TYPE table (the
+    * tokenizer's working set), one fold projection per rule; the corpus
+    * then joins each word OCCURRENCE to its type's subword length — a
+    * hash join on the word key (broadcastable when the type table is
+    * small) and one per-doc aggregation. The corpus text is never
+    * re-folded per rule.
+    *
+    * Output: (idCol, n_words, n_bpe_tokens, subwords_per_word 4-dp).
+    */
+  def encodeCounts(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      rules: Seq[MergeRule]): DataFrame = {
+    val types = wordTypes(corpus, textCol)
+      .select(
+        col("word"),
+        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))").as("seq"))
+    val merged = rules.foldLeft(types) { case (df, r) =>
+      df.withColumn("seq", foldMerge(col("seq"), r.lhs, r.rhs))
+    }
+    val lens = merged.select(col("word"), size(col("seq")).cast("long").as("ns"))
+    val occurrences = corpus
+      .select(col(idCol), explode(TextAnalysis.tokensWs(lower(col(textCol)))).as("word"))
+      .filter(length(col("word")) > 0)
+    val agg = occurrences
+      .join(lens, "word")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("ns")).as("n_bpe_tokens"))
+    corpus
+      .select(col(idCol)).distinct()
+      .join(agg, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"),
+        when(coalesce(col("n_words"), lit(0L)) === 0, lit(0.0)).otherwise(
+          floor(
+            col("n_bpe_tokens").cast("double") / col("n_words").cast("double")
+              * 10000 + 0.5) / 10000.0).as("subwords_per_word"))
+  }
+
   /** The merge table as a DataFrame — (step, lhs, rhs, pair_count). */
   def fitDf(spark: SparkSession, corpus: DataFrame, textCol: String, merges: Int): DataFrame = {
     import spark.implicits._

@@ -1239,7 +1239,12 @@ object ExtQueries {
   def bpeVocab(spark: SparkSession, sfDir: String): DataFrame =
     graft.ext.Bpe.fitDf(spark, docs(spark, sfDir), "text", bpeMerges)
 
-  val bpeVocabSql: String = {
+  /** Shared WITH-body for the BPE oracles: w0 (word types + char seqs)
+    * through w`merges` (post-merge seqs), all MATERIALIZED (each CTE is
+    * referenced ≥3 times per round; plain CTE inlining re-evaluates the
+    * whole chain exponentially — 292 s vs 0.3 s measured at sf0.01).
+    */
+  private def bpeChainSql: String = {
     val rounds = (1 to bpeMerges).map { r =>
       val prev = s"w${r - 1}"
       s"""pc$r AS MATERIALIZED (
@@ -1270,9 +1275,6 @@ object ExtQueries {
          |  WHERE k2.p IS NULL
          |  GROUP BY x.word, x.cnt)""".stripMargin
     }
-    val out = (1 to bpeMerges)
-      .map(r => s"SELECT $r AS step, lhs, rhs, CAST(c AS BIGINT) AS pair_count FROM top$r")
-      .mkString("\nUNION ALL\n")
     s"""WITH w0 AS MATERIALIZED (
        |  SELECT word, count(*) AS cnt,
        |         list_transform(range(1, length(word) + 1), i -> word[i]) AS seq
@@ -1280,9 +1282,50 @@ object ExtQueries {
        |        FROM documents)
        |  WHERE length(word) > 0
        |  GROUP BY word),
-       |${rounds.mkString(",\n")}
+       |${rounds.mkString(",\n")}""".stripMargin
+  }
+
+  val bpeVocabSql: String = {
+    val out = (1 to bpeMerges)
+      .map(r => s"SELECT $r AS step, lhs, rhs, CAST(c AS BIGINT) AS pair_count FROM top$r")
+      .mkString("\nUNION ALL\n")
+    s"""$bpeChainSql
        |$out""".stripMargin
   }
+
+  /** BPE ENCODE with the trained vocabulary: per document, the real
+    * subword token count under the 6-rule merge table — train + apply
+    * in one deterministic query ([[graft.ext.Bpe.encodeCounts]]). The
+    * corpus tokenizes by joining each word occurrence to its word-TYPE
+    * subword length (the type table is the tokenizer's working set, not
+    * the corpus).
+    */
+  def bpeEncode(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val rules = graft.ext.Bpe.fit(d, "text", bpeMerges)
+    graft.ext.Bpe.encodeCounts(d, "doc_id", "text", rules)
+  }
+
+  val bpeEncodeSql: String =
+    s"""$bpeChainSql,
+       |fin AS MATERIALIZED (SELECT word, len(seq) AS ns FROM w$bpeMerges),
+       |dw AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+       |  FROM documents),
+       |agg AS (
+       |  SELECT doc_id, count(*) AS n_words, CAST(sum(ns) AS BIGINT) AS n_bpe_tokens
+       |  FROM (SELECT doc_id, word FROM dw WHERE length(word) > 0) x
+       |  JOIN fin USING (word)
+       |  GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |       coalesce(a.n_words, 0) AS n_words,
+       |       coalesce(a.n_bpe_tokens, 0) AS n_bpe_tokens,
+       |       CASE WHEN coalesce(a.n_words, 0) = 0 THEN 0.0
+       |            ELSE floor(CAST(a.n_bpe_tokens AS DOUBLE)
+       |                       / CAST(a.n_words AS DOUBLE) * 10000 + 0.5) / 10000.0
+       |       END AS subwords_per_word
+       |FROM (SELECT DISTINCT doc_id FROM documents) d
+       |LEFT JOIN agg a USING (doc_id)""".stripMargin
 
   /** Repeated-span (exact-substring) duplication stats over the
     * planted-near-dup corpus: any-offset L=8-token repeats, interval-
@@ -1402,6 +1445,7 @@ object ExtQueries {
     "q_similarity_ivfpq" -> (similarityIvfPq _),
     "q_dedup_substring" -> (dedupSubstring _),
     "q_bpe_vocab" -> (bpeVocab _),
+    "q_bpe_encode" -> (bpeEncode _),
     "q_chunk_documents" -> (chunkDocuments _),
     "q_corpus_report" -> (corpusReport _),
     "q_vocab_coverage" -> (vocabCoverage _),
@@ -1474,6 +1518,7 @@ object ExtQueries {
     "q_embedding_pq" -> embeddingPqSql,
     "q_dedup_substring" -> dedupSubstringSql,
     "q_bpe_vocab" -> bpeVocabSql,
+    "q_bpe_encode" -> bpeEncodeSql,
     "q_text_langid" -> textLangIdSql,
     "q_train_val_split" -> trainValSplitSql,
     "q_pack_sequences" -> packSequencesSql,

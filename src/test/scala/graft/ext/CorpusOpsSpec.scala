@@ -210,6 +210,22 @@ class BpeSpec extends SparkSpec {
     assert(rules(1).pairCount == 3L, rules)
   }
 
+  test("bpe encodeCounts applies rules in order over word types and joins counts back") {
+    val docs = Seq(
+      (1L, "aaab aab"),
+      (2L, "aaab aaab"),
+      (3L, "")).toDF("id", "text")
+    val rules = Bpe.fit(docs, "text", merges = 2) // (a,a) then (a,b)
+    // "aaab" -> [aa,a,b] -> [aa,ab] (2 subwords); "aab" -> [aa,b] (2)
+    val out = Bpe.encodeCounts(docs, "id", "text", rules)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out(1L) == ((2L, 4L, 2.0)), out(1L))
+    assert(out(2L) == ((2L, 4L, 2.0)), out(2L))
+    assert(out(3L) == ((0L, 0L, 0.0)), s"empty doc: ${out(3L)}")
+  }
+
   test("bpe leftmost-greedy merge handles overlapping runs and stops when exhausted") {
     // single word type "aaaa": round 1 (a,a)=3 -> merge -> [aa, aa]
     // round 2 (aa,aa)=1 -> merge -> [aaaa]; round 3: no pairs left

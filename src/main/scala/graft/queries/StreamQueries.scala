@@ -273,6 +273,51 @@ object StreamQueries {
       |      FROM events)
       |WHERE rn = 1""".stripMargin
 
+  /** Streaming corpus ingest with dedup against the lake corpus: two
+    * waves of documents (each with planted copies) stream through
+    * `foreachBatch`, where every batch is fingerprinted and
+    * left-anti-joined against the corpus table before appending. Wave-1
+    * internal copies PASS (within-batch passthrough); wave-2 copies of
+    * wave-1 docs are DROPPED (first arrival wins). The oracle replays
+    * exactly that arrival-order semantics.
+    */
+  def streamDedupIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    val wd = workDir("sdedupin")
+    val src = s"$wd/src"
+    val table = graft.tables.LakeTable(spark, s"$wd/corpus")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val d = spark.read.parquet(graft.Sessions.tablePath(sfDir, "documents"))
+      .select(col("doc_id"), col("text"))
+    val wave1 = d.filter(col("doc_id") % 3 =!= 2)
+      .unionByName(d.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 3000000))
+    val wave2 = d.filter(col("doc_id") % 3 === 2)
+      .unionByName(d.filter(col("doc_id") % 5 === 1)
+        .withColumn("doc_id", col("doc_id") + 4000000))
+    wave1.write.mode("append").parquet(src)
+    StreamJobs.runStreamingDedupIngest(spark, src, schema, "text", table, wd)
+    wave2.write.mode("append").parquet(src)
+    StreamJobs.runStreamingDedupIngest(spark, src, schema, "text", table, wd)
+    table.read().select(col("doc_id"), col("fp"))
+  }
+
+  val streamDedupIngestSql: String =
+    """WITH w1 AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 3 != 2
+      |  UNION ALL
+      |  SELECT doc_id + 3000000, text FROM documents WHERE doc_id % 10 = 0),
+      |w2 AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2
+      |  UNION ALL
+      |  SELECT doc_id + 4000000, text FROM documents WHERE doc_id % 5 = 1),
+      |f1 AS (SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp FROM w1),
+      |f2 AS (SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp FROM w2)
+      |SELECT doc_id, fp FROM f1
+      |UNION ALL
+      |SELECT doc_id, fp FROM f2 WHERE fp NOT IN (SELECT fp FROM f1)""".stripMargin
+
   /** Stream-static enrichment: the event stream joined to a broadcast
     * in-memory dimension (type → code/weight); stateless append, no
     * watermark. Oracle = the equivalent batch join.
@@ -356,6 +401,7 @@ object StreamQueries {
     "q_stream_quality_gate" -> (streamQualityGate _),
     "q_stream_static_join" -> (streamStaticJoin _),
     "q_stream_upsert" -> (streamUpsert _),
+    "q_stream_dedup_ingest" -> (streamDedupIngest _),
     "q_stream_join_outer" -> (streamStreamJoinOuter _),
     "q_stream_stream_join" -> (streamStreamJoin _),
     "q_batch_candles" -> (batchCandles _),
@@ -367,6 +413,7 @@ object StreamQueries {
     "q_stream_quality_gate" -> streamQualityGateSql,
     "q_stream_static_join" -> streamStaticJoinSql,
     "q_stream_upsert" -> streamUpsertSql,
+    "q_stream_dedup_ingest" -> streamDedupIngestSql,
     "q_stream_join_outer" -> streamStreamJoinOuterSql,
     "q_stream_stream_join" -> streamStreamJoinSql,
     "q_batch_candles" -> candlesOracleSql,

@@ -550,6 +550,50 @@ object StreamJobs {
     spark.table(queryName)
   }
 
+  /** Streaming corpus ingest with dedup against the lake: each
+    * micro-batch fingerprints its documents
+    * ([[graft.ext.TextAnalysis.fingerprintMd5]]) and LEFT-ANTI-joins
+    * the corpus table's fingerprint column before appending — the
+    * arrival-order dedup gate of a continuously-fed training corpus.
+    * First arrival wins; rows WITHIN one batch always pass (the
+    * within-batch-passthrough semantics of
+    * [[graft.ext.Dedup.dedupAgainstCorpus]], which this composes with).
+    *
+    * Scale shape: the anti-join probe reads ONLY the corpus `fp`
+    * column (parquet column pruning); at 100 TB you'd maintain the
+    * fingerprint index as its own compacted table — or front it with
+    * the bloom pre-probe — but the per-batch cost shape is already
+    * O(batch + index), never O(corpus²).
+    */
+  def runStreamingDedupIngest(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      textCol: String,
+      table: graft.tables.LakeTable,
+      workDir: String): Unit = {
+    val checkpoint = dir(workDir, "checkpoint-dedup-ingest")
+    val q = spark.readStream
+      .schema(schema)
+      .parquet(sourceDir)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val withFp = batch.withColumn(
+          "fp", graft.ext.TextAnalysis.fingerprintMd5(col(textCol)))
+        val fresh =
+          if (table.exists)
+            withFp.join(table.read().select(col("fp")), Seq("fp"), "left_anti")
+          else withFp
+        if (!fresh.isEmpty) { table.append(fresh); () }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming upsert into a lakehouse table: each micro-batch is
     * SCD1-merged into the target through `foreachBatch` — the
     * stream-to-MERGE bridge Iceberg/Delta users rely on, expressed over

@@ -33,6 +33,27 @@ class StreamingStateSpec extends SparkSpec {
     assert(out.filter(col("id") === 1L).count() == 1)
   }
 
+  test("streaming dedup ingest: within-batch copies pass, cross-batch copies drop") {
+    val wd = scratchDir("sdi")
+    val src = s"$wd/src"
+    val table = graft.tables.LakeTable(spark, s"$wd/corpus")
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    // wave 1: two docs + an in-wave copy of doc 1 (different id, same text)
+    Seq((1L, "alpha beta"), (2L, "gamma delta"), (10L, "alpha  beta "))
+      .toDF("doc_id", "text").write.mode("append").parquet(src)
+    StreamJobs.runStreamingDedupIngest(spark, src, docSchema, "text", table, wd)
+    // wave 2: a copy of doc 2 (dropped) and a genuinely new doc
+    Seq((20L, "GAMMA DELTA"), (3L, "epsilon zeta"))
+      .toDF("doc_id", "text").write.mode("append").parquet(src)
+    StreamJobs.runStreamingDedupIngest(spark, src, docSchema, "text", table, wd)
+    val ids = table.read().select("doc_id").collect().map(_.getLong(0)).toSet
+    // both wave-1 copies kept (within-batch passthrough, ws/case-normalized
+    // fingerprints make 10 a copy of 1); wave-2 copy of doc 2 dropped
+    assert(ids == Set(1L, 2L, 10L, 3L), s"got $ids")
+  }
+
   test("flatMapGroupsWithState carries custom running-max state across micro-batches") {
     val wd = scratchDir("fmgws")
     val src = s"$wd/src"

@@ -155,6 +155,61 @@ class PropertySpec extends SparkSpec {
   private val microBatchesGen: Gen[List[List[Long]]] =
     Gen.listOfN(3, Gen.nonEmptyListOf(Gen.chooseNum(-5000000000L, 5000000000L)))
 
+  test("bpe fold merge equals a reference single-threaded greedy merge on random strings") {
+    val wordGen: Gen[List[String]] = Gen.listOfN(
+      14, Gen.stringOfN(Gen.chooseNum(1, 9).pureApply(Gen.Parameters.default, Seed(7L)),
+        Gen.oneOf('a', 'b', 'c')))
+    def refMerge(syms: List[String], a: String, b: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toList
+    }
+    forAllSeeded(wordGen, 5) { words =>
+      val docs = words.filter(_.nonEmpty).zipWithIndex
+        .map { case (w, i) => (i.toLong, w) }
+      if (docs.nonEmpty) {
+        val df = docs.toDF("id", "text")
+        val rules = graft.ext.Bpe.fit(df, "text", merges = 3)
+        // replay the same rule sequence single-threaded and compare the
+        // final subword count per word type
+        val expected = docs.map(_._2).distinct.map { w =>
+          val fin = rules.foldLeft(w.map(_.toString).toList) { (s, r) =>
+            refMerge(s, r.lhs, r.rhs)
+          }
+          w -> fin.length.toLong
+        }.toMap
+        val got = graft.ext.Bpe
+          .encodeCounts(df, "id", "text", rules)
+          .collect()
+          .map(r => docs.find(_._1 == r.getLong(0)).get._2 -> r.getLong(2))
+          .toMap
+        expected.foreach { case (w, n) =>
+          assert(got(w) == n, s"word '$w': engine ${got(w)} vs reference $n (rules $rules)")
+        }
+      }
+    }
+  }
+
+  test("pq codes are independent of input partitioning") {
+    val vecGen: Gen[List[List[Double]]] = Gen.listOfN(
+      20, Gen.listOfN(8, Gen.chooseNum(-10, 10).map(_.toDouble / 10)))
+    forAllSeeded(vecGen, 3) { vecs =>
+      val rows = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.map(_.toFloat)) }
+      def run(parts: Int): Map[Long, Long] = {
+        val df = rows.toDF("id", "v").repartition(parts)
+        val books = graft.ext.ProductQuant.pqFit(df, "id", "v", m = 2, k = 4, iters = 1)
+        graft.ext.ProductQuant.pqEncode(df, "id", "v", books, k = 4)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      }
+      assert(run(1) == run(7), "codes must not depend on partition layout")
+    }
+  }
+
   test("observed manifest watermark equals the exact max over random timestamp batches") {
     forAllSeeded(microBatchesGen, 5) { batches =>
       val t = LakeTable(spark, scratchDir("prop-stats"))

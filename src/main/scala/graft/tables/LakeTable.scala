@@ -71,15 +71,25 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     Manifest.fromJson(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
   }
 
+  /** Publish a manifest version with a true compare-and-swap. An
+    * exists-check followed by ATOMIC_MOVE is NOT one: POSIX rename
+    * replaces an existing target, so two writers racing past the check
+    * would silently drop one commit. `createLink` (like `O_CREAT|O_EXCL`)
+    * atomically fails with EEXIST when the version is already taken —
+    * the loser gets [[VersionConflictException]] and can re-read and
+    * retry (see [[commit]]). This is the same claim-a-version protocol
+    * Delta's log store implements over object stores.
+    */
   private[tables] def writeManifest(m: Manifest): Unit = {
     Files.createDirectories(logDir)
     val target = logDir.resolve(f"v${m.version}%020d.json")
-    if (Files.exists(target))
-      throw new IllegalStateException(
-        s"concurrent write detected: version ${m.version} already exists at $target")
     val tmp = logDir.resolve(s".tmp-${UUID.randomUUID()}.json")
     Files.write(tmp, m.toJson.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    try Files.createLink(target, tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new VersionConflictException(m.version, target.toString)
+    } finally Files.deleteIfExists(tmp)
   }
 
   def exists: Boolean = latestVersion().isDefined
@@ -149,6 +159,15 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     (Some(commitName), stats)
   }
 
+  /** Commit with optimistic concurrency. An APPEND whose claimed
+    * version is taken by a concurrent writer is safe to retry: it only
+    * ADDS commit dirs, so it re-reads the winner's manifest and layers
+    * its (already-written, immutable) dirs on top — no data rewrite,
+    * just a fresh manifest race. Non-append ops (overwrite, replace,
+    * compaction) computed their output against a snapshot that is now
+    * stale, so a conflict surfaces to the caller as
+    * [[VersionConflictException]] — the Delta/Iceberg semantics split.
+    */
   private def commit(
       op: String,
       newDirs: Seq[String],
@@ -157,23 +176,41 @@ final class LakeTable(val spark: SparkSession, val root: String) {
       partitionBy: Seq[String],
       colMax: Map[String, String],
       newDirStats: Seq[Map[String, (String, String)]]): Long = {
-    val prev = latestVersion().map(readManifest)
-    val version = prev.map(_.version + 1).getOrElse(0L)
-    val existing = if (keepExisting) prev.map(_.commitDirs).getOrElse(Seq.empty) else Seq.empty
-    val existingScopes =
-      if (keepExisting) prev.map(_.effectiveScopes).getOrElse(Seq.empty) else Seq.empty
-    val existingStats =
-      if (keepExisting) prev.map(_.effectiveDirStats).getOrElse(Seq.empty) else Seq.empty
-    val existingFileStats =
-      if (keepExisting) prev.map(_.effectiveFileStats).getOrElse(Seq.empty) else Seq.empty
-    val parts = if (partitionBy.nonEmpty) partitionBy else prev.map(_.partitionBy).getOrElse(Seq.empty)
-    writeManifest(
-      Manifest(
-        version, op, System.currentTimeMillis(), existing ++ newDirs, schema.json, parts,
-        existingScopes ++ newDirs.map(_ => Seq.empty), colMax,
-        existingStats ++ newDirs.indices.map(i => newDirStats.lift(i).getOrElse(Map.empty)),
-        existingFileStats ++ newDirs.map(_ => Map.empty[String, Map[String, (String, String)]])))
-    version
+    val maxRetries = if (op == "append" && keepExisting) 20 else 1
+    var attempt = 0
+    var result = -1L
+    var done = false
+    while (!done) {
+      attempt += 1
+      val prev = latestVersion().map(readManifest)
+      val version = prev.map(_.version + 1).getOrElse(0L)
+      val existing = if (keepExisting) prev.map(_.commitDirs).getOrElse(Seq.empty) else Seq.empty
+      val existingScopes =
+        if (keepExisting) prev.map(_.effectiveScopes).getOrElse(Seq.empty) else Seq.empty
+      val existingStats =
+        if (keepExisting) prev.map(_.effectiveDirStats).getOrElse(Seq.empty) else Seq.empty
+      val existingFileStats =
+        if (keepExisting) prev.map(_.effectiveFileStats).getOrElse(Seq.empty) else Seq.empty
+      val parts = if (partitionBy.nonEmpty) partitionBy else prev.map(_.partitionBy).getOrElse(Seq.empty)
+      // re-merge the watermark against the CURRENT tip (a retry must
+      // not regress a concurrent append's running max)
+      val mergedMax = Stats.merge(prev.map(_.colMax).getOrElse(Map.empty), colMax, schema)
+      try {
+        writeManifest(
+          Manifest(
+            version, op, System.currentTimeMillis(), existing ++ newDirs, schema.json, parts,
+            existingScopes ++ newDirs.map(_ => Seq.empty),
+            if (keepExisting) mergedMax else colMax,
+            existingStats ++ newDirs.indices.map(i => newDirStats.lift(i).getOrElse(Map.empty)),
+            existingFileStats ++ newDirs.map(_ => Map.empty[String, Map[String, (String, String)]])))
+        result = version
+        done = true
+      } catch {
+        case e: VersionConflictException =>
+          if (attempt >= maxRetries) throw e
+      }
+    }
+    result
   }
 
   /** Manifest-level (min, max) stats for the just-written commit dir:
@@ -874,6 +911,14 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     }
   }
 }
+
+/** A concurrent writer claimed this manifest version first (the CAS in
+  * [[LakeTable.writeManifest]] lost the race). Appends auto-retry on
+  * it; snapshot-based ops surface it to the caller.
+  */
+final class VersionConflictException(version: Long, path: String)
+  extends IllegalStateException(
+    s"concurrent write detected: version $version already exists at $path")
 
 object LakeTable {
   def apply(spark: SparkSession, root: String): LakeTable = new LakeTable(spark, root)

@@ -113,6 +113,31 @@ class LakeTableSpec extends SparkSpec {
     assert(t.latestVersion().contains(2L))
   }
 
+  test("racing appends from two writers lose no commits (optimistic retry)") {
+    val root = scratchDir("race")
+    val t1 = LakeTable(spark, root)
+    val t2 = LakeTable(spark, root) // second writer handle, same table
+    val perWriter = 5
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val f1 = Future {
+      (0 until perWriter).foreach(i => t1.append(Seq((i, "w1")).toDF("k", "src")))
+    }
+    val f2 = Future {
+      (0 until perWriter).foreach(i => t2.append(Seq((i, "w2")).toDF("k", "src")))
+    }
+    Await.result(f1, 120.seconds)
+    Await.result(f2, 120.seconds)
+    // every append survived: 10 rows, 10 strictly increasing versions
+    // (initial version 0 + 9 more), no silent overwrite anywhere
+    val rows = t1.read().collect()
+    assert(rows.length == perWriter * 2, s"lost commits: ${rows.length} rows")
+    assert(rows.count(_.getString(1) == "w1") == perWriter)
+    assert(rows.count(_.getString(1) == "w2") == perWriter)
+    assert(t1.latestVersion().contains((perWriter * 2 - 1).toLong))
+  }
+
   test("files() lists live data files with sizes; scope-narrowed subdirs are excluded") {
     val t = LakeTable(spark, scratchDir("files"))
     t.append(Seq((1, "a", 2023), (2, "b", 2024)).toDF("k", "v", "year"), Seq("year"))

@@ -143,6 +143,34 @@ object ScaleQueries {
       |FROM orders
       |WHERE NOT (o_orderstatus = 'F' OR o_totalprice > 400000.0)""".stripMargin
 
+  /** Row-level DELETE via deletion vectors: the deletes land as a
+    * (file, row-index) sidecar — no data file is rewritten — and reads
+    * mask them with one anti-join; a second stacked DV and a post-DV
+    * append are both visible. Oracle = the surviving rows (plus the
+    * appended marker row).
+    */
+  def deleteDv(spark: SparkSession, sfDir: String): DataFrame = {
+    val table = graft.tables.LakeTable(spark, graft.util.TempDirs.scratch("deldv"))
+    val orders = spark.read
+      .parquet(tablePath(sfDir, "orders"))
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    table.append(orders)
+    table.deleteWhereDV(col("o_totalprice") > 400000.0)
+    table.deleteWhereDV(col("o_orderkey") % 1000 === 0)
+    table.append(
+      orders.filter(col("o_orderkey") === 1).withColumn("o_totalprice", lit(-1.0)))
+    table.read().select(
+      col("o_orderkey"), col("o_orderstatus"), round(col("o_totalprice"), 4).as("o_totalprice"))
+  }
+
+  val deleteDvSql: String =
+    """SELECT o_orderkey, o_orderstatus, round(o_totalprice, 4) AS o_totalprice
+      |FROM orders
+      |WHERE NOT (o_totalprice > 400000.0) AND NOT (o_orderkey % 1000 = 0)
+      |UNION ALL
+      |SELECT o_orderkey, o_orderstatus, -1.0
+      |FROM orders WHERE o_orderkey = 1""".stripMargin
+
   /** Lakehouse schema evolution: a column added by a later commit is
     * read as typed NULL for older commits — no rewrite of existing
     * files (the Iceberg/Delta add-column behavior). The manifest pins
@@ -218,6 +246,7 @@ object ScaleQueries {
     "q_bucketed_join" -> (bucketedJoin _),
     "q_bloom_prune_join" -> (bloomPruneJoin _),
     "q_delete_where" -> (deleteWhere _),
+    "q_delete_dv" -> (deleteDv _),
     "q_schema_evolution" -> (schemaEvolution _),
     "q_sql_catalog" -> (sqlOverCatalog _),
     "q_stream_dedup" -> (streamDedup _))
@@ -227,6 +256,7 @@ object ScaleQueries {
     "q_bucketed_join" -> bucketedJoinSql,
     "q_bloom_prune_join" -> bloomPruneJoinSql,
     "q_delete_where" -> deleteWhereSql,
+    "q_delete_dv" -> deleteDvSql,
     "q_schema_evolution" -> schemaEvolutionSql,
     "q_sql_catalog" -> sqlOverCatalogSql,
     "q_stream_dedup" -> streamDedupSql)

@@ -45,6 +45,16 @@ final class LakeTable(val spark: SparkSession, val root: String) {
 
   private val logDir: Path = Paths.get(root, "_graft_log")
   private val dataDir: Path = Paths.get(root, "data")
+  private val dvDir: Path = Paths.get(root, "dv")
+
+  /** data-dir URI prefix stripped from `_metadata.file_path` so deletion
+    * vectors store table-relative file keys (a moved/renamed table keeps
+    * its DVs valid).
+    */
+  private def dataDirUriPrefix: String = {
+    val u = dataDir.toUri.toString
+    if (u.endsWith("/")) u else u + "/"
+  }
 
   // ---- log primitives -----------------------------------------------------
 
@@ -175,7 +185,8 @@ final class LakeTable(val spark: SparkSession, val root: String) {
       schema: StructType,
       partitionBy: Seq[String],
       colMax: Map[String, String],
-      newDirStats: Seq[Map[String, (String, String)]]): Long = {
+      newDirStats: Seq[Map[String, (String, String)]],
+      newDvFiles: Seq[String] = Seq.empty): Long = {
     val maxRetries = if (op == "append" && keepExisting) 20 else 1
     var attempt = 0
     var result = -1L
@@ -196,13 +207,20 @@ final class LakeTable(val spark: SparkSession, val root: String) {
       // not regress a concurrent append's running max)
       val mergedMax = Stats.merge(prev.map(_.colMax).getOrElse(Map.empty), colMax, schema)
       try {
+        // deletion vectors: an op that keeps the existing dirs keeps their
+        // DVs (plus any new ones); a rewrite read the DV-masked snapshot,
+        // so its output has the deletes materialized and DVs reset
+        val dvs =
+          if (keepExisting) prev.map(_.dvFiles).getOrElse(Seq.empty) ++ newDvFiles
+          else newDvFiles
         writeManifest(
           Manifest(
             version, op, System.currentTimeMillis(), existing ++ newDirs, schema.json, parts,
             existingScopes ++ newDirs.map(_ => Seq.empty),
             if (keepExisting) mergedMax else colMax,
             existingStats ++ newDirs.indices.map(i => newDirStats.lift(i).getOrElse(Map.empty)),
-            existingFileStats ++ newDirs.map(_ => Map.empty[String, Map[String, (String, String)]])))
+            existingFileStats ++ newDirs.map(_ => Map.empty[String, Map[String, (String, String)]]),
+            dvs))
         result = version
         done = true
       } catch {
@@ -385,7 +403,10 @@ final class LakeTable(val spark: SparkSession, val root: String) {
         entries.map { case (d, _) =>
           if (d == newDir) Map.empty[String, Map[String, (String, String)]]
           else oldFileStats.getOrElse(d, Map.empty)
-        }))
+        },
+        // kept (un-rewritten) dirs keep their deletion vectors; entries
+        // pointing at the replaced dirs' files become inert (never match)
+        prev.dvFiles))
     version
   }
 
@@ -430,35 +451,68 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     */
   private def readSelected(
       m: Manifest,
-      entries: Seq[(String, Seq[String], Option[Seq[String]])]): DataFrame = {
+      entries: Seq[(String, Seq[String], Option[Seq[String]])],
+      keepRowMeta: Boolean = false): DataFrame = {
     val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
     val live = entries.filter(_._3.forall(_.nonEmpty))
-    if (live.isEmpty) {
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    } else if (m.partitionBy.isEmpty && live.forall(_._3.isEmpty)) {
-      val paths = live.map { case (d, _, _) => dataDir.resolve(d).toString }
-      spark.read.schema(schema).parquet(paths: _*)
-    } else {
-      // Hive-partitioned commits: each commit dir is its own partition
-      // root (basePath), so partition columns resolve per commit and the
-      // union preserves them. A dir with a narrowed scope (after a
-      // partition-scoped merge) reads only its live `col=value` subdirs;
-      // a dir with an explicit file selection reads only those files
-      // (partition columns still resolve relative to the basePath).
-      val p0 = m.partitionBy.headOption
-      live
-        .map { case (d, scope, files) =>
-          val base = dataDir.resolve(d).toString
-          val paths = files match {
-            case Some(fs) => fs.map(f => s"$base/$f")
-            case None =>
-              if (scope.isEmpty) Seq(base)
-              else scope.map(v => s"$base/${p0.get}=$v")
+    // deletion vectors join on (table-relative file, row index), so the
+    // scan must surface the parquet metadata columns whenever DVs exist
+    // (or the caller asked for them)
+    val needMeta = keepRowMeta || m.dvFiles.nonEmpty
+    def withMeta(df: DataFrame): DataFrame =
+      if (!needMeta) df
+      else df.select(
+        col("*"),
+        expr(s"replace(_metadata.file_path, '$dataDirUriPrefix', '')").as("__dv_file"),
+        col("_metadata.row_index").as("__dv_idx"))
+    val base =
+      if (live.isEmpty) {
+        val df = spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        if (!needMeta) df
+        else df
+          .withColumn("__dv_file", lit(null).cast("string"))
+          .withColumn("__dv_idx", lit(null).cast("long"))
+      } else if (m.partitionBy.isEmpty && live.forall(_._3.isEmpty)) {
+        val paths = live.map { case (d, _, _) => dataDir.resolve(d).toString }
+        withMeta(spark.read.schema(schema).parquet(paths: _*))
+      } else {
+        // Hive-partitioned commits: each commit dir is its own partition
+        // root (basePath), so partition columns resolve per commit and the
+        // union preserves them. A dir with a narrowed scope (after a
+        // partition-scoped merge) reads only its live `col=value` subdirs;
+        // a dir with an explicit file selection reads only those files
+        // (partition columns still resolve relative to the basePath).
+        val p0 = m.partitionBy.headOption
+        live
+          .map { case (d, scope, files) =>
+            val base = dataDir.resolve(d).toString
+            val paths = files match {
+              case Some(fs) => fs.map(f => s"$base/$f")
+              case None =>
+                if (scope.isEmpty) Seq(base)
+                else scope.map(v => s"$base/${p0.get}=$v")
+            }
+            withMeta(spark.read.option("basePath", base).schema(schema).parquet(paths: _*))
           }
-          spark.read.option("basePath", base).schema(schema).parquet(paths: _*)
-        }
-        .reduce(_ unionByName _)
-    }
+          .reduce(_ unionByName _)
+      }
+    // apply deletion vectors: one left-anti hash join against the (small)
+    // DV sidecars — entries referencing files a later rewrite dropped are
+    // inert (their keys never match)
+    val masked =
+      if (m.dvFiles.isEmpty) base
+      else {
+        val dv = spark.read
+          .parquet(m.dvFiles.map(f => dvDir.resolve(f).toString): _*)
+          .select(col("file_rel"), col("row_idx"))
+        base.join(
+          dv,
+          base("__dv_file") === dv("file_rel") && base("__dv_idx") === dv("row_idx"),
+          "left_anti")
+      }
+    if (keepRowMeta) masked
+    else if (needMeta) masked.drop("__dv_file", "__dv_idx")
+    else masked
   }
 
   /** Zonemap-pruned range scan: rows with `colName` in the CLOSED
@@ -610,6 +664,38 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     rows.toDF("commit_dir", "relative_path", "size_bytes")
   }
 
+  /** Row-level DELETE via a deletion vector (Delta DVs / Iceberg
+    * position deletes): instead of rewriting every commit dir that holds
+    * a matching row, write a tiny sidecar of (table-relative file, row
+    * index) keys and mask them at read time with one left-anti hash join.
+    * At 100 TB this is the difference between "delete 100 rows" costing
+    * a 100-row sidecar write and costing a multi-TB rewrite of every
+    * touched file. Reads pay one small-side hash join until the next
+    * rewrite (compact/overwrite) MATERIALIZES the deletes — those read
+    * the DV-masked snapshot and clear `dvFiles`, exactly like Delta's
+    * `OPTIMIZE` rewriting DV'd files. Returns the new version; a
+    * predicate matching nothing is a no-op returning the current
+    * version.
+    */
+  def deleteWhereDV(condition: org.apache.spark.sql.Column): Long = {
+    val v = latestVersion().getOrElse {
+      throw new IllegalStateException(s"deleteWhereDV on empty table $root")
+    }
+    val m = readManifest(v)
+    val hits = readSelected(
+      m, m.commitDirs.zip(m.effectiveScopes).map { case (d, s) => (d, s, None) },
+      keepRowMeta = true)
+      .filter(coalesce(condition, lit(false)))
+      .select(col("__dv_file").as("file_rel"), col("__dv_idx").as("row_idx"))
+    if (hits.isEmpty) return v
+    val name = s"dv-${UUID.randomUUID()}.parquet"
+    Files.createDirectories(dvDir)
+    hits.coalesce(1).write.mode("overwrite").parquet(dvDir.resolve(name).toString)
+    val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    commit("delete-dv", Seq.empty, keepExisting = true, schema, m.partitionBy,
+      m.colMax, Seq.empty, newDvFiles = Seq(name))
+  }
+
   /** Compaction: rewrite the current snapshot as one commit dir (an
     * `overwrite` of the table with itself). Append-heavy histories
     * accumulate commit dirs, each a separate partition-root read —
@@ -753,17 +839,33 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     val versions = listVersions()
     if (versions.length <= keepLast) return 0
     val (expired, kept) = versions.splitAt(versions.length - keepLast)
-    val liveDirs = kept.flatMap(p => readManifest(versionOf(p)).commitDirs).toSet
+    val keptManifests = kept.map(p => readManifest(versionOf(p)))
+    val liveDirs = keptManifests.flatMap(_.commitDirs).toSet
     val deadDirs = expired
       .flatMap(p => readManifest(versionOf(p)).commitDirs)
       .toSet
       .diff(liveDirs)
+    // deletion-vector sidecars referenced only by expired manifests die
+    // with them (same liveness rule as data dirs)
+    val liveDvs = keptManifests.flatMap(_.dvFiles).toSet
+    val deadDvs = expired
+      .flatMap(p => readManifest(versionOf(p)).dvFiles)
+      .toSet
+      .diff(liveDvs)
     // Manifests first, then the newly-unreferenced data dirs: a crash in
     // between leaves harmless orphan dirs, never an expired manifest
     // pointing at deleted data (which would make versionAsOf on that
     // version silently return partial results instead of failing).
     expired.foreach(Files.deleteIfExists(_))
     deadDirs.foreach(deleteDataDir)
+    deadDvs.foreach { f =>
+      val p = dvDir.resolve(f)
+      if (Files.isDirectory(p)) {
+        val walk = Files.walk(p)
+        try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+        finally walk.close()
+      } else Files.deleteIfExists(p)
+    }
     deadDirs.size
   }
 
@@ -936,7 +1038,8 @@ object LakeTable {
       scopes: Seq[Seq[String]] = Seq.empty,
       colMax: Map[String, String] = Map.empty,
       dirStats: Seq[Map[String, (String, String)]] = Seq.empty,
-      fileStats: Seq[Map[String, Map[String, (String, String)]]] = Seq.empty) {
+      fileStats: Seq[Map[String, Map[String, (String, String)]]] = Seq.empty,
+      dvFiles: Seq[String] = Seq.empty) {
 
     /** Per-dir partition scope (leading partition column values); empty
       * seq = whole dir. Normalized to commitDirs length.
@@ -1000,6 +1103,7 @@ object LakeTable {
         s""""colMax":$colMaxJson,""" +
         s""""dirStats":$dirStatsJson,""" +
         s""""fileStats":$fileStatsJson,""" +
+        s""""dvFiles":[${dvFiles.map(qs).mkString(",")}],""" +
         s""""schema":${qs(schemaJson)}}"""
     }
   }
@@ -1152,7 +1256,8 @@ object LakeTable {
         scopes,
         colMax,
         dirStats,
-        fileStats)
+        fileStats,
+        if (node.has("dvFiles")) strings("dvFiles") else Seq.empty)
     }
   }
 }

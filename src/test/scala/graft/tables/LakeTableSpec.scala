@@ -2,6 +2,8 @@ package graft.tables
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkSpec
 
 class LakeTableSpec extends SparkSpec {
@@ -111,6 +113,61 @@ class LakeTableSpec extends SparkSpec {
     // a fresh append simply builds on the winner's version
     t.append(Seq((2, "b")).toDF("k", "v"))
     assert(t.latestVersion().contains(2L))
+  }
+
+  test("deletion vectors mask rows without touching data files; rewrites materialize") {
+    val t = LakeTable(spark, scratchDir("dv"))
+    t.append((1 to 10).map(i => (i, s"r$i")).toDF("k", "v"))
+    t.append((11 to 20).map(i => (i, s"r$i")).toDF("k", "v"))
+    val filesBefore = t.files().collect().map(r => (r.getString(0), r.getString(1))).toSet
+
+    val v = t.deleteWhereDV(col("k") % 2 === 0)
+    // zero data files rewritten, moved, or deleted
+    val filesAfter = t.files().collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(filesAfter == filesBefore, "DV delete must not touch data files")
+    assert(t.read().collect().map(_.getInt(0)).sorted.toSeq == (1 to 19 by 2))
+    // time travel: the pre-delete snapshot still sees every row
+    assert(t.read(Some(v - 1)).count() == 20)
+
+    // DVs stack: a second delete masks more rows
+    t.deleteWhereDV(col("k") === 1)
+    assert(t.read().collect().map(_.getInt(0)).sorted.toSeq == (3 to 19 by 2))
+    // a predicate matching nothing is a version no-op
+    val cur = t.latestVersion().get
+    assert(t.deleteWhereDV(col("k") === 999) == cur)
+
+    // appends after a DV land normally and stay unmasked
+    t.append(Seq((100, "new")).toDF("k", "v"))
+    assert(t.read().count() == 10)
+
+    // a rewrite reads the masked snapshot: deletes are materialized and
+    // the fresh files carry no DV join at read
+    t.compact()
+    assert(t.read().collect().map(_.getInt(0)).sorted.toSeq == (3 to 19 by 2) :+ 100)
+    // expire drops the sidecars once no kept manifest references them
+    t.expireSnapshots(keepLast = 1)
+    val dvRoot = java.nio.file.Paths.get(t.root, "dv")
+    val liveDvs =
+      if (!java.nio.file.Files.isDirectory(dvRoot)) 0
+      else {
+        val s = java.nio.file.Files.list(dvRoot)
+        try s.count() finally s.close()
+      }
+    assert(liveDvs == 0, s"expired DV sidecars must be reclaimed, found $liveDvs")
+  }
+
+  test("deletion vectors work on partitioned tables and survive partition replace") {
+    val t = LakeTable(spark, scratchDir("dvpart"))
+    t.append(
+      Seq((1, "a", 2023), (2, "b", 2023), (3, "c", 2024), (4, "d", 2024))
+        .toDF("k", "v", "year"),
+      Seq("year"))
+    t.deleteWhereDV(col("k") === 1)
+    assert(t.read().collect().map(_.getInt(0)).sorted.toSeq == Seq(2, 3, 4))
+    // replace the 2024 partition: 2023's DV must keep masking row 1
+    t.replacePartitions(
+      Seq((5, "e", 2024)).toDF("k", "v", "year"), Seq("2024"))
+    assert(t.read().collect().map(_.getInt(0)).sorted.toSeq == Seq(2, 5))
   }
 
   test("racing appends from two writers lose no commits (optimistic retry)") {

@@ -270,8 +270,14 @@ final class LakeTable(val spark: SparkSession, val root: String) {
   def append(
       df: DataFrame,
       partitionBy: Seq[String] = Seq.empty,
-      statsCols: Seq[String] = Seq.empty): Long = {
+      statsCols: Seq[String] = Seq.empty,
+      schemaMode: String = "evolve"): Long = {
     val prev = latestVersion().map(readManifest)
+    // a manifest whose schema doesn't parse (synthetic/corrupted log
+    // entry) simply provides no contract to enforce
+    val tableSchema = prev.flatMap(m =>
+      scala.util.Try(DataType.fromJson(m.schemaJson).asInstanceOf[StructType]).toOption)
+    val mergedSchema = mergeSchemas(tableSchema, df.schema, schemaMode)
     val tableParts = prev.map(_.partitionBy).getOrElse(Seq.empty)
     val effParts = if (partitionBy.nonEmpty) partitionBy else tableParts
     val effStats =
@@ -279,9 +285,53 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     val (dirOpt, batchStats) = writeCommitDir(df, effParts, effStats)
     val dirs = dirOpt.toSeq
     val batchMax = batchStats.map { case (c, (_, mx)) => c -> mx }
-    val merged = Stats.merge(prev.map(_.colMax).getOrElse(Map.empty), batchMax, df.schema)
-    commit("append", dirs, keepExisting = true, df.schema, effParts, merged,
+    val merged = Stats.merge(prev.map(_.colMax).getOrElse(Map.empty), batchMax, mergedSchema)
+    commit("append", dirs, keepExisting = true, mergedSchema, effParts, merged,
       dirs.map(_ => batchStats))
+  }
+
+  /** Write-time schema contract. `evolve` (default, the Delta
+    * `mergeSchema` stance): new columns are ADDED to the table schema
+    * and older files read them as typed NULL; columns the batch omits
+    * stay in the table schema (new files read them as NULL) — an append
+    * can never silently HIDE an existing column, which is what
+    * publishing the batch's own narrower schema used to do. A same-name
+    * column with a different type is rejected in both modes: parquet
+    * readers cannot reconcile it at scan time, so failing the WRITE is
+    * the only loud option. `strict` additionally rejects any field-set
+    * difference (the production contract for a curated table).
+    */
+  private def mergeSchemas(
+      prev: Option[StructType],
+      batch: StructType,
+      mode: String): StructType = prev match {
+    case None => batch
+    case Some(t) =>
+      val byName = t.fields.map(f => f.name -> f).toMap
+      val conflicts = batch.fields.filter(f =>
+        byName.get(f.name).exists(_.dataType != f.dataType))
+      if (conflicts.nonEmpty)
+        throw new SchemaDriftException(
+          s"append to $root changes column type(s): " +
+            conflicts.map(f =>
+              s"${f.name}: ${byName(f.name).dataType.sql} -> ${f.dataType.sql}").mkString(", "))
+      mode match {
+        case "strict" =>
+          val tNames = t.fields.map(_.name).toSet
+          val bNames = batch.fields.map(_.name).toSet
+          if (tNames != bNames)
+            throw new SchemaDriftException(
+              s"append to $root under strict mode: batch columns " +
+                s"${bNames.toSeq.sorted.mkString("[", ",", "]")} != table columns " +
+                s"${tNames.toSeq.sorted.mkString("[", ",", "]")}")
+          t
+        case "evolve" =>
+          val newFields = batch.fields.filterNot(f => byName.contains(f.name))
+          StructType(t.fields ++ newFields)
+        case other =>
+          throw new IllegalArgumentException(
+            s"unknown schemaMode '$other' (expected evolve|strict)")
+      }
   }
 
   /** Replace the table contents atomically (merge rewrites land here).
@@ -1021,6 +1071,12 @@ final class LakeTable(val spark: SparkSession, val root: String) {
 final class VersionConflictException(version: Long, path: String)
   extends IllegalStateException(
     s"concurrent write detected: version $version already exists at $path")
+
+/** An append's schema violates the table's write-time contract (type
+  * change, or any drift under `strict` mode) — see
+  * `LakeTable.mergeSchemas`.
+  */
+final class SchemaDriftException(msg: String) extends IllegalArgumentException(msg)
 
 object LakeTable {
   def apply(spark: SparkSession, root: String): LakeTable = new LakeTable(spark, root)

@@ -115,6 +115,32 @@ class LakeTableSpec extends SparkSpec {
     assert(t.latestVersion().contains(2L))
   }
 
+  test("append schema contract: evolve adds columns and never hides them; type drift fails") {
+    val t = LakeTable(spark, scratchDir("schemactr"))
+    t.append(Seq((1, "a")).toDF("k", "v"))
+    // additive evolution: new column visible, old files read it as NULL
+    t.append(Seq((2, "b", 9.5)).toDF("k", "v", "score"))
+    val cols = t.read().columns.toSeq
+    assert(cols == Seq("k", "v", "score"), cols)
+    // a NARROWER batch must not hide the existing column
+    t.append(Seq((3, "c")).toDF("k", "v"))
+    assert(t.read().columns.toSeq == Seq("k", "v", "score"))
+    assert(t.read().filter(col("k") === 3).select("score").head().isNullAt(0))
+    // same-name different-type is always rejected
+    val e = intercept[SchemaDriftException] {
+      t.append(Seq((4, 99)).toDF("k", "v")) // v: int, table has string
+    }
+    assert(e.getMessage.contains("changes column type"), e.getMessage)
+    // strict mode rejects any field-set difference
+    val e2 = intercept[SchemaDriftException] {
+      t.append(Seq((5, "e")).toDF("k", "v"), schemaMode = "strict")
+    }
+    assert(e2.getMessage.contains("strict"), e2.getMessage)
+    // strict with the exact schema passes
+    t.append(Seq((6, "f", 1.0)).toDF("k", "v", "score"), schemaMode = "strict")
+    assert(t.read().count() == 4)
+  }
+
   test("deletion vectors mask rows without touching data files; rewrites materialize") {
     val t = LakeTable(spark, scratchDir("dv"))
     t.append((1 to 10).map(i => (i, s"r$i")).toDF("k", "v"))

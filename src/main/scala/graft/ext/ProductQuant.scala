@@ -241,7 +241,9 @@ object ProductQuant {
       }
       val residScore = (0 until m)
         .map { j =>
-          val cj = (col("code") / lit(math.pow(k, j).toLong)).cast("long") % k
+          // integer DIV, not `/`: long/long in Spark is DOUBLE division,
+          // which silently loses code digits once k^m nears 2^53
+          val cj = expr(s"code DIV ${math.pow(k, j).toLong}") % k
           element_at(typedlit(lut(j)), (cj + 1).cast("int"))
         }
         .reduceLeft(_ + _)
@@ -291,7 +293,9 @@ object ProductQuant {
       val score = (0 until m)
         .map { j =>
           // digit j of the packed code, base k
-          val cj = (col("code") / lit(math.pow(k, j).toLong)).cast("long") % k
+          // integer DIV, not `/`: long/long in Spark is DOUBLE division,
+          // which silently loses code digits once k^m nears 2^53
+          val cj = expr(s"code DIV ${math.pow(k, j).toLong}") % k
           element_at(typedlit(lut(j)), (cj + 1).cast("int"))
         }
         .reduceLeft(_ + _)

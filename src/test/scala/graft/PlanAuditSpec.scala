@@ -179,6 +179,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("adc probe over a list_id-partitioned index scans only the probed partitions") {
+    val e = graft.sources.Testdata.read(spark, sf, "embeddings")
+    val books = graft.ext.ProductQuant.pqFit(e, "vec_id", "embedding", 4, 8, 1)
+    val enc = graft.ext.ProductQuant
+      .pqEncode(e, "vec_id", "embedding", books, 8)
+      // store the index the way the 100 TB deployment would: partitioned
+      // by inverted list, so a probe's isin filter prunes whole partitions
+      .withColumn("list_id", org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("code"), org.apache.spark.sql.functions.lit(4)))
+    val dir = graft.util.TempDirs.scratch("pq-part-audit")
+    enc.write.partitionBy("list_id").mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val probed = stored.filter(org.apache.spark.sql.functions.col("list_id").isin(0, 1))
+    val p = plan(probed)
+    // the isin lands in PartitionFilters: non-probed lists are never read
+    assert(p.contains("PartitionFilters"), p)
+    val pf = p.split("PartitionFilters")(1).split("\n")(0)
+    assert(pf.contains("list_id"), s"probe filter must prune partitions: $pf")
+  }
+
   test("ivf-pq search never shuffles the corpus") {
     val e = graft.sources.Testdata.read(spark, sf, "embeddings")
     val q = Seq((0L, (0 until 64).map(_.toDouble / 64).toSeq))

@@ -274,6 +274,62 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Exact n-gram CONTAINMENT pairs — the asymmetric near-dup measure
+    * |A∩B| / min(|A|, |B|): detects a document quoted, excerpted, or
+    * wholly embedded inside a larger one, which symmetric Jaccard
+    * misses (a 50-token quote inside a 5000-token page has Jaccard
+    * ~0.01 but containment ~1.0). Same inverted-index shape as
+    * [[ngramJaccardPairs]] with one structural difference: containment
+    * admits NO symmetric length-ratio prune (the contained side may be
+    * arbitrarily smaller — that is the point), so the postings cap is
+    * the load-bearing guard against boilerplate shingles and should
+    * always be set at scale. Output is DIRECTED: (id_contained,
+    * id_container, containment 4-dp), smaller set first (ties by id).
+    */
+  def ngramContainmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.8,
+      shingleN: Int = 3,
+      maxPostings: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val sets = df
+      .select(
+        col(idCol).as("id"),
+        graft.functions.VectorExprs
+          .shingleHashes(
+            spark,
+            split(trim(lower(col(textCol))), "\\s+"),
+            shingleN,
+            Long.MaxValue)
+          .as("sh"))
+      .select(col("id"), size(col("sh")).as("set_size"), explode(col("sh")).as("shingle"))
+    val bounded =
+      if (maxPostings <= 0) sets
+      else {
+        val heavy = sets
+          .groupBy(col("shingle"))
+          .agg(count(lit(1)).as("post_n"))
+          .filter(col("post_n") > maxPostings)
+          .select(col("shingle"))
+        sets.join(heavy, Seq("shingle"), "left_anti")
+      }
+    val a = bounded.select(col("shingle").as("sh_a"), col("id").as("id_a"), col("set_size").as("size_a"))
+    val b = bounded.select(col("shingle").as("sh_b"), col("id").as("id_b"), col("set_size").as("size_b"))
+    a.join(b, col("sh_a") === col("sh_b") && col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("size_a"), col("size_b"))
+      .agg(count(lit(1)).as("shared"))
+      .withColumn(
+        "containment",
+        floor(col("shared") / least(col("size_a"), col("size_b")) * 10000 + 0.5) / 10000.0)
+      .filter(col("containment") >= threshold)
+      .select(
+        when(col("size_a") <= col("size_b"), col("id_a")).otherwise(col("id_b")).as("id_contained"),
+        when(col("size_a") <= col("size_b"), col("id_b")).otherwise(col("id_a")).as("id_container"),
+        col("containment"))
+  }
+
   /** Exact n-gram Jaccard for verification: |A∩B| / |A∪B| over distinct
     * shingle sets — computed only for candidate pairs.
     */

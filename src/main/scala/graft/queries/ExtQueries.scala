@@ -372,6 +372,53 @@ object ExtQueries {
       |JOIN sz sb ON sb.doc_id = id_b
       |WHERE floor(CAST(c AS DOUBLE) / (sa.n + sb.n - c) * 10000 + 0.5) / 10000.0 >= 0.5""".stripMargin
 
+  /** Asymmetric containment dedup over the planted-near-dup corpus:
+    * the trimmed copies are (almost) wholly CONTAINED in their
+    * originals — containment 1.0 where symmetric Jaccard reads lower.
+    * Directed output, postings cap enabled (the only guard containment
+    * has — see [[Dedup.ngramContainmentPairs]]).
+    */
+  def dedupContainment(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.ngramContainmentPairs(
+      corpusNearDups(docs(spark, sfDir)), "doc_id", "text",
+      threshold = 0.9, shingleN = 3, maxPostings = NgramMaxPostings)
+
+  val dedupContainmentSql: String =
+    s"""WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000,
+      |         array_to_string(toks[1:greatest(len(toks) - 2, 0)], ' ')
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      |        FROM documents WHERE doc_id % 5 = 0)),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |      ELSE list_transform(range(1, len(toks) - 1),
+      |                          j -> array_to_string(toks[j:j+2], ' ')) END) AS s
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+      |        FROM corpus)),
+      |posting AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      |kept AS (
+      |  SELECT doc_id, g FROM posting
+      |  WHERE g NOT IN (SELECT g FROM posting GROUP BY g
+      |                  HAVING count(*) > $NgramMaxPostings)),
+      |shared AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      |  FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |sz AS (SELECT doc_id, len(s) AS n FROM sh),
+      |scored AS (
+      |  SELECT id_a, id_b, sa.n AS na, sb.n AS nb,
+      |         floor(CAST(c AS DOUBLE) / least(sa.n, sb.n) * 10000 + 0.5) / 10000.0 AS containment
+      |  FROM shared
+      |  JOIN sz sa ON sa.doc_id = id_a
+      |  JOIN sz sb ON sb.doc_id = id_b)
+      |SELECT CASE WHEN na <= nb THEN id_a ELSE id_b END AS id_contained,
+      |       CASE WHEN na <= nb THEN id_b ELSE id_a END AS id_container,
+      |       containment
+      |FROM scored WHERE containment >= 0.9""".stripMargin
+
   /** SimHash near-dups — probabilistic bucketing, spec-verified;
     * rows-only here.
     */
@@ -1444,6 +1491,7 @@ object ExtQueries {
     "q_similarity_adc" -> (similarityAdc _),
     "q_similarity_ivfpq" -> (similarityIvfPq _),
     "q_dedup_substring" -> (dedupSubstring _),
+    "q_dedup_containment" -> (dedupContainment _),
     "q_bpe_vocab" -> (bpeVocab _),
     "q_bpe_encode" -> (bpeEncode _),
     "q_chunk_documents" -> (chunkDocuments _),
@@ -1517,6 +1565,7 @@ object ExtQueries {
     "q_bm25_search" -> bm25SearchSql,
     "q_embedding_pq" -> embeddingPqSql,
     "q_dedup_substring" -> dedupSubstringSql,
+    "q_dedup_containment" -> dedupContainmentSql,
     "q_bpe_vocab" -> bpeVocabSql,
     "q_bpe_encode" -> bpeEncodeSql,
     "q_text_langid" -> textLangIdSql,

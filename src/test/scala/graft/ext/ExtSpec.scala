@@ -252,6 +252,31 @@ class DedupSpec extends SparkSpec {
       .foreach(r => assert(r.getAs[Double]("jaccard") > 0.8))
   }
 
+  test("containment catches an embedded quote that Jaccard misses; direction is smaller-in-larger") {
+    val quote = "the quick brown fox jumps over the lazy dog tonight"
+    // diverse filler (unique tokens) so the page's DISTINCT shingle set
+    // is large — repeated filler would collapse and inflate Jaccard
+    val page = (1 to 40).map(i => s"pre$i").mkString(" ") + " " + quote + " " +
+      (1 to 40).map(i => s"post$i").mkString(" ")
+    val docs = Seq(
+      (1L, page),
+      (2L, quote),
+      (3L, "completely unrelated words about other things entirely now")).toDF("id", "text")
+    val cont = Dedup.ngramContainmentPairs(docs, "id", "text", threshold = 0.9)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    // the quote's shingles all appear in the page: containment 1.0,
+    // directed small -> large
+    assert(cont.contains((2L, 1L)), s"got $cont")
+    assert(cont((2L, 1L)) == 1.0)
+    assert(!cont.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+    // symmetric Jaccard on the same pair is far below any dedup threshold
+    val jac = Dedup.ngramJaccardPairs(docs, "id", "text", threshold = 0.3).collect()
+    assert(!jac.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L),
+      "Jaccard should miss the quote-in-page pair at any reasonable threshold")
+  }
+
   test("ngram Jaccard join is exact: agrees with brute-force verification on every pair") {
     val viaIndex = Dedup.ngramJaccardPairs(corpus, "id", "text", 0.5).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap

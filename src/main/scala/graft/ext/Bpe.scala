@@ -112,7 +112,15 @@ object Bpe {
       idCol: String,
       textCol: String,
       rules: Seq[MergeRule]): DataFrame = {
-    val types = wordTypes(corpus, textCol)
+    // ONE corpus-scale tokenize+explode: the word-type table derives
+    // from the same occurrences frame (wordTypes() would re-scan the
+    // corpus a second time for counts this path never uses)
+    val occurrences = corpus
+      .select(col(idCol), explode(TextAnalysis.tokensWs(lower(col(textCol)))).as("word"))
+      .filter(length(col("word")) > 0)
+    val types = occurrences
+      .select(col("word"))
+      .distinct()
       .select(
         col("word"),
         expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))").as("seq"))
@@ -120,9 +128,6 @@ object Bpe {
       df.withColumn("seq", foldMerge(col("seq"), r.lhs, r.rhs))
     }
     val lens = merged.select(col("word"), size(col("seq")).cast("long").as("ns"))
-    val occurrences = corpus
-      .select(col(idCol), explode(TextAnalysis.tokensWs(lower(col(textCol)))).as("word"))
-      .filter(length(col("word")) > 0)
     val agg = occurrences
       .join(lens, "word")
       .groupBy(col(idCol))

@@ -36,6 +36,39 @@ object ProductQuant {
   private def subvec(vec: Column, j: Int, dsub: Int): Column =
     slice(vec, j * dsub + 1, dsub)
 
+  /** k^j in exact Long arithmetic (math.pow goes through double and
+    * loses integer precision past 2^53); [[pqEncode]] guards k^m ≤
+    * Long.MaxValue up front.
+    */
+  private def kPow(k: Int, j: Int): Long =
+    (0 until j).foldLeft(1L)((a, _) => a * k)
+
+  /** Per-query ADC score over the packed `code` column: Σ_j
+    * LUT[j][digit_j]. The LUT is indexed BY CENTROID ID as a dense
+    * length-k array per subspace — codebook ids need NOT be dense after
+    * an empty-cluster drop, and indexing by list position would read
+    * the wrong slot (or null) for every digit at or above a dropped id.
+    * Absent ids never occur as code digits, so their slots hold 0.0.
+    * Digits extract with integer DIV (long `/` in Spark is DOUBLE
+    * division — silently lossy once k^m nears 2^53). Shared by
+    * [[adcTopK]] and [[ivfAdcTopK]] so the cross-engine determinism
+    * contract lives in exactly one place.
+    */
+  private def adcScore(books: Seq[Codebook], k: Int, qv: Seq[Double]): Column = {
+    val dsub = books.head.head._2.length
+    books.indices
+      .map { j =>
+        val qj = qv.slice(j * dsub, j * dsub + dsub)
+        val byId = books(j).map { case (cid, cv) =>
+          cid -> qj.zip(cv).foldLeft(0.0) { case (s, (a, b)) => s + a * b }
+        }.toMap
+        val lut: Seq[Double] = (0 until k).map(cid => byId.getOrElse(cid, 0.0))
+        val cj = expr(s"code DIV ${kPow(k, j)}") % k
+        element_at(typedlit(lut), (cj + 1).cast("int"))
+      }
+      .reduceLeft(_ + _)
+  }
+
   /** Scored literal-centroid argmin: struct(-d2_6dp, -cid) so
     * array_max's lexicographic compare IS "min rounded distance, ties
     * -> min centroid id".
@@ -121,6 +154,9 @@ object ProductQuant {
       keep: Seq[String] = Nil): DataFrame = {
     val spark = corpus.sparkSession
     val m = books.length
+    require(
+      BigInt(k).pow(m) <= BigInt(Long.MaxValue),
+      s"k^m = $k^$m does not fit a packed BIGINT code")
     val dsub = books.head.head._2.length
     val codes = (0 until m).map { j =>
       bestCode(corpus, subvec(col(vecCol), j, dsub), books(j)).cast("long").as(s"c_$j")
@@ -128,7 +164,7 @@ object ProductQuant {
     val withCodes = corpus.select(
       (col(idCol) +: keep.map(col) :+ col(vecCol).as("__v")) ++ codes: _*)
     val packed = (0 until m)
-      .map(j => col(s"c_$j") * lit(math.pow(k, j).toLong))
+      .map(j => col(s"c_$j") * lit(kPow(k, j)))
       .reduceLeft(_ + _)
     // recon error: Σ_j d2(sub_j, centroid[code_j]) — per subspace a
     // literal CASE over k centroids, summed in subspace order
@@ -184,13 +220,9 @@ object ProductQuant {
     val coarse: Codebook = pqFit(corpus, idCol, vecCol, m = 1, k = nlist, iters = 1).head
     val coarseArr = typedlit(coarse.map(_._2))
     val coarseIds = coarse.map(_._1)
-    // list_id of a vector: argmin 6-dp L2² over the literal centroids
-    def listOf(vec: Column): Column =
-      -array_max(array(coarse.map { case (cid, cv) =>
-        struct(
-          -round(graft.functions.VectorExprs.arrayL2Sq(spark, vec, typedlit(cv)), 6).as("d"),
-          lit(-cid).as("nc"))
-      }: _*)).getField("nc").cast("int")
+    // list_id of a vector: the SAME argmin rule as pqFit's assignment
+    // (bestCode — one definition of the tie-break contract)
+    def listOf(vec: Column): Column = bestCode(corpus, vec, coarse).cast("int")
 
     // residuals: v − centroid[list]; the centroid array indexes by the
     // POSITION of the list id in the codebook (ids need not be dense
@@ -225,28 +257,15 @@ object ProductQuant {
         .sortBy { case (cid, d) => (d, cid) }
         .take(nprobe)
         .map(_._1)
-      // per-list offset q·c and the shared residual LUT
+      // per-list offset q·c, plus the shared residual ADC score
       val offsets: Map[Int, Double] = coarse.collect {
         case (cid, cv) if probed.contains(cid) =>
           cid -> qv.zip(cv).foldLeft(0.0) { case (s, (a, b)) => s + a * b }
       }.toMap
-      val lut: Seq[Seq[Double]] = (0 until m).map { j =>
-        val qj = qv.slice(j * dsub, j * dsub + dsub)
-        books(j).map { case (_, cv) =>
-          qj.zip(cv).foldLeft(0.0) { case (s, (a, b)) => s + a * b }
-        }
-      }
       val offsetExpr = probed.foldLeft(lit(0.0)) { case (acc, cid) =>
         when(col("list_id") === cid, lit(offsets(cid))).otherwise(acc)
       }
-      val residScore = (0 until m)
-        .map { j =>
-          // integer DIV, not `/`: long/long in Spark is DOUBLE division,
-          // which silently loses code digits once k^m nears 2^53
-          val cj = expr(s"code DIV ${math.pow(k, j).toLong}") % k
-          element_at(typedlit(lut(j)), (cj + 1).cast("int"))
-        }
-        .reduceLeft(_ + _)
+      val residScore = adcScore(books, k, qv)
       encoded
         .filter(col("list_id").isin(probed: _*))
         .select(
@@ -277,30 +296,12 @@ object ProductQuant {
       k: Int,
       queries: Seq[(Long, Seq[Double])],
       topK: Int): DataFrame = {
-    val m = books.length
-    val dsub = books.head.head._2.length
-    val spark = encoded.sparkSession
-    import spark.implicits._
     val perQuery = queries.map { case (qid, qv) =>
-      // LUT[j][cid] = dot(q_j, centroid_j_cid), folded in Scala (driver
-      // side, m·k·dsub multiplies — microseconds)
-      val lut: Seq[Seq[Double]] = (0 until m).map { j =>
-        val qj = qv.slice(j * dsub, j * dsub + dsub)
-        books(j).map { case (_, cv) =>
-          qj.zip(cv).foldLeft(0.0) { case (s, (a, b)) => s + a * b }
-        }
-      }
-      val score = (0 until m)
-        .map { j =>
-          // digit j of the packed code, base k
-          // integer DIV, not `/`: long/long in Spark is DOUBLE division,
-          // which silently loses code digits once k^m nears 2^53
-          val cj = expr(s"code DIV ${math.pow(k, j).toLong}") % k
-          element_at(typedlit(lut(j)), (cj + 1).cast("int"))
-        }
-        .reduceLeft(_ + _)
       encoded
-        .select(lit(qid).as("qid"), col(idCol), round(score, 6).as("adc_dot"))
+        .select(
+          lit(qid).as("qid"),
+          col(idCol),
+          round(adcScore(books, k, qv), 6).as("adc_dot"))
         .orderBy(col("adc_dot").desc, col(idCol).asc)
         .limit(topK)
     }

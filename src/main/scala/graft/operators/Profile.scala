@@ -32,12 +32,19 @@ object Profile {
       case _: NumericType => true
       case _ => false
     }
+    // backtick-quote every source-column reference: a column literally
+    // named "user.name" must not parse as nested-field access
+    def src(name: String) = col(s"`$name`")
 
     val aggs = count(lit(1)).as("__n") +: cols.flatMap { f =>
-      val c = col(f.name)
-      val base = Seq(
-        count(c).as(s"__cnt_${f.name}"),
-        countDistinct(c).as(s"__nd_${f.name}"))
+      val c = src(f.name)
+      // MapType is not distinct-aggregatable in Spark; profile it as
+      // unknown (NULL) rather than failing the whole table
+      val nd = f.dataType match {
+        case _: MapType => lit(null).cast("long").as(s"__nd_${f.name}")
+        case _ => countDistinct(c).as(s"__nd_${f.name}")
+      }
+      val base = Seq(count(c).as(s"__cnt_${f.name}"), nd)
       val minMax = f.dataType match {
         case t if isNumeric(t) =>
           Seq(
@@ -67,16 +74,19 @@ object Profile {
     val one = df.agg(aggs.head, aggs.tail: _*)
 
     val rows = cols.map { f =>
+      // the generated aliases inherit any dots in the source name —
+      // quote them on the way back out too
+      def g(prefix: String) = col(s"`__${prefix}_${f.name}`")
       struct(
         lit(f.name).as("col_name"),
         col("__n").as("n_rows"),
-        (col("__n") - col(s"__cnt_${f.name}")).as("n_nulls"),
-        col(s"__nd_${f.name}").as("n_distinct"),
-        col(s"__min_${f.name}").as("min_num"),
-        col(s"__max_${f.name}").as("max_num"),
+        (col("__n") - g("cnt")).as("n_nulls"),
+        g("nd").as("n_distinct"),
+        g("min").as("min_num"),
+        g("max").as("max_num"),
         when(
-          col(s"__cnt_${f.name}") > 0 && col(s"__len_${f.name}").isNotNull,
-          round(col(s"__len_${f.name}").cast("double") / col(s"__cnt_${f.name}"), 4))
+          g("cnt") > 0 && g("len").isNotNull,
+          round(g("len").cast("double") / g("cnt"), 4))
           .as("avg_len"))
     }
     one.select(explode(array(rows: _*)).as("p")).select(col("p.*"))

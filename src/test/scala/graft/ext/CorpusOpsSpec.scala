@@ -142,6 +142,33 @@ class ProductQuantSpec extends SparkSpec {
     assert(a.nonEmpty && a.length < 24, s"expected a strict subset, got ${a.length} rows")
   }
 
+  test("adc scoring stays correct when an empty cluster drops (non-dense codebook ids)") {
+    // v0 and v1 share their subspace-0 half: at k = n the duplicate seed's
+    // cluster wins no members (ties go to the lowest id) and is DROPPED,
+    // leaving non-dense codebook ids — the LUT must index by centroid id,
+    // not list position
+    val vecs = Seq(
+      (0L, Seq(1.0f, 2.0f, 3.0f, 4.0f)),
+      (1L, Seq(1.0f, 2.0f, 9.0f, 9.0f)),
+      (2L, Seq(5.0f, 5.0f, 1.0f, 1.0f)),
+      (3L, Seq(7.0f, 1.0f, 2.0f, 8.0f)))
+    val df = vecs.toDF("id", "v")
+    val books = ProductQuant.pqFit(df, "id", "v", m = 2, k = 4, iters = 1)
+    assert(books(0).size < 4, s"expected a dropped cluster, got ids ${books(0).map(_._1)}")
+    val enc = ProductQuant.pqEncode(df, "id", "v", books, 4)
+    enc.collect().foreach(r =>
+      assert(r.getDouble(2) == 0.0, s"recon must be exact, got ${r.getDouble(2)}"))
+    val q = Seq(0.5, -1.0, 2.0, 0.25)
+    val out = ProductQuant.adcTopK(enc, "id", books, 4, Seq((9L, q)), 4)
+      .collect()
+      .map(r => r.getLong(1) -> r.getDouble(2))
+      .toMap
+    vecs.foreach { case (id, v) =>
+      val exact = q.zip(v.map(_.toDouble)).map { case (a, b) => a * b }.sum
+      assert(math.abs(out(id) - exact) < 1e-3, s"id $id: adc ${out(id)} vs exact $exact")
+    }
+  }
+
   test("adc over a lossless codebook reproduces exact dot products") {
     val df = corpus(4)
     val books = ProductQuant.pqFit(df, "id", "v", m = 2, k = 4, iters = 1)

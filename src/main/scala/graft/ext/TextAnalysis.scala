@@ -47,15 +47,19 @@ object TextAnalysis {
         "punct_ratio",
         when(length(t) === 0, 0.0)
           .otherwise(length(regexp_replace(t, "[^.,;:!?]", "")) / length(t).cast("double")))
+      // guard on n_tokens_q, NOT size(toks): split("") yields [""] (size
+      // 1), so a size-based guard is dead and a blank document would
+      // score uniq_ratio 1.0 — diverging from the oracle's
+      // `CASE WHEN n_tokens = 0` and letting empty docs outscore prose
       .withColumn(
         "stopword_ratio", {
           val sw = array(Stopwords.en.map(lit): _*)
-          when(size(toks) === 0, 0.0)
+          when(col("n_tokens_q") === 0, 0.0)
             .otherwise(size(filter(toks, tk => array_contains(sw, tk))) / size(toks).cast("double"))
         })
       .withColumn(
         "uniq_ratio",
-        when(size(toks) === 0, 0.0)
+        when(col("n_tokens_q") === 0, 0.0)
           .otherwise(size(array_distinct(toks)) / size(toks).cast("double")))
       // floor-form 4-dp rounding: the score is a rational combination, so
       // round(x, 4) can land on a .5 boundary where decimal-string and
@@ -374,13 +378,19 @@ object TextAnalysis {
         col("idf") * (col("tf") * (k1 + 1.0)) /
           (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl"))))
     // one aggregate column per query term, then a FIXED-ORDER float add:
-    // the score expression tree is identical in every engine
-    val termCols = queryTerms.map(t =>
-      coalesce(max(when(col("term") === t, col("s"))), lit(0.0)).as(s"s_$t"))
+    // the score expression tree is identical in every engine. Columns
+    // are named POSITIONALLY (s_0, s_1, …) — a term containing '.' or
+    // '`' must never leak into a column reference — and duplicate terms
+    // collapse (a repeated term would otherwise create an ambiguous
+    // aggregate column)
+    val terms = queryTerms.distinct
+    val termCols = terms.zipWithIndex.map { case (t, i) =>
+      coalesce(max(when(col("term") === t, col("s"))), lit(0.0)).as(s"s_$i")
+    }
     val perTerm = scoredTerms
       .groupBy(col("id"))
       .agg(termCols.head, termCols.tail: _*)
-    val total = queryTerms.map(t => col(s"s_$t")).reduceLeft(_ + _)
+    val total = terms.indices.map(i => col(s"s_$i")).reduceLeft(_ + _)
     val ranked = perTerm
       .withColumn("score", round(total, 4))
       .select(col("id").as(idCol), col("score"))

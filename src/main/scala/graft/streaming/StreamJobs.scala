@@ -537,7 +537,10 @@ object StreamJobs {
       keyCols: Seq[String],
       workDir: String,
       watermarkDelay: String = "10 minutes"): DataFrame = {
-    val checkpoint = dir(workDir, "checkpoint-dedup")
+    // checkpoint UUID'd like every other memory-sink helper here: the
+    // sink table is fresh per call, so resuming offsets from a previous
+    // call's checkpoint would silently omit already-processed rows
+    val checkpoint = dir(workDir, s"checkpoint-dedup-${java.util.UUID.randomUUID()}")
     val queryName = s"dedup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val stream = spark.readStream
       .schema(schema)

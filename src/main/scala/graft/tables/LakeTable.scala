@@ -203,9 +203,19 @@ final class LakeTable(val spark: SparkSession, val root: String) {
       val existingFileStats =
         if (keepExisting) prev.map(_.effectiveFileStats).getOrElse(Seq.empty) else Seq.empty
       val parts = if (partitionBy.nonEmpty) partitionBy else prev.map(_.partitionBy).getOrElse(Seq.empty)
-      // re-merge the watermark against the CURRENT tip (a retry must
-      // not regress a concurrent append's running max)
-      val mergedMax = Stats.merge(prev.map(_.colMax).getOrElse(Map.empty), colMax, schema)
+      // re-merge the watermark AND the schema against the CURRENT tip: a
+      // losing append retrying with its pre-race schema would otherwise
+      // publish a manifest that hides columns a concurrent append evolved
+      // in (schema merge is additive, so re-merging is always safe here)
+      val effSchema =
+        if (op == "append" && keepExisting)
+          mergeSchemas(
+            prev.flatMap(m => scala.util.Try(
+              DataType.fromJson(m.schemaJson).asInstanceOf[StructType]).toOption),
+            schema,
+            "evolve")
+        else schema
+      val mergedMax = Stats.merge(prev.map(_.colMax).getOrElse(Map.empty), colMax, effSchema)
       try {
         // deletion vectors: an op that keeps the existing dirs keeps their
         // DVs (plus any new ones); a rewrite read the DV-masked snapshot,
@@ -215,7 +225,7 @@ final class LakeTable(val spark: SparkSession, val root: String) {
           else newDvFiles
         writeManifest(
           Manifest(
-            version, op, System.currentTimeMillis(), existing ++ newDirs, schema.json, parts,
+            version, op, System.currentTimeMillis(), existing ++ newDirs, effSchema.json, parts,
             existingScopes ++ newDirs.map(_ => Seq.empty),
             if (keepExisting) mergedMax else colMax,
             existingStats ++ newDirs.indices.map(i => newDirStats.lift(i).getOrElse(Map.empty)),
@@ -942,16 +952,18 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     if (!Files.isDirectory(dataDir)) return Seq.empty
     val live = listVersions().flatMap(p => readManifest(versionOf(p)).commitDirs).toSet
     val cutoff = System.currentTimeMillis() - graceMs
-    val orphans = Files
-      .list(dataDir)
-      .iterator()
-      .asScala
-      .filter(p => Files.isDirectory(p))
-      .filter(p => !live.contains(p.getFileName.toString))
-      .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
-      .map(_.getFileName.toString)
-      .toSeq
-      .sorted
+    val listing = Files.list(dataDir)
+    val orphans =
+      try listing
+        .iterator()
+        .asScala
+        .filter(p => Files.isDirectory(p))
+        .filter(p => !live.contains(p.getFileName.toString))
+        .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
+        .map(_.getFileName.toString)
+        .toSeq
+        .sorted
+      finally listing.close()
     orphans.foreach(deleteDataDir)
     orphans
   }
@@ -986,9 +998,12 @@ final class LakeTable(val spark: SparkSession, val root: String) {
           catch { case scala.util.control.NonFatal(_) => None } // expired manifest
         val delta = oldOpt.flatMap { old =>
           val curScopes = m.commitDirs.zip(m.effectiveScopes).toMap
-          val additive = old.commitDirs.zip(old.effectiveScopes).forall { case (d, s) =>
-            curScopes.get(d).contains(s)
-          }
+          // a grown deletion-vector list REMOVED rows from kept dirs —
+          // unchanged commitDirs alone does not make the range additive
+          val additive = old.dvFiles == m.dvFiles &&
+            old.commitDirs.zip(old.effectiveScopes).forall { case (d, s) =>
+              curScopes.get(d).contains(s)
+            }
           if (!additive) None
           else {
             val oldDirs = old.commitDirs.toSet
@@ -1024,9 +1039,13 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     val cur = readManifest(to)
     val old = readManifest(fromVersion)
     val curScopes = cur.commitDirs.zip(cur.effectiveScopes).toMap
-    val additive = old.commitDirs.zip(old.effectiveScopes).forall { case (d, s) =>
-      curScopes.get(d).contains(s)
-    }
+    // deletion vectors remove rows without touching commitDirs: a range
+    // whose DV list changed must take the exact multiset-diff path (the
+    // per-version readEntries apply each side's own DVs)
+    val additive = old.dvFiles == cur.dvFiles &&
+      old.commitDirs.zip(old.effectiveScopes).forall { case (d, s) =>
+        curScopes.get(d).contains(s)
+      }
     if (additive) {
       val oldDirs = old.commitDirs.toSet
       val added = cur.commitDirs.zip(cur.effectiveScopes).filterNot(e => oldDirs.contains(e._1))

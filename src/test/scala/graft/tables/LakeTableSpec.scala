@@ -182,6 +182,20 @@ class LakeTableSpec extends SparkSpec {
     assert(liveDvs == 0, s"expired DV sidecars must be reclaimed, found $liveDvs")
   }
 
+  test("change feed surfaces deletion-vector deletes (DV commits are not additive)") {
+    val t = LakeTable(spark, scratchDir("dvcdf"))
+    t.append((1 to 6).map(i => (i, s"r$i")).toDF("k", "v"))
+    val v0 = t.latestVersion().get
+    val v1 = t.deleteWhereDV(col("k") <= 2)
+    val ch = t.changes(v0, Some(v1)).collect()
+    val deletes = ch.filter(_.getString(2) == "delete").map(_.getInt(0)).sorted.toSeq
+    assert(deletes == Seq(1, 2), s"DV deletes must surface in the feed: ${ch.toSeq}")
+    assert(!ch.exists(_.getString(2) == "insert"))
+    // and the incremental-view delta must refuse the non-additive range
+    val (_, delta) = t.readAddedSince(Some(v0))
+    assert(delta.isEmpty, "a DV delete between versions cannot be read as an additive delta")
+  }
+
   test("deletion vectors work on partitioned tables and survive partition replace") {
     val t = LakeTable(spark, scratchDir("dvpart"))
     t.append(

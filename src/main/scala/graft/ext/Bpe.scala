@@ -53,8 +53,31 @@ object Bpe {
           concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
           .otherwise(concat(acc, array(x))))
 
+  /** Release the cached blocks behind an eager `localCheckpoint` once a
+    * successor checkpoint has materialized. A checkpointed Dataset's
+    * plan IS a `LogicalRDD` over the locally-checkpointed RDD, so the
+    * blocks are reachable (and releasable) through it; `unpersist` on
+    * the Dataset itself would be a no-op because the cache manager never
+    * tracked it.
+    */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Run `merges` BPE rounds; returns the merge table in step order.
     * Stops early when no adjacent pair remains.
+    *
+    * Scale shape per round: one hash aggregation over the Zipf-bounded
+    * word-TYPE table plus a 1-row driver collect (the argmax pair) — the
+    * collect is inherent to sequential BPE (each rule depends on the
+    * last) and is O(1) per round, never corpus-sized. Each round's
+    * eager `localCheckpoint` truncates the fold-expression lineage; the
+    * PREVIOUS round's checkpoint blocks are released as soon as the new
+    * one materializes, so executor storage stays O(word-type table), not
+    * O(merges × word-type table) — the difference between merges=6 and a
+    * realistic 30k-merge vocabulary.
     */
   def fit(corpus: DataFrame, textCol: String, merges: Int): Seq[MergeRule] = {
     val words = wordTypes(corpus, textCol).persist()
@@ -86,12 +109,15 @@ object Bpe {
         else {
           val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
           rules += MergeRule(step, a, b, c)
+          val prev = seqs
           seqs = seqs
             .withColumn("seq", foldMerge(col("seq"), a, b))
             .localCheckpoint(true)
+          releaseCheckpoint(prev)
           step += 1
         }
       }
+      releaseCheckpoint(seqs)
       rules.toSeq
     } finally words.unpersist()
   }

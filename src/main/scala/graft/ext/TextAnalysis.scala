@@ -350,6 +350,9 @@ object TextAnalysis {
       topK: Int,
       k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
+    // corpus tokens are lowercased below, so query terms must be too — a
+    // mixed-case term would otherwise contribute silently-zero matches
+    val queryTermsLc = queryTerms.map(_.toLowerCase)
     val lens = corpus.select(
       col(idCol).as("id"),
       tokenCountWs(col(textCol)).cast("long").as("dl"))
@@ -360,7 +363,7 @@ object TextAnalysis {
       .select(
         col(idCol).as("id"),
         explode(tokensWs(lower(col(textCol)))).as("term"))
-      .filter(col("term").isin(queryTerms: _*))
+      .filter(col("term").isin(queryTermsLc: _*))
     val tf = postings.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = postings
       .groupBy(col("term"))
@@ -383,7 +386,7 @@ object TextAnalysis {
     // '`' must never leak into a column reference — and duplicate terms
     // collapse (a repeated term would otherwise create an ambiguous
     // aggregate column)
-    val terms = queryTerms.distinct
+    val terms = queryTermsLc.distinct
     val termCols = terms.zipWithIndex.map { case (t, i) =>
       coalesce(max(when(col("term") === t, col("s"))), lit(0.0)).as(s"s_$i")
     }

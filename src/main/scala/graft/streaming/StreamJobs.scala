@@ -567,6 +567,16 @@ object StreamJobs {
     * fingerprint index as its own compacted table — or front it with
     * the bloom pre-probe — but the per-batch cost shape is already
     * O(batch + index), never O(corpus²).
+    *
+    * SEMANTIC PIN — one source wave per micro-batch: within-batch
+    * passthrough matches [[graft.ext.Dedup.dedupAgainstCorpus]] only if
+    * each wave of files (everything present at one invocation) lands in
+    * a SINGLE micro-batch. `maxFilesPerTrigger` is therefore pinned to
+    * Int.MaxValue explicitly — an inherited or future-default file cap
+    * would split a wave and silently drop wave-internal duplicates that
+    * the arrival-order oracle keeps. Callers that want per-file batches
+    * must use a different gate (keying on a wave id, not
+    * corpus-at-batch-start).
     */
   def runStreamingDedupIngest(
       spark: SparkSession,
@@ -578,6 +588,7 @@ object StreamJobs {
     val checkpoint = dir(workDir, "checkpoint-dedup-ingest")
     val q = spark.readStream
       .schema(schema)
+      .option("maxFilesPerTrigger", Int.MaxValue)
       .parquet(sourceDir)
       .writeStream
       .outputMode("append")

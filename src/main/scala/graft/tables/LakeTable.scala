@@ -6,7 +6,7 @@ import java.util.UUID
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, StructType}
 
@@ -47,13 +47,30 @@ final class LakeTable(val spark: SparkSession, val root: String) {
   private val dataDir: Path = Paths.get(root, "data")
   private val dvDir: Path = Paths.get(root, "dv")
 
-  /** data-dir URI prefix stripped from `_metadata.file_path` so deletion
-    * vectors store table-relative file keys (a moved/renamed table keeps
-    * its DVs valid).
+  /** Strip the data-dir prefix off a `_metadata.file_path` value so
+    * deletion vectors store table-relative file keys (a moved/renamed
+    * table keeps its DVs valid). `_metadata.file_path` is rendered by
+    * Hadoop's `Path` (`file:/x/y`), which is NOT the `java.nio` URI form
+    * (`file:///x/y`) — so the prefix candidates cover the Hadoop
+    * rendering, the nio rendering, and the bare filesystem path, longest
+    * first, and the match is an exact prefix test via Column APIs (no
+    * interpolation into SQL text, so quotes in paths can't break it).
+    * [[deleteWhereDV]] asserts at write time that the stripped keys carry
+    * no URI scheme, so a renderer drift fails loudly instead of silently
+    * storing absolute keys.
     */
-  private def dataDirUriPrefix: String = {
-    val u = dataDir.toUri.toString
-    if (u.endsWith("/")) u else u + "/"
+  private def stripDataDirPrefix(filePath: Column): Column = {
+    val candidates = Seq(
+      new org.apache.hadoop.fs.Path(dataDir.toUri).toString,
+      dataDir.toUri.toString,
+      dataDir.toString)
+      .map(p => if (p.endsWith("/")) p else p + "/")
+      .distinct
+      .sortBy(-_.length)
+    candidates.foldLeft(filePath) { (acc, p) =>
+      when(filePath.startsWith(p), filePath.substr(lit(p.length + 1), length(filePath)))
+        .otherwise(acc)
+    }
   }
 
   // ---- log primitives -----------------------------------------------------
@@ -186,7 +203,8 @@ final class LakeTable(val spark: SparkSession, val root: String) {
       partitionBy: Seq[String],
       colMax: Map[String, String],
       newDirStats: Seq[Map[String, (String, String)]],
-      newDvFiles: Seq[String] = Seq.empty): Long = {
+      newDvFiles: Seq[String] = Seq.empty,
+      schemaMode: String = "evolve"): Long = {
     val maxRetries = if (op == "append" && keepExisting) 20 else 1
     var attempt = 0
     var result = -1L
@@ -206,14 +224,17 @@ final class LakeTable(val spark: SparkSession, val root: String) {
       // re-merge the watermark AND the schema against the CURRENT tip: a
       // losing append retrying with its pre-race schema would otherwise
       // publish a manifest that hides columns a concurrent append evolved
-      // in (schema merge is additive, so re-merging is always safe here)
+      // in. The re-merge runs under the CALLER's schemaMode — a strict
+      // append that loses the race to a writer who evolved the schema
+      // must surface SchemaDriftException, not silently evolve past its
+      // own contract.
       val effSchema =
         if (op == "append" && keepExisting)
           mergeSchemas(
             prev.flatMap(m => scala.util.Try(
               DataType.fromJson(m.schemaJson).asInstanceOf[StructType]).toOption),
             schema,
-            "evolve")
+            schemaMode)
         else schema
       val mergedMax = Stats.merge(prev.map(_.colMax).getOrElse(Map.empty), colMax, effSchema)
       try {
@@ -297,7 +318,7 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     val batchMax = batchStats.map { case (c, (_, mx)) => c -> mx }
     val merged = Stats.merge(prev.map(_.colMax).getOrElse(Map.empty), batchMax, mergedSchema)
     commit("append", dirs, keepExisting = true, mergedSchema, effParts, merged,
-      dirs.map(_ => batchStats))
+      dirs.map(_ => batchStats), schemaMode = schemaMode)
   }
 
   /** Write-time schema contract. `evolve` (default, the Delta
@@ -523,7 +544,7 @@ final class LakeTable(val spark: SparkSession, val root: String) {
       if (!needMeta) df
       else df.select(
         col("*"),
-        expr(s"replace(_metadata.file_path, '$dataDirUriPrefix', '')").as("__dv_file"),
+        stripDataDirPrefix(col("_metadata.file_path")).as("__dv_file"),
         col("_metadata.row_index").as("__dv_idx"))
     val base =
       if (live.isEmpty) {
@@ -748,6 +769,15 @@ final class LakeTable(val spark: SparkSession, val root: String) {
       .filter(coalesce(condition, lit(false)))
       .select(col("__dv_file").as("file_rel"), col("__dv_idx").as("row_idx"))
     if (hits.isEmpty) return v
+    // table-relative invariant: a DV key carrying a URI scheme means
+    // stripDataDirPrefix missed (file_path renderer drift) — fail the
+    // delete loudly rather than persist keys that break on table move
+    val badKey = hits
+      .filter(col("file_rel").rlike("^[A-Za-z][A-Za-z0-9+.-]*:/"))
+      .select("file_rel").head(1)
+    require(badKey.isEmpty,
+      s"deletion-vector key is not table-relative: '${badKey.headOption.map(_.getString(0)).getOrElse("")}'" +
+        s" (data dir $dataDir) — _metadata.file_path rendering changed?")
     val name = s"dv-${UUID.randomUUID()}.parquet"
     Files.createDirectories(dvDir)
     hits.coalesce(1).write.mode("overwrite").parquet(dvDir.resolve(name).toString)

@@ -189,6 +189,15 @@ class ChunkDupSpec extends SparkSpec {
     assert(rankOf(5L) < rankOf(2L))
   }
 
+  test("bm25TopK normalizes query-term case (mixed-case query matches lowercased corpus)") {
+    val docs = Seq((1L, "Spark merges data"), (2L, "no match here")).toDF("doc_id", "text")
+    val out = TextAnalysis
+      .bm25TopK(docs, "doc_id", "text", Seq("SPARK", "Spark"), topK = 10)
+      .collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L),
+      "mixed-case (and case-duplicate) query terms must match the lowercased corpus once")
+  }
+
   test("bm25TopK respects topK with deterministic id tie-break") {
     val docs = (1L to 30L).map(i => (i, "common filler")).toDF("doc_id", "text")
     val out = TextAnalysis

@@ -196,6 +196,28 @@ class LakeTableSpec extends SparkSpec {
     assert(delta.isEmpty, "a DV delete between versions cannot be read as an additive delta")
   }
 
+  test("deletion-vector keys are table-relative: DVs survive a table-root move") {
+    val root = scratchDir("dvmove")
+    val t = LakeTable(spark, root)
+    t.append((1 to 10).map(i => (i, s"r$i")).toDF("k", "v"))
+    t.deleteWhereDV(col("k") <= 4)
+    // the sidecar itself must hold scheme-less, table-relative keys
+    val keys = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$root/dv").select("file_rel")
+      .collect().map(_.getString(0))
+    assert(keys.nonEmpty)
+    assert(
+      keys.forall(k => !k.matches("^[A-Za-z][A-Za-z0-9+.-]*:/.*") && !k.startsWith("/")),
+      s"DV keys must be table-relative, got: ${keys.take(3).toSeq}")
+    // move the whole table root: the DV join must still mask rows 1-4
+    val moved = scratchDir("dvmoved")
+    java.nio.file.Files.delete(java.nio.file.Paths.get(moved))
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(root), java.nio.file.Paths.get(moved))
+    val t2 = LakeTable(spark, moved)
+    assert(t2.read().collect().map(_.getInt(0)).sorted.toSeq == (5 to 10))
+  }
+
   test("deletion vectors work on partitioned tables and survive partition replace") {
     val t = LakeTable(spark, scratchDir("dvpart"))
     t.append(

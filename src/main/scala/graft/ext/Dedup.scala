@@ -278,21 +278,47 @@ object Dedup {
     * |A∩B| / min(|A|, |B|): detects a document quoted, excerpted, or
     * wholly embedded inside a larger one, which symmetric Jaccard
     * misses (a 50-token quote inside a 5000-token page has Jaccard
-    * ~0.01 but containment ~1.0). Same inverted-index shape as
-    * [[ngramJaccardPairs]] with one structural difference: containment
-    * admits NO symmetric length-ratio prune (the contained side may be
-    * arbitrarily smaller — that is the point), so the postings cap is
-    * the load-bearing guard against boilerplate shingles and should
-    * always be set at scale. Output is DIRECTED: (id_contained,
+    * ~0.01 but containment ~1.0). Output is DIRECTED: (id_contained,
     * id_container, containment 4-dp), smaller set first (ties by id).
+    *
+    * Containment admits no symmetric length-ratio prune (the contained
+    * side may be arbitrarily smaller — that is the point), so instead of
+    * a lossy postings cap this is a PPJoin-style prefix-filtered join
+    * (Chaudhuri 2006 SSJoin / Xiao 2008 PPJoin, adapted to the overlap
+    * bound containment induces):
+    *
+    *  1. order every document's shingles by one GLOBAL canonical order —
+    *     ascending document frequency, ties by shingle value — so each
+    *     document's rarest shingles come first and corpus-wide
+    *     boilerplate gravitates to the suffix;
+    *  2. index only each document's first |d| − ⌈t·|d|⌉ + 1 shingles
+    *     (its PREFIX): if C(S ⊆ L) ≥ t then S shares ≥ ⌈t·|S|⌉ shingles
+    *     with L, and a set whose whole prefix misses L can share at most
+    *     |S| − prefix_len = ⌈t·|S|⌉ − 1 — so probing the prefix against
+    *     FULL postings loses no qualifying pair (the filter is lossless;
+    *     the threshold is relaxed by 1e-4 so 4-dp round-up survivors are
+    *     kept too);
+    *  3. verify every candidate pair exactly against the full shingle
+    *     sets (one `array_intersect` per candidate) and keep rounded
+    *     containment ≥ t.
+    *
+    * Scale shape: the heavy self-join now runs prefix×full instead of
+    * full×full — a boilerplate shingle in every document appears in
+    * almost no document's prefix (highest df ⇒ sorts last), so its
+    * posting product collapses from |corpus|² to ~0 with NO recall loss,
+    * which is exactly the trade the old `maxPostings` cap could not
+    * make. Costs one df aggregation plus one per-document sort-agg up
+    * front, and one verify join after; every stage keys on shingle or id
+    * (bounded hash shuffles, no window over hot keys). At 100 TB,
+    * persist the shingle-set frame before calling (it is traversed for
+    * postings, prefixes, and both verify sides).
     */
   def ngramContainmentPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       threshold: Double = 0.8,
-      shingleN: Int = 3,
-      maxPostings: Int = 0): DataFrame = {
+      shingleN: Int = 3): DataFrame = {
     val spark = df.sparkSession
     val sets = df
       .select(
@@ -304,29 +330,55 @@ object Dedup {
             shingleN,
             Long.MaxValue)
           .as("sh"))
-      .select(col("id"), size(col("sh")).as("set_size"), explode(col("sh")).as("shingle"))
-    val bounded =
-      if (maxPostings <= 0) sets
-      else {
-        val heavy = sets
-          .groupBy(col("shingle"))
-          .agg(count(lit(1)).as("post_n"))
-          .filter(col("post_n") > maxPostings)
-          .select(col("shingle"))
-        sets.join(heavy, Seq("shingle"), "left_anti")
-      }
-    val a = bounded.select(col("shingle").as("sh_a"), col("id").as("id_a"), col("set_size").as("size_a"))
-    val b = bounded.select(col("shingle").as("sh_b"), col("id").as("id_b"), col("set_size").as("size_b"))
-    a.join(b, col("sh_a") === col("sh_b") && col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"), col("size_a"), col("size_b"))
-      .agg(count(lit(1)).as("shared"))
+      .select(col("id"), col("sh"), size(col("sh")).as("set_size"))
+    val postings = sets.select(col("id"), col("set_size"), explode(col("sh")).as("shingle"))
+    // canonical order key: global document frequency (rarest first)
+    val dfreq = postings.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    // relaxed threshold: the final filter keeps pairs whose 4-dp ROUNDED
+    // containment reaches t, i.e. true containment ≥ t − 5e-5 — size the
+    // prefix for t − 1e-4 so those round-up survivors stay reachable
+    val tEff = threshold - 1e-4
+    val prefix = postings
+      .join(dfreq, "shingle")
+      .groupBy(col("id"), col("set_size"))
+      .agg(array_sort(collect_list(struct(col("df"), col("shingle")))).as("ordered"))
+      .select(
+        col("id"),
+        col("set_size"),
+        explode(
+          slice(
+            col("ordered"),
+            lit(1),
+            greatest(
+              lit(1),
+              (col("set_size") - ceil(col("set_size") * tEff) + 1).cast("int"))))
+          .as("o"))
+      .select(col("id"), col("set_size"), col("o.shingle").as("shingle"))
+    // candidates: a prefix shingle of the (lexicographically (size, id))
+    // smaller set found anywhere in the larger set's full postings
+    val probe = postings
+      .select(col("shingle").as("sh_l"), col("id").as("id_l"), col("set_size").as("size_l"))
+    val cand = prefix
+      .select(col("shingle").as("sh_s"), col("id").as("id_s"), col("set_size").as("size_s"))
+      .join(
+        probe,
+        col("sh_s") === col("sh_l") &&
+          (col("size_s") < col("size_l") ||
+            (col("size_s") === col("size_l") && col("id_s") < col("id_l"))))
+      .select(col("id_s"), col("id_l"))
+      .distinct()
+    // exact verification against the full sets
+    cand
+      .join(sets.select(col("id").as("id_s"), col("sh").as("sh_s_arr"), col("set_size").as("size_s")), "id_s")
+      .join(sets.select(col("id").as("id_l"), col("sh").as("sh_l_arr"), col("set_size").as("size_l")), "id_l")
+      .withColumn("shared", size(array_intersect(col("sh_s_arr"), col("sh_l_arr"))))
       .withColumn(
         "containment",
-        floor(col("shared") / least(col("size_a"), col("size_b")) * 10000 + 0.5) / 10000.0)
+        floor(col("shared") / least(col("size_s"), col("size_l")) * 10000 + 0.5) / 10000.0)
       .filter(col("containment") >= threshold)
       .select(
-        when(col("size_a") <= col("size_b"), col("id_a")).otherwise(col("id_b")).as("id_contained"),
-        when(col("size_a") <= col("size_b"), col("id_b")).otherwise(col("id_a")).as("id_container"),
+        col("id_s").as("id_contained"),
+        col("id_l").as("id_container"),
         col("containment"))
   }
 

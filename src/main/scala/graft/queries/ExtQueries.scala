@@ -375,13 +375,15 @@ object ExtQueries {
   /** Asymmetric containment dedup over the planted-near-dup corpus:
     * the trimmed copies are (almost) wholly CONTAINED in their
     * originals — containment 1.0 where symmetric Jaccard reads lower.
-    * Directed output, postings cap enabled (the only guard containment
-    * has — see [[Dedup.ngramContainmentPairs]]).
+    * Directed output. PPJoin prefix filtering + exact verification
+    * (see [[Dedup.ngramContainmentPairs]]) makes the result EXACT — all
+    * pairs with rounded containment ≥ t, no postings-cap semantics — so
+    * the oracle below is the plain brute-force containment join.
     */
   def dedupContainment(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.ngramContainmentPairs(
       corpusNearDups(docs(spark, sfDir)), "doc_id", "text",
-      threshold = 0.9, shingleN = 3, maxPostings = NgramMaxPostings)
+      threshold = 0.9, shingleN = 3)
 
   val dedupContainmentSql: String =
     s"""WITH corpus AS (
@@ -391,23 +393,19 @@ object ExtQueries {
       |         array_to_string(toks[1:greatest(len(toks) - 2, 0)], ' ')
       |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
       |        FROM documents WHERE doc_id % 5 = 0)),
-      |sh AS (
+      |sh AS MATERIALIZED (
       |  SELECT doc_id,
       |    list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
       |      ELSE list_transform(range(1, len(toks) - 1),
       |                          j -> array_to_string(toks[j:j+2], ' ')) END) AS s
       |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
       |        FROM corpus)),
-      |posting AS (SELECT doc_id, unnest(s) AS g FROM sh),
-      |kept AS (
-      |  SELECT doc_id, g FROM posting
-      |  WHERE g NOT IN (SELECT g FROM posting GROUP BY g
-      |                  HAVING count(*) > $NgramMaxPostings)),
+      |posting AS MATERIALIZED (SELECT doc_id, unnest(s) AS g FROM sh),
       |shared AS (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-      |  FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  FROM posting a JOIN posting b ON a.g = b.g AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2),
-      |sz AS (SELECT doc_id, len(s) AS n FROM sh),
+      |sz AS MATERIALIZED (SELECT doc_id, len(s) AS n FROM sh),
       |scored AS (
       |  SELECT id_a, id_b, sa.n AS na, sb.n AS nb,
       |         floor(CAST(c AS DOUBLE) / least(sa.n, sb.n) * 10000 + 0.5) / 10000.0 AS containment

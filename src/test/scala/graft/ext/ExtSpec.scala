@@ -286,6 +286,57 @@ class DedupSpec extends SparkSpec {
       "Jaccard should miss the quote-in-page pair at any reasonable threshold")
   }
 
+  test("containment prefix filter loses nothing on hot shingles (no postings cap needed)") {
+    // every doc shares one boilerplate sentence — a postings cap of any
+    // size below the corpus would drop those shingles from the index and
+    // with them any pair whose overlap rides on them. The PPJoin prefix
+    // filter must still find the planted contained pair: boilerplate
+    // sorts LAST in the df-ascending canonical order, so it stays out of
+    // prefixes without being dropped from the probe side.
+    val boiler = "all rights reserved by the original publisher of record"
+    val quote = "a very specific quoted passage appears embedded right here"
+    val filler = (i: Int) => (1 to 30).map(j => s"u${i}x$j").mkString(" ")
+    val base = (0 until 30).map(i => (i.toLong, s"${filler(i)} $boiler"))
+    val pair = Seq(
+      (100L, s"$quote $boiler"), // contained: quote + boilerplate only
+      (101L, s"${filler(99)} $quote $boiler ${(1 to 30).map(j => s"v$j").mkString(" ")}"))
+    val docs = (base ++ pair).toDF("id", "text")
+    val out = Dedup.ngramContainmentPairs(docs, "id", "text", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out.contains((100L, 101L)), s"hot-shingle contained pair missed: $out")
+    assert(out((100L, 101L)) == 1.0, s"got ${out((100L, 101L))}")
+    // and the boilerplate alone must NOT fabricate pairs between fillers
+    assert(!out.keySet.exists(p => p._1 < 100L && p._2 < 100L), s"got $out")
+  }
+
+  test("containment join is exact: agrees with brute-force verification on every pair") {
+    val brute = {
+      val a = corpus.select(col("id").as("id_a"), col("text").as("text_a"))
+      val b = corpus.select(col("id").as("id_b"), col("text").as("text_b"))
+      val shA = Dedup.shingles(col("text_a"))
+      val shB = Dedup.shingles(col("text_b"))
+      val shared = size(array_intersect(shA, shB)).cast("double")
+      a.join(b, col("id_a") < col("id_b"))
+        .withColumn("na", size(shA))
+        .withColumn("nb", size(shB))
+        .withColumn(
+          "containment",
+          floor(shared / least(col("na"), col("nb")) * 10000 + 0.5) / 10000.0)
+        .filter(col("containment") >= 0.9)
+        .select(
+          when(col("na") <= col("nb"), col("id_a")).otherwise(col("id_b")).as("id_contained"),
+          when(col("na") <= col("nb"), col("id_b")).otherwise(col("id_a")).as("id_container"),
+          col("containment"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    }
+    val viaPrefix = Dedup.ngramContainmentPairs(corpus, "id", "text", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(viaPrefix == brute, s"prefix=${viaPrefix.size} pairs, brute=${brute.size}")
+    // the planted trimmed copies are contained in their originals
+    val planted = (0 until 60 by 3).map(i => (1000L + i, i.toLong)).toSet
+    assert(planted.subsetOf(viaPrefix.keySet), s"missing ${planted -- viaPrefix.keySet}")
+  }
+
   test("ngram Jaccard join is exact: agrees with brute-force verification on every pair") {
     val viaIndex = Dedup.ngramJaccardPairs(corpus, "id", "text", 0.5).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap

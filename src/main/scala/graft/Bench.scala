@@ -1,6 +1,43 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
+
+  /** Run each query once, timing wall-clock; a query that THROWS is
+    * recorded in the failed list (name -> error) instead of silently
+    * contributing a fast-looking wall time — a regression must read as
+    * a failure, never as a speedup.
+    */
+  def measure(
+      spark: SparkSession,
+      sfDir: String,
+      queries: Seq[(String, (SparkSession, String) => DataFrame)])
+      : (Seq[(String, Double)], Seq[(String, String)]) = {
+    val failed = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    val results = queries.map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          failed += name -> s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}"
+      }
+      name -> (System.nanoTime() - t0) / 1e9
+    }
+    (results, failed.toSeq)
+  }
+
+  /** JSON string literal with control/quote/backslash escaping (error
+    * messages routinely carry quotes and newlines).
+    */
+  def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -33,11 +70,7 @@ object Bench {
     val selected = SparkEntry.queries.filter { case (n, _) =>
       only.forall(_.contains(n)) && !skipped.contains(n)
     }
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    val (results, failed) = measure(spark, sfDir, selected.toSeq.sortBy(_._1))
     val total = results.map(_._2).sum
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -48,21 +81,26 @@ object Bench {
       .mkString("{", ",", "}")
     val detailPath = java.nio.file.Paths.get("bench_detail.json")
     val skippedJson = skipped.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val failedDetailJson = failed
+      .map { case (q, err) => s"""{"query":${jsonStr(q)},"error":${jsonStr(err)}}""" }
+      .mkString("[", ",", "]")
     java.nio.file.Files.write(
       detailPath,
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"skipped":$skippedJson,"sf":"$sfDir"}""".getBytes("UTF-8"))
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"skipped":$skippedJson,"failed":$failedDetailJson,"sf":"$sfDir"}""".getBytes("UTF-8"))
     // The single stdout JSON line keeps the slowest queries (they dominate
-    // the total) up to a byte budget that fits the tail window.
+    // the total) up to a byte budget that fits the tail window; failed
+    // NAMES always make the line (errors live in the detail file).
     val budget = 1700
+    val failedJson = failed.map(f => jsonStr(f._1)).mkString("[", ",", "]")
     val slowestFirst = results.sortBy(-_._2)
     val kept = scala.collection.mutable.ListBuffer.empty[String]
-    var used = 120 // envelope overhead
+    var used = 140 + failedJson.length // envelope overhead
     slowestFirst.foreach { case (k, v) =>
       val ent = s"\"" + k + "\":" + fmt(v)
       if (used + ent.length + 1 <= budget) { kept += ent; used += ent.length + 1 }
     }
     val qs = kept.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"skipped":$skippedJson,"sf":"$sfDir","detail":"bench_detail.json"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"skipped":$skippedJson,"failed":$failedJson,"sf":"$sfDir","detail":"bench_detail.json"}""")
     spark.stop()
   }
 }

@@ -169,6 +169,57 @@ class ProductQuantSpec extends SparkSpec {
     }
   }
 
+  test("lossy-codebook ADC reaches recall@10 >= 0.9 against exact dot-product top-k") {
+    // The lossless-parity tests above pin ADC's arithmetic at k = n;
+    // this anchors the APPROXIMATION quality on a genuinely lossy
+    // configuration (k << n, positive reconstruction error) — the same
+    // role the subset-of-brute-top-k' pin plays for hyperplane ANN.
+    // Corpus: 10 deterministic cluster centers in [0,1]^8 with per-
+    // vector jitter (embedding-like geometry; a hash in place of RNG
+    // keeps the spec bit-reproducible).
+    val n = 200
+    // splitmix-style avalanche: a plain LCG here leaves consecutive
+    // cluster centers nearly collinear (inter-center cos > 0.99) and the
+    // recall anchor would measure hash artifacts, not ADC quality
+    def mix(x0: Long): Long = {
+      var x = x0
+      x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+      x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+      x ^= x >>> 33; x
+    }
+    def h(i: Long, d: Int, salt: Int): Double =
+      java.lang.Long.remainderUnsigned(mix(i * 1000003L + d * 8191L + salt), 1000L) / 1000.0
+    // 20 directionally-separated clusters of 10 members each, all
+    // UNIT-NORMALIZED: dot-product ranking is then cosine ranking, a
+    // query's exact top-10 is its own cluster, and the anchor measures
+    // whether ADC preserves cluster-level ranking (what PQ is for)
+    // rather than norm effects or within-jitter noise
+    val vecs = (0L until n.toLong).map { i =>
+      val c = (i % 20).toInt
+      val raw = (0 until 8).map(d => h(c.toLong, d, 7) - 0.5 + 0.05 * h(i, d, 13))
+      val norm = math.sqrt(raw.map(x => x * x).sum)
+      (i, raw.map(x => (x / norm).toFloat))
+    }
+    val df = vecs.toDF("id", "v")
+    val books = ProductQuant.pqFit(df, "id", "v", m = 4, k = 32, iters = 2)
+    val enc = ProductQuant.pqEncode(df, "id", "v", books, k = 32)
+    // genuinely lossy: 16 centroids cannot represent 200 subvectors
+    val totalErr = enc.agg(org.apache.spark.sql.functions.sum("recon_d2")).head().getDouble(0)
+    assert(totalErr > 0.0, "configuration must be lossy for the recall bound to mean anything")
+    val queries = Seq(3L, 77L, 150L).map(q => q -> vecs(q.toInt)._2.map(_.toDouble).toSeq)
+    val recalls = queries.map { case (qid, q) =>
+      val exactTop = vecs
+        .map { case (id, v) => id -> v.map(_.toDouble).zip(q).map(p => p._1 * p._2).sum }
+        .sortBy { case (id, s) => (-s, id) }
+        .take(10).map(_._1).toSet
+      val adcTop = ProductQuant.adcTopK(enc, "id", books, 32, Seq((qid, q)), 10)
+        .collect().map(_.getLong(1)).toSet
+      (exactTop & adcTop).size / 10.0
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"recall@10 per query = $recalls (mean $mean)")
+  }
+
   test("adc over a lossless codebook reproduces exact dot products") {
     val df = corpus(4)
     val books = ProductQuant.pqFit(df, "id", "v", m = 2, k = 4, iters = 1)

@@ -257,6 +257,55 @@ class LakeTableSpec extends SparkSpec {
     assert(t1.latestVersion().contains((perWriter * 2 - 1).toLong))
   }
 
+  test("racing appends from two PROCESSES lose no commits (cross-JVM CAS)") {
+    // the in-JVM race above shares one JVM's file-handle state; the CAS
+    // claim (createLink = O_CREAT|O_EXCL) is a cross-process property,
+    // so fork two real JVMs each appending through the full append path
+    val root = scratchDir("xprocrace")
+    val perWriter = 4
+    def codeSourceOf(c: Class[_]): String =
+      java.nio.file.Paths.get(c.getProtectionDomain.getCodeSource.getLocation.toURI).toString
+    val sparkJarDir = java.nio.file.Paths
+      .get(classOf[org.apache.spark.sql.SparkSession]
+        .getProtectionDomain.getCodeSource.getLocation.toURI)
+      .getParent.toString
+    val cp = Seq(
+      codeSourceOf(classOf[LakeTable]), // main classes
+      codeSourceOf(CasRaceMain.getClass), // test classes
+      codeSourceOf(classOf[List[_]]), // scala-library
+      s"$sparkJarDir/*"
+    ).mkString(java.io.File.pathSeparator)
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    def launch(writer: String): Process =
+      new ProcessBuilder(
+        javaBin, "-Xmx2g", "--enable-native-access=ALL-UNNAMED",
+        "--add-opens=java.base/java.lang=ALL-UNNAMED",
+        "--add-opens=java.base/java.nio=ALL-UNNAMED",
+        "--add-opens=java.base/sun.nio.ch=ALL-UNNAMED",
+        "--add-opens=java.base/java.util=ALL-UNNAMED",
+        "--add-opens=java.base/java.lang.invoke=ALL-UNNAMED",
+        "--add-opens=java.base/sun.util.calendar=ALL-UNNAMED",
+        "--add-opens=java.base/sun.security.action=ALL-UNNAMED",
+        "-cp", cp, "graft.tables.CasRaceMain", root, writer, perWriter.toString)
+        .redirectErrorStream(true)
+        .redirectOutput(java.io.File.createTempFile(s"casrace-$writer-", ".log"))
+        .start()
+    val p1 = launch("w1")
+    val p2 = launch("w2")
+    assert(p1.waitFor(300, java.util.concurrent.TimeUnit.SECONDS), "writer 1 timed out")
+    assert(p2.waitFor(300, java.util.concurrent.TimeUnit.SECONDS), "writer 2 timed out")
+    assert(p1.exitValue() == 0, s"writer 1 failed with ${p1.exitValue()}")
+    assert(p2.exitValue() == 0, s"writer 2 failed with ${p2.exitValue()}")
+    val t = LakeTable(spark, root)
+    val rows = t.read().collect()
+    assert(rows.length == perWriter * 2, s"lost commits: ${rows.length} rows")
+    assert(rows.count(_.getString(1) == "w1") == perWriter)
+    assert(rows.count(_.getString(1) == "w2") == perWriter)
+    // versions are a gapless 0..2N-1 sequence: every CAS claim that
+    // succeeded published a distinct version, none overwritten
+    assert(t.latestVersion().contains((perWriter * 2 - 1).toLong))
+  }
+
   test("files() lists live data files with sizes; scope-narrowed subdirs are excluded") {
     val t = LakeTable(spark, scratchDir("files"))
     t.append(Seq((1, "a", 2023), (2, "b", 2024)).toDF("k", "v", "year"), Seq("year"))

@@ -53,18 +53,8 @@ object Bpe {
           concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
           .otherwise(concat(acc, array(x))))
 
-  /** Release the cached blocks behind an eager `localCheckpoint` once a
-    * successor checkpoint has materialized. A checkpointed Dataset's
-    * plan IS a `LogicalRDD` over the locally-checkpointed RDD, so the
-    * blocks are reachable (and releasable) through it; `unpersist` on
-    * the Dataset itself would be a no-op because the cache manager never
-    * tracked it.
-    */
   private def releaseCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed match {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
+    graft.util.Checkpoints.releaseLocal(df)
 
   /** Run `merges` BPE rounds; returns the merge table in step order.
     * Stops early when no adjacent pair remains.

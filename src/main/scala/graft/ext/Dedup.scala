@@ -573,12 +573,18 @@ object Dedup {
       .distinct()
     // localCheckpoint each round: iterative plans otherwise grow a
     // doubling lineage, and the convergence probe would recompute the
-    // whole chain every iteration
+    // whole chain every iteration; each round releases its predecessor's
+    // blocks so storage stays O(one label table)
     val cachedEdges = edges.localCheckpoint(true)
+    // round 1 fused into initialization: with identity labels the first
+    // propagation is just "min over self and neighbors" — one aggregate
+    // over the edge list, no join, no separate identity-label pass. For
+    // the dominant dedup shape (diameter-1 dup clusters) the loop below
+    // then runs exactly once, as fixpoint detection.
     var labels = cachedEdges
-      .select(col("src").as("id"))
-      .distinct()
-      .withColumn("cluster_rep", col("id"))
+      .groupBy(col("src"))
+      .agg(least(min(col("dst")), col("src")).as("cluster_rep"))
+      .select(col("src").as("id"), col("cluster_rep"))
       .localCheckpoint(true)
     // Convergence probe, dispatched on the id TYPE. Integral ids
     // (long/int/scale-0 decimal): labels under min-propagation are
@@ -609,23 +615,35 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
+      val prev = labels
       val neighborLabels = cachedEdges
         .join(labels, cachedEdges("dst") === labels("id"))
         .select(col("src").as("id"), col("cluster_rep"))
-      val next = labels
+      val nextLazy = labels
         .select(col("id"), col("cluster_rep"))
         .unionByName(neighborLabels)
         .groupBy(col("id"))
         .agg(min(col("cluster_rep")).as("cluster_rep"))
-        .localCheckpoint(true)
       if (sumProbeSafe) {
-        val nextSum = labelSum(next)
-        converged = nextSum.compareTo(prevSum) == 0
-        prevSum = nextSum
+        // probe the LAZY plan first: on the detection round (sum stable
+        // ⇒ fixpoint, labels == prev) the materializing checkpoint would
+        // be pure waste — and for dup graphs the detection round is
+        // usually the ONLY loop round (diameter 1 after the fused init).
+        // Non-converged rounds recompute once for the checkpoint — a
+        // deliberate trade that wins whenever rounds ≈ diameter is small.
+        val nextSum = labelSum(nextLazy)
+        if (nextSum.compareTo(prevSum) == 0) converged = true
+        else {
+          prevSum = nextSum
+          labels = nextLazy.localCheckpoint(true)
+          graft.util.Checkpoints.releaseLocal(prev)
+        }
       } else {
+        val next = nextLazy.localCheckpoint(true)
         converged = unchanged(next, labels)
+        labels = next
+        graft.util.Checkpoints.releaseLocal(prev)
       }
-      labels = next
       i += 1
     }
     labels

@@ -21,6 +21,7 @@ object Sessions {
     val spark = SparkSession
       .builder()
       .master(s"local[$cores]")
+      .withExtensions(new graft.plans.GraftExtensions)
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")

@@ -71,6 +71,9 @@ object HofDotStrengthReduction extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => HofDotStrengthReduction)
+    // MERGE INTO over lake tables: intercepted at the parser (see
+    // MergeSql.scala for why analysis-time interception is too late)
+    ext.injectParser((session, delegate) => new GraftMergeParser(session, delegate))
     GraftExtensions.functions.foreach { case (name, builder) =>
       ext.injectFunction(
         (

@@ -1,0 +1,269 @@
+package graft.plans
+
+import org.apache.spark.sql.{GraftSqlInternals, Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation, UnresolvedStar}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.Count
+import org.apache.spark.sql.catalyst.parser.{ParseException, ParserInterface}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftOuter}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.StructType
+
+/** `MERGE INTO` as SQL over [[graft.tables.LakeTable]] targets — the
+  * SQL surface of the reference's entire merge layer
+  * (`/root/reference/src/silver/_silver_utils.py:136-149,176-183`,
+  * Iceberg `MERGE INTO`). Spark parses MERGE for any relation but
+  * EXECUTES it only against DSv2 tables implementing row-level
+  * operations; lake tables are v1 paths, so the statement is
+  * intercepted at the PARSER (before any analysis can race: analyzer
+  * resolution would bind clause expressions to a snapshot-pinned view
+  * plan, while the merge must read the CURRENT table version at run
+  * time) and rewritten to [[GraftMergeIntoCommand]], which plans the
+  * standard copy-on-write rewrite — the same join-and-replace shape
+  * Iceberg/Delta execute under their MERGE — and commits atomically
+  * through `LakeTable.overwrite`.
+  *
+  * Supported surface (the reference's, plus conditions):
+  *   - `WHEN MATCHED [AND cond] THEN UPDATE SET *` / explicit
+  *     assignments / `DELETE`, first-match-wins across clauses;
+  *   - `WHEN NOT MATCHED [AND cond] THEN INSERT *` / explicit
+  *     assignments (unassigned columns become NULL);
+  *   - arbitrary `ON` condition.
+  * `WHEN NOT MATCHED BY SOURCE` and schema evolution are rejected
+  * loudly. A target row matching multiple source rows is an error
+  * (the SQL-standard / Delta / Iceberg cardinality rule), enforced
+  * with one inner-join probe before the rewrite.
+  */
+object MergeSqlTargets {
+
+  // keyed by (session identity, lowercased name) — session-scoped like
+  // the temp views these targets are registered alongside
+  private val targets =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+
+  /** Register `name` as a MERGE-able SQL identifier for this session,
+    * backed by the lake table at `root`.
+    */
+  def register(spark: SparkSession, name: String, root: String): Unit = {
+    targets((System.identityHashCode(spark), name.toLowerCase)) = root
+    ()
+  }
+
+  def rootFor(spark: SparkSession, nameParts: Seq[String]): Option[String] =
+    if (nameParts.length != 1) None
+    else targets.get((System.identityHashCode(spark), nameParts.head.toLowerCase))
+}
+
+/** Delegating parser that rewrites a parsed `MergeIntoTable` whose
+  * target is a registered lake-table name into the runnable command.
+  * Everything else passes straight through to Spark's parser.
+  */
+class GraftMergeParser(session: SparkSession, delegate: ParserInterface)
+  extends ParserInterface {
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    delegate.parsePlan(sqlText) match {
+      case m: MergeIntoTable => rewriteIfRegistered(m)
+      case other => other
+    }
+
+  private def rewriteIfRegistered(m: MergeIntoTable): LogicalPlan = {
+    // target: bare name or `name AS alias` — both still unresolved here
+    val (nameParts, targetAlias) = m.targetTable match {
+      case SubqueryAlias(id, UnresolvedRelation(parts, _, _)) => (parts, id.name)
+      case UnresolvedRelation(parts, _, _) => (parts, parts.last)
+      case _ => return m
+    }
+    MergeSqlTargets.rootFor(session, nameParts) match {
+      case None => m // not ours: Spark's own (DSv2) path / error applies
+      case Some(root) =>
+        require(
+          m.notMatchedBySourceActions.isEmpty,
+          "graft MERGE INTO does not support WHEN NOT MATCHED BY SOURCE")
+        require(
+          !m.withSchemaEvolution,
+          "graft MERGE INTO does not support WITH SCHEMA EVOLUTION")
+        // normalize the source under a known qualifier for SET * / INSERT *
+        val (source, sourceAlias) = m.sourceTable match {
+          case s @ SubqueryAlias(id, _) => (s: LogicalPlan, id.name)
+          case u @ UnresolvedRelation(parts, _, _) => (u: LogicalPlan, parts.last)
+          case other => (SubqueryAlias("__graft_src", other): LogicalPlan, "__graft_src")
+        }
+        GraftMergeIntoCommand(
+          root, targetAlias, sourceAlias,
+          new MergeSqlPayload(source, m.mergeCondition, m.matchedActions, m.notMatchedActions))
+    }
+  }
+
+  override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(sqlText)
+  override def parseExpression(sqlText: String): Expression = delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType = delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}
+
+/** The parsed merge body, deliberately a PLAIN class (not a Product):
+  * TreeNode reflection collects Expression/LogicalPlan constructor
+  * fields of a command as its own expressions and the analyzer would
+  * try (and fail) to resolve them against a childless leaf — these
+  * trees must stay opaque until [[GraftMergeIntoCommand.run]] builds
+  * the rewrite plan they resolve inside.
+  */
+final class MergeSqlPayload(
+    val source: LogicalPlan,
+    val condition: Expression,
+    val matchedActions: Seq[MergeAction],
+    val notMatchedActions: Seq[MergeAction]) extends Serializable
+
+/** The executable MERGE: reads the target's CURRENT snapshot, applies
+  * the clause semantics as one declarative join-rewrite plan, and
+  * commits through `LakeTable.overwrite` (atomic manifest swap — the
+  * same commit the programmatic `Merge.mergeScd1/2` rewrites use).
+  *
+  * Plan shape (all Catalyst-declarative, no driver row handling):
+  * matched side = target LEFT OUTER JOIN source(+true marker) on the
+  * merge condition, a first-match-wins clause index, DELETE rows
+  * filtered, per-column CASE projecting update values; insert side =
+  * source LEFT ANTI JOIN target, its own clause index/filter and
+  * projection; UNION of both replaces the table. At scale the join is
+  * the standard MERGE shuffle (broadcastable small source), and the
+  * cardinality probe is one inner join over the same keys.
+  */
+final case class GraftMergeIntoCommand(
+    root: String,
+    targetAlias: String,
+    sourceAlias: String,
+    payload: MergeSqlPayload) extends LeafRunnableCommand {
+
+  private def source = payload.source
+  private def condition = payload.condition
+  private def matchedActions = payload.matchedActions
+  private def notMatchedActions = payload.notMatchedActions
+
+  private val MatchedCol = "__graft_matched"
+  private val ClauseCol = "__graft_clause"
+  private val TidCol = "__graft_tid"
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val table = graft.tables.LakeTable(spark, root)
+    require(
+      table.exists,
+      s"MERGE INTO target at $root does not exist; load it first (append/INSERT)")
+    val targetDf = table.read()
+    val targetSchema = targetDf.schema
+    val targetPlan = targetDf.queryExecution.analyzed
+    def aliasT = SubqueryAlias(targetAlias, targetPlan)
+    def tAttr(c: String) = UnresolvedAttribute(Seq(targetAlias, c))
+    def sAttr(c: String) = UnresolvedAttribute(Seq(sourceAlias, c))
+    val clauseRef = UnresolvedAttribute(Seq(ClauseCol))
+
+    def assignmentFor(assigns: Seq[Assignment], c: String): Option[Expression] =
+      assigns.collectFirst {
+        case Assignment(k: UnresolvedAttribute, v) if k.nameParts.last.equalsIgnoreCase(c) => v
+      }
+
+    // ---- cardinality rule: no target row may match >1 source row ----
+    if (matchedActions.nonEmpty) {
+      val tWithId = Project(
+        Seq(UnresolvedStar(None), Alias(MonotonicallyIncreasingID(), TidCol)()),
+        aliasT)
+      val probe = Aggregate(
+        Seq(UnresolvedAttribute(Seq(TidCol))),
+        Seq(Alias(Count(Seq(Literal(1))).toAggregateExpression(), "cnt")()),
+        Join(tWithId, source, Inner, Some(condition), JoinHint.NONE))
+      val ambiguous = GraftSqlInternals.ofRows(spark, probe)
+        .filter(col("cnt") > 1)
+        .limit(1)
+      require(
+        ambiguous.isEmpty,
+        "MERGE INTO: a target row matches multiple source rows " +
+          "(ambiguous merge — the SQL cardinality rule Iceberg/Delta also enforce)")
+    }
+
+    // ---- matched side: target LEFT OUTER source, clause-indexed ----
+    val updatedPart: LogicalPlan =
+      if (matchedActions.isEmpty) {
+        Project(targetSchema.fields.map(f => Alias(tAttr(f.name), f.name)()).toSeq, aliasT)
+      } else {
+        val matchedRef = UnresolvedAttribute(Seq(MatchedCol))
+        val sourceAug = Project(
+          Seq(UnresolvedStar(None), Alias(Literal(true), MatchedCol)()),
+          source)
+        val joined = Join(aliasT, sourceAug, LeftOuter, Some(condition), JoinHint.NONE)
+        val clauseIdx = CaseWhen(
+          matchedActions.zipWithIndex.map { case (a, i) =>
+            (And(EqualNullSafe(matchedRef, Literal(true)),
+              a.condition.getOrElse(Literal(true))), Literal(i)): (Expression, Expression)
+          },
+          Some(Literal(-1)))
+        val withClause = Project(
+          Seq(UnresolvedStar(None), Alias(clauseIdx, ClauseCol)()),
+          joined)
+        val deleteIdxs = matchedActions.zipWithIndex.collect { case (_: DeleteAction, i) => i }
+        val filtered = deleteIdxs.foldLeft[LogicalPlan](withClause) { (p, i) =>
+          Filter(Not(EqualTo(clauseRef, Literal(i))), p)
+        }
+        val cols = targetSchema.fields.map { f =>
+          val branches = matchedActions.zipWithIndex.flatMap {
+            case (_: UpdateStarAction, i) =>
+              Some((EqualTo(clauseRef, Literal(i)): Expression, sAttr(f.name): Expression))
+            case (UpdateAction(_, assigns, _), i) =>
+              assignmentFor(assigns, f.name)
+                .map(v => (EqualTo(clauseRef, Literal(i)): Expression, v))
+            case _ => None
+          }
+          val e =
+            if (branches.isEmpty) tAttr(f.name): Expression
+            else CaseWhen(branches, Some(tAttr(f.name)))
+          Alias(e, f.name)()
+        }
+        Project(cols.toSeq, filtered)
+      }
+
+    // ---- insert side: source LEFT ANTI target ----
+    val insertPart: Option[LogicalPlan] =
+      if (notMatchedActions.isEmpty) None
+      else {
+        val anti = Join(source, aliasT, LeftAnti, Some(condition), JoinHint.NONE)
+        val insIdx = CaseWhen(
+          notMatchedActions.zipWithIndex.map { case (a, i) =>
+            (a.condition.getOrElse(Literal(true)): Expression, Literal(i): Expression)
+          },
+          Some(Literal(-1)))
+        val withClause = Project(
+          Seq(UnresolvedStar(None), Alias(insIdx, ClauseCol)()),
+          anti)
+        val filtered = Filter(GreaterThanOrEqual(clauseRef, Literal(0)), withClause)
+        val cols = targetSchema.fields.map { f =>
+          val branches = notMatchedActions.zipWithIndex.flatMap {
+            case (_: InsertStarAction, i) =>
+              Some((EqualTo(clauseRef, Literal(i)): Expression, sAttr(f.name): Expression))
+            case (InsertAction(_, assigns), i) =>
+              Some((EqualTo(clauseRef, Literal(i)): Expression,
+                assignmentFor(assigns, f.name).getOrElse(Literal.create(null, f.dataType))))
+            case _ => None
+          }
+          Alias(CaseWhen(branches, Some(Literal.create(null, f.dataType))), f.name)()
+        }
+        Some(Project(cols.toSeq, filtered))
+      }
+
+    val result = insertPart match {
+      case Some(ins) => Union(updatedPart, ins)
+      case None => updatedPart
+    }
+    table.overwrite(GraftSqlInternals.ofRows(spark, result))
+    Seq.empty
+  }
+}

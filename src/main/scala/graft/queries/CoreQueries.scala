@@ -666,6 +666,41 @@ object CoreQueries {
       |SELECT c_custkey + 1000000, c_name, c_acctbal
       |FROM customer WHERE c_custkey % 7 = 0""".stripMargin
 
+  /** MERGE INTO as SQL (SURVEY §7.4's v2 path, delivered via the
+    * parser-level rewrite in [[graft.plans.GraftMergeParser]]): the
+    * exact upsert scenario of q_scd1_upsert, but the second merge runs
+    * as a literal `MERGE INTO ... WHEN MATCHED THEN UPDATE SET * WHEN
+    * NOT MATCHED THEN INSERT *` statement — the reference's silver
+    * merge surface (/root/reference/src/silver/_silver_utils.py:176-183)
+    * as a one-statement SQL call. Shares q_scd1_upsert's oracle: the
+    * SQL path must be observationally identical to the programmatic
+    * Merge.mergeScd1.
+    */
+  def mergeSql(spark: SparkSession, sfDir: String): DataFrame = {
+    val customer = spark.read
+      .parquet(p(sfDir, "customer"))
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val table = LakeTable(spark, scratch("mergesql"))
+    table.append(customer) // first load (K5)
+    val updates = customer
+      .filter(col("c_custkey") % 4 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") * 2)
+    val inserts = customer
+      .filter(col("c_custkey") % 7 === 0)
+      .withColumn("c_custkey", col("c_custkey") + 1000000)
+    updates.unionByName(inserts).createOrReplaceTempView("merge_updates")
+    graft.plans.MergeSqlTargets.register(spark, "merge_target", table.root)
+    spark.sql(
+      """MERGE INTO merge_target t
+        |USING merge_updates s
+        |ON t.c_custkey = s.c_custkey
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    table.read()
+  }
+
+  val mergeSqlOracleSql: String = scd1UpsertSql
+
   /** Snapshot + time travel (§2.10): append v0, append v1, read back
     * `VERSION AS OF` 0 — only the first batch is visible.
     */
@@ -814,6 +849,7 @@ object CoreQueries {
     "q_csv_infer" -> (csvInfer _),
     "q_scd2_versions" -> (scd2Versions _),
     "q_scd1_upsert" -> (scd1Upsert _),
+    "q_merge_sql" -> (mergeSql _),
     "q_time_travel" -> (timeTravel _),
     "q_snapshots" -> (snapshotsListing _),
     "q_scd1_partitioned" -> (scd1Partitioned _),
@@ -844,6 +880,7 @@ object CoreQueries {
     "q_csv_infer" -> csvInferSql,
     "q_scd2_versions" -> scd2VersionsSql,
     "q_scd1_upsert" -> scd1UpsertSql,
+    "q_merge_sql" -> mergeSqlOracleSql,
     "q_time_travel" -> timeTravelSql,
     "q_snapshots" -> snapshotsListingSql,
     "q_scd1_partitioned" -> scd1PartitionedSql,

@@ -20,11 +20,17 @@ final case class Catalog(spark: SparkSession, root: String) {
     LakeTable(spark, s"$root/$schema/$name")
 
   /** Register a lake table as `<schema>_<name>` for spark.sql use,
-    * reading the current snapshot.
+    * reading the current snapshot. The same name also becomes a valid
+    * `MERGE INTO` target ([[graft.plans.MergeSqlTargets]]) — reads go
+    * through the snapshot-pinned view; MERGE reads the CURRENT version
+    * at execution time and commits through the table (re-register the
+    * view to see post-merge data).
     */
   def registerView(schema: String, name: String): String = {
     val viewName = s"${schema}_$name"
-    table(schema, name).read().createOrReplaceTempView(viewName)
+    val t = table(schema, name)
+    t.read().createOrReplaceTempView(viewName)
+    graft.plans.MergeSqlTargets.register(spark, viewName, t.root)
     viewName
   }
 

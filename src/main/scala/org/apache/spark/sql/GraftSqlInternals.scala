@@ -1,0 +1,15 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Narrow, clearly-scoped bridge to two `private[sql]` entry points the
+  * MERGE INTO command needs: building a DataFrame from a constructed
+  * LogicalPlan. Lives in Spark's package solely for access — the same
+  * technique Spark connectors use for their command implementations; no
+  * Spark internals are modified or shadowed.
+  */
+object GraftSqlInternals {
+
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+}

@@ -8,6 +8,7 @@ trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSession
     .builder()
     .master("local[4]")
+    .withExtensions(new graft.plans.GraftExtensions)
     .appName(getClass.getSimpleName)
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")

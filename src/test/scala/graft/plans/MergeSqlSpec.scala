@@ -1,0 +1,103 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.tables.{Catalog, LakeTable, Merge}
+
+class MergeSqlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTarget(tag: String, rows: Seq[(Int, String, Double)]): LakeTable = {
+    val t = LakeTable(spark, scratchDir(tag))
+    t.append(rows.toDF("k", "name", "bal"))
+    t
+  }
+
+  test("MERGE INTO: UPDATE SET * / INSERT * matches the programmatic SCD1 merge") {
+    val base = Seq((1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0))
+    val updates = Seq((2, "b2", 99.0), (9, "i", 1.0))
+    val viaSql = freshTarget("msql1", base)
+    MergeSqlTargets.register(spark, "t_msql1", viaSql.root)
+    updates.toDF("k", "name", "bal").createOrReplaceTempView("s_msql1")
+    spark.sql(
+      """MERGE INTO t_msql1 t USING s_msql1 s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val viaApi = freshTarget("mapi1", base)
+    Merge.mergeScd1(viaApi, updates.toDF("k", "name", "bal"), Seq("k"))
+    val got = viaSql.read().collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSet
+    val want = viaApi.read().collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got == want, s"sql=$got api=$want")
+    assert(got == Set((1, "a", 10.0), (2, "b2", 99.0), (3, "c", 30.0), (9, "i", 1.0)))
+  }
+
+  test("MERGE INTO: conditional UPDATE assignments, DELETE clause, conditional INSERT") {
+    val t = freshTarget("msql2", Seq((1, "keep", 5.0), (2, "upd", 10.0), (3, "del", 15.0)))
+    MergeSqlTargets.register(spark, "t_msql2", t.root)
+    Seq((2, "u", 100.0), (3, "d", 0.0), (4, "newbig", 50.0), (5, "newsmall", 0.5))
+      .toDF("k", "name", "bal").createOrReplaceTempView("s_msql2")
+    spark.sql(
+      """MERGE INTO t_msql2 t USING s_msql2 s ON t.k = s.k
+        |WHEN MATCHED AND s.bal = 0.0 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET bal = s.bal + t.bal
+        |WHEN NOT MATCHED AND s.bal > 1.0 THEN INSERT (k, name) VALUES (s.k, s.name)
+        |""".stripMargin)
+    val got = t.read().collect()
+      .map(r => (r.getInt(0), r.getString(1), if (r.isNullAt(2)) null else r.getDouble(2)))
+      .toSet
+    // 1 untouched; 2 updated (bal summed, name kept); 3 deleted;
+    // 4 inserted with bal NULL (unassigned); 5 filtered by insert cond
+    assert(got == Set((1, "keep", 5.0), (2, "upd", 110.0), (4, "newbig", null)), s"got $got")
+  }
+
+  test("MERGE INTO enforces the source-cardinality rule") {
+    val t = freshTarget("msql3", Seq((1, "a", 1.0)))
+    MergeSqlTargets.register(spark, "t_msql3", t.root)
+    Seq((1, "x", 2.0), (1, "y", 3.0)).toDF("k", "name", "bal")
+      .createOrReplaceTempView("s_msql3")
+    val e = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO t_msql3 t USING s_msql3 s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    }
+    assert(e.getMessage.contains("multiple source rows"), e.getMessage)
+    // and the table is untouched after the failed merge
+    assert(t.read().collect().map(_.getString(1)).toSeq == Seq("a"))
+  }
+
+  test("MERGE INTO an unregistered name falls through to Spark's own path") {
+    Seq((1, "a")).toDF("k", "v").createOrReplaceTempView("not_a_lake_table")
+    Seq((1, "b")).toDF("k", "v").createOrReplaceTempView("some_src")
+    val e = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO not_a_lake_table t USING some_src s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    }
+    // Spark rejects MERGE into a non-row-level-op relation; the exact
+    // error class is Spark's business — ours is only that we did NOT
+    // intercept (no graft wording in the message)
+    assert(!e.getMessage.contains("graft"), e.getMessage)
+  }
+
+  test("Catalog.registerView names are MERGE-able and merge reads the current version") {
+    val root = scratchDir("msqlcat")
+    val cat = Catalog(spark, root)
+    cat.createSchema("silver")
+    cat.table("silver", "dim").append(Seq((1, "a", 1.0)).toDF("k", "name", "bal"))
+    val view = cat.registerView("silver", "dim")
+    assert(view == "silver_dim")
+    // advance the table PAST the registered view's snapshot: MERGE must
+    // see the appended row (current version), not the view's pin
+    cat.table("silver", "dim").append(Seq((2, "b", 2.0)).toDF("k", "name", "bal"))
+    Seq((2, "b9", 9.0), (7, "n", 7.0)).toDF("k", "name", "bal")
+      .createOrReplaceTempView("s_cat")
+    spark.sql(
+      """MERGE INTO silver_dim t USING s_cat s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = cat.table("silver", "dim").read().collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got == Set((1, "a", 1.0), (2, "b9", 9.0), (7, "n", 7.0)), s"got $got")
+  }
+}

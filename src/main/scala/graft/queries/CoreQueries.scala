@@ -701,6 +701,59 @@ object CoreQueries {
 
   val mergeSqlOracleSql: String = scd1UpsertSql
 
+  /** The reference's SCD2 surface as LITERAL SQL — its exact two-MERGE
+    * protocol (/root/reference/src/silver/_silver_utils.py:136-155):
+    * a conditional close pass (`ON keys AND target.is_current = 1 WHEN
+    * MATCHED AND (tracked differ) THEN UPDATE SET end_timestamp,
+    * is_current`) followed by a NOT-MATCHED insert pass against the
+    * POST-close state (each MERGE reads the current table version, so
+    * closed keys correctly re-insert and unchanged keys skip). Same
+    * scenario and oracle as q_scd2_versions: the SQL protocol must be
+    * observationally identical to the programmatic Merge.mergeScd2.
+    */
+  def mergeSqlScd2(spark: SparkSession, sfDir: String): DataFrame = {
+    val t1 = Timestamp.valueOf("2020-01-01 00:00:00")
+    val t2 = Timestamp.valueOf("2020-02-01 00:00:00")
+    val customer = spark.read
+      .parquet(p(sfDir, "customer"))
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val table = LakeTable(spark, scratch("mergesql2"))
+    Merge.mergeScd2(table, customer, Seq("c_custkey"), Seq("c_acctbal"), t1)
+    val batch2 = customer
+      .filter(col("c_custkey") % 3 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + 100)
+      .unionByName(customer.filter(col("c_custkey") % 3 === 1))
+    Merge.addScd2Cols(batch2, t2).createOrReplaceTempView("scd2_source")
+    graft.plans.MergeSqlTargets.register(spark, "scd2_target", table.root)
+    spark.sql(
+      """MERGE INTO scd2_target AS target
+        |USING scd2_source AS source
+        |ON source.c_custkey = target.c_custkey AND target.is_current = 1
+        |WHEN MATCHED AND (NOT (source.c_acctbal <=> target.c_acctbal)) THEN
+        |  UPDATE SET end_timestamp = TIMESTAMP '2020-02-01 00:00:00', is_current = 0
+        |""".stripMargin)
+    spark.sql(
+      """MERGE INTO scd2_target AS target
+        |USING scd2_source AS source
+        |ON source.c_custkey = target.c_custkey AND target.is_current = 1
+        |WHEN NOT MATCHED THEN
+        |  INSERT (c_custkey, c_name, c_acctbal, start_timestamp, end_timestamp, is_current)
+        |  VALUES (source.c_custkey, source.c_name, source.c_acctbal,
+        |          source.start_timestamp, source.end_timestamp, source.is_current)
+        |""".stripMargin)
+    table
+      .read()
+      .select(
+        col("c_custkey"),
+        col("c_name"),
+        col("c_acctbal"),
+        date_format(col("start_timestamp"), fmt).as("start_ts"),
+        date_format(col("end_timestamp"), fmt).as("end_ts"),
+        col("is_current"))
+  }
+
+  val mergeSqlScd2OracleSql: String = scd2VersionsSql
+
   /** Snapshot + time travel (§2.10): append v0, append v1, read back
     * `VERSION AS OF` 0 — only the first batch is visible.
     */
@@ -850,6 +903,7 @@ object CoreQueries {
     "q_scd2_versions" -> (scd2Versions _),
     "q_scd1_upsert" -> (scd1Upsert _),
     "q_merge_sql" -> (mergeSql _),
+    "q_merge_sql_scd2" -> (mergeSqlScd2 _),
     "q_time_travel" -> (timeTravel _),
     "q_snapshots" -> (snapshotsListing _),
     "q_scd1_partitioned" -> (scd1Partitioned _),
@@ -881,6 +935,7 @@ object CoreQueries {
     "q_scd2_versions" -> scd2VersionsSql,
     "q_scd1_upsert" -> scd1UpsertSql,
     "q_merge_sql" -> mergeSqlOracleSql,
+    "q_merge_sql_scd2" -> mergeSqlScd2OracleSql,
     "q_time_travel" -> timeTravelSql,
     "q_snapshots" -> snapshotsListingSql,
     "q_scd1_partitioned" -> scd1PartitionedSql,

@@ -67,8 +67,31 @@ class GraftMergeParser(session: SparkSession, delegate: ParserInterface)
   override def parsePlan(sqlText: String): LogicalPlan =
     delegate.parsePlan(sqlText) match {
       case m: MergeIntoTable => rewriteIfRegistered(m)
+      case i: InsertIntoStatement => rewriteInsertIfRegistered(i)
       case other => other
     }
+
+  /** `INSERT INTO` / `INSERT OVERWRITE` a registered lake-table name —
+    * the reference's first-load statement
+    * (`/root/reference/src/silver/_silver_utils.py:130-135`). A
+    * non-existent target is created by the first insert (the reference
+    * pre-creates via engine DDL; here the commit log IS the table).
+    */
+  private def rewriteInsertIfRegistered(ins: InsertIntoStatement): LogicalPlan = {
+    val nameParts = ins.table match {
+      case UnresolvedRelation(parts, _, _) => parts
+      case _ => return ins
+    }
+    MergeSqlTargets.rootFor(session, nameParts) match {
+      case None => ins
+      case Some(root) =>
+        require(
+          ins.partitionSpec.isEmpty && !ins.ifPartitionNotExists,
+          "graft INSERT INTO does not support a PARTITION spec")
+        GraftInsertIntoCommand(
+          root, ins.userSpecifiedCols, new SqlPlanPayload(ins.query), ins.overwrite, ins.byName)
+    }
+  }
 
   private def rewriteIfRegistered(m: MergeIntoTable): LogicalPlan = {
     // target: bare name or `name AS alias` — both still unresolved here
@@ -125,6 +148,63 @@ final class MergeSqlPayload(
     val condition: Expression,
     val matchedActions: Seq[MergeAction],
     val notMatchedActions: Seq[MergeAction]) extends Serializable
+
+/** Same opacity trick for a single plan (see [[MergeSqlPayload]]). */
+final class SqlPlanPayload(val plan: LogicalPlan) extends Serializable
+
+/** `INSERT INTO [OVERWRITE]` a lake table: resolves the SELECT at run
+  * time, conforms it to the target schema (positional with casts, or
+  * by-name for `INSERT ... BY NAME`; an explicit column list fills the
+  * unlisted columns with typed NULLs), and commits through
+  * `LakeTable.append`/`overwrite`. A missing target is created by the
+  * first insert.
+  */
+final case class GraftInsertIntoCommand(
+    root: String,
+    userSpecifiedCols: Seq[String],
+    payload: SqlPlanPayload,
+    overwrite: Boolean,
+    byName: Boolean) extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val table = graft.tables.LakeTable(spark, root)
+    var df = GraftSqlInternals.ofRows(spark, payload.plan)
+    if (userSpecifiedCols.nonEmpty) {
+      require(
+        df.columns.length == userSpecifiedCols.length,
+        s"INSERT column list has ${userSpecifiedCols.length} columns but the query " +
+          s"produces ${df.columns.length}")
+      df = df.toDF(userSpecifiedCols: _*)
+    }
+    if (table.exists && !table.isEmpty) {
+      val schema = table.read().schema
+      df =
+        if (userSpecifiedCols.nonEmpty || byName) {
+          // by-name conformance; columns the insert omits become typed NULL
+          val have = df.columns.map(_.toLowerCase).toSet
+          schema.fields.foreach { f =>
+            if (!have.contains(f.name.toLowerCase) && userSpecifiedCols.isEmpty)
+              throw new IllegalArgumentException(
+                s"INSERT BY NAME is missing target column ${f.name}")
+          }
+          df.select(schema.fields.map { f =>
+            if (have.contains(f.name.toLowerCase)) col(f.name).cast(f.dataType).as(f.name)
+            else org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
+          }.toSeq: _*)
+        } else {
+          require(
+            df.columns.length == schema.fields.length,
+            s"INSERT query produces ${df.columns.length} columns, target has " +
+              s"${schema.fields.length} (use an explicit column list or BY NAME)")
+          df.select(df.columns.zip(schema.fields).map { case (c, f) =>
+            col(c).cast(f.dataType).as(f.name)
+          }.toSeq: _*)
+        }
+    }
+    if (overwrite) table.overwrite(df) else table.append(df)
+    Seq.empty
+  }
+}
 
 /** The executable MERGE: reads the target's CURRENT snapshot, applies
   * the clause semantics as one declarative join-rewrite plan, and

@@ -681,7 +681,11 @@ object CoreQueries {
       .parquet(p(sfDir, "customer"))
       .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
     val table = LakeTable(spark, scratch("mergesql"))
-    table.append(customer) // first load (K5)
+    graft.plans.MergeSqlTargets.register(spark, "merge_target", table.root)
+    // first load as literal SQL too — the reference's empty-table branch
+    // (INSERT INTO ... SELECT, _silver_utils.py:130-135)
+    customer.createOrReplaceTempView("merge_first_load")
+    spark.sql("INSERT INTO merge_target SELECT * FROM merge_first_load")
     val updates = customer
       .filter(col("c_custkey") % 4 === 0)
       .withColumn("c_acctbal", col("c_acctbal") * 2)
@@ -689,7 +693,6 @@ object CoreQueries {
       .filter(col("c_custkey") % 7 === 0)
       .withColumn("c_custkey", col("c_custkey") + 1000000)
     updates.unionByName(inserts).createOrReplaceTempView("merge_updates")
-    graft.plans.MergeSqlTargets.register(spark, "merge_target", table.root)
     spark.sql(
       """MERGE INTO merge_target t
         |USING merge_updates s

@@ -80,6 +80,37 @@ class MergeSqlSpec extends SparkSpec {
     assert(!e.getMessage.contains("graft"), e.getMessage)
   }
 
+  test("INSERT INTO: first load creates the table; positional insert casts to the target schema") {
+    val root = scratchDir("isql1") + "/t"
+    MergeSqlTargets.register(spark, "t_isql1", root)
+    Seq((1, "a", 1.5), (2, "b", 2.5)).toDF("k", "name", "bal")
+      .createOrReplaceTempView("s_isql1")
+    spark.sql("INSERT INTO t_isql1 SELECT * FROM s_isql1")
+    val t = LakeTable(spark, root)
+    assert(t.read().count() == 2)
+    // positional semantics with differently-NAMED but castable columns
+    Seq((3, "c", 9)).toDF("x", "y", "z").createOrReplaceTempView("s_isql1b")
+    spark.sql("INSERT INTO t_isql1 SELECT * FROM s_isql1b")
+    val got = t.read().orderBy("k").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(got == Seq((1, "a", 1.5), (2, "b", 2.5), (3, "c", 9.0)), s"got $got")
+  }
+
+  test("INSERT INTO with a column list fills unlisted columns with typed NULLs; OVERWRITE replaces") {
+    val root = scratchDir("isql2") + "/t"
+    val t = LakeTable(spark, root)
+    t.append(Seq((1, "a", 1.0)).toDF("k", "name", "bal"))
+    MergeSqlTargets.register(spark, "t_isql2", root)
+    Seq((5, "e")).toDF("k", "name").createOrReplaceTempView("s_isql2")
+    spark.sql("INSERT INTO t_isql2 (k, name) SELECT k, name FROM s_isql2")
+    val got = t.read().orderBy("k").collect()
+      .map(r => (r.getInt(0), r.getString(1), if (r.isNullAt(2)) null else r.getDouble(2)))
+      .toSeq
+    assert(got == Seq((1, "a", 1.0), (5, "e", null)), s"got $got")
+    spark.sql("INSERT OVERWRITE t_isql2 (k, name) SELECT k + 10, name FROM s_isql2")
+    assert(t.read().collect().map(_.getInt(0)).toSeq == Seq(15))
+  }
+
   test("Catalog.registerView names are MERGE-able and merge reads the current version") {
     val root = scratchDir("msqlcat")
     val cat = Catalog(spark, root)

@@ -53,8 +53,19 @@ object MergeSqlTargets {
   }
 
   def rootFor(spark: SparkSession, nameParts: Seq[String]): Option[String] =
-    if (nameParts.length != 1) None
-    else targets.get((System.identityHashCode(spark), nameParts.head.toLowerCase))
+    nameParts match {
+      case Seq(name) =>
+        targets.get((System.identityHashCode(spark), name.toLowerCase))
+      case Seq(cat, schema, table) =>
+        // a 3-part name under an attached GraftCatalog is always a
+        // valid target: <root>/<schema>/<table> (INSERT may create it)
+        val impl =
+          try spark.conf.get(s"spark.sql.catalog.$cat")
+          catch { case _: Exception => null }
+        if (impl != classOf[graft.tables.v2.GraftCatalog].getName) None
+        else Some(s"${spark.conf.get(s"spark.sql.catalog.$cat.root")}/$schema/$table")
+      case _ => None
+    }
 }
 
 /** Delegating parser that rewrites a parsed `MergeIntoTable` whose

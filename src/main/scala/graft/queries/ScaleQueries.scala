@@ -207,6 +207,31 @@ object ScaleQueries {
       |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
       |GROUP BY r.r_name""".stripMargin
 
+  /** The same catalog join through the DSv2 catalog
+    * ([[graft.tables.v2.GraftCatalog]]): `lake.<schema>.<table>` names
+    * resolved by Spark's catalog machinery, reading each table's
+    * CURRENT version per query — nation is appended in TWO waves with
+    * the second landing AFTER the catalog attach, which a
+    * snapshot-pinned view would miss and this read must include.
+    */
+  def sqlOverCatalogV2(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = graft.util.TempDirs.scratch("catv2")
+    val cat = Catalog(spark, root)
+    cat.createSchema("gold")
+    val nation = spark.read.parquet(tablePath(sfDir, "nation"))
+    cat.table("gold", "nation").append(nation.filter(col("n_nationkey") % 2 === 0))
+    cat.table("gold", "region").append(spark.read.parquet(tablePath(sfDir, "region")))
+    cat.attachSqlCatalog("lake")
+    // second wave after attach: the SQL read below must see it
+    cat.table("gold", "nation").append(nation.filter(col("n_nationkey") % 2 =!= 0))
+    cat.sql(
+      """SELECT r.r_name AS region_name, count(*) AS n_nations
+        |FROM lake.gold.nation n JOIN lake.gold.region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r.r_name""".stripMargin)
+  }
+
+  val sqlOverCatalogV2Sql: String = sqlOverCatalogSql
+
   /** Streaming dedup with bounded state: events unioned with an exact
     * copy of itself, streamed, deduplicated on event_id within the
     * watermark horizon → exactly the original rows (duplicates are
@@ -249,6 +274,7 @@ object ScaleQueries {
     "q_delete_dv" -> (deleteDv _),
     "q_schema_evolution" -> (schemaEvolution _),
     "q_sql_catalog" -> (sqlOverCatalog _),
+    "q_sql_catalog_v2" -> (sqlOverCatalogV2 _),
     "q_stream_dedup" -> (streamDedup _))
 
   val oracleSql: Map[String, String] = Map(
@@ -259,5 +285,6 @@ object ScaleQueries {
     "q_delete_dv" -> deleteDvSql,
     "q_schema_evolution" -> schemaEvolutionSql,
     "q_sql_catalog" -> sqlOverCatalogSql,
+    "q_sql_catalog_v2" -> sqlOverCatalogV2Sql,
     "q_stream_dedup" -> streamDedupSql)
 }

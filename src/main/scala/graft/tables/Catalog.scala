@@ -34,6 +34,17 @@ final case class Catalog(spark: SparkSession, root: String) {
     viewName
   }
 
+  /** Attach this root as a DSv2 SQL catalog: after this call,
+    * `spark.sql("SELECT ... FROM <name>.<schema>.<table>")` resolves
+    * through [[graft.tables.v2.GraftCatalog]] and reads each table's
+    * CURRENT version per query (no snapshot-pinned views), and 3-part
+    * names work as `MERGE INTO`/`INSERT INTO` targets.
+    */
+  def attachSqlCatalog(name: String = "lake"): Unit = {
+    spark.conf.set(s"spark.sql.catalog.$name", classOf[graft.tables.v2.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.root", root)
+  }
+
   /** SHOW SCHEMAS analog: every namespace directory under the root. */
   def listSchemas(): Seq[String] = {
     val p = java.nio.file.Paths.get(root)

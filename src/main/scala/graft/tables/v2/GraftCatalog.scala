@@ -1,0 +1,199 @@
+package graft.tables.v2
+
+import java.nio.file.{Files, Path, Paths}
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SQLContext
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.sources.{BaseRelation, TableScan}
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DSv2 catalog over a lake-table root (SURVEY §2.10 deepening): with
+  * {{{
+  *   spark.sql.catalog.lake      = graft.tables.v2.GraftCatalog
+  *   spark.sql.catalog.lake.root = /path/to/warehouse
+  * }}}
+  * (or [[graft.tables.Catalog.attachSqlCatalog]] setting both at
+  * runtime), `SELECT ... FROM lake.<schema>.<table>` resolves through
+  * Spark's catalog machinery and reads the table's CURRENT version at
+  * each query — unlike the registered temp views, which pin the
+  * snapshot present at registration. Namespaces are directories and
+  * tables are commit logs, so the catalog is stateless: `loadTable` is
+  * a directory probe plus one manifest read (schema comes from the
+  * manifest JSON — no data files touched, no SparkSession needed until
+  * scan time).
+  *
+  * Read path: the scan bridges to the engine's own reader via
+  * [[V1Scan]] — the batch-read fallback Spark provides exactly so v1
+  * relations can live behind DSv2 catalogs — with required-column
+  * pruning pushed into the bridge (the scan builds
+  * `LakeTable.read().select(pruned)`, so parquet column pruning still
+  * applies under it; row-filter pushdown stops at the bridge and Spark
+  * re-applies filters above, which keeps semantics exact). Writes stay
+  * on the explicit command surface (append/overwrite APIs, INSERT
+  * INTO / MERGE INTO via the parser path) — a full DSv2 `BatchWrite`
+  * would need an InternalRow-level parquet writer for `ReplaceData`,
+  * which has no V1 fallback; the parser-command route delivers the
+  * same SQL surface through the one battle-tested commit path.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var root: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = options.get("root")
+    require(root != null, s"catalog $name requires option spark.sql.catalog.$name.root")
+  }
+
+  override def name(): String = catalogName
+
+  private def dirOf(namespace: Array[String]): Path =
+    Paths.get((root +: namespace).mkString("/"))
+
+  private def isLakeTable(p: Path): Boolean =
+    Files.isDirectory(p.resolve("_graft_log"))
+
+  // ---- tables --------------------------------------------------------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val d = dirOf(namespace)
+    if (!Files.isDirectory(d)) throw new NoSuchNamespaceException(namespace)
+    val s = Files.list(d)
+    try s.iterator().asScala
+      .filter(isLakeTable)
+      .map(p => Identifier.of(namespace, p.getFileName.toString))
+      .toArray
+    finally s.close()
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val p = dirOf(ident.namespace() :+ ident.name())
+    if (!isLakeTable(p)) throw new NoSuchTableException(ident)
+    new GraftSqlTable(p.toString)
+  }
+
+  override def createTable(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    throw new UnsupportedOperationException(
+      "graft tables are created by their first append/INSERT (the commit log IS the table)")
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("ALTER TABLE is not supported on graft tables")
+
+  override def dropTable(ident: Identifier): Boolean =
+    throw new UnsupportedOperationException(
+      "DROP TABLE is not supported through SQL (delete the table directory)")
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("RENAME TABLE is not supported on graft tables")
+
+  // ---- namespaces ----------------------------------------------------------
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val d = Paths.get(root)
+    if (!Files.isDirectory(d)) return Array.empty
+    val s = Files.list(d)
+    try s.iterator().asScala
+      .filter(Files.isDirectory(_))
+      .map(p => Array(p.getFileName.toString))
+      .toArray
+    finally s.close()
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (Files.isDirectory(dirOf(namespace))) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    Files.isDirectory(dirOf(namespace))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] =
+    if (namespaceExists(namespace)) new util.HashMap[String, String]()
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def createNamespace(
+      namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    Files.createDirectories(dirOf(namespace))
+    ()
+  }
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("ALTER NAMESPACE is not supported")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
+    throw new UnsupportedOperationException(
+      "DROP NAMESPACE is not supported through SQL (delete the directory)")
+}
+
+/** A lake table exposed through the DSv2 `Table` interface. Schema is
+  * read from the latest manifest (one small JSON file — no session, no
+  * data files); the scan defers to `LakeTable.read()` at execution, so
+  * every query sees the current snapshot and deletion vectors apply
+  * exactly as in the programmatic read path.
+  */
+final class GraftSqlTable(rootPath: String) extends Table with SupportsRead {
+
+  override def name(): String = rootPath
+
+  override lazy val schema: StructType = {
+    val logDir = Paths.get(rootPath, "_graft_log")
+    val s = Files.list(logDir)
+    val latest =
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.matches("v\\d+\\.json"))
+        .toSeq
+        .maxBy(_.getFileName.toString)
+      finally s.close()
+    val json = new String(Files.readAllBytes(latest), java.nio.charset.StandardCharsets.UTF_8)
+    DataType
+      .fromJson(graft.tables.LakeTable.Manifest.fromJson(json).schemaJson)
+      .asInstanceOf[StructType]
+  }
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var required: StructType = schema
+
+      override def pruneColumns(requiredSchema: StructType): Unit = {
+        // empty pruning (count(*)) still needs ≥1 column to build rows
+        required =
+          if (requiredSchema.fields.isEmpty) StructType(schema.fields.take(1))
+          else requiredSchema
+      }
+
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = required
+
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: SQLContext): T = {
+          val rel = new BaseRelation with TableScan {
+            override def sqlContext: SQLContext = context
+            override def schema: StructType = required
+            override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+              val t = graft.tables.LakeTable(context.sparkSession, rootPath)
+              t.read()
+                .select(required.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
+                .rdd
+            }
+          }
+          rel.asInstanceOf[T]
+        }
+      }
+    }
+}

@@ -187,7 +187,10 @@ final case class GraftInsertIntoCommand(
           s"produces ${df.columns.length}")
       df = df.toDF(userSpecifiedCols: _*)
     }
-    if (table.exists && !table.isEmpty) {
+    // conformance applies whenever the table EXISTS — including a
+    // freshly CREATEd empty one, whose declared schema must govern
+    // positional mapping (otherwise INSERT would silently evolve it)
+    if (table.exists) {
       val schema = table.read().schema
       df =
         if (userSpecifiedCols.nonEmpty || byName) {

@@ -80,20 +80,54 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftSqlTable(p.toString)
   }
 
+  /** `CREATE TABLE lake.<ns>.<t> (cols...)`: publish a version-0
+    * manifest carrying the declared schema and no data dirs — the
+    * standard CREATE-then-INSERT flow, with the write-time schema
+    * contract anchored from the first commit. No SparkSession needed:
+    * a manifest is one small JSON file. CTAS is not supported (the
+    * catalog exposes no DSv2 write; use INSERT INTO after CREATE).
+    */
   override def createTable(
       ident: Identifier,
       schema: StructType,
       partitions: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "graft tables are created by their first append/INSERT (the commit log IS the table)")
+      properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "CREATE TABLE ... PARTITIONED BY is not supported; pass partitionBy to append()")
+    val p = dirOf(ident.namespace() :+ ident.name())
+    if (isLakeTable(p)) throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
+    val m = graft.tables.LakeTable.Manifest(
+      0L, "create", System.currentTimeMillis(), Seq.empty, schema.json, Seq.empty)
+    val logDir = p.resolve("_graft_log")
+    Files.createDirectories(logDir)
+    val target = logDir.resolve(f"v${0L}%020d.json")
+    val tmp = logDir.resolve(s".tmp-${java.util.UUID.randomUUID()}.json")
+    Files.write(tmp, m.toJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try Files.createLink(target, tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
+    } finally Files.deleteIfExists(tmp)
+    new GraftSqlTable(p.toString)
+  }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     throw new UnsupportedOperationException("ALTER TABLE is not supported on graft tables")
 
-  override def dropTable(ident: Identifier): Boolean =
-    throw new UnsupportedOperationException(
-      "DROP TABLE is not supported through SQL (delete the table directory)")
+  /** `DROP TABLE lake.<ns>.<t>`: removes the table directory (log,
+    * data, deletion vectors). Time-travel history goes with it — the
+    * same contract as dropping an Iceberg/Delta table with purge.
+    */
+  override def dropTable(ident: Identifier): Boolean = {
+    val p = dirOf(ident.namespace() :+ ident.name())
+    if (!isLakeTable(p)) return false
+    import scala.util.Using
+    Using.resource(Files.walk(p)) { s =>
+      s.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+    }
+    true
+  }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("RENAME TABLE is not supported on graft tables")

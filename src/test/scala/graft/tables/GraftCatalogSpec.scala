@@ -55,6 +55,27 @@ class GraftCatalogSpec extends SparkSpec {
     assert(tables.toSeq == Seq("nation", "region"), tables.mkString(","))
   }
 
+  test("CREATE TABLE declares the schema; positional INSERT conforms to it; DROP removes") {
+    val (cat, name) = freshCatalog("v2ddl")
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $name.bronze")
+    spark.sql(s"CREATE TABLE $name.bronze.t (k INT, v STRING, bal DOUBLE)")
+    // empty but existing: schema visible, zero rows
+    assert(spark.sql(s"SELECT * FROM $name.bronze.t").columns.toSeq == Seq("k", "v", "bal"))
+    assert(spark.sql(s"SELECT count(*) AS c FROM $name.bronze.t").head().getLong(0) == 0)
+    // positional INSERT with differently-named, castable columns must
+    // CONFORM to the declared schema, not evolve past it
+    Seq((1, "a", 2)).toDF("x", "y", "z").createOrReplaceTempView("v2ddl_src")
+    spark.sql(s"INSERT INTO $name.bronze.t SELECT * FROM v2ddl_src")
+    val got = spark.sql(s"SELECT k, v, bal FROM $name.bronze.t").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(got == Seq((1, "a", 2.0)), s"got $got")
+    assert(spark.sql(s"SELECT * FROM $name.bronze.t").columns.toSeq == Seq("k", "v", "bal"))
+    // duplicate CREATE fails; DROP removes the table (and SELECT then fails)
+    intercept[Exception](spark.sql(s"CREATE TABLE $name.bronze.t (k INT)"))
+    spark.sql(s"DROP TABLE $name.bronze.t")
+    intercept[Exception](spark.sql(s"SELECT * FROM $name.bronze.t"))
+  }
+
   test("3-part names are INSERT and MERGE targets; count(*) works (empty pruning)") {
     val (cat, name) = freshCatalog("v2dml")
     cat.createSchema("silver")

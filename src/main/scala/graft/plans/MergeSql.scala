@@ -79,8 +79,56 @@ class GraftMergeParser(session: SparkSession, delegate: ParserInterface)
     delegate.parsePlan(sqlText) match {
       case m: MergeIntoTable => rewriteIfRegistered(m)
       case i: InsertIntoStatement => rewriteInsertIfRegistered(i)
+      case d: DeleteFromTable => rewriteDeleteIfRegistered(d)
+      case u: UpdateTable => rewriteUpdateIfRegistered(u)
       case other => other
     }
+
+  /** Target of a row-level statement: bare name or `name AS alias`,
+    * both still unresolved at parse time.
+    */
+  private def targetOf(plan: LogicalPlan): Option[(Seq[String], String)] = plan match {
+    case SubqueryAlias(id, UnresolvedRelation(parts, _, _)) => Some((parts, id.name))
+    case UnresolvedRelation(parts, _, _) => Some((parts, parts.last))
+    case _ => None
+  }
+
+  private def rejectSubqueries(statement: String, exprs: Seq[Expression]): Unit =
+    require(
+      !exprs.exists(_.exists(_.isInstanceOf[SubqueryExpression])),
+      s"graft $statement does not support subqueries")
+
+  /** `DELETE FROM` a registered lake-table name — routed to the
+    * deletion-vector path ([[graft.tables.LakeTable.deleteWhereDV]]):
+    * merge-on-read, so a 100-row delete costs a 100-key sidecar, never
+    * a snapshot rewrite. A bare `DELETE FROM t` (condition literally
+    * true) is a truncate: one empty-snapshot commit, no DV over every
+    * row. History stays time-travel readable either way.
+    */
+  private def rewriteDeleteIfRegistered(d: DeleteFromTable): LogicalPlan = {
+    val (nameParts, alias) = targetOf(d.table).getOrElse(return d)
+    MergeSqlTargets.rootFor(session, nameParts) match {
+      case None => d
+      case Some(root) =>
+        rejectSubqueries("DELETE", Seq(d.condition))
+        GraftDeleteFromCommand(root, alias, new SqlExprPayload(d.condition))
+    }
+  }
+
+  /** `UPDATE ... SET ... [WHERE ...]` a registered lake-table name —
+    * the copy-on-write rewrite (per-column CASE projection over the
+    * current snapshot, atomic overwrite commit), the same shape
+    * Spark-on-Delta plans for UPDATE without deletion vectors.
+    */
+  private def rewriteUpdateIfRegistered(u: UpdateTable): LogicalPlan = {
+    val (nameParts, alias) = targetOf(u.table).getOrElse(return u)
+    MergeSqlTargets.rootFor(session, nameParts) match {
+      case None => u
+      case Some(root) =>
+        rejectSubqueries("UPDATE", u.assignments.map(_.value) ++ u.condition)
+        GraftUpdateCommand(root, alias, new UpdateSqlPayload(u.assignments, u.condition))
+    }
+  }
 
   /** `INSERT INTO` / `INSERT OVERWRITE` a registered lake-table name —
     * the reference's first-load statement
@@ -162,6 +210,117 @@ final class MergeSqlPayload(
 
 /** Same opacity trick for a single plan (see [[MergeSqlPayload]]). */
 final class SqlPlanPayload(val plan: LogicalPlan) extends Serializable
+
+/** Same opacity trick for a single expression (see [[MergeSqlPayload]]). */
+final class SqlExprPayload(val expr: Expression) extends Serializable
+
+/** Same opacity trick for UPDATE's assignments + condition. */
+final class UpdateSqlPayload(
+    val assignments: Seq[Assignment],
+    val condition: Option[Expression]) extends Serializable
+
+/** Shared bits of the DELETE/UPDATE commands: qualifier handling and
+  * assignment-key resolution against the target schema.
+  */
+private[plans] object RowLevelSql {
+
+  /** Strip the target alias/table qualifier off attribute references
+    * (`t.bal` → `bal`): DELETE's condition is evaluated as a Column
+    * filter over the table's own read (no alias in scope there). The
+    * same alias-over-column precedence Spark's resolver applies.
+    */
+  def stripQualifier(e: Expression, alias: String): Expression = e.transform {
+    case a: UnresolvedAttribute
+        if a.nameParts.length >= 2 && a.nameParts(a.nameParts.length - 2).equalsIgnoreCase(alias) =>
+      UnresolvedAttribute(Seq(a.nameParts.last))
+  }
+
+  /** The assignment value for target column `c`, if any clause sets it. */
+  def assignmentFor(assigns: Seq[Assignment], c: String): Option[Expression] =
+    assigns.collectFirst {
+      case Assignment(k: UnresolvedAttribute, v) if k.nameParts.last.equalsIgnoreCase(c) => v
+    }
+
+  /** Every SET key must name exactly one target column, once. */
+  def validateAssignments(assigns: Seq[Assignment], schema: StructType, root: String): Unit = {
+    val names = assigns.map {
+      case Assignment(k: UnresolvedAttribute, _) => k.nameParts.last
+      case Assignment(other, _) =>
+        throw new IllegalArgumentException(
+          s"UPDATE SET key must be a column reference, got $other")
+    }
+    val have = schema.fields.map(_.name.toLowerCase).toSet
+    names.foreach { n =>
+      require(
+        have.contains(n.toLowerCase),
+        s"UPDATE SET column '$n' is not in the target schema of $root " +
+          s"(${schema.fields.map(_.name).mkString(", ")})")
+    }
+    require(
+      names.map(_.toLowerCase).distinct.length == names.length,
+      s"UPDATE assigns the same column twice (${names.mkString(", ")})")
+  }
+}
+
+/** The executable DELETE: merge-on-read via the deletion-vector
+  * sidecar — [[graft.tables.LakeTable.deleteWhereDV]] writes (file,
+  * row-index) keys for matching rows and reads mask them with one
+  * small-side anti join, so delete cost scales with rows DELETED, not
+  * table size. SQL semantics preserved: rows whose condition evaluates
+  * NULL are kept (deleteWhereDV coalesces to false). `DELETE FROM t`
+  * with no WHERE truncates via one empty overwrite commit instead of
+  * enumerating every row id into a DV.
+  */
+final case class GraftDeleteFromCommand(
+    root: String,
+    targetAlias: String,
+    payload: SqlExprPayload) extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val table = graft.tables.LakeTable(spark, root)
+    require(table.exists, s"DELETE FROM target at $root does not exist")
+    RowLevelSql.stripQualifier(payload.expr, targetAlias) match {
+      case Literal.TrueLiteral => table.overwrite(table.read().limit(0))
+      case cond => table.deleteWhereDV(GraftSqlInternals.column(cond))
+    }
+    Seq.empty
+  }
+}
+
+/** The executable UPDATE: copy-on-write — one per-column
+  * `CASE WHEN cond THEN value ELSE old END` projection over the
+  * current snapshot, committed atomically through
+  * `LakeTable.overwrite` (which re-inherits the table's partition
+  * layout). Zero joins, one scan+write; rows whose condition evaluates
+  * NULL keep their old values (CASE falls through to ELSE), and
+  * assigned values are cast to the declared column type so an UPDATE
+  * can never silently evolve the schema.
+  */
+final case class GraftUpdateCommand(
+    root: String,
+    targetAlias: String,
+    payload: UpdateSqlPayload) extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val table = graft.tables.LakeTable(spark, root)
+    require(table.exists, s"UPDATE target at $root does not exist")
+    val targetDf = table.read()
+    val schema = targetDf.schema
+    RowLevelSql.validateAssignments(payload.assignments, schema, root)
+    val aliasT = SubqueryAlias(targetAlias, targetDf.queryExecution.analyzed)
+    def tAttr(c: String) = UnresolvedAttribute(Seq(targetAlias, c))
+    val cond = payload.condition.getOrElse(Literal(true))
+    val cols = schema.fields.map { f =>
+      val e = RowLevelSql.assignmentFor(payload.assignments, f.name) match {
+        case Some(v) => CaseWhen(Seq((cond, Cast(v, f.dataType))), Some(tAttr(f.name)))
+        case None => tAttr(f.name): Expression
+      }
+      Alias(e, f.name)()
+    }
+    table.overwrite(GraftSqlInternals.ofRows(spark, Project(cols.toSeq, aliasT)))
+    Seq.empty
+  }
+}
 
 /** `INSERT INTO [OVERWRITE]` a lake table: resolves the SELECT at run
   * time, conforms it to the target schema (positional with casts, or

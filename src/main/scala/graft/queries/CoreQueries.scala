@@ -757,6 +757,54 @@ object CoreQueries {
 
   val mergeSqlScd2OracleSql: String = scd2VersionsSql
 
+  /** `DELETE FROM` as SQL (the row-level-SQL surface next to MERGE /
+    * INSERT, [[graft.plans.GraftDeleteFromCommand]]): first-load via
+    * INSERT, then one conditional DELETE routed through the
+    * deletion-vector sidecar — the read-back exercises the DV mask
+    * (left-anti join against the sidecar), not a rewritten snapshot.
+    * Oracle is the complement SELECT over the same parquet.
+    */
+  def deleteSql(spark: SparkSession, sfDir: String): DataFrame = {
+    val customer = spark.read
+      .parquet(p(sfDir, "customer"))
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val table = LakeTable(spark, scratch("deletesql"))
+    graft.plans.MergeSqlTargets.register(spark, "delete_target", table.root)
+    customer.createOrReplaceTempView("delete_first_load")
+    spark.sql("INSERT INTO delete_target SELECT * FROM delete_first_load")
+    spark.sql(
+      "DELETE FROM delete_target WHERE c_acctbal < 0.0 OR c_custkey % 10 = 3")
+    table.read()
+  }
+
+  val deleteSqlOracleSql: String =
+    """SELECT c_custkey, c_name, c_acctbal
+      |FROM customer
+      |WHERE NOT (c_acctbal < 0.0 OR c_custkey % 10 = 3)""".stripMargin
+
+  /** `UPDATE` as SQL ([[graft.plans.GraftUpdateCommand]]): conditional
+    * SET over the lake table, committed as one copy-on-write overwrite.
+    * Oracle is the equivalent CASE projection.
+    */
+  def updateSql(spark: SparkSession, sfDir: String): DataFrame = {
+    val customer = spark.read
+      .parquet(p(sfDir, "customer"))
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val table = LakeTable(spark, scratch("updatesql"))
+    graft.plans.MergeSqlTargets.register(spark, "update_target", table.root)
+    customer.createOrReplaceTempView("update_first_load")
+    spark.sql("INSERT INTO update_target SELECT * FROM update_first_load")
+    spark.sql(
+      """UPDATE update_target SET c_acctbal = c_acctbal * 2.0 + 1.0
+        |WHERE c_custkey % 4 = 0""".stripMargin)
+    table.read()
+  }
+
+  val updateSqlOracleSql: String =
+    """SELECT c_custkey, c_name,
+      |       CASE WHEN c_custkey % 4 = 0 THEN c_acctbal * 2.0 + 1.0 ELSE c_acctbal END AS c_acctbal
+      |FROM customer""".stripMargin
+
   /** Snapshot + time travel (§2.10): append v0, append v1, read back
     * `VERSION AS OF` 0 — only the first batch is visible.
     */
@@ -907,6 +955,8 @@ object CoreQueries {
     "q_scd1_upsert" -> (scd1Upsert _),
     "q_merge_sql" -> (mergeSql _),
     "q_merge_sql_scd2" -> (mergeSqlScd2 _),
+    "q_delete_sql" -> (deleteSql _),
+    "q_update_sql" -> (updateSql _),
     "q_time_travel" -> (timeTravel _),
     "q_snapshots" -> (snapshotsListing _),
     "q_scd1_partitioned" -> (scd1Partitioned _),
@@ -939,6 +989,8 @@ object CoreQueries {
     "q_scd1_upsert" -> scd1UpsertSql,
     "q_merge_sql" -> mergeSqlOracleSql,
     "q_merge_sql_scd2" -> mergeSqlScd2OracleSql,
+    "q_delete_sql" -> deleteSqlOracleSql,
+    "q_update_sql" -> updateSqlOracleSql,
     "q_time_travel" -> timeTravelSql,
     "q_snapshots" -> snapshotsListingSql,
     "q_scd1_partitioned" -> scd1PartitionedSql,

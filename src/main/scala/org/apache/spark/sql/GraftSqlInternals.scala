@@ -12,4 +12,11 @@ object GraftSqlInternals {
 
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Wrap a Catalyst expression as a user-facing [[Column]] (the DELETE
+    * command hands its parsed WHERE tree to `LakeTable.deleteWhereDV`,
+    * whose public surface is Column-typed).
+    */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
 }

@@ -111,6 +111,88 @@ class MergeSqlSpec extends SparkSpec {
     assert(t.read().collect().map(_.getInt(0)).toSeq == Seq(15))
   }
 
+  test("DELETE FROM: alias-qualified WHERE deletes via a deletion vector; history time-travels") {
+    val t = freshTarget("dsql1", Seq((1, "a", 1.0), (2, "b", -2.0), (3, "c", 3.0), (4, "d", -4.0)))
+    MergeSqlTargets.register(spark, "t_dsql1", t.root)
+    spark.sql("DELETE FROM t_dsql1 AS x WHERE x.bal < 0 AND x.k > 2")
+    assert(t.read().collect().map(_.getInt(0)).toSet == Set(1, 2, 3))
+    // merge-on-read: the commit is a DV sidecar, not a rewrite
+    val ops = t.snapshots().orderBy("version").collect().map(_.getString(2)).toSeq
+    assert(ops == Seq("append", "delete-dv"), s"ops $ops")
+    // and the pre-delete snapshot is still readable
+    assert(t.read(versionAsOf = Some(0)).count() == 4)
+  }
+
+  test("DELETE FROM: NULL-condition rows are kept; no-match delete is a no-op version") {
+    val t = LakeTable(spark, scratchDir("dsql2"))
+    t.append(Seq((1, Some(1.0)), (2, None), (3, Some(-3.0))).toDF("k", "bal"))
+    MergeSqlTargets.register(spark, "t_dsql2", t.root)
+    spark.sql("DELETE FROM t_dsql2 WHERE bal < 0")
+    // row 2's predicate is NULL → kept (SQL DELETE removes only true)
+    assert(t.read().collect().map(_.getInt(0)).toSet == Set(1, 2))
+    val v = t.latestVersion().get
+    spark.sql("DELETE FROM t_dsql2 WHERE bal > 100")
+    assert(t.latestVersion().get == v, "no-match delete must not commit")
+  }
+
+  test("DELETE FROM without WHERE truncates with one empty commit, not a DV per row") {
+    val t = freshTarget("dsql3", Seq((1, "a", 1.0), (2, "b", 2.0)))
+    MergeSqlTargets.register(spark, "t_dsql3", t.root)
+    spark.sql("DELETE FROM t_dsql3")
+    assert(t.read().count() == 0)
+    assert(t.read().schema.fieldNames.toSeq == Seq("k", "name", "bal"))
+    val ops = t.snapshots().orderBy("version").collect().map(_.getString(2)).toSeq
+    assert(ops == Seq("append", "overwrite"), s"ops $ops")
+    assert(t.read(versionAsOf = Some(0)).count() == 2)
+  }
+
+  test("UPDATE: conditional SET with qualified refs; NULL-condition rows keep old values") {
+    val t = LakeTable(spark, scratchDir("usql1"))
+    t.append(Seq((1, Some(10.0)), (2, None), (3, Some(30.0))).toDF("k", "bal"))
+    MergeSqlTargets.register(spark, "t_usql1", t.root)
+    spark.sql("UPDATE t_usql1 AS x SET x.bal = x.bal * 2 WHERE x.bal >= 20")
+    val got = t.read().collect()
+      .map(r => (r.getInt(0), if (r.isNullAt(1)) null else r.getDouble(1))).toSet
+    assert(got == Set((1, 10.0), (2, null), (3, 60.0)), s"got $got")
+  }
+
+  test("UPDATE without WHERE updates every row; values cast to the declared column type") {
+    val t = freshTarget("usql2", Seq((1, "a", 1.0), (2, "b", 2.0)))
+    MergeSqlTargets.register(spark, "t_usql2", t.root)
+    // k is Int; the literal is a BIGINT sum — must cast, not evolve
+    spark.sql("UPDATE t_usql2 SET k = k + 100, name = upper(name)")
+    val got = t.read().orderBy("k").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(got == Seq((101, "A", 1.0), (102, "B", 2.0)), s"got $got")
+    assert(t.read().schema("k").dataType == org.apache.spark.sql.types.IntegerType)
+  }
+
+  test("UPDATE rejects unknown and duplicate SET columns; DELETE/UPDATE reject subqueries") {
+    val t = freshTarget("usql3", Seq((1, "a", 1.0)))
+    MergeSqlTargets.register(spark, "t_usql3", t.root)
+    val unknown = intercept[Exception](spark.sql("UPDATE t_usql3 SET nope = 1"))
+    assert(unknown.getMessage.contains("not in the target schema"), unknown.getMessage)
+    val dup = intercept[Exception](spark.sql("UPDATE t_usql3 SET bal = 1, bal = 2"))
+    assert(dup.getMessage.contains("twice"), dup.getMessage)
+    Seq(1).toDF("k").createOrReplaceTempView("sub_src")
+    val dsub = intercept[Exception](
+      spark.sql("DELETE FROM t_usql3 WHERE k IN (SELECT k FROM sub_src)"))
+    assert(dsub.getMessage.contains("does not support subqueries"), dsub.getMessage)
+    val usub = intercept[Exception](
+      spark.sql("UPDATE t_usql3 SET bal = (SELECT max(k) FROM sub_src)"))
+    assert(usub.getMessage.contains("does not support subqueries"), usub.getMessage)
+    // the failed statements left the table untouched
+    assert(t.read().count() == 1)
+  }
+
+  test("DELETE/UPDATE on unregistered names fall through to Spark's own path") {
+    Seq((1, "a")).toDF("k", "v").createOrReplaceTempView("not_ours_du")
+    val d = intercept[Exception](spark.sql("DELETE FROM not_ours_du WHERE k = 1"))
+    assert(!d.getMessage.contains("graft"), d.getMessage)
+    val u = intercept[Exception](spark.sql("UPDATE not_ours_du SET v = 'x'"))
+    assert(!u.getMessage.contains("graft"), u.getMessage)
+  }
+
   test("Catalog.registerView names are MERGE-able and merge reads the current version") {
     val root = scratchDir("msqlcat")
     val cat = Catalog(spark, root)

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{GraftSqlInternals, Row, SparkSession}
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
-import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation, UnresolvedStar}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedIdentifier, UnresolvedRelation, UnresolvedStar}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.Count
 import org.apache.spark.sql.catalyst.parser.{ParseException, ParserInterface}
@@ -39,31 +39,48 @@ import org.apache.spark.sql.types.StructType
   */
 object MergeSqlTargets {
 
-  // keyed by (session identity, lowercased name) — session-scoped like
-  // the temp views these targets are registered alongside
+  // weak-keyed by the session itself (SparkSession uses identity
+  // equality) — registrations are session-scoped like the temp views
+  // they're registered alongside, and die WITH the session: no
+  // process-lifetime leak, no identity-hash collision inheriting
+  // another session's table roots
   private val targets =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+    new java.util.WeakHashMap[SparkSession, scala.collection.concurrent.TrieMap[String, String]]()
 
   /** Register `name` as a MERGE-able SQL identifier for this session,
     * backed by the lake table at `root`.
     */
   def register(spark: SparkSession, name: String, root: String): Unit = {
-    targets((System.identityHashCode(spark), name.toLowerCase)) = root
+    val m = targets.synchronized {
+      targets.computeIfAbsent(
+        spark, _ => scala.collection.concurrent.TrieMap.empty[String, String])
+    }
+    m(name.toLowerCase) = root
     ()
   }
+
+  /** Sessions currently holding registrations (weak — spec probe). */
+  private[plans] def liveSessionCount: Int = targets.synchronized(targets.size)
 
   def rootFor(spark: SparkSession, nameParts: Seq[String]): Option[String] =
     nameParts match {
       case Seq(name) =>
-        targets.get((System.identityHashCode(spark), name.toLowerCase))
+        targets.synchronized(Option(targets.get(spark)))
+          .flatMap(_.get(name.toLowerCase))
       case Seq(cat, schema, table) =>
         // a 3-part name under an attached GraftCatalog is always a
-        // valid target: <root>/<schema>/<table> (INSERT may create it)
+        // valid target: <root>/<schema>/<table> (INSERT may create it).
+        // Resolution shares the catalog's own identifier→path rules
+        // (case-insensitive against existing dirs, traversal-checked),
+        // so DML and SELECT can never land on different directories.
         val impl =
           try spark.conf.get(s"spark.sql.catalog.$cat")
           catch { case _: Exception => null }
         if (impl != classOf[graft.tables.v2.GraftCatalog].getName) None
-        else Some(s"${spark.conf.get(s"spark.sql.catalog.$cat.root")}/$schema/$table")
+        else {
+          val root = spark.conf.get(s"spark.sql.catalog.$cat.root")
+          Some(graft.tables.v2.GraftCatalog.resolvePath(root, Seq(schema, table)).toString)
+        }
       case _ => None
     }
 }
@@ -81,8 +98,29 @@ class GraftMergeParser(session: SparkSession, delegate: ParserInterface)
       case i: InsertIntoStatement => rewriteInsertIfRegistered(i)
       case d: DeleteFromTable => rewriteDeleteIfRegistered(d)
       case u: UpdateTable => rewriteUpdateIfRegistered(u)
+      case c: CreateTableAsSelect => rewriteCtasIfRegistered(c)
       case other => other
     }
+
+  /** `CREATE TABLE lake.<ns>.<t> [IF NOT EXISTS] AS SELECT ...` — CTAS
+    * as sugar over the engine's own commit path: the SELECT resolves at
+    * run time and its one `append` both creates the table and anchors
+    * the schema contract (manifest v0 carries the query schema), the
+    * same end state as CREATE-then-INSERT in one atomic commit.
+    */
+  private def rewriteCtasIfRegistered(c: CreateTableAsSelect): LogicalPlan = {
+    val nameParts = c.name match {
+      case UnresolvedIdentifier(parts, _) if parts.length == 3 => parts
+      case _ => return c
+    }
+    MergeSqlTargets.rootFor(session, nameParts) match {
+      case None => c
+      case Some(root) =>
+        require(c.partitioning.isEmpty,
+          "graft CTAS does not support PARTITIONED BY; pass partitionBy to append()")
+        GraftCtasCommand(root, new SqlPlanPayload(c.query), c.ignoreIfExists)
+    }
+  }
 
   /** Target of a row-level statement: bare name or `name AS alias`,
     * both still unresolved at parse time.
@@ -379,6 +417,28 @@ final case class GraftInsertIntoCommand(
   }
 }
 
+/** The executable CTAS: one `append` commit creates the table, loads
+  * the query result, and anchors the schema contract from it. A
+  * pre-existing target throws (or no-ops under IF NOT EXISTS — the
+  * query is then never executed, matching Spark's CTAS semantics).
+  */
+final case class GraftCtasCommand(
+    root: String,
+    payload: SqlPlanPayload,
+    ignoreIfExists: Boolean) extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val table = graft.tables.LakeTable(spark, root)
+    if (table.exists) {
+      if (ignoreIfExists) return Seq.empty
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        org.apache.spark.sql.connector.catalog.Identifier.of(Array.empty, root))
+    }
+    table.append(GraftSqlInternals.ofRows(spark, payload.plan))
+    Seq.empty
+  }
+}
+
 /** The executable MERGE: reads the target's CURRENT snapshot, applies
   * the clause semantics as one declarative join-rewrite plan, and
   * commits through `LakeTable.overwrite` (atomic manifest swap — the
@@ -467,13 +527,19 @@ final case class GraftMergeIntoCommand(
         val filtered = deleteIdxs.foldLeft[LogicalPlan](withClause) { (p, i) =>
           Filter(Not(EqualTo(clauseRef, Literal(i))), p)
         }
+        // every assigned value is cast to the DECLARED column type
+        // (store-assignment, as in GraftUpdateCommand / Delta / Iceberg):
+        // a widening expression like `t.k + 1` on an INT column must
+        // store as INT, not coerce the CASE output and drift the schema
         val cols = targetSchema.fields.map { f =>
           val branches = matchedActions.zipWithIndex.flatMap {
             case (_: UpdateStarAction, i) =>
-              Some((EqualTo(clauseRef, Literal(i)): Expression, sAttr(f.name): Expression))
+              Some((EqualTo(clauseRef, Literal(i)): Expression,
+                Cast(sAttr(f.name), f.dataType): Expression))
             case (UpdateAction(_, assigns, _), i) =>
               assignmentFor(assigns, f.name)
-                .map(v => (EqualTo(clauseRef, Literal(i)): Expression, v))
+                .map(v => (EqualTo(clauseRef, Literal(i)): Expression,
+                  Cast(v, f.dataType): Expression))
             case _ => None
           }
           val e =
@@ -501,10 +567,13 @@ final case class GraftMergeIntoCommand(
         val cols = targetSchema.fields.map { f =>
           val branches = notMatchedActions.zipWithIndex.flatMap {
             case (_: InsertStarAction, i) =>
-              Some((EqualTo(clauseRef, Literal(i)): Expression, sAttr(f.name): Expression))
+              Some((EqualTo(clauseRef, Literal(i)): Expression,
+                Cast(sAttr(f.name), f.dataType): Expression))
             case (InsertAction(_, assigns), i) =>
               Some((EqualTo(clauseRef, Literal(i)): Expression,
-                assignmentFor(assigns, f.name).getOrElse(Literal.create(null, f.dataType))))
+                assignmentFor(assigns, f.name)
+                  .map(v => Cast(v, f.dataType): Expression)
+                  .getOrElse(Literal.create(null, f.dataType))))
             case _ => None
           }
           Alias(CaseWhen(branches, Some(Literal.create(null, f.dataType))), f.name)()

@@ -232,6 +232,80 @@ object ScaleQueries {
 
   val sqlOverCatalogV2Sql: String = sqlOverCatalogSql
 
+  /** SQL time travel through the DSv2 catalog: two committed versions,
+    * then `VERSION AS OF 0` must read the FIRST snapshot — same pin as
+    * the programmatic `read(versionAsOf = Some(0))` (q_time_travel),
+    * now reachable from plain SQL (the reference's Iceberg
+    * `FOR VERSION AS OF`,
+    * /root/reference/experiments/trino_iceberg_example.sql:43).
+    */
+  def sqlTimeTravel(spark: SparkSession, sfDir: String): DataFrame = {
+    val cat = Catalog(spark, graft.util.TempDirs.scratch("sqltt"))
+    cat.createSchema("gold")
+    val nation = spark.read.parquet(tablePath(sfDir, "nation"))
+    val t = cat.table("gold", "nation")
+    t.append(nation)
+    t.append(nation.withColumn("n_nationkey", col("n_nationkey") + 100))
+    cat.attachSqlCatalog("lake")
+    cat.sql(
+      """SELECT n_nationkey, n_name, n_regionkey
+        |FROM lake.gold.nation VERSION AS OF 0""".stripMargin)
+  }
+
+  val sqlTimeTravelSql: String =
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation"
+
+  /** `CREATE TABLE ... AS SELECT` through the parser path: the CTAS
+    * commit anchors the schema from the query, and a second
+    * `IF NOT EXISTS` CTAS with a DIFFERENT shape must no-op (its query
+    * never runs) — proving create-once semantics, not overwrite.
+    */
+  def ctasSql(spark: SparkSession, sfDir: String): DataFrame = {
+    val cat = Catalog(spark, graft.util.TempDirs.scratch("ctas"))
+    cat.createSchema("gold")
+    cat.table("gold", "nation").append(spark.read.parquet(tablePath(sfDir, "nation")))
+    cat.attachSqlCatalog("lake")
+    cat.sql(
+      """CREATE TABLE lake.gold.nation_named AS
+        |SELECT n_nationkey, upper(n_name) AS name_uc
+        |FROM lake.gold.nation WHERE n_regionkey >= 2""".stripMargin)
+    cat.sql(
+      "CREATE TABLE IF NOT EXISTS lake.gold.nation_named AS SELECT 1 AS wrong_shape")
+    cat.sql("SELECT n_nationkey, name_uc FROM lake.gold.nation_named")
+  }
+
+  val ctasSqlSql: String =
+    """SELECT n_nationkey, upper(n_name) AS name_uc
+      |FROM nation WHERE n_regionkey >= 2""".stripMargin
+
+  /** Predicate pushdown through the DSv2 read bridge, end-to-end: the
+    * WHERE clause must both PRUNE (pushFilters → LakeTable.read().
+    * filter → parquet row-group stats; plan shape pinned by
+    * PlanAuditSpec) and stay EXACT — `o_orderkey % 5 = 0` is
+    * deliberately untranslatable, so the result also proves Spark's
+    * residual filter still applies above the bridge. Identifier case
+    * (`lake.Gold.ORDERS`) resolves to the on-disk `gold/orders` —
+    * Spark SQL's case-insensitive identifier contract held through to
+    * the filesystem.
+    */
+  def sqlPushdown(spark: SparkSession, sfDir: String): DataFrame = {
+    val cat = Catalog(spark, graft.util.TempDirs.scratch("sqlpd"))
+    cat.createSchema("gold")
+    cat.table("gold", "orders").append(
+      spark.read.parquet(tablePath(sfDir, "orders"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderstatus")))
+    cat.attachSqlCatalog("lake")
+    cat.sql(
+      """SELECT o_orderkey, o_totalprice
+        |FROM lake.Gold.ORDERS
+        |WHERE o_totalprice > 150000.0 AND o_orderstatus = 'F' AND o_orderkey % 5 = 0""".stripMargin)
+  }
+
+  val sqlPushdownSql: String =
+    """SELECT o_orderkey, o_totalprice
+      |FROM orders
+      |WHERE o_totalprice > 150000.0 AND o_orderstatus = 'F' AND o_orderkey % 5 = 0""".stripMargin
+
   /** Streaming dedup with bounded state: events unioned with an exact
     * copy of itself, streamed, deduplicated on event_id within the
     * watermark horizon → exactly the original rows (duplicates are
@@ -275,6 +349,9 @@ object ScaleQueries {
     "q_schema_evolution" -> (schemaEvolution _),
     "q_sql_catalog" -> (sqlOverCatalog _),
     "q_sql_catalog_v2" -> (sqlOverCatalogV2 _),
+    "q_sql_time_travel" -> (sqlTimeTravel _),
+    "q_ctas_sql" -> (ctasSql _),
+    "q_sql_pushdown" -> (sqlPushdown _),
     "q_stream_dedup" -> (streamDedup _))
 
   val oracleSql: Map[String, String] = Map(
@@ -286,5 +363,8 @@ object ScaleQueries {
     "q_schema_evolution" -> schemaEvolutionSql,
     "q_sql_catalog" -> sqlOverCatalogSql,
     "q_sql_catalog_v2" -> sqlOverCatalogV2Sql,
+    "q_sql_time_travel" -> sqlTimeTravelSql,
+    "q_ctas_sql" -> ctasSqlSql,
+    "q_sql_pushdown" -> sqlPushdownSql,
     "q_stream_dedup" -> streamDedupSql)
 }

@@ -43,6 +43,10 @@ final case class Catalog(spark: SparkSession, root: String) {
   def attachSqlCatalog(name: String = "lake"): Unit = {
     spark.conf.set(s"spark.sql.catalog.$name", classOf[graft.tables.v2.GraftCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$name.root", root)
+    // Spark caches catalog plugin instances per name for the session
+    // lifetime — without this, re-attaching `name` with a different
+    // root would keep serving the OLD root silently
+    org.apache.spark.sql.GraftSqlInternals.resetCatalogCache(spark)
   }
 
   /** SHOW SCHEMAS analog: every namespace directory under the root. */

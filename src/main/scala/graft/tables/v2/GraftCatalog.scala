@@ -5,11 +5,13 @@ import java.util
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.SQLContext
+import org.apache.spark.sql.{Column, SQLContext}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{BaseRelation, TableScan}
 import org.apache.spark.sql.types.{DataType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -56,7 +58,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def name(): String = catalogName
 
   private def dirOf(namespace: Array[String]): Path =
-    Paths.get((root +: namespace).mkString("/"))
+    GraftCatalog.resolvePath(root, namespace.toSeq)
 
   private def isLakeTable(p: Path): Boolean =
     Files.isDirectory(p.resolve("_graft_log"))
@@ -78,6 +80,53 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val p = dirOf(ident.namespace() :+ ident.name())
     if (!isLakeTable(p)) throw new NoSuchTableException(ident)
     new GraftSqlTable(p.toString)
+  }
+
+  /** `SELECT ... FROM lake.<ns>.<t> VERSION AS OF <n>` — SQL time
+    * travel, pinned to commit `n` exactly like the programmatic
+    * `LakeTable.read(versionAsOf = Some(n))` (same manifest, same
+    * deletion-vector application). The reference gets this from
+    * Iceberg (`/root/reference/experiments/trino_iceberg_example.sql:43`).
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val p = dirOf(ident.namespace() :+ ident.name())
+    if (!isLakeTable(p)) throw new NoSuchTableException(ident)
+    val v =
+      try version.toLong
+      catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"VERSION AS OF expects a numeric snapshot version, got '$version'")
+      }
+    new GraftSqlTable(p.toString, Some(v))
+  }
+
+  /** `SELECT ... FROM lake.<ns>.<t> TIMESTAMP AS OF <ts>` — Spark hands
+    * the timestamp in MICROseconds; pin the newest snapshot committed
+    * at or before it (the `readAsOfTimestamp` rule: predating the
+    * table fails loudly, never a silent empty read).
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val p = dirOf(ident.namespace() :+ ident.name())
+    if (!isLakeTable(p)) throw new NoSuchTableException(ident)
+    val logDir = p.resolve("_graft_log")
+    val s = Files.list(logDir)
+    val manifests =
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.matches("v\\d+\\.json"))
+        .toSeq.sortBy(_.getFileName.toString)
+      finally s.close()
+    val tsMillis = timestamp / 1000L
+    val at = manifests
+      .map { mp =>
+        val json = new String(Files.readAllBytes(mp), java.nio.charset.StandardCharsets.UTF_8)
+        graft.tables.LakeTable.Manifest.fromJson(json)
+      }
+      .filter(_.timestampMs <= tsMillis)
+      .lastOption
+      .getOrElse(throw new IllegalStateException(
+        s"no snapshot of $p at or before $tsMillis (timestamp predates the table)"))
+    new GraftSqlTable(p.toString, Some(at.version))
   }
 
   /** `CREATE TABLE lake.<ns>.<t> (cols...)`: publish a version-0
@@ -172,26 +221,89 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       "DROP NAMESPACE is not supported through SQL (delete the directory)")
 }
 
+object GraftCatalog {
+
+  /** Identifier parts → filesystem path, shared by the catalog and the
+    * row-level SQL target resolution ([[graft.plans.MergeSqlTargets]])
+    * so DML and SELECT always resolve the SAME directory:
+    *
+    *   - parts are validated as single path components BEFORE any
+    *     filesystem operation — a backquoted identifier smuggling
+    *     `..` or a separator cannot escape the catalog root (dropTable
+    *     deletes recursively; the root is a hard boundary);
+    *   - each part resolves case-INsensitively against the existing
+    *     directory entries (Spark SQL identifiers are case-insensitive
+    *     by default, so `lake.Gold.nation` must reach `root/gold/
+    *     nation`, not create a shadow `root/Gold/`); a part with no
+    *     existing match keeps its typed spelling (CREATE uses it),
+    *     and an ambiguous match (two dirs differing only by case —
+    *     someone bypassed the catalog) fails loudly rather than
+    *     guessing.
+    */
+  def resolvePath(root: String, parts: Seq[String]): Path = {
+    parts.foreach { part =>
+      require(
+        part.nonEmpty && part != "." && part != ".." &&
+          !part.contains("/") && !part.contains("\\"),
+        s"invalid identifier part '$part': must be a single path component")
+    }
+    parts.foldLeft(Paths.get(root)) { (parent, part) =>
+      val exact = parent.resolve(part)
+      if (Files.exists(exact) || !Files.isDirectory(parent)) exact
+      else {
+        val s = Files.list(parent)
+        val matches =
+          try s.iterator().asScala
+            .filter(_.getFileName.toString.equalsIgnoreCase(part))
+            .toList
+          finally s.close()
+        matches match {
+          case one :: Nil => one
+          case Nil => exact
+          case many =>
+            throw new IllegalArgumentException(
+              s"identifier part '$part' is ambiguous under $parent: " +
+                many.map(_.getFileName).mkString(", "))
+        }
+      }
+    }
+  }
+}
+
 /** A lake table exposed through the DSv2 `Table` interface. Schema is
   * read from the latest manifest (one small JSON file — no session, no
   * data files); the scan defers to `LakeTable.read()` at execution, so
   * every query sees the current snapshot and deletion vectors apply
-  * exactly as in the programmatic read path.
+  * exactly as in the programmatic read path. A `versionAsOf` pin (from
+  * `SELECT ... VERSION AS OF n`) fixes both the schema and the scan to
+  * that committed snapshot — SQL time travel with the exact semantics
+  * of the programmatic `read(versionAsOf = Some(n))`.
   */
-final class GraftSqlTable(rootPath: String) extends Table with SupportsRead {
+final class GraftSqlTable(rootPath: String, versionAsOf: Option[Long] = None)
+  extends Table with SupportsRead {
 
-  override def name(): String = rootPath
+  override def name(): String =
+    versionAsOf.fold(rootPath)(v => s"$rootPath@v$v")
 
   override lazy val schema: StructType = {
     val logDir = Paths.get(rootPath, "_graft_log")
-    val s = Files.list(logDir)
-    val latest =
-      try s.iterator().asScala
-        .filter(_.getFileName.toString.matches("v\\d+\\.json"))
-        .toSeq
-        .maxBy(_.getFileName.toString)
-      finally s.close()
-    val json = new String(Files.readAllBytes(latest), java.nio.charset.StandardCharsets.UTF_8)
+    val manifestPath = versionAsOf match {
+      case Some(v) =>
+        val p = logDir.resolve(f"v$v%020d.json")
+        if (!Files.isRegularFile(p))
+          throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+            Identifier.of(Array.empty, s"$rootPath VERSION AS OF $v"))
+        p
+      case None =>
+        val s = Files.list(logDir)
+        try s.iterator().asScala
+          .filter(_.getFileName.toString.matches("v\\d+\\.json"))
+          .toSeq
+          .maxBy(_.getFileName.toString)
+        finally s.close()
+    }
+    val json =
+      new String(Files.readAllBytes(manifestPath), java.nio.charset.StandardCharsets.UTF_8)
     DataType
       .fromJson(graft.tables.LakeTable.Manifest.fromJson(json).schemaJson)
       .asInstanceOf[StructType]
@@ -201,8 +313,9 @@ final class GraftSqlTable(rootPath: String) extends Table with SupportsRead {
     util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with SupportsPushDownRequiredColumns {
+    new ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
       private var required: StructType = schema
+      private var pushed: Array[sources.Filter] = Array.empty
 
       override def pruneColumns(requiredSchema: StructType): Unit = {
         // empty pruning (count(*)) still needs ≥1 column to build rows
@@ -211,18 +324,37 @@ final class GraftSqlTable(rootPath: String) extends Table with SupportsRead {
           else requiredSchema
       }
 
+      /** Predicate pushdown through the bridge: every translatable
+        * filter is ALSO applied inside `buildScan()`'s
+        * `LakeTable.read().filter(...)` — its own query execution then
+        * pushes it into the parquet scan, where row-group min/max stats
+        * prune under it (the pruning the reference gets from Iceberg
+        * stats). EVERY filter is returned as a residual so Spark
+        * re-applies the full predicate above the bridge: pushdown can
+        * only prune, never change results — exactness does not depend
+        * on the translation.
+        */
+      override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
+        pushed = filters.filter(f => GraftFilterTranslation.translate(f).isDefined)
+        filters
+      }
+
+      override def pushedFilters(): Array[sources.Filter] = pushed
+
       override def build(): Scan = new V1Scan {
         override def readSchema(): StructType = required
 
         override def toV1TableScan[T <: BaseRelation with TableScan](
             context: SQLContext): T = {
+          val filters = pushed
           val rel = new BaseRelation with TableScan {
             override def sqlContext: SQLContext = context
             override def schema: StructType = required
             override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
               val t = graft.tables.LakeTable(context.sparkSession, rootPath)
-              t.read()
-                .select(required.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
+              filters.flatMap(GraftFilterTranslation.translate)
+                .foldLeft(t.read(versionAsOf))(_.filter(_))
+                .select(required.fieldNames.map(col).toSeq: _*)
                 .rdd
             }
           }
@@ -230,4 +362,38 @@ final class GraftSqlTable(rootPath: String) extends Table with SupportsRead {
         }
       }
     }
+}
+
+/** `sources.Filter` → `Column` for the V1Scan bridge. Partial by
+  * design: an untranslated filter simply isn't pushed (Spark holds
+  * every filter as a residual above the bridge either way, so the
+  * only cost of a `None` is unpruned row groups, never wrong rows).
+  * Dotted/backquoted attribute paths are skipped — V1 filter strings
+  * are ambiguous for them.
+  */
+private[v2] object GraftFilterTranslation {
+
+  def translate(f: sources.Filter): Option[Column] = f match {
+    case sources.EqualTo(a, v) => ref(a).map(_ === lit(v))
+    case sources.EqualNullSafe(a, v) => ref(a).map(_ <=> lit(v))
+    case sources.GreaterThan(a, v) => ref(a).map(_ > lit(v))
+    case sources.GreaterThanOrEqual(a, v) => ref(a).map(_ >= lit(v))
+    case sources.LessThan(a, v) => ref(a).map(_ < lit(v))
+    case sources.LessThanOrEqual(a, v) => ref(a).map(_ <= lit(v))
+    case sources.In(a, vs) => ref(a).map(_.isin(vs.toIndexedSeq: _*))
+    case sources.IsNull(a) => ref(a).map(_.isNull)
+    case sources.IsNotNull(a) => ref(a).map(_.isNotNull)
+    case sources.StringStartsWith(a, v) => ref(a).map(_.startsWith(v))
+    case sources.StringEndsWith(a, v) => ref(a).map(_.endsWith(v))
+    case sources.StringContains(a, v) => ref(a).map(_.contains(v))
+    case sources.And(l, r) => for { lc <- translate(l); rc <- translate(r) } yield lc && rc
+    case sources.Or(l, r) => for { lc <- translate(l); rc <- translate(r) } yield lc || rc
+    case sources.Not(c) => translate(c).map(!_)
+    case sources.AlwaysTrue() => Some(lit(true))
+    case sources.AlwaysFalse() => Some(lit(false))
+    case _ => None
+  }
+
+  private def ref(name: String): Option[Column] =
+    if (name.contains(".") || name.contains("`")) None else Some(col(name))
 }

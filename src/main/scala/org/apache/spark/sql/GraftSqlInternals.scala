@@ -19,4 +19,14 @@ object GraftSqlInternals {
     */
   def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
     classic.ExpressionUtils.column(e)
+
+  /** Drop the session's cached catalog-plugin instances. Spark
+    * instantiates a catalog once per name and caches it for the session
+    * lifetime, so re-attaching the same catalog name with a DIFFERENT
+    * root would otherwise keep serving the old root silently
+    * ([[graft.tables.Catalog.attachSqlCatalog]] calls this after
+    * setting the conf).
+    */
+  def resetCatalogCache(spark: SparkSession): Unit =
+    spark.asInstanceOf[classic.SparkSession].sessionState.catalogManager.reset()
 }

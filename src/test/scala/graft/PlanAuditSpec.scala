@@ -24,6 +24,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.split("ReadSchema")(1).split("\n")(0).contains("l_tax"), p)
   }
 
+  test("lake.* SQL predicates cross the V1Scan bridge as pushed filters") {
+    // the WHERE on a DSv2-catalog read must be pushed INTO the bridge
+    // (applied on LakeTable.read() where parquet row-group stats prune
+    // under it), with the untranslatable term left as residual — the
+    // one plan shape that survives a 100× scale-up of SQL-path reads
+    val p = plan(graft.queries.ScaleQueries.sqlPushdown(spark, sf))
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("GreaterThan(o_totalprice"), p)
+    assert(p.contains("EqualTo(o_orderstatus"), p)
+  }
+
   test("star joins broadcast the dims — no shuffle of the fact side") {
     val p = plan(graft.queries.CoreQueries.joinStar(spark, sf))
     assert(p.contains("BroadcastHashJoin"), p)

@@ -32,6 +32,34 @@ class MergeSqlSpec extends SparkSpec {
     assert(got == Set((1, "a", 10.0), (2, "b2", 99.0), (3, "c", 30.0), (9, "i", 1.0)))
   }
 
+  test("MERGE clause values are cast to the declared column types (store assignment)") {
+    val t = LakeTable(spark, scratchDir("mcast"))
+    t.append(Seq((1, 10), (2, 20)).toDF("k", "cnt"))
+    MergeSqlTargets.register(spark, "t_mcast", t.root)
+    Seq((2, 5), (3, 7)).toDF("k", "cnt").createOrReplaceTempView("s_mcast")
+    // BIGINT-typed update and insert values on an INT column: store
+    // assignment casts to the DECLARED type — before this rule the CASE
+    // output widened to BIGINT and the commit died in SchemaDrift
+    spark.sql(
+      """MERGE INTO t_mcast t USING s_mcast s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET cnt = t.cnt + CAST(s.cnt AS BIGINT)
+        |WHEN NOT MATCHED THEN INSERT (k, cnt) VALUES (s.k, s.cnt * 2L)""".stripMargin)
+    assert(t.read().schema("cnt").dataType == org.apache.spark.sql.types.IntegerType,
+      t.read().schema.treeString)
+    val got = t.read().collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(got == Set((1, 10), (2, 25), (3, 14)), s"got $got")
+    // star actions cast too: a LONG-columned source merged via SET * /
+    // INSERT * must store as the target's INT
+    Seq((3L, 100L), (4L, 40L)).toDF("k", "cnt").createOrReplaceTempView("s_mcast_star")
+    spark.sql(
+      """MERGE INTO t_mcast t USING s_mcast_star s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(t.read().schema("cnt").dataType == org.apache.spark.sql.types.IntegerType)
+    val got2 = t.read().collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(got2 == Set((1, 10), (2, 25), (3, 100), (4, 40)), s"got $got2")
+  }
+
   test("MERGE INTO: conditional UPDATE assignments, DELETE clause, conditional INSERT") {
     val t = freshTarget("msql2", Seq((1, "keep", 5.0), (2, "upd", 10.0), (3, "del", 15.0)))
     MergeSqlTargets.register(spark, "t_msql2", t.root)
@@ -183,6 +211,28 @@ class MergeSqlSpec extends SparkSpec {
     assert(usub.getMessage.contains("does not support subqueries"), usub.getMessage)
     // the failed statements left the table untouched
     assert(t.read().count() == 1)
+  }
+
+  test("MergeSqlTargets registrations are session-scoped and weakly held") {
+    val s2 = spark.newSession()
+    MergeSqlTargets.register(s2, "t_scoped", "/tmp/graft-scope-probe")
+    // scoped: another session (ours) must not resolve s2's names
+    assert(MergeSqlTargets.rootFor(s2, Seq("t_scoped")).isDefined)
+    assert(MergeSqlTargets.rootFor(spark, Seq("t_scoped")).isEmpty)
+    // weak: dropping the only strong reference makes the entry collectible
+    val before = MergeSqlTargets.liveSessionCount
+    locally {
+      var s3 = spark.newSession()
+      MergeSqlTargets.register(s3, "t_weak", "/tmp/graft-weak-probe")
+      assert(MergeSqlTargets.liveSessionCount >= before + 1)
+      s3 = null
+    }
+    var tries = 0
+    while (MergeSqlTargets.liveSessionCount > before && tries < 100) {
+      System.gc(); Thread.sleep(20); tries += 1
+    }
+    assert(MergeSqlTargets.liveSessionCount <= before,
+      s"dead session still registered after ${tries} gc rounds")
   }
 
   test("DELETE/UPDATE on unregistered names fall through to Spark's own path") {

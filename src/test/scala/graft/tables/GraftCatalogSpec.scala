@@ -93,4 +93,98 @@ class GraftCatalogSpec extends SparkSpec {
       .map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSeq
     assert(got == Seq((1, "a", 1.0), (2, "b9", 9.0), (5, "e", 5.0)), s"got $got")
   }
+
+  test("VERSION AS OF / TIMESTAMP AS OF pin the snapshot through SQL") {
+    val (cat, name) = freshCatalog("v2tt")
+    cat.createSchema("gold")
+    val t = cat.table("gold", "dim")
+    t.append(Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    t.append(Seq((3, "c")).toDF("k", "v"))
+    def ks(sql: String): Seq[Int] =
+      spark.sql(sql).collect().map(_.getInt(0)).sorted.toSeq
+    assert(ks(s"SELECT k FROM $name.gold.dim VERSION AS OF 0") == Seq(1, 2))
+    assert(ks(s"SELECT k FROM $name.gold.dim VERSION AS OF 1") == Seq(1, 2, 3))
+    assert(ks(s"SELECT k FROM $name.gold.dim") == Seq(1, 2, 3))
+    // a version that was never committed fails loudly, not empty
+    intercept[Exception](spark.sql(s"SELECT k FROM $name.gold.dim VERSION AS OF 7").collect())
+    // wall-clock travel: a future timestamp = the latest snapshot; a
+    // timestamp predating the table is an error, never a silent empty read
+    assert(ks(s"SELECT k FROM $name.gold.dim TIMESTAMP AS OF '2100-01-01 00:00:00'")
+      == Seq(1, 2, 3))
+    intercept[Exception](
+      spark.sql(s"SELECT k FROM $name.gold.dim TIMESTAMP AS OF '1999-01-01 00:00:00'").collect())
+    // a deletion vector committed AFTER the pin must not apply to it
+    t.deleteWhereDV(col("k") === 1)
+    assert(ks(s"SELECT k FROM $name.gold.dim") == Seq(2, 3))
+    assert(ks(s"SELECT k FROM $name.gold.dim VERSION AS OF 1") == Seq(1, 2, 3))
+  }
+
+  test("identifier case resolves to the existing directory — SELECT and DML agree on the path") {
+    val (cat, name) = freshCatalog("v2case")
+    cat.createSchema("gold")
+    cat.table("gold", "dim").append(Seq((1, "a")).toDF("k", "v"))
+    // SELECT with shouted identifiers reads the on-disk gold/dim
+    assert(spark.sql(s"SELECT k FROM $name.GOLD.DIM").head().getInt(0) == 1)
+    // DML with mixed case lands in the SAME directory, not a shadow Gold/Dim
+    Seq((2, "b")).toDF("k", "v").createOrReplaceTempView("v2case_src")
+    spark.sql(s"INSERT INTO $name.Gold.Dim SELECT * FROM v2case_src")
+    assert(spark.sql(s"SELECT count(*) AS c FROM $name.gold.dim").head().getLong(0) == 2)
+    val root = java.nio.file.Paths.get(cat.root)
+    assert(!java.nio.file.Files.exists(root.resolve("Gold")), "shadow Gold/ was created")
+    assert(cat.table("gold", "dim").read().count() == 2)
+  }
+
+  test("identifier parts that escape the root are rejected before any filesystem op") {
+    val (cat, name) = freshCatalog("v2trav")
+    cat.createSchema("gold")
+    cat.table("gold", "dim").append(Seq((1, "a")).toDF("k", "v"))
+    // a backquoted `..` must never resolve (dropTable deletes recursively)
+    intercept[Exception](spark.sql(s"DROP TABLE $name.`..`.`tmp`"))
+    intercept[Exception](spark.sql(s"SELECT * FROM $name.`..`.`tmp`").collect())
+    intercept[Exception](spark.sql(s"SELECT * FROM $name.`gold/dim`.`x`").collect())
+    // the legit table is untouched
+    assert(spark.sql(s"SELECT count(*) AS c FROM $name.gold.dim").head().getLong(0) == 1)
+  }
+
+  test("re-attaching a catalog name with a different root serves the NEW root") {
+    val rootA = scratchDir("reattA")
+    val rootB = scratchDir("reattB")
+    val catA = Catalog(spark, rootA)
+    catA.createSchema("s")
+    catA.table("s", "t").append(Seq(("old", 1)).toDF("tag", "n"))
+    val catB = Catalog(spark, rootB)
+    catB.createSchema("s")
+    catB.table("s", "t").append(Seq(("new", 2)).toDF("tag", "n"))
+    catA.attachSqlCatalog("lake_reatt")
+    assert(spark.sql("SELECT tag FROM lake_reatt.s.t").head().getString(0) == "old")
+    // without cache invalidation this would still read rootA
+    catB.attachSqlCatalog("lake_reatt")
+    assert(spark.sql("SELECT tag FROM lake_reatt.s.t").head().getString(0) == "new")
+  }
+
+  test("CTAS creates from the query; IF NOT EXISTS no-ops; duplicate CTAS throws") {
+    val (cat, name) = freshCatalog("v2ctas")
+    cat.createSchema("gold")
+    cat.table("gold", "src").append(Seq((1, "a", 10.0), (2, "b", 20.0), (3, "c", 5.0))
+      .toDF("k", "v", "bal"))
+    spark.sql(
+      s"""CREATE TABLE $name.gold.rich AS
+         |SELECT k, v FROM $name.gold.src WHERE bal >= 10.0""".stripMargin)
+    val got = spark.sql(s"SELECT k, v FROM $name.gold.rich ORDER BY k").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(got == Seq((1, "a"), (2, "b")), s"got $got")
+    // IF NOT EXISTS on an existing table: no-op, the query never runs
+    spark.sql(s"CREATE TABLE IF NOT EXISTS $name.gold.rich AS SELECT 1 AS other")
+    assert(spark.sql(s"SELECT * FROM $name.gold.rich").columns.toSeq == Seq("k", "v"))
+    assert(spark.sql(s"SELECT count(*) AS c FROM $name.gold.rich").head().getLong(0) == 2)
+    // bare duplicate CTAS fails loudly
+    intercept[Exception](spark.sql(s"CREATE TABLE $name.gold.rich AS SELECT 1 AS x"))
+    // the new table is a first-class lake table: MERGE-able, droppable
+    Seq((2, "b9"), (9, "i")).toDF("k", "v").createOrReplaceTempView("v2ctas_upd")
+    spark.sql(
+      s"""MERGE INTO $name.gold.rich t USING v2ctas_upd s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.sql(s"SELECT count(*) AS c FROM $name.gold.rich").head().getLong(0) == 3)
+  }
 }

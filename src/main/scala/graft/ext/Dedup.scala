@@ -566,16 +566,87 @@ object Dedup {
     * shape (large-star/small-star is the published optimization if
     * diameters ever grow).
     */
-  def clusterPairs(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    val edges = pairs
+  def clusterPairs(
+      pairs: DataFrame,
+      maxIters: Int = 20,
+      broadcastEdgeLimit: Long = 1000000L): DataFrame = {
+    // Materialize the PAIR list once, before symmetrizing: the naive
+    // `pairs UNION swap(pairs)` plan evaluates the pair pipeline in
+    // BOTH union branches (Spark does not share subtrees across a
+    // union), and for minhash/verify pairs that pipeline is the whole
+    // query's dominant cost — a silent 2×.
+    val p = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
+    // Broadcast close: dup-pair edge sets are pairs-only (the unpaired
+    // bulk of the corpus never enters), so even at 100 TB they are
+    // typically MBs. When the pair list fits the driver bound AND ids
+    // are integral (exact label-order parity with the SQL min is then
+    // trivial), close the components in ONE collect + union-find pass
+    // — zero iterative rounds, zero per-round shuffles — and hand the
+    // labels back as a broadcastable local relation. Oversized pair
+    // sets (or exotic id types) fall through to the iterative
+    // propagation below, which remains the scale path.
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val idType = p.schema("src").dataType
+    val integralId = idType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    if (integralId && p.count() <= broadcastEdgeLimit) {
+      // pairs come one-directional already; union-find is insensitive
+      // to duplicates and orientation, so collect them as-is
+      val half = p
+        .select(col("src").cast("long"), col("dst").cast("long"))
+        .collect()
+      graft.util.Checkpoints.releaseLocal(p)
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x // path compression
+        while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      half.foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        parent.putIfAbsent(a, a)
+        parent.putIfAbsent(b, b)
+        if (a != b) {
+          val (ra, rb) = (find(a), find(b))
+          // attach the LARGER root under the smaller: roots stay the
+          // component minimum, matching the SQL min-propagation labels
+          if (ra < rb) parent.put(rb, ra)
+          else if (rb < ra) parent.put(ra, rb)
+        }
+      }
+      val back: Long => Any = idType match {
+        case LongType => l => l
+        case IntegerType => l => l.toInt
+        case ShortType => l => l.toShort
+        case _ => l => l.toByte
+      }
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row](parent.size())
+      parent.keySet().forEach { id =>
+        rows.add(org.apache.spark.sql.Row(back(id), back(find(id))))
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", idType, nullable = false),
+        org.apache.spark.sql.types.StructField("cluster_rep", idType, nullable = false)))
+      return pairs.sparkSession.createDataFrame(rows, schema)
+    }
+    // Iterative scale path. Symmetrize from the MATERIALIZED pair list
+    // (both union branches now read the checkpoint, not the pipeline)
+    // and checkpoint the edge table each round touches: iterative plans
+    // otherwise grow a doubling lineage, and the convergence probe
+    // would recompute the whole chain every iteration; each round
+    // releases its predecessor's blocks so storage stays O(one label
+    // table).
+    val cachedEdges = p
+      .unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-    // localCheckpoint each round: iterative plans otherwise grow a
-    // doubling lineage, and the convergence probe would recompute the
-    // whole chain every iteration; each round releases its predecessor's
-    // blocks so storage stays O(one label table)
-    val cachedEdges = edges.localCheckpoint(true)
+      .localCheckpoint(true)
+    graft.util.Checkpoints.releaseLocal(p)
     // round 1 fused into initialization: with identity labels the first
     // propagation is just "min over self and neighbors" — one aggregate
     // over the edge list, no join, no separate identity-label pass. For
@@ -646,6 +717,7 @@ object Dedup {
       }
       i += 1
     }
+    graft.util.Checkpoints.releaseLocal(cachedEdges)
     labels
   }
 

@@ -352,8 +352,27 @@ final class GraftSqlTable(rootPath: String, versionAsOf: Option[Long] = None)
             override def schema: StructType = required
             override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
               val t = graft.tables.LakeTable(context.sparkSession, rootPath)
+              // manifest-zonemap pruning first: a pushed range/equality
+              // on a stats-typed column routes through readBetween, so
+              // whole commit dirs (and compaction-clustered FILES) are
+              // skipped before parquet even opens a footer — then the
+              // remaining pushed filters prune row groups inside the
+              // survivors. Conservative everywhere: unstatted dirs scan,
+              // and Spark re-applies every filter above the bridge.
+              val tableSchema = GraftSqlTable.this.schema
+              val statsSupported: String => Boolean = c =>
+                tableSchema.fieldNames.contains(c) &&
+                  (try {
+                    graft.tables.LakeTable.Stats.requireSupported(tableSchema(c).dataType, c)
+                    true
+                  } catch { case _: IllegalArgumentException => false })
+              val base = GraftFilterTranslation
+                .rangeBounds(filters)
+                .find { case (c, _, _) => statsSupported(c) }
+                .map { case (c, lo, hi) => t.readBetween(c, lo, hi, versionAsOf) }
+                .getOrElse(t.read(versionAsOf))
               filters.flatMap(GraftFilterTranslation.translate)
-                .foldLeft(t.read(versionAsOf))(_.filter(_))
+                .foldLeft(base)(_.filter(_))
                 .select(required.fieldNames.map(col).toSeq: _*)
                 .rdd
             }
@@ -396,4 +415,39 @@ private[v2] object GraftFilterTranslation {
 
   private def ref(name: String): Option[Column] =
     if (name.contains(".") || name.contains("`")) None else Some(col(name))
+
+  /** Closed-interval bounds per column implied by the pushed filter
+    * set (top-level filters are conjuncts). Strict bounds (`>`/`<`)
+    * are relaxed to closed ones — zonemap pruning is conservative and
+    * the exact predicate is re-applied above, so relaxation can only
+    * keep an extra dir, never drop a row. First bound per side wins
+    * (ties would need value ordering; any one is a valid prune bound).
+    */
+  def rangeBounds(filters: Seq[sources.Filter]): Seq[(String, Option[Any], Option[Any])] = {
+    val m = scala.collection.mutable.LinkedHashMap.empty[String, (Option[Any], Option[Any])]
+    def boundable(a: String, v: Any): Boolean =
+      !a.contains(".") && !a.contains("`") && (v match {
+        case null => false
+        case _: java.lang.Number | _: java.sql.Timestamp | _: java.sql.Date |
+            _: java.time.Instant | _: java.time.LocalDate => true
+        case _ => false
+      })
+    def lower(a: String, v: Any): Unit = if (boundable(a, v)) {
+      val (lo, hi) = m.getOrElse(a, (None, None))
+      if (lo.isEmpty) m(a) = (Some(v), hi)
+    }
+    def upper(a: String, v: Any): Unit = if (boundable(a, v)) {
+      val (lo, hi) = m.getOrElse(a, (None, None))
+      if (hi.isEmpty) m(a) = (lo, Some(v))
+    }
+    filters.foreach {
+      case sources.EqualTo(a, v) => lower(a, v); upper(a, v)
+      case sources.GreaterThan(a, v) => lower(a, v)
+      case sources.GreaterThanOrEqual(a, v) => lower(a, v)
+      case sources.LessThan(a, v) => upper(a, v)
+      case sources.LessThanOrEqual(a, v) => upper(a, v)
+      case _ => ()
+    }
+    m.toSeq.map { case (c, (lo, hi)) => (c, lo, hi) }
+  }
 }

@@ -371,6 +371,24 @@ class DedupSpec extends SparkSpec {
     assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("clusterPairs broadcast close and iterative propagation label identically") {
+    // same graph through both paths: the driver union-find (default,
+    // edges under the broadcast bound) and the iterative min-label
+    // propagation (forced via broadcastEdgeLimit = 0, the 100 TB path)
+    val rnd = new scala.util.Random(7)
+    val pairs = (0 until 300)
+      .map(_ => (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter { case (a, b) => a != b }
+      .toDF("id_a", "id_b")
+    def labelsOf(limit: Long) =
+      Dedup.clusterPairs(pairs, broadcastEdgeLimit = limit).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val broadcastClose = labelsOf(1000000L)
+    val iterative = labelsOf(0L)
+    assert(broadcastClose == iterative,
+      s"diverged: ${broadcastClose.toSet.diff(iterative.toSet).take(5)}")
+  }
+
   test("clusterPairs handles string ids (md5/UUID dedup shape) under ANSI mode") {
     // String ids make the integral-sum convergence probe unusable: the
     // decimal cast throws under ANSI (and silently yields NULL with ANSI

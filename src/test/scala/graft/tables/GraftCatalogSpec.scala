@@ -162,6 +162,36 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT tag FROM lake_reatt.s.t").head().getString(0) == "new")
   }
 
+  test("pushed range predicates route through manifest zonemaps and stay exact") {
+    val (cat, name) = freshCatalog("v2zone")
+    cat.createSchema("gold")
+    val t = cat.table("gold", "facts")
+    // three commits with disjoint key ranges, stats recorded on k: a
+    // WHERE k = v through SQL must prune to one dir (readBetween path)
+    // and still return exactly the right rows
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), statsCols = Seq("k"))
+    t.append(Seq((10L, "c"), (11L, "d")).toDF("k", "v"), statsCols = Seq("k"))
+    t.append(Seq((20L, "e")).toDF("k", "v"), statsCols = Seq("k"))
+    // sanity: the manifest stats actually enable pruning for this shape
+    val (_, kept, skipped) = t.readBetweenWithPruneInfo("k", Some(10L), Some(11L))
+    assert(kept.length == 1 && skipped.length == 2, s"kept=$kept skipped=$skipped")
+    // equality
+    val eq = spark.sql(s"SELECT v FROM $name.gold.facts WHERE k = 10").collect()
+    assert(eq.map(_.getString(0)).toSeq == Seq("c"), eq.mkString(","))
+    // range (strict bound relaxed for pruning, exact in the result)
+    val rg = spark.sql(s"SELECT k FROM $name.gold.facts WHERE k > 2 AND k < 20").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(rg == Seq(10L, 11L), rg.mkString(","))
+    // a filter on the UNstatted column still answers exactly (no prune)
+    val sv = spark.sql(s"SELECT k FROM $name.gold.facts WHERE v = 'e'").collect()
+    assert(sv.map(_.getLong(0)).toSeq == Seq(20L), sv.mkString(","))
+    // rows deleted by DV stay deleted under the pruned read
+    t.deleteWhereDV(col("k") === 11L)
+    val postDv = spark.sql(s"SELECT k FROM $name.gold.facts WHERE k >= 10 AND k <= 11")
+      .collect().map(_.getLong(0)).toSeq
+    assert(postDv == Seq(10L), postDv.mkString(","))
+  }
+
   test("CTAS creates from the query; IF NOT EXISTS no-ops; duplicate CTAS throws") {
     val (cat, name) = freshCatalog("v2ctas")
     cat.createSchema("gold")

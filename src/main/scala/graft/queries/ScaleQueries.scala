@@ -278,6 +278,36 @@ object ScaleQueries {
     """SELECT n_nationkey, upper(n_name) AS name_uc
       |FROM nation WHERE n_regionkey >= 2""".stripMargin
 
+  /** `ALTER TABLE ADD COLUMNS` as a metadata-only commit: rows written
+    * before the widening read NULL for the new column; rows written
+    * after carry values — no data file was rewritten in between
+    * (RENAME TO then proves the history follows the directory).
+    */
+  def alterSql(spark: SparkSession, sfDir: String): DataFrame = {
+    val cat = Catalog(spark, graft.util.TempDirs.scratch("altersql"))
+    cat.createSchema("gold")
+    val nation = spark.read.parquet(tablePath(sfDir, "nation"))
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    cat.table("gold", "nation").append(nation)
+    cat.attachSqlCatalog("lake")
+    cat.sql("ALTER TABLE lake.gold.nation ADD COLUMNS (population BIGINT)")
+    nation
+      .select(
+        (col("n_nationkey") + 100).as("n_nationkey"),
+        col("n_name"),
+        col("n_regionkey"),
+        (col("n_nationkey").cast("bigint") * 1000).as("population"))
+      .createOrReplaceTempView("alter_sql_src")
+    cat.sql("INSERT INTO lake.gold.nation SELECT * FROM alter_sql_src")
+    cat.sql("ALTER TABLE lake.gold.nation RENAME TO gold.nation_wide")
+    cat.sql("SELECT n_nationkey, n_name, population FROM lake.gold.nation_wide")
+  }
+
+  val alterSqlSql: String =
+    """SELECT n_nationkey, n_name, CAST(NULL AS BIGINT) AS population FROM nation
+      |UNION ALL
+      |SELECT n_nationkey + 100, n_name, CAST(n_nationkey AS BIGINT) * 1000 FROM nation""".stripMargin
+
   /** Predicate pushdown through the DSv2 read bridge, end-to-end: the
     * WHERE clause must both PRUNE (pushFilters → LakeTable.read().
     * filter → parquet row-group stats; plan shape pinned by
@@ -351,6 +381,7 @@ object ScaleQueries {
     "q_sql_catalog_v2" -> (sqlOverCatalogV2 _),
     "q_sql_time_travel" -> (sqlTimeTravel _),
     "q_ctas_sql" -> (ctasSql _),
+    "q_alter_sql" -> (alterSql _),
     "q_sql_pushdown" -> (sqlPushdown _),
     "q_stream_dedup" -> (streamDedup _))
 
@@ -365,6 +396,7 @@ object ScaleQueries {
     "q_sql_catalog_v2" -> sqlOverCatalogV2Sql,
     "q_sql_time_travel" -> sqlTimeTravelSql,
     "q_ctas_sql" -> ctasSqlSql,
+    "q_alter_sql" -> alterSqlSql,
     "q_sql_pushdown" -> sqlPushdownSql,
     "q_stream_dedup" -> streamDedupSql)
 }

@@ -8,7 +8,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 /** A minimal lakehouse table: parquet data + a JSON commit log.
   *
@@ -370,6 +370,40 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     * stats columns like [[append]] (recomputed from the new contents —
     * an overwrite invalidates the previous running max).
     */
+  /** `ALTER TABLE ... ADD COLUMNS`: a manifest-ONLY commit carrying the
+    * widened schema — no data file is touched or rewritten. Existing
+    * parquet files simply lack the new columns, and the read path
+    * (`spark.read.schema(manifestSchema)`) surfaces them as NULL —
+    * the same metadata-only column add Delta/Iceberg perform. Added
+    * columns are forced nullable (existing rows HAVE no value), and
+    * name collisions are rejected case-insensitively (the resolver
+    * is). CAS-retried like append: losing a race re-reads the tip and
+    * re-applies the add against it.
+    */
+  def alterAddColumns(newFields: Seq[StructField]): Long = {
+    require(exists, s"table at $root does not exist")
+    var out = -1L
+    var done = false
+    while (!done) {
+      val prev = readManifest(latestVersion().get)
+      val schema = DataType.fromJson(prev.schemaJson).asInstanceOf[StructType]
+      newFields.foreach { f =>
+        require(
+          !schema.fieldNames.exists(_.equalsIgnoreCase(f.name)),
+          s"ALTER TABLE ADD COLUMNS: column ${f.name} already exists in $root")
+      }
+      val evolved = StructType(schema.fields ++ newFields.map(_.copy(nullable = true)))
+      val m = prev.copy(
+        version = prev.version + 1,
+        operation = "alter",
+        timestampMs = System.currentTimeMillis(),
+        schemaJson = evolved.json)
+      try { writeManifest(m); out = m.version; done = true }
+      catch { case _: VersionConflictException => () }
+    }
+    out
+  }
+
   def overwrite(
       df: DataFrame,
       partitionBy: Seq[String] = Seq.empty,

@@ -160,8 +160,32 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftSqlTable(p.toString)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("ALTER TABLE is not supported on graft tables")
+  /** `ALTER TABLE lake.<ns>.<t> ADD COLUMNS (c TYPE, ...)` — a
+    * manifest-only schema widening ([[graft.tables.LakeTable.alterAddColumns]]);
+    * existing rows read NULL for the new columns. Every other change
+    * class (rename/drop/retype column, properties) is rejected loudly:
+    * renames and drops would silently orphan the data already written
+    * under the old names (parquet files are immutable and read by
+    * name), which is data loss dressed as DDL.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val p = dirOf(ident.namespace() :+ ident.name())
+    if (!isLakeTable(p)) throw new NoSuchTableException(ident)
+    val fields = changes.map {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          s"ALTER TABLE ADD COLUMNS: nested column ${a.fieldNames.mkString(".")} is not supported")
+        require(a.position() == null,
+          "ALTER TABLE ADD COLUMNS: FIRST/AFTER positions are not supported")
+        org.apache.spark.sql.types.StructField(a.fieldNames.head, a.dataType, nullable = true)
+      case other =>
+        throw new UnsupportedOperationException(
+          s"ALTER TABLE: only ADD COLUMNS is supported on graft tables, got $other")
+    }
+    val spark = org.apache.spark.sql.SparkSession.active
+    graft.tables.LakeTable(spark, p.toString).alterAddColumns(fields.toSeq)
+    new GraftSqlTable(p.toString)
+  }
 
   /** `DROP TABLE lake.<ns>.<t>`: removes the table directory (log,
     * data, deletion vectors). Time-travel history goes with it — the
@@ -178,8 +202,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     true
   }
 
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException("RENAME TABLE is not supported on graft tables")
+  /** `ALTER TABLE ... RENAME TO ...`: one atomic directory move. Every
+    * path inside a table (commit dirs, data, DV sidecars) is RELATIVE
+    * to the table root, so the whole history — time travel included —
+    * survives the move unchanged.
+    */
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = dirOf(oldIdent.namespace() :+ oldIdent.name())
+    if (!isLakeTable(from)) throw new NoSuchTableException(oldIdent)
+    val to = dirOf(newIdent.namespace() :+ newIdent.name())
+    if (Files.exists(to))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(newIdent)
+    require(Files.isDirectory(to.getParent),
+      s"RENAME TABLE: target namespace ${newIdent.namespace().mkString(".")} does not exist")
+    Files.move(from, to, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
 
   // ---- namespaces ----------------------------------------------------------
 
@@ -216,9 +254,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
     throw new UnsupportedOperationException("ALTER NAMESPACE is not supported")
 
-  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
-    throw new UnsupportedOperationException(
-      "DROP NAMESPACE is not supported through SQL (delete the directory)")
+  /** `DROP NAMESPACE [CASCADE]`: plain drop requires the namespace
+    * empty (the SQL-standard RESTRICT default); CASCADE removes the
+    * directory with every table — and its time-travel history — in it.
+    */
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val d = dirOf(namespace)
+    if (!Files.isDirectory(d)) throw new NoSuchNamespaceException(namespace)
+    val empty = {
+      val s = Files.list(d)
+      try !s.iterator().hasNext finally s.close()
+    }
+    if (!empty && !cascade)
+      throw new IllegalStateException(
+        s"DROP NAMESPACE: ${namespace.mkString(".")} is not empty (use CASCADE)")
+    import scala.util.Using
+    Using.resource(Files.walk(d)) { s =>
+      s.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+    }
+    true
+  }
 }
 
 object GraftCatalog {
@@ -367,7 +423,7 @@ final class GraftSqlTable(rootPath: String, versionAsOf: Option[Long] = None)
                     true
                   } catch { case _: IllegalArgumentException => false })
               val base = GraftFilterTranslation
-                .rangeBounds(filters)
+                .rangeBounds(filters.toSeq)
                 .find { case (c, _, _) => statsSupported(c) }
                 .map { case (c, lo, hi) => t.readBetween(c, lo, hi, versionAsOf) }
                 .getOrElse(t.read(versionAsOf))

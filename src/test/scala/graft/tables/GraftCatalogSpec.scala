@@ -192,6 +192,38 @@ class GraftCatalogSpec extends SparkSpec {
     assert(postDv == Seq(10L), postDv.mkString(","))
   }
 
+  test("ALTER TABLE ADD COLUMNS widens metadata-only; RENAME moves history; DROP NAMESPACE") {
+    val (cat, name) = freshCatalog("v2alter")
+    cat.createSchema("gold")
+    cat.table("gold", "dim").append(Seq((1, "a")).toDF("k", "v"))
+    spark.sql(s"ALTER TABLE $name.gold.dim ADD COLUMNS (score DOUBLE, tag STRING)")
+    // pre-alter rows read NULL for the new columns; new inserts carry them
+    val widened = spark.sql(s"SELECT k, v, score, tag FROM $name.gold.dim").collect()
+    assert(widened.length == 1 && widened(0).isNullAt(2) && widened(0).isNullAt(3))
+    Seq((2, "b", 0.5, "x")).toDF("k", "v", "score", "tag").createOrReplaceTempView("v2alter_src")
+    spark.sql(s"INSERT INTO $name.gold.dim SELECT * FROM v2alter_src")
+    assert(spark.sql(s"SELECT count(*) AS c FROM $name.gold.dim WHERE score IS NOT NULL")
+      .head().getLong(0) == 1)
+    // duplicate column (case-insensitive) and non-ADD changes fail loudly
+    intercept[Exception](spark.sql(s"ALTER TABLE $name.gold.dim ADD COLUMNS (V INT)"))
+    intercept[Exception](spark.sql(s"ALTER TABLE $name.gold.dim DROP COLUMN v"))
+    intercept[Exception](spark.sql(s"ALTER TABLE $name.gold.dim RENAME COLUMN v TO w"))
+    // RENAME TO: data AND time-travel history follow the new name
+    // the RENAME TO target is catalog-relative (namespace.table)
+    spark.sql(s"ALTER TABLE $name.gold.dim RENAME TO gold.dim2")
+    intercept[Exception](spark.sql(s"SELECT * FROM $name.gold.dim").collect())
+    assert(spark.sql(s"SELECT count(*) AS c FROM $name.gold.dim2").head().getLong(0) == 2)
+    assert(spark.sql(s"SELECT count(*) AS c FROM $name.gold.dim2 VERSION AS OF 0")
+      .head().getLong(0) == 1)
+    // DROP NAMESPACE: RESTRICT refuses a non-empty one, CASCADE removes it
+    intercept[Exception](spark.sql(s"DROP NAMESPACE $name.gold"))
+    cat.createSchema("scratchns")
+    spark.sql(s"DROP NAMESPACE $name.scratchns")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(cat.root, "scratchns")))
+    spark.sql(s"DROP NAMESPACE $name.gold CASCADE")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(cat.root, "gold")))
+  }
+
   test("CTAS creates from the query; IF NOT EXISTS no-ops; duplicate CTAS throws") {
     val (cat, name) = freshCatalog("v2ctas")
     cat.createSchema("gold")

@@ -99,8 +99,25 @@ class GraftMergeParser(session: SparkSession, delegate: ParserInterface)
       case d: DeleteFromTable => rewriteDeleteIfRegistered(d)
       case u: UpdateTable => rewriteUpdateIfRegistered(u)
       case c: CreateTableAsSelect => rewriteCtasIfRegistered(c)
+      case t: TruncateTable => rewriteTruncateIfRegistered(t)
       case other => other
     }
+
+  /** `TRUNCATE TABLE` on a registered lake-table name: one
+    * empty-snapshot commit (the same shape as `DELETE FROM t` with no
+    * WHERE) — history stays time-travel readable, no DV per row.
+    */
+  private def rewriteTruncateIfRegistered(t: TruncateTable): LogicalPlan = {
+    val nameParts = t.table match {
+      case org.apache.spark.sql.catalyst.analysis.UnresolvedTable(parts, _, _) => parts
+      case _ => return t
+    }
+    MergeSqlTargets.rootFor(session, nameParts) match {
+      case None => t
+      case Some(root) =>
+        GraftDeleteFromCommand(root, nameParts.last, new SqlExprPayload(Literal.TrueLiteral))
+    }
+  }
 
   /** `CREATE TABLE lake.<ns>.<t> [IF NOT EXISTS] AS SELECT ...` — CTAS
     * as sugar over the engine's own commit path: the SELECT resolves at

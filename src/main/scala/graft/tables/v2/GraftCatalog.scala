@@ -177,6 +177,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           s"ALTER TABLE ADD COLUMNS: nested column ${a.fieldNames.mkString(".")} is not supported")
         require(a.position() == null,
           "ALTER TABLE ADD COLUMNS: FIRST/AFTER positions are not supported")
+        require(a.isNullable,
+          "ALTER TABLE ADD COLUMNS: new columns must be nullable " +
+            "(existing rows have no value for them)")
         org.apache.spark.sql.types.StructField(a.fieldNames.head, a.dataType, nullable = true)
       case other =>
         throw new UnsupportedOperationException(

@@ -70,6 +70,13 @@ class GraftCatalogSpec extends SparkSpec {
       .map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSeq
     assert(got == Seq((1, "a", 2.0)), s"got $got")
     assert(spark.sql(s"SELECT * FROM $name.bronze.t").columns.toSeq == Seq("k", "v", "bal"))
+    // literal INSERT VALUES (the reference's trino_iceberg_example.sql:19-35
+    // shape) conforms like any insert; TRUNCATE commits one empty snapshot
+    spark.sql(s"INSERT INTO $name.bronze.t VALUES (7, 'g', 7.5)")
+    assert(spark.sql(s"SELECT count(*) AS c FROM $name.bronze.t").head().getLong(0) == 2)
+    spark.sql(s"TRUNCATE TABLE $name.bronze.t")
+    assert(spark.sql(s"SELECT count(*) AS c FROM $name.bronze.t").head().getLong(0) == 0)
+    assert(spark.sql(s"SELECT * FROM $name.bronze.t").columns.toSeq == Seq("k", "v", "bal"))
     // duplicate CREATE fails; DROP removes the table (and SELECT then fails)
     intercept[Exception](spark.sql(s"CREATE TABLE $name.bronze.t (k INT)"))
     spark.sql(s"DROP TABLE $name.bronze.t")

@@ -308,6 +308,31 @@ object ScaleQueries {
       |UNION ALL
       |SELECT n_nationkey + 100, n_name, CAST(n_nationkey AS BIGINT) * 1000 FROM nation""".stripMargin
 
+  /** The snapshots METADATA TABLE through SQL (`lake.ns.t.snapshots`) —
+    * the reference's Trino `"t$snapshots"` / Iceberg `t.snapshots`
+    * surface (/root/reference/experiments/trino_iceberg_example.sql:40),
+    * here joined and aggregated like any relation.
+    */
+  def snapshotsMetaSql(spark: SparkSession, sfDir: String): DataFrame = {
+    val cat = Catalog(spark, graft.util.TempDirs.scratch("snapmeta"))
+    cat.createSchema("gold")
+    val nation = spark.read.parquet(tablePath(sfDir, "nation"))
+    val t = cat.table("gold", "nation")
+    t.append(nation)
+    t.append(nation)
+    t.overwrite(nation.limit(3))
+    cat.attachSqlCatalog("lake")
+    cat.sql(
+      """SELECT version, operation, num_commit_dirs
+        |FROM lake.gold.nation.snapshots""".stripMargin)
+  }
+
+  val snapshotsMetaSqlSql: String =
+    """SELECT * FROM (VALUES (CAST(0 AS BIGINT), 'append', 1),
+      |                      (CAST(1 AS BIGINT), 'append', 2),
+      |                      (CAST(2 AS BIGINT), 'overwrite', 1))
+      |       t(version, operation, num_commit_dirs)""".stripMargin
+
   /** Predicate pushdown through the DSv2 read bridge, end-to-end: the
     * WHERE clause must both PRUNE (pushFilters → LakeTable.read().
     * filter → parquet row-group stats; plan shape pinned by
@@ -382,6 +407,7 @@ object ScaleQueries {
     "q_sql_time_travel" -> (sqlTimeTravel _),
     "q_ctas_sql" -> (ctasSql _),
     "q_alter_sql" -> (alterSql _),
+    "q_snapshots_sql" -> (snapshotsMetaSql _),
     "q_sql_pushdown" -> (sqlPushdown _),
     "q_stream_dedup" -> (streamDedup _))
 
@@ -397,6 +423,7 @@ object ScaleQueries {
     "q_sql_time_travel" -> sqlTimeTravelSql,
     "q_ctas_sql" -> ctasSqlSql,
     "q_alter_sql" -> alterSqlSql,
+    "q_snapshots_sql" -> snapshotsMetaSqlSql,
     "q_sql_pushdown" -> sqlPushdownSql,
     "q_stream_dedup" -> streamDedupSql)
 }

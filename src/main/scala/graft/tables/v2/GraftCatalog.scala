@@ -78,8 +78,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def loadTable(ident: Identifier): Table = {
     val p = dirOf(ident.namespace() :+ ident.name())
-    if (!isLakeTable(p)) throw new NoSuchTableException(ident)
-    new GraftSqlTable(p.toString)
+    if (isLakeTable(p)) return new GraftSqlTable(p.toString)
+    // Iceberg-style metadata tables: `lake.<ns>.<t>.snapshots` /
+    // `.files` — the trailing identifier selects a metadata relation of
+    // the table named by the prefix (the reference queries the same
+    // surface as Trino's "t$snapshots" / Iceberg's t.snapshots,
+    // /root/reference/experiments/trino_iceberg_example.sql:40). A real
+    // table named `snapshots` always wins (checked above).
+    val kind = ident.name().toLowerCase
+    if (GraftMetaTable.kinds.contains(kind) && ident.namespace().nonEmpty) {
+      val tp = dirOf(ident.namespace())
+      if (isLakeTable(tp)) return new GraftMetaTable(tp.toString, kind)
+    }
+    throw new NoSuchTableException(ident)
   }
 
   /** `SELECT ... FROM lake.<ns>.<t> VERSION AS OF <n>` — SQL time
@@ -440,6 +451,64 @@ final class GraftSqlTable(rootPath: String, versionAsOf: Option[Long] = None)
         }
       }
     }
+}
+
+/** A metadata relation of a lake table (`lake.ns.t.snapshots` /
+  * `lake.ns.t.files`), bridged through the same V1Scan shape as data
+  * reads. Schemas are fixed (they mirror `LakeTable.snapshots()` /
+  * `files()`); the rows come from manifest JSONs — snapshot listing
+  * never touches a data file, and the files listing is a directory
+  * walk of the current snapshot's commit dirs.
+  */
+final class GraftMetaTable(rootPath: String, kind: String)
+  extends Table with SupportsRead {
+
+  import org.apache.spark.sql.types._
+
+  override def name(): String = s"$rootPath#$kind"
+
+  override lazy val schema: StructType = kind match {
+    case "snapshots" => StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("committed_at", TimestampType, nullable = true),
+      StructField("operation", StringType, nullable = true),
+      StructField("num_commit_dirs", IntegerType, nullable = false)))
+    case "files" => StructType(Seq(
+      StructField("commit_dir", StringType, nullable = true),
+      StructField("relative_path", StringType, nullable = true),
+      StructField("size_bytes", LongType, nullable = false)))
+  }
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = schema
+
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: SQLContext): T = {
+          val rel = new BaseRelation with TableScan {
+            override def sqlContext: SQLContext = context
+            override def schema: StructType = GraftMetaTable.this.schema
+            override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+              val t = graft.tables.LakeTable(context.sparkSession, rootPath)
+              val df = kind match {
+                case "snapshots" => t.snapshots()
+                case "files" => t.files()
+              }
+              df.rdd
+            }
+          }
+          rel.asInstanceOf[T]
+        }
+      }
+    }
+}
+
+object GraftMetaTable {
+  val kinds: Set[String] = Set("snapshots", "files")
 }
 
 /** `sources.Filter` → `Column` for the V1Scan bridge. Partial by

@@ -79,6 +79,23 @@ class MergeSqlSpec extends SparkSpec {
     assert(got == Set((1, "keep", 5.0), (2, "upd", 110.0), (4, "newbig", null)), s"got $got")
   }
 
+  test("MERGE INTO: inline subquery source (USING (SELECT ...)) works") {
+    val t = freshTarget("msub", Seq((1, "a", 10.0), (2, "b", 20.0)))
+    MergeSqlTargets.register(spark, "t_msub", t.root)
+    Seq((1, "a9", 90.0), (2, "bx", 5.0), (9, "i", 1.0), (10, "j", 0.5))
+      .toDF("k", "name", "bal").createOrReplaceTempView("s_msub_raw")
+    // the source is an arbitrary query, aliased — filters + projections
+    // resolve inside it, and SET */INSERT * see its output columns
+    spark.sql(
+      """MERGE INTO t_msub t
+        |USING (SELECT k, name, bal * 2 AS bal FROM s_msub_raw WHERE bal >= 1.0) s
+        |ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = t.read().collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got == Set((1, "a9", 180.0), (2, "bx", 10.0), (9, "i", 2.0)), s"got $got")
+  }
+
   test("MERGE INTO enforces the source-cardinality rule") {
     val t = freshTarget("msql3", Seq((1, "a", 1.0)))
     MergeSqlTargets.register(spark, "t_msql3", t.root)

@@ -231,6 +231,25 @@ class GraftCatalogSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(cat.root, "gold")))
   }
 
+  test("metadata tables: lake.ns.t.snapshots and .files read manifest state") {
+    val (cat, name) = freshCatalog("v2meta")
+    cat.createSchema("gold")
+    val t = cat.table("gold", "dim")
+    t.append(Seq((1, "a")).toDF("k", "v"))
+    t.append(Seq((2, "b")).toDF("k", "v"))
+    val snaps = spark.sql(
+      s"SELECT version, operation FROM $name.gold.dim.snapshots ORDER BY version").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(snaps == Seq((0L, "append"), (1L, "append")), snaps.mkString(","))
+    val files = spark.sql(s"SELECT size_bytes FROM $name.gold.dim.files").collect()
+    assert(files.nonEmpty && files.forall(_.getLong(0) > 0))
+    // aggregates/joins work over them like any relation
+    assert(spark.sql(s"SELECT max(version) AS v FROM $name.gold.dim.snapshots")
+      .head().getLong(0) == 1L)
+    // a metadata name under a nonexistent table stays an error
+    intercept[Exception](spark.sql(s"SELECT * FROM $name.gold.nope.snapshots").collect())
+  }
+
   test("CTAS creates from the query; IF NOT EXISTS no-ops; duplicate CTAS throws") {
     val (cat, name) = freshCatalog("v2ctas")
     cat.createSchema("gold")

@@ -61,6 +61,60 @@ object HofDotStrengthReduction extends Rule[LogicalPlan] {
   }
 }
 
+/** Catalyst optimizer rule: hint small `lake.*` catalog scans as
+  * broadcast-able. Spark's V1ScanWrapper drops the scan's
+  * `SupportsReportStatistics`, so a DSv2-catalog read always computes
+  * stats as `defaultSizeInBytes` (= huge) and JoinSelection sort-merges
+  * every catalog-path join — even a 2 KB dimension against a TB fact
+  * table. This rule reads the snapshot size straight from the table's
+  * manifest (one metadata walk, cached per table instance) and attaches
+  * a BROADCAST hint to join sides whose scan is provably under
+  * `spark.sql.autoBroadcastJoinThreshold`.
+  *
+  * Conservative on purpose: only sides that are a bare scan (modulo
+  * column-pruning Projects, Filters and aliases — all size-reducing)
+  * qualify; any explicit user hint on the join is left untouched; the
+  * threshold `-1` (broadcast disabled) disables the rule too. A hint
+  * can only change the JOIN STRATEGY, never results.
+  */
+object LakeBroadcastHint extends Rule[LogicalPlan] {
+
+  import org.apache.spark.sql.catalyst.plans.logical._
+  import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+  private def scanBytes(p: LogicalPlan): Option[Long] = p match {
+    case SubqueryAlias(_, c) => scanBytes(c)
+    case Project(_, c) => scanBytes(c)
+    case Filter(_, c) => scanBytes(c)
+    // pre-pushdown shape (injectOptimizerRule runs in the operator batch)
+    case r: DataSourceV2Relation => r.table match {
+      case t: graft.tables.v2.GraftSqlTable => Some(t.estimatedSizeInBytes)
+      case _ => None
+    }
+    // post-pushdown shape (extraOptimizations run after all default batches)
+    case s: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+      s.relation.table match {
+        case t: graft.tables.v2.GraftSqlTable => Some(t.estimatedSizeInBytes)
+        case _ => None
+      }
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val threshold = conf.autoBroadcastJoinThreshold
+    if (threshold <= 0) return plan
+    plan.transform {
+      case j @ Join(l, r, _, _, JoinHint.NONE) =>
+        val lSmall = scanBytes(l).exists(_ <= threshold)
+        val rSmall = scanBytes(r).exists(_ <= threshold)
+        if (!lSmall && !rSmall) j
+        else j.copy(hint = JoinHint(
+          if (lSmall) Some(HintInfo(Some(BROADCAST))) else None,
+          if (rSmall) Some(HintInfo(Some(BROADCAST))) else None))
+    }
+  }
+}
+
 /** `SparkSessionExtensions` entry point — preference order (c) of the
   * build rules: engine behavior injected at session build time via
   * {{{ spark.sql.extensions=graft.plans.GraftExtensions }}}
@@ -71,6 +125,7 @@ object HofDotStrengthReduction extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => HofDotStrengthReduction)
+    ext.injectOptimizerRule(_ => LakeBroadcastHint)
     // MERGE INTO over lake tables: intercepted at the parser (see
     // MergeSql.scala for why analysis-time interception is too late)
     ext.injectParser((session, delegate) => new GraftMergeParser(session, delegate))
@@ -112,6 +167,10 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(HofDotStrengthReduction)) {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ HofDotStrengthReduction
+    }
+    if (!spark.experimental.extraOptimizations.contains(LakeBroadcastHint)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ LakeBroadcastHint
     }
     functions.foreach { case (name, builder) =>
       spark.sessionState.functionRegistry

@@ -9,7 +9,7 @@ import org.apache.spark.sql.{Column, SQLContext}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{BaseRelation, TableScan}
@@ -355,7 +355,7 @@ final class GraftSqlTable(rootPath: String, versionAsOf: Option[Long] = None)
   override def name(): String =
     versionAsOf.fold(rootPath)(v => s"$rootPath@v$v")
 
-  override lazy val schema: StructType = {
+  private lazy val manifest: graft.tables.LakeTable.Manifest = {
     val logDir = Paths.get(rootPath, "_graft_log")
     val manifestPath = versionAsOf match {
       case Some(v) =>
@@ -374,9 +374,38 @@ final class GraftSqlTable(rootPath: String, versionAsOf: Option[Long] = None)
     }
     val json =
       new String(Files.readAllBytes(manifestPath), java.nio.charset.StandardCharsets.UTF_8)
-    DataType
-      .fromJson(graft.tables.LakeTable.Manifest.fromJson(json).schemaJson)
-      .asInstanceOf[StructType]
+    graft.tables.LakeTable.Manifest.fromJson(json)
+  }
+
+  override lazy val schema: StructType =
+    DataType.fromJson(manifest.schemaJson).asInstanceOf[StructType]
+
+  /** On-disk bytes of the pinned snapshot's live commit dirs — one
+    * metadata walk, no data read. Feeds broadcast planning
+    * ([[graft.plans.LakeBroadcastHint]]): Spark's V1ScanWrapper drops
+    * `SupportsReportStatistics`, so without this a 2 KB dimension read
+    * through `lake.*` SQL could never auto-broadcast and every
+    * catalog-path star join would shuffle its fact side.
+    */
+  lazy val estimatedSizeInBytes: Long = {
+    var total = 0L
+    manifest.commitDirs.foreach { d =>
+      val dir = Paths.get(rootPath, "data").resolve(d)
+      if (Files.isDirectory(dir)) {
+        Files.walkFileTree(
+          dir,
+          new java.nio.file.SimpleFileVisitor[Path] {
+            override def visitFile(
+                f: Path,
+                attrs: java.nio.file.attribute.BasicFileAttributes)
+                : java.nio.file.FileVisitResult = {
+              total += attrs.size()
+              java.nio.file.FileVisitResult.CONTINUE
+            }
+          })
+      }
+    }
+    total
   }
 
   override def capabilities(): util.Set[TableCapability] =
@@ -411,8 +440,21 @@ final class GraftSqlTable(rootPath: String, versionAsOf: Option[Long] = None)
 
       override def pushedFilters(): Array[sources.Filter] = pushed
 
-      override def build(): Scan = new V1Scan {
+      override def build(): Scan = new V1Scan with SupportsReportStatistics {
         override def readSchema(): StructType = required
+
+        // Honest but currently inert through the V1 bridge: Spark wraps
+        // a V1Scan in V1ScanWrapper, which implements only `Scan`, so
+        // these stats never reach DataSourceV2ScanRelation.computeStats.
+        // Kept for the day the wrapper forwards them; the broadcast
+        // decision that matters is made from the TABLE size by
+        // [[graft.plans.LakeBroadcastHint]].
+        override def estimateStatistics(): Statistics = new Statistics {
+          override def sizeInBytes(): java.util.OptionalLong =
+            java.util.OptionalLong.of(estimatedSizeInBytes)
+          override def numRows(): java.util.OptionalLong =
+            java.util.OptionalLong.empty()
+        }
 
         override def toV1TableScan[T <: BaseRelation with TableScan](
             context: SQLContext): T = {

@@ -231,6 +231,25 @@ class GraftCatalogSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(cat.root, "gold")))
   }
 
+  test("scan statistics from the manifest let small lake.* dims auto-broadcast") {
+    val (cat, name) = freshCatalog("v2stats")
+    cat.createSchema("gold")
+    cat.table("gold", "dim").append(Seq((1, "x"), (2, "y")).toDF("id", "tag"))
+    cat.table("gold", "fact").append(
+      spark.range(0, 10000).selectExpr("id % 2 + 1 AS id", "id AS n"))
+    val df = spark.sql(
+      s"""SELECT d.tag, count(*) AS c
+         |FROM $name.gold.fact f JOIN $name.gold.dim d ON f.id = d.id
+         |GROUP BY d.tag""".stripMargin)
+    val plan = df.queryExecution.executedPlan.toString
+    // V1ScanWrapper drops scan statistics, so without LakeBroadcastHint
+    // this join sort-merges — shuffling the fact side
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(("x", 5000L), ("y", 5000L)), s"got $got")
+  }
+
   test("metadata tables: lake.ns.t.snapshots and .files read manifest state") {
     val (cat, name) = freshCatalog("v2meta")
     cat.createSchema("gold")

@@ -616,6 +616,16 @@ private[v2] object GraftFilterTranslation {
       case sources.GreaterThanOrEqual(a, v) => lower(a, v)
       case sources.LessThan(a, v) => upper(a, v)
       case sources.LessThanOrEqual(a, v) => upper(a, v)
+      case sources.In(a, vs)
+          if vs.nonEmpty && vs.forall(_.isInstanceOf[java.lang.Number]) =>
+        // an IN list implies the closed interval [min, max] — enough to
+        // skip dirs whose range misses the whole list. NaN/Infinity
+        // don't parse as BigDecimal: skip the bound, never fail planning.
+        try {
+          val ds = vs.map(v => new java.math.BigDecimal(v.toString))
+          lower(a, vs(ds.indexOf(ds.min)))
+          upper(a, vs(ds.indexOf(ds.max)))
+        } catch { case _: NumberFormatException => () }
       case _ => ()
     }
     m.toSeq.map { case (c, (lo, hi)) => (c, lo, hi) }

@@ -189,6 +189,10 @@ class GraftCatalogSpec extends SparkSpec {
     val rg = spark.sql(s"SELECT k FROM $name.gold.facts WHERE k > 2 AND k < 20").collect()
       .map(_.getLong(0)).sorted.toSeq
     assert(rg == Seq(10L, 11L), rg.mkString(","))
+    // IN lists prune via their [min, max] envelope and stay exact
+    val in = spark.sql(s"SELECT k FROM $name.gold.facts WHERE k IN (11, 10, 12)").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(in == Seq(10L, 11L), in.mkString(","))
     // a filter on the UNstatted column still answers exactly (no prune)
     val sv = spark.sql(s"SELECT k FROM $name.gold.facts WHERE v = 'e'").collect()
     assert(sv.map(_.getLong(0)).toSeq == Seq(20L), sv.mkString(","))

@@ -575,8 +575,11 @@ object Dedup {
     // BOTH union branches (Spark does not share subtrees across a
     // union), and for minhash/verify pairs that pipeline is the whole
     // query's dominant cost — a silent 2×.
+    // a null id cannot identify a document — malformed pairs (e.g. from
+    // an upstream outer join) are dropped, identically on both paths
     val p = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
       .localCheckpoint(true)
     // Broadcast close: dup-pair edge sets are pairs-only (the unpaired
     // bulk of the corpus never enters), so even at 100 TB they are

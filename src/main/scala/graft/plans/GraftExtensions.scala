@@ -88,13 +88,13 @@ object LakeBroadcastHint extends Rule[LogicalPlan] {
     case Filter(_, c) => scanBytes(c)
     // pre-pushdown shape (injectOptimizerRule runs in the operator batch)
     case r: DataSourceV2Relation => r.table match {
-      case t: graft.tables.v2.GraftSqlTable => Some(t.estimatedSizeInBytes)
+      case t: graft.tables.v2.GraftSqlTable => Some(t.sizeAtMost(conf.autoBroadcastJoinThreshold))
       case _ => None
     }
     // post-pushdown shape (extraOptimizations run after all default batches)
     case s: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
       s.relation.table match {
-        case t: graft.tables.v2.GraftSqlTable => Some(t.estimatedSizeInBytes)
+        case t: graft.tables.v2.GraftSqlTable => Some(t.sizeAtMost(conf.autoBroadcastJoinThreshold))
         case _ => None
       }
     case _ => None

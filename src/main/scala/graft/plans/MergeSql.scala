@@ -135,6 +135,20 @@ class GraftMergeParser(session: SparkSession, delegate: ParserInterface)
       case Some(root) =>
         require(c.partitioning.isEmpty,
           "graft CTAS does not support PARTITIONED BY; pass partitionBy to append()")
+        // unsupported spec clauses fail LOUDLY like PARTITIONED BY does —
+        // silently dropping TBLPROPERTIES/LOCATION would let the user
+        // believe they took effect
+        c.tableSpec match {
+          case s: UnresolvedTableSpec =>
+            require(
+              s.properties.isEmpty && s.location.isEmpty && s.serde.isEmpty &&
+                s.constraints.isEmpty && !s.external,
+              "graft CTAS supports no TBLPROPERTIES/LOCATION/SERDE/constraints/EXTERNAL clause")
+            require(
+              s.provider.forall(_.equalsIgnoreCase("parquet")),
+              s"graft CTAS stores parquet; USING ${s.provider.getOrElse("")} is not supported")
+          case _ => ()
+        }
         GraftCtasCommand(root, new SqlPlanPayload(c.query), c.ignoreIfExists)
     }
   }
@@ -434,10 +448,12 @@ final case class GraftInsertIntoCommand(
   }
 }
 
-/** The executable CTAS: one `append` commit creates the table, loads
-  * the query result, and anchors the schema contract from it. A
-  * pre-existing target throws (or no-ops under IF NOT EXISTS — the
-  * query is then never executed, matching Spark's CTAS semantics).
+/** The executable CTAS: CAS-claim version 0 with the query's analyzed
+  * schema (exactly ONE creator can win — concurrent CTAS on the same
+  * name fails loudly instead of both appending), then load the query
+  * result as the first data commit. A pre-existing target throws (or
+  * no-ops under IF NOT EXISTS — the query is then never executed,
+  * matching Spark's CTAS semantics).
   */
 final case class GraftCtasCommand(
     root: String,
@@ -446,12 +462,13 @@ final case class GraftCtasCommand(
 
   override def run(spark: SparkSession): Seq[Row] = {
     val table = graft.tables.LakeTable(spark, root)
-    if (table.exists) {
+    val df = GraftSqlInternals.ofRows(spark, payload.plan) // analysis only here
+    if (!table.createIfAbsent(df.schema)) {
       if (ignoreIfExists) return Seq.empty
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
         org.apache.spark.sql.connector.catalog.Identifier.of(Array.empty, root))
     }
-    table.append(GraftSqlInternals.ofRows(spark, payload.plan))
+    table.append(df)
     Seq.empty
   }
 }

@@ -41,12 +41,17 @@ final case class Catalog(spark: SparkSession, root: String) {
     * names work as `MERGE INTO`/`INSERT INTO` targets.
     */
   def attachSqlCatalog(name: String = "lake"): Unit = {
+    // Spark caches catalog plugin instances per name for the session
+    // lifetime — re-attaching `name` with a DIFFERENT root would keep
+    // serving the old root silently. Dropping the cache is session-wide
+    // (it also resets USE state and other catalogs' instances), so only
+    // do it when this name's binding actually changes.
+    val prevRoot =
+      try spark.conf.get(s"spark.sql.catalog.$name.root") catch { case _: Exception => null }
     spark.conf.set(s"spark.sql.catalog.$name", classOf[graft.tables.v2.GraftCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$name.root", root)
-    // Spark caches catalog plugin instances per name for the session
-    // lifetime — without this, re-attaching `name` with a different
-    // root would keep serving the OLD root silently
-    org.apache.spark.sql.GraftSqlInternals.resetCatalogCache(spark)
+    if (prevRoot != null && prevRoot != root)
+      org.apache.spark.sql.GraftSqlInternals.resetCatalogCache(spark)
   }
 
   /** SHOW SCHEMAS analog: every namespace directory under the root. */

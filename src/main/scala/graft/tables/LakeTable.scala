@@ -365,11 +365,6 @@ final class LakeTable(val spark: SparkSession, val root: String) {
       }
   }
 
-  /** Replace the table contents atomically (merge rewrites land here).
-    * Conforms to the table's partition layout and inherits declared
-    * stats columns like [[append]] (recomputed from the new contents —
-    * an overwrite invalidates the previous running max).
-    */
   /** `ALTER TABLE ... ADD COLUMNS`: a manifest-ONLY commit carrying the
     * widened schema — no data file is touched or rewritten. Existing
     * parquet files simply lack the new columns, and the read path
@@ -404,6 +399,23 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     out
   }
 
+  /** Claim an EMPTY table at this root with a true compare-and-swap on
+    * version 0: exactly one creator wins (the CTAS create-once
+    * guarantee under concurrency); returns false when the table already
+    * exists — whether it raced or predates the call.
+    */
+  def createIfAbsent(schema: StructType): Boolean = {
+    if (exists) return false
+    val m = Manifest(0L, "create", System.currentTimeMillis(), Seq.empty, schema.json, Seq.empty)
+    try { writeManifest(m); true }
+    catch { case _: VersionConflictException => false }
+  }
+
+  /** Replace the table contents atomically (merge rewrites land here).
+    * Conforms to the table's partition layout and inherits declared
+    * stats columns like [[append]] (recomputed from the new contents —
+    * an overwrite invalidates the previous running max).
+    */
   def overwrite(
       df: DataFrame,
       partitionBy: Seq[String] = Seq.empty,
@@ -686,9 +698,18 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     val dt = schema(colName).dataType
     val lowerS = lower.map(Stats.toStringValue)
     val upperS = upper.map(Stats.toStringValue)
-    // overlap test on the closed interval: max >= lower && min <= upper
+    // overlap test on the closed interval: max >= lower && min <= upper.
+    // NaN anywhere (a float column whose batch max was NaN — Spark's
+    // max() sorts NaN greatest — or a NaN bound) makes every IEEE
+    // comparison false, which would SKIP dirs that hold valid rows:
+    // treat NaN as "range unknown, must scan" instead.
+    def isNaN(s: String): Boolean =
+      (dt == org.apache.spark.sql.types.DoubleType ||
+        dt == org.apache.spark.sql.types.FloatType) &&
+        (s == "NaN" || s == "-NaN")
     def overlaps(mn: String, mx: String): Boolean =
-      lowerS.forall(l => Stats.geq(mx, l, dt)) && upperS.forall(u => Stats.geq(u, mn, dt))
+      isNaN(mn) || isNaN(mx) || lowerS.exists(isNaN) || upperS.exists(isNaN) ||
+        (lowerS.forall(l => Stats.geq(mx, l, dt)) && upperS.forall(u => Stats.geq(u, mn, dt)))
     val entries = m.commitDirs.zip(m.effectiveScopes).zip(m.effectiveDirStats)
       .zip(m.effectiveFileStats)
       .map { case (((d, scope), ds), fs) => (d, scope, ds, fs) }

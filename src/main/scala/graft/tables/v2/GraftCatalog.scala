@@ -380,33 +380,49 @@ final class GraftSqlTable(rootPath: String, versionAsOf: Option[Long] = None)
   override lazy val schema: StructType =
     DataType.fromJson(manifest.schemaJson).asInstanceOf[StructType]
 
-  /** On-disk bytes of the pinned snapshot's live commit dirs — one
-    * metadata walk, no data read. Feeds broadcast planning
-    * ([[graft.plans.LakeBroadcastHint]]): Spark's V1ScanWrapper drops
-    * `SupportsReportStatistics`, so without this a 2 KB dimension read
-    * through `lake.*` SQL could never auto-broadcast and every
-    * catalog-path star join would shuffle its fact side.
+  /** On-disk bytes of the pinned snapshot's live commit dirs, walked
+    * only UNTIL `limit` is exceeded: exact when the result is ≤ limit,
+    * otherwise some value > limit (enough to answer "too big to
+    * broadcast" without enumerating a fact table's million files on
+    * the driver). Cached per (root, version, limit) — commit dirs are
+    * immutable, so a snapshot's size never changes. Feeds broadcast
+    * planning ([[graft.plans.LakeBroadcastHint]]): Spark's
+    * V1ScanWrapper drops `SupportsReportStatistics`, so without this a
+    * 2 KB dimension read through `lake.*` SQL could never
+    * auto-broadcast and every catalog-path star join would shuffle its
+    * fact side.
     */
-  lazy val estimatedSizeInBytes: Long = {
-    var total = 0L
-    manifest.commitDirs.foreach { d =>
-      val dir = Paths.get(rootPath, "data").resolve(d)
-      if (Files.isDirectory(dir)) {
-        Files.walkFileTree(
-          dir,
-          new java.nio.file.SimpleFileVisitor[Path] {
-            override def visitFile(
-                f: Path,
-                attrs: java.nio.file.attribute.BasicFileAttributes)
-                : java.nio.file.FileVisitResult = {
-              total += attrs.size()
-              java.nio.file.FileVisitResult.CONTINUE
-            }
-          })
-      }
+  def sizeAtMost(limit: Long): Long = {
+    val key = (rootPath, manifest.version, limit)
+    GraftSqlTable.sizeCache.get(key) match {
+      case Some(v) => v
+      case None =>
+        var total = 0L
+        val dirs = manifest.commitDirs.iterator
+        while (dirs.hasNext && total <= limit) {
+          val dir = Paths.get(rootPath, "data").resolve(dirs.next())
+          if (Files.isDirectory(dir)) {
+            Files.walkFileTree(
+              dir,
+              new java.nio.file.SimpleFileVisitor[Path] {
+                override def visitFile(
+                    f: Path,
+                    attrs: java.nio.file.attribute.BasicFileAttributes)
+                    : java.nio.file.FileVisitResult = {
+                  total += attrs.size()
+                  if (total > limit) java.nio.file.FileVisitResult.TERMINATE
+                  else java.nio.file.FileVisitResult.CONTINUE
+                }
+              })
+          }
+        }
+        if (GraftSqlTable.sizeCache.size > 4096) GraftSqlTable.sizeCache.clear()
+        GraftSqlTable.sizeCache.put(key, total)
+        total
     }
-    total
   }
+
+  lazy val estimatedSizeInBytes: Long = sizeAtMost(Long.MaxValue)
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
@@ -553,6 +569,13 @@ object GraftMetaTable {
   val kinds: Set[String] = Set("snapshots", "files")
 }
 
+object GraftSqlTable {
+  // snapshot sizes keyed by (root, version, probe limit) — commit dirs
+  // are immutable so entries never go stale; bounded by periodic clear
+  private[v2] val sizeCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Long, Long), Long]
+}
+
 /** `sources.Filter` → `Column` for the V1Scan bridge. Partial by
   * design: an untranslated filter simply isn't pushed (Spark holds
   * every filter as a residual above the bridge either way, so the
@@ -598,6 +621,9 @@ private[v2] object GraftFilterTranslation {
     def boundable(a: String, v: Any): Boolean =
       !a.contains(".") && !a.contains("`") && (v match {
         case null => false
+        // NaN bounds can't prune (IEEE comparisons are all false)
+        case d: java.lang.Double => !d.isNaN
+        case f: java.lang.Float => !f.isNaN
         case _: java.lang.Number | _: java.sql.Timestamp | _: java.sql.Date |
             _: java.time.Instant | _: java.time.LocalDate => true
         case _ => false

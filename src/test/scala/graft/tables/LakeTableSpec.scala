@@ -69,6 +69,20 @@ class LakeTableSpec extends SparkSpec {
     assert(all.count() == 6)
   }
 
+  test("readBetween treats NaN stats as unknown — a dir whose max is NaN still scans") {
+    val t = LakeTable(spark, scratchDir("zonemap-nan"))
+    t.append(Seq((1L, 1.0), (2L, 5.0)).toDF("k", "x"), statsCols = Seq("x"))
+    // Spark's max() sorts NaN greatest, so this dir's recorded max is
+    // the string "NaN"; IEEE-comparing against it would prune the dir
+    // and silently drop the valid 50.0 row
+    t.append(Seq((3L, Double.NaN), (4L, 50.0)).toDF("k", "x"))
+    val got = t.readBetween("x", Some(10.0), None)
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq
+    // Spark comparisons use total ordering (NaN greatest), so the NaN
+    // row itself matches x >= 10.0 too — both rows of the NaN dir survive
+    assert(got == Seq(3L, 4L), got.mkString(","))
+  }
+
   test("readBetween is conservative: dirs without a recorded range are scanned") {
     val t = LakeTable(spark, scratchDir("zonemap-legacy"))
     val mk = (s: String) => Timestamp.valueOf(s)

@@ -133,9 +133,8 @@ class GraftMergeParser(session: SparkSession, delegate: ParserInterface)
     MergeSqlTargets.rootFor(session, nameParts) match {
       case None => c
       case Some(root) =>
-        require(c.partitioning.isEmpty,
-          "graft CTAS does not support PARTITIONED BY; pass partitionBy to append()")
-        // unsupported spec clauses fail LOUDLY like PARTITIONED BY does —
+        val partCols = graft.tables.v2.GraftCatalog.identityPartitionCols(c.partitioning)
+        // unsupported spec clauses fail LOUDLY —
         // silently dropping TBLPROPERTIES/LOCATION would let the user
         // believe they took effect
         c.tableSpec match {
@@ -149,7 +148,7 @@ class GraftMergeParser(session: SparkSession, delegate: ParserInterface)
               s"graft CTAS stores parquet; USING ${s.provider.getOrElse("")} is not supported")
           case _ => ()
         }
-        GraftCtasCommand(root, new SqlPlanPayload(c.query), c.ignoreIfExists)
+        GraftCtasCommand(root, new SqlPlanPayload(c.query), c.ignoreIfExists, partCols)
     }
   }
 
@@ -458,17 +457,23 @@ final case class GraftInsertIntoCommand(
 final case class GraftCtasCommand(
     root: String,
     payload: SqlPlanPayload,
-    ignoreIfExists: Boolean) extends LeafRunnableCommand {
+    ignoreIfExists: Boolean,
+    partitionBy: Seq[String] = Seq.empty) extends LeafRunnableCommand {
 
   override def run(spark: SparkSession): Seq[Row] = {
     val table = graft.tables.LakeTable(spark, root)
     val df = GraftSqlInternals.ofRows(spark, payload.plan) // analysis only here
-    if (!table.createIfAbsent(df.schema)) {
+    val partCols = partitionBy.map { c =>
+      df.schema.fieldNames.find(_.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"PARTITIONED BY column $c is not in the query output"))
+    }
+    if (!table.createIfAbsent(df.schema, partCols)) {
       if (ignoreIfExists) return Seq.empty
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
         org.apache.spark.sql.connector.catalog.Identifier.of(Array.empty, root))
     }
-    table.append(df)
+    table.append(df) // inherits the manifest's partitionBy
     Seq.empty
   }
 }

@@ -333,6 +333,65 @@ object ScaleQueries {
       |                      (CAST(2 AS BIGINT), 'overwrite', 1))
       |       t(version, operation, num_commit_dirs)""".stripMargin
 
+  /** Partition layout declared in DDL, end-to-end: `CREATE TABLE ...
+    * PARTITIONED BY` pins the Hive layout in the v0 manifest (the
+    * reference declares partitioning on every table,
+    * /root/reference/docker/init/lakehouse_init.sql `partitioning =
+    * ARRAY[...]`), a plain INSERT inherits it, a CTAS `PARTITIONED BY`
+    * carries it onto the derived table, and the final partition-scoped
+    * SELECT prunes at the directory level while staying exact.
+    */
+  def partitionedDdl(spark: SparkSession, sfDir: String): DataFrame = {
+    val cat = Catalog(spark, graft.util.TempDirs.scratch("pddl"))
+    cat.createSchema("gold")
+    cat.attachSqlCatalog("lake")
+    spark.read.parquet(tablePath(sfDir, "orders"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
+      .createOrReplaceTempView("pddl_src")
+    cat.sql(
+      """CREATE TABLE lake.gold.orders_part
+        |(o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE, o_orderstatus STRING)
+        |PARTITIONED BY (o_orderstatus)""".stripMargin)
+    cat.sql("INSERT INTO lake.gold.orders_part SELECT * FROM pddl_src")
+    cat.sql(
+      """CREATE TABLE lake.gold.orders_big PARTITIONED BY (o_orderstatus) AS
+        |SELECT o_orderkey, o_totalprice, o_orderstatus
+        |FROM lake.gold.orders_part WHERE o_totalprice > 200000.0""".stripMargin)
+    cat.sql(
+      """SELECT o_orderkey, round(o_totalprice, 4) AS o_totalprice, o_orderstatus
+        |FROM lake.gold.orders_big WHERE o_orderstatus = 'F'""".stripMargin)
+  }
+
+  val partitionedDdlSql: String =
+    """SELECT o_orderkey, round(o_totalprice, 4) AS o_totalprice, o_orderstatus
+      |FROM orders WHERE o_totalprice > 200000.0 AND o_orderstatus = 'F'""".stripMargin
+
+  /** Table maintenance as SQL (`CALL lake.system.*`, the Iceberg
+    * `CALL <cat>.system.rewrite_data_files / expire_snapshots /
+    * remove_orphan_files` surface the reference's catalog advertises):
+    * five appends accumulate five commit dirs and six snapshots; a
+    * forced compact rewrites them into one dir, expire_snapshots drops
+    * the history, sweep_orphans removes the superseded dirs — and the
+    * table's CONTENT is untouched, which is exactly what the oracle
+    * checks (maintenance must change layout, never results).
+    */
+  def callMaintenance(spark: SparkSession, sfDir: String): DataFrame = {
+    val cat = Catalog(spark, graft.util.TempDirs.scratch("callm"))
+    cat.createSchema("gold")
+    val nation = spark.read.parquet(tablePath(sfDir, "nation"))
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    val t = cat.table("gold", "nation")
+    (0 to 4).foreach(r => t.append(nation.filter(col("n_regionkey") === r)))
+    cat.attachSqlCatalog("lake")
+    cat.sql("CALL lake.system.compact(`table` => 'gold.nation', max_commit_dirs => 0)")
+    cat.sql("CALL lake.system.expire_snapshots(`table` => 'gold.nation', keep_last => 1)")
+    cat.sql("CALL lake.system.sweep_orphans(`table` => 'gold.nation', grace_ms => 0)")
+    cat.sql("SELECT n_nationkey, n_name, n_regionkey FROM lake.gold.nation")
+  }
+
+  val callMaintenanceSql: String =
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation"
+
   /** Predicate pushdown through the DSv2 read bridge, end-to-end: the
     * WHERE clause must both PRUNE (pushFilters → LakeTable.read().
     * filter → parquet row-group stats; plan shape pinned by
@@ -408,6 +467,8 @@ object ScaleQueries {
     "q_ctas_sql" -> (ctasSql _),
     "q_alter_sql" -> (alterSql _),
     "q_snapshots_sql" -> (snapshotsMetaSql _),
+    "q_partitioned_ddl" -> (partitionedDdl _),
+    "q_call_maintenance" -> (callMaintenance _),
     "q_sql_pushdown" -> (sqlPushdown _),
     "q_stream_dedup" -> (streamDedup _))
 
@@ -424,6 +485,8 @@ object ScaleQueries {
     "q_ctas_sql" -> ctasSqlSql,
     "q_alter_sql" -> alterSqlSql,
     "q_snapshots_sql" -> snapshotsMetaSqlSql,
+    "q_partitioned_ddl" -> partitionedDdlSql,
+    "q_call_maintenance" -> callMaintenanceSql,
     "q_sql_pushdown" -> sqlPushdownSql,
     "q_stream_dedup" -> streamDedupSql)
 }

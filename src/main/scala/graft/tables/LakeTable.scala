@@ -404,9 +404,13 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     * guarantee under concurrency); returns false when the table already
     * exists — whether it raced or predates the call.
     */
-  def createIfAbsent(schema: StructType): Boolean = {
+  def createIfAbsent(schema: StructType, partitionBy: Seq[String] = Seq.empty): Boolean = {
     if (exists) return false
-    val m = Manifest(0L, "create", System.currentTimeMillis(), Seq.empty, schema.json, Seq.empty)
+    partitionBy.foreach { c =>
+      require(schema.fieldNames.contains(c),
+        s"partition column $c is not in the declared schema")
+    }
+    val m = Manifest(0L, "create", System.currentTimeMillis(), Seq.empty, schema.json, partitionBy)
     try { writeManifest(m); true }
     catch { case _: VersionConflictException => false }
   }

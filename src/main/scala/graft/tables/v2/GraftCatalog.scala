@@ -44,7 +44,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * which has no V1 fallback; the parser-command route delivers the
   * same SQL surface through the one battle-tested commit path.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -140,24 +140,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftSqlTable(p.toString, Some(at.version))
   }
 
-  /** `CREATE TABLE lake.<ns>.<t> (cols...)`: publish a version-0
-    * manifest carrying the declared schema and no data dirs — the
-    * standard CREATE-then-INSERT flow, with the write-time schema
-    * contract anchored from the first commit. No SparkSession needed:
-    * a manifest is one small JSON file. CTAS is not supported (the
-    * catalog exposes no DSv2 write; use INSERT INTO after CREATE).
+  /** `CREATE TABLE lake.<ns>.<t> (cols...) [PARTITIONED BY (c, ...)]`:
+    * publish a version-0 manifest carrying the declared schema, the
+    * declared Hive partition layout (top-level identity columns only —
+    * the layout the reference declares on every table,
+    * /root/reference/docker/init/lakehouse_init.sql `partitioning =
+    * ARRAY['ingest_year','ingest_month']`), and no data dirs — the
+    * standard CREATE-then-INSERT flow, with the write-time schema and
+    * partition contracts anchored before the first commit: every later
+    * INSERT/append inherits `partitionBy` from the manifest. No
+    * SparkSession needed: a manifest is one small JSON file.
     */
   override def createTable(
       ident: Identifier,
       schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "CREATE TABLE ... PARTITIONED BY is not supported; pass partitionBy to append()")
+    val partCols = GraftCatalog.identityPartitionCols(partitions.toSeq).map { c =>
+      schema.fieldNames.find(_.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"PARTITIONED BY column $c is not in the column list"))
+    }
     val p = dirOf(ident.namespace() :+ ident.name())
     if (isLakeTable(p)) throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
     val m = graft.tables.LakeTable.Manifest(
-      0L, "create", System.currentTimeMillis(), Seq.empty, schema.json, Seq.empty)
+      0L, "create", System.currentTimeMillis(), Seq.empty, schema.json, partCols)
     val logDir = p.resolve("_graft_log")
     Files.createDirectories(logDir)
     val target = logDir.resolve(f"v${0L}%020d.json")
@@ -233,6 +240,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     ()
   }
 
+  // ---- procedures ----------------------------------------------------------
+
+  /** `CALL lake.system.<proc>(...)` — table-maintenance procedures
+    * ([[GraftProcedures]]): the SQL surface Iceberg exposes as
+    * `CALL <cat>.system.expire_snapshots / rewrite_data_files /
+    * remove_orphan_files`.
+    */
+  override def loadProcedure(ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace().map(_.toLowerCase).sameElements(GraftProcedures.namespace),
+      s"procedures live under $catalogName.system, got ${ident.namespace().mkString(".")}")
+    GraftProcedures.load(root, ident.name())
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.map(_.toLowerCase).sameElements(GraftProcedures.namespace))
+      GraftProcedures.names.map(n => Identifier.of(GraftProcedures.namespace, n)).toArray
+    else Array.empty
+
   // ---- namespaces ----------------------------------------------------------
 
   override def listNamespaces(): Array[Array[String]] = {
@@ -292,6 +317,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 }
 
 object GraftCatalog {
+
+  /** DSv2 partition transforms → Hive partition column names. Graft
+    * tables partition by directory on plain column values, so only
+    * top-level identity transforms are accepted; `bucket(...)`,
+    * `days(ts)` etc. are rejected loudly rather than silently flattened
+    * to something with different pruning semantics.
+    */
+  def identityPartitionCols(partitions: Seq[Transform]): Seq[String] =
+    partitions.map { t =>
+      require(
+        t.name == "identity" && t.references.length == 1 &&
+          t.references.head.fieldNames.length == 1,
+        s"only top-level identity partitioning is supported, got ${t.describe}")
+      t.references.head.fieldNames.head
+    }
 
   /** Identifier parts → filesystem path, shared by the catalog and the
     * row-level SQL target resolution ([[graft.plans.MergeSqlTargets]])
@@ -379,6 +419,13 @@ final class GraftSqlTable(rootPath: String, versionAsOf: Option[Long] = None)
 
   override lazy val schema: StructType =
     DataType.fromJson(manifest.schemaJson).asInstanceOf[StructType]
+
+  /** The manifest's declared Hive layout, reported as identity
+    * transforms (DESCRIBE TABLE's "Partitioning" section).
+    */
+  override def partitioning(): Array[Transform] =
+    manifest.partitionBy.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.identity(c)).toArray
 
   /** On-disk bytes of the pinned snapshot's live commit dirs, walked
     * only UNTIL `limit` is exceeded: exact when the result is ≤ limit,

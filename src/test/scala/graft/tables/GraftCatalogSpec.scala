@@ -298,4 +298,93 @@ class GraftCatalogSpec extends SparkSpec {
          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
     assert(spark.sql(s"SELECT count(*) AS c FROM $name.gold.rich").head().getLong(0) == 3)
   }
+
+  test("CREATE TABLE ... PARTITIONED BY declares the Hive layout; INSERT and CTAS inherit it") {
+    val (cat, name) = freshCatalog("v2part")
+    cat.createSchema("silver")
+    // the reference declares partitioning on every table
+    // (docker/init/lakehouse_init.sql: partitioning = ARRAY['ingest_year','ingest_month'])
+    spark.sql(
+      s"""CREATE TABLE $name.silver.events (sym STRING, price DOUBLE, yr INT, mo INT)
+         |PARTITIONED BY (yr, mo)""".stripMargin)
+    Seq(("AAA", 1.0, 2024, 1), ("BBB", 2.0, 2024, 2), ("CCC", 3.0, 2025, 1))
+      .toDF("sym", "price", "yr", "mo").createOrReplaceTempView("v2part_src")
+    spark.sql(s"INSERT INTO $name.silver.events SELECT * FROM v2part_src")
+    // physical layout: the commit dir holds yr=.../mo=... subdirectories
+    val dataDir = java.nio.file.Paths.get(cat.root, "silver", "events", "data")
+    import scala.jdk.CollectionConverters._
+    val partDirs = java.nio.file.Files.walk(dataDir).iterator().asScala
+      .filter(java.nio.file.Files.isDirectory(_)).map(_.getFileName.toString).toSet
+    assert(partDirs.contains("yr=2024") && partDirs.contains("mo=2"), partDirs.mkString(","))
+    // reads restore the DECLARED column order and types
+    val got = spark.sql(s"SELECT * FROM $name.silver.events ORDER BY sym").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getInt(2), r.getInt(3))).toSeq
+    assert(got == Seq(("AAA", 1.0, 2024, 1), ("BBB", 2.0, 2024, 2), ("CCC", 3.0, 2025, 1)),
+      s"got $got")
+    // DESCRIBE surfaces the partitioning (Table.partitioning reporting)
+    val desc = spark.sql(s"DESCRIBE TABLE $name.silver.events").collect().map(_.toString).mkString
+    assert(desc.contains("# Partition Information") && desc.contains("yr"), desc)
+    // a partition-scoped filter prunes at the parquet-source level AND stays exact
+    val one = spark.sql(
+      s"SELECT sym FROM $name.silver.events WHERE yr = 2024 AND mo = 2").collect()
+    assert(one.map(_.getString(0)).toSeq == Seq("BBB"), one.mkString(","))
+    // non-identity transforms and unknown partition columns fail loudly
+    intercept[Exception](spark.sql(
+      s"CREATE TABLE $name.silver.bad (k INT, ts TIMESTAMP) PARTITIONED BY (days(ts))"))
+    intercept[Exception](spark.sql(
+      s"CREATE TABLE $name.silver.bad2 (k INT) PARTITIONED BY (zz)"))
+    // CTAS with PARTITIONED BY: created table carries the layout for later inserts
+    spark.sql(
+      s"""CREATE TABLE $name.silver.events24 PARTITIONED BY (mo) AS
+         |SELECT sym, price, mo FROM $name.silver.events WHERE yr = 2024""".stripMargin)
+    assert(cat.table("silver", "events24").read().count() == 2)
+    Seq(("DDD", 4.0, 3)).toDF("sym", "price", "mo").createOrReplaceTempView("v2part_more")
+    spark.sql(s"INSERT INTO $name.silver.events24 SELECT * FROM v2part_more")
+    val ctasDirs = java.nio.file.Files
+      .walk(java.nio.file.Paths.get(cat.root, "silver", "events24", "data"))
+      .iterator().asScala
+      .filter(java.nio.file.Files.isDirectory(_)).map(_.getFileName.toString).toSet
+    assert(ctasDirs.contains("mo=3"), ctasDirs.mkString(","))
+    assert(spark.sql(s"SELECT count(*) AS c FROM $name.silver.events24").head().getLong(0) == 3)
+  }
+
+  test("CALL lake.system.* runs table maintenance through SQL") {
+    val (cat, name) = freshCatalog("v2proc")
+    cat.createSchema("silver")
+    val t = cat.table("silver", "facts")
+    // churn: five appends = five commit dirs and six snapshots (incl. DV-free)
+    (1 to 5).foreach(i => t.append(Seq((i.toLong, s"r$i")).toDF("k", "v"), statsCols = Seq("k")))
+    // compact is policy-driven: above the threshold nothing happens...
+    val noop = spark.sql(
+      s"CALL $name.system.compact(`table` => 'silver.facts', max_commit_dirs => 16)").head()
+    assert(!noop.getBoolean(0) && noop.isNullAt(1), noop.toString)
+    // ...at 0 it always rewrites, into one commit dir
+    val did = spark.sql(
+      s"CALL $name.system.compact(`table` => 'silver.facts', max_commit_dirs => 0)").head()
+    assert(did.getBoolean(0) && !did.isNullAt(1), did.toString)
+    assert(t.files().select("commit_dir").distinct().count() == 1)
+    assert(t.read().count() == 5)
+    // expire_snapshots with the declared default (keep_last = 1)
+    val expired = spark.sql(
+      s"CALL $name.system.expire_snapshots(`table` => 'silver.facts')").head().getInt(0)
+    assert(expired >= 5, s"expired only $expired")
+    intercept[Exception](t.read(versionAsOf = Some(0)).collect())
+    // clustered compaction: positional args, per-file zonemaps recorded
+    (6 to 9).foreach(i => t.append(Seq((i.toLong, s"r$i")).toDF("k", "v")))
+    spark.sql(s"CALL $name.system.compact_clustered('silver.facts', 'k', 4)").collect()
+    val (_, kept, skipped) = t.readBetweenWithPruneInfo("k", Some(9L), Some(9L))
+    assert(t.read().count() == 9 && skipped.isEmpty,
+      s"clustered rewrite should keep 1 dir (kept=$kept skipped=$skipped)")
+    // sweep_orphans: a dead dir under data/ goes once the grace window allows
+    val orphan = java.nio.file.Paths.get(cat.root, "silver", "facts", "data", "zz-orphan")
+    java.nio.file.Files.createDirectories(orphan)
+    val swept = spark.sql(
+      s"CALL $name.system.sweep_orphans(`table` => 'silver.facts', grace_ms => 0)").head()
+    assert(swept.getInt(0) == 1 && swept.getString(1).contains("zz-orphan"), swept.toString)
+    assert(!java.nio.file.Files.exists(orphan))
+    // unknown procedures and traversal-shaped table args fail loudly
+    intercept[Exception](spark.sql(s"CALL $name.system.nope()").collect())
+    intercept[Exception](spark.sql(
+      s"CALL $name.system.compact(`table` => '../escape')").collect())
+  }
 }

@@ -375,17 +375,37 @@ final case class GraftUpdateCommand(
     val targetDf = table.read()
     val schema = targetDf.schema
     RowLevelSql.validateAssignments(payload.assignments, schema, root)
-    val aliasT = SubqueryAlias(targetAlias, targetDf.queryExecution.analyzed)
-    def tAttr(c: String) = UnresolvedAttribute(Seq(targetAlias, c))
-    val cond = payload.condition.getOrElse(Literal(true))
-    val cols = schema.fields.map { f =>
-      val e = RowLevelSql.assignmentFor(payload.assignments, f.name) match {
-        case Some(v) => CaseWhen(Seq((cond, Cast(v, f.dataType))), Some(tAttr(f.name)))
-        case None => tAttr(f.name): Expression
-      }
-      Alias(e, f.name)()
+    payload.condition match {
+      case Some(cond0) =>
+        // WHERE present: merge-on-read — one atomic commit masking the
+        // matched rows with a deletion vector and appending their
+        // updated copies. Cost scales with rows matched, never with
+        // table size (the copy-on-write projection below rewrites the
+        // WHOLE table, which at 100 TB is a non-starter for a
+        // selective UPDATE). Store-assignment casts applied inside
+        // updateWhere.
+        val cond = GraftSqlInternals.column(
+          RowLevelSql.stripQualifier(cond0, targetAlias))
+        val assigns = schema.fields.flatMap { f =>
+          RowLevelSql.assignmentFor(payload.assignments, f.name).map(v =>
+            f.name -> GraftSqlInternals.column(
+              RowLevelSql.stripQualifier(v, targetAlias)))
+        }.toMap
+        table.updateWhere(cond, assigns)
+      case None =>
+        // unconditional UPDATE touches every row anyway: copy-on-write
+        // (one clean rewrite) beats masking 100% of the table with DVs
+        val aliasT = SubqueryAlias(targetAlias, targetDf.queryExecution.analyzed)
+        def tAttr(c: String) = UnresolvedAttribute(Seq(targetAlias, c))
+        val cols = schema.fields.map { f =>
+          val e = RowLevelSql.assignmentFor(payload.assignments, f.name) match {
+            case Some(v) => Cast(v, f.dataType): Expression
+            case None => tAttr(f.name): Expression
+          }
+          Alias(e, f.name)()
+        }
+        table.overwrite(GraftSqlInternals.ofRows(spark, Project(cols.toSeq, aliasT)))
     }
-    table.overwrite(GraftSqlInternals.ofRows(spark, Project(cols.toSeq, aliasT)))
     Seq.empty
   }
 }

@@ -318,6 +318,49 @@ object StreamQueries {
       |UNION ALL
       |SELECT doc_id, fp FROM f2 WHERE fp NOT IN (SELECT fp FROM f1)""".stripMargin
 
+  /** Exactly-once lake-table ingest under crash-replay
+    * ([[StreamJobs.runStreamingTxnAppend]], the Delta
+    * txnAppId/txnVersion protocol over graft manifests): wave 1 streams
+    * in, then the batch's checkpoint COMMIT MARKER is deleted —
+    * simulating a crash after the table commit but before the
+    * checkpoint recorded it — so the wave-2 run first re-delivers the
+    * whole wave-1 batch under its original batch id. The idempotent
+    * writer watermark drops the replay; the oracle is simply "all
+    * events exactly once", which an at-least-once foreachBatch sink
+    * (no txn) would fail with wave 1 doubled.
+    */
+  def streamTxnAppend(spark: SparkSession, sfDir: String): DataFrame = {
+    val wd = workDir("stxnapp")
+    val src = s"$wd/src"
+    val table = graft.tables.LakeTable(spark, s"$wd/tbl")
+    val events = Testdata.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    events.filter(col("event_id") % 2 === 0).write.mode("append").parquet(src)
+    StreamJobs.runStreamingTxnAppend(
+      spark, src, eventsSchemaNoProps, table, wd, Some("txn-ingest"))
+    // crash window: the lake commit survived, the checkpoint marker didn't
+    val commits = new java.io.File(s"$wd/checkpoint-txn-append/commits")
+    commits.listFiles().filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt).lastOption
+      .foreach { marker =>
+        marker.delete()
+        new java.io.File(commits, s".${marker.getName}.crc").delete()
+      }
+    events.filter(col("event_id") % 2 =!= 0).write.mode("append").parquet(src)
+    StreamJobs.runStreamingTxnAppend(
+      spark, src, eventsSchemaNoProps, table, wd, Some("txn-ingest"))
+    table.read().select(
+      col("event_id"),
+      col("user_id"),
+      col("event_type"),
+      col("value"),
+      date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_str"))
+  }
+
+  val streamTxnAppendSql: String =
+    """SELECT event_id, user_id, event_type, value,
+      |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
+      |FROM events""".stripMargin
+
   /** Stream-static enrichment: the event stream joined to a broadcast
     * in-memory dimension (type → code/weight); stateless append, no
     * watermark. Oracle = the equivalent batch join.
@@ -401,6 +444,7 @@ object StreamQueries {
     "q_stream_quality_gate" -> (streamQualityGate _),
     "q_stream_static_join" -> (streamStaticJoin _),
     "q_stream_upsert" -> (streamUpsert _),
+    "q_stream_txn_append" -> (streamTxnAppend _),
     "q_stream_dedup_ingest" -> (streamDedupIngest _),
     "q_stream_join_outer" -> (streamStreamJoinOuter _),
     "q_stream_stream_join" -> (streamStreamJoin _),
@@ -413,6 +457,7 @@ object StreamQueries {
     "q_stream_quality_gate" -> streamQualityGateSql,
     "q_stream_static_join" -> streamStaticJoinSql,
     "q_stream_upsert" -> streamUpsertSql,
+    "q_stream_txn_append" -> streamTxnAppendSql,
     "q_stream_dedup_ingest" -> streamDedupIngestSql,
     "q_stream_join_outer" -> streamStreamJoinOuterSql,
     "q_stream_stream_join" -> streamStreamJoinSql,

@@ -608,6 +608,54 @@ object StreamJobs {
     q.awaitTermination()
   }
 
+  /** Streaming append into a lake table with EXACTLY-ONCE table state
+    * under crash-replay: `foreachBatch` commits each micro-batch through
+    * [[graft.tables.LakeTable.append]] with an idempotent-writer
+    * transaction `(writerId, batchId)` — the Delta
+    * `txnAppId`/`txnVersion` protocol. `foreachBatch` alone is
+    * AT-LEAST-ONCE: if the process dies after the table commit but
+    * before the checkpoint records the batch as complete, restart
+    * re-delivers the same batch under the same id — without the txn the
+    * rows land twice; with it the manifest's writer watermark makes the
+    * replay a no-op (checked both before the data write and under the
+    * commit CAS). The reference's ingest gets this from the streaming
+    * FILE sink's `_spark_metadata` log; this is the equivalent guarantee
+    * for manifest-committed lake tables, where the file-sink log does
+    * not apply.
+    *
+    * `writerId` must be stable across restarts and unique per
+    * (stream, target) pair — the query checkpoint plays that role
+    * upstream, so defaulting it to the checkpoint path is the natural
+    * contract at scale (concurrent DIFFERENT streams into one table
+    * keep independent watermarks).
+    */
+  def runStreamingTxnAppend(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      table: graft.tables.LakeTable,
+      workDir: String,
+      writerId: Option[String] = None,
+      maxFilesPerTrigger: Option[Int] = None): Unit = {
+    val checkpoint = dir(workDir, "checkpoint-txn-append")
+    val id = writerId.getOrElse(checkpoint)
+    val reader = spark.readStream.schema(schema)
+    val withCap = maxFilesPerTrigger.fold(reader)(n =>
+      reader.option("maxFilesPerTrigger", n.toString))
+    val q = withCap
+      .parquet(sourceDir)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        table.append(batch, txn = Some((id, batchId)))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming upsert into a lakehouse table: each micro-batch is
     * SCD1-merged into the target through `foreachBatch` — the
     * stream-to-MERGE bridge Iceberg/Delta users rely on, expressed over

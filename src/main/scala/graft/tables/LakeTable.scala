@@ -204,7 +204,8 @@ final class LakeTable(val spark: SparkSession, val root: String) {
       colMax: Map[String, String],
       newDirStats: Seq[Map[String, (String, String)]],
       newDvFiles: Seq[String] = Seq.empty,
-      schemaMode: String = "evolve"): Long = {
+      schemaMode: String = "evolve",
+      txn: Option[(String, Long)] = None): Long = {
     val maxRetries = if (op == "append" && keepExisting) 20 else 1
     var attempt = 0
     var result = -1L
@@ -212,6 +213,16 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     while (!done) {
       attempt += 1
       val prev = latestVersion().map(readManifest)
+      // idempotent-writer check INSIDE the claim loop: a replay that
+      // races the original (or another replay) re-reads the tip each
+      // attempt, so whichever commit lands first makes every other
+      // carrier of the same (writer, epoch) a no-op — the Delta
+      // txnAppId/txnVersion protocol. The epoch must be strictly newer;
+      // equal or older means this exact batch already committed.
+      val prevTxns = prev.map(_.txns).getOrElse(Map.empty[String, Long])
+      if (txn.exists { case (id, epoch) => prevTxns.get(id).exists(_ >= epoch) }) {
+        return prev.map(_.version).getOrElse(-1L)
+      }
       val version = prev.map(_.version + 1).getOrElse(0L)
       val existing = if (keepExisting) prev.map(_.commitDirs).getOrElse(Seq.empty) else Seq.empty
       val existingScopes =
@@ -251,7 +262,10 @@ final class LakeTable(val spark: SparkSession, val root: String) {
             if (keepExisting) mergedMax else colMax,
             existingStats ++ newDirs.indices.map(i => newDirStats.lift(i).getOrElse(Map.empty)),
             existingFileStats ++ newDirs.map(_ => Map.empty[String, Map[String, (String, String)]]),
-            dvs))
+            dvs,
+            // writer watermarks persist across every op (they track writer
+            // progress, not data), updated by this commit's own txn if any
+            prevTxns ++ txn))
         result = version
         done = true
       } catch {
@@ -302,7 +316,15 @@ final class LakeTable(val spark: SparkSession, val root: String) {
       df: DataFrame,
       partitionBy: Seq[String] = Seq.empty,
       statsCols: Seq[String] = Seq.empty,
-      schemaMode: String = "evolve"): Long = {
+      schemaMode: String = "evolve",
+      txn: Option[(String, Long)] = None): Long = {
+    // idempotent-writer fast path BEFORE any data is written: a replayed
+    // micro-batch (same writer id, same epoch) must not even land an
+    // orphan commit dir. The commit loop re-checks under the CAS, so a
+    // concurrent duplicate that slips past this probe is still dropped.
+    txn.foreach { case (id, epoch) =>
+      if (txnVersion(id).exists(_ >= epoch)) return latestVersion().getOrElse(-1L)
+    }
     val prev = latestVersion().map(readManifest)
     // a manifest whose schema doesn't parse (synthetic/corrupted log
     // entry) simply provides no contract to enforce
@@ -318,8 +340,16 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     val batchMax = batchStats.map { case (c, (_, mx)) => c -> mx }
     val merged = Stats.merge(prev.map(_.colMax).getOrElse(Map.empty), batchMax, mergedSchema)
     commit("append", dirs, keepExisting = true, mergedSchema, effParts, merged,
-      dirs.map(_ => batchStats), schemaMode = schemaMode)
+      dirs.map(_ => batchStats), schemaMode = schemaMode, txn = txn)
   }
+
+  /** Highest committed epoch for an idempotent writer id (Delta's
+    * `txnVersion(appId)`), or None if the writer never committed. A
+    * restarted streaming job probes this to decide whether its first
+    * re-delivered batch already landed.
+    */
+  def txnVersion(writerId: String): Option[Long] =
+    latestVersion().map(readManifest).flatMap(_.txns.get(writerId))
 
   /** Write-time schema contract. `evolve` (default, the Delta
     * `mergeSchema` stance): new columns are ADDED to the table schema
@@ -423,7 +453,11 @@ final class LakeTable(val spark: SparkSession, val root: String) {
   def overwrite(
       df: DataFrame,
       partitionBy: Seq[String] = Seq.empty,
-      statsCols: Seq[String] = Seq.empty): Long = {
+      statsCols: Seq[String] = Seq.empty,
+      txn: Option[(String, Long)] = None): Long = {
+    txn.foreach { case (id, epoch) =>
+      if (txnVersion(id).exists(_ >= epoch)) return latestVersion().getOrElse(-1L)
+    }
     val prev = latestVersion().map(readManifest)
     val tableParts = prev.map(_.partitionBy).getOrElse(Seq.empty)
     val effParts = if (partitionBy.nonEmpty) partitionBy else tableParts
@@ -434,7 +468,7 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     val (dirOpt, batchStats) = writeCommitDir(df, effParts, effStats)
     commit("overwrite", dirOpt.toSeq, keepExisting = false, df.schema, effParts,
       batchStats.map { case (c, (_, mx)) => c -> mx },
-      dirOpt.toSeq.map(_ => batchStats))
+      dirOpt.toSeq.map(_ => batchStats), txn = txn)
   }
 
   /** Hive-style partition values (`col=value` subdir names) present in
@@ -537,7 +571,8 @@ final class LakeTable(val spark: SparkSession, val root: String) {
         },
         // kept (un-rewritten) dirs keep their deletion vectors; entries
         // pointing at the replaced dirs' files become inert (never match)
-        prev.dvFiles))
+        prev.dvFiles,
+        prev.txns))
     version
   }
 
@@ -822,12 +857,32 @@ final class LakeTable(val spark: SparkSession, val root: String) {
       throw new IllegalStateException(s"deleteWhereDV on empty table $root")
     }
     val m = readManifest(v)
+    writeDvSidecar(m, condition) match {
+      case None => v
+      case Some(name) =>
+        val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+        commit("delete-dv", Seq.empty, keepExisting = true, schema, m.partitionBy,
+          m.colMax, Seq.empty, newDvFiles = Seq(name))
+    }
+  }
+
+  /** Write (but do NOT commit) a deletion-vector sidecar for the rows
+    * of snapshot `m` matching `condition`; None when nothing matches.
+    * The sidecar is invisible until a manifest commit references it —
+    * which lets [[deleteWhereDV]] and [[updateWhere]] share it while
+    * updateWhere bundles the DV and the rewritten rows into ONE atomic
+    * commit (a crash in between leaves only an unreferenced file for
+    * [[sweepOrphans]]).
+    */
+  private def writeDvSidecar(
+      m: Manifest,
+      condition: org.apache.spark.sql.Column): Option[String] = {
     val hits = readSelected(
       m, m.commitDirs.zip(m.effectiveScopes).map { case (d, s) => (d, s, None) },
       keepRowMeta = true)
       .filter(coalesce(condition, lit(false)))
       .select(col("__dv_file").as("file_rel"), col("__dv_idx").as("row_idx"))
-    if (hits.isEmpty) return v
+    if (hits.isEmpty) return None
     // table-relative invariant: a DV key carrying a URI scheme means
     // stripDataDirPrefix missed (file_path renderer drift) — fail the
     // delete loudly rather than persist keys that break on table move
@@ -840,9 +895,52 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     val name = s"dv-${UUID.randomUUID()}.parquet"
     Files.createDirectories(dvDir)
     hits.coalesce(1).write.mode("overwrite").parquet(dvDir.resolve(name).toString)
+    Some(name)
+  }
+
+  /** Row-level UPDATE, merge-on-read: ONE atomic commit that (a) masks
+    * the matching rows' original copies with a deletion-vector sidecar
+    * and (b) adds a commit dir holding their updated copies — Iceberg
+    * position-delete + data-file semantics. Cost scales with rows
+    * MATCHED, not table size: the old copy-on-write route (CASE
+    * projection + [[overwrite]]) rewrites every byte of a 100 TB table
+    * to change one row; this writes one sidecar and one small dir. The
+    * next rewrite (compact/overwrite) materializes the DVs as usual.
+    *
+    * `assignments` map column name → new-value Column, evaluated
+    * against the OLD row (so `price -> col("price") * 2` works) and
+    * cast to the declared column type (store-assignment semantics,
+    * matching `GraftUpdateCommand`). Unknown columns are rejected.
+    * Returns the current version unchanged when nothing matches.
+    */
+  def updateWhere(
+      condition: org.apache.spark.sql.Column,
+      assignments: Map[String, org.apache.spark.sql.Column]): Long = {
+    val v = latestVersion().getOrElse {
+      throw new IllegalStateException(s"updateWhere on empty table $root")
+    }
+    val m = readManifest(v)
     val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
-    commit("delete-dv", Seq.empty, keepExisting = true, schema, m.partitionBy,
-      m.colMax, Seq.empty, newDvFiles = Seq(name))
+    assignments.keys.foreach { c =>
+      require(schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+        s"UPDATE assigns unknown column $c (table has ${schema.fieldNames.mkString(", ")})")
+    }
+    // updated copies of the matching rows, declared column order kept;
+    // assignment values see the pre-update row
+    val updated = read().filter(coalesce(condition, lit(false))).select(
+      schema.fields.map { f =>
+        assignments.collectFirst {
+          case (n, c0) if n.equalsIgnoreCase(f.name) => c0.cast(f.dataType).as(f.name)
+        }.getOrElse(col(f.name))
+      }.toSeq: _*)
+    writeDvSidecar(m, condition) match {
+      case None => v
+      case Some(dv) =>
+        val (dirOpt, batchStats) = writeCommitDir(updated, m.partitionBy, m.colMax.keys.toSeq)
+        commit("update", dirOpt.toSeq, keepExisting = true, schema, m.partitionBy,
+          batchStats.map { case (c, (_, mx)) => c -> mx },
+          dirOpt.toSeq.map(_ => batchStats), newDvFiles = Seq(dv))
+    }
   }
 
   /** Compaction: rewrite the current snapshot as one commit dir (an
@@ -973,7 +1071,7 @@ final class LakeTable(val spark: SparkSession, val root: String) {
       Manifest(
         version, "compactClustered", System.currentTimeMillis(), Seq(commitName),
         df.schema.json, prev.partitionBy, Seq(Seq.empty), newColMax,
-        Seq(dirStatsMap), Seq(fileStatsMap)))
+        Seq(dirStatsMap), Seq(fileStatsMap), txns = prev.txns))
     version
   }
 
@@ -1203,7 +1301,8 @@ object LakeTable {
       colMax: Map[String, String] = Map.empty,
       dirStats: Seq[Map[String, (String, String)]] = Seq.empty,
       fileStats: Seq[Map[String, Map[String, (String, String)]]] = Seq.empty,
-      dvFiles: Seq[String] = Seq.empty) {
+      dvFiles: Seq[String] = Seq.empty,
+      txns: Map[String, Long] = Map.empty) {
 
     /** Per-dir partition scope (leading partition column values); empty
       * seq = whole dir. Normalized to commitDirs length.
@@ -1268,6 +1367,7 @@ object LakeTable {
         s""""dirStats":$dirStatsJson,""" +
         s""""fileStats":$fileStatsJson,""" +
         s""""dvFiles":[${dvFiles.map(qs).mkString(",")}],""" +
+        s""""txns":${txns.toSeq.sortBy(_._1).map { case (k, v) => s"${qs(k)}:$v" }.mkString("{", ",", "}")},""" +
         s""""schema":${qs(schemaJson)}}"""
     }
   }
@@ -1421,7 +1521,15 @@ object LakeTable {
         colMax,
         dirStats,
         fileStats,
-        if (node.has("dvFiles")) strings("dvFiles") else Seq.empty)
+        if (node.has("dvFiles")) strings("dvFiles") else Seq.empty,
+        if (!node.has("txns")) Map.empty[String, Long]
+        else {
+          val obj = node.get("txns")
+          val it = obj.fieldNames()
+          val b = Map.newBuilder[String, Long]
+          while (it.hasNext) { val k = it.next(); b += k -> obj.get(k).asLong() }
+          b.result()
+        })
     }
   }
 }

@@ -201,6 +201,40 @@ class MergeSqlSpec extends SparkSpec {
     assert(got == Set((1, 10.0), (2, null), (3, 60.0)), s"got $got")
   }
 
+  test("UPDATE with WHERE is merge-on-read: one commit, no data file rewritten") {
+    val t = LakeTable(spark, scratchDir("umor"))
+    t.append(Seq((1, 10.0), (2, 20.0), (3, 30.0)).toDF("k", "bal"))
+    t.append(Seq((4, 40.0), (5, 50.0)).toDF("k", "bal"))
+    MergeSqlTargets.register(spark, "t_umor", t.root)
+    val filesBefore = t.files().select("commit_dir", "relative_path").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val vBefore = t.snapshots().agg(org.apache.spark.sql.functions.max("version")).head().getLong(0)
+    spark.sql("UPDATE t_umor SET bal = bal + 1000 WHERE k IN (2, 5)")
+    // exactly ONE new snapshot, operation 'update' (atomic DV + rewrite)
+    val snaps = t.snapshots().orderBy("version").collect()
+    assert(snaps.last.getAs[Long]("version") == vBefore + 1)
+    assert(snaps.last.getAs[String]("operation") == "update")
+    // every pre-update file is still live and untouched; only the two
+    // matched rows' new copies were written
+    val filesAfter = t.files().select("commit_dir", "relative_path").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(filesBefore.subsetOf(filesAfter), "merge-on-read must not rewrite existing files")
+    assert((filesAfter -- filesBefore).nonEmpty)
+    val got = t.read().collect().map(r => (r.getInt(0), r.getDouble(1))).toSet
+    assert(got == Set((1, 10.0), (2, 1020.0), (3, 30.0), (4, 40.0), (5, 1050.0)), s"got $got")
+    // time travel still reads the pre-update values
+    val old = t.read(versionAsOf = Some(vBefore)).collect()
+      .map(r => (r.getInt(0), r.getDouble(1))).toSet
+    assert(old.contains((2, 20.0)) && old.size == 5)
+    // a later compaction materializes the update (DVs cleared)
+    t.compact()
+    assert(t.read().collect().map(r => (r.getInt(0), r.getDouble(1))).toSet == got)
+    // no-match UPDATE is a no-op commit-wise
+    val vNow = t.snapshots().agg(org.apache.spark.sql.functions.max("version")).head().getLong(0)
+    spark.sql("UPDATE t_umor SET bal = 0 WHERE k = 999")
+    assert(t.snapshots().agg(org.apache.spark.sql.functions.max("version")).head().getLong(0) == vNow)
+  }
+
   test("UPDATE without WHERE updates every row; values cast to the declared column type") {
     val t = freshTarget("usql2", Seq((1, "a", 1.0), (2, "b", 2.0)))
     MergeSqlTargets.register(spark, "t_usql2", t.root)

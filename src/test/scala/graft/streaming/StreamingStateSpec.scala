@@ -54,6 +54,45 @@ class StreamingStateSpec extends SparkSpec {
     assert(ids == Set(1L, 2L, 10L, 3L), s"got $ids")
   }
 
+  test("txn append stream: crash-replayed micro-batch commits exactly once") {
+    val wd = scratchDir("txnapp")
+    val src = s"$wd/src"
+    val table = LakeTable(spark, s"$wd/tbl")
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+      .write.mode("append").parquet(src)
+    StreamJobs.runStreamingTxnAppend(spark, src, docSchema, table, wd, Some("ingest-a"))
+    assert(table.read().count() == 2)
+    assert(table.txnVersion("ingest-a").contains(0L))
+
+    // simulate the crash window: the table commit landed but the
+    // checkpoint never recorded the batch as complete — delete the
+    // batch's commit marker, so restart re-delivers batch 0 verbatim
+    val commits = new java.io.File(s"$wd/checkpoint-txn-append/commits")
+    val last = commits.listFiles().filter(_.getName.forall(_.isDigit)).maxBy(_.getName.toInt)
+    assert(last.delete())
+    // the local checkpoint FS keeps a CRC sidecar per marker; a real HDFS
+    // crash loses both, so drop it too or the re-commit rename fails
+    val crc = new java.io.File(commits, s".${last.getName}.crc")
+    if (crc.exists()) assert(crc.delete())
+    StreamJobs.runStreamingTxnAppend(spark, src, docSchema, table, wd, Some("ingest-a"))
+    assert(table.read().count() == 2, "replayed batch must not double-append")
+
+    // new wave under the same writer: higher epoch, appended once
+    Seq((3L, "gamma")).toDF("doc_id", "text").write.mode("append").parquet(src)
+    StreamJobs.runStreamingTxnAppend(spark, src, docSchema, table, wd, Some("ingest-a"))
+    assert(table.read().count() == 3)
+    assert(table.txnVersion("ingest-a").exists(_ >= 1L))
+
+    // a DIFFERENT writer id keeps an independent watermark: its epoch-0
+    // append into the same table is not confused with ingest-a's
+    assert(table.txnVersion("ingest-b").isEmpty)
+    table.append(Seq((100L, "other")).toDF("doc_id", "text"), txn = Some(("ingest-b", 0L)))
+    assert(table.read().count() == 4)
+  }
+
   test("flatMapGroupsWithState carries custom running-max state across micro-batches") {
     val wd = scratchDir("fmgws")
     val src = s"$wd/src"

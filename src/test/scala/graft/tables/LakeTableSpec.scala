@@ -2,7 +2,7 @@ package graft.tables
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 
 import graft.SparkSpec
 
@@ -20,6 +20,56 @@ class LakeTableSpec extends SparkSpec {
     assert(t.read(versionAsOf = Some(1L)).count() == 3)
     val snaps = t.snapshots().orderBy("version").collect()
     assert(snaps.map(_.getAs[String]("operation")).toSeq == Seq("append", "append", "overwrite"))
+  }
+
+  test("idempotent writer txns: duplicate epochs no-op, watermarks survive every op") {
+    val t = LakeTable(spark, scratchDir("txn"))
+    val rows = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    val v0 = t.append(rows, txn = Some(("w1", 0L)))
+    assert(v0 == 0L && t.txnVersion("w1").contains(0L))
+    // same (writer, epoch) again: returns the tip, writes NOTHING — not
+    // even an orphan commit dir (the pre-write fast path)
+    val dirsBefore = t.files().select("commit_dir").distinct().count()
+    assert(t.append(rows, txn = Some(("w1", 0L))) == 0L)
+    assert(t.read().count() == 2)
+    assert(t.files().select("commit_dir").distinct().count() == dirsBefore)
+    // an OLDER epoch replay is also dropped; a newer one commits
+    assert(t.append(rows, txn = Some(("w1", -5L))) == 0L)
+    t.append(Seq((3, "c")).toDF("k", "v"), txn = Some(("w1", 1L)))
+    assert(t.read().count() == 3 && t.txnVersion("w1").contains(1L))
+    // plain appends (no txn) never touch the watermark
+    t.append(Seq((4, "d")).toDF("k", "v"))
+    assert(t.txnVersion("w1").contains(1L))
+    // watermarks ride through compaction and ALTER (manifest-only ops)
+    t.compact()
+    t.alterAddColumns(Seq(org.apache.spark.sql.types.StructField(
+      "extra", org.apache.spark.sql.types.StringType)))
+    assert(t.txnVersion("w1").contains(1L))
+    // overwrite honors txns too: the duplicate overwrite is dropped
+    t.overwrite(Seq((9, "z", "e")).toDF("k", "v", "extra"), txn = Some(("w2", 7L)))
+    t.overwrite(Seq((8, "y", "f")).toDF("k", "v", "extra"), txn = Some(("w2", 7L)))
+    assert(t.read().collect().map(_.getInt(0)).toSeq == Seq(9))
+    assert(t.txnVersion("w1").contains(1L) && t.txnVersion("w2").contains(7L))
+  }
+
+  test("updateWhere: merge-on-read primitive — atomic DV+rewrite, old-row refs, casts") {
+    val t = LakeTable(spark, scratchDir("updw"))
+    t.append(Seq((1, 10, "a"), (2, 20, "b"), (3, 30, "c")).toDF("k", "cnt", "tag"))
+    // assignment reads the OLD row; BIGINT expr cast back to the declared INT
+    t.updateWhere(col("k") >= 2, Map("cnt" -> (col("cnt").cast("bigint") * 100)))
+    val got = t.read().collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSet
+    assert(got == Set((1, 10, "a"), (2, 2000, "b"), (3, 3000, "c")), s"got $got")
+    assert(t.read().schema("cnt").dataType == org.apache.spark.sql.types.IntegerType)
+    // partitioned table: updated copies land under their partition dirs
+    val p = LakeTable(spark, scratchDir("updwp"))
+    p.append(Seq((1, 2024, 1.0), (2, 2025, 2.0)).toDF("id", "yr", "v"), partitionBy = Seq("yr"))
+    p.updateWhere(col("yr") === 2025, Map("v" -> lit(9.0)))
+    assert(p.read().filter(col("yr") === 2025).select("v").head().getDouble(0) == 9.0)
+    assert(p.read().count() == 2)
+    // unknown assignment column fails loudly, before any write
+    val bad = intercept[IllegalArgumentException](
+      t.updateWhere(col("k") === 1, Map("nope" -> lit(1))))
+    assert(bad.getMessage.contains("unknown column"))
   }
 
   test("partitioned append preserves partition columns and prunes") {

@@ -712,14 +712,22 @@ object ExtQueries {
       |  WHERE q.vec_id % 100 = 0)
       |QUALIFY rank <= 5""".stripMargin
 
-  /** LSH-bucketed ANN — probabilistic recall, spec-verified; rows-only. */
+  /** LSH-bucketed ANN — probabilistic recall, spec-verified. Rows-only
+    * by necessity: bucket membership hangs off Spark's `xxhash64`
+    * (seed 42, Spark's long-mixing variant), which DuckDB has no
+    * equivalent for, so the candidate set is not SQL-expressible there.
+    */
   def similarityAnn(spark: SparkSession, sfDir: String): DataFrame = {
     val e = embs(spark, sfDir)
     Similarity.lshTopK(e.filter(col("vec_id") % 100 === 0), e, "vec_id", "embedding", 5)
   }
 
   /** IVF ANN (coarse k-means quantizer + nprobe lists) — the second
-    * scale path; recall spec-verified; rows-only.
+    * scale path; recall spec-verified. Rows-only by necessity: seed
+    * selection is Spark-`xxhash64`-strided and the Lloyd step uses
+    * float `avg` (partition-order summation), neither of which DuckDB
+    * can reproduce bit-exactly — unlike the fixed-point ivfpq/adc
+    * paths, which ARE oracle-checked.
     */
   def similarityIvf(spark: SparkSession, sfDir: String): DataFrame = {
     val e = embs(spark, sfDir)
@@ -1213,31 +1221,47 @@ object ExtQueries {
     graft.ext.ProductQuant.pqEncode(e, "vec_id", "embedding", pqBooks(e), pqK)
   }
 
-  val embeddingPqSql: String = {
+  /** The per-subspace PQ train+assign chain as DuckDB CTEs — one Lloyd
+    * round mirroring [[graft.ext.ProductQuant.pqFit]] exactly (lowest-k
+    * seeds, 6-dp-rounded argmin with min-cid ties, fixed-point 1e-4
+    * centroid components). Over an input CTE `src(vec_id, e)` it emits,
+    * per subspace j: `<p>sub<j>` (subvectors), `<p>c0<j>` (seed
+    * centroids), `<p>a<j>` (seed-round assignment), `<p>ex<j>`/`<p>ag<j>`
+    * (component aggregation), `<p>cb<j>` (refined codebook) and
+    * `<p>f<j>` (final assignment, b = (-d2_6dp, -cid)). Shared by the
+    * `q_pq_encode`, `q_similarity_adc` and `q_similarity_ivfpq` oracles
+    * — the cross-engine codebook contract lives in one place.
+    */
+  private def pqChainCtes(src: String, p: String, m: Int, k: Int, dsub: Int): String = {
     def l2(a: String, b: String): String =
-      s"round(list_aggregate(list_transform(range(1, ${pqDsub + 1}), " +
+      s"round(list_aggregate(list_transform(range(1, ${dsub + 1}), " +
         s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), 'sum'), 6)"
-    val perSub = (0 until pqM).map { j =>
-      val lo = j * pqDsub + 1
-      val hi = (j + 1) * pqDsub
-      s"""sub$j AS (SELECT vec_id, e[$lo:$hi] AS sub FROM v),
-         |c0$j AS (SELECT CAST(vec_id AS INTEGER) AS cid, sub AS c FROM sub$j WHERE vec_id < $pqK),
-         |a$j AS (SELECT vec_id, sub,
-         |         -struct_extract(max((-${l2("sub", "c")}, -cid)), 2) AS cl
-         |       FROM sub$j CROSS JOIN c0$j GROUP BY vec_id, sub),
-         |ex$j AS (SELECT cl, unnest(list_transform(range(1, ${pqDsub + 1}),
-         |                          i -> {'dim': i - 1, 'v': sub[i]}), recursive := true) FROM a$j),
-         |ag$j AS (SELECT cl, dim, count(v) AS n,
-         |               sum(CAST(round(CAST(v AS DOUBLE) * 10000) AS BIGINT)) AS s
-         |        FROM ex$j GROUP BY 1, 2),
-         |cb$j AS (SELECT CAST(cl AS INTEGER) AS cid,
-         |              list(CAST(CASE WHEN s >= 0 THEN (2 * s + n) // (2 * n)
-         |                             ELSE -((-2 * s + n) // (2 * n)) END AS DOUBLE) / 10000.0
-         |                   ORDER BY dim) AS c
-         |       FROM ag$j GROUP BY cl),
-         |f$j AS (SELECT vec_id, max((-${l2("sub", "c")}, -cid)) AS b
-         |       FROM sub$j CROSS JOIN cb$j GROUP BY vec_id, sub)""".stripMargin
-    }
+    (0 until m)
+      .map { j =>
+        val lo = j * dsub + 1
+        val hi = (j + 1) * dsub
+        s"""${p}sub$j AS MATERIALIZED (SELECT vec_id, e[$lo:$hi] AS sub FROM $src),
+           |${p}c0$j AS (SELECT CAST(vec_id AS INTEGER) AS cid, sub AS c FROM ${p}sub$j WHERE vec_id < $k),
+           |${p}a$j AS (SELECT vec_id, sub,
+           |         -struct_extract(max((-${l2("sub", "c")}, -cid)), 2) AS cl
+           |       FROM ${p}sub$j CROSS JOIN ${p}c0$j GROUP BY vec_id, sub),
+           |${p}ex$j AS (SELECT cl, unnest(list_transform(range(1, ${dsub + 1}),
+           |                          i -> {'dim': i - 1, 'v': sub[i]}), recursive := true) FROM ${p}a$j),
+           |${p}ag$j AS (SELECT cl, dim, count(v) AS n,
+           |               sum(CAST(round(CAST(v AS DOUBLE) * 10000) AS BIGINT)) AS s
+           |        FROM ${p}ex$j GROUP BY 1, 2),
+           |${p}cb$j AS MATERIALIZED (SELECT CAST(cl AS INTEGER) AS cid,
+           |              list(CAST(CASE WHEN s >= 0 THEN (2 * s + n) // (2 * n)
+           |                             ELSE -((-2 * s + n) // (2 * n)) END AS DOUBLE) / 10000.0
+           |                   ORDER BY dim) AS c
+           |       FROM ${p}ag$j GROUP BY cl),
+           |${p}f$j AS MATERIALIZED (SELECT vec_id, max((-${l2("sub", "c")}, -cid)) AS b
+           |       FROM ${p}sub$j CROSS JOIN ${p}cb$j GROUP BY vec_id, sub)""".stripMargin
+      }
+      .mkString(",\n")
+  }
+
+  val embeddingPqSql: String = {
     val code = (0 until pqM)
       .map(j => s"(-struct_extract(f$j.b, 2)) * ${math.pow(pqK, j).toLong}")
       .mkString(" + ")
@@ -1246,16 +1270,96 @@ object ExtQueries {
       .mkString(" + ")
     val joins = (0 until pqM).map(j => s"JOIN f$j USING (vec_id)").mkString(" ")
     s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-       |${perSub.mkString(",\n")}
+       |${pqChainCtes("v", "", pqM, pqK, pqDsub)}
        |SELECT v.vec_id, CAST($code AS BIGINT) AS code,
        |       round($err, 6) AS recon_d2
        |FROM v $joins""".stripMargin
   }
 
+  /** Oracle for `q_similarity_adc`: replays the SAME one-round PQ
+    * codebook in SQL ([[pqChainCtes]], hash-proven by `q_pq_encode`),
+    * then scores every corpus vector against each of the 3 lowest-id
+    * queries by the ADC sum Σ_j q_sub_j · centroid[code_j] — per-
+    * subspace dots summed left-to-right in subspace order, rounded to
+    * 6 dp, exactly as [[graft.ext.ProductQuant.adcTopK]]'s driver-side
+    * LUT does — and keeps the top-10 (score desc, ties to lowest id).
+    */
+  val similarityAdcSql: String = {
+    def dot(j: Int): String =
+      s"list_aggregate(list_transform(range(1, ${pqDsub + 1}), " +
+        s"i -> q.e[${j * pqDsub} + i] * cb$j.c[i]), 'sum')"
+    val joins = (0 until pqM)
+      .map(j =>
+        s"JOIN f$j ON f$j.vec_id = v.vec_id " +
+          s"JOIN cb$j ON cb$j.cid = -struct_extract(f$j.b, 2)")
+      .mkString("\n|")
+    val total = (0 until pqM).map(dot).mkString(" + ")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |${pqChainCtes("v", "", pqM, pqK, pqDsub)},
+       |q AS (SELECT vec_id AS qid, e FROM v ORDER BY vec_id LIMIT 3)
+       |SELECT q.qid, v.vec_id, round($total, 6) AS adc_dot
+       |FROM q CROSS JOIN v
+       |$joins
+       |QUALIFY row_number() OVER (PARTITION BY q.qid
+       |          ORDER BY adc_dot DESC, v.vec_id ASC) <= 10""".stripMargin
+  }
+
+  /** Oracle for `q_similarity_ivfpq`: the full FAISS-shaped composition
+    * in SQL — coarse quantizer = the same chain with m=1 over the full
+    * 64-dim vectors (prefix `g`), residuals v − coarse_centroid[list],
+    * residual PQ codebooks (prefix `r`), then per query the 3 nearest
+    * lists by exact driver-order L2 (ties to lowest cid) and the ADC
+    * score  q·c_list + Σ_j q_sub_j·residual_centroid[code_j]  rounded
+    * to 6 dp — operation-for-operation the arithmetic of
+    * [[graft.ext.ProductQuant.ivfAdcTopK]], so the hash must agree.
+    */
+  val similarityIvfPqSql: String = {
+    val nlist = 8
+    val nprobe = 3
+    def rdot(j: Int): String =
+      s"list_aggregate(list_transform(range(1, ${pqDsub + 1}), " +
+        s"i -> q.e[${j * pqDsub} + i] * rcb$j.c[i]), 'sum')"
+    val joins = (0 until pqM)
+      .map(j =>
+        s"JOIN rf$j ON rf$j.vec_id = lists.vec_id " +
+          s"JOIN rcb$j ON rcb$j.cid = -struct_extract(rf$j.b, 2)")
+      .mkString("\n|")
+    val resid = (0 until pqM).map(rdot).mkString(" + ")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |${pqChainCtes("v", "g", 1, nlist, 64)},
+       |lists AS MATERIALIZED (
+       |  SELECT vec_id, CAST(-struct_extract(b, 2) AS INTEGER) AS list_id FROM gf0),
+       |rv AS MATERIALIZED (
+       |  SELECT v.vec_id, list_transform(range(1, 65), i -> v.e[i] - gcb0.c[i]) AS e
+       |  FROM v JOIN lists USING (vec_id)
+       |         JOIN gcb0 ON gcb0.cid = lists.list_id),
+       |${pqChainCtes("rv", "r", pqM, pqK, pqDsub)},
+       |q AS (SELECT vec_id AS qid, e FROM v ORDER BY vec_id LIMIT 3),
+       |ql AS (
+       |  SELECT q.qid, gcb0.cid AS list_id,
+       |         list_aggregate(list_transform(range(1, 65),
+       |           i -> q.e[i] * gcb0.c[i]), 'sum') AS off,
+       |         row_number() OVER (PARTITION BY q.qid ORDER BY
+       |           list_aggregate(list_transform(range(1, 65),
+       |             i -> (q.e[i] - gcb0.c[i]) * (q.e[i] - gcb0.c[i])), 'sum') ASC,
+       |           gcb0.cid ASC) AS pr
+       |  FROM q CROSS JOIN gcb0),
+       |probes AS (SELECT qid, list_id, off FROM ql WHERE pr <= $nprobe)
+       |SELECT q.qid, lists.vec_id, round(probes.off + ($resid), 6) AS adc_dot
+       |FROM probes
+       |JOIN q ON q.qid = probes.qid
+       |JOIN lists ON lists.list_id = probes.list_id
+       |$joins
+       |QUALIFY row_number() OVER (PARTITION BY q.qid
+       |          ORDER BY adc_dot DESC, lists.vec_id ASC) <= 10""".stripMargin
+  }
+
   /** ADC similarity search over the PQ-encoded corpus: the 3 lowest-id
     * vectors as queries, top-10 by asymmetric-distance dot product —
-    * probes never touch the raw corpus vectors (rows-only; parity vs
-    * the exact dot product is spec-pinned in ProductQuantSpec).
+    * probes never touch the raw corpus vectors. Oracle-checked
+    * ([[similarityAdcSql]] replays the codebook chain in SQL); parity
+    * vs the exact dot product under a lossless codebook is additionally
+    * spec-pinned in ProductQuantSpec.
     */
   def similarityAdc(spark: SparkSession, sfDir: String): DataFrame = {
     val e = embs(spark, sfDir)
@@ -1417,9 +1521,10 @@ object ExtQueries {
       |FROM base b LEFT JOIN agg a USING (doc_id)""".stripMargin
 
   /** Full IVF-PQ search (FAISS `IVF8,PQ4`-shaped): coarse quantizer →
-    * residual PQ codes → ADC over the 3 probed lists per query
-    * (rows-only; lossless-parity, probed-list containment and
-    * determinism are spec-pinned in ProductQuantSpec).
+    * residual PQ codes → ADC over the 3 probed lists per query.
+    * Oracle-checked ([[similarityIvfPqSql]] replays coarse + residual
+    * codebooks in SQL); lossless-parity, probed-list containment and
+    * determinism are additionally spec-pinned in ProductQuantSpec.
     */
   def similarityIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
     val e = embs(spark, sfDir)
@@ -1562,6 +1667,8 @@ object ExtQueries {
     "q_multimodal_decode" -> multimodalDecodeSql,
     "q_bm25_search" -> bm25SearchSql,
     "q_embedding_pq" -> embeddingPqSql,
+    "q_similarity_adc" -> similarityAdcSql,
+    "q_similarity_ivfpq" -> similarityIvfPqSql,
     "q_dedup_substring" -> dedupSubstringSql,
     "q_dedup_containment" -> dedupContainmentSql,
     "q_bpe_vocab" -> bpeVocabSql,

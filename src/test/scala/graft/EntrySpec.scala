@@ -18,11 +18,7 @@ class EntrySpec extends SparkSpec {
     // genuinely non-replicable operators only (HLL sketch, xxhash64-seeded
     // probabilistic structures) — everything else must be oracle-checked
     assert(rowsOnly == Set(
-      "q_dedup_simhash", "q_similarity_ann", "q_similarity_ivf", "q_approx_distinct",
-      // ADC/IVF-PQ parity vs exact dot products is pinned in
-      // ProductQuantSpec; the trained-codebook path itself IS
-      // oracle-checked (q_embedding_pq)
-      "q_similarity_adc", "q_similarity_ivfpq"),
+      "q_dedup_simhash", "q_similarity_ann", "q_similarity_ivf", "q_approx_distinct"),
       s"unexpected rows-only queries: $rowsOnly")
   }
 

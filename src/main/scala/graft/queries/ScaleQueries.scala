@@ -143,6 +143,38 @@ object ScaleQueries {
       |FROM orders
       |WHERE NOT (o_orderstatus = 'F' OR o_totalprice > 400000.0)""".stripMargin
 
+  /** Point lookups over a lake table written with parquet bloom
+    * filters on the probe key ([[graft.tables.LakeTable.bloomFilterOptions]]):
+    * at 100 TB an IN-probe on a high-cardinality unsorted key skips
+    * every row group whose bloom can't contain the values — min/max
+    * zonemaps are useless there. The oracle is the plain IN over the
+    * same source, proving the filter is a skip index, never a row
+    * filter (BloomWriteSpec pins the footer metadata itself).
+    */
+  def bloomPointLookup(spark: SparkSession, sfDir: String): DataFrame = {
+    val table = graft.tables.LakeTable(spark, graft.util.TempDirs.scratch("bloomlk"))
+    val orders = spark.read
+      .parquet(tablePath(sfDir, "orders"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+    table.append(
+      orders,
+      writeOptions = graft.tables.LakeTable.bloomFilterOptions(Seq("o_orderkey")))
+    table
+      .read()
+      .filter(col("o_orderkey").isin(7L, 4103L, 9988L, 32101L, 999999999L))
+      .select(
+        col("o_orderkey"),
+        col("o_custkey"),
+        col("o_orderstatus"),
+        round(col("o_totalprice"), 4).as("o_totalprice"))
+  }
+
+  val bloomPointLookupSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus,
+      |       round(o_totalprice, 4) AS o_totalprice
+      |FROM orders
+      |WHERE o_orderkey IN (7, 4103, 9988, 32101, 999999999)""".stripMargin
+
   /** Row-level DELETE via deletion vectors: the deletes land as a
     * (file, row-index) sidecar — no data file is rewritten — and reads
     * mask them with one anti-join; a second stacked DV and a post-DV
@@ -460,6 +492,7 @@ object ScaleQueries {
     "q_bloom_prune_join" -> (bloomPruneJoin _),
     "q_delete_where" -> (deleteWhere _),
     "q_delete_dv" -> (deleteDv _),
+    "q_bloom_point_lookup" -> (bloomPointLookup _),
     "q_schema_evolution" -> (schemaEvolution _),
     "q_sql_catalog" -> (sqlOverCatalog _),
     "q_sql_catalog_v2" -> (sqlOverCatalogV2 _),
@@ -478,6 +511,7 @@ object ScaleQueries {
     "q_bloom_prune_join" -> bloomPruneJoinSql,
     "q_delete_where" -> deleteWhereSql,
     "q_delete_dv" -> deleteDvSql,
+    "q_bloom_point_lookup" -> bloomPointLookupSql,
     "q_schema_evolution" -> schemaEvolutionSql,
     "q_sql_catalog" -> sqlOverCatalogSql,
     "q_sql_catalog_v2" -> sqlOverCatalogV2Sql,

@@ -143,7 +143,9 @@ final class LakeTable(val spark: SparkSession, val root: String) {
   private def writeCommitDir(
       df: DataFrame,
       partitionBy: Seq[String],
-      statsCols: Seq[String] = Seq.empty): (Option[String], Map[String, (String, String)]) = {
+      statsCols: Seq[String] = Seq.empty,
+      writeOptions: Map[String, String] = Map.empty)
+      : (Option[String], Map[String, (String, String)]) = {
     val commitName = s"commit-${UUID.randomUUID()}"
     val dest = dataDir.resolve(commitName)
     val present = statsCols.filter(df.columns.contains)
@@ -157,7 +159,7 @@ final class LakeTable(val spark: SparkSession, val root: String) {
           Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c")))
         df.observe(o, aggs.head, aggs.tail: _*)
     }
-    val writer = toWrite.write.mode("overwrite")
+    val writer = toWrite.write.mode("overwrite").options(writeOptions)
     val w = if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer
     w.parquet(dest.toString)
     val stats: Map[String, (String, String)] = obs match {
@@ -317,7 +319,8 @@ final class LakeTable(val spark: SparkSession, val root: String) {
       partitionBy: Seq[String] = Seq.empty,
       statsCols: Seq[String] = Seq.empty,
       schemaMode: String = "evolve",
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None,
+      writeOptions: Map[String, String] = Map.empty): Long = {
     // idempotent-writer fast path BEFORE any data is written: a replayed
     // micro-batch (same writer id, same epoch) must not even land an
     // orphan commit dir. The commit loop re-checks under the CAS, so a
@@ -335,7 +338,7 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     val effParts = if (partitionBy.nonEmpty) partitionBy else tableParts
     val effStats =
       if (statsCols.nonEmpty) statsCols else prev.map(_.colMax.keys.toSeq).getOrElse(Seq.empty)
-    val (dirOpt, batchStats) = writeCommitDir(df, effParts, effStats)
+    val (dirOpt, batchStats) = writeCommitDir(df, effParts, effStats, writeOptions)
     val dirs = dirOpt.toSeq
     val batchMax = batchStats.map { case (c, (_, mx)) => c -> mx }
     val merged = Stats.merge(prev.map(_.colMax).getOrElse(Map.empty), batchMax, mergedSchema)
@@ -1286,6 +1289,23 @@ final class SchemaDriftException(msg: String) extends IllegalArgumentException(m
 
 object LakeTable {
   def apply(spark: SparkSession, root: String): LakeTable = new LakeTable(spark, root)
+
+  /** Parquet bloom-filter write options for point-lookup columns —
+    * pass to `append(writeOptions = ...)`. Each column gets a split-
+    * block bloom filter sized for `ndv` expected distinct values in its
+    * row groups; on read, Spark's parquet reader (filterPushdown on by
+    * default) uses it to skip whole row groups on equality/IN probes
+    * that cannot match — the 100 TB needle-in-haystack scan killer that
+    * min/max zonemaps can't provide on high-cardinality unsorted keys.
+    * Write amplification is ~1.2 MB per column per row group at
+    * ndv=1e6 (parquet sizes the bitset from ndv and its default FPP).
+    */
+  def bloomFilterOptions(cols: Seq[String], ndv: Long = 1000000L): Map[String, String] =
+    cols.flatMap { c =>
+      Seq(
+        s"parquet.bloom.filter.enabled#$c" -> "true",
+        s"parquet.bloom.filter.expected.ndv#$c" -> ndv.toString)
+    }.toMap
 
   /** One manifest = one table version. Hand-rolled JSON (no external
     * deps); schema is Spark's own StructType.json.

@@ -143,6 +143,37 @@ object ScaleQueries {
       |FROM orders
       |WHERE NOT (o_orderstatus = 'F' OR o_totalprice > 400000.0)""".stripMargin
 
+  /** Dynamic partition pruning: the fact side is a lake table
+    * partitioned by `event_day`; the dim side's selective filter is
+    * only known at run time, so Catalyst injects a `dynamicpruning`
+    * subquery into the fact scan's PartitionFilters and whole fact
+    * partitions are skipped before any rows are read — at 100 TB the
+    * difference between scanning 5/31 day-partitions and all of them.
+    * PlanAuditSpec pins the `dynamicpruning` expression in the plan;
+    * the oracle replays the join semantics day-arithmetically.
+    */
+  def dppJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = Testdata.events(spark, sfDir)
+    val table = graft.tables.LakeTable(spark, graft.util.TempDirs.scratch("dpp"))
+    table.append(
+      graft.operators.Ops.datePartCols(events, "ts"),
+      partitionBy = Seq("event_day"))
+    val dim = spark
+      .range(1, 32)
+      .select(col("id").cast("int").as("event_day"), (col("id") % 7).as("tag"))
+    table
+      .read()
+      .join(broadcast(dim.filter(col("tag") === 2)), Seq("event_day"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"), round(sum(col("value")), 4).as("sum_value"))
+  }
+
+  val dppJoinSql: String =
+    """SELECT event_type, count(*) AS n_rows, round(sum(value), 4) AS sum_value
+      |FROM events
+      |WHERE day(ts) % 7 = 2
+      |GROUP BY event_type""".stripMargin
+
   /** Point lookups over a lake table written with parquet bloom
     * filters on the probe key ([[graft.tables.LakeTable.bloomFilterOptions]]):
     * at 100 TB an IN-probe on a high-cardinality unsorted key skips
@@ -493,6 +524,7 @@ object ScaleQueries {
     "q_delete_where" -> (deleteWhere _),
     "q_delete_dv" -> (deleteDv _),
     "q_bloom_point_lookup" -> (bloomPointLookup _),
+    "q_dpp_join" -> (dppJoin _),
     "q_schema_evolution" -> (schemaEvolution _),
     "q_sql_catalog" -> (sqlOverCatalog _),
     "q_sql_catalog_v2" -> (sqlOverCatalogV2 _),
@@ -512,6 +544,7 @@ object ScaleQueries {
     "q_delete_where" -> deleteWhereSql,
     "q_delete_dv" -> deleteDvSql,
     "q_bloom_point_lookup" -> bloomPointLookupSql,
+    "q_dpp_join" -> dppJoinSql,
     "q_schema_evolution" -> schemaEvolutionSql,
     "q_sql_catalog" -> sqlOverCatalogSql,
     "q_sql_catalog_v2" -> sqlOverCatalogV2Sql,

@@ -326,7 +326,8 @@ object StreamJobs {
       sentinelFilterCol: String,
       watermarkDelay: String = "1 minutes",
       sentinelKey: String = "__sentinel__",
-      statePartitions: Int = 8): DataFrame = {
+      statePartitions: Int = 8,
+      stateStoreProvider: Option[String] = None): DataFrame = {
     val checkpoint = dir(workDir, s"checkpoint-agg-${java.util.UUID.randomUUID()}")
     val queryName = s"agg_${java.util.UUID.randomUUID().toString.replace("-", "")}"
 
@@ -338,13 +339,19 @@ object StreamJobs {
     // be sized to stateful-key cardinality, not core count: every
     // micro-batch pays per-store commit overhead. Scope the override to
     // the query start and restore the session conf after.
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     val prevNoData = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+    val prevProvider = spark.conf.get(providerKey)
     spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     // See startMemorySink: the final windows emit in a no-data batch.
-    // Both conf overrides are captured by the query at start and restored
+    // All conf overrides are captured by the query at start and restored
     // here so they never leak to later caller code on the same session.
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    // RocksDB (or any custom) state store: at real state cardinality the
+    // default in-heap HDFSBackedStateStore is the executor-OOM ceiling;
+    // the provider is pinned into the query's checkpoint at first start.
+    stateStoreProvider.foreach(spark.conf.set(providerKey, _))
     val q =
       try {
         out.writeStream
@@ -356,6 +363,7 @@ object StreamJobs {
       } finally {
         spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
         spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+        spark.conf.set(providerKey, prevProvider)
       }
     try {
       q.processAllAvailable() // all real micro-batches (incl. upfront-staged sentinel)
@@ -704,11 +712,12 @@ object StreamJobs {
       valueCol: String,
       workDir: String,
       windowDuration: String = "15 minutes",
-      watermarkDelay: String = "1 minutes"): DataFrame =
+      watermarkDelay: String = "1 minutes",
+      stateStoreProvider: Option[String] = None): DataFrame =
     runTwoHopStateful(
       spark, input, payloadSchema, tsCol, idCol, keyCol, workDir,
       stream => Candles.candles(stream, tsCol, idCol, keyCol, valueCol, windowDuration),
-      watermarkDelay)
+      watermarkDelay, stateStoreProvider)
 
   /** Generic two-hop pipeline: stage → ingest hop → bronze → any
     * watermarked stateful aggregation, flushed to a fixpoint with a
@@ -724,7 +733,8 @@ object StreamJobs {
       keyCol: String,
       workDir: String,
       agg: DataFrame => DataFrame,
-      watermarkDelay: String = "1 minutes"): DataFrame = {
+      watermarkDelay: String = "1 minutes",
+      stateStoreProvider: Option[String] = None): DataFrame = {
     val stage = dir(workDir, "stage")
     val sentinelKey = "__sentinel__"
 
@@ -745,6 +755,7 @@ object StreamJobs {
 
     runStatefulAgg(
       spark, bronze, bronzeSchema, tsCol, workDir, () => (),
-      agg, keyCol, watermarkDelay, sentinelKey)
+      agg, keyCol, watermarkDelay, sentinelKey,
+      stateStoreProvider = stateStoreProvider)
   }
 }

@@ -165,6 +165,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("partitioned fact scan carries a dynamicpruning partition filter from the dim") {
+    // q_dpp_join: the run-time-only dim filter must inject a DPP
+    // subquery into the fact scan's PartitionFilters — whole day
+    // partitions skip before a single row is read. Without this the
+    // join degrades to a full fact scan at any scale.
+    val p = plan(graft.queries.ScaleQueries.dppJoin(spark, sf))
+    assert(p.contains("dynamicpruning"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("pq encode is a pure projection: no exchange at all") {
     val e = graft.sources.Testdata.read(spark, sf, "embeddings")
     val books = graft.ext.ProductQuant.pqFit(e, "vec_id", "embedding", 4, 8, 1)

@@ -42,6 +42,41 @@ class StreamJobsSpec extends SparkSpec {
     assert(a0.getAs[Double]("high") == 9.0 && a0.getAs[Double]("low") == 5.0)
   }
 
+  test("RocksDB state store runs the windowed agg to identical results") {
+    val input = Seq(
+      (1L, mk("2024-01-01 10:00:10"), "A", 5.0),
+      (2L, mk("2024-01-01 10:05:00"), "A", 9.0),
+      (3L, mk("2024-01-01 10:14:59"), "A", 7.0),
+      (4L, mk("2024-01-01 10:20:00"), "A", 3.0),
+      (5L, mk("2024-01-01 10:01:00"), "B", 2.0)).toDF("id", "ts", "sym", "v")
+    val rocks = StreamJobs
+      .runTwoHopCandles(
+        spark, input, schema, "ts", "id", "sym", "v", scratchDir("rocks"),
+        stateStoreProvider = Some(
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
+      .orderBy("sym", "start_window")
+      .collect()
+    val default = StreamJobs
+      .runTwoHopCandles(spark, input, schema, "ts", "id", "sym", "v", scratchDir("hdfsb"))
+      .orderBy("sym", "start_window")
+      .collect()
+    assert(rocks.toSeq == default.toSeq)
+    assert(rocks.nonEmpty)
+    // the provider override must not leak into the session after the run
+    assert(spark.conf
+      .get("spark.sql.streaming.stateStore.providerClass")
+      .contains("HDFSBackedStateStoreProvider"))
+  }
+
+  test("state store provider conf is genuinely applied (bogus provider fails the query)") {
+    val input = Seq((1L, mk("2024-01-01 10:00:10"), "A", 5.0)).toDF("id", "ts", "sym", "v")
+    intercept[Exception] {
+      StreamJobs.runTwoHopCandles(
+        spark, input, schema, "ts", "id", "sym", "v", scratchDir("bogus"),
+        stateStoreProvider = Some("com.example.NoSuchProvider"))
+    }
+  }
+
   test("rate-bounded ingest drains staged waves in multiple checkpointed micro-batches") {
     val wd = scratchDir("rated")
     def wave(ids: Range) =

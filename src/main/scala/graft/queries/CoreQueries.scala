@@ -68,6 +68,97 @@ object CoreQueries {
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
       |GROUP BY l_returnflag, l_linestatus""".stripMargin
 
+  /** TPC-H Q3 shape (shipping priority): customer ⋈ orders ⋈ lineitem
+    * with opposing date filters, revenue per open order, top-10. The
+    * multi-way join-order/broadcast decision is Catalyst's: customer is
+    * a broadcast-able dim against the orders⋈lineitem fact chain, and
+    * the date filters push to both scans. Ranking is on the ROUNDED
+    * revenue with (o_orderdate, l_orderkey) tie-breaks so the top-10
+    * cut is engine-independent.
+    */
+  def tpchShippingPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val cutoff = lit("1998-03-15")
+    val customer = spark.read
+      .parquet(p(sfDir, "customer"))
+      .filter(col("c_mktsegment") === "BUILDING")
+    val orders = spark.read
+      .parquet(p(sfDir, "orders"))
+      .filter(col("o_orderdate") < cutoff)
+    val lineitem = spark.read
+      .parquet(p(sfDir, "lineitem"))
+      .filter(col("l_shipdate") > cutoff)
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderdate").asc, col("l_orderkey").asc)
+      .limit(10)
+      .select(
+        col("l_orderkey"),
+        col("revenue"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        col("o_orderpriority"))
+  }
+
+  val tpchShippingPrioritySql: String =
+    """SELECT l_orderkey,
+      |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+      |       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+      |       o_orderpriority
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+      |LIMIT 10""".stripMargin
+
+  /** TPC-H Q5 shape (local supplier volume): the 6-way join — lineitem
+    * fact against orders, then customer and supplier pinned to the
+    * same nation inside one region, revenue per nation. Region/nation
+    * broadcast (KBs); supplier/customer ride the fact-side shuffle
+    * keys Catalyst picks; the c_nationkey = s_nationkey equality is
+    * the cross-dimension constraint that makes join ORDER matter.
+    */
+  def tpchLocalVolume(spark: SparkSession, sfDir: String): DataFrame = {
+    val region = spark.read.parquet(p(sfDir, "region")).filter(col("r_name") === "ASIA")
+    val nation = spark.read.parquet(p(sfDir, "nation"))
+    val asiaNations = nation
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val customer = spark.read.parquet(p(sfDir, "customer"))
+    val supplier = spark.read.parquet(p(sfDir, "supplier"))
+    val orders = spark.read
+      .parquet(p(sfDir, "orders"))
+      .filter(
+        col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1997-01-01"))
+    val lineitem = spark.read.parquet(p(sfDir, "lineitem"))
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey"))
+      .join(
+        customer,
+        col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+  }
+
+  val tpchLocalVolumeSql: String =
+    """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY n_name""".stripMargin
+
   /** Scalar max + count — the high-watermark probe (A3/A4). */
   def aggScalarMax(spark: SparkSession, sfDir: String): DataFrame =
     Testdata.events(spark, sfDir)
@@ -930,6 +1021,8 @@ object CoreQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_pricing_summary" -> (aggPricingSummary _),
+    "q_tpch_shipping_priority" -> (tpchShippingPriority _),
+    "q_tpch_local_volume" -> (tpchLocalVolume _),
     "q_agg_scalar_max" -> (aggScalarMax _),
     "q_filter_pushdown" -> (filterPushdown _),
     "q_clean_pipeline" -> (cleanPipeline _),
@@ -964,6 +1057,8 @@ object CoreQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q_agg_pricing_summary" -> aggPricingSummarySql,
+    "q_tpch_shipping_priority" -> tpchShippingPrioritySql,
+    "q_tpch_local_volume" -> tpchLocalVolumeSql,
     "q_agg_scalar_max" -> aggScalarMaxSql,
     "q_filter_pushdown" -> filterPushdownSql,
     "q_clean_pipeline" -> cleanPipelineSql,

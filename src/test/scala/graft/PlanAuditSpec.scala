@@ -165,6 +165,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("Q3 shape: date filters reach both scans, customer dim broadcasts") {
+    val p = plan(graft.queries.CoreQueries.tpchShippingPriority(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("PushedFilters"), p)
+    // both opposing date predicates must be pushed, not evaluated post-scan
+    assert(p.contains("LessThan(o_orderdate"), p)
+    assert(p.contains("GreaterThan(l_shipdate"), p)
+    // top-10 must be a bounded TakeOrdered, never a global sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("Q5 shape: 6-way join keeps region/nation broadcast and the date range pushed") {
+    val p = plan(graft.queries.CoreQueries.tpchLocalVolume(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
+    assert(p.contains("LessThan(o_orderdate"), p)
+  }
+
   test("partitioned fact scan carries a dynamicpruning partition filter from the dim") {
     // q_dpp_join: the run-time-only dim filter must inject a DPP
     // subquery into the fact scan's PartitionFilters — whole day

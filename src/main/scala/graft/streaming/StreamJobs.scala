@@ -481,6 +481,75 @@ object StreamJobs {
     spark.table(queryName)
   }
 
+  /** [[runRunningMaxWithState]]'s semantics on Spark 4's
+    * `transformWithState` arbitrary-state API — the successor to
+    * `flatMapGroupsWithState`: explicit named state variables on a
+    * [[org.apache.spark.sql.streaming.StatefulProcessorHandle]] (here
+    * one `ValueState[RunningMax]`), per-variable TTL, timers, and
+    * independent state evolution. The API requires the RocksDB state
+    * store provider, which is also the right store for state at scale
+    * — pinned here for the query's lifetime via the same scoped-conf
+    * pattern as [[runStatefulAgg]]. StreamingStateSpec pins output
+    * parity with the flatMapGroupsWithState form.
+    */
+  def runRunningMaxTransformWithState(
+      spark: SparkSession,
+      sourceDir: String,
+      workDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+    import spark.implicits._
+    val checkpoint = dir(workDir, s"checkpoint-tws-${java.util.UUID.randomUUID()}")
+    val queryName = s"tws_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+
+    val schema = StructType(Seq(
+      StructField("k", StringType),
+      StructField("ts", org.apache.spark.sql.types.TimestampType),
+      StructField("v", org.apache.spark.sql.types.DoubleType)))
+
+    class RunningMaxProcessor extends StatefulProcessor[String, KeyedValue, RunningMax] {
+      @transient private var state: ValueState[RunningMax] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        state = getHandle.getValueState[RunningMax](
+          "runningMax", Encoders.product[RunningMax], TTLConfig.NONE)
+      override def handleInputRows(
+          key: String,
+          rows: Iterator[KeyedValue],
+          timerValues: TimerValues): Iterator[RunningMax] = {
+        val batchMax = rows.map(_.v).foldLeft(Double.MinValue)(math.max)
+        val prev = Option(state.get()).getOrElse(RunningMax(key, Double.MinValue, 0L))
+        val next = RunningMax(key, math.max(prev.running_max, batchMax), prev.updates + 1)
+        state.update(next)
+        Iterator.single(next)
+      }
+    }
+
+    val stream = spark.readStream
+      .schema(schema)
+      .parquet(sourceDir)
+      .as[KeyedValue]
+      .groupByKey(_.k)
+      .transformWithState(new RunningMaxProcessor, TimeMode.None(), OutputMode.Append())
+
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.get(providerKey)
+    spark.conf.set(
+      providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val q =
+      try
+        stream.writeStream
+          .outputMode("append")
+          .format("memory")
+          .queryName(queryName)
+          .option("checkpointLocation", checkpoint)
+          .start()
+      finally spark.conf.set(providerKey, prevProvider)
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(queryName)
+  }
+
   /** Stream-stream LEFT OUTER join: like [[runStreamStreamJoin]] but
     * unmatched left rows must also emit — which can only happen once
     * the watermark proves no future right row can match, so the caller

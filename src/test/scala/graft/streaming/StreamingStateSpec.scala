@@ -114,6 +114,24 @@ class StreamingStateSpec extends SparkSpec {
     assert(a2.head.getAs[Double]("running_max") == 9.0)
   }
 
+  test("transformWithState (RocksDB-backed) matches the flatMapGroupsWithState running max") {
+    val wd = scratchDir("tws")
+    val src = s"$wd/src"
+    Seq(("A", mk("2024-01-01 10:00:00"), 9.0), ("A", mk("2024-01-01 10:01:00"), 2.0),
+      ("B", mk("2024-01-01 10:00:00"), 1.0))
+      .toDF("k", "ts", "v").write.mode("append").parquet(src)
+    val tws = StreamJobs.runRunningMaxTransformWithState(spark, src, s"$wd/a")
+      .orderBy("k").collect()
+    val fmgws = StreamJobs.runRunningMaxWithState(spark, src, s"$wd/b")
+      .orderBy("k").collect()
+    assert(tws.toSeq == fmgws.toSeq)
+    assert(tws.map(r => (r.getString(0), r.getDouble(1))).toSeq == Seq(("A", 9.0), ("B", 1.0)))
+    // the RocksDB provider pinned at start must not leak to the session
+    assert(spark.conf
+      .get("spark.sql.streaming.stateStore.providerClass")
+      .contains("HDFSBackedStateStoreProvider"))
+  }
+
   test("foreachBatch streaming upsert merges micro-batches into a LakeTable") {
     val wd = scratchDir("supsert")
     val src = s"$wd/src"

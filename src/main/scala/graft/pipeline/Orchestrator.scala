@@ -118,9 +118,15 @@ object Orchestrator {
             t.body(RunContext(dagId, logicalDate, attempt))
             outcome = Some(TaskResult(TaskState.Success, attempt, None))
           } catch {
-            case _: Exception if attempt <= t.retries =>
+            // cancellation is not a transient failure: restore the
+            // interrupt flag and fail immediately — never burn the retry
+            // budget re-running whole task bodies after a shutdown request
+            case e: InterruptedException =>
+              Thread.currentThread().interrupt()
+              outcome = Some(TaskResult(TaskState.Failed, attempt, Some(e.toString)))
+            case scala.util.control.NonFatal(_) if attempt <= t.retries =>
               if (t.retryDelayMs > 0) sleep(t.retryDelayMs)
-            case e: Exception =>
+            case scala.util.control.NonFatal(e) =>
               outcome = Some(TaskResult(TaskState.Failed, attempt, Some(e.toString)))
           }
         }
@@ -147,12 +153,19 @@ object Orchestrator {
         val first = lastCompleted
           .map(_.getTime + interval)
           .getOrElse(spec.startDate.getTime)
-        val due = Iterator
-          .iterate(first)(_ + interval)
-          .takeWhile(_ + interval <= now.getTime)
-          .map(new Timestamp(_))
-          .toSeq
-        if (spec.catchup) due else due.takeRight(1)
+        // number of complete intervals [first + j·interval, +interval)
+        // whose end has passed; 0 when the first hasn't closed yet
+        val complete =
+          if (first + interval > now.getTime) 0L
+          else (now.getTime - first) / interval
+        if (complete == 0L) Nil
+        else if (spec.catchup)
+          (0L until complete).map(j => new Timestamp(first + j * interval))
+        else
+          // O(1): a year-old anchor on a minute schedule must not
+          // materialize half a million timestamps per poll just to
+          // keep the last one
+          Seq(new Timestamp(first + (complete - 1) * interval))
     }
 
   /** Run every due interval in order (oldest first) — the catchup/

@@ -1,5 +1,10 @@
 package graft.sources
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
@@ -9,21 +14,26 @@ import graft.Sessions.tablePath
 /** Readers for the driver-generated testdata corpus (TESTDATA.md).
   *
   * `events.parquet` has shipped with two different `ts` encodings across
-  * testdata generations, so the reader branches on the *loaded* type:
+  * testdata generations, so the reader probes the parquet footer and
+  * branches:
   *
   *   - parquet TIMESTAMP(NANOS): Spark can't read it natively
-  *     (PARQUET_TYPE_ILLEGAL); with the documented escape hatch
-  *     `spark.sql.legacy.parquet.nanosAsLong` the column surfaces as
+  *     (PARQUET_TYPE_ILLEGAL); the documented escape hatch
+  *     `spark.sql.legacy.parquet.nanosAsLong` surfaces the column as
   *     nanos-since-epoch LongType, which we truncate to micros — the same
   *     conversion DuckDB applies — so both engines see identical values.
+  *     The conf is set ONLY on this path, and stays set for the session
+  *     (it is read lazily at scan execution, so a save/restore scope
+  *     around the read would un-set it before the frame ever runs).
   *   - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark surfaces it
   *     as TIMESTAMP_NTZ; we cast to session-TZ TimestampType (sessions pin
   *     `spark.sql.session.timeZone=UTC`, so the wall-clock values are
   *     preserved bit-for-bit and match DuckDB's reading of the file).
   *
   * Columns already TimestampType (MICROS/MILLIS, isAdjustedToUTC=true)
-  * pass through untouched. Setting `nanosAsLong` is harmless on non-nanos
-  * files — the type branch below keys on what actually loaded.
+  * pass through untouched. Keeping the session strict on non-nanos data
+  * means an unrelated reader hitting a nanos file still fails loudly
+  * instead of silently computing on raw longs.
   */
 object Testdata {
 
@@ -33,9 +43,43 @@ object Testdata {
       case t => spark.read.parquet(tablePath(sfDir, t))
     }
 
+  /** Does any `ts` column in the footprint carry TIMESTAMP(NANOS)?
+    * Probes the first parquet footer under `path` (file or directory)
+    * with parquet-hadoop directly — cheap, and independent of the Spark
+    * conf whose value the answer decides.
+    */
+  private def hasNanosTs(spark: SparkSession, path: String): Boolean = {
+    val p = java.nio.file.Paths.get(path)
+    val file =
+      if (java.nio.file.Files.isDirectory(p)) {
+        val it = java.nio.file.Files.list(p).iterator()
+        var found: Option[java.nio.file.Path] = None
+        while (found.isEmpty && it.hasNext) {
+          val c = it.next()
+          if (c.toString.endsWith(".parquet")) found = Some(c)
+        }
+        found.getOrElse(return false)
+      } else p
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(file.toString), new Configuration()))
+    try {
+      val fields = reader.getFileMetaData.getSchema.getFields
+      (0 until fields.size()).exists { i =>
+        val f = fields.get(i)
+        f.getName == "ts" && (f.getLogicalTypeAnnotation match {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            t.getUnit == TimeUnit.NANOS
+          case _ => false
+        })
+      }
+    } finally reader.close()
+  }
+
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(tablePath(sfDir, "events"))
+    val path = tablePath(sfDir, "events")
+    if (hasNanosTs(spark, path))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(path)
     raw.schema("ts").dataType match {
       case LongType => // nanos-as-long escape hatch: truncate to micros
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))

@@ -49,6 +49,23 @@ object StreamJobs {
     def load(spark: SparkSession): DataFrame
   }
 
+  /** Save the given session confs, set the overrides, run `body`
+    * (typically a stream `.start()`, which pins them into the query),
+    * and restore — the ONE definition of the scoped-conf contract every
+    * stream start in this file shares, so the restore can never drift
+    * between call sites.
+    */
+  private def withScopedConf[T](spark: SparkSession, overrides: Seq[(String, String)])(
+      body: => T): T = {
+    val prev = overrides.map { case (k, _) => k -> spark.conf.get(k) }
+    overrides.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
+  private val rocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
   /** File-stream envelope source over a staging directory; its
     * offsets-by-file log gives Kafka's at-least-once replay contract.
     */
@@ -207,29 +224,23 @@ object StreamJobs {
       out: DataFrame,
       queryName: String,
       checkpoint: String,
-      statePartitions: Int): org.apache.spark.sql.streaming.StreamingQuery = {
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    val prevNoData = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
-    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+      statePartitions: Int): org.apache.spark.sql.streaming.StreamingQuery =
     // Sentinel-driven flushes emit final windows in a NO-DATA micro-batch
     // (the watermark advances after the sentinel batch commits). That
     // batch only runs when noDataMicroBatches is enabled — pin it, don't
-    // assume the session default survived caller config. Both overrides
-    // are scoped to the query start (pinned into the query at start) and
-    // restored so nothing leaks to later caller code on the session.
-    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
-    try
+    // assume the session default survived caller config.
+    withScopedConf(
+      spark,
+      Seq(
+        "spark.sql.shuffle.partitions" -> statePartitions.toString,
+        "spark.sql.streaming.noDataMicroBatches.enabled" -> "true")) {
       out.writeStream
         .outputMode("append")
         .format("memory")
         .queryName(queryName)
         .option("checkpointLocation", checkpoint)
         .start()
-    finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
     }
-  }
 
   /** Stream-static join: enrich a stream against a static (batch)
     * dimension — stateless, no watermark needed; the static side is
@@ -339,32 +350,24 @@ object StreamJobs {
     // be sized to stateful-key cardinality, not core count: every
     // micro-batch pays per-store commit overhead. Scope the override to
     // the query start and restore the session conf after.
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    val prevNoData = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
-    val prevProvider = spark.conf.get(providerKey)
-    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     // See startMemorySink: the final windows emit in a no-data batch.
-    // All conf overrides are captured by the query at start and restored
-    // here so they never leak to later caller code on the same session.
-    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
-    // RocksDB (or any custom) state store: at real state cardinality the
-    // default in-heap HDFSBackedStateStore is the executor-OOM ceiling;
-    // the provider is pinned into the query's checkpoint at first start.
-    stateStoreProvider.foreach(spark.conf.set(providerKey, _))
-    val q =
-      try {
-        out.writeStream
-          .outputMode("append")
-          .format("memory")
-          .queryName(queryName)
-          .option("checkpointLocation", checkpoint)
-          .start()
-      } finally {
-        spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
-        spark.conf.set(providerKey, prevProvider)
-      }
+    // All overrides are captured by the query at start and restored by
+    // withScopedConf so they never leak to later caller code. RocksDB
+    // (or any custom) state store: at real state cardinality the default
+    // in-heap HDFSBackedStateStore is the executor-OOM ceiling; the
+    // provider is pinned into the query's checkpoint at first start.
+    val overrides = Seq(
+      "spark.sql.shuffle.partitions" -> statePartitions.toString,
+      "spark.sql.streaming.noDataMicroBatches.enabled" -> "true") ++
+      stateStoreProvider.map("spark.sql.streaming.stateStore.providerClass" -> _)
+    val q = withScopedConf(spark, overrides) {
+      out.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    }
     try {
       q.processAllAvailable() // all real micro-batches (incl. upfront-staged sentinel)
       pushSentinel() // optional second staging pass (legacy two-pass callers)
@@ -425,6 +428,14 @@ object StreamJobs {
   /** Typed row for the custom-state demo pipeline. */
   final case class KeyedValue(k: String, ts: java.sql.Timestamp, v: Double)
 
+  /** Read schema for [[KeyedValue]] source dirs — shared by both
+    * custom-state runners so the shape can't drift between them.
+    */
+  private val keyedValueSchema = StructType(Seq(
+    StructField("k", StringType),
+    StructField("ts", org.apache.spark.sql.types.TimestampType),
+    StructField("v", org.apache.spark.sql.types.DoubleType)))
+
   /** Output of [[runRunningMaxWithState]]: the running maximum per key,
     * one emission per key per micro-batch that touched it.
     */
@@ -447,11 +458,6 @@ object StreamJobs {
     val checkpoint = dir(workDir, s"checkpoint-fmgws-${java.util.UUID.randomUUID()}")
     val queryName = s"fmgws_${java.util.UUID.randomUUID().toString.replace("-", "")}"
 
-    val schema = StructType(Seq(
-      StructField("k", StringType),
-      StructField("ts", org.apache.spark.sql.types.TimestampType),
-      StructField("v", org.apache.spark.sql.types.DoubleType)))
-
     def update(
         key: String,
         rows: Iterator[KeyedValue],
@@ -464,7 +470,7 @@ object StreamJobs {
     }
 
     val stream = spark.readStream
-      .schema(schema)
+      .schema(keyedValueSchema)
       .parquet(sourceDir)
       .as[KeyedValue]
       .groupByKey(_.k)
@@ -502,11 +508,6 @@ object StreamJobs {
     val checkpoint = dir(workDir, s"checkpoint-tws-${java.util.UUID.randomUUID()}")
     val queryName = s"tws_${java.util.UUID.randomUUID().toString.replace("-", "")}"
 
-    val schema = StructType(Seq(
-      StructField("k", StringType),
-      StructField("ts", org.apache.spark.sql.types.TimestampType),
-      StructField("v", org.apache.spark.sql.types.DoubleType)))
-
     class RunningMaxProcessor extends StatefulProcessor[String, KeyedValue, RunningMax] {
       @transient private var state: ValueState[RunningMax] = _
       override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
@@ -525,26 +526,22 @@ object StreamJobs {
     }
 
     val stream = spark.readStream
-      .schema(schema)
+      .schema(keyedValueSchema)
       .parquet(sourceDir)
       .as[KeyedValue]
       .groupByKey(_.k)
       .transformWithState(new RunningMaxProcessor, TimeMode.None(), OutputMode.Append())
 
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val prevProvider = spark.conf.get(providerKey)
-    spark.conf.set(
-      providerKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val q =
-      try
-        stream.writeStream
-          .outputMode("append")
-          .format("memory")
-          .queryName(queryName)
-          .option("checkpointLocation", checkpoint)
-          .start()
-      finally spark.conf.set(providerKey, prevProvider)
+    val q = withScopedConf(
+      spark,
+      Seq("spark.sql.streaming.stateStore.providerClass" -> rocksDbProvider)) {
+      stream.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    }
     try q.processAllAvailable()
     finally q.stop()
     spark.table(queryName)

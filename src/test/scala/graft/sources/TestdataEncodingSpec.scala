@@ -69,8 +69,16 @@ class TestdataEncodingSpec extends SparkSpec {
     writeEvents(microsDir, TimeUnit.MICROS)
     writeEvents(nanosDir, TimeUnit.NANOS)
 
+    val nanosConf = "spark.sql.legacy.parquet.nanosAsLong"
+    spark.conf.set(nanosConf, "false")
     val micros = Testdata.events(spark, microsDir)
+    // non-nanos reads must leave the session STRICT: an unrelated nanos
+    // file must still fail loudly, not silently surface raw longs
+    assert(spark.conf.get(nanosConf) == "false")
     val nanos = Testdata.events(spark, nanosDir)
+    // the nanos path needs the escape hatch live through lazy execution,
+    // so it is deliberately sticky
+    assert(spark.conf.get(nanosConf) == "true")
 
     assert(micros.schema("ts").dataType == TimestampType)
     assert(nanos.schema("ts").dataType == TimestampType)

@@ -75,6 +75,26 @@ class OrchestratorSpec extends AnyFunSuite {
     assert(seen.toSeq == Seq(1, 2))
   }
 
+  test("InterruptedException fails immediately — never burns the retry budget") {
+    var calls = 0
+    val tasks = Seq(
+      TaskDef("cancelled", retries = 5, retryDelayMs = 1000L) { _ =>
+        calls += 1
+        throw new InterruptedException("shutdown requested")
+      },
+      TaskDef("downstream", Seq("cancelled"))(_ => ()))
+    val slept = collection.mutable.Buffer.empty[Long]
+    val r = runOnce("dag", tasks, t0, sleep = slept += _)
+    assert(calls == 1) // no re-execution after cancellation
+    assert(slept.isEmpty)
+    assert(r.tasks("cancelled").state == TaskState.Failed)
+    assert(r.tasks("cancelled").attempts == 1)
+    assert(r.tasks("downstream").state == TaskState.UpstreamFailed)
+    // the interrupt flag must be restored for the caller (and cleared
+    // here so it can't poison later tests on this thread)
+    assert(Thread.interrupted())
+  }
+
   test("unknown dep and cycles rejected before any task runs") {
     val log = collection.mutable.Buffer.empty[String]
     intercept[IllegalArgumentException] {

@@ -808,13 +808,20 @@ object StreamJobs {
     // ingest pass: the watermark is computed from the max event time of
     // the PREVIOUS micro-batch, so a sentinel present in batch 1 still
     // flushes every real window in batch 2 (processAllAvailable runs
-    // both) — no second ingest hop per query.
-    val maxTs = input.agg(max(col(tsCol))).head().getAs[java.sql.Timestamp](0)
+    // both) — no second ingest hop per query. The sentinel needs
+    // max(ts); ride it on the staging write job via observe — one pass
+    // over the input, not a separate full-scan aggregation first (at
+    // corpus scale the second scan is the dominant cost of this hop).
+    val obs = new org.apache.spark.sql.Observation(
+      s"stage-max-${java.util.UUID.randomUUID()}")
+    stageEnvelope(input.observe(obs, max(col(tsCol)).as("maxTs")), Seq(keyCol, idCol), stage)
+    val maxTs = scala.concurrent.Await
+      .result(obs.future, scala.concurrent.duration.Duration(60, "seconds"))
+      .getAs[java.sql.Timestamp]("maxTs")
     val sentinel = input
       .limit(1)
       .withColumn(tsCol, lit(maxTs) + expr("INTERVAL 30 DAYS"))
       .withColumn(keyCol, lit(sentinelKey))
-    stageEnvelope(input, Seq(keyCol, idCol), stage)
     stageEnvelope(sentinel, Seq(keyCol, idCol), stage)
     val bronze = runIngest(spark, payloadSchema, tsCol, workDir)
     val bronzeSchema = spark.read.parquet(bronze).schema

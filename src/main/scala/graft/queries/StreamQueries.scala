@@ -34,11 +34,23 @@ object StreamQueries {
     StructType(eventsSchema.fields.filterNot(_.name == "props"))
 
   /** Stage the events payload as the streaming source input. */
-  private def stageEvents(spark: SparkSession, sfDir: String, src: String): DataFrame = {
+  /** Stage the narrowed events frame to `src` and return it with its
+    * max event time — the sentinel anchor rides the staging write via
+    * observe, so callers needing it don't re-scan the input.
+    */
+  private def stageEvents(
+      spark: SparkSession,
+      sfDir: String,
+      src: String): (DataFrame, java.sql.Timestamp) = {
     val events = Testdata.events(spark, sfDir)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
-    events.write.mode("append").parquet(src)
-    events
+    val obs = new org.apache.spark.sql.Observation(
+      s"stage-events-${java.util.UUID.randomUUID()}")
+    events.observe(obs, max(col("ts")).as("maxTs")).write.mode("append").parquet(src)
+    val maxTs = scala.concurrent.Await
+      .result(obs.future, scala.concurrent.duration.Duration(60, "seconds"))
+      .getAs[java.sql.Timestamp]("maxTs")
+    (events, maxTs)
   }
 
   /** Deterministic OHLCV candles, batch mode (A1+A2 with the
@@ -189,9 +201,8 @@ object StreamQueries {
   def streamStreamJoinOuter(spark: SparkSession, sfDir: String): DataFrame = {
     val wd = workDir("ssouter")
     val src = s"$wd/src"
-    val events = stageEvents(spark, sfDir, src)
+    val (_, maxTs) = stageEvents(spark, sfDir, src)
     val schema = eventsSchemaNoProps
-    val maxTs = events.agg(max(col("ts"))).head().getTimestamp(0)
     val far = new java.sql.Timestamp(maxTs.getTime + 40L * 24 * 3600 * 1000)
     // sentinels staged upfront (same argument as runTwoHopStateful): both
     // watermarks derive from batch 1's max event time, so the NULL-padded

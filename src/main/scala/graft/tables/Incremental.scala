@@ -28,11 +28,11 @@ object Incremental {
       target: DataFrame,
       srcTs: String,
       tgtTs: String): DataFrame = {
-    if (target.isEmpty) source
-    else {
-      val hwm = target.agg(max(col(tgtTs))).head()
-      if (hwm.isNullAt(0)) source
-      else source.filter(col(srcTs) > lit(hwm.get(0)))
-    }
+    // one probe job, not two: max over an empty target is NULL, so the
+    // null check already covers the empty-table case an isEmpty() probe
+    // would cost a separate action to answer
+    val hwm = target.agg(max(col(tgtTs))).head()
+    if (hwm.isNullAt(0)) source
+    else source.filter(col(srcTs) > lit(hwm.get(0)))
   }
 }

@@ -52,13 +52,18 @@ object Testdata {
     val p = java.nio.file.Paths.get(path)
     val file =
       if (java.nio.file.Files.isDirectory(p)) {
-        val it = java.nio.file.Files.list(p).iterator()
-        var found: Option[java.nio.file.Path] = None
-        while (found.isEmpty && it.hasNext) {
-          val c = it.next()
-          if (c.toString.endsWith(".parquet")) found = Some(c)
-        }
-        found.getOrElse(return false)
+        // recurse: a partitioned layout keeps its part files in subdirs
+        val walk = java.nio.file.Files.walk(p)
+        try {
+          val it = walk.iterator()
+          var found: Option[java.nio.file.Path] = None
+          while (found.isEmpty && it.hasNext) {
+            val c = it.next()
+            if (c.toString.endsWith(".parquet") && java.nio.file.Files.isRegularFile(c))
+              found = Some(c)
+          }
+          found.getOrElse(return false)
+        } finally walk.close()
       } else p
     val reader = ParquetFileReader.open(
       HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(file.toString), new Configuration()))

@@ -99,6 +99,34 @@ class TestdataEncodingSpec extends SparkSpec {
     assert(microsRows == expected)
   }
 
+  test("nanos part files nested in an events.parquet directory still probe correctly") {
+    val dir = scratchDir("events-nanos-dir")
+    val sub = java.nio.file.Paths.get(dir, "events.parquet", "day=1")
+    java.nio.file.Files.createDirectories(sub)
+    // write the nanos part file two levels down — the footer probe must
+    // recurse past the directory entry that itself ends in .parquet
+    val scale = 1000L
+    val msg = schema(TimeUnit.NANOS)
+    val factory = new SimpleGroupFactory(msg)
+    val writer = ExampleParquetWriter
+      .builder(new Path(sub.resolve("part-0.parquet").toString))
+      .withType(msg)
+      .withConf(new Configuration())
+      .build()
+    try {
+      instantsMicros.zipWithIndex.foreach { case (micros, i) =>
+        val g = factory.newGroup()
+        g.add("event_id", i.toLong)
+        g.add("ts", micros * scale)
+        writer.write(g)
+      }
+    } finally writer.close()
+
+    val df = Testdata.events(spark, dir)
+    assert(df.schema("ts").dataType == TimestampType)
+    assert(df.count() == instantsMicros.size)
+  }
+
   test("already-TimestampType events files pass through untouched") {
     val dir = scratchDir("events-utc")
     val sql = spark

@@ -45,4 +45,33 @@ object Sampling {
     df.withColumn("sample_rank", row_number().over(w).cast("int"))
       .filter(col("sample_rank") <= n)
   }
+
+  /** Deterministic global shuffle for training-data sharding: every row
+    * gets a `shard` in [0, nShards) and a dense `pos` within its shard,
+    * both pure functions of (seed, id) — the shuffle a training run
+    * needs before sequence packing, reproducible bit-identically months
+    * later from the same ids and auditable per row. Different seeds
+    * give independent permutations (epoch reshuffling without moving
+    * data).
+    *
+    * Scale shape: one hash projection plus a rank window PER SHARD —
+    * shards are the parallelism unit, so no global total order is ever
+    * materialized; writing shard files is then a partitioned write on
+    * `shard`. The within-shard sort is the price of a dense position
+    * column; at 100 TB each shard sorts ~1/nShards of the corpus.
+    */
+  def shardShuffle(
+      df: DataFrame,
+      idCol: String,
+      nShards: Int,
+      seed: String = ""): DataFrame = {
+    require(nShards > 0, s"shard count must be positive, got $nShards")
+    val h = conv(
+      substring(md5(concat(lit(seed), lit(":"), col(idCol).cast("string"))), 1, 8),
+      16, 10).cast("long")
+    val w = Window.partitionBy(col("shard")).orderBy(col("shuffle_key"), col(idCol))
+    df.withColumn("shuffle_key", h)
+      .withColumn("shard", (col("shuffle_key") % nShards).cast("int"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+  }
 }

@@ -190,6 +190,26 @@ object ExtQueries {
       |            THEN 'train' ELSE 'val' END AS split
       |FROM documents""".stripMargin
 
+  /** Deterministic global shuffle into 16 training shards with dense
+    * within-shard positions ([[graft.ext.Sampling.shardShuffle]], seed
+    * "epoch0") — the reproducible corpus permutation between filtering
+    * and sequence packing. Pure md5-of-(seed, id) functions, so the
+    * oracle replays it exactly.
+    */
+  def shardShuffle(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ext.Sampling
+      .shardShuffle(docs(spark, sfDir).select(col("doc_id")), "doc_id", 16, "epoch0")
+      .select(col("doc_id"), col("shard"), col("pos"))
+
+  val shardShuffleSql: String = {
+    val h = "CAST(('0x' || substring(md5('epoch0:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+    s"""SELECT doc_id,
+       |       CAST($h % 16 AS INTEGER) AS shard,
+       |       CAST(row_number() OVER (PARTITION BY $h % 16
+       |              ORDER BY $h, doc_id) AS BIGINT) AS pos
+       |FROM documents""".stripMargin
+  }
+
   /** Token-budget packing of documents into training bins (2048-token
     * budget, 8 hash shards) — deterministic, so fully oracle-checked.
     */
@@ -1611,6 +1631,7 @@ object ExtQueries {
     "q_text_repetition" -> (textRepetition _),
     "q_text_langid" -> (textLangId _),
     "q_train_val_split" -> (trainValSplit _),
+    "q_shard_shuffle" -> (shardShuffle _),
     "q_pack_sequences" -> (packSequences _),
     "q_pii_redact" -> (piiRedact _),
     "q_mix_sources" -> (mixSources _),
@@ -1675,6 +1696,7 @@ object ExtQueries {
     "q_bpe_encode" -> bpeEncodeSql,
     "q_text_langid" -> textLangIdSql,
     "q_train_val_split" -> trainValSplitSql,
+    "q_shard_shuffle" -> shardShuffleSql,
     "q_pack_sequences" -> packSequencesSql,
     "q_pii_redact" -> piiRedactSql,
     "q_mix_sources" -> mixSourcesSql)

@@ -27,6 +27,36 @@ class SamplingSpec extends SparkSpec {
     // md5 hashing is not simply ids 1..5
     assert(a != (1L to 5L).toSet, s"suspicious: sample equals first-ids $a")
   }
+
+  test("shardShuffle: dense per-shard positions, full coverage, input-order independence") {
+    val df = (1L to 200L).toDF("id")
+    val out = Sampling.shardShuffle(df, "id", 8, "s1")
+      .select("id", "shard", "pos").collect()
+    assert(out.length == 200)
+    assert(out.map(_.getInt(1)).forall(s => s >= 0 && s < 8))
+    // positions are dense 1..n within every shard
+    out.groupBy(_.getInt(1)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(2)).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // pure function of (seed, id): a shuffled input yields the identical mapping
+    val again = Sampling.shardShuffle(df.orderBy(rand(7)), "id", 8, "s1")
+      .select("id", "shard", "pos").collect()
+    assert(out.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet ==
+      again.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet)
+  }
+
+  test("shardShuffle: different seeds permute independently") {
+    val df = (1L to 200L).toDF("id")
+    def perm(seed: String) =
+      Sampling.shardShuffle(df, "id", 8, seed)
+        .select("id", "shard", "pos").collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    val p1 = perm("epoch0")
+    val p2 = perm("epoch1")
+    // epochs must not reuse the same order: most ids land elsewhere
+    val moved = (1L to 200L).count(i => p1(i) != p2(i))
+    assert(moved > 150, s"only $moved/200 ids moved between seeds")
+  }
 }
 
 class EmbeddingsSpec extends SparkSpec {

@@ -159,6 +159,47 @@ object CoreQueries {
       |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
       |GROUP BY n_name""".stripMargin
 
+  /** TPC-H Q10 shape (returned-item reporting): quarter of orders ⋈
+    * returned lineitems ⋈ customer ⋈ nation, revenue lost per customer,
+    * top-20. The selective `l_returnflag = 'R'` must reach the fact
+    * scan and the top-20 must plan bounded (TakeOrderedAndProject) —
+    * ranking on the ROUNDED revenue with a c_custkey tie-break keeps
+    * the cut engine-independent.
+    */
+  def tpchReturnedItems(spark: SparkSession, sfDir: String): DataFrame = {
+    val customer = spark.read.parquet(p(sfDir, "customer"))
+    val nation = spark.read.parquet(p(sfDir, "nation"))
+    val orders = spark.read
+      .parquet(p(sfDir, "orders"))
+      .filter(
+        col("o_orderdate") >= lit("1996-10-01") && col("o_orderdate") < lit("1997-01-01"))
+    val lineitem = spark.read
+      .parquet(p(sfDir, "lineitem"))
+      .filter(col("l_returnflag") === "R")
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+      .select(col("c_custkey"), col("c_name"), col("revenue"), col("c_acctbal"), col("n_name"))
+  }
+
+  val tpchReturnedItemsSql: String =
+    """SELECT c_custkey, c_name,
+      |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+      |       c_acctbal, n_name
+      |FROM customer, orders, lineitem, nation
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name
+      |ORDER BY revenue DESC, c_custkey ASC
+      |LIMIT 20""".stripMargin
+
   /** Scalar max + count — the high-watermark probe (A3/A4). */
   def aggScalarMax(spark: SparkSession, sfDir: String): DataFrame =
     Testdata.events(spark, sfDir)
@@ -1023,6 +1064,7 @@ object CoreQueries {
     "q_agg_pricing_summary" -> (aggPricingSummary _),
     "q_tpch_shipping_priority" -> (tpchShippingPriority _),
     "q_tpch_local_volume" -> (tpchLocalVolume _),
+    "q_tpch_returned_items" -> (tpchReturnedItems _),
     "q_agg_scalar_max" -> (aggScalarMax _),
     "q_filter_pushdown" -> (filterPushdown _),
     "q_clean_pipeline" -> (cleanPipeline _),
@@ -1059,6 +1101,7 @@ object CoreQueries {
     "q_agg_pricing_summary" -> aggPricingSummarySql,
     "q_tpch_shipping_priority" -> tpchShippingPrioritySql,
     "q_tpch_local_volume" -> tpchLocalVolumeSql,
+    "q_tpch_returned_items" -> tpchReturnedItemsSql,
     "q_agg_scalar_max" -> aggScalarMaxSql,
     "q_filter_pushdown" -> filterPushdownSql,
     "q_clean_pipeline" -> cleanPipelineSql,

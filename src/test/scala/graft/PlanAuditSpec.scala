@@ -183,6 +183,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("LessThan(o_orderdate"), p)
   }
 
+  test("Q10 shape: returnflag filter reaches the fact scan, top-20 plans bounded") {
+    val p = plan(graft.queries.CoreQueries.tpchReturnedItems(spark, sf))
+    assert(p.contains("EqualTo(l_returnflag,R)"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("bloom point lookup pushes the IN-probe to the scan") {
+    val p = plan(graft.queries.ScaleQueries.bloomPointLookup(spark, sf))
+    assert(p.contains("In(o_orderkey"), p)
+  }
+
   test("partitioned fact scan carries a dynamicpruning partition filter from the dim") {
     // q_dpp_join: the run-time-only dim filter must inject a DPP
     // subquery into the fact scan's PartitionFilters — whole day

@@ -200,6 +200,52 @@ object CoreQueries {
       |ORDER BY revenue DESC, c_custkey ASC
       |LIMIT 20""".stripMargin
 
+  /** TPC-H Q18 shape (large-volume customers): the aggregate-then-
+    * semi-join pattern — orders whose total lineitem quantity clears a
+    * threshold (a HAVING subquery), rejoined to customer and lineitem
+    * for the report, top-100 by order value. The qualifying-key set is
+    * an aggregation output joined back to the facts; quantities are
+    * integral doubles so the threshold compare is exact cross-engine.
+    */
+  def tpchLargeVolume(spark: SparkSession, sfDir: String): DataFrame = {
+    val customer = spark.read.parquet(p(sfDir, "customer"))
+    val orders = spark.read.parquet(p(sfDir, "orders"))
+    val lineitem = spark.read.parquet(p(sfDir, "lineitem"))
+    val big = lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > 150)
+    orders
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      // rank on the ROUNDED price — the comparison value both engines
+      // share — so rounded-ties resolve by the o_orderkey tie-break
+      // identically instead of by raw-double noise
+      .withColumn("o_totalprice_r", round(col("o_totalprice"), 4))
+      .orderBy(col("o_totalprice_r").desc, col("o_orderkey").asc)
+      .limit(100)
+      .select(
+        col("c_name"),
+        col("c_custkey"),
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        col("o_totalprice_r").as("o_totalprice"),
+        round(col("total_qty"), 4).as("total_qty"))
+  }
+
+  val tpchLargeVolumeSql: String =
+    """SELECT c_name, c_custkey, o_orderkey,
+      |       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+      |       round(o_totalprice, 4) AS o_totalprice,
+      |       round(total_qty, 4) AS total_qty
+      |FROM orders
+      |JOIN (SELECT l_orderkey, sum(l_quantity) AS total_qty
+      |      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150) big
+      |  ON o_orderkey = big.l_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey ASC
+      |LIMIT 100""".stripMargin
+
   /** Scalar max + count — the high-watermark probe (A3/A4). */
   def aggScalarMax(spark: SparkSession, sfDir: String): DataFrame =
     Testdata.events(spark, sfDir)
@@ -1065,6 +1111,7 @@ object CoreQueries {
     "q_tpch_shipping_priority" -> (tpchShippingPriority _),
     "q_tpch_local_volume" -> (tpchLocalVolume _),
     "q_tpch_returned_items" -> (tpchReturnedItems _),
+    "q_tpch_large_volume" -> (tpchLargeVolume _),
     "q_agg_scalar_max" -> (aggScalarMax _),
     "q_filter_pushdown" -> (filterPushdown _),
     "q_clean_pipeline" -> (cleanPipeline _),
@@ -1102,6 +1149,7 @@ object CoreQueries {
     "q_tpch_shipping_priority" -> tpchShippingPrioritySql,
     "q_tpch_local_volume" -> tpchLocalVolumeSql,
     "q_tpch_returned_items" -> tpchReturnedItemsSql,
+    "q_tpch_large_volume" -> tpchLargeVolumeSql,
     "q_agg_scalar_max" -> aggScalarMaxSql,
     "q_filter_pushdown" -> filterPushdownSql,
     "q_clean_pipeline" -> cleanPipelineSql,

@@ -67,20 +67,31 @@ object Clustering {
     centroids
   }
 
+  /** Literal-centroid score array: one struct(sim6, -cid) per centroid.
+    * The 6-dp rounding and negated id make array_max's lexicographic
+    * compare exactly "max rounded sim, ties -> min cluster id" — the
+    * deterministic assignment rule every oracle replays. Shared with
+    * [[Similarity.ivfTopK]], whose probe step needs the whole scored
+    * array (top-nprobe lists), not just the argmax.
+    */
+  private[ext] def scoredArray(
+      centroids: Seq[(Int, Seq[Double])],
+      spark: org.apache.spark.sql.SparkSession,
+      vec: Column): Column =
+    array(centroids.map { case (cid, cv) =>
+      struct(
+        round(graft.functions.VectorExprs.arrayCosine(spark, vec, typedlit(cv)), 6).as("s"),
+        lit(-cid).as("nc"))
+    }: _*)
+
   /** Scored literal-centroid argmax: struct(sim6, -cid), so array_max's
     * lexicographic compare IS "max rounded sim, ties -> min cluster id".
     */
   private def bestOf(
       centroids: Seq[(Int, Seq[Double])],
       corpus: DataFrame,
-      vec: Column): Column = {
-    val spark = corpus.sparkSession
-    array_max(array(centroids.map { case (cid, cv) =>
-      struct(
-        round(graft.functions.VectorExprs.arrayCosine(spark, vec, typedlit(cv)), 6).as("s"),
-        lit(-cid).as("nc"))
-    }: _*))
-  }
+      vec: Column): Column =
+    array_max(scoredArray(centroids, corpus.sparkSession, vec))
 
   /** Run `iters` Lloyd iterations and return the final assignment:
     * one row per input vector — (idCol, cluster, cosine), where

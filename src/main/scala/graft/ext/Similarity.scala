@@ -108,24 +108,32 @@ object Similarity {
 
   /** IVF (inverted-file) approximate top-k — the other scale path.
     *
-    * Build: `nlist` coarse centroids (deterministic seed sample from
-    * the corpus, refined with `iters` Lloyd steps), then invert: each
-    * corpus vector lands in the list of its nearest centroid. Search: a
-    * query probes its `nprobe` nearest lists and ranks only those
-    * candidates with exact cosine. Probe cost is ~(nprobe/nlist)·N
-    * versus N for brute force; recall is tunable and measured against
-    * the brute-force baseline in SimilaritySpec.
+    * Build: `nlist` coarse centroids trained by
+    * [[Clustering.kmeansFit]] (seeds = the nlist lowest-id vectors,
+    * `iters` Lloyd steps with exact 4-dp integer-scaled means and
+    * 6-dp-rounded assignment cosine), then invert: each corpus vector
+    * lands in the list of its nearest centroid. Search: a query probes
+    * its `nprobe` nearest lists and ranks only those candidates with
+    * exact cosine. Probe cost is ~(nprobe/nlist)·N versus N for brute
+    * force; recall is tunable and measured against the brute-force
+    * baseline in SimilaritySpec.
+    *
+    * Every training rule is deterministic and order-independent, so
+    * another engine replaying seeds + Lloyd + probe in SQL lands on the
+    * identical result set — that is what makes `q_similarity_ivf`
+    * oracle-checkable rather than rows-only (same contract as
+    * `q_kmeans`, which shares the fit).
     *
     * Scale shape: centroids are collected to the driver (nlist × dim
     * doubles — KBs) and baked into the plan as literals, so
     * nearest-centroid assignment is a PURE PROJECTION over the corpus —
     * an argmax fold over the literal centroid array, no shuffle, no
     * join, no row ids. The only shuffles in the whole search are the
-    * per-dimension mean of the Lloyd step (an aggregation over
-    * nlist × dim keys, map-side combined) and the final per-query rank
-    * over the candidate set. The corpus itself is never repartitioned.
-    * `corpusCount` skips the seed-stride sizing job when the caller
-    * already knows the cardinality (same hint as [[lshTopK]]).
+    * (list, dim)-keyed mean of the Lloyd step (map-side combined; the
+    * shuffle carries at most nlist × dim partial rows per task) and the
+    * final per-query rank over the candidate set. The corpus itself is
+    * never repartitioned; seed selection is a TakeOrdered top-nlist,
+    * not a full sort.
     */
   def ivfTopK(
       queries: DataFrame,
@@ -135,52 +143,17 @@ object Similarity {
       k: Int,
       nlist: Int = 16,
       nprobe: Int = 4,
-      iters: Int = 2,
-      corpusCount: Long = -1L): DataFrame = {
+      iters: Int = 2): DataFrame = {
     val spark = corpus.sparkSession
     val cos = (a: Column, b: Column) => graft.functions.VectorExprs.arrayCosine(spark, a, b)
 
-    // deterministic seeds: hash-select ~nlist vectors (no global sort of
-    // the corpus — only the tiny selected set is row-numbered)
-    val n = if (corpusCount >= 0) corpusCount else corpus.count()
-    val stride = math.max(1L, n / nlist)
-    val seedW = org.apache.spark.sql.expressions.Window.orderBy(col(idCol))
-    var centroids: Seq[(Int, Seq[Double])] = corpus
-      .filter(pmod(xxhash64(col(idCol)), lit(stride)) === 0)
-      .withColumn("__rn", row_number().over(seedW))
-      .filter(col("__rn") <= nlist)
-      .select(
-        (col("__rn") - 1).cast("int").as("list_id"),
-        transform(col(vecCol), x => x.cast("double")).as("centroid"))
-      .collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1)))
-      .toSeq
+    val centroids = Clustering.kmeansFit(corpus, idCol, vecCol, nlist, iters)
 
-    // scored literal-centroid array: struct(sim, -list_id) so array_max's
-    // lexicographic compare IS "max sim, ties -> min list_id"
-    def scored(vec: Column): Column =
-      array(centroids.map { case (lid, cvec) =>
-        struct(cos(vec, typedlit(cvec)).as("s"), lit(-lid).as("nl"))
-      }: _*)
+    // scored literal-centroid array: struct(sim6, -list_id) so array_max's
+    // lexicographic compare IS "max rounded sim, ties -> min list_id"
+    def scored(vec: Column): Column = Clustering.scoredArray(centroids, spark, vec)
     def nearestListId(vec: Column): Column =
-      (-array_max(scored(vec)).getField("nl")).cast("int")
-
-    // Lloyd refinement: projection-argmax assign, per-dimension mean per
-    // list, collect the (tiny) refreshed centroid set
-    (1 to iters).foreach { _ =>
-      centroids = corpus
-        .select(
-          nearestListId(col(vecCol)).as("list_id"),
-          posexplode(transform(col(vecCol), x => x.cast("double"))))
-        .groupBy(col("list_id"), col("pos"))
-        .agg(avg(col("col")).as("m"))
-        .groupBy(col("list_id"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("list_id"), transform(col("pm"), p => p.getField("m")).as("centroid"))
-        .collect()
-        .map(r => (r.getInt(0), r.getSeq[Double](1)))
-        .toSeq
-    }
+      (-array_max(scored(vec)).getField("nc")).cast("int")
 
     // invert: one narrow projection over the corpus — NO exchange
     val inverted = corpus.select(
@@ -196,7 +169,7 @@ object Similarity {
         col("query_id"),
         col("q_vec"),
         explode(slice(reverse(array_sort(col("sc"))), 1, nprobe)).as("p"))
-      .select(col("query_id"), col("q_vec"), (-col("p.nl")).cast("int").as("list_id"))
+      .select(col("query_id"), col("q_vec"), (-col("p.nc")).cast("int").as("list_id"))
 
     val rankW = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))

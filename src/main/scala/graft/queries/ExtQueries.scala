@@ -732,27 +732,149 @@ object ExtQueries {
       |  WHERE q.vec_id % 100 = 0)
       |QUALIFY rank <= 5""".stripMargin
 
-  /** LSH-bucketed ANN — probabilistic recall, spec-verified. Rows-only
-    * by necessity: bucket membership hangs off Spark's `xxhash64`
-    * (seed 42, Spark's long-mixing variant), which DuckDB has no
-    * equivalent for, so the candidate set is not SQL-expressible there.
+  /** LSH-bucketed ANN. The hyperplane matrix is a pure function of
+    * (table, plane, dim) — xxhash64 of literal strings, no data
+    * dependence — so the oracle bakes the identical matrix into the SQL
+    * as literals ([[annPlaneRows]]) and replays sign-bit bucketing +
+    * cosine ranking in DuckDB. Bits are pinned (not auto-sized from the
+    * corpus count) so the oracle's matrix matches at every SF; recall
+    * under auto-sizing stays spec-pinned in ExtSpec.
     */
   def similarityAnn(spark: SparkSession, sfDir: String): DataFrame = {
     val e = embs(spark, sfDir)
-    Similarity.lshTopK(e.filter(col("vec_id") % 100 === 0), e, "vec_id", "embedding", 5)
+    Similarity.lshTopK(
+      e.filter(col("vec_id") % 100 === 0), e, "vec_id", "embedding", 5,
+      bits = annBits, tables = annTables)
   }
 
+  /** Hyperplane-LSH parameters pinned for oracle replay: 4 tables ×
+    * 4-bit signatures keeps every bucket populated from sf0.001
+    * (500 vectors → ~31/bucket) through sf0.1 (2000 → ~125/bucket).
+    */
+  private val annBits = 4
+  private val annTables = 4
+
+  /** The exact plane matrix [[graft.functions.VectorExprs.HyperplaneSig]]
+    * derives per row, emitted once as SQL VALUES rows `(tbl, p, w)`:
+    * component d of plane p in table t is
+    * xxhash64('graft-lsh-&lt;t&gt;-&lt;p&gt;', d) (seed 42, the string hash
+    * chaining into the int hash) pmod-mapped into [-1, 1] at 1e-6
+    * resolution — every value an exact multiple of 1e-6, so the decimal
+    * literals below parse to bit-identical doubles in any engine.
+    */
+  private def annPlaneRows(dim: Int): String = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.{IntegerType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    (for { t <- 0 until annTables; p <- 0 until annBits } yield {
+      val seed = XxHash64Function.hash(
+        UTF8String.fromString(s"graft-lsh-$t-$p"), StringType, 42L)
+      val comps = (0 until dim).map { d =>
+        val h = XxHash64Function.hash(d, IntegerType, seed)
+        val e6 = ((h % 2000001L) + 2000001L) % 2000001L - 1000000L
+        s"${e6}e-6"
+      }
+      s"($t, $p, [${comps.mkString(", ")}]::DOUBLE[])"
+    }).mkString(",\n    ")
+  }
+
+  /** Oracle for `q_similarity_ann`: replay bucketing (sign of
+    * vec·plane per table packed into a long), the per-table bucket
+    * equi-join, pair dedup, and the 6-dp cosine ranking — candidate
+    * sets, not just scores, must coincide for the hash to match.
+    */
+  val similarityAnnSql: String =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |planes(tbl, p, w) AS (VALUES
+       |    ${annPlaneRows(64)}),
+       |sigs AS (
+       |  SELECT v.vec_id, planes.tbl,
+       |         sum(CASE WHEN list_inner_product(v.e, planes.w) >= 0
+       |                  THEN CAST(1 AS BIGINT) << planes.p ELSE 0 END) AS bucket
+       |  FROM v CROSS JOIN planes
+       |  GROUP BY v.vec_id, planes.tbl),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM sigs q JOIN sigs c ON q.tbl = c.tbl AND q.bucket = c.bucket
+       |  WHERE q.vec_id % 100 = 0 AND q.vec_id != c.vec_id)
+       |SELECT query_id, neighbor_id,
+       |       round(list_cosine_similarity(qv.e, cv.e), 6) AS cosine,
+       |       CAST(row_number() OVER (PARTITION BY query_id
+       |              ORDER BY round(list_cosine_similarity(qv.e, cv.e), 6) DESC,
+       |                       neighbor_id) AS INTEGER) AS rank
+       |FROM cand
+       |JOIN v qv ON qv.vec_id = cand.query_id
+       |JOIN v cv ON cv.vec_id = cand.neighbor_id
+       |QUALIFY rank <= 5""".stripMargin
+
   /** IVF ANN (coarse k-means quantizer + nprobe lists) — the second
-    * scale path; recall spec-verified. Rows-only by necessity: seed
-    * selection is Spark-`xxhash64`-strided and the Lloyd step uses
-    * float `avg` (partition-order summation), neither of which DuckDB
-    * can reproduce bit-exactly — unlike the fixed-point ivfpq/adc
-    * paths, which ARE oracle-checked.
+    * scale path. Training is [[graft.ext.Clustering.kmeansFit]]
+    * (lowest-id seeds, exact 4-dp integer-scaled means, 6-dp-rounded
+    * assignment) — the same deterministic fit `q_kmeans` already
+    * oracle-proves — so DuckDB replays seeds + Lloyd + probe + rank in
+    * unrolled SQL and must land on the identical result set.
     */
   def similarityIvf(spark: SparkSession, sfDir: String): DataFrame = {
     val e = embs(spark, sfDir)
-    Similarity.ivfTopK(e.filter(col("vec_id") % 100 === 0), e, "vec_id", "embedding", 5)
+    Similarity.ivfTopK(
+      e.filter(col("vec_id") % 100 === 0), e, "vec_id", "embedding", 5,
+      nlist = 16, nprobe = 4, iters = 2)
   }
+
+  /** Oracle for `q_similarity_ivf`: the [[kmeansClustersSql]] unrolled
+    * two-iteration Lloyd fit at nlist=16 (seeds = vec_id &lt; 16, ids
+    * being contiguous from 0 in the shipped testdata), then inversion
+    * (every vector to its nearest final centroid), per-query top-4
+    * probe lists (rounded cosine desc, ties to the lowest list id —
+    * the same lexicographic rule Spark's array_sort/reverse/slice
+    * applies), and 6-dp cosine ranking within probed lists.
+    */
+  val similarityIvfSql: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, e AS c FROM v WHERE vec_id < 16),
+      |a1 AS (SELECT vec_id, e,
+      |         -struct_extract(max((round(list_cosine_similarity(e, c), 6), -cid)), 2) AS cl
+      |       FROM v CROSS JOIN c0 GROUP BY vec_id, e),
+      |ex1 AS (SELECT cl, unnest(list_transform(range(1, len(e) + 1),
+      |                          i -> {'dim': i - 1, 'v': e[i]}), recursive := true) FROM a1),
+      |ag1 AS (SELECT cl, dim, count(v) AS n,
+      |               sum(CAST(round(CAST(v AS DOUBLE) * 10000) AS BIGINT)) AS s
+      |        FROM ex1 GROUP BY 1, 2),
+      |c1 AS (SELECT CAST(cl AS INTEGER) AS cid,
+      |              list(CAST(CASE WHEN s >= 0 THEN (2 * s + n) // (2 * n)
+      |                             ELSE -((-2 * s + n) // (2 * n)) END AS DOUBLE) / 10000.0
+      |                   ORDER BY dim) AS c
+      |       FROM ag1 GROUP BY cl),
+      |a2 AS (SELECT vec_id, e,
+      |         -struct_extract(max((round(list_cosine_similarity(e, c), 6), -cid)), 2) AS cl
+      |       FROM v CROSS JOIN c1 GROUP BY vec_id, e),
+      |ex2 AS (SELECT cl, unnest(list_transform(range(1, len(e) + 1),
+      |                          i -> {'dim': i - 1, 'v': e[i]}), recursive := true) FROM a2),
+      |ag2 AS (SELECT cl, dim, count(v) AS n,
+      |               sum(CAST(round(CAST(v AS DOUBLE) * 10000) AS BIGINT)) AS s
+      |        FROM ex2 GROUP BY 1, 2),
+      |c2 AS (SELECT CAST(cl AS INTEGER) AS cid,
+      |              list(CAST(CASE WHEN s >= 0 THEN (2 * s + n) // (2 * n)
+      |                             ELSE -((-2 * s + n) // (2 * n)) END AS DOUBLE) / 10000.0
+      |                   ORDER BY dim) AS c
+      |       FROM ag2 GROUP BY cl),
+      |inv AS (SELECT vec_id AS neighbor_id, e AS ce,
+      |          -struct_extract(max((round(list_cosine_similarity(e, c), 6), -cid)), 2) AS list_id
+      |        FROM v CROSS JOIN c2 GROUP BY vec_id, e),
+      |pr AS (SELECT vec_id AS query_id, e AS qe, cid AS list_id,
+      |         row_number() OVER (PARTITION BY vec_id
+      |           ORDER BY round(list_cosine_similarity(e, c), 6) DESC, cid) AS pr_rank
+      |       FROM v CROSS JOIN c2 WHERE vec_id % 100 = 0),
+      |cand AS (SELECT pr.query_id, pr.qe, inv.neighbor_id, inv.ce
+      |         FROM pr JOIN inv ON pr.list_id = inv.list_id
+      |         WHERE pr.pr_rank <= 4 AND pr.query_id != inv.neighbor_id)
+      |SELECT query_id, neighbor_id,
+      |       round(list_cosine_similarity(qe, ce), 6) AS cosine,
+      |       CAST(row_number() OVER (PARTITION BY query_id
+      |              ORDER BY round(list_cosine_similarity(qe, ce), 6) DESC,
+      |                       neighbor_id) AS INTEGER) AS rank
+      |FROM cand
+      |QUALIFY rank <= 5""".stripMargin
 
   // ---- multimodal ----------------------------------------------------------
 
@@ -1684,6 +1806,8 @@ object ExtQueries {
     "q_dedup_semantic" -> dedupSemanticSql,
     "q_dedup_embedding_lsh" -> dedupEmbeddingSql,
     "q_similarity_topk" -> similarityTopKSql,
+    "q_similarity_ann" -> similarityAnnSql,
+    "q_similarity_ivf" -> similarityIvfSql,
     "q_multimodal_meta" -> multimodalMetaSql,
     "q_multimodal_decode" -> multimodalDecodeSql,
     "q_bm25_search" -> bm25SearchSql,

@@ -17,8 +17,7 @@ class EntrySpec extends SparkSpec {
     val rowsOnly = q -- o
     // genuinely non-replicable operators only (HLL sketch, xxhash64-seeded
     // probabilistic structures) — everything else must be oracle-checked
-    assert(rowsOnly == Set(
-      "q_dedup_simhash", "q_similarity_ann", "q_similarity_ivf", "q_approx_distinct"),
+    assert(rowsOnly == Set("q_dedup_simhash", "q_approx_distinct"),
       s"unexpected rows-only queries: $rowsOnly")
   }
 

@@ -11,12 +11,17 @@ import org.apache.spark.sql.types._
   * pipeline needs at 100 TB (no per-row JVM↔native crossings, bounded
   * memory per task, schema known up front).
   *
-  * The actual codec work is STUBBED (this container has no image/audio
-  * libraries): [[decodeStub]] derives deterministic fake features from
-  * the bytes. The Spark-side contract — binary column + metadata
-  * struct, partition-batched UDF shape, explicit output schema — is
-  * real and tested; a production deployment swaps `fakeDecode` for a
-  * JNI/FFI call without touching any plan structure.
+  * Image decode is REAL: [[decodeImages]] runs the payload through the
+  * JDK's `javax.imageio.ImageIO` (PNG/JPEG/BMP/GIF — the pure-Java
+  * standard plugins, headless-safe, no extra jars) and emits honest
+  * decoded width/height/pixel statistics; [[encodeSyntheticImages]] is
+  * the matching fixture generator (parameterized images through the
+  * real encoders). Audio/video codec work remains stubbed
+  * ([[decodeStub]] — this container ships no media libraries beyond
+  * ImageIO); the Spark-side contract there — binary column + metadata
+  * struct, partition-batched shape, explicit output schema — is real
+  * and tested, and a production deployment swaps the fake arithmetic
+  * for a JNI/FFI call without touching any plan structure.
   */
 object Multimodal {
 
@@ -39,6 +44,7 @@ object Multimodal {
               '\r'.toByte, '\n'.toByte, 0x1A.toByte, '\n'.toByte)),
           "image/png")
           .when(substring(b, 1, 2) === lit(Array(0xFF.toByte, 0xD8.toByte)), "image/jpeg")
+          .when(substring(b, 1, 2) === lit("BM".getBytes), "image/bmp")
           .when(
             substring(b, 1, 4) === lit("RIFF".getBytes) &&
               substring(b, 9, 4) === lit("WAVE".getBytes),
@@ -95,6 +101,103 @@ object Multimodal {
       }
     }
     spark.createDataFrame(rows, decodedSchema)
+  }
+
+  /** Columns [[decodeImages]] appends to its input schema. `gray_sum`
+    * is the sum of the decoded red channel over all pixels — for the
+    * grayscale fixtures (r = g = b) that is the exact pixel checksum a
+    * lossless roundtrip must reproduce.
+    */
+  val imageDecodeFields: Seq[StructField] = Seq(
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_pixels", IntegerType),
+    StructField("gray_sum", LongType))
+
+  /** REAL image decode: each payload goes through
+    * `javax.imageio.ImageIO.read` (PNG/JPEG/BMP/GIF standard plugins)
+    * and the decoded raster's true width/height/pixel sum are appended
+    * to the row (null quadruple when the bytes are not a decodable
+    * image — the honest answer for a corrupt or non-image payload, and
+    * the filterable signal a curation pipeline keys on). Batched
+    * per-partition: the in-memory-cache flag is set once per task and
+    * rows stream through without per-row reader setup beyond what the
+    * codec itself requires. Pixel access reads the ARGB int directly —
+    * no per-pixel object allocation.
+    */
+  def decodeImages(spark: SparkSession, df: DataFrame, binCol: String): DataFrame = {
+    require(df.columns.contains(binCol), s"missing $binCol")
+    val outSchema = StructType(df.schema.fields ++ imageDecodeFields)
+    val binIdx = df.schema.fieldIndex(binCol)
+    val rows = df.rdd.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // memory-only streams, no temp-file churn
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        val img =
+          if (bytes == null || bytes.isEmpty) null
+          else
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: java.io.IOException => null }
+        if (img == null) Row.fromSeq(r.toSeq ++ Seq(null, null, null, null))
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { sum += (img.getRGB(x, y) >> 16) & 0xFF; x += 1 }
+            y += 1
+          }
+          // Seq[Any]: without the ascription Scala's numeric widening
+          // would box the Int dims as Long to match `sum`
+          Row.fromSeq(r.toSeq ++ Seq[Any](w, h, w * h, sum))
+        }
+      }
+    }
+    spark.createDataFrame(rows, outSchema)
+  }
+
+  /** Deterministic image fixture through the REAL encoders: for each
+    * input id, a grayscale image with width 8 + id%13, height
+    * 8 + id%11, pixel (x, y) value (31·id + 7·x + 13·y) mod 256,
+    * encoded by `ImageIO.write` as PNG / BMP / JPEG cycling on id%3.
+    * Every parameter is closed-form in the id, so an oracle predicts
+    * the decoded dimensions — and, for the lossless formats, the exact
+    * pixel sum — in pure SQL, which is what makes the
+    * encode→decode roundtrip an end-to-end PROOF that [[decodeImages]]
+    * runs a real codec rather than byte arithmetic.
+    */
+  def encodeSyntheticImages(spark: SparkSession, ids: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("fmt", StringType),
+      StructField("payload", BinaryType)))
+    val rows = ids.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val id = r.getLong(0)
+        val w = (8 + id % 13).toInt
+        val h = (8 + id % 11).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = ((31L * id + 7L * x + 13L * y) % 256L).toInt
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            x += 1
+          }
+          y += 1
+        }
+        val fmt = (id % 3) match { case 0 => "png"; case 1 => "bmp"; case _ => "jpg" }
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, fmt, baos)
+        Row(id, fmt, baos.toByteArray)
+      }
+    }
+    spark.createDataFrame(rows, schema)
   }
 
   /** Resize stage (stub): recompute target dimensions preserving aspect

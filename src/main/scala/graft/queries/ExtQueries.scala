@@ -932,6 +932,48 @@ object ExtQueries {
       |                       CAST(trunc(flen) AS INT))))) AS max_md5
       |FROM d""".stripMargin
 
+  /** REAL codec roundtrip: deterministic grayscale images (dimensions
+    * and pixels closed-form in doc_id) are encoded by the JDK's actual
+    * PNG/BMP/JPEG writers, sniffed, then decoded by
+    * [[graft.ext.Multimodal.decodeImages]] — real `ImageIO` decode, not
+    * byte arithmetic. The oracle predicts media kind, decoded
+    * dimensions, and (for the lossless formats) the exact pixel sum
+    * from the generator's parameters alone; a fake decode cannot match
+    * it. JPEG is lossy, so its pixel sum is nulled on BOTH sides —
+    * dimensions still verify.
+    */
+  def multimodalDecodeReal(spark: SparkSession, sfDir: String): DataFrame = {
+    val enc = Multimodal.encodeSyntheticImages(
+      spark, docs(spark, sfDir).select(col("doc_id")), "doc_id")
+    val sniffed = Multimodal
+      .attachMetadata(enc, "payload")
+      .select(col("media_id"), col("fmt"), col("media_kind"), col("payload"))
+    Multimodal.decodeImages(spark, sniffed, "payload")
+      .select(
+        col("media_id"),
+        col("media_kind"),
+        col("width"),
+        col("height"),
+        col("n_pixels"),
+        when(col("fmt") === "jpg", lit(null).cast("long"))
+          .otherwise(col("gray_sum")).as("gray_sum"))
+  }
+
+  val multimodalDecodeRealSql: String =
+    """SELECT doc_id AS media_id,
+      |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image/png'
+      |       WHEN 1 THEN 'image/bmp' ELSE 'image/jpeg' END AS media_kind,
+      |  CAST(8 + doc_id % 13 AS INTEGER) AS width,
+      |  CAST(8 + doc_id % 11 AS INTEGER) AS height,
+      |  CAST((8 + doc_id % 13) * (8 + doc_id % 11) AS INTEGER) AS n_pixels,
+      |  CASE WHEN doc_id % 3 = 2 THEN NULL
+      |       ELSE CAST(list_sum(list_transform(
+      |              range(0, (8 + doc_id % 13) * (8 + doc_id % 11)),
+      |              i -> (31 * doc_id + 7 * (i % (8 + doc_id % 13))
+      |                    + 13 * (i // (8 + doc_id % 13))) % 256)) AS BIGINT)
+      |  END AS gray_sum
+      |FROM documents""".stripMargin
+
   // ---- corpus construction -------------------------------------------------
 
   /** Exact-count stratified sample: 50 documents per source,
@@ -1776,7 +1818,8 @@ object ExtQueries {
     "q_similarity_ann" -> (similarityAnn _),
     "q_similarity_ivf" -> (similarityIvf _),
     "q_multimodal_meta" -> (multimodalMeta _),
-    "q_multimodal_decode" -> (multimodalDecode _))
+    "q_multimodal_decode" -> (multimodalDecode _),
+    "q_multimodal_decode_real" -> (multimodalDecodeReal _))
 
   val oracleSql: Map[String, String] = Map(
     "q_chunk_documents" -> chunkDocumentsSql,
@@ -1810,6 +1853,7 @@ object ExtQueries {
     "q_similarity_ivf" -> similarityIvfSql,
     "q_multimodal_meta" -> multimodalMetaSql,
     "q_multimodal_decode" -> multimodalDecodeSql,
+    "q_multimodal_decode_real" -> multimodalDecodeRealSql,
     "q_bm25_search" -> bm25SearchSql,
     "q_embedding_pq" -> embeddingPqSql,
     "q_similarity_adc" -> similarityAdcSql,

@@ -693,4 +693,41 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getAs[Int]("resized_width") <= 16 && r.getAs[Int]("resized_height") <= 16)
     }
   }
+
+  test("ImageIO decode is real: encode→decode roundtrips dims + pixels; garbage yields nulls") {
+    // hand-built 3×2 gray PNG through the real encoder: decode must see
+    // the true raster, not anything derived from the byte stream
+    val img = new java.awt.image.BufferedImage(3, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val vals = Array(Array(10, 20, 30), Array(40, 50, 60))
+    for (y <- 0 until 2; x <- 0 until 3) {
+      val v = vals(y)(x); img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val df = Seq((1L, baos.toByteArray), (2L, "not an image".getBytes)).toDF("id", "payload")
+    val out = Multimodal.decodeImages(spark, df, "payload")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Int]("width") == 3 && out(1L).getAs[Int]("height") == 2)
+    assert(out(1L).getAs[Long]("gray_sum") == vals.flatten.sum.toLong)
+    assert(out(2L).isNullAt(out(2L).fieldIndex("width")) &&
+      out(2L).isNullAt(out(2L).fieldIndex("gray_sum")))
+
+    // synthetic fixture roundtrip: lossless formats reproduce the exact
+    // generator pixel sum; JPEG (lossy) still reproduces dimensions
+    val ids = (0L until 30L).toDF("doc_id")
+    val enc = Multimodal.encodeSyntheticImages(spark, ids, "doc_id")
+    val dec = Multimodal.decodeImages(spark, enc, "payload").collect()
+    assert(dec.length == 30)
+    dec.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      val w = (8 + id % 13).toInt
+      val h = (8 + id % 11).toInt
+      assert(r.getAs[Int]("width") == w && r.getAs[Int]("height") == h, s"dims for id=$id")
+      if (id % 3 != 2) {
+        val expect = (for (y <- 0 until h; x <- 0 until w)
+          yield (31L * id + 7L * x + 13L * y) % 256L).sum
+        assert(r.getAs[Long]("gray_sum") == expect, s"pixel sum for id=$id fmt=${r.getAs[String]("fmt")}")
+      }
+    }
+  }
 }

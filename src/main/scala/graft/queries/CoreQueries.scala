@@ -243,8 +243,76 @@ object CoreQueries {
       |      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150) big
       |  ON o_orderkey = big.l_orderkey
       |JOIN customer ON o_custkey = c_custkey
-      |ORDER BY o_totalprice DESC, o_orderkey ASC
+      |ORDER BY round(o_totalprice, 4) DESC, o_orderkey ASC
       |LIMIT 100""".stripMargin
+
+  /** TPC-H Q4 shape (order-priority checking): the correlated-EXISTS
+    * semi-join — orders in a quarter that have at least one lineitem
+    * shipped after the order date (the testdata's stand-in for
+    * commit &lt; receipt, which this schema doesn't carry), counted per
+    * priority. Plans as a LEFT SEMI join keyed on the order key with
+    * the correlated date compare as the join residual: each order is
+    * emitted at most once regardless of matching lineitem multiplicity,
+    * and at scale both sides shuffle on the equi key — never a
+    * per-order subquery loop (PlanAuditSpec pins LeftSemi, no nested
+    * loop).
+    */
+  def tpchOrderPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = spark.read
+      .parquet(p(sfDir, "orders"))
+      .filter(
+        col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1996-04-01"))
+    val lineitem = spark.read.parquet(p(sfDir, "lineitem"))
+    orders
+      .join(
+        lineitem,
+        col("o_orderkey") === col("l_orderkey") && col("l_shipdate") > col("o_orderdate"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val tpchOrderPrioritySql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q21-flavored NOT-EXISTS anti-join: orders in the same
+    * quarter with NO returned lineitem (`l_returnflag = 'R'`), counted
+    * per priority — the other half of the correlated-subquery surface.
+    * The returnflag filter pushes below the join so the anti probe
+    * carries only returned lines; plans as LEFT ANTI on the order key.
+    */
+  def tpchWaitingOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = spark.read
+      .parquet(p(sfDir, "orders"))
+      .filter(
+        col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1996-04-01"))
+    val returned = spark.read
+      .parquet(p(sfDir, "lineitem"))
+      .filter(col("l_returnflag") === "R")
+    orders
+      .join(returned, col("o_orderkey") === col("l_orderkey"), "left_anti")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val tpchWaitingOrdersSql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem
+      |                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
 
   /** Scalar max + count — the high-watermark probe (A3/A4). */
   def aggScalarMax(spark: SparkSession, sfDir: String): DataFrame =
@@ -1112,6 +1180,8 @@ object CoreQueries {
     "q_tpch_local_volume" -> (tpchLocalVolume _),
     "q_tpch_returned_items" -> (tpchReturnedItems _),
     "q_tpch_large_volume" -> (tpchLargeVolume _),
+    "q_tpch_order_priority" -> (tpchOrderPriority _),
+    "q_tpch_waiting_orders" -> (tpchWaitingOrders _),
     "q_agg_scalar_max" -> (aggScalarMax _),
     "q_filter_pushdown" -> (filterPushdown _),
     "q_clean_pipeline" -> (cleanPipeline _),
@@ -1150,6 +1220,8 @@ object CoreQueries {
     "q_tpch_local_volume" -> tpchLocalVolumeSql,
     "q_tpch_returned_items" -> tpchReturnedItemsSql,
     "q_tpch_large_volume" -> tpchLargeVolumeSql,
+    "q_tpch_order_priority" -> tpchOrderPrioritySql,
+    "q_tpch_waiting_orders" -> tpchWaitingOrdersSql,
     "q_agg_scalar_max" -> aggScalarMaxSql,
     "q_filter_pushdown" -> filterPushdownSql,
     "q_clean_pipeline" -> cleanPipelineSql,

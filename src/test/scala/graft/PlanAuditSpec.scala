@@ -126,6 +126,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("EXISTS/NOT-EXISTS plan as equi-keyed semi/anti joins — never a subquery loop") {
+    val semi = plan(graft.queries.CoreQueries.tpchOrderPriority(spark, sf))
+    assert(semi.contains("LeftSemi"), semi)
+    assert(!semi.contains("BroadcastNestedLoopJoin") && !semi.contains("CartesianProduct"), semi)
+    val anti = plan(graft.queries.CoreQueries.tpchWaitingOrders(spark, sf))
+    assert(anti.contains("LeftAnti"), anti)
+    assert(!anti.contains("BroadcastNestedLoopJoin") && !anti.contains("CartesianProduct"), anti)
+    // the anti probe side must carry the pushed returnflag filter
+    assert(anti.contains("l_returnflag"), anti)
+  }
+
   test("decontamination probes eval grams via broadcast — the corpus side never sort-merges") {
     val p = plan(graft.queries.ExtQueries.decontaminate(spark, sf))
     assert(p.contains("BroadcastHashJoin"), p)

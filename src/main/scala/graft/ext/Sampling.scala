@@ -66,8 +66,13 @@ object Sampling {
       nShards: Int,
       seed: String = ""): DataFrame = {
     require(nShards > 0, s"shard count must be positive, got $nShards")
+    // 15 hex chars = 60 bits: collision-free permutation keys far past
+    // billion-row corpora (8 chars' 32-bit keyspace started colliding
+    // ~100k ids, degrading within-shard order to id-order among
+    // collided rows); 15 stays under Long.MaxValue so the signed cast
+    // is exact
     val h = conv(
-      substring(md5(concat(lit(seed), lit(":"), col(idCol).cast("string"))), 1, 8),
+      substring(md5(concat(lit(seed), lit(":"), col(idCol).cast("string"))), 1, 15),
       16, 10).cast("long")
     val w = Window.partitionBy(col("shard")).orderBy(col("shuffle_key"), col(idCol))
     df.withColumn("shuffle_key", h)

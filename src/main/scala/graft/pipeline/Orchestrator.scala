@@ -125,7 +125,18 @@ object Orchestrator {
               Thread.currentThread().interrupt()
               outcome = Some(TaskResult(TaskState.Failed, attempt, Some(e.toString)))
             case scala.util.control.NonFatal(_) if attempt <= t.retries =>
-              if (t.retryDelayMs > 0) sleep(t.retryDelayMs)
+              // an interrupt landing during the retry delay must resolve
+              // like the in-body interrupt path — restore the flag and
+              // record Failed — not escape runOnce and discard the
+              // accumulated results
+              if (t.retryDelayMs > 0) {
+                try sleep(t.retryDelayMs)
+                catch {
+                  case e: InterruptedException =>
+                    Thread.currentThread().interrupt()
+                    outcome = Some(TaskResult(TaskState.Failed, attempt, Some(e.toString)))
+                }
+              }
             case scala.util.control.NonFatal(e) =>
               outcome = Some(TaskResult(TaskState.Failed, attempt, Some(e.toString)))
           }

@@ -202,7 +202,7 @@ object ExtQueries {
       .select(col("doc_id"), col("shard"), col("pos"))
 
   val shardShuffleSql: String = {
-    val h = "CAST(('0x' || substring(md5('epoch0:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+    val h = "CAST(('0x' || substring(md5('epoch0:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
     s"""SELECT doc_id,
        |       CAST($h % 16 AS INTEGER) AS shard,
        |       CAST(row_number() OVER (PARTITION BY $h % 16

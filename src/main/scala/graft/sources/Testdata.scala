@@ -44,9 +44,15 @@ object Testdata {
     }
 
   /** Does any `ts` column in the footprint carry TIMESTAMP(NANOS)?
-    * Probes the first parquet footer under `path` (file or directory)
-    * with parquet-hadoop directly — cheap, and independent of the Spark
+    * Probes one parquet footer under `path` (file or directory) with
+    * parquet-hadoop directly — cheap, and independent of the Spark
     * conf whose value the answer decides.
+    *
+    * Contract: local-filesystem paths with a UNIFORM ts encoding across
+    * part files (true of the driver-generated testdata this reads; a
+    * remote URI would need the Hadoop FileSystem API instead of
+    * java.nio). The probed file is the lexicographically first .parquet
+    * so the answer is deterministic regardless of directory-walk order.
     */
   private def hasNanosTs(spark: SparkSession, path: String): Boolean = {
     val p = java.nio.file.Paths.get(path)
@@ -55,14 +61,12 @@ object Testdata {
         // recurse: a partitioned layout keeps its part files in subdirs
         val walk = java.nio.file.Files.walk(p)
         try {
-          val it = walk.iterator()
-          var found: Option[java.nio.file.Path] = None
-          while (found.isEmpty && it.hasNext) {
-            val c = it.next()
-            if (c.toString.endsWith(".parquet") && java.nio.file.Files.isRegularFile(c))
-              found = Some(c)
+          import scala.jdk.CollectionConverters._
+          val candidates = walk.iterator().asScala.filter { c =>
+            c.toString.endsWith(".parquet") && java.nio.file.Files.isRegularFile(c)
           }
-          found.getOrElse(return false)
+          if (candidates.isEmpty) return false
+          candidates.minBy(_.toString)
         } finally walk.close()
       } else p
     val reader = ParquetFileReader.open(
@@ -80,6 +84,13 @@ object Testdata {
     } finally reader.close()
   }
 
+  /** Events table reader, branching on the parquet ts encoding (see
+    * [[hasNanosTs]]). Note: the first nanos-encoded read flips
+    * `spark.sql.legacy.parquet.nanosAsLong` on for the REST of the
+    * session — strict fail-loudly behavior for unrelated raw nanos
+    * reads holds only until that first call; afterwards they decode as
+    * LongType like any legacy read.
+    */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     val path = tablePath(sfDir, "events")
     if (hasNanosTs(spark, path))

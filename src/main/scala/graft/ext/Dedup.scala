@@ -510,12 +510,49 @@ object Dedup {
       graft.functions.VectorExprs
         .simhash64(df.sparkSession, split(trim(lower(col(textCol))), "\\s+"))
         .as("sig"))
+    simhashPairsFromSigs(sigs, maxHamming, maxBucket, chunkBits = 16)
+  }
+
+  /** [[simhashDedupPairs]] with the md5 token hash
+    * ([[graft.functions.VectorExprs.SimHashMd5]]): 60-bit signatures
+    * chunked 4 × 15 bits. Identical bucketing/verify machinery; the
+    * different hash exists so another engine can replay the whole
+    * pipeline in SQL (md5 is universal; Spark's xxhash64 is not) —
+    * that is what upgrades the simhash METHOD from spec-only to
+    * oracle-checked. The xxhash64 variant stays the production default
+    * (no per-token MessageDigest work).
+    */
+  def simhashDedupPairsMd5(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
+    val sigs = df.select(
+      col(idCol).as("id"),
+      graft.functions.VectorExprs
+        .simhashMd5(df.sparkSession, split(trim(lower(col(textCol))), "\\s+"))
+        .as("sig"))
+    simhashPairsFromSigs(sigs, maxHamming, maxBucket, chunkBits = 15)
+  }
+
+  /** Shared simhash candidate machinery: bucket each signature on four
+    * `chunkBits`-wide chunks (pigeonhole over Hamming ≤ 3), cap
+    * degenerate buckets, pair within buckets, verify with the full
+    * Hamming distance.
+    */
+  private def simhashPairsFromSigs(
+      sigs: DataFrame,
+      maxHamming: Int,
+      maxBucket: Int,
+      chunkBits: Int): DataFrame = {
+    val mask = (1L << chunkBits) - 1L
     val chunked = sigs.select(
       col("id"),
       col("sig"),
       explode(array((0 until 4).map { c =>
         struct(lit(c).as("chunk"),
-          shiftright(col("sig"), c * 16).bitwiseAND(0xFFFFL).as("bucket"))
+          shiftright(col("sig"), c * chunkBits).bitwiseAND(mask).as("bucket"))
       }: _*)).as("cb"))
       .select(col("id"), col("sig"), col("cb.chunk").as("chunk"), col("cb.bucket").as("bucket"))
     // Degenerate-content guard (same as the minhash/embedding-LSH paths):

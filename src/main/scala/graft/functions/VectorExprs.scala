@@ -326,6 +326,50 @@ object VectorExprs {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** 60-bit SimHash from a token-string array with an md5 token hash —
+    * the cross-engine-replayable variant of [[SimHash64]]. Token hash =
+    * first 15 hex chars of md5 (60 bits, the widest md5 prefix that
+    * stays positive in a signed 64-bit int in every engine); signature
+    * bit i (LSB-first) is the sign of the per-bit tally, so the packed
+    * value never touches the sign bit and `1 << i` arithmetic is exact
+    * and identical in Spark and DuckDB SQL.
+    */
+  case class SimHashMd5(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    @transient private lazy val mdLocal =
+      ThreadLocal.withInitial[java.security.MessageDigest](() =>
+        java.security.MessageDigest.getInstance("MD5"))
+    override def nullSafeEval(input: Any): Any = {
+      val toks = input.asInstanceOf[ArrayData]
+      val n = toks.numElements()
+      val md = mdLocal.get()
+      val tally = new Array[Int](60)
+      var j = 0
+      while (j < n) {
+        val t = toks.get(j, StringType).asInstanceOf[UTF8String]
+        md.reset()
+        val d = md.digest(t.getBytes)
+        // first 8 digest bytes big-endian, dropped low nibble = the
+        // value of the first 15 hex chars of the md5 string
+        var v = 0L
+        var b = 0
+        while (b < 8) { v = (v << 8) | (d(b) & 0xFFL); b += 1 }
+        val h = v >>> 4
+        var i = 0
+        while (i < 60) {
+          if (((h >>> i) & 1L) == 1L) tally(i) += 1 else tally(i) -= 1
+          i += 1
+        }
+        j += 1
+      }
+      var sig = 0L
+      var i = 0
+      while (i < 60) { if (tally(i) > 0) sig |= 1L << i; i += 1 }
+      sig
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Random-hyperplane LSH signature: for each of `bits` hyperplanes,
     * the sign of vec·plane packed into a long bucket key — the compiled
     * form of [[graft.ext.Similarity.lshSignature]]'s column algebra,
@@ -508,6 +552,8 @@ object VectorExprs {
       "graft_array_l2sq", exprs => ArrayL2Sq(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction(
       "graft_simhash64", exprs => SimHash64(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "graft_simhash_md5", exprs => SimHashMd5(exprs.head), "scala_udf")
   }
 
   def arrayCosine(spark: org.apache.spark.sql.SparkSession, a: Column, b: Column): Column = {
@@ -523,6 +569,11 @@ object VectorExprs {
   def simhash64(spark: org.apache.spark.sql.SparkSession, tokens: Column): Column = {
     register(spark)
     call_function("graft_simhash64", tokens)
+  }
+
+  def simhashMd5(spark: org.apache.spark.sql.SparkSession, tokens: Column): Column = {
+    register(spark)
+    call_function("graft_simhash_md5", tokens)
   }
 
   /** Shingle hashes with given (n, p) baked into the registration. */

@@ -443,6 +443,57 @@ object ExtQueries {
   def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.simhashDedupPairs(corpusNearDups(docs(spark, sfDir)), "doc_id", "text", maxHamming = 3)
 
+  /** SimHash near-dups with the md5 token hash — same method
+    * (4-chunk pigeonhole bucketing, Hamming ≤ 3 verify) over a 60-bit
+    * signature whose every step DuckDB replays in SQL, giving the
+    * simhash METHOD a full rows+schema+hash oracle; the xxhash64
+    * production variant above stays rows-only with its spec-pinned
+    * bucketing proof.
+    */
+  def dedupSimhashMd5(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.simhashDedupPairsMd5(corpusNearDups(docs(spark, sfDir)), "doc_id", "text", maxHamming = 3)
+
+  /** The full simhash pipeline in SQL: 60-bit token hashes (15 md5 hex
+    * chars), per-bit signed tallies packed LSB-first, 4 × 15-bit chunk
+    * buckets with the same degenerate-bucket cap, pigeonhole pair join,
+    * Hamming verify via bit_count(xor).
+    */
+  val dedupSimhashMd5Sql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000,
+      |         array_to_string(toks[1:greatest(len(toks) - 2, 0)], ' ')
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      |        FROM documents WHERE doc_id % 5 = 0)),
+      |hs AS (
+      |  SELECT doc_id,
+      |         list_transform(regexp_split_to_array(trim(lower(text)), '\s+'),
+      |           t -> CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT)) AS h
+      |  FROM corpus),
+      |sig AS (
+      |  SELECT doc_id,
+      |         CAST(list_sum(list_transform(range(0, 60), i ->
+      |           CASE WHEN list_sum(list_transform(h, x ->
+      |                  CASE WHEN (x >> i) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+      |                THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS sig
+      |  FROM hs),
+      |ch AS (
+      |  SELECT doc_id, sig, c,
+      |         (sig >> (c * 15)) & 32767 AS bucket
+      |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS c)),
+      |bounded AS (
+      |  SELECT * FROM (
+      |    SELECT doc_id, sig, c, bucket,
+      |           count(*) OVER (PARTITION BY c, bucket) AS bucket_n
+      |    FROM ch)
+      |  WHERE bucket_n <= 1000)
+      |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+      |       CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+      |FROM bounded a JOIN bounded b ON a.c = b.c AND a.bucket = b.bucket
+      |WHERE a.doc_id < b.doc_id
+      |  AND bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin
+
   /** Embedding-cosine near-dup: planted exact copies must come back at
     * cosine 1.0; brute-force both sides.
     */
@@ -1810,6 +1861,7 @@ object ExtQueries {
     "q_dedup_minhash" -> (dedupMinhash _),
     "q_dedup_ngram" -> (dedupNgram _),
     "q_dedup_simhash" -> (dedupSimhash _),
+    "q_dedup_simhash_md5" -> (dedupSimhashMd5 _),
     "q_dedup_embedding" -> (dedupEmbedding _),
     "q_dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
     "q_kmeans" -> (kmeansClusters _),
@@ -1844,6 +1896,7 @@ object ExtQueries {
     "q_json_path" -> jsonPathSql,
     "q_dedup_minhash" -> dedupMinhashSql,
     "q_dedup_ngram" -> dedupNgramSql,
+    "q_dedup_simhash_md5" -> dedupSimhashMd5Sql,
     "q_dedup_embedding" -> dedupEmbeddingSql,
     "q_kmeans" -> kmeansClustersSql,
     "q_dedup_semantic" -> dedupSemanticSql,

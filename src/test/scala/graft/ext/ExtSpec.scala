@@ -523,6 +523,44 @@ class DedupSpec extends SparkSpec {
       s"bucketed=${bucketed.size} brute=${brute.size}")
   }
 
+  test("md5 simhash: bucketed == brute Hamming<=3, and the token hash matches the SQL form") {
+    // the oracle-replayable variant must have the same pigeonhole
+    // guarantee over its 60-bit / 4×15-chunk geometry
+    val withCopies = corpus.unionByName(
+      corpus.filter(col("id") % 5 === 0 && col("id") < 100)
+        .withColumn("id", col("id") + 2000L))
+    val bucketed = Dedup.simhashDedupPairsMd5(withCopies, "id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sigs = withCopies.select(
+      col("id"),
+      graft.functions.VectorExprs
+        .simhashMd5(spark, split(trim(lower(col("text"))), "\\s+")).as("sig"))
+    val a = sigs.select(col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = sigs.select(col("id").as("id_b"), col("sig").as("sig_b"))
+    val brute = a.join(b, col("id_a") < col("id_b"))
+      .filter(Dedup.hamming64(col("sig_a"), col("sig_b")) <= 3)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bucketed.nonEmpty && bucketed == brute,
+      s"bucketed=${bucketed.size} brute=${brute.size}")
+    // signatures stay within 60 bits (no sign-bit arithmetic anywhere)
+    val sigVals = sigs.collect().map(_.getLong(1))
+    assert(sigVals.forall(s => s >= 0L && s < (1L << 60)))
+    // compiled token hash == the declarative conv(md5-prefix) column the
+    // DuckDB oracle mirrors
+    val tok = withCopies.limit(20).select(
+      explode(split(trim(lower(col("text"))), "\\s+")).as("t"))
+    val mismatch = tok.select(
+      graft.functions.VectorExprs.simhashMd5(spark, array(col("t"))).as("compiled"),
+      conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long").as("declared"))
+      .collect()
+    mismatch.foreach { r =>
+      // a single token's simhash IS its 60-bit token hash (every tally
+      // is the hash bit's sign)
+      assert(r.getLong(0) == r.getLong(1), s"token-hash divergence: $r")
+    }
+  }
+
   test("simhash bucket cap bounds a degenerate identical-content corpus") {
     // 50 identical docs: every signature equal, all four chunk buckets
     // collapse to one — without the cap this is a quadratic self-join

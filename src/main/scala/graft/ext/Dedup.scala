@@ -415,12 +415,32 @@ object Dedup {
         org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))))
       .filter(col("bucket_n") <= maxBucket)
       .drop("bucket_n")
-    bounded.select(col("band"), col("bucket"), col("id").as("id_a"))
-      .join(bounded.select(col("band"), col("bucket"), col("id").as("id_b")), Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
+    // Pair expansion WITHOUT a bucket self-join: a self-join evaluates
+    // the whole signature pass once per side (Spark shares no subplans
+    // across join branches — r12's q_dedup_minhash regression), where
+    // this groupBy rides the window's existing (band, bucket)
+    // partitioning with no extra exchange and the signatures are
+    // computed exactly once. Memory stays bounded: only buckets the cap
+    // already passed (≤ maxBucket ids) are ever collected.
+    bounded
+      .groupBy(col("band"), col("bucket"))
+      .agg(array_sort(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(orderedPairs(col("ids"))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .distinct()
   }
+
+  /** All ordered pairs (a &lt; b) of a sorted array, as structs — the
+    * in-bucket candidate expansion shared by the LSH paths. Pure array
+    * algebra (codegen'd), O(n²) per bucket with n capped by the
+    * caller's bucket bound.
+    */
+  private def orderedPairs(sorted: Column): Column =
+    flatten(transform(sorted, (a, i) =>
+      transform(
+        slice(sorted, i + lit(2), greatest(size(sorted) - i - 1, lit(0))),
+        b => struct(a.as("id_a"), b.as("id_b")))))
 
   /** End-to-end MinHash+LSH near-dup detection: candidates from LSH,
     * verified with exact shingle Jaccard ≥ `threshold`.
@@ -563,13 +583,26 @@ object Dedup {
         org.apache.spark.sql.expressions.Window.partitionBy(col("chunk"), col("bucket"))))
       .filter(col("bucket_n") <= maxBucket)
       .drop("bucket_n")
-    val l = bounded.select(col("chunk"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val r = bounded.select(col("chunk"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
-    l.join(r, Seq("chunk", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), hamming64(col("sig_a"), col("sig_b")).as("hamming"))
-      .distinct()
+    // Same no-self-join expansion as [[minhashCandidatePairs]] — and
+    // because the signature rides the collected struct, the Hamming
+    // verify needs NO join-back at all: one aggregation on the window's
+    // partitioning, pairs + verify as array algebra. Signatures are
+    // computed once; memory per bucket is capped structs.
+    val pairs = bounded
+      .groupBy(col("chunk"), col("bucket"))
+      .agg(array_sort(collect_list(struct(col("id"), col("sig")))).as("ms"))
+      .filter(size(col("ms")) >= 2)
+      .select(explode(flatten(transform(col("ms"), (a, i) =>
+        transform(
+          slice(col("ms"), i + lit(2), greatest(size(col("ms")) - i - 1, lit(0))),
+          b => struct(
+            a.getField("id").as("id_a"),
+            b.getField("id").as("id_b"),
+            hamming64(a.getField("sig"), b.getField("sig")).as("hamming")))))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"), col("p.hamming").as("hamming"))
+    pairs
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Exact-duplicate edges (same normalized content), id_a < id_b — the

@@ -126,6 +126,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("LSH candidate expansion is join-free: one signature pass, one window") {
+    // r12 regression: the bucket SELF-join evaluated the whole
+    // shingle+signature pass once per side. The collect_list expansion
+    // must keep the candidate stage join-free — the only joins in the
+    // full minhash query are the two verification joins of the shingle
+    // sets onto the pair set, and the simhash query has none at all.
+    val mh = plan(graft.queries.ExtQueries.dedupMinhash(spark, sf))
+    val mhJoins = "HashJoin|SortMergeJoin".r.findAllIn(mh).length
+    // formatted explain names each node twice (tree + details)
+    assert(mhJoins <= 4, s"minhash plans ${mhJoins / 2} joins (want <=2):\n$mh")
+    assert("Window".r.findAllIn(mh).length <= 2, s"minhash plans >1 window:\n$mh")
+    val sh = plan(graft.queries.ExtQueries.dedupSimhashMd5(spark, sf))
+    assert(!sh.contains("Join"), s"simhash should be join-free:\n$sh")
+  }
+
   test("EXISTS/NOT-EXISTS plan as equi-keyed semi/anti joins — never a subquery loop") {
     val semi = plan(graft.queries.CoreQueries.tpchOrderPriority(spark, sf))
     assert(semi.contains("LeftSemi"), semi)

@@ -1,0 +1,93 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-rehearsal data generator: replicate an sf directory `copies`×
+  * into a new directory with shifted key spaces, for measuring
+  * per-query cost slopes beyond the largest driver-shipped SF.
+  *
+  * Replication must not change the workload's CHARACTER, so copies are
+  * decorrelated:
+  *   - document text gets a copy-specific token suffix (copy 0 stays
+  *     verbatim) — cross-copy shingle/token similarity drops to zero,
+  *     so dedup output scales like 10 independent corpora instead of
+  *     exploding into 10-clone duplicate groups;
+  *   - embeddings are circularly shifted by 5·copy positions —
+  *     cross-copy cosine of shifted random vectors is ~0, keeping
+  *     near-dup and ANN candidate structure per-copy;
+  *   - TPC-H keys shift by copy·10⁷, preserving join fan-in/fan-out
+  *     (dims nation/region stay single-copy and joins stay satisfied
+  *     because every fact copy references the dim keys verbatim).
+  *
+  * Usage: runMain graft.tools.GenScale <srcSfDir> <dstDir> <copies>
+  */
+object GenScale {
+
+  private val Shift = 10000000L
+
+  def main(args: Array[String]): Unit = {
+    val Array(src, dst, copiesStr) = args
+    val copies = copiesStr.toInt
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def replicate(table: String)(mutate: (DataFrame, Int) => DataFrame): Unit = {
+      val base = spark.read.parquet(s"$src/$table.parquet")
+      val out = (0 until copies).map(i => mutate(base, i)).reduce(_ unionByName _)
+      out.write.mode("overwrite").parquet(s"$dst/$table.parquet")
+      println(s"[gen] $table: ${base.count()} -> ${out.count()} rows")
+    }
+
+    // dims: verbatim single copy (fact copies reference the same keys)
+    Seq("nation", "region").foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    }
+
+    replicate("documents") { (d, i) =>
+      val shifted = d.withColumn("doc_id", col("doc_id") + lit(i * Shift))
+      if (i == 0) shifted
+      else shifted.withColumn(
+        "text",
+        array_join(transform(split(col("text"), " "), t => concat(t, lit(s"_$i"))), " "))
+    }
+
+    replicate("embeddings") { (d, i) =>
+      val shifted = d.withColumn("vec_id", col("vec_id") + lit(i * Shift))
+      if (i == 0) shifted
+      else {
+        val by = (i * 5) % 64
+        shifted.withColumn(
+          "embedding",
+          concat(slice(col("embedding"), by + 1, 64 - by), slice(col("embedding"), 1, by)))
+      }
+    }
+
+    replicate("customer")((d, i) => d.withColumn("c_custkey", col("c_custkey") + lit(i * Shift)))
+    replicate("supplier")((d, i) => d.withColumn("s_suppkey", col("s_suppkey") + lit(i * Shift)))
+    replicate("part")((d, i) => d.withColumn("p_partkey", col("p_partkey") + lit(i * Shift)))
+    replicate("orders") { (d, i) =>
+      d.withColumn("o_orderkey", col("o_orderkey") + lit(i * Shift))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * Shift))
+    }
+    replicate("lineitem") { (d, i) =>
+      d.withColumn("l_orderkey", col("l_orderkey") + lit(i * Shift))
+        .withColumn("l_partkey", col("l_partkey") + lit(i * Shift))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(i * Shift))
+    }
+    replicate("events") { (d, i) =>
+      val keyed = d.schema.fieldNames.foldLeft(d) { (acc, f) =>
+        if (f == "event_id" || f == "user_id") acc.withColumn(f, col(f) + lit(i * Shift))
+        else acc
+      }
+      keyed
+    }
+    spark.stop()
+  }
+}

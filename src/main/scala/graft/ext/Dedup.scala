@@ -320,6 +320,12 @@ object Dedup {
       threshold: Double = 0.8,
       shingleN: Int = 3): DataFrame = {
     val spark = df.sparkSession
+    // The shingle-set frame is traversed five times (document-frequency
+    // aggregation, prefix build, probe side, and both verification
+    // joins); Spark shares no subplans across those branches, so
+    // persist it once — the SCALING.md containment contract. Blocks
+    // spill to disk under pressure and the ContextCleaner reclaims them
+    // when the result frame is dereferenced.
     val sets = df
       .select(
         col(idCol).as("id"),
@@ -331,6 +337,7 @@ object Dedup {
             Long.MaxValue)
           .as("sh"))
       .select(col("id"), col("sh"), size(col("sh")).as("set_size"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val postings = sets.select(col("id"), col("set_size"), explode(col("sh")).as("shingle"))
     // canonical order key: global document frequency (rarest first)
     val dfreq = postings.groupBy(col("shingle")).agg(count(lit(1)).as("df"))

@@ -314,6 +314,79 @@ object CoreQueries {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** TPC-H Q13 shape (customer order-count distribution): the outer-
+    * join histogram — customer LEFT OUTER orders with a predicate on
+    * the JOIN's preserved-null side (pushed to the orders input by
+    * Catalyst, never applied post-join where it would break outer
+    * semantics), per-customer order counts INCLUDING zeros, then the
+    * count-of-counts distribution. Two cascaded aggregations, both
+    * map-side combined; the only wide ops are the join's key shuffle
+    * and two small key-space aggs.
+    */
+  def tpchCustomerDistribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val customer = spark.read.parquet(p(sfDir, "customer"))
+    val orders = spark.read.parquet(p(sfDir, "orders"))
+    customer
+      .join(
+        orders,
+        col("c_custkey") === col("o_custkey") && col("o_orderpriority") =!= "1-URGENT",
+        "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val tpchCustomerDistributionSql: String =
+    """SELECT c_count, count(*) AS custdist
+      |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      |      FROM customer LEFT OUTER JOIN orders
+      |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |      GROUP BY c_custkey)
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** TPC-H Q22 shape (global sales opportunity): scalar-subquery
+    * threshold + anti-join — customers above the positive-balance
+    * average with no urgent orders, summarized per nation. The scalar
+    * average is a 1-row frame met via broadcast (a single-row
+    * nested-loop is the right plan for a scalar), the NOT EXISTS is a
+    * LeftAnti keyed on the customer key with the priority filter pushed
+    * to the probe side. The threshold compare uses the 4-dp ROUNDED
+    * average so both engines cut on the same value (raw float averages
+    * differ in the last ulp across partial-aggregation orders).
+    */
+  def tpchSalesOpportunity(spark: SparkSession, sfDir: String): DataFrame = {
+    val customer = spark.read.parquet(p(sfDir, "customer"))
+    val urgent = spark.read
+      .parquet(p(sfDir, "orders"))
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    val avgBal = customer
+      .filter(col("c_acctbal") > 0)
+      .agg(round(avg(col("c_acctbal")), 4).as("avg_bal"))
+    customer
+      .join(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"), round(sum(col("c_acctbal")), 4).as("totacctbal"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  val tpchSalesOpportunitySql: String =
+    """SELECT c_nationkey, count(*) AS numcust,
+      |       round(sum(c_acctbal), 4) AS totacctbal
+      |FROM customer
+      |WHERE c_acctbal > (SELECT round(avg(c_acctbal), 4) FROM customer
+      |                   WHERE c_acctbal > 0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderpriority = '1-URGENT')
+      |GROUP BY c_nationkey
+      |ORDER BY c_nationkey""".stripMargin
+
   /** Scalar max + count — the high-watermark probe (A3/A4). */
   def aggScalarMax(spark: SparkSession, sfDir: String): DataFrame =
     Testdata.events(spark, sfDir)
@@ -1182,6 +1255,8 @@ object CoreQueries {
     "q_tpch_large_volume" -> (tpchLargeVolume _),
     "q_tpch_order_priority" -> (tpchOrderPriority _),
     "q_tpch_waiting_orders" -> (tpchWaitingOrders _),
+    "q_tpch_customer_distribution" -> (tpchCustomerDistribution _),
+    "q_tpch_sales_opportunity" -> (tpchSalesOpportunity _),
     "q_agg_scalar_max" -> (aggScalarMax _),
     "q_filter_pushdown" -> (filterPushdown _),
     "q_clean_pipeline" -> (cleanPipeline _),
@@ -1222,6 +1297,8 @@ object CoreQueries {
     "q_tpch_large_volume" -> tpchLargeVolumeSql,
     "q_tpch_order_priority" -> tpchOrderPrioritySql,
     "q_tpch_waiting_orders" -> tpchWaitingOrdersSql,
+    "q_tpch_customer_distribution" -> tpchCustomerDistributionSql,
+    "q_tpch_sales_opportunity" -> tpchSalesOpportunitySql,
     "q_agg_scalar_max" -> aggScalarMaxSql,
     "q_filter_pushdown" -> filterPushdownSql,
     "q_clean_pipeline" -> cleanPipelineSql,

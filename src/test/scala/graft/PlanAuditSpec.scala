@@ -152,6 +152,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(anti.contains("l_returnflag"), anti)
   }
 
+  test("outer-join histogram keeps the join predicate on the input side, aggs partial") {
+    val p = plan(graft.queries.CoreQueries.tpchCustomerDistribution(spark, sf))
+    // the o_orderpriority predicate must sit below the outer join (a
+    // Filter/scan-pushdown on the orders input), never above it
+    assert(p.contains("LeftOuter") || p.contains("RightOuter"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    val joinIdx = p.indexOf("Join")
+    val filtIdx = p.indexOf("1-URGENT")
+    assert(filtIdx >= 0, p)
+  }
+
+  test("scalar-subquery threshold broadcasts one row; NOT EXISTS is LeftAnti") {
+    val p = plan(graft.queries.CoreQueries.tpchSalesOpportunity(spark, sf))
+    assert(p.contains("LeftAnti"), p)
+    // the 1-row average meets the customer stream via broadcast, and the
+    // big side is never repartitioned for it
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
   test("decontamination probes eval grams via broadcast — the corpus side never sort-merges") {
     val p = plan(graft.queries.ExtQueries.decontaminate(spark, sf))
     assert(p.contains("BroadcastHashJoin"), p)

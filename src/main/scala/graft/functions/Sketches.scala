@@ -1,0 +1,123 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+
+/** Distinct-count sketches as NATIVE Catalyst aggregates.
+  *
+  * [[KMinValues]] is the KMV (k-minimum-values) estimator (Bar-Yossef
+  * et al. 2002): keep the k smallest distinct values of a uniform hash;
+  * the k-th smallest, as a fraction of the hash space, estimates
+  * density, so distinct ≈ (k−1) / (kth / 2⁶⁰). Two properties motivate
+  * it next to Spark's built-in HLL (`approx_count_distinct`):
+  *
+  *   - DETERMINISTIC AND ENGINE-REPLAYABLE: fed an md5-derived hash,
+  *     the k-min set — and therefore the estimate, bit for bit — is
+  *     reproducible in any engine with md5 and a top-k, so the sketch
+  *     is fully oracle-checkable (`q_approx_distinct_kmv`), unlike
+  *     HLL's private xxhash64 register layout (`q_approx_distinct`,
+  *     permanently rows-only).
+  *   - SCALE SHAPE: a `TypedImperativeAggregate` with a bounded
+  *     (≤ k longs) buffer that merges map-side, so the shuffle carries
+  *     at most k values per (group, partition) — the whole point of a
+  *     sketch; the exact-distinct alternative shuffles every distinct
+  *     key. Below k distinct values the buffer holds ALL of them and
+  *     the estimate is exact.
+  */
+object Sketches {
+
+  /** KMV sketch aggregate over a pre-hashed non-negative long column
+    * (hash choice stays with the caller for oracle parity; use a 60-bit
+    * hash so double conversion below is exact). NULL inputs are
+    * ignored, empty input estimates 0.
+    */
+  case class KMinValues(
+      child: Expression,
+      k: Int,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+      with UnaryLike[Expression] {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = false
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (child.dataType == LongType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_kmv expects a BIGINT hash column, got ${child.dataType.catalogString}")
+
+    override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+      new java.util.TreeSet[java.lang.Long]()
+
+    override def update(
+        buf: java.util.TreeSet[java.lang.Long],
+        input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+      val v = child.eval(input)
+      if (v != null) {
+        val h = v.asInstanceOf[Long]
+        if (buf.size < k) buf.add(h)
+        else if (h < buf.last()) { // strictly smaller than current kth
+          if (buf.add(h)) buf.pollLast()
+        }
+      }
+      buf
+    }
+
+    override def merge(
+        buf: java.util.TreeSet[java.lang.Long],
+        other: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+      val it = other.iterator()
+      var continue = true
+      while (continue && it.hasNext) {
+        val h = it.next()
+        if (buf.size < k) buf.add(h)
+        else if (h < buf.last()) { if (buf.add(h)) buf.pollLast() }
+        else continue = false // other is sorted ascending: rest can't qualify
+      }
+      buf
+    }
+
+    override def eval(buf: java.util.TreeSet[java.lang.Long]): Any =
+      if (buf.size < k) buf.size.toDouble
+      else (k - 1).toDouble / (buf.last().toDouble / 1152921504606846976.0) // 2^60
+
+    override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(4 + 8 * buf.size)
+      bb.putInt(buf.size)
+      val it = buf.iterator()
+      while (it.hasNext) bb.putLong(it.next())
+      bb.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      val n = bb.getInt
+      val buf = new java.util.TreeSet[java.lang.Long]()
+      var i = 0
+      while (i < n) { buf.add(bb.getLong); i += 1 }
+      buf
+    }
+
+    override def withNewMutableAggBufferOffset(offset: Int): KMinValues =
+      copy(mutableAggBufferOffset = offset)
+    override def withNewInputAggBufferOffset(offset: Int): KMinValues =
+      copy(inputAggBufferOffset = offset)
+    override protected def withNewChildInternal(c: Expression): KMinValues = copy(child = c)
+  }
+
+  /** Column form with `k` baked into the registration. */
+  def kmvDistinct(spark: org.apache.spark.sql.SparkSession, hash: Column, k: Int): Column = {
+    val name = s"graft_kmv_$k"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => KMinValues(exprs.head, k), "scala_udf")
+    call_function(name, hash)
+  }
+}

@@ -182,6 +182,42 @@ object AnalyticsQueries {
         approx_count_distinct(col("user_id")).as("approx_users"),
         countDistinct(col("user_id")).as("exact_users"))
 
+  /** KMV distinct sketch ([[graft.functions.Sketches.KMinValues]],
+    * k = 256 over a 60-bit md5 hash) — the oracle-CHECKABLE
+    * approximate-distinct path: the k-min set is a deterministic
+    * function of the hashed values, so DuckDB replays the identical
+    * estimate (below k distinct the sketch is exact). The shuffle
+    * carries ≤ k longs per (group, partition) — sketch scaling, not
+    * distinct-key scaling. Exact count emitted alongside for the
+    * error-bound check.
+    */
+  def approxDistinctKmv(spark: SparkSession, sfDir: String): DataFrame = {
+    val h = conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10).cast("long")
+    Testdata.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(
+        round(graft.functions.Sketches.kmvDistinct(spark, h, 256), 4).as("kmv_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+  }
+
+  val approxDistinctKmvSql: String =
+    """WITH h AS (
+      |  SELECT DISTINCT event_type,
+      |         CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+      |  FROM events WHERE user_id IS NOT NULL),
+      |r AS (SELECT event_type, hv,
+      |        row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+      |      FROM h),
+      |s AS (SELECT event_type, count(*) AS n, max(hv) AS kth
+      |      FROM r WHERE rn <= 256 GROUP BY event_type),
+      |x AS (SELECT event_type, count(DISTINCT user_id) AS exact_users FROM events GROUP BY event_type)
+      |SELECT s.event_type,
+      |       round(CASE WHEN s.n < 256 THEN CAST(s.n AS DOUBLE)
+      |             ELSE 255.0 / (CAST(s.kth AS DOUBLE) / 1152921504606846976.0)
+      |             END, 4) AS kmv_users,
+      |       x.exact_users
+      |FROM s JOIN x USING (event_type)""".stripMargin
+
   /** Discrete median (lower middle element) per group, built from an
     * explicit row_number construction so both engines pick the exact
     * same element — no interpolation-semantics mismatch.
@@ -678,6 +714,7 @@ object AnalyticsQueries {
     "q_tfidf_keywords" -> (tfidfKeywords _),
     "q_median_disc" -> (medianDisc _),
     "q_approx_distinct" -> (approxDistinct _),
+    "q_approx_distinct_kmv" -> (approxDistinctKmv _),
     "q_asof_join" -> (asofJoin _),
     "q_sliding_window" -> (slidingWindow _),
     "q_session_window" -> (sessionWindow _),
@@ -704,6 +741,7 @@ object AnalyticsQueries {
     "q_window_analytics" -> windowAnalyticsSql,
     "q_tfidf_keywords" -> tfidfKeywordsSql,
     "q_median_disc" -> medianDiscSql,
+    "q_approx_distinct_kmv" -> approxDistinctKmvSql,
     "q_asof_join" -> asofJoinSql,
     "q_sliding_window" -> slidingWindowSql,
     "q_session_window" -> sessionWindowSql,

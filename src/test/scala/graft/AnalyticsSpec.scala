@@ -18,6 +18,29 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("KMV sketch: exact below k, within error envelope above, partitioning-invariant") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // below k distinct: the buffer holds everything -> exact
+    val small = (1 to 100).map(i => (i % 37).toLong).toDF("v")
+    def hash = conv(substring(md5(col("v").cast("string")), 1, 15), 16, 10).cast("long")
+    val exactSmall = small.agg(graft.functions.Sketches.kmvDistinct(spark, hash, 256)).head.getDouble(0)
+    assert(exactSmall == 37.0, s"below-k must be exact, got $exactSmall")
+    // above k: standard KMV error ~ 1/sqrt(k) (6.25% at k=256); allow 3 sigma
+    val big = (1 to 20000).map(_.toLong).toDF("v")
+    val est = big.agg(graft.functions.Sketches.kmvDistinct(spark, hash, 256)).head.getDouble(0)
+    assert(math.abs(est - 20000) / 20000.0 <= 0.19, s"est=$est for 20000 distinct")
+    // merge path: estimate must not depend on partitioning (map-side
+    // partial buffers merge associatively)
+    val est2 = big.repartition(13).agg(graft.functions.Sketches.kmvDistinct(spark, hash, 256))
+      .head.getDouble(0)
+    assert(est == est2, s"partitioning changed the estimate: $est vs $est2")
+    // duplicates collapse: distinct of values, not rows
+    val dup = big.union(big)
+    val est3 = dup.agg(graft.functions.Sketches.kmvDistinct(spark, hash, 256)).head.getDouble(0)
+    assert(est3 == est, s"duplicates changed the estimate: $est3 vs $est")
+  }
+
   test("approx_percentile stays within its accuracy envelope against exact percentile") {
     import org.apache.spark.sql.functions._
     // relative-rank error <= 1/accuracy (Greenwald-Khanna bound): compare

@@ -387,6 +387,554 @@ object CoreQueries {
       |GROUP BY c_nationkey
       |ORDER BY c_nationkey""".stripMargin
 
+  /** TPC-H Q2 shape (minimum-cost supplier): the correlated-MIN
+    * subquery. This schema has no partsupp, so the (part, supplier)
+    * "offer" table is derived from lineitem — min extended price per
+    * pair — then each offer must equal the per-part minimum across
+    * EUROPE suppliers. The part filter is a broadcast semi BELOW the
+    * offer aggregation (the subquery correlates only on partkey, so
+    * restricting to qualifying parts first is equivalence-preserving
+    * and cuts the agg input ~400×); the per-part min is a second tiny
+    * agg joined back by equality on the exact double (a min of the
+    * same value set in both engines — no summation, no ulp risk).
+    */
+  def tpchMinCostSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val parts = spark.read
+      .parquet(p(sfDir, "part"))
+      .filter(col("p_size") === 15 && col("p_type") === "SMALL")
+    val euro = spark.read
+      .parquet(p(sfDir, "supplier"))
+      .join(
+        broadcast(spark.read.parquet(p(sfDir, "nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(
+        broadcast(spark.read.parquet(p(sfDir, "region")).filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val offers = spark.read
+      .parquet(p(sfDir, "lineitem"))
+      .join(broadcast(parts.select(col("p_partkey"))), col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice")).as("cost"))
+      .join(broadcast(euro), col("l_suppkey") === col("s_suppkey"))
+    val minPerPart = offers
+      .groupBy(col("l_partkey").as("mp_partkey"))
+      .agg(min(col("cost")).as("min_cost"))
+    offers
+      .join(broadcast(minPerPart), col("l_partkey") === col("mp_partkey") && col("cost") === col("min_cost"))
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .withColumn("s_acctbal_r", round(col("s_acctbal"), 4))
+      .orderBy(col("s_acctbal_r").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(100)
+      .select(
+        col("s_acctbal_r").as("s_acctbal"),
+        col("s_name"),
+        col("n_name"),
+        col("p_partkey"),
+        round(col("cost"), 4).as("supply_cost"))
+  }
+
+  val tpchMinCostSupplierSql: String =
+    """WITH offers AS (
+      |  SELECT l_partkey, l_suppkey, min(l_extendedprice) AS cost
+      |  FROM lineitem GROUP BY l_partkey, l_suppkey),
+      |euro AS (
+      |  SELECT s_suppkey, s_name, s_acctbal, n_name
+      |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WHERE r_name = 'EUROPE')
+      |SELECT round(s_acctbal, 4) AS s_acctbal, s_name, n_name, p_partkey,
+      |       round(cost, 4) AS supply_cost
+      |FROM offers o
+      |JOIN euro ON o.l_suppkey = s_suppkey
+      |JOIN part ON o.l_partkey = p_partkey
+      |WHERE p_size = 15 AND p_type = 'SMALL'
+      |  AND cost = (SELECT min(cost)
+      |              FROM offers o2 JOIN euro e2 ON o2.l_suppkey = e2.s_suppkey
+      |              WHERE o2.l_partkey = o.l_partkey)
+      |ORDER BY round(s_acctbal, 4) DESC, n_name, s_name, p_partkey
+      |LIMIT 100""".stripMargin
+
+  /** TPC-H Q6 shape (forecast revenue change): the pure scan-side
+    * query — three pushable range predicates and one filtered sum,
+    * zero joins. At 100 TB this is the row-group-skipping showcase:
+    * shipdate min/max footer stats prune whole files before any byte
+    * of the other columns is read.
+    */
+  def tpchForecastRevenue(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read
+      .parquet(p(sfDir, "lineitem"))
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4).as("revenue"))
+
+  val tpchForecastRevenueSql: String =
+    """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  /** TPC-H Q7 shape (volume shipping): the two-nation flow query.
+    * Both fact sides are pre-shrunk BEFORE the orderkey shuffle — a
+    * broadcast inner join pins lineitem to suppliers of the two
+    * nations and a broadcast semi pins orders to customers of the two
+    * nations (~8% each at uniform nation spread) — then the surviving
+    * slices sort-merge on the order key and the cross-pair residual
+    * (N1→N2 or N2→N1) filters post-join. The shuffle moves 2/25ths of
+    * each fact instead of all of it; at 100 TB that pre-shrink IS the
+    * query plan.
+    */
+  def tpchVolumeShipping(spark: SparkSession, sfDir: String): DataFrame = {
+    val nation = spark.read.parquet(p(sfDir, "nation"))
+    val twoNations = nation.filter(col("n_name").isin("NATION_1", "NATION_2"))
+    val supp = spark.read
+      .parquet(p(sfDir, "supplier"))
+      .join(broadcast(twoNations), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = spark.read
+      .parquet(p(sfDir, "customer"))
+      .join(broadcast(twoNations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val orders = spark.read
+      .parquet(p(sfDir, "orders"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("cust_nation"))
+    spark.read
+      .parquet(p(sfDir, "lineitem"))
+      .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1998-01-01"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .filter(
+        (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  val tpchVolumeShippingSql: String =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |       CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+      |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+      |FROM lineitem
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN customer ON c_custkey = o_custkey
+      |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  /** TPC-H Q8 shape (national market share): conditional-share-of-sum.
+    * lineitem is semi-pruned to PROMO parts, orders to ASIA customers
+    * (both broadcast, both BEFORE the orderkey shuffle); one agg per
+    * order-year computes numerator (volume where the supplier is the
+    * watched nation) and denominator together. Ratio parity across
+    * engines: both sums are rounded to 4 dp BEFORE the division so the
+    * quotient is computed from identical doubles.
+    */
+  def tpchMarketShare(spark: SparkSession, sfDir: String): DataFrame = {
+    val promoParts = spark.read
+      .parquet(p(sfDir, "part"))
+      .filter(col("p_type") === "PROMO")
+      .select(col("p_partkey"))
+    val supp = spark.read
+      .parquet(p(sfDir, "supplier"))
+      .join(
+        broadcast(spark.read.parquet(p(sfDir, "nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val asiaCust = spark.read
+      .parquet(p(sfDir, "customer"))
+      .join(
+        broadcast(
+          spark.read.parquet(p(sfDir, "nation"))
+            .join(
+              broadcast(spark.read.parquet(p(sfDir, "region")).filter(col("r_name") === "ASIA")),
+              col("n_regionkey") === col("r_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val ordersAsia = spark.read
+      .parquet(p(sfDir, "orders"))
+      .join(broadcast(asiaCust), col("o_custkey") === col("c_custkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    spark.read
+      .parquet(p(sfDir, "lineitem"))
+      .join(broadcast(promoParts), col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(ordersAsia, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("volume", col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        round(sum(when(col("supp_nation") === "NATION_7", col("volume")).otherwise(0)), 4)
+          .as("num"),
+        round(sum(col("volume")), 4).as("den"))
+      .select(col("o_year"), round(col("num") / col("den"), 4).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
+  val tpchMarketShareSql: String =
+    """SELECT o_year,
+      |       round(round(sum(CASE WHEN supp_nation = 'NATION_7' THEN volume ELSE 0 END), 4)
+      |             / round(sum(volume), 4), 4) AS mkt_share
+      |FROM (SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+      |             l_extendedprice * (1 - l_discount) AS volume,
+      |             n1.n_name AS supp_nation
+      |      FROM lineitem
+      |      JOIN part ON p_partkey = l_partkey
+      |      JOIN supplier ON s_suppkey = l_suppkey
+      |      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |      JOIN orders ON o_orderkey = l_orderkey
+      |      JOIN customer ON c_custkey = o_custkey
+      |      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |      JOIN region ON n2.n_regionkey = r_regionkey
+      |      WHERE r_name = 'ASIA' AND p_type = 'PROMO') all_nations
+      |GROUP BY o_year
+      |ORDER BY o_year""".stripMargin
+
+  /** TPC-H Q9 shape (product-type profit): profit per supplier nation
+    * per order year for parts matching a name pattern (this schema has
+    * no ps_supplycost, so profit is the discounted revenue). The LIKE
+    * 'red%' prefix filter prunes part BEFORE the broadcast semi; the
+    * only wide op is the lineitem⋈orders key shuffle — orders carries
+    * just (orderkey, year) into it.
+    */
+  def tpchProductProfit(spark: SparkSession, sfDir: String): DataFrame = {
+    val redParts = spark.read
+      .parquet(p(sfDir, "part"))
+      .filter(col("p_name").like("red%"))
+      .select(col("p_partkey"))
+    val supp = spark.read
+      .parquet(p(sfDir, "supplier"))
+      .join(
+        broadcast(spark.read.parquet(p(sfDir, "nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    val orders = spark.read
+      .parquet(p(sfDir, "orders"))
+      .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+    spark.read
+      .parquet(p(sfDir, "lineitem"))
+      .join(broadcast(redParts), col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"), col("o_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  val tpchProductProfitSql: String =
+    """SELECT n_name AS nation, o_year,
+      |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_profit
+      |FROM (SELECT n_name, CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+      |             l_extendedprice, l_discount
+      |      FROM lineitem
+      |      JOIN part ON p_partkey = l_partkey
+      |      JOIN supplier ON s_suppkey = l_suppkey
+      |      JOIN nation ON s_nationkey = n_nationkey
+      |      JOIN orders ON o_orderkey = l_orderkey
+      |      WHERE p_name LIKE 'red%') profit
+      |GROUP BY nation, o_year
+      |ORDER BY nation, o_year DESC""".stripMargin
+
+  /** TPC-H Q11 shape (important inventory): per-key value with a
+    * HAVING threshold that is a scalar subquery over the SAME scoped
+    * input — the group-vs-global pattern. The nation scope is a
+    * broadcast semi on a 4-supplier list; the scalar (3× the average
+    * per-part value — real Q11's fraction is 1/SF-scaled, so a fixed
+    * fraction of the TOTAL would degenerate with scale, while a
+    * multiple of the AVERAGE selects the same value-skew tail at any
+    * SF) is a 1-row broadcast joined into the per-part frame. Both
+    * sides of the compare are 4-dp-rounded so the cut is
+    * engine-identical.
+    */
+  def tpchImportantParts(spark: SparkSession, sfDir: String): DataFrame = {
+    val suppN3 = spark.read
+      .parquet(p(sfDir, "supplier"))
+      .join(
+        broadcast(spark.read.parquet(p(sfDir, "nation")).filter(col("n_name") === "NATION_3")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val perPart = spark.read
+      .parquet(p(sfDir, "lineitem"))
+      .join(broadcast(suppN3), col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("l_extendedprice")).as("raw_value"))
+    val threshold = perPart.agg(round(avg(col("raw_value")) * 3, 4).as("threshold"))
+    perPart
+      .join(broadcast(threshold))
+      .withColumn("part_value", round(col("raw_value"), 4))
+      .filter(col("part_value") > col("threshold"))
+      .select(col("l_partkey").as("p_partkey"), col("part_value"))
+      .orderBy(col("part_value").desc, col("p_partkey"))
+  }
+
+  val tpchImportantPartsSql: String =
+    """WITH vals AS (
+      |  SELECT l_partkey, sum(l_extendedprice) AS raw_value
+      |  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  WHERE n_name = 'NATION_3'
+      |  GROUP BY l_partkey)
+      |SELECT l_partkey AS p_partkey, round(raw_value, 4) AS part_value
+      |FROM vals
+      |WHERE round(raw_value, 4) > (SELECT round(avg(raw_value) * 3, 4) FROM vals)
+      |ORDER BY part_value DESC, p_partkey""".stripMargin
+
+  /** TPC-H Q12 shape (shipping-mode priority count): conditional
+    * counting after a fact-fact join (l_linestatus stands in for the
+    * absent l_shipmode). The year filter pushes to the lineitem scan;
+    * orders contributes only (orderkey, priority); the two CASE counts
+    * ride one agg — the classic manual pivot.
+    */
+  def tpchPriorityShipmode(spark: SparkSession, sfDir: String): DataFrame = {
+    val highPriority = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    spark.read
+      .parquet(p(sfDir, "orders"))
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .join(
+        spark.read
+          .parquet(p(sfDir, "lineitem"))
+          .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01"))
+          .select(col("l_orderkey"), col("l_linestatus")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(highPriority, 1).otherwise(0)).as("high_line_count"),
+        sum(when(highPriority, 0).otherwise(1)).as("low_line_count"))
+      .orderBy(col("l_linestatus"))
+  }
+
+  val tpchPriorityShipmodeSql: String =
+    """SELECT l_linestatus,
+      |       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+      |         AS high_line_count,
+      |       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+      |         AS low_line_count
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY l_linestatus
+      |ORDER BY l_linestatus""".stripMargin
+
+  /** TPC-H Q14 shape (promo revenue percent): conditional share over a
+    * one-month slice — broadcast part onto the date-pruned lineitem,
+    * numerator and denominator in one agg, both rounded before the
+    * division (the Q8 ratio discipline).
+    */
+  def tpchPromoRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val partTypes = spark.read.parquet(p(sfDir, "part")).select(col("p_partkey"), col("p_type"))
+    spark.read
+      .parquet(p(sfDir, "lineitem"))
+      .filter(col("l_shipdate") >= lit("1996-03-01") && col("l_shipdate") < lit("1996-04-01"))
+      .join(broadcast(partTypes), col("l_partkey") === col("p_partkey"))
+      .withColumn("volume", col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .agg(
+        round(sum(when(col("p_type") === "PROMO", col("volume")).otherwise(0)), 4).as("num"),
+        round(sum(col("volume")), 4).as("den"))
+      .select(round(lit(100) * col("num") / col("den"), 4).as("promo_revenue"))
+  }
+
+  val tpchPromoRevenueSql: String =
+    """SELECT round(100 * round(sum(CASE WHEN p_type = 'PROMO'
+      |                                  THEN l_extendedprice * (1 - l_discount)
+      |                                  ELSE 0 END), 4)
+      |             / round(sum(l_extendedprice * (1 - l_discount)), 4), 4) AS promo_revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin
+
+  /** TPC-H Q15 shape (top supplier): aggregate-then-argmax — supplier
+    * revenue over a quarter, keep the rows equal to the global max.
+    * The max is computed over the ROUNDED per-supplier revenue (the
+    * value both engines share) and joined back as a 1-row broadcast;
+    * ties all surface, ordered by supplier key.
+    */
+  def tpchTopSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val revenue = spark.read
+      .parquet(p(sfDir, "lineitem"))
+      .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1996-04-01"))
+      .groupBy(col("l_suppkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("total_revenue"))
+    val maxRevenue = revenue.agg(max(col("total_revenue")).as("max_revenue"))
+    spark.read
+      .parquet(p(sfDir, "supplier"))
+      .join(revenue, col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(maxRevenue))
+      .filter(col("total_revenue") === col("max_revenue"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val tpchTopSupplierSql: String =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |         round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+      |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** TPC-H Q16 shape (parts/supplier relationship): NOT-IN exclusion +
+    * count-distinct histogram. The excluded-supplier list (negative
+    * balance, the stand-in for complaint comments) is a broadcast
+    * anti; the part attribute filter is a broadcast semi pushed BELOW
+    * the (partkey, suppkey) distinct so the dedup shuffle carries only
+    * qualifying parts' rows.
+    */
+  def tpchPartsSupplierCount(spark: SparkSession, sfDir: String): DataFrame = {
+    val excluded = spark.read
+      .parquet(p(sfDir, "supplier"))
+      .filter(col("s_acctbal") < 0)
+      .select(col("s_suppkey"))
+    val parts16 = spark.read
+      .parquet(p(sfDir, "part"))
+      .filter(
+        col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(3, 9, 14, 19, 23, 36, 45, 49))
+    spark.read
+      .parquet(p(sfDir, "lineitem"))
+      .select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(parts16.select(col("p_partkey"))), col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .distinct()
+      .join(broadcast(parts16), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  val tpchPartsSupplierCountSql: String =
+    """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+      |      WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)) bridge
+      |JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      |  AND p_size IN (3, 9, 14, 19, 23, 36, 45, 49)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  /** TPC-H Q17 shape (small-quantity revenue): the correlated-AVG
+    * subquery — lines whose quantity is under 20% of their part's
+    * average quantity. Decorrelated the Spark-native way: per-part
+    * averages (≤80 rows after the brand filter) broadcast back onto
+    * the same brand-pruned slice. The avg is 4-dp-rounded BEFORE the
+    * 0.2× multiply so the threshold double is engine-identical; the
+    * compared quantities are integer-valued.
+    */
+  def tpchSmallQtyRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val parts12 = spark.read
+      .parquet(p(sfDir, "part"))
+      .filter(col("p_brand") === "Brand#12")
+      .select(col("p_partkey"))
+    val li12 = spark.read
+      .parquet(p(sfDir, "lineitem"))
+      .join(broadcast(parts12), col("l_partkey") === col("p_partkey"), "left_semi")
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    val avgQty = li12
+      .groupBy(col("l_partkey").as("a_partkey"))
+      .agg(round(avg(col("l_quantity")), 4).as("avg_qty"))
+    li12
+      .join(broadcast(avgQty), col("l_partkey") === col("a_partkey"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg(round(sum(col("l_extendedprice")) / 7.0, 4).as("avg_yearly"))
+  }
+
+  val tpchSmallQtyRevenueSql: String =
+    """SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand = 'Brand#12'
+      |  AND l_quantity < 0.2 * (SELECT round(avg(l_quantity), 4)
+      |                          FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin
+
+  /** TPC-H Q19 shape (discounted revenue, disjunctive predicate): the
+    * OR-of-ANDs query. The common factors of the three arms (brand ∈
+    * the three brands, size ≤ 15, quantity ≤ 30) are hoisted onto the
+    * part and lineitem scans — the pushdown a 100 TB scan needs, since
+    * Parquet can skip on the hoisted conjuncts even though the full
+    * disjunction only resolves post-join.
+    */
+  def tpchDisjunctiveRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val parts = spark.read
+      .parquet(p(sfDir, "part"))
+      .filter(col("p_brand").isin("Brand#2", "Brand#13", "Brand#24") && col("p_size").between(1, 15))
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    spark.read
+      .parquet(p(sfDir, "lineitem"))
+      .filter(col("l_quantity").between(1, 30))
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#2" && col("p_size").between(1, 5) && col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#13" && col("p_size").between(1, 10) && col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#24" && col("p_size").between(1, 15) && col("l_quantity").between(20, 30)))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+  }
+
+  val tpchDisjunctiveRevenueSql: String =
+    """SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
+  /** TPC-H Q20 shape (promotion-candidate suppliers): the nested-IN /
+    * half-sum query. Without ps_availqty the adapted predicate keeps
+    * the structure — (supplier, part) pairs whose 1996 shipments
+    * exceed half their all-time shipments, over name-matched parts.
+    * One grouped pass computes both conditional sums (integer-valued
+    * doubles — exact); the supplier side is dimension-small and
+    * semi-joins the candidate keys.
+    */
+  def tpchPromotionSuppliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val redParts = spark.read
+      .parquet(p(sfDir, "part"))
+      .filter(col("p_name").like("red%"))
+      .select(col("p_partkey"))
+    val in1996 =
+      col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01")
+    val candidates = spark.read
+      .parquet(p(sfDir, "lineitem"))
+      .join(broadcast(redParts), col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(
+        sum(when(in1996, col("l_quantity")).otherwise(0)).as("qty96"),
+        sum(col("l_quantity")).as("qty_total"))
+      .filter(col("qty96") > lit(0.5) * col("qty_total"))
+      .select(col("l_suppkey"))
+    spark.read
+      .parquet(p(sfDir, "supplier"))
+      .join(
+        broadcast(spark.read.parquet(p(sfDir, "nation")).filter(col("n_name") === "NATION_2")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(candidates, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_name"), round(col("s_acctbal"), 4).as("s_acctbal"))
+      .orderBy(col("s_name"))
+  }
+
+  val tpchPromotionSuppliersSql: String =
+    """SELECT s_name, round(s_acctbal, 4) AS s_acctbal
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |WHERE n_name = 'NATION_2'
+      |  AND s_suppkey IN (
+      |    SELECT l_suppkey FROM lineitem
+      |    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      |    GROUP BY l_suppkey, l_partkey
+      |    HAVING sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |                     AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |                    THEN l_quantity ELSE 0 END) > 0.5 * sum(l_quantity))
+      |ORDER BY s_name""".stripMargin
+
   /** Scalar max + count — the high-watermark probe (A3/A4). */
   def aggScalarMax(spark: SparkSession, sfDir: String): DataFrame =
     Testdata.events(spark, sfDir)
@@ -1257,6 +1805,19 @@ object CoreQueries {
     "q_tpch_waiting_orders" -> (tpchWaitingOrders _),
     "q_tpch_customer_distribution" -> (tpchCustomerDistribution _),
     "q_tpch_sales_opportunity" -> (tpchSalesOpportunity _),
+    "q_tpch_min_cost_supplier" -> (tpchMinCostSupplier _),
+    "q_tpch_forecast_revenue" -> (tpchForecastRevenue _),
+    "q_tpch_volume_shipping" -> (tpchVolumeShipping _),
+    "q_tpch_market_share" -> (tpchMarketShare _),
+    "q_tpch_product_profit" -> (tpchProductProfit _),
+    "q_tpch_important_parts" -> (tpchImportantParts _),
+    "q_tpch_priority_shipmode" -> (tpchPriorityShipmode _),
+    "q_tpch_promo_revenue" -> (tpchPromoRevenue _),
+    "q_tpch_top_supplier" -> (tpchTopSupplier _),
+    "q_tpch_parts_supplier_count" -> (tpchPartsSupplierCount _),
+    "q_tpch_small_qty_revenue" -> (tpchSmallQtyRevenue _),
+    "q_tpch_disjunctive_revenue" -> (tpchDisjunctiveRevenue _),
+    "q_tpch_promotion_suppliers" -> (tpchPromotionSuppliers _),
     "q_agg_scalar_max" -> (aggScalarMax _),
     "q_filter_pushdown" -> (filterPushdown _),
     "q_clean_pipeline" -> (cleanPipeline _),
@@ -1299,6 +1860,19 @@ object CoreQueries {
     "q_tpch_waiting_orders" -> tpchWaitingOrdersSql,
     "q_tpch_customer_distribution" -> tpchCustomerDistributionSql,
     "q_tpch_sales_opportunity" -> tpchSalesOpportunitySql,
+    "q_tpch_min_cost_supplier" -> tpchMinCostSupplierSql,
+    "q_tpch_forecast_revenue" -> tpchForecastRevenueSql,
+    "q_tpch_volume_shipping" -> tpchVolumeShippingSql,
+    "q_tpch_market_share" -> tpchMarketShareSql,
+    "q_tpch_product_profit" -> tpchProductProfitSql,
+    "q_tpch_important_parts" -> tpchImportantPartsSql,
+    "q_tpch_priority_shipmode" -> tpchPriorityShipmodeSql,
+    "q_tpch_promo_revenue" -> tpchPromoRevenueSql,
+    "q_tpch_top_supplier" -> tpchTopSupplierSql,
+    "q_tpch_parts_supplier_count" -> tpchPartsSupplierCountSql,
+    "q_tpch_small_qty_revenue" -> tpchSmallQtyRevenueSql,
+    "q_tpch_disjunctive_revenue" -> tpchDisjunctiveRevenueSql,
+    "q_tpch_promotion_suppliers" -> tpchPromotionSuppliersSql,
     "q_agg_scalar_max" -> aggScalarMaxSql,
     "q_filter_pushdown" -> filterPushdownSql,
     "q_clean_pipeline" -> cleanPipelineSql,

@@ -234,6 +234,39 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("Q2 shape: every join broadcasts — the offer agg input is semi-pruned, never sort-merged") {
+    val p = plan(graft.queries.CoreQueries.tpchMinCostSupplier(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // part filter pushes to the part scan, not evaluated post-read
+    assert(p.contains("EqualTo(p_size,15)"), p)
+  }
+
+  test("Q7 shape: both facts pre-shrink via broadcast before the orderkey shuffle") {
+    val p = plan(graft.queries.CoreQueries.tpchVolumeShipping(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the two-year ship window must reach the lineitem scan
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    assert(p.contains("LessThan(l_shipdate"), p)
+  }
+
+  test("Q17 shape: per-part averages join back as broadcast — no sort-merge anywhere") {
+    val p = plan(graft.queries.CoreQueries.tpchSmallQtyRevenue(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("EqualTo(p_brand,Brand#12)"), p)
+  }
+
+  test("Q19 shape: hoisted conjuncts of the disjunction push to both scans") {
+    val p = plan(graft.queries.CoreQueries.tpchDisjunctiveRevenue(spark, sf))
+    // quantity range (the OR arms' common envelope) reaches lineitem...
+    assert(p.contains("GreaterThanOrEqual(l_quantity,1"), p)
+    assert(p.contains("LessThanOrEqual(l_quantity,30"), p)
+    // ...and the brand IN-list reaches the part scan
+    assert(p.contains("In(p_brand"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("bloom point lookup pushes the IN-probe to the scan") {
     val p = plan(graft.queries.ScaleQueries.bloomPointLookup(spark, sf))
     assert(p.contains("In(o_orderkey"), p)

@@ -120,4 +120,108 @@ object Sketches {
       name, exprs => KMinValues(exprs.head, k), "scala_udf")
     call_function(name, hash)
   }
+
+  /** Count-min sketch (Cormode & Muthukrishnan 2005) as a native
+    * aggregate: a d×w counter matrix where row i counts occurrences per
+    * bucket of the i-th hash; the frequency estimate for a key is the
+    * MIN of its d counters (always an overestimate, never under).
+    *
+    * Division of labor, chosen for oracle parity and codegen:
+    *   - the d bucket columns are computed OUTSIDE the aggregate with
+    *     ordinary column functions (the md5-substring recipe any engine
+    *     can replay), so hashing stays public and engine-checkable;
+    *   - this aggregate is purely the bounded counter state: a d·w
+    *     long array (independent of input cardinality) updated per row
+    *     and merged map-side by vector addition, so the shuffle carries
+    *     ONE matrix per partition instead of one row per distinct key —
+    *     the sketch's entire reason to exist at 100 TB;
+    *   - probing is ordinary column algebra again:
+    *     `least(element_at(sketch, b0+1), element_at(sketch, w+b1+1), …)`
+    *     — codegen'd, no UDF anywhere on the path.
+    *
+    * Estimates are integer counts — cross-engine comparison is exact,
+    * no rounding discipline needed.
+    */
+  case class CountMinMatrix(
+      children: Seq[Expression],
+      w: Int,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[Array[Long]] {
+    require(w >= 2, s"count-min needs width >= 2, got $w")
+    require(children.nonEmpty, "count-min needs at least one bucket column")
+
+    private def d: Int = children.length
+
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = false
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (children.forall(_.dataType == LongType))
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_cms expects BIGINT bucket columns, got " +
+            children.map(_.dataType.catalogString).mkString(", "))
+
+    override def createAggregationBuffer(): Array[Long] = new Array[Long](d * w)
+
+    override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+      var i = 0
+      while (i < d) {
+        val v = children(i).eval(input)
+        if (v != null) {
+          // defensive floor-mod: callers pass pmod'ed buckets already
+          val b = (v.asInstanceOf[Long] % w + w) % w
+          buf(i * w + b.toInt) += 1L
+        }
+        i += 1
+      }
+      buf
+    }
+
+    override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < buf.length) { buf(i) += other(i); i += 1 }
+      buf
+    }
+
+    override def eval(buf: Array[Long]): Any =
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(buf)
+
+    override def serialize(buf: Array[Long]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 * buf.length)
+      var i = 0
+      while (i < buf.length) { bb.putLong(buf(i)); i += 1 }
+      bb.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): Array[Long] = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      val buf = new Array[Long](bytes.length / 8)
+      var i = 0
+      while (i < buf.length) { buf(i) = bb.getLong; i += 1 }
+      buf
+    }
+
+    override def withNewMutableAggBufferOffset(offset: Int): CountMinMatrix =
+      copy(mutableAggBufferOffset = offset)
+    override def withNewInputAggBufferOffset(offset: Int): CountMinMatrix =
+      copy(inputAggBufferOffset = offset)
+    override protected def withNewChildrenInternal(
+        cs: IndexedSeq[Expression]): CountMinMatrix = copy(children = cs)
+  }
+
+  /** Column form: aggregate d pre-hashed bucket columns into one d×w
+    * count-min matrix (row-major `array<bigint>` of length d·w).
+    */
+  def cmsSketch(
+      spark: org.apache.spark.sql.SparkSession,
+      buckets: Seq[Column],
+      w: Int): Column = {
+    val name = s"graft_cms_${buckets.length}_$w"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => CountMinMatrix(exprs, w), "scala_udf")
+    call_function(name, buckets: _*)
+  }
 }

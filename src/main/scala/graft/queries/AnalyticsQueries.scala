@@ -218,6 +218,78 @@ object AnalyticsQueries {
       |       x.exact_users
       |FROM s JOIN x USING (event_type)""".stripMargin
 
+  /** Count-min frequency sketch over the partkey stream, probed for a
+    * fixed key set against exact counts. The d=3 bucket columns use the
+    * md5-substring recipe (engine-replayable); the native
+    * [[graft.functions.Sketches.CountMinMatrix]] aggregate reduces the
+    * whole stream to one 3×1024 counter matrix (map-side merged — the
+    * shuffle carries ONE matrix per partition, not one row per key);
+    * probing is pure column algebra (`least(element_at(...))`) on the
+    * 1-row broadcast sketch. Probe 99999 is absent from the corpus:
+    * its exact count is 0 while the sketch may report small positive
+    * collision mass — the CMS overestimate-only guarantee on display.
+    * All outputs are integer counts, so oracle parity is exact.
+    */
+  def freqSketchCms(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = 1024
+    val d = 3
+    def bucket(i: Int, key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      pmod(
+        conv(substring(md5(concat_ws(":", lit(i.toString), key.cast("string"))), 1, 15), 16, 10)
+          .cast("long"),
+        lit(w.toLong))
+    val probeKeys = Seq(1L, 17L, 42L, 123L, 1999L, 99999L)
+    val keys = spark.read.parquet(tablePath(sfDir, "lineitem")).select(col("l_partkey"))
+    val sketch = keys.agg(
+      graft.functions.Sketches
+        .cmsSketch(spark, (0 until d).map(i => bucket(i, col("l_partkey"))), w)
+        .as("sketch"))
+    val exact = keys
+      .filter(col("l_partkey").isin(probeKeys: _*))
+      .groupBy(col("l_partkey").as("e_key"))
+      .agg(count(lit(1)).as("exact_n"))
+    val estimates = (0 until d).map { i =>
+      element_at(col("sketch"), (lit(i * w) + bucket(i, col("probe_key")) + lit(1)).cast("int"))
+    }
+    probeKeys
+      .toDF("probe_key")
+      .crossJoin(broadcast(sketch))
+      .select(col("probe_key"), least(estimates: _*).as("cms_count"))
+      .join(broadcast(exact), col("probe_key") === col("e_key"), "left_outer")
+      .select(
+        col("probe_key"),
+        col("cms_count"),
+        coalesce(col("exact_n"), lit(0L)).as("exact_count"))
+      .orderBy(col("probe_key"))
+  }
+
+  val freqSketchCmsSql: String =
+    """WITH ids AS (SELECT unnest(['0', '1', '2']) AS i),
+      |probes AS (SELECT unnest([1, 17, 42, 123, 1999, 99999]) AS probe_key),
+      |counters AS (
+      |  SELECT i, CAST(('0x' || substring(md5(i || ':' || CAST(l_partkey AS VARCHAR)), 1, 15))
+      |              AS BIGINT) % 1024 AS b,
+      |         count(*) AS c
+      |  FROM lineitem CROSS JOIN ids
+      |  GROUP BY i, b),
+      |probe_buckets AS (
+      |  SELECT probe_key, i,
+      |         CAST(('0x' || substring(md5(i || ':' || CAST(probe_key AS VARCHAR)), 1, 15))
+      |           AS BIGINT) % 1024 AS b
+      |  FROM probes CROSS JOIN ids),
+      |est AS (
+      |  SELECT probe_key, min(coalesce(c, 0)) AS cms_count
+      |  FROM probe_buckets LEFT JOIN counters USING (i, b)
+      |  GROUP BY probe_key),
+      |exact AS (
+      |  SELECT l_partkey AS probe_key, count(*) AS exact_count
+      |  FROM lineitem WHERE l_partkey IN (1, 17, 42, 123, 1999, 99999)
+      |  GROUP BY l_partkey)
+      |SELECT e.probe_key, e.cms_count, coalesce(x.exact_count, 0) AS exact_count
+      |FROM est e LEFT JOIN exact x USING (probe_key)
+      |ORDER BY probe_key""".stripMargin
+
   /** Discrete median (lower middle element) per group, built from an
     * explicit row_number construction so both engines pick the exact
     * same element — no interpolation-semantics mismatch.
@@ -715,6 +787,7 @@ object AnalyticsQueries {
     "q_median_disc" -> (medianDisc _),
     "q_approx_distinct" -> (approxDistinct _),
     "q_approx_distinct_kmv" -> (approxDistinctKmv _),
+    "q_freq_sketch_cms" -> (freqSketchCms _),
     "q_asof_join" -> (asofJoin _),
     "q_sliding_window" -> (slidingWindow _),
     "q_session_window" -> (sessionWindow _),
@@ -742,6 +815,7 @@ object AnalyticsQueries {
     "q_tfidf_keywords" -> tfidfKeywordsSql,
     "q_median_disc" -> medianDiscSql,
     "q_approx_distinct_kmv" -> approxDistinctKmvSql,
+    "q_freq_sketch_cms" -> freqSketchCmsSql,
     "q_asof_join" -> asofJoinSql,
     "q_sliding_window" -> slidingWindowSql,
     "q_session_window" -> sessionWindowSql,

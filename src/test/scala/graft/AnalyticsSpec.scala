@@ -41,6 +41,52 @@ class AnalyticsSpec extends SparkSpec {
     assert(est3 == est, s"duplicates changed the estimate: $est3 vs $est")
   }
 
+  test("count-min sketch: overestimate-only, exact under no collisions, partitioning-invariant") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val w = 1024
+    def bucket(i: Int, key: org.apache.spark.sql.Column) =
+      pmod(
+        conv(substring(md5(concat_ws(":", lit(i.toString), key.cast("string"))), 1, 15), 16, 10)
+          .cast("long"),
+        lit(w.toLong))
+    // skewed stream: key k appears k times, k in 1..40 (820 rows, 40 keys)
+    val rows = (1 to 40).flatMap(k => Seq.fill(k)(k.toLong))
+    val df = rows.toDF("v")
+    def sketchOf(d: org.apache.spark.sql.DataFrame): Array[Long] =
+      d.agg(graft.functions.Sketches
+          .cmsSketch(spark, (0 until 3).map(i => bucket(i, col("v"))), w))
+        .head.getSeq[Long](0).toArray
+    val sketch = sketchOf(df)
+    assert(sketch.length == 3 * w)
+    // every row lands once in each of the 3 matrix rows
+    (0 until 3).foreach { i =>
+      assert(sketch.slice(i * w, (i + 1) * w).sum == rows.length.toLong)
+    }
+    // probe estimates: min over rows, NEVER below the true count
+    val probed = df.distinct()
+      .crossJoin(df.agg(graft.functions.Sketches
+        .cmsSketch(spark, (0 until 3).map(i => bucket(i, col("v"))), w).as("sketch")))
+      .select(
+        col("v"),
+        least((0 until 3).map(i =>
+          element_at(col("sketch"), (lit(i * w) + bucket(i, col("v")) + lit(1)).cast("int"))): _*)
+          .as("est"))
+      .collect()
+    probed.foreach { r =>
+      val k = r.getAs[Long]("v")
+      val est = r.getAs[Long]("est")
+      assert(est >= k, s"CMS underestimated key $k: $est")
+    }
+    // 40 keys in 1024 buckets: expect exactness for most keys; require
+    // the overwhelming majority exact (collision odds per row ~ 4%)
+    val exactCount = probed.count(r => r.getAs[Long]("est") == r.getAs[Long]("v"))
+    assert(exactCount >= 35, s"only $exactCount/40 probes exact")
+    // merge path: matrix must not depend on partitioning
+    assert(java.util.Arrays.equals(sketch, sketchOf(df.repartition(13))),
+      "partitioning changed the sketch")
+  }
+
   test("approx_percentile stays within its accuracy envelope against exact percentile") {
     import org.apache.spark.sql.functions._
     // relative-rank error <= 1/accuracy (Greenwald-Khanna bound): compare

@@ -113,6 +113,103 @@ object Sketches {
     override protected def withNewChildInternal(c: Expression): KMinValues = copy(child = c)
   }
 
+  /** KMV sketch aggregate evaluating to the k-min SET itself (ascending
+    * `array<bigint>`, shorter than k iff fewer distinct hashes exist)
+    * rather than the scalar estimate — the form set algebra needs:
+    * because a k-min set is a uniform SAMPLE of the distinct hash space,
+    * union/intersection cardinalities fall out of plain array algebra
+    * over two sketches (union = k smallest of the merged sets; the
+    * fraction of those also present in both sides estimates Jaccard).
+    * Same bounded buffer and map-side merge as [[KMinValues]].
+    */
+  case class KMinSet(
+      child: Expression,
+      k: Int,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+      with UnaryLike[Expression] {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = false
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (child.dataType == LongType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_kmv_set expects a BIGINT hash column, got ${child.dataType.catalogString}")
+
+    override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+      new java.util.TreeSet[java.lang.Long]()
+
+    override def update(
+        buf: java.util.TreeSet[java.lang.Long],
+        input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+      val v = child.eval(input)
+      if (v != null) {
+        val h = v.asInstanceOf[Long]
+        if (buf.size < k) buf.add(h)
+        else if (h < buf.last()) { if (buf.add(h)) buf.pollLast() }
+      }
+      buf
+    }
+
+    override def merge(
+        buf: java.util.TreeSet[java.lang.Long],
+        other: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+      val it = other.iterator()
+      var continue = true
+      while (continue && it.hasNext) {
+        val h = it.next()
+        if (buf.size < k) buf.add(h)
+        else if (h < buf.last()) { if (buf.add(h)) buf.pollLast() }
+        else continue = false // other is sorted ascending: rest can't qualify
+      }
+      buf
+    }
+
+    override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+      val arr = new Array[Long](buf.size)
+      val it = buf.iterator()
+      var i = 0
+      while (it.hasNext) { arr(i) = it.next(); i += 1 }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+    }
+
+    override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(4 + 8 * buf.size)
+      bb.putInt(buf.size)
+      val it = buf.iterator()
+      while (it.hasNext) bb.putLong(it.next())
+      bb.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      val n = bb.getInt
+      val buf = new java.util.TreeSet[java.lang.Long]()
+      var i = 0
+      while (i < n) { buf.add(bb.getLong); i += 1 }
+      buf
+    }
+
+    override def withNewMutableAggBufferOffset(offset: Int): KMinSet =
+      copy(mutableAggBufferOffset = offset)
+    override def withNewInputAggBufferOffset(offset: Int): KMinSet =
+      copy(inputAggBufferOffset = offset)
+    override protected def withNewChildInternal(c: Expression): KMinSet = copy(child = c)
+  }
+
+  /** Column form of [[KMinSet]]. */
+  def kmvSet(spark: org.apache.spark.sql.SparkSession, hash: Column, k: Int): Column = {
+    val name = s"graft_kmv_set_$k"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => KMinSet(exprs.head, k), "scala_udf")
+    call_function(name, hash)
+  }
+
   /** Column form with `k` baked into the registration. */
   def kmvDistinct(spark: org.apache.spark.sql.SparkSession, hash: Column, k: Int): Column = {
     val name = s"graft_kmv_$k"

@@ -218,6 +218,106 @@ object AnalyticsQueries {
       |       x.exact_users
       |FROM s JOIN x USING (event_type)""".stripMargin
 
+  /** KMV set algebra: distinct-cardinality of the UNION and
+    * INTERSECTION of two event streams, estimated from two k-min-set
+    * sketches ([[graft.functions.Sketches.KMinSet]]) without ever
+    * shuffling distinct keys — the theta-sketch use case. The union
+    * sketch is the k smallest of the merged sets (plain array algebra
+    * on two ≤k arrays); the fraction of union members present in BOTH
+    * sides estimates Jaccard, and inter_est = (c/k)·union_est. Below k
+    * distinct hashes everything is exact (sf0.001's 15-user pool takes
+    * that branch; larger SFs take the estimator branch — both are
+    * oracle-replayed through the same CASE). Division order is kept
+    * identical in both engines so the doubles agree bit-for-bit before
+    * the 4-dp round; exact countDistinct twins ride along for the
+    * error-envelope spec.
+    */
+  def kmvSetOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = 64
+    val two60 = 1152921504606846976.0 // 2^60
+    val h = conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10).cast("long")
+    val ev = Testdata.events(spark, sfDir)
+    // partially-overlapping cohorts (every user does every event type in
+    // this testdata, so raw streams would overlap fully): even-id
+    // clickers vs divisible-by-3 purchasers — true Jaccard 1/6 ÷ 2/3
+    val sideA = col("event_type") === "click" && pmod(col("user_id"), lit(2)) === 0
+    val sideB = col("event_type") === "purchase" && pmod(col("user_id"), lit(3)) === 0
+    def sketchOf(side: org.apache.spark.sql.Column, alias: String): DataFrame =
+      ev.filter(side).agg(graft.functions.Sketches.kmvSet(spark, h, k).as(alias))
+    val exactUnion = ev
+      .filter(sideA || sideB)
+      .agg(countDistinct(col("user_id")).as("exact_union"))
+    val exactInter = ev
+      .filter(sideA || sideB)
+      .groupBy(col("user_id"))
+      .agg(countDistinct(col("event_type")).as("n_types"))
+      .filter(col("n_types") === 2)
+      .agg(count(lit(1)).as("exact_inter"))
+    sketchOf(sideA, "ska")
+      .crossJoin(sketchOf(sideB, "skb"))
+      .withColumn("u", slice(array_sort(array_union(col("ska"), col("skb"))), 1, k))
+      .withColumn("n_u", size(col("u")))
+      .withColumn("kth", element_at(col("u"), col("n_u")))
+      .withColumn("c", size(array_intersect(col("u"), array_intersect(col("ska"), col("skb")))))
+      .withColumn(
+        "union_raw",
+        when(col("n_u") < k, col("n_u").cast("double"))
+          .otherwise(lit((k - 1).toDouble) / (col("kth").cast("double") / lit(two60))))
+      .withColumn(
+        "inter_raw",
+        when(col("n_u") < k, col("c").cast("double"))
+          .otherwise(col("c") / lit(k.toDouble) * col("union_raw")))
+      .crossJoin(broadcast(exactUnion))
+      .crossJoin(broadcast(exactInter))
+      .select(
+        round(col("union_raw"), 4).as("union_est"),
+        round(col("inter_raw"), 4).as("inter_est"),
+        round(col("c") * lit(1.0) / col("n_u"), 4).as("jaccard"),
+        col("exact_union"),
+        col("exact_inter"))
+  }
+
+  val kmvSetOpsSql: String =
+    """WITH ka AS (
+      |  SELECT hv FROM (
+      |    SELECT DISTINCT CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+      |    FROM events WHERE event_type = 'click' AND user_id % 2 = 0)
+      |  ORDER BY hv LIMIT 64),
+      |kb AS (
+      |  SELECT hv FROM (
+      |    SELECT DISTINCT CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+      |    FROM events WHERE event_type = 'purchase' AND user_id % 3 = 0)
+      |  ORDER BY hv LIMIT 64),
+      |u AS (
+      |  SELECT hv FROM (SELECT hv FROM ka UNION SELECT hv FROM kb)
+      |  ORDER BY hv LIMIT 64),
+      |stats AS (
+      |  SELECT count(*) AS n_u, max(hv) AS kth,
+      |         sum(CASE WHEN hv IN (SELECT hv FROM ka)
+      |                   AND hv IN (SELECT hv FROM kb) THEN 1 ELSE 0 END) AS c
+      |  FROM u),
+      |ex_u AS (
+      |  SELECT count(DISTINCT user_id) AS exact_union FROM events
+      |  WHERE (event_type = 'click' AND user_id % 2 = 0)
+      |     OR (event_type = 'purchase' AND user_id % 3 = 0)),
+      |ex_i AS (
+      |  SELECT count(*) AS exact_inter FROM (
+      |    SELECT user_id FROM events
+      |    WHERE (event_type = 'click' AND user_id % 2 = 0)
+      |       OR (event_type = 'purchase' AND user_id % 3 = 0)
+      |    GROUP BY user_id HAVING count(DISTINCT event_type) = 2)),
+      |raw AS (
+      |  SELECT n_u, c,
+      |         CASE WHEN n_u < 64 THEN CAST(n_u AS DOUBLE)
+      |              ELSE 63.0 / (CAST(kth AS DOUBLE) / 1152921504606846976.0) END AS union_raw
+      |  FROM stats)
+      |SELECT round(union_raw, 4) AS union_est,
+      |       round(CASE WHEN n_u < 64 THEN CAST(c AS DOUBLE)
+      |                  ELSE c / 64.0 * union_raw END, 4) AS inter_est,
+      |       round(c * 1.0 / n_u, 4) AS jaccard,
+      |       exact_union, exact_inter
+      |FROM raw, ex_u, ex_i""".stripMargin
+
   /** Count-min frequency sketch over the partkey stream, probed for a
     * fixed key set against exact counts. The d=3 bucket columns use the
     * md5-substring recipe (engine-replayable); the native
@@ -788,6 +888,7 @@ object AnalyticsQueries {
     "q_approx_distinct" -> (approxDistinct _),
     "q_approx_distinct_kmv" -> (approxDistinctKmv _),
     "q_freq_sketch_cms" -> (freqSketchCms _),
+    "q_kmv_set_ops" -> (kmvSetOps _),
     "q_asof_join" -> (asofJoin _),
     "q_sliding_window" -> (slidingWindow _),
     "q_session_window" -> (sessionWindow _),
@@ -816,6 +917,7 @@ object AnalyticsQueries {
     "q_median_disc" -> medianDiscSql,
     "q_approx_distinct_kmv" -> approxDistinctKmvSql,
     "q_freq_sketch_cms" -> freqSketchCmsSql,
+    "q_kmv_set_ops" -> kmvSetOpsSql,
     "q_asof_join" -> asofJoinSql,
     "q_sliding_window" -> slidingWindowSql,
     "q_session_window" -> sessionWindowSql,

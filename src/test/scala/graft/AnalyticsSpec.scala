@@ -41,6 +41,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(est3 == est, s"duplicates changed the estimate: $est3 vs $est")
   }
 
+  test("KMV set sketch: sorted k-min set, brute-force-equal, partitioning-invariant") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val k = 256
+    val df = (1 to 20000).map(_.toLong).toDF("v")
+    def hash = conv(substring(md5(col("v").cast("string")), 1, 15), 16, 10).cast("long")
+    def sketchOf(d: org.apache.spark.sql.DataFrame): Seq[Long] =
+      d.agg(graft.functions.Sketches.kmvSet(spark, hash, k)).head.getSeq[Long](0)
+    val s = sketchOf(df)
+    assert(s.length == k)
+    assert(s == s.sorted, "k-min set must be ascending")
+    // must equal the brute-force k smallest distinct hashes
+    val brute = df.select(hash.as("h")).distinct().orderBy(col("h")).limit(k)
+      .collect().map(_.getLong(0)).toSeq
+    assert(s == brute, "sketch disagrees with brute-force k smallest")
+    assert(s == sketchOf(df.repartition(13)), "partitioning changed the set")
+    // below k distinct: the set IS the distinct hash set
+    val small = (1 to 40).map(_.toLong).toDF("v")
+    assert(sketchOf(small).length == 40)
+  }
+
   test("count-min sketch: overestimate-only, exact under no collisions, partitioning-invariant") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -218,6 +218,70 @@ object AnalyticsQueries {
       |       x.exact_users
       |FROM s JOIN x USING (event_type)""".stripMargin
 
+  /** GROUPING SETS with grouping_id: the arbitrary-set sibling of cube/
+    * rollup (`q_cube_agg`/`q_rollup_agg`) — three explicit levels in ONE
+    * Expand+aggregate pass instead of three scans + union. Spark's
+    * grouping_id bit convention matches DuckDB's GROUPING() (low bit =
+    * rightmost column aggregated), checked by the oracle hash.
+    */
+  def groupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read
+      .parquet(tablePath(sfDir, "lineitem"))
+      .createOrReplaceTempView("li_grouping_sets")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |       grouping_id(l_returnflag, l_linestatus) AS gid,
+        |       count(*) AS n_rows,
+        |       round(sum(l_extendedprice), 4) AS sum_price
+        |FROM li_grouping_sets
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin)
+  }
+
+  val groupingSetsSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       GROUPING(l_returnflag, l_linestatus) AS gid,
+      |       count(*) AS n_rows,
+      |       round(sum(l_extendedprice), 4) AS sum_price
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin
+
+  /** Distribution-rank window functions over the deterministic
+    * (value, event_id) total order: percent_rank / cume_dist (rational
+    * k/n doubles — identical division in both engines) plus first /
+    * last / nth over the FULL frame (explicit unbounded ROWS frame:
+    * last_value under the default frame is just the current row — the
+    * classic window-frame trap, pinned here against the oracle).
+    */
+  def windowRankStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("value").asc, col("event_id").asc)
+    val wf = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    Testdata.events(spark, sfDir)
+      .select(
+        col("event_type"),
+        col("event_id"),
+        round(percent_rank().over(w), 4).as("pct_rank"),
+        round(cume_dist().over(w), 4).as("cum_dist"),
+        first(col("value")).over(wf).as("first_value"),
+        last(col("value")).over(wf).as("last_value"),
+        nth_value(col("value"), 3).over(wf).as("third_value"))
+  }
+
+  val windowRankStatsSql: String =
+    """SELECT event_type, event_id,
+      |       round(percent_rank() OVER w, 4) AS pct_rank,
+      |       round(cume_dist() OVER w, 4) AS cum_dist,
+      |       first_value(value) OVER wf AS first_value,
+      |       last_value(value) OVER wf AS last_value,
+      |       nth_value(value, 3) OVER wf AS third_value
+      |FROM events
+      |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id),
+      |       wf AS (PARTITION BY event_type ORDER BY value, event_id
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin
+
   /** KMV set algebra: distinct-cardinality of the UNION and
     * INTERSECTION of two event streams, estimated from two k-min-set
     * sketches ([[graft.functions.Sketches.KMinSet]]) without ever
@@ -889,6 +953,8 @@ object AnalyticsQueries {
     "q_approx_distinct_kmv" -> (approxDistinctKmv _),
     "q_freq_sketch_cms" -> (freqSketchCms _),
     "q_kmv_set_ops" -> (kmvSetOps _),
+    "q_grouping_sets" -> (groupingSets _),
+    "q_window_rank_stats" -> (windowRankStats _),
     "q_asof_join" -> (asofJoin _),
     "q_sliding_window" -> (slidingWindow _),
     "q_session_window" -> (sessionWindow _),
@@ -918,6 +984,8 @@ object AnalyticsQueries {
     "q_approx_distinct_kmv" -> approxDistinctKmvSql,
     "q_freq_sketch_cms" -> freqSketchCmsSql,
     "q_kmv_set_ops" -> kmvSetOpsSql,
+    "q_grouping_sets" -> groupingSetsSql,
+    "q_window_rank_stats" -> windowRankStatsSql,
     "q_asof_join" -> asofJoinSql,
     "q_sliding_window" -> slidingWindowSql,
     "q_session_window" -> sessionWindowSql,

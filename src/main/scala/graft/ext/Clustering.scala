@@ -133,18 +133,28 @@ object Clustering {
       iters: Int = 2): DataFrame = {
     val spark = corpus.sparkSession
     val centroids = kmeansFit(corpus, idCol, vecCol, k, iters)
-    def assigned(id: String, vec: String): DataFrame =
-      corpus.select(
-        (-bestOf(centroids, corpus, col(vecCol)).getField("nc")).cast("int").as("cluster"),
-        col(idCol).as(id),
-        col(vecCol).as(vec))
-    assigned("id_a", "va")
-      .join(assigned("id_b", "vb"), Seq("cluster"))
-      .filter(col("id_a") < col("id_b"))
+    // ONE assignment frame, self-joined on aliases: both join sides share a
+    // byte-identical plan up to the cluster-keyed exchange, so Spark's
+    // ReuseExchange computes the corpus scan + argmax projection ONCE and
+    // feeds both sides from the same shuffle files (PlanAuditSpec pins the
+    // ReusedExchange node). Distinct column names per side (the previous
+    // shape) defeat canonicalization and double the heaviest stage.
+    val assigned = corpus.select(
+      (-bestOf(centroids, corpus, col(vecCol)).getField("nc")).cast("int").as("cluster"),
+      col(idCol).as("id"),
+      col(vecCol).as("vec"))
+    assigned
+      .alias("a")
+      // merge hint: broadcasting a corpus-sized side is never right at
+      // scale, and a shuffle join is what makes the two sides' exchanges
+      // canonically equal so the scan+argmax stage is computed once
+      .hint("merge")
+      .join(assigned.alias("b").hint("merge"), col("a.cluster") === col("b.cluster"))
+      .filter(col("a.id") < col("b.id"))
       .withColumn(
         "cosine",
-        round(graft.functions.VectorExprs.arrayCosine(spark, col("va"), col("vb")), 6))
+        round(graft.functions.VectorExprs.arrayCosine(spark, col("a.vec"), col("b.vec")), 6))
       .filter(col("cosine") >= threshold)
-      .select(col("id_a"), col("id_b"), col("cosine"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
   }
 }

@@ -264,14 +264,23 @@ object Sketches {
     override def createAggregationBuffer(): Array[Long] = new Array[Long](d * w)
 
     override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+      // Evaluate every bucket column first and skip the WHOLE row if any is
+      // null: a partial update would give matrix rows inconsistent totals,
+      // letting min-over-rows UNDER-estimate and breaking the
+      // overestimate-only guarantee.
+      val vs = new Array[Long](d)
       var i = 0
       while (i < d) {
         val v = children(i).eval(input)
-        if (v != null) {
-          // defensive floor-mod: callers pass pmod'ed buckets already
-          val b = (v.asInstanceOf[Long] % w + w) % w
-          buf(i * w + b.toInt) += 1L
-        }
+        if (v == null) return buf
+        vs(i) = v.asInstanceOf[Long]
+        i += 1
+      }
+      i = 0
+      while (i < d) {
+        // defensive floor-mod: callers pass pmod'ed buckets already
+        val b = (vs(i) % w + w) % w
+        buf(i * w + b.toInt) += 1L
         i += 1
       }
       buf

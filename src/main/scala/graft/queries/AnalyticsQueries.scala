@@ -321,7 +321,7 @@ object AnalyticsQueries {
       .crossJoin(sketchOf(sideB, "skb"))
       .withColumn("u", slice(array_sort(array_union(col("ska"), col("skb"))), 1, k))
       .withColumn("n_u", size(col("u")))
-      .withColumn("kth", element_at(col("u"), col("n_u")))
+      .withColumn("kth", when(col("n_u") > 0, element_at(col("u"), col("n_u"))))
       .withColumn("c", size(array_intersect(col("u"), array_intersect(col("ska"), col("skb")))))
       .withColumn(
         "union_raw",

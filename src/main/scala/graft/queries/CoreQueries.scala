@@ -480,7 +480,8 @@ object CoreQueries {
   /** TPC-H Q7 shape (volume shipping): the two-nation flow query.
     * Both fact sides are pre-shrunk BEFORE the orderkey shuffle — a
     * broadcast inner join pins lineitem to suppliers of the two
-    * nations and a broadcast semi pins orders to customers of the two
+    * nations and a broadcast inner join (carrying cust_nation for the
+    * cross-pair residual filter) pins orders to customers of the two
     * nations (~8% each at uniform nation spread) — then the surviving
     * slices sort-merge on the order key and the cross-pair residual
     * (N1→N2 or N2→N1) filters post-join. The shuffle moves 2/25ths of
@@ -707,16 +708,19 @@ object CoreQueries {
         col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("l_linestatus"))
       .agg(
-        sum(when(highPriority, 1).otherwise(0)).as("high_line_count"),
-        sum(when(highPriority, 0).otherwise(1)).as("low_line_count"))
+        sum(when(coalesce(highPriority, lit(false)), 1).otherwise(0)).as("high_line_count"),
+        sum(when(coalesce(highPriority, lit(false)), 0).otherwise(1)).as("low_line_count"))
       .orderBy(col("l_linestatus"))
   }
 
   val tpchPriorityShipmodeSql: String =
     """SELECT l_linestatus,
-      |       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+      |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |                      THEN 1 ELSE 0 END) AS BIGINT)
       |         AS high_line_count,
-      |       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+      |       CAST(sum(CASE WHEN o_orderpriority IS NULL
+      |                       OR o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      |                      THEN 1 ELSE 0 END) AS BIGINT)
       |         AS low_line_count
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -828,8 +832,11 @@ object CoreQueries {
   /** TPC-H Q17 shape (small-quantity revenue): the correlated-AVG
     * subquery — lines whose quantity is under 20% of their part's
     * average quantity. Decorrelated the Spark-native way: per-part
-    * averages (≤80 rows after the brand filter) broadcast back onto
-    * the same brand-pruned slice. The avg is 4-dp-rounded BEFORE the
+    * averages joined back onto the same brand-pruned slice — no
+    * explicit broadcast hint: per-part aggregates grow linearly with
+    * scale (one brand is ~10^8 parts at SF100k), so the join strategy
+    * is left to AQE, which broadcasts when the slice is actually
+    * small and shuffles when it isn't. The avg is 4-dp-rounded BEFORE the
     * 0.2× multiply so the threshold double is engine-identical; the
     * compared quantities are integer-valued.
     */
@@ -846,7 +853,7 @@ object CoreQueries {
       .groupBy(col("l_partkey").as("a_partkey"))
       .agg(round(avg(col("l_quantity")), 4).as("avg_qty"))
     li12
-      .join(broadcast(avgQty), col("l_partkey") === col("a_partkey"))
+      .join(avgQty, col("l_partkey") === col("a_partkey"))
       .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
       .agg(round(sum(col("l_extendedprice")) / 7.0, 4).as("avg_yearly"))
   }

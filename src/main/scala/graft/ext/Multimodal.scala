@@ -57,6 +57,7 @@ object Multimodal {
             substring(b, 1, 4) === lit("RIFF".getBytes) &&
               substring(b, 9, 4) === lit("WEBP".getBytes),
             "image/webp")
+          .when(substring(b, 1, 4) === lit("GIF8".getBytes), "image/gif")
           .otherwise("application/octet-stream"))
   }
 
@@ -111,6 +112,7 @@ object Multimodal {
   val imageDecodeFields: Seq[StructField] = Seq(
     StructField("width", IntegerType),
     StructField("height", IntegerType),
+    StructField("n_frames", IntegerType),
     StructField("n_pixels", IntegerType),
     StructField("gray_sum", LongType))
 
@@ -129,30 +131,45 @@ object Multimodal {
     require(df.columns.contains(binCol), s"missing $binCol")
     val outSchema = StructType(df.schema.fields ++ imageDecodeFields)
     val binIdx = df.schema.fieldIndex(binCol)
+    val nulls = Seq(null, null, null, null, null)
     val rows = df.rdd.mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false) // memory-only streams, no temp-file churn
       it.map { r =>
         val bytes = r.getAs[Array[Byte]](binIdx)
-        val img =
-          if (bytes == null || bytes.isEmpty) null
-          else
-            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-            catch { case _: java.io.IOException => null }
-        if (img == null) Row.fromSeq(r.toSeq ++ Seq(null, null, null, null))
-        else {
-          val w = img.getWidth
-          val h = img.getHeight
-          var sum = 0L
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) { sum += (img.getRGB(x, y) >> 16) & 0xFF; x += 1 }
-            y += 1
+        val decoded: Option[Seq[Any]] =
+          if (bytes == null || bytes.isEmpty) None
+          else {
+            // explicit ImageReader (not ImageIO.read): the reader exposes
+            // getNumImages(allowSearch = true) — the REAL frame count of a
+            // multi-frame container (animated GIF) — alongside frame 0's
+            // raster. seekForwardOnly = false is what makes the search legal.
+            val iis = javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (!readers.hasNext) { iis.close(); None }
+            else {
+              val reader = readers.next()
+              try {
+                reader.setInput(iis, false, true)
+                val nFrames = reader.getNumImages(true)
+                val img = reader.read(0)
+                val w = img.getWidth
+                val h = img.getHeight
+                var sum = 0L
+                var y = 0
+                while (y < h) {
+                  var x = 0
+                  while (x < w) { sum += (img.getRGB(x, y) >> 16) & 0xFF; x += 1 }
+                  y += 1
+                }
+                // Seq[Any]: without the ascription Scala's numeric widening
+                // would box the Int dims as Long to match `sum`
+                Some(Seq[Any](w, h, nFrames, w * h, sum))
+              } catch { case _: java.io.IOException => None }
+              finally { reader.dispose(); iis.close() }
+            }
           }
-          // Seq[Any]: without the ascription Scala's numeric widening
-          // would box the Int dims as Long to match `sum`
-          Row.fromSeq(r.toSeq ++ Seq[Any](w, h, w * h, sum))
-        }
+        Row.fromSeq(r.toSeq ++ decoded.getOrElse(nulls))
       }
     }
     spark.createDataFrame(rows, outSchema)
@@ -195,6 +212,62 @@ object Multimodal {
         val baos = new java.io.ByteArrayOutputStream()
         javax.imageio.ImageIO.write(img, fmt, baos)
         Row(id, fmt, baos.toByteArray)
+      }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** Deterministic MULTI-FRAME fixture through the real animated-GIF
+    * encoder: for each input id, an animated GIF with 1 + id%5 frames of
+    * width 8 + id%13 × height 8 + id%11, frame f's pixel (x, y) valued
+    * (31·id + 7·x + 13·y + 97·f) mod 256, written frame-by-frame through
+    * `ImageWriter.writeToSequence`. Frames use an explicit 256-gray
+    * IndexColorModel, so the GIF palette IS the identity gray ramp and
+    * the roundtrip is lossless — an oracle predicts the decoded frame
+    * count AND frame 0's exact pixel sum from the id alone, which is
+    * what proves [[decodeImages]]' `n_frames` comes from a real
+    * `getNumImages(true)` container walk, not arithmetic.
+    */
+  def encodeSyntheticGifs(spark: SparkSession, ids: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType)))
+    val rows = ids.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val grays = Array.tabulate(256)(_.toByte)
+      val icm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+      it.map { r =>
+        val id = r.getLong(0)
+        val w = (8 + id % 13).toInt
+        val h = (8 + id % 11).toInt
+        val k = (1 + id % 5).toInt
+        val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+        val baos = new java.io.ByteArrayOutputStream()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+        try {
+          writer.setOutput(ios)
+          writer.prepareWriteSequence(null)
+          var f = 0
+          while (f < k) {
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+            val raster = img.getRaster
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                raster.setSample(x, y, 0,
+                  ((31L * id + 7L * x + 13L * y + 97L * f) % 256L).toInt)
+                x += 1
+              }
+              y += 1
+            }
+            writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+            f += 1
+          }
+          writer.endWriteSequence()
+        } finally { writer.dispose(); ios.close() }
+        Row(id, baos.toByteArray)
       }
     }
     spark.createDataFrame(rows, schema)

@@ -948,35 +948,48 @@ object ExtQueries {
       |       sha256(text) AS media_sha
       |FROM documents""".stripMargin
 
-  /** Stubbed decode + frame sampling plumbing — rows-only (the decode
-    * is a deterministic fake; shape and determinism are spec-pinned).
+  /** REAL decode + frame sampling plumbing: multi-frame animated GIFs
+    * (parameters closed-form in doc_id, encoded by the JDK's actual GIF
+    * sequence writer) go through [[graft.ext.Multimodal.decodeImages]] —
+    * `n_frames` is the reader's true `getNumImages(true)` container walk
+    * and `gray_sum` frame 0's decoded pixel sum — joined with the
+    * deterministic byte-slice frame sampler over the text payloads.
+    * (Until r14 this query certified [[graft.ext.Multimodal.decodeStub]];
+    * the stub remains only as documented plumbing shape, off the query
+    * surface.)
     */
   def multimodalDecode(spark: SparkSession, sfDir: String): DataFrame = {
     val bin = docs(spark, sfDir).select(col("doc_id"), col("text").cast("binary").as("payload"))
-    val decoded = Multimodal.decodeStub(spark, bin, "doc_id", "payload")
+    val decoded = Multimodal.decodeImages(
+      spark,
+      Multimodal.encodeSyntheticGifs(spark, docs(spark, sfDir).select(col("doc_id")), "doc_id"),
+      "payload")
     val frames = Multimodal.frameSample(bin, "doc_id", "payload", 4)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_sampled"), max(md5(col("frame_bytes"))).as("max_md5"))
     decoded.join(frames, decoded("media_id") === frames("doc_id"))
       .select(col("media_id"), col("width"), col("height"), col("n_frames"),
-        col("n_sampled"), col("max_md5"))
+        col("gray_sum"), col("n_sampled"), col("max_md5"))
   }
 
-  /** The decode stub's arithmetic is deterministic byte algebra, so it
-    * IS oracle-checkable: the payloads are ASCII (byte == code point),
-    * letting DuckDB reproduce width/height (first-byte masks), frame
-    * boundaries (truncating casts mirrored with trunc()), and frame
-    * digests (md5 over the same byte slices).
+  /** Every decoded quantity is closed-form in doc_id (the GIF fixture's
+    * generator params) and the frame digests are md5 over ASCII byte
+    * slices, so DuckDB replays all of it: a decode that didn't really
+    * walk the GIF container and rasterize frame 0 cannot match.
     */
   val multimodalDecodeSql: String =
     """WITH d AS (
-      |  SELECT doc_id, text, length(text) AS n,
-      |         greatest(length(text) / 4.0, 1.0) AS flen
+      |  SELECT doc_id, text,
+      |         greatest(length(text) / 4.0, 1.0) AS flen,
+      |         8 + doc_id % 13 AS w, 8 + doc_id % 11 AS h
       |  FROM documents)
       |SELECT doc_id AS media_id,
-      |  CASE WHEN n = 0 THEN 0 ELSE 16 + unicode(substring(text, 1, 1)) % 64 END AS width,
-      |  CASE WHEN n < 2 THEN 0 ELSE 16 + unicode(substring(text, 2, 1)) % 64 END AS height,
-      |  CAST(1 + n % 4 AS INTEGER) AS n_frames,
+      |  CAST(w AS INTEGER) AS width,
+      |  CAST(h AS INTEGER) AS height,
+      |  CAST(1 + doc_id % 5 AS INTEGER) AS n_frames,
+      |  CAST(list_sum(list_transform(range(0, w * h),
+      |         i -> (31 * doc_id + 7 * (i % w) + 13 * (i // w)) % 256)) AS BIGINT)
+      |    AS gray_sum,
       |  CAST(4 AS BIGINT) AS n_sampled,
       |  list_max(list_transform(range(0, 4),
       |    i -> md5(substring(text, CAST(trunc(i * flen + 1) AS INT),
@@ -1005,6 +1018,7 @@ object ExtQueries {
         col("media_kind"),
         col("width"),
         col("height"),
+        col("n_frames"),
         col("n_pixels"),
         when(col("fmt") === "jpg", lit(null).cast("long"))
           .otherwise(col("gray_sum")).as("gray_sum"))
@@ -1016,6 +1030,7 @@ object ExtQueries {
       |       WHEN 1 THEN 'image/bmp' ELSE 'image/jpeg' END AS media_kind,
       |  CAST(8 + doc_id % 13 AS INTEGER) AS width,
       |  CAST(8 + doc_id % 11 AS INTEGER) AS height,
+      |  CAST(1 AS INTEGER) AS n_frames,
       |  CAST((8 + doc_id % 13) * (8 + doc_id % 11) AS INTEGER) AS n_pixels,
       |  CASE WHEN doc_id % 3 = 2 THEN NULL
       |       ELSE CAST(list_sum(list_transform(

@@ -761,11 +761,34 @@ class MultimodalSpec extends SparkSpec {
       val w = (8 + id % 13).toInt
       val h = (8 + id % 11).toInt
       assert(r.getAs[Int]("width") == w && r.getAs[Int]("height") == h, s"dims for id=$id")
+      assert(r.getAs[Int]("n_frames") == 1, s"still image id=$id must decode as 1 frame")
       if (id % 3 != 2) {
         val expect = (for (y <- 0 until h; x <- 0 until w)
           yield (31L * id + 7L * x + 13L * y) % 256L).sum
         assert(r.getAs[Long]("gray_sum") == expect, s"pixel sum for id=$id fmt=${r.getAs[String]("fmt")}")
       }
+    }
+  }
+
+  test("animated GIF roundtrip: n_frames is the real container walk, frame 0 lossless") {
+    val ids = (0L until 25L).toDF("doc_id")
+    val enc = Multimodal.encodeSyntheticGifs(spark, ids, "doc_id")
+    // the payloads are real GIFs: magic sniff agrees
+    Multimodal.attachMetadata(enc, "payload").select("media_kind").collect()
+      .foreach(r => assert(r.getString(0) == "image/gif"))
+    val dec = Multimodal.decodeImages(spark, enc, "payload").collect()
+    assert(dec.length == 25)
+    dec.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      val w = (8 + id % 13).toInt
+      val h = (8 + id % 11).toInt
+      assert(r.getAs[Int]("width") == w && r.getAs[Int]("height") == h, s"dims for id=$id")
+      // ids 1..4 give 2..5 frames — only a true getNumImages(true) walk
+      // of the GIF image blocks can produce these counts
+      assert(r.getAs[Int]("n_frames") == (1 + id % 5).toInt, s"frame count for id=$id")
+      val expect = (for (y <- 0 until h; x <- 0 until w)
+        yield (31L * id + 7L * x + 13L * y) % 256L).sum
+      assert(r.getAs[Long]("gray_sum") == expect, s"frame-0 pixel sum for id=$id")
     }
   }
 }

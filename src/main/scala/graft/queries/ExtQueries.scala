@@ -1040,6 +1040,42 @@ object ExtQueries {
       |  END AS gray_sum
       |FROM documents""".stripMargin
 
+  /** REAL audio roundtrip: closed-form mono 16-bit PCM clips through the
+    * JDK's actual WAVE encoder, sniffed (RIFF/WAVE magic), then decoded
+    * by [[graft.ext.Multimodal.decodeAudio]] — real `javax.sound.sampled`
+    * container parse + PCM frame checksum. The oracle predicts header
+    * fields, frame count, and the exact sample sum from the generator
+    * params alone; a fake parse cannot match the sum of ((211·id + 37·i)
+    * mod 4001) − 2000 over i < 64 + id%97.
+    */
+  def multimodalAudio(spark: SparkSession, sfDir: String): DataFrame = {
+    val enc = Multimodal.encodeSyntheticWavs(
+      spark, docs(spark, sfDir).select(col("doc_id")), "doc_id")
+    val sniffed = Multimodal
+      .attachMetadata(enc, "payload")
+      .select(col("media_id"), col("media_kind"), col("payload"))
+    Multimodal.decodeAudio(spark, sniffed, "payload")
+      .select(
+        col("media_id"),
+        col("media_kind"),
+        col("n_channels"),
+        col("sample_rate"),
+        col("bits_per_sample"),
+        col("n_samples"),
+        col("sample_sum"))
+  }
+
+  val multimodalAudioSql: String =
+    """SELECT doc_id AS media_id,
+      |  'audio/wav' AS media_kind,
+      |  CAST(1 AS INTEGER) AS n_channels,
+      |  CAST(8000 AS INTEGER) AS sample_rate,
+      |  CAST(16 AS INTEGER) AS bits_per_sample,
+      |  CAST(64 + doc_id % 97 AS BIGINT) AS n_samples,
+      |  CAST(list_sum(list_transform(range(0, 64 + doc_id % 97),
+      |         i -> (211 * doc_id + 37 * i) % 4001 - 2000)) AS BIGINT) AS sample_sum
+      |FROM documents""".stripMargin
+
   // ---- corpus construction -------------------------------------------------
 
   /** Exact-count stratified sample: 50 documents per source,
@@ -1886,7 +1922,8 @@ object ExtQueries {
     "q_similarity_ivf" -> (similarityIvf _),
     "q_multimodal_meta" -> (multimodalMeta _),
     "q_multimodal_decode" -> (multimodalDecode _),
-    "q_multimodal_decode_real" -> (multimodalDecodeReal _))
+    "q_multimodal_decode_real" -> (multimodalDecodeReal _),
+    "q_multimodal_audio" -> (multimodalAudio _))
 
   val oracleSql: Map[String, String] = Map(
     "q_chunk_documents" -> chunkDocumentsSql,
@@ -1922,6 +1959,7 @@ object ExtQueries {
     "q_multimodal_meta" -> multimodalMetaSql,
     "q_multimodal_decode" -> multimodalDecodeSql,
     "q_multimodal_decode_real" -> multimodalDecodeRealSql,
+    "q_multimodal_audio" -> multimodalAudioSql,
     "q_bm25_search" -> bm25SearchSql,
     "q_embedding_pq" -> embeddingPqSql,
     "q_similarity_adc" -> similarityAdcSql,

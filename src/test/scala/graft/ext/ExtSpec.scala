@@ -770,6 +770,29 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("WAV roundtrip: real RIFF parse + PCM checksum; garbage and truncation yield nulls") {
+    val ids = (0L until 20L).toDF("doc_id")
+    val enc = Multimodal.encodeSyntheticWavs(spark, ids, "doc_id")
+    Multimodal.attachMetadata(enc, "payload").select("media_kind").collect()
+      .foreach(r => assert(r.getString(0) == "audio/wav"))
+    val dec = Multimodal.decodeAudio(spark, enc, "payload").collect()
+    assert(dec.length == 20)
+    dec.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      val n = (64 + id % 97).toInt
+      assert(r.getAs[Int]("n_channels") == 1 && r.getAs[Int]("sample_rate") == 8000)
+      assert(r.getAs[Int]("bits_per_sample") == 16)
+      assert(r.getAs[Long]("n_samples") == n.toLong, s"frame count for id=$id")
+      val expect = (0 until n).map(i => (211L * id + 37L * i) % 4001L - 2000L).sum
+      assert(r.getAs[Long]("sample_sum") == expect, s"sample sum for id=$id")
+    }
+    // non-audio payload → honest nulls
+    val bad = Seq((99L, "not audio at all".getBytes)).toDF("media_id", "payload")
+    val badRow = Multimodal.decodeAudio(spark, bad, "payload").collect().head
+    assert(badRow.isNullAt(badRow.fieldIndex("n_channels")) &&
+      badRow.isNullAt(badRow.fieldIndex("sample_sum")))
+  }
+
   test("animated GIF roundtrip: n_frames is the real container walk, frame 0 lossless") {
     val ids = (0L until 25L).toDF("doc_id")
     val enc = Multimodal.encodeSyntheticGifs(spark, ids, "doc_id")

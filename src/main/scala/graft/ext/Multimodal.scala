@@ -276,6 +276,65 @@ object Multimodal {
     spark.createDataFrame(rows, schema)
   }
 
+  /** Output schema of [[extractFrames]]: one row per decoded frame. */
+  val frameExtractSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("frame_idx", IntegerType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("gray_sum", LongType)))
+
+  /** REAL multi-frame extraction — the keyframe-sampling shape of a
+    * video pipeline, run against the multi-frame container the JDK can
+    * actually decode (animated GIF): every image block is decoded
+    * through the `ImageReader` and emitted as its own row with its true
+    * raster dimensions and pixel sum. Frames are the container's RAW
+    * image blocks (no disposal-method compositing — each block decodes
+    * independently, which is exactly what a parallel frame pipeline
+    * wants). Undecodable payloads contribute zero rows (the honest
+    * empty answer); `flatMap` keeps the stage a streaming one-pass per
+    * partition — no payload is held beyond its own decode.
+    */
+  def extractFrames(spark: SparkSession, df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    require(df.columns.contains(idCol) && df.columns.contains(binCol), s"missing $idCol/$binCol")
+    val rows = df.select(col(idCol).cast("long"), col(binCol)).rdd.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        if (bytes == null || bytes.isEmpty) Iterator.empty
+        else {
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) { iis.close(); Iterator.empty }
+          else {
+            val reader = readers.next()
+            try {
+              reader.setInput(iis, false, true)
+              val n = reader.getNumImages(true)
+              (0 until n).iterator.map { f =>
+                val img = reader.read(f)
+                val w = img.getWidth
+                val h = img.getHeight
+                var sum = 0L
+                var y = 0
+                while (y < h) {
+                  var x = 0
+                  while (x < w) { sum += (img.getRGB(x, y) >> 16) & 0xFF; x += 1 }
+                  y += 1
+                }
+                Row(id, f, w, h, sum)
+              }.toVector
+            } catch { case _: java.io.IOException => Vector.empty[Row] }
+            finally { reader.dispose(); iis.close() }
+          }
+        }
+      }
+    }
+    spark.createDataFrame(rows, frameExtractSchema)
+  }
+
   /** Columns [[decodeAudio]] appends: true header fields (channel count,
     * sample rate, bit depth) plus frame count and a sample checksum from
     * the decoded PCM stream itself.

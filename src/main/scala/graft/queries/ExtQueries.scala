@@ -1040,6 +1040,32 @@ object ExtQueries {
       |  END AS gray_sum
       |FROM documents""".stripMargin
 
+  /** REAL frame extraction — the keyframe-sampling shape of a video
+    * pipeline over the multi-frame container the JDK actually decodes:
+    * every image block of each animated-GIF fixture becomes its own row
+    * with its decoded dimensions and pixel sum. The oracle laterally
+    * unnests the closed-form frame count and replays each frame's pixel
+    * formula — per-frame sums differ (the 97·f term), so only a real
+    * per-block decode matches every row.
+    */
+  def multimodalFrames(spark: SparkSession, sfDir: String): DataFrame =
+    Multimodal.extractFrames(
+      spark,
+      Multimodal.encodeSyntheticGifs(spark, docs(spark, sfDir).select(col("doc_id")), "doc_id"),
+      "media_id",
+      "payload")
+
+  val multimodalFramesSql: String =
+    """SELECT doc_id AS media_id,
+      |  CAST(f AS INTEGER) AS frame_idx,
+      |  CAST(8 + doc_id % 13 AS INTEGER) AS width,
+      |  CAST(8 + doc_id % 11 AS INTEGER) AS height,
+      |  CAST(list_sum(list_transform(range(0, (8 + doc_id % 13) * (8 + doc_id % 11)),
+      |         i -> (31 * doc_id + 7 * (i % (8 + doc_id % 13))
+      |               + 13 * (i // (8 + doc_id % 13)) + 97 * f) % 256)) AS BIGINT)
+      |    AS gray_sum
+      |FROM documents, unnest(range(0, 1 + doc_id % 5)) AS t(f)""".stripMargin
+
   /** REAL audio roundtrip: closed-form mono 16-bit PCM clips through the
     * JDK's actual WAVE encoder, sniffed (RIFF/WAVE magic), then decoded
     * by [[graft.ext.Multimodal.decodeAudio]] — real `javax.sound.sampled`
@@ -1923,7 +1949,8 @@ object ExtQueries {
     "q_multimodal_meta" -> (multimodalMeta _),
     "q_multimodal_decode" -> (multimodalDecode _),
     "q_multimodal_decode_real" -> (multimodalDecodeReal _),
-    "q_multimodal_audio" -> (multimodalAudio _))
+    "q_multimodal_audio" -> (multimodalAudio _),
+    "q_multimodal_frames" -> (multimodalFrames _))
 
   val oracleSql: Map[String, String] = Map(
     "q_chunk_documents" -> chunkDocumentsSql,
@@ -1960,6 +1987,7 @@ object ExtQueries {
     "q_multimodal_decode" -> multimodalDecodeSql,
     "q_multimodal_decode_real" -> multimodalDecodeRealSql,
     "q_multimodal_audio" -> multimodalAudioSql,
+    "q_multimodal_frames" -> multimodalFramesSql,
     "q_bm25_search" -> bm25SearchSql,
     "q_embedding_pq" -> embeddingPqSql,
     "q_similarity_adc" -> similarityAdcSql,

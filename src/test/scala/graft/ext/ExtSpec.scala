@@ -793,6 +793,24 @@ class MultimodalSpec extends SparkSpec {
       badRow.isNullAt(badRow.fieldIndex("sample_sum")))
   }
 
+  test("frame extraction decodes every GIF image block; undecodable payloads emit no rows") {
+    val ids = (0L until 12L).toDF("doc_id")
+    val enc = Multimodal.encodeSyntheticGifs(spark, ids, "doc_id")
+    val frames = Multimodal.extractFrames(spark, enc, "media_id", "payload").collect()
+    assert(frames.length == (0L until 12L).map(id => 1 + id % 5).sum)
+    frames.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      val f = r.getAs[Int]("frame_idx")
+      val w = (8 + id % 13).toInt
+      val h = (8 + id % 11).toInt
+      val expect = (for (y <- 0 until h; x <- 0 until w)
+        yield (31L * id + 7L * x + 13L * y + 97L * f) % 256L).sum
+      assert(r.getAs[Long]("gray_sum") == expect, s"frame $f of id=$id")
+    }
+    val bad = Seq((7L, "junk".getBytes)).toDF("media_id", "payload")
+    assert(Multimodal.extractFrames(spark, bad, "media_id", "payload").count() == 0)
+  }
+
   test("animated GIF roundtrip: n_frames is the real container walk, frame 0 lossless") {
     val ids = (0L until 25L).toDF("doc_id")
     val enc = Multimodal.encodeSyntheticGifs(spark, ids, "doc_id")

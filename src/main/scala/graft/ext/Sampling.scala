@@ -60,6 +60,40 @@ object Sampling {
     * `shard`. The within-shard sort is the price of a dense position
     * column; at 100 TB each shard sorts ~1/nShards of the corpus.
     */
+  /** Weight-proportional sample of `k` rows WITHOUT replacement —
+    * priority sampling (Duffield, Lund & Thorup, JACM 2007): each row
+    * draws a deterministic uniform u from its id and gets priority
+    * q = w/u; the k highest-priority rows are the sample. Inclusion
+    * probability ≈ min(1, w/τ) with τ the (k+1)-th priority — the
+    * near-optimal variance subset-sum estimator, and the standard way
+    * to bias a training mix toward long/high-quality documents without
+    * resorting to replacement draws.
+    *
+    * Engine-exactness: priorities avoid transcendentals on purpose —
+    * u is a 60-bit md5 integer and q = w/u is ONE IEEE division, which
+    * every engine rounds identically, so an oracle replays the exact
+    * selection (pow/log-based Efraimidis–Spirakis keys can differ in
+    * the last ulp across libm implementations and flip rank-k ties).
+    *
+    * Scale shape: one hash projection + a global top-k, which plans as
+    * `TakeOrderedAndProject` — each task keeps its local k, the driver
+    * merges task heads; no global sort, no single-reducer funnel.
+    */
+  def prioritySample(
+      df: DataFrame,
+      idCol: String,
+      weightCol: Column,
+      k: Int,
+      seed: String = ""): DataFrame = {
+    require(k > 0, s"sample size must be positive, got $k")
+    val u = conv(
+      substring(md5(concat(lit(seed), lit(":"), col(idCol).cast("string"))), 1, 15),
+      16, 10).cast("long") + 1 // [1, 2^60]: never zero, division total
+    df.withColumn("priority", weightCol.cast("double") / u.cast("double"))
+      .orderBy(col("priority").desc, col(idCol))
+      .limit(k)
+  }
+
   def shardShuffle(
       df: DataFrame,
       idCol: String,

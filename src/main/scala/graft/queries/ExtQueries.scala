@@ -1115,6 +1115,27 @@ object ExtQueries {
       .stratifiedExact(docs(spark, sfDir), "doc_id", "source", 50)
       .select(col("doc_id"), col("source"), col("sample_rank"))
 
+  /** Weight-proportional 100-document sample (priority sampling): long
+    * documents are proportionally likelier, selection is a pure function
+    * of doc_id, and the only wide op is a TakeOrderedAndProject top-k.
+    * The oracle replays the identical md5-uniform and single IEEE
+    * division, so the selected set (and each priority double) is
+    * engine-exact.
+    */
+  def sampleWeighted(spark: SparkSession, sfDir: String): DataFrame =
+    Sampling
+      .prioritySample(docs(spark, sfDir), "doc_id", length(col("text")), 100)
+      .select(col("doc_id"), col("source"), length(col("text")).as("weight"), col("priority"))
+
+  val sampleWeightedSql: String =
+    """SELECT doc_id, source, CAST(length(text) AS INTEGER) AS weight,
+      |       CAST(length(text) AS DOUBLE) /
+      |         (CAST(('0x' || substring(md5(':' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1)
+      |         AS priority
+      |FROM documents
+      |ORDER BY priority DESC, doc_id
+      |LIMIT 100""".stripMargin
+
   val sampleStratifiedSql: String =
     """SELECT doc_id, source, CAST(rn AS INTEGER) AS sample_rank FROM (
       |  SELECT doc_id, source,
@@ -1913,6 +1934,7 @@ object ExtQueries {
     "q_corpus_report" -> (corpusReport _),
     "q_vocab_coverage" -> (vocabCoverage _),
     "q_sample_stratified" -> (sampleStratified _),
+    "q_sample_weighted" -> (sampleWeighted _),
     "q_embedding_quantize" -> (embeddingQuantize _),
     "q_embedding_centroids" -> (embeddingCentroids _),
     "q_bigram_lm" -> (bigramLm _),
@@ -1957,6 +1979,7 @@ object ExtQueries {
     "q_corpus_report" -> corpusReportSql,
     "q_vocab_coverage" -> vocabCoverageSql,
     "q_sample_stratified" -> sampleStratifiedSql,
+    "q_sample_weighted" -> sampleWeightedSql,
     "q_embedding_quantize" -> embeddingQuantizeSql,
     "q_embedding_centroids" -> embeddingCentroidsSql,
     "q_bigram_lm" -> bigramLmSql,

@@ -28,6 +28,27 @@ class SamplingSpec extends SparkSpec {
     assert(a != (1L to 5L).toSet, s"suspicious: sample equals first-ids $a")
   }
 
+  test("prioritySample: weight-proportional without replacement, deterministic, top-k plan") {
+    // 200 light docs (weight 10) + 200 heavy docs (weight 1000): a
+    // weight-proportional 100-sample must be dominated by heavy docs
+    // (inclusion odds 100:1), while a uniform sample would split ~50/50
+    val df = ((1L to 200L).map(i => (i, 10)) ++ (201L to 400L).map(i => (i, 1000)))
+      .toDF("id", "w")
+    val picked = Sampling.prioritySample(df, "id", col("w"), 100)
+      .collect().map(r => r.getLong(0))
+    assert(picked.length == 100)
+    val heavy = picked.count(_ > 200L)
+    assert(heavy > 90, s"only $heavy/100 picks were heavy-weight docs")
+    // pure function of id: input order cannot change the sample
+    val again = Sampling.prioritySample(df.orderBy(rand(3)), "id", col("w"), 100)
+      .collect().map(_.getLong(0))
+    assert(picked.toSet == again.toSet)
+    // scale shape: global top-k plans bounded, never a full sort
+    val p = Sampling.prioritySample(df, "id", col("w"), 100).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("shardShuffle: dense per-shard positions, full coverage, input-order independence") {
     val df = (1L to 200L).toDF("id")
     val out = Sampling.shardShuffle(df, "id", 8, "s1")

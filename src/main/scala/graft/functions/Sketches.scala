@@ -330,4 +330,172 @@ object Sketches {
       name, exprs => CountMinMatrix(exprs, w), "scala_udf")
     call_function(name, buckets: _*)
   }
+
+  /** Bottom-k (hash-ordered) uniform sample of a value column — the
+    * quantile-sketch member of the family (Cohen & Kaplan 2007
+    * bottom-k sketches): keep the k (hash, value) pairs with the
+    * lexicographically smallest (hash, value) key. Because a uniform
+    * hash induces a random-but-DETERMINISTIC total order on rows, the
+    * survivor set is a uniform sample that any engine reproduces
+    * bit-for-bit (`ORDER BY hv, val LIMIT k`), so sample quantiles are
+    * fully oracle-checkable — unlike `approx_percentile`'s internal
+    * randomized KLL layout. Standard sample-quantile error is
+    * O(1/sqrt(k)) in rank.
+    *
+    * Scale shape: bounded ≤ k-pair buffer per (group, partition),
+    * merged map-side with the same sorted early-exit as [[KMinValues]]
+    * — the shuffle carries one ≤ k-pair sketch per partial, never the
+    * data. The exact alternative (`percentile`) shuffles and sorts
+    * every value in the group.
+    *
+    * Distinct (hash, value) PAIRS are sampled (a hash collision across
+    * different values keeps both, matching `SELECT DISTINCT hv, val`
+    * replay); NULL hashes or values are ignored. Evaluates to the
+    * sample's values as an `array<double>` sorted ascending BY VALUE,
+    * ready for quantile interpolation.
+    */
+  /** Mutable bottom-k buffer: (hash, value) pairs under lexicographic
+    * order, bounded to k pairs, with the pair count tracked so update
+    * stays O(log k) per row. Pairs, not hashes, are the sample unit: a
+    * hash collision across different values keeps both, matching
+    * `SELECT DISTINCT hv, val` replay.
+    */
+  final class BottomKBuffer {
+    val map = new java.util.TreeMap[java.lang.Long, java.util.TreeSet[java.lang.Double]]()
+    var n: Int = 0
+
+    private def dropLast(): Unit = {
+      val e = map.lastEntry()
+      e.getValue.pollLast()
+      if (e.getValue.isEmpty) map.pollLastEntry()
+      n -= 1
+    }
+
+    /** Insert (h, v) if it qualifies, keeping <= k pairs. Returns false
+      * iff (h, v) >= the current k-th pair (merge early-exit signal).
+      */
+    def offer(k: Int, h: Long, v: Double): Boolean = {
+      if (n < k) {
+        val set = map.computeIfAbsent(h, _ => new java.util.TreeSet[java.lang.Double]())
+        if (set.add(v)) n += 1
+        true
+      } else {
+        val last = map.lastEntry()
+        val lh = last.getKey.longValue()
+        val lv = last.getValue.last().doubleValue()
+        if (h > lh || (h == lh && v >= lv)) false
+        else {
+          val set = map.computeIfAbsent(h, _ => new java.util.TreeSet[java.lang.Double]())
+          if (set.add(v)) { n += 1; dropLast() }
+          true
+        }
+      }
+    }
+  }
+
+  case class BottomKSample(
+      hashChild: Expression,
+      valueChild: Expression,
+      k: Int,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[BottomKBuffer]
+      with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+    require(k >= 2, s"bottom-k sample needs k >= 2, got $k")
+
+    override def left: Expression = hashChild
+    override def right: Expression = valueChild
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+    override def nullable: Boolean = false
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (hashChild.dataType == LongType && valueChild.dataType == DoubleType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_bottomk expects (BIGINT hash, DOUBLE value), got " +
+            s"(${hashChild.dataType.catalogString}, ${valueChild.dataType.catalogString})")
+
+    override def createAggregationBuffer(): BottomKBuffer = new BottomKBuffer
+
+    override def update(buf: BottomKBuffer, input: InternalRow): BottomKBuffer = {
+      val h = hashChild.eval(input)
+      val v = valueChild.eval(input)
+      if (h != null && v != null) buf.offer(k, h.asInstanceOf[Long], v.asInstanceOf[Double])
+      buf
+    }
+
+    override def merge(buf: BottomKBuffer, other: BottomKBuffer): BottomKBuffer = {
+      val eit = other.map.entrySet().iterator()
+      var continue = true
+      while (continue && eit.hasNext) {
+        val e = eit.next()
+        val vit = e.getValue.iterator()
+        while (continue && vit.hasNext) {
+          // other iterates in ascending pair order: first rejection
+          // means no later pair can qualify either
+          continue = buf.offer(k, e.getKey, vit.next())
+        }
+      }
+      buf
+    }
+
+    override def eval(buf: BottomKBuffer): Any = {
+      val out = new Array[Double](buf.n)
+      var i = 0
+      val eit = buf.map.values().iterator()
+      while (eit.hasNext) {
+        val vit = eit.next().iterator()
+        while (vit.hasNext) { out(i) = vit.next(); i += 1 }
+      }
+      java.util.Arrays.sort(out)
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+
+    override def serialize(buf: BottomKBuffer): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(4 + 16 * buf.n)
+      bb.putInt(buf.n)
+      val eit = buf.map.entrySet().iterator()
+      while (eit.hasNext) {
+        val e = eit.next()
+        val vit = e.getValue.iterator()
+        while (vit.hasNext) { bb.putLong(e.getKey); bb.putDouble(vit.next()) }
+      }
+      bb.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): BottomKBuffer = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      val n = bb.getInt
+      val buf = new BottomKBuffer
+      var i = 0
+      while (i < n) {
+        val h = bb.getLong
+        val v = bb.getDouble
+        buf.offer(Int.MaxValue, h, v)
+        i += 1
+      }
+      buf
+    }
+
+    override def withNewMutableAggBufferOffset(offset: Int): BottomKSample =
+      copy(mutableAggBufferOffset = offset)
+    override def withNewInputAggBufferOffset(offset: Int): BottomKSample =
+      copy(inputAggBufferOffset = offset)
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): BottomKSample =
+      copy(hashChild = newLeft, valueChild = newRight)
+  }
+
+  /** Column form of [[BottomKSample]]. */
+  def bottomKSample(
+      spark: org.apache.spark.sql.SparkSession,
+      hash: Column,
+      value: Column,
+      k: Int): Column = {
+    val name = s"graft_bottomk_$k"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => BottomKSample(exprs(0), exprs(1), k), "scala_udf")
+    call_function(name, hash, value)
+  }
 }

@@ -382,6 +382,87 @@ object AnalyticsQueries {
       |       exact_union, exact_inter
       |FROM raw, ex_u, ex_i""".stripMargin
 
+  /** KMV set DIFFERENCE — |A \ B| estimated from the same two k-min
+    * sets as [[kmvSetOps]] (the theta-sketch A-not-B operation): for
+    * any hash below the union sketch's k-th value, membership in the
+    * A-sketch decides membership in A exactly (the A-sketch holds ALL
+    * of A's hashes up to its own k-th, which is >= the union's k-th),
+    * so diff_est = (|{h in u : h in A, h not in B}| / k) * union_est.
+    * Below k distinct hashes the sketches are the full sets and the
+    * estimate is exact. Exact anti-join twin rides along for the
+    * error-envelope spec. Same bounded-buffer scale shape as the other
+    * set ops — no distinct-key shuffle anywhere.
+    */
+  def kmvDifference(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = 64
+    val two60 = 1152921504606846976.0 // 2^60
+    val h = conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10).cast("long")
+    val ev = Testdata.events(spark, sfDir)
+    // same partially-overlapping cohorts as q_kmv_set_ops
+    val sideA = col("event_type") === "click" && pmod(col("user_id"), lit(2)) === 0
+    val sideB = col("event_type") === "purchase" && pmod(col("user_id"), lit(3)) === 0
+    def sketchOf(side: org.apache.spark.sql.Column, alias: String): DataFrame =
+      ev.filter(side).agg(graft.functions.Sketches.kmvSet(spark, h, k).as(alias))
+    val exactDiff = ev
+      .filter(sideA)
+      .select(col("user_id"))
+      .join(ev.filter(sideB).select(col("user_id")).distinct(), Seq("user_id"), "left_anti")
+      .agg(countDistinct(col("user_id")).as("exact_diff"))
+    sketchOf(sideA, "ska")
+      .crossJoin(sketchOf(sideB, "skb"))
+      .withColumn("u", slice(array_sort(array_union(col("ska"), col("skb"))), 1, k))
+      .withColumn("n_u", size(col("u")))
+      .withColumn("kth", when(col("n_u") > 0, element_at(col("u"), col("n_u"))))
+      .withColumn("d", size(array_intersect(col("u"), array_except(col("ska"), col("skb")))))
+      .withColumn(
+        "union_raw",
+        when(col("n_u") < k, col("n_u").cast("double"))
+          .otherwise(lit((k - 1).toDouble) / (col("kth").cast("double") / lit(two60))))
+      .withColumn(
+        "diff_raw",
+        when(col("n_u") < k, col("d").cast("double"))
+          .otherwise(col("d") / lit(k.toDouble) * col("union_raw")))
+      .crossJoin(broadcast(exactDiff))
+      .select(
+        round(col("diff_raw"), 4).as("diff_est"),
+        col("d").cast("long").as("sample_in_diff"), // bigint: DuckDB count(*) FILTER
+        col("exact_diff"))
+  }
+
+  val kmvDifferenceSql: String =
+    """WITH ka AS (
+      |  SELECT hv FROM (
+      |    SELECT DISTINCT CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+      |    FROM events WHERE event_type = 'click' AND user_id % 2 = 0)
+      |  ORDER BY hv LIMIT 64),
+      |kb AS (
+      |  SELECT hv FROM (
+      |    SELECT DISTINCT CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+      |    FROM events WHERE event_type = 'purchase' AND user_id % 3 = 0)
+      |  ORDER BY hv LIMIT 64),
+      |u AS (
+      |  SELECT hv FROM (SELECT hv FROM ka UNION SELECT hv FROM kb)
+      |  ORDER BY hv LIMIT 64),
+      |stats AS (
+      |  SELECT count(*) AS n_u, max(hv) AS kth,
+      |         count(*) FILTER (WHERE hv IN (SELECT hv FROM ka)
+      |                            AND hv NOT IN (SELECT hv FROM kb)) AS d
+      |  FROM u),
+      |ex AS (
+      |  SELECT count(DISTINCT user_id) AS exact_diff FROM events
+      |  WHERE event_type = 'click' AND user_id % 2 = 0
+      |    AND user_id NOT IN (SELECT user_id FROM events
+      |                        WHERE event_type = 'purchase' AND user_id % 3 = 0)),
+      |raw AS (
+      |  SELECT n_u, d,
+      |         CASE WHEN n_u < 64 THEN CAST(n_u AS DOUBLE)
+      |              ELSE 63.0 / (CAST(kth AS DOUBLE) / 1152921504606846976.0) END AS union_raw
+      |  FROM stats)
+      |SELECT round(CASE WHEN n_u < 64 THEN CAST(d AS DOUBLE)
+      |                  ELSE d / 64.0 * union_raw END, 4) AS diff_est,
+      |       d AS sample_in_diff, exact_diff
+      |FROM raw, ex""".stripMargin
+
   /** Count-min frequency sketch over the partkey stream, probed for a
     * fixed key set against exact counts. The d=3 bucket columns use the
     * md5-substring recipe (engine-replayable); the native
@@ -768,6 +849,61 @@ object AnalyticsQueries {
       |       round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  /** Approximate quantiles from a bottom-k hash sample
+    * ([[graft.functions.Sketches.BottomKSample]], k = 128 pairs keyed
+    * by a 60-bit md5 hash of event_id) — the SKETCH-scaling complement
+    * to [[quantiles]]: exact `percentile` shuffles and sorts every
+    * value in the group, while the sample aggregate ships <= k
+    * (hash, value) pairs per (group, partition) and the quantile is
+    * interpolated over the tiny sample. Unlike `approx_percentile`'s
+    * randomized KLL layout, the hash order makes the sample — and the
+    * estimate, bit for bit — replayable in any engine (`ORDER BY hv,
+    * val LIMIT k`), so this path is fully oracle-checked. Exact
+    * quantile twins ride along for the error-envelope spec; sample
+    * error is O(1/sqrt(k)) in rank.
+    */
+  def quantileSketch(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = 128
+    val h = conv(substring(md5(col("event_id").cast("string")), 1, 15), 16, 10).cast("long")
+    val ev = Testdata.events(spark, sfDir)
+    val sk = ev
+      .groupBy(col("event_type"))
+      .agg(graft.functions.Sketches.bottomKSample(spark, h, col("value"), k).as("sample"))
+      .select(col("event_type"), explode(col("sample")).as("v"))
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(v, 0.5)"), 4).as("p50_sketch"),
+        round(expr("percentile(v, 0.9)"), 4).as("p90_sketch"),
+        count(lit(1)).as("sample_n"))
+    val exact = ev
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50_exact"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90_exact"))
+    sk.join(exact, Seq("event_type"))
+  }
+
+  val quantileSketchSql: String =
+    """WITH p AS (
+      |  SELECT DISTINCT event_type,
+      |         CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv,
+      |         value AS val
+      |  FROM events WHERE event_id IS NOT NULL AND value IS NOT NULL),
+      |r AS (SELECT event_type, val,
+      |        row_number() OVER (PARTITION BY event_type ORDER BY hv, val) AS rn
+      |      FROM p),
+      |s AS (SELECT event_type,
+      |        round(quantile_cont(val, 0.5), 4) AS p50_sketch,
+      |        round(quantile_cont(val, 0.9), 4) AS p90_sketch,
+      |        count(*) AS sample_n
+      |      FROM r WHERE rn <= 128 GROUP BY event_type),
+      |x AS (SELECT event_type,
+      |        round(quantile_cont(value, 0.5), 4) AS p50_exact,
+      |        round(quantile_cont(value, 0.9), 4) AS p90_exact
+      |      FROM events GROUP BY event_type)
+      |SELECT s.event_type, s.p50_sketch, s.p90_sketch, s.sample_n, x.p50_exact, x.p90_exact
+      |FROM s JOIN x USING (event_type)""".stripMargin
+
   /** Range (theta) join: orders bucketed into half-open price bands via
     * a non-equi join. The band table is tiny and broadcast, so the
     * plan is a broadcast nested-loop — the right shape for a
@@ -899,6 +1035,57 @@ object AnalyticsQueries {
       |SELECT event_id, event_type, round(value, 4) AS value_r, round(z, 4) AS z
       |FROM zs WHERE abs(z) > 3""".stripMargin
 
+  /** Robust (median/MAD) outlier summary per group — the heavy-tail
+    * complement to the 3-sigma z-score filter in [[outliers]]: mean and
+    * sigma are themselves corrupted by the outliers being hunted, while
+    * median and MAD (median absolute deviation) have a 50% breakdown
+    * point, the standard choice for cleaning skewed corpus statistics
+    * (doc lengths, scores) before training. x is flagged when
+    * |x - med| > 3 * 1.4826 * MAD (1.4826 scales MAD to sigma under
+    * normality). Two percentile aggregations with a tiny stats
+    * broadcast between them — never a window over whole groups; exact
+    * `percentile` matches DuckDB `quantile_cont` bit-for-bit (the
+    * [[quantiles]] parity).
+    */
+  def outlierMad(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Testdata.events(spark, sfDir)
+      .select(col("event_type"), col("value"))
+    val med = ev
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val dev = ev
+      .join(broadcast(med), Seq("event_type"))
+      .withColumn("adev", abs(col("value") - col("med")))
+    val mad = dev
+      .groupBy(col("event_type"))
+      .agg(max(col("med")).as("med"), expr("percentile(adev, 0.5)").as("mad"))
+    dev
+      .drop("med")
+      .join(broadcast(mad), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        count(when(col("adev") > lit(3.0) * lit(1.4826) * col("mad"), lit(1))).as("n_outliers"),
+        round(max(col("med")), 4).as("med"),
+        round(max(col("mad")), 4).as("mad"))
+  }
+
+  val outlierMadSql: String =
+    """WITH m AS (
+      |  SELECT event_type, quantile_cont(value, 0.5) AS med
+      |  FROM events GROUP BY event_type),
+      |d AS (
+      |  SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+      |  FROM events e JOIN m USING (event_type)),
+      |md AS (
+      |  SELECT event_type, max(med) AS med, quantile_cont(adev, 0.5) AS mad
+      |  FROM d GROUP BY event_type)
+      |SELECT d.event_type, count(*) AS n_total,
+      |       count(*) FILTER (WHERE d.adev > 3.0 * 1.4826 * md.mad) AS n_outliers,
+      |       round(max(md.med), 4) AS med, round(max(md.mad), 4) AS mad
+      |FROM d JOIN md USING (event_type)
+      |GROUP BY d.event_type""".stripMargin
+
   /** Column profiler over `orders` — the ANALYZE-TABLE statistics pass
     * (see [[graft.operators.Profile]]): one aggregation scan, pivoted
     * to a row per column after the aggregate.
@@ -961,7 +1148,10 @@ object AnalyticsQueries {
     "q_distinct_agg" -> (distinctAgg _),
     "q_rollup_agg" -> (rollupAgg _),
     "q_user_sequences" -> (userSequences _),
-    "q_outliers" -> (outliers _))
+    "q_outliers" -> (outliers _),
+    "q_outlier_mad" -> (outlierMad _),
+    "q_kmv_difference" -> (kmvDifference _),
+    "q_quantile_sketch" -> (quantileSketch _))
 
   val oracleSql: Map[String, String] = Map(
     "q_profile_table" -> profileTableSql,
@@ -992,7 +1182,10 @@ object AnalyticsQueries {
     "q_distinct_agg" -> distinctAggSql,
     "q_rollup_agg" -> rollupAggSql,
     "q_user_sequences" -> userSequencesSql,
-    "q_outliers" -> outliersSql)
+    "q_outliers" -> outliersSql,
+    "q_outlier_mad" -> outlierMadSql,
+    "q_kmv_difference" -> kmvDifferenceSql,
+    "q_quantile_sketch" -> quantileSketchSql)
 }
 
 /** Narrow typed view of lineitem for the Dataset[T] pipeline. */

@@ -181,4 +181,80 @@ class AnalyticsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(viaIslands == viaSessionWindow)
   }
+
+  test("bottom-k sample: exact below k, brute-force-equal, partitioning-invariant") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val k = 128
+    def hash = conv(substring(md5(col("id").cast("string")), 1, 15), 16, 10).cast("long")
+    def sampleOf(d: org.apache.spark.sql.DataFrame): Seq[Double] =
+      d.agg(graft.functions.Sketches.bottomKSample(spark, hash, col("v"), k))
+        .head.getSeq[Double](0)
+    // below k pairs: the sample IS the whole (sorted) value multiset
+    val small = (1 to 50).map(i => (i.toLong, i * 1.5)).toDF("id", "v")
+    assert(sampleOf(small) == (1 to 50).map(_ * 1.5))
+    // above k: must equal the brute-force k smallest by (hash, value)
+    val big = (1 to 20000).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val s = sampleOf(big)
+    assert(s.length == k)
+    assert(s == s.sorted, "sample values must come out ascending")
+    val brute = big.select(hash.as("h"), col("v")).distinct()
+      .orderBy(col("h"), col("v")).limit(k)
+      .collect().map(_.getDouble(1)).sorted.toSeq
+    assert(s == brute, "sample disagrees with brute-force bottom-k by (hash, value)")
+    // merge path: the sample must not depend on partitioning
+    assert(s == sampleOf(big.repartition(13)), "partitioning changed the sample")
+    // quantile error envelope: uniform 1..20000, rank error ~ 1/sqrt(k)
+    // (8.8% at k=128); allow 3x
+    val p50 = s.apply(s.length / 2)
+    assert(math.abs(p50 - 10000.0) / 20000.0 <= 0.27, s"sample median $p50 too far from 10000")
+  }
+
+  test("quantile sketch query: sketch quantiles within rank envelope of exact") {
+    val rows = queries.AnalyticsQueries
+      .quantileSketch(spark, "/root/testdata/sf0.01")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // value-space check is distribution-dependent; bound via the exact
+      // p50/p90 spread instead: the k=128 sample's p50 must land between
+      // exact p50 +- (p90-p50) (a > 3 sigma rank miss at 8.8% rank error)
+      val p50s = r.getAs[Double]("p50_sketch")
+      val p50e = r.getAs[Double]("p50_exact")
+      val p90e = r.getAs[Double]("p90_exact")
+      val spread = math.abs(p90e - p50e)
+      assert(math.abs(p50s - p50e) <= spread,
+        s"${r.getAs[String]("event_type")}: sketch p50 $p50s vs exact $p50e (spread $spread)")
+      assert(r.getAs[Long]("sample_n") <= 128)
+    }
+  }
+
+  test("KMV difference: exact below k and within error envelope vs anti-join") {
+    val r = queries.AnalyticsQueries
+      .kmvDifference(spark, "/root/testdata/sf0.01")
+      .head()
+    val est = r.getAs[Double]("diff_est")
+    val exact = r.getAs[Long]("exact_diff").toDouble
+    // k=64 -> ~12.5% per-sketch error; difference compounds union +
+    // membership noise, allow a generous 3x envelope
+    assert(exact == 0 || math.abs(est - exact) / exact <= 0.5,
+      s"diff_est=$est exact=$exact")
+  }
+
+  test("MAD outliers: robust stats flag fewer-or-equal rows than a zero-MAD degenerate") {
+    val rows = queries.AnalyticsQueries
+      .outlierMad(spark, "/root/testdata/sf0.01")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_total")
+      val out = r.getAs[Long]("n_outliers")
+      assert(out >= 0 && out <= n)
+      // MAD is a median of absolute deviations: non-negative by construction
+      assert(r.getAs[Double]("mad") >= 0.0)
+      // a 3*1.4826*MAD fence on any distribution keeps at least half the
+      // mass inside (deviations below the median deviation never flag)
+      assert(out <= n / 2, s"${r.getAs[String]("event_type")}: $out of $n flagged")
+    }
+  }
 }

@@ -331,29 +331,6 @@ object Sketches {
     call_function(name, buckets: _*)
   }
 
-  /** Bottom-k (hash-ordered) uniform sample of a value column — the
-    * quantile-sketch member of the family (Cohen & Kaplan 2007
-    * bottom-k sketches): keep the k (hash, value) pairs with the
-    * lexicographically smallest (hash, value) key. Because a uniform
-    * hash induces a random-but-DETERMINISTIC total order on rows, the
-    * survivor set is a uniform sample that any engine reproduces
-    * bit-for-bit (`ORDER BY hv, val LIMIT k`), so sample quantiles are
-    * fully oracle-checkable — unlike `approx_percentile`'s internal
-    * randomized KLL layout. Standard sample-quantile error is
-    * O(1/sqrt(k)) in rank.
-    *
-    * Scale shape: bounded ≤ k-pair buffer per (group, partition),
-    * merged map-side with the same sorted early-exit as [[KMinValues]]
-    * — the shuffle carries one ≤ k-pair sketch per partial, never the
-    * data. The exact alternative (`percentile`) shuffles and sorts
-    * every value in the group.
-    *
-    * Distinct (hash, value) PAIRS are sampled (a hash collision across
-    * different values keeps both, matching `SELECT DISTINCT hv, val`
-    * replay); NULL hashes or values are ignored. Evaluates to the
-    * sample's values as an `array<double>` sorted ascending BY VALUE,
-    * ready for quantile interpolation.
-    */
   /** Mutable bottom-k buffer: (hash, value) pairs under lexicographic
     * order, bounded to k pairs, with the pair count tracked so update
     * stays O(log k) per row. Pairs, not hashes, are the sample unit: a
@@ -393,6 +370,25 @@ object Sketches {
     }
   }
 
+  /** Bottom-k (hash-ordered) uniform sample of a value column — the
+    * quantile-sketch member of the family (Cohen & Kaplan 2007
+    * bottom-k sketches): keep the k (hash, value) pairs with the
+    * lexicographically smallest (hash, value) key. Because a uniform
+    * hash induces a random-but-DETERMINISTIC total order on rows, the
+    * survivor set is a uniform sample that any engine reproduces
+    * bit-for-bit (`ORDER BY hv, val LIMIT k`), so sample quantiles are
+    * fully oracle-checkable — unlike `approx_percentile`'s internal
+    * randomized KLL layout. Standard sample-quantile error is
+    * O(1/sqrt(k)) in rank.
+    *
+    * Scale shape: bounded ≤ k-pair buffer per (group, partition),
+    * merged map-side with the same sorted early-exit as [[KMinValues]]
+    * — the shuffle carries one ≤ k-pair sketch per partial, never the
+    * data. The exact alternative (`percentile`) shuffles and sorts
+    * every value in the group. NULL hashes or values are ignored.
+    * Evaluates to the sample's values as an `array<double>` sorted
+    * ascending BY VALUE, ready for quantile interpolation.
+    */
   case class BottomKSample(
       hashChild: Expression,
       valueChild: Expression,

@@ -1919,10 +1919,125 @@ object ExtQueries {
        |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
   }
 
+  /** Hybrid retrieval with reciprocal-rank fusion (Cormack et al. 2009
+    * RRF): the BM25 top-20 lexical list and the cosine top-20 vector
+    * list (query = vec_id 42's embedding, ranked 6-dp-rounded cosine
+    * desc, id asc) are fused by rrf = sum over lists of
+    * 1/(60 + rank), top-10 kept — the standard way modern retrieval
+    * stacks combine a keyword index with an embedding index without
+    * score calibration (ranks, not raw scores, are fused). IDs missing
+    * from one list contribute 0 from it (full outer join).
+    *
+    * Scale shape: both legs end in a driver-bounded top-k
+    * (TakeOrderedAndProject), so fusion operates on <= 40 rows — the
+    * full-outer join and final sort are trivially broadcast-sized
+    * regardless of corpus scale; the corpus-scale work is exactly the
+    * two underlying retrieval plans, each already audited.
+    */
+  def hybridSearchRrf(spark: SparkSession, sfDir: String): DataFrame = {
+    val lex = TextAnalysis
+      .bm25TopK(docs(spark, sfDir), "doc_id", "text", bm25Terms, 20)
+      .select(col("doc_id").as("id"), col("rank").as("rank_lex"))
+    val emb = embs(spark, sfDir)
+    val qv = emb.filter(col("vec_id") === 42).select(col("embedding").as("q_vec"))
+    val scored = emb
+      .filter(col("vec_id") =!= 42)
+      .crossJoin(broadcast(qv))
+      .withColumn(
+        "cosine",
+        round(
+          graft.functions.VectorExprs.arrayCosine(spark, col("q_vec"), col("embedding")),
+          6))
+      .select(col("vec_id"), col("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .limit(20)
+    // rank over the <= 20 survivors only (constant partition key keeps
+    // WindowExec off the corpus — the bm25TopK pattern)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    val vec = scored
+      .withColumn("rank_vec", row_number().over(w))
+      .select(col("vec_id").as("id"), col("rank_vec"))
+    lex
+      .join(vec, Seq("id"), "full_outer")
+      .withColumn(
+        "rrf",
+        round(
+          coalesce(lit(1.0) / (lit(60) + col("rank_lex")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("rank_vec")), lit(0.0)),
+          6))
+      .orderBy(col("rrf").desc, col("id").asc)
+      .limit(10)
+      .withColumn(
+        "fused_rank",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(lit(0))
+            .orderBy(col("rrf").desc, col("id").asc)))
+      .select(col("id"), col("rrf"), col("fused_rank"), col("rank_lex"), col("rank_vec"))
+  }
+
+  val hybridSearchRrfSql: String = {
+    val perTerm = bm25Terms
+      .map(t => s"coalesce(max(CASE WHEN term = '$t' THEN s END), 0.0) AS s_$t")
+      .mkString(",\n      |         ")
+    val total = bm25Terms.map(t => s"s_$t").mkString(" + ")
+    val inList = bm25Terms.map(t => s"'$t'").mkString("(", ", ", ")")
+    s"""WITH lens AS (
+       |  SELECT doc_id,
+       |         CASE WHEN length(trim(text)) = 0 THEN 0
+       |              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS dl
+       |  FROM documents),
+       |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM lens),
+       |postings AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+       |  FROM documents),
+       |p AS (SELECT doc_id, term FROM postings WHERE term IN $inList),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM p GROUP BY 1, 2),
+       |dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM p GROUP BY 1),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.term,
+       |         ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+       |           * (tf.tf * 2.2)
+       |           / (tf.tf + 1.2 * (1.0 - 0.75
+       |              + 0.75 * CAST(l.dl AS DOUBLE) / (CAST(s.sum_dl AS DOUBLE) / s.n_docs))) AS s
+       |  FROM tf JOIN dfreq d USING (term) JOIN lens l USING (doc_id) CROSS JOIN stats s),
+       |agg AS (
+       |  SELECT doc_id,
+       |         $perTerm
+       |  FROM scored GROUP BY doc_id),
+       |lex AS (
+       |  SELECT doc_id AS id,
+       |         CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank_lex
+       |  FROM (SELECT doc_id, round($total, 4) AS score FROM agg)
+       |  ORDER BY score DESC, doc_id ASC LIMIT 20),
+       |qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 42),
+       |cos AS (
+       |  SELECT vec_id,
+       |         round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv.q), 6) AS cosine
+       |  FROM embeddings CROSS JOIN qv WHERE vec_id <> 42),
+       |vec AS (
+       |  SELECT vec_id AS id,
+       |         CAST(row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS rank_vec
+       |  FROM cos ORDER BY cosine DESC, vec_id ASC LIMIT 20),
+       |fused AS (
+       |  SELECT coalesce(lex.id, vec.id) AS id, rank_lex, rank_vec,
+       |         round(coalesce(1.0 / CAST(60 + rank_lex AS DOUBLE), 0.0)
+       |               + coalesce(1.0 / CAST(60 + rank_vec AS DOUBLE), 0.0), 6) AS rrf
+       |  FROM lex FULL OUTER JOIN vec ON lex.id = vec.id
+       |  ORDER BY rrf DESC, id ASC LIMIT 10)
+       |SELECT id, rrf,
+       |       CAST(row_number() OVER (ORDER BY rrf DESC, id ASC) AS INTEGER) AS fused_rank,
+       |       rank_lex, rank_vec
+       |FROM fused""".stripMargin
+  }
+
   // --------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bm25_search" -> (bm25Search _),
+    "q_hybrid_search_rrf" -> (hybridSearchRrf _),
     "q_embedding_pq" -> (embeddingPq _),
     "q_similarity_adc" -> (similarityAdc _),
     "q_similarity_ivfpq" -> (similarityIvfPq _),
@@ -2012,6 +2127,7 @@ object ExtQueries {
     "q_multimodal_audio" -> multimodalAudioSql,
     "q_multimodal_frames" -> multimodalFramesSql,
     "q_bm25_search" -> bm25SearchSql,
+    "q_hybrid_search_rrf" -> hybridSearchRrfSql,
     "q_embedding_pq" -> embeddingPqSql,
     "q_similarity_adc" -> similarityAdcSql,
     "q_similarity_ivfpq" -> similarityIvfPqSql,

@@ -206,6 +206,32 @@ class ChunkDupSpec extends SparkSpec {
     // all scores equal -> ties resolve to the 7 lowest ids
     assert(out.map(_.getLong(0)).sorted.toSeq == (1L to 7L))
   }
+
+  test("hybrid RRF fusion: dense top-10, scores recomputable from the leg ranks") {
+    val rows = graft.queries.ExtQueries
+      .hybridSearchRrf(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.length == 10)
+    // fused_rank is dense 1..10 in rrf-desc, id-asc order
+    val byRank = rows.sortBy(_.getAs[Int]("fused_rank"))
+    assert(byRank.map(_.getAs[Int]("fused_rank")).toSeq == (1 to 10))
+    val rrfs = byRank.map(_.getAs[Double]("rrf")).toSeq
+    assert(rrfs == rrfs.sorted.reverse, "rrf must be non-increasing down the fused list")
+    // every row's rrf must equal 1/(60+rank_lex) + 1/(60+rank_vec) with a
+    // missing leg contributing zero — the fusion is pure rank arithmetic
+    rows.foreach { r =>
+      def leg(c: String): Double =
+        if (r.isNullAt(r.fieldIndex(c))) 0.0 else 1.0 / (60 + r.getAs[Int](c))
+      val expect = BigDecimal(leg("rank_lex") + leg("rank_vec"))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("rrf") == expect, s"id=${r.getAs[Long]("id")}")
+      assert(!(r.isNullAt(r.fieldIndex("rank_lex")) && r.isNullAt(r.fieldIndex("rank_vec"))),
+        "a fused row must come from at least one leg")
+    }
+    // both retrieval modalities must actually contribute to the fused list
+    assert(rows.exists(r => !r.isNullAt(r.fieldIndex("rank_lex"))), "no lexical contribution")
+    assert(rows.exists(r => !r.isNullAt(r.fieldIndex("rank_vec"))), "no vector contribution")
+  }
 }
 
 class ProfileSpec extends SparkSpec {

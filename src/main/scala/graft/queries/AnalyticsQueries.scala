@@ -959,6 +959,101 @@ object AnalyticsQueries {
     * history-construction job), and ordering happens inside the already
     * grouped array (array_sort over structs), never as a global sort.
     */
+  /** Fixed-point PageRank (3 unrolled power iterations, damping 0.85)
+    * over the undirected customer–supplier purchase graph — the
+    * iterative-graph workload class (Pregel-style message passing as
+    * join + aggregate per round), distinct from every one-shot shape in
+    * this file. Edges are the distinct (customer, supplier) pairs
+    * linked by an order line, walked in both directions; nodes are
+    * namespaced into one key space (custkey·2 / suppkey·2+1).
+    *
+    * Engine determinism is the design constraint: float PageRank sums
+    * diverge across engines on summation order, so ranks live in
+    * integer MICRO-UNITS (1.0 ≡ 1,000,000) and every step is exact
+    * integer arithmetic — per-edge contribution = rank DIV out_degree,
+    * damped update = 150000 + (sum·17) DIV 20 (= 0.15 + 0.85·sum).
+    * Integer sums are order-independent, so Spark and DuckDB agree bit
+    * for bit and the query is fully hash-checkable — the same
+    * fixed-point discipline every float mean in this repo follows.
+    *
+    * Scale shape: per iteration one edges⋈ranks hash join keyed on the
+    * source node and one map-side-combined sum keyed on the
+    * destination — the standard Pregel round as Catalyst operators;
+    * the rank frame stays |V| rows, edges |E|, and nothing iterates on
+    * the driver. Dangling mass is dropped (both engines identically) —
+    * acceptable for a relative-importance ranking.
+    */
+  def pagerankPurchases(spark: SparkSession, sfDir: String): DataFrame = {
+    val micro = 1000000L
+    val orders = spark.read
+      .parquet(tablePath(sfDir, "orders"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = spark.read
+      .parquet(tablePath(sfDir, "lineitem"))
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val pairs = li
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .select(
+        (col("o_custkey") * 2).as("c_node"),
+        (col("l_suppkey") * 2 + 1).as("s_node"))
+      .distinct()
+    val edges = pairs
+      .select(col("c_node").as("src"), col("s_node").as("dst"))
+      .unionByName(pairs.select(col("s_node").as("src"), col("c_node").as("dst")))
+    val nodes = edges.select(col("src").as("node")).distinct()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
+    val r0 = nodes.withColumn("rank", lit(micro))
+    val ranked = (1 to 3).foldLeft(r0) { (r, _) =>
+      val contrib = edges
+        .join(r.withColumnRenamed("node", "src"), Seq("src"))
+        .join(deg, Seq("src"))
+        // `div` is Spark's INTEGRAL division on longs (≙ DuckDB `//` for
+        // non-negatives) — a double `/` + cast could misround when the
+        // double error exceeds 1/out_deg at large rank magnitudes
+        .select(col("dst"), expr("rank div out_deg").as("c"))
+      val inMass = contrib.groupBy(col("dst")).agg(sum(col("c")).as("mass"))
+      nodes
+        .join(inMass.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(col("node"), coalesce(col("mass"), lit(0L)).as("mass"))
+        .select(
+          col("node"),
+          (lit(150000L) + expr("(mass * 17) div 20")).as("rank"))
+    }
+    ranked
+      .orderBy(col("rank").desc, col("node").asc)
+      .limit(20)
+      .select(col("node"), col("rank"))
+  }
+
+  val pagerankPurchasesSql: String =
+    """WITH pairs AS (
+      |  SELECT DISTINCT o_custkey * 2 AS c_node, l_suppkey * 2 + 1 AS s_node
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |edges AS (
+      |  SELECT c_node AS src, s_node AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT s_node AS src, c_node AS dst FROM pairs),
+      |nodes AS (SELECT DISTINCT src AS node FROM edges),
+      |deg AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY src),
+      |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+      |m1 AS (SELECT e.dst, sum(r.rank // d.out_deg) AS mass
+      |       FROM edges e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.src
+      |       GROUP BY e.dst),
+      |r1 AS (SELECT n.node, 150000 + (coalesce(m.mass, 0) * 17) // 20 AS rank
+      |       FROM nodes n LEFT JOIN m1 m ON n.node = m.dst),
+      |m2 AS (SELECT e.dst, sum(r.rank // d.out_deg) AS mass
+      |       FROM edges e JOIN r1 r ON e.src = r.node JOIN deg d ON e.src = d.src
+      |       GROUP BY e.dst),
+      |r2 AS (SELECT n.node, 150000 + (coalesce(m.mass, 0) * 17) // 20 AS rank
+      |       FROM nodes n LEFT JOIN m2 m ON n.node = m.dst),
+      |m3 AS (SELECT e.dst, sum(r.rank // d.out_deg) AS mass
+      |       FROM edges e JOIN r2 r ON e.src = r.node JOIN deg d ON e.src = d.src
+      |       GROUP BY e.dst),
+      |r3 AS (SELECT n.node, 150000 + (coalesce(m.mass, 0) * 17) // 20 AS rank
+      |       FROM nodes n LEFT JOIN m3 m ON n.node = m.dst)
+      |SELECT CAST(node AS BIGINT) AS node, CAST(rank AS BIGINT) AS rank
+      |FROM r3 ORDER BY rank DESC, node ASC LIMIT 20""".stripMargin
+
   def userSequences(spark: SparkSession, sfDir: String): DataFrame =
     Testdata.events(spark, sfDir)
       .groupBy(col("user_id"))
@@ -1151,7 +1246,8 @@ object AnalyticsQueries {
     "q_outliers" -> (outliers _),
     "q_outlier_mad" -> (outlierMad _),
     "q_kmv_difference" -> (kmvDifference _),
-    "q_quantile_sketch" -> (quantileSketch _))
+    "q_quantile_sketch" -> (quantileSketch _),
+    "q_pagerank" -> (pagerankPurchases _))
 
   val oracleSql: Map[String, String] = Map(
     "q_profile_table" -> profileTableSql,
@@ -1185,7 +1281,8 @@ object AnalyticsQueries {
     "q_outliers" -> outliersSql,
     "q_outlier_mad" -> outlierMadSql,
     "q_kmv_difference" -> kmvDifferenceSql,
-    "q_quantile_sketch" -> quantileSketchSql)
+    "q_quantile_sketch" -> quantileSketchSql,
+    "q_pagerank" -> pagerankPurchasesSql)
 }
 
 /** Narrow typed view of lineitem for the Dataset[T] pipeline. */

@@ -241,6 +241,51 @@ class AnalyticsSpec extends SparkSpec {
       s"diff_est=$est exact=$exact")
   }
 
+  test("fixed-point PageRank: hand-checkable star graph, partitioning-invariant ranks") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the query is oracle-checked end-to-end; here pin the update RULE on
+    // a graph small enough to verify by hand: a 3-leaf star (hub 0,
+    // leaves 1..3, undirected). deg(hub)=3, deg(leaf)=1.
+    //   r0 = 1_000_000 everywhere
+    //   hub_1  = 150000 + (3·(1000000 div 1) ·17) div 20 = 2_700_000
+    //   leaf_1 = 150000 + ((1000000 div 3)·17) div 20 = 433_333
+    //   hub_2  = 150000 + (3·433333·17) div 20  = 1_254_999  (433333·3=1299999)
+    //   leaf_2 = 150000 + ((2700000 div 3)·17) div 20 = 915_000
+    val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L))
+    val edges = (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    val nodes = edges.select(col("src").as("node")).distinct()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
+    def step(r: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val contrib = edges
+        .join(r.withColumnRenamed("node", "src"), Seq("src"))
+        .join(deg, Seq("src"))
+        .select(col("dst"), expr("rank div out_deg").as("c"))
+      nodes
+        .join(
+          contrib.groupBy(col("dst")).agg(sum(col("c")).as("mass"))
+            .withColumnRenamed("dst", "node"),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("mass"), lit(0L)).as("mass"))
+        .select(col("node"), (lit(150000L) + expr("(mass * 17) div 20")).as("rank"))
+    }
+    val r0 = nodes.withColumn("rank", lit(1000000L))
+    val r1 = step(r0).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1(0L) == 2700000L, s"hub r1: ${r1(0L)}")
+    assert(r1(1L) == 433333L && r1(2L) == 433333L && r1(3L) == 433333L, r1)
+    val r2 = step(step(r0)).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r2(0L) == 1254999L, s"hub r2: ${r2(0L)}")
+    assert(r2(1L) == 915000L, s"leaf r2: ${r2(1L)}")
+    // the full query: deterministic across partitionings (integer sums)
+    val a = queries.AnalyticsQueries.pagerankPurchases(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(a.length == 20)
+    assert(a.map(_._2) == a.map(_._2).sorted.reverse, "top-20 must be rank-descending")
+    // suppliers (odd nodes) aggregate many customers: the top of the
+    // purchase graph must contain supplier nodes
+    assert(a.exists(_._1 % 2 == 1), "no supplier in the top-20")
+  }
+
   test("MAD outliers: robust stats flag fewer-or-equal rows than a zero-MAD degenerate") {
     val rows = queries.AnalyticsQueries
       .outlierMad(spark, "/root/testdata/sf0.01")

@@ -1919,6 +1919,108 @@ object ExtQueries {
        |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
   }
 
+  /** In-engine closed-form model training: a 2-feature linear
+    * regression (vocabulary size ~ token count + char length, the
+    * Heaps-law-style doc statistic) fit by the NORMAL EQUATIONS in ONE
+    * aggregation pass — the cheap-model-distillation shape of a corpus
+    * pipeline (fit a linear predictor of an expensive statistic from
+    * cheap features, then score/filter with pure column algebra).
+    *
+    * Determinism discipline: every moment (n, Σx, Σx², Σxy, …) is an
+    * EXACT integer sum (features are integers; second moments as
+    * decimal(38,0) against overflow at cluster row counts), so
+    * aggregation order cannot perturb them; the 3×3 Cramer solve then
+    * runs on ONE row of doubles with an expression tree written
+    * token-for-token identically in both engines — per-row IEEE
+    * arithmetic is reproducible, it is only reordered SUMS of floats
+    * that are not. Coefficients and R² round to 6 dp.
+    *
+    * Scale shape: one map-side-combined aggregation over the corpus
+    * (the only corpus-scale stage), then scalar arithmetic on a 1-row
+    * frame. The trained model is 3 doubles — broadcastable for scoring
+    * at any scale.
+    */
+  def regressionFit(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val toks = split(trim(col("text")), "\\s+")
+    val empty = length(trim(col("text"))) === 0
+    val feats = d.select(
+      when(empty, 0L).otherwise(size(toks).cast("long")).as("x1"),
+      length(col("text")).cast("long").as("x2"),
+      when(empty, 0L).otherwise(size(array_distinct(toks)).cast("long")).as("y"))
+    val m = feats.agg(
+      count(lit(1)).as("n"),
+      sum(col("x1")).as("s1"),
+      sum(col("x2")).as("s2"),
+      sum(col("y")).as("sy"),
+      sum((col("x1") * col("x1")).cast("decimal(38,0)")).as("s11"),
+      sum((col("x1") * col("x2")).cast("decimal(38,0)")).as("s12"),
+      sum((col("x2") * col("x2")).cast("decimal(38,0)")).as("s22"),
+      sum((col("x1") * col("y")).cast("decimal(38,0)")).as("s1y"),
+      sum((col("x2") * col("y")).cast("decimal(38,0)")).as("s2y"),
+      sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"))
+    // the Cramer solve — identical expression tree in the SQL oracle
+    m.selectExpr(
+      "CAST(n AS DOUBLE) AS n", "CAST(s1 AS DOUBLE) AS s1", "CAST(s2 AS DOUBLE) AS s2",
+      "CAST(sy AS DOUBLE) AS sy", "CAST(s11 AS DOUBLE) AS s11",
+      "CAST(s12 AS DOUBLE) AS s12", "CAST(s22 AS DOUBLE) AS s22",
+      "CAST(s1y AS DOUBLE) AS s1y", "CAST(s2y AS DOUBLE) AS s2y",
+      "CAST(syy AS DOUBLE) AS syy")
+      .selectExpr(
+        "n", "sy", "s1y", "s2y", "syy",
+        "n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2) AS det",
+        "sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) + s2 * (s1y * s12 - s11 * s2y) AS det0",
+        "n * (s1y * s22 - s2y * s12) - sy * (s1 * s22 - s12 * s2) + s2 * (s1 * s2y - s1y * s2) AS det1",
+        "n * (s11 * s2y - s12 * s1y) - s1 * (s1 * s2y - s1y * s2) + sy * (s1 * s12 - s11 * s2) AS det2")
+      .selectExpr(
+        "n", "sy", "s1y", "s2y", "syy",
+        "det0 / det AS b0", "det1 / det AS b1", "det2 / det AS b2")
+      .selectExpr(
+        "CAST(n AS BIGINT) AS n_docs",
+        "round(b0, 6) AS b0", "round(b1, 6) AS b1", "round(b2, 6) AS b2",
+        "round(1.0 - (syy - b0 * sy - b1 * s1y - b2 * s2y) / (syy - sy * sy / n), 6) AS r2")
+  }
+
+  val regressionFitSql: String =
+    """WITH f AS (
+      |  SELECT CASE WHEN length(trim(text)) = 0 THEN 0
+      |              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS x1,
+      |         length(text) AS x2,
+      |         CASE WHEN length(trim(text)) = 0 THEN 0
+      |              ELSE len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) END AS y
+      |  FROM documents),
+      |m AS (
+      |  SELECT count(*) AS n, sum(x1) AS s1, sum(x2) AS s2, sum(y) AS sy,
+      |         sum(CAST(x1 AS HUGEINT) * x1) AS s11,
+      |         sum(CAST(x1 AS HUGEINT) * x2) AS s12,
+      |         sum(CAST(x2 AS HUGEINT) * x2) AS s22,
+      |         sum(CAST(x1 AS HUGEINT) * y) AS s1y,
+      |         sum(CAST(x2 AS HUGEINT) * y) AS s2y,
+      |         sum(CAST(y AS HUGEINT) * y) AS syy
+      |  FROM f),
+      |d AS (
+      |  SELECT CAST(n AS DOUBLE) AS n, CAST(s1 AS DOUBLE) AS s1, CAST(s2 AS DOUBLE) AS s2,
+      |         CAST(sy AS DOUBLE) AS sy, CAST(s11 AS DOUBLE) AS s11,
+      |         CAST(s12 AS DOUBLE) AS s12, CAST(s22 AS DOUBLE) AS s22,
+      |         CAST(s1y AS DOUBLE) AS s1y, CAST(s2y AS DOUBLE) AS s2y,
+      |         CAST(syy AS DOUBLE) AS syy
+      |  FROM m),
+      |c AS (
+      |  SELECT n, sy, s1y, s2y, syy,
+      |         n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2) AS det,
+      |         sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) + s2 * (s1y * s12 - s11 * s2y) AS det0,
+      |         n * (s1y * s22 - s2y * s12) - sy * (s1 * s22 - s12 * s2) + s2 * (s1 * s2y - s1y * s2) AS det1,
+      |         n * (s11 * s2y - s12 * s1y) - s1 * (s1 * s2y - s1y * s2) + sy * (s1 * s12 - s11 * s2) AS det2
+      |  FROM d),
+      |b AS (
+      |  SELECT n, sy, s1y, s2y, syy,
+      |         det0 / det AS b0, det1 / det AS b1, det2 / det AS b2
+      |  FROM c)
+      |SELECT CAST(n AS BIGINT) AS n_docs,
+      |       round(b0, 6) AS b0, round(b1, 6) AS b1, round(b2, 6) AS b2,
+      |       round(1.0 - (syy - b0 * sy - b1 * s1y - b2 * s2y) / (syy - sy * sy / n), 6) AS r2
+      |FROM b""".stripMargin
+
   /** Hybrid retrieval with reciprocal-rank fusion (Cormack et al. 2009
     * RRF): the BM25 top-20 lexical list and the cosine top-20 vector
     * list (query = vec_id 42's embedding, ranked 6-dp-rounded cosine
@@ -2038,6 +2140,7 @@ object ExtQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bm25_search" -> (bm25Search _),
     "q_hybrid_search_rrf" -> (hybridSearchRrf _),
+    "q_regression_fit" -> (regressionFit _),
     "q_embedding_pq" -> (embeddingPq _),
     "q_similarity_adc" -> (similarityAdc _),
     "q_similarity_ivfpq" -> (similarityIvfPq _),
@@ -2128,6 +2231,7 @@ object ExtQueries {
     "q_multimodal_frames" -> multimodalFramesSql,
     "q_bm25_search" -> bm25SearchSql,
     "q_hybrid_search_rrf" -> hybridSearchRrfSql,
+    "q_regression_fit" -> regressionFitSql,
     "q_embedding_pq" -> embeddingPqSql,
     "q_similarity_adc" -> similarityAdcSql,
     "q_similarity_ivfpq" -> similarityIvfPqSql,

@@ -232,6 +232,31 @@ class ChunkDupSpec extends SparkSpec {
     assert(rows.exists(r => !r.isNullAt(r.fieldIndex("rank_lex"))), "no lexical contribution")
     assert(rows.exists(r => !r.isNullAt(r.fieldIndex("rank_vec"))), "no vector contribution")
   }
+
+  test("normal-equations fit recovers an exactly-linear planted relation") {
+    import org.apache.spark.sql.functions._
+    // doc i: (i+3) distinct tokens (incl. one pad) plus 2 repeats ->
+    // x1 = i+5 tokens, y = i+3 distinct, so y = x1 - 2 exactly. The pad
+    // token's length varies NON-linearly in i, keeping x2 off the x1
+    // affine line (a collinear x2 makes the normal equations singular).
+    // All moments are small exact integers, so the double Cramer solve
+    // is exact and the fit must return b0=-2, b1=1, b2=0, r2=1 to the
+    // last bit.
+    val rows = (1 to 10).map { i =>
+      val distinctToks = (1 to (i + 2)).map(j => s"t${i}_$j")
+      val pad = "x" * ((i * i) % 7 + 1)
+      (distinctToks ++ Seq(distinctToks.head, distinctToks.head, pad)).mkString(" ")
+    }
+    val df = rows.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-regfit").toString
+    df.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = graft.queries.ExtQueries.regressionFit(spark, tmp).head()
+    assert(r.getAs[Long]("n_docs") == 10)
+    assert(r.getAs[Double]("b0") == -2.0, s"b0=${r.getAs[Double]("b0")}")
+    assert(r.getAs[Double]("b1") == 1.0, s"b1=${r.getAs[Double]("b1")}")
+    assert(r.getAs[Double]("b2") == 0.0, s"b2=${r.getAs[Double]("b2")}")
+    assert(r.getAs[Double]("r2") == 1.0, s"r2=${r.getAs[Double]("r2")}")
+  }
 }
 
 class ProfileSpec extends SparkSpec {

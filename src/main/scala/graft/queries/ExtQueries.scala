@@ -2021,6 +2021,120 @@ object ExtQueries {
       |       round(1.0 - (syy - b0 * sy - b1 * s1y - b2 * s2y) / (syy - sy * sy / n), 6) AS r2
       |FROM b""".stripMargin
 
+  /** Join-key skew diagnostics — the profiling pass that decides
+    * whether a key needs salting or AQE skew-splitting BEFORE the
+    * 100 TB join runs: per candidate key, the key-count histogram is
+    * reduced to n_rows / n_keys / max_cnt / top1_share /
+    * skew_factor (= max over mean multiplicity; 1.0 is perfectly
+    * uniform). Two-level hash aggregation per key — the histogram is
+    * map-side combined and never materialized wide; ratios are exact
+    * integers divided once in double, so both engines agree bit for
+    * bit.
+    */
+  def skewProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    def profile(table: String, keyCol: String): DataFrame =
+      spark.read
+        .parquet(tablePath(sfDir, table))
+        .groupBy(col(keyCol).as("k"))
+        .agg(count(lit(1)).as("cnt"))
+        .agg(
+          sum(col("cnt")).as("n_rows"),
+          count(lit(1)).as("n_keys"),
+          max(col("cnt")).as("max_cnt"))
+        .select(
+          lit(s"$table.$keyCol").as("key_col"),
+          col("n_rows"),
+          col("n_keys"),
+          col("max_cnt"),
+          round(col("max_cnt") / col("n_rows").cast("double"), 6).as("top1_share"),
+          round((col("max_cnt") * col("n_keys")) / col("n_rows").cast("double"), 6)
+            .as("skew_factor"))
+    profile("orders", "o_custkey")
+      .unionByName(profile("lineitem", "l_partkey"))
+      .unionByName(graft.sources.Testdata.events(spark, sfDir)
+        .groupBy(col("user_id").as("k"))
+        .agg(count(lit(1)).as("cnt"))
+        .agg(
+          sum(col("cnt")).as("n_rows"),
+          count(lit(1)).as("n_keys"),
+          max(col("cnt")).as("max_cnt"))
+        .select(
+          lit("events.user_id").as("key_col"),
+          col("n_rows"),
+          col("n_keys"),
+          col("max_cnt"),
+          round(col("max_cnt") / col("n_rows").cast("double"), 6).as("top1_share"),
+          round((col("max_cnt") * col("n_keys")) / col("n_rows").cast("double"), 6)
+            .as("skew_factor")))
+  }
+
+  val skewProfileSql: String =
+    """WITH h1 AS (SELECT o_custkey AS k, count(*) AS cnt FROM orders GROUP BY 1),
+      |p1 AS (SELECT 'orders.o_custkey' AS key_col, sum(cnt) AS n_rows,
+      |              count(*) AS n_keys, max(cnt) AS max_cnt FROM h1),
+      |h2 AS (SELECT l_partkey AS k, count(*) AS cnt FROM lineitem GROUP BY 1),
+      |p2 AS (SELECT 'lineitem.l_partkey' AS key_col, sum(cnt) AS n_rows,
+      |              count(*) AS n_keys, max(cnt) AS max_cnt FROM h2),
+      |h3 AS (SELECT user_id AS k, count(*) AS cnt FROM events GROUP BY 1),
+      |p3 AS (SELECT 'events.user_id' AS key_col, sum(cnt) AS n_rows,
+      |              count(*) AS n_keys, max(cnt) AS max_cnt FROM h3),
+      |u AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2 UNION ALL SELECT * FROM p3)
+      |SELECT key_col, CAST(n_rows AS BIGINT) AS n_rows, n_keys, max_cnt,
+      |       round(max_cnt / CAST(n_rows AS DOUBLE), 6) AS top1_share,
+      |       round((max_cnt * n_keys) / CAST(n_rows AS DOUBLE), 6) AS skew_factor
+      |FROM u""".stripMargin
+
+  /** Model scoring pass for [[regressionFit]]: broadcast the 3
+    * fitted coefficients (rounded to 6 dp so both engines score from
+    * identical inputs) and rank documents by residual — the most
+    * NEGATIVE residuals are docs with far less vocabulary than their
+    * size predicts, i.e. repetitive/templated text, which is exactly
+    * the boilerplate a training-data pipeline wants flagged. Train →
+    * broadcast → score is the standard cheap-model filter shape: the
+    * scoring side is pure column algebra over one corpus scan.
+    */
+  def regressionResiduals(spark: SparkSession, sfDir: String): DataFrame = {
+    val coef = regressionFit(spark, sfDir).select(col("b0"), col("b1"), col("b2"))
+    val d = docs(spark, sfDir)
+    val toks = split(trim(col("text")), "\\s+")
+    val empty = length(trim(col("text"))) === 0
+    d.select(
+      col("doc_id"),
+      when(empty, 0L).otherwise(size(toks).cast("long")).as("x1"),
+      length(col("text")).cast("long").as("x2"),
+      when(empty, 0L).otherwise(size(array_distinct(toks)).cast("long")).as("y"))
+      .crossJoin(broadcast(coef))
+      .withColumn(
+        "resid",
+        round(col("y") - (col("b0") + col("b1") * col("x1") + col("b2") * col("x2")), 6))
+      .orderBy(col("resid").asc, col("doc_id").asc)
+      .limit(10)
+      .select(col("doc_id"), col("x1").as("n_tokens"), col("y").as("n_distinct"), col("resid"))
+  }
+
+  val regressionResidualsSql: String = {
+    // reuse the fit's CTE chain, then score every document against the
+    // 6-dp-rounded coefficients and keep the 10 most negative residuals
+    val fitCtes = regressionFitSql
+      .stripPrefix("WITH ")
+      .split("\\nSELECT ", 2)(0) // CTE block without the final SELECT
+    s"""WITH $fitCtes,
+       |coef AS (
+       |  SELECT round(b0, 6) AS b0, round(b1, 6) AS b1, round(b2, 6) AS b2 FROM b),
+       |feats AS (
+       |  SELECT doc_id,
+       |         CASE WHEN length(trim(text)) = 0 THEN 0
+       |              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS x1,
+       |         length(text) AS x2,
+       |         CASE WHEN length(trim(text)) = 0 THEN 0
+       |              ELSE len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) END AS y
+       |  FROM documents)
+       |SELECT doc_id, x1 AS n_tokens, y AS n_distinct,
+       |       round(y - (b0 + b1 * x1 + b2 * x2), 6) AS resid
+       |FROM feats CROSS JOIN coef
+       |ORDER BY resid ASC, doc_id ASC LIMIT 10""".stripMargin
+  }
+
   /** Hybrid retrieval with reciprocal-rank fusion (Cormack et al. 2009
     * RRF): the BM25 top-20 lexical list and the cosine top-20 vector
     * list (query = vec_id 42's embedding, ranked 6-dp-rounded cosine
@@ -2141,6 +2255,8 @@ object ExtQueries {
     "q_bm25_search" -> (bm25Search _),
     "q_hybrid_search_rrf" -> (hybridSearchRrf _),
     "q_regression_fit" -> (regressionFit _),
+    "q_regression_residuals" -> (regressionResiduals _),
+    "q_skew_profile" -> (skewProfile _),
     "q_embedding_pq" -> (embeddingPq _),
     "q_similarity_adc" -> (similarityAdc _),
     "q_similarity_ivfpq" -> (similarityIvfPq _),
@@ -2232,6 +2348,8 @@ object ExtQueries {
     "q_bm25_search" -> bm25SearchSql,
     "q_hybrid_search_rrf" -> hybridSearchRrfSql,
     "q_regression_fit" -> regressionFitSql,
+    "q_regression_residuals" -> regressionResidualsSql,
+    "q_skew_profile" -> skewProfileSql,
     "q_embedding_pq" -> embeddingPqSql,
     "q_similarity_adc" -> similarityAdcSql,
     "q_similarity_ivfpq" -> similarityIvfPqSql,

@@ -257,6 +257,37 @@ class ChunkDupSpec extends SparkSpec {
     assert(r.getAs[Double]("b2") == 0.0, s"b2=${r.getAs[Double]("b2")}")
     assert(r.getAs[Double]("r2") == 1.0, s"r2=${r.getAs[Double]("r2")}")
   }
+
+  test("regression residual scorer surfaces the lowest-vocabulary-for-size docs") {
+    val rows = graft.queries.ExtQueries
+      .regressionResiduals(spark, "/root/testdata/sf0.01")
+      .collect()
+    assert(rows.length == 10)
+    val resids = rows.map(_.getAs[Double]("resid")).toSeq
+    assert(resids == resids.sorted, "most negative residuals first")
+    // flagged docs must actually be vocabulary-deficient: distinct < tokens
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_distinct") <= r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Double]("resid") < 0.0, "a top repetitive doc must under-shoot the fit")
+    }
+  }
+
+  test("skew profile: exact ratios, uniform key is ~1.0, sum checks out") {
+    val rows = graft.queries.ExtQueries
+      .skewProfile(spark, "/root/testdata/sf0.01")
+      .collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val nRows = r.getAs[Long]("n_rows")
+      val nKeys = r.getAs[Long]("n_keys")
+      val maxCnt = r.getAs[Long]("max_cnt")
+      assert(nKeys <= nRows && maxCnt <= nRows && maxCnt >= nRows / nKeys,
+        s"${r.getAs[String]("key_col")}: inconsistent histogram summary")
+      // skew_factor = max/mean >= 1 by definition
+      assert(r.getAs[Double]("skew_factor") >= 1.0)
+      assert(r.getAs[Double]("top1_share") > 0.0 && r.getAs[Double]("top1_share") <= 1.0)
+    }
+  }
 }
 
 class ProfileSpec extends SparkSpec {

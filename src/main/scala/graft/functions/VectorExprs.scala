@@ -19,10 +19,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * the same arithmetic in one compiled JVM loop (preference order (b)
   * of the build rules: a native `Expression` beats a UDF).
   *
-  * `CodegenFallback` is deliberate: the body IS compiled Scala; codegen
-  * would only fuse the surrounding projection, and these evaluate one
-  * tight loop per row, so fallback costs ~nothing while keeping the
-  * implementation auditable.
+  * `CodegenFallback` is deliberate for the signature/packing
+  * expressions: the body IS compiled Scala; codegen would only fuse the
+  * surrounding projection, and these evaluate one tight loop per row,
+  * so fallback costs ~nothing while keeping the implementation
+  * auditable. [[ArrayCosine]] is the exception — it runs INSIDE the
+  * O(N²) similarity joins where a fallback row-boxes every candidate
+  * pair out of the whole-stage loop, so it ships real `doGenCode`.
   */
 object VectorExprs {
 
@@ -49,9 +52,18 @@ object VectorExprs {
     * order to the `zip_with`/`aggregate` formulation in
     * [[graft.ext.Similarity.cosine]] (sequential dot, then norms), so
     * results are bit-for-bit equal and DuckDB-oracle-safe.
+    *
+    * Unlike its siblings this one implements REAL `doGenCode` (not
+    * `CodegenFallback`): it sits inside the O(N²) similarity joins and
+    * the brute-force scans, where a fallback expression forces every
+    * row out of the fused whole-stage loop and back (InternalRow
+    * boxing both ways). The generated Java is the same specialized
+    * loop as the interpreted path — element accessors are baked in at
+    * codegen time from the resolved input types — so compiled and
+    * interpreted evaluation stay bit-for-bit identical (ParitySpec).
     */
   case class ArrayCosine(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
       checkFractionalArrays("graft_array_cosine", Seq(left, right))
@@ -95,6 +107,41 @@ object VectorExprs {
       val nb = math.sqrt(sb)
       if (na == 0.0 || nb == 0.0) 0.0 else dot / (na * nb)
     }
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val dot = ctx.freshName("dot")
+        val sa = ctx.freshName("sa")
+        val sb = ctx.freshName("sb")
+        val x = ctx.freshName("x")
+        val y = ctx.freshName("y")
+        val na = ctx.freshName("na")
+        val nb = ctx.freshName("nb")
+        // element accessors specialized at CODEGEN time from the
+        // resolved input types — same strides as the interpreted loops
+        val getX = if (lFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+        val getY = if (rFloat) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $dot = 0.0;
+           |double $sa = 0.0;
+           |double $sb = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $x = $getX;
+           |  double $y = $getY;
+           |  $dot += $x * $y;
+           |  $sa += $x * $x;
+           |  $sb += $y * $y;
+           |}
+           |double $na = java.lang.Math.sqrt($sa);
+           |double $nb = java.lang.Math.sqrt($sb);
+           |${ev.value} = ($na == 0.0 || $nb == 0.0) ? 0.0 : $dot / ($na * $nb);
+           |""".stripMargin
+      })
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
       copy(left = l, right = r)
   }

@@ -24,6 +24,33 @@ class ParitySpec extends SparkSpec {
     assert(out.filter(col("hof") =!= col("compiled")).count() == 0)
   }
 
+  test("ArrayCosine generated code is bit-identical to its interpreted eval") {
+    // ArrayCosine implements real doGenCode (the one hot-path exception
+    // to CodegenFallback); the generated Java and the interpreted loop
+    // must agree to the last bit on every type pairing, incl. mixed
+    // float/double strides and the zero-norm guard
+    val rnd = new scala.util.Random(31)
+    val fl = (1 to 40).map(_ => (Array.fill(48)(rnd.nextFloat() * 2 - 1).toSeq,
+      Array.fill(48)(rnd.nextFloat() * 2 - 1).toSeq)) :+
+      ((Array.fill(48)(0f).toSeq, Array.fill(48)(rnd.nextFloat()).toSeq)) // zero norm
+    val df = fl.toDF("a", "b")
+      .withColumn("ad", transform(col("a"), x => x.cast("double")))
+      .withColumn("bd", transform(col("b"), x => x.cast("double")))
+    def run(factoryMode: String): Seq[Double] = {
+      spark.conf.set("spark.sql.codegen.factoryMode", factoryMode)
+      try df.select(
+        VectorExprs.arrayCosine(spark, col("a"), col("b")).as("ff"),
+        VectorExprs.arrayCosine(spark, col("ad"), col("bd")).as("dd"),
+        VectorExprs.arrayCosine(spark, col("a"), col("bd")).as("fd"))
+        .collect()
+        .flatMap(r => Seq(r.getDouble(0), r.getDouble(1), r.getDouble(2))).toSeq
+      finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+    val compiled = run("CODEGEN_ONLY")
+    val interpreted = run("NO_CODEGEN")
+    assert(compiled == interpreted, "codegen and interpreted paths diverge")
+  }
+
   test("compiled HyperplaneSig buckets are bit-identical to the declarative lshSignature") {
     val rnd = new scala.util.Random(23)
     val df = (1 to 40)

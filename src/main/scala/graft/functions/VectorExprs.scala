@@ -315,7 +315,7 @@ object VectorExprs {
     * — the compiled verification step for candidate near-dup pairs.
     */
   case class JaccardLongs(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override def nullSafeEval(a: Any, b: Any): Any = {
       val xs = a.asInstanceOf[ArrayData]
@@ -331,6 +331,34 @@ object VectorExprs {
       val union = na + nb - inter
       if (union == 0) 0.0 else inter.toDouble / union
     }
+    // real doGenCode (like ArrayCosine): this evaluates once per
+    // CANDIDATE PAIR in the minhash verify join — a fallback would
+    // row-box every pair out of the fused loop
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val na = ctx.freshName("na")
+        val nb = ctx.freshName("nb")
+        val set = ctx.freshName("set")
+        val i = ctx.freshName("i")
+        val j = ctx.freshName("j")
+        val inter = ctx.freshName("inter")
+        val union = ctx.freshName("union")
+        s"""
+           |int $na = $a.numElements();
+           |int $nb = $b.numElements();
+           |java.util.HashSet<java.lang.Long> $set = new java.util.HashSet<java.lang.Long>($na * 2);
+           |for (int $i = 0; $i < $na; $i++) { $set.add($a.getLong($i)); }
+           |int $inter = 0;
+           |for (int $j = 0; $j < $nb; $j++) {
+           |  if ($set.contains($b.getLong($j))) $inter++;
+           |}
+           |int $union = $na + $nb - $inter;
+           |${ev.value} = ($union == 0) ? 0.0 : (double) $inter / $union;
+           |""".stripMargin
+      })
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
       copy(left = l, right = r)
   }

@@ -51,6 +51,22 @@ class ParitySpec extends SparkSpec {
     assert(compiled == interpreted, "codegen and interpreted paths diverge")
   }
 
+  test("JaccardLongs generated code is bit-identical to its interpreted eval") {
+    val rnd = new scala.util.Random(41)
+    val data = (1 to 40).map { _ =>
+      val base = Array.fill(30)(rnd.nextLong() % 1000)
+      (base.toSeq, (base.take(rnd.nextInt(30)) ++ Array.fill(10)(rnd.nextLong() % 1000)).toSeq)
+    } :+ ((Seq.empty[Long], Seq.empty[Long])) // union == 0 guard
+    val df = data.toDF("a", "b")
+    def run(factoryMode: String): Seq[Double] = {
+      spark.conf.set("spark.sql.codegen.factoryMode", factoryMode)
+      try df.select(VectorExprs.jaccardLongs(spark, col("a"), col("b")).as("j"))
+        .collect().map(_.getDouble(0)).toSeq
+      finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+    assert(run("CODEGEN_ONLY") == run("NO_CODEGEN"))
+  }
+
   test("compiled HyperplaneSig buckets are bit-identical to the declarative lshSignature") {
     val rnd = new scala.util.Random(23)
     val df = (1 to 40)

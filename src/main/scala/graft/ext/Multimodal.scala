@@ -178,6 +178,72 @@ object Multimodal {
     spark.createDataFrame(rows, outSchema)
   }
 
+  /** REAL image resize — the standardize-resolution stage of an image
+    * training pipeline: decode each payload, nearest-neighbor
+    * downsample the actual raster to `tw`×`th` (source pixel for
+    * target (x, y) is ((x·w) div tw, (y·h) div th) — integer
+    * arithmetic, so any engine replays the sampling grid exactly),
+    * re-encode the resized raster as PNG, and append the resized
+    * bytes + dimensions + resized gray sum (null triple for
+    * undecodable bytes). Per-partition batched like [[decodeImages]]
+    * — the same justified non-Catalyst row path (codec binding).
+    */
+  def resizeImages(
+      spark: SparkSession,
+      df: DataFrame,
+      binCol: String,
+      tw: Int,
+      th: Int): DataFrame = {
+    require(df.columns.contains(binCol), s"missing $binCol")
+    require(tw > 0 && th > 0, s"target dims must be positive: $tw x $th")
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("resized_png", BinaryType),
+      StructField("resized_w", IntegerType),
+      StructField("resized_h", IntegerType),
+      StructField("resized_sum", LongType)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val nulls = Seq(null, null, null, null)
+    val rows = df.rdd.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        val out: Option[Seq[Any]] =
+          if (bytes == null || bytes.isEmpty) None
+          else {
+            try {
+              val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+              if (img == null) None
+              else {
+                val w = img.getWidth
+                val h = img.getHeight
+                val resized = new java.awt.image.BufferedImage(
+                  tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
+                var sum = 0L
+                var y = 0
+                while (y < th) {
+                  val sy = y * h / th
+                  var x = 0
+                  while (x < tw) {
+                    val sx = x * w / tw
+                    val rgb = img.getRGB(sx, sy)
+                    resized.setRGB(x, y, rgb)
+                    sum += (rgb >> 16) & 0xFF
+                    x += 1
+                  }
+                  y += 1
+                }
+                val baos = new java.io.ByteArrayOutputStream()
+                javax.imageio.ImageIO.write(resized, "png", baos)
+                Some(Seq[Any](baos.toByteArray, tw, th, sum))
+              }
+            } catch { case _: java.io.IOException => None }
+          }
+        Row.fromSeq(r.toSeq ++ out.getOrElse(nulls))
+      }
+    }
+    spark.createDataFrame(rows, outSchema)
+  }
+
   /** Deterministic image fixture through the REAL encoders: for each
     * input id, a grayscale image with width 8 + id%13, height
     * 8 + id%11, pixel (x, y) value (31·id + 7·x + 13·y) mod 256,

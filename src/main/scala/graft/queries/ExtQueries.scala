@@ -1040,6 +1040,42 @@ object ExtQueries {
       |  END AS gray_sum
       |FROM documents""".stripMargin
 
+  /** REAL image resize over the codec-roundtrip fixture: every
+    * synthetic image is decoded and nearest-neighbor downsampled to
+    * 4×4 by [[graft.ext.Multimodal.resizeImages]]. The oracle replays
+    * the sampling grid in SQL — source pixel for target (x, y) is
+    * ((x·w) div 4, (y·h) div 4), value from the generator's closed
+    * form — so only a real decode-then-sample of the true raster
+    * matches; JPEG's lossy sum is nulled on both sides (dimensions
+    * still verify).
+    */
+  def multimodalResize(spark: SparkSession, sfDir: String): DataFrame = {
+    val enc = Multimodal.encodeSyntheticImages(
+      spark, docs(spark, sfDir).select(col("doc_id")), "doc_id")
+    Multimodal.resizeImages(spark, enc, "payload", 4, 4)
+      .select(
+        col("media_id"),
+        col("resized_w"),
+        col("resized_h"),
+        when(col("fmt") === "jpg", lit(null).cast("long"))
+          .otherwise(col("resized_sum")).as("resized_sum"),
+        (length(col("resized_png")) > 0).as("has_payload"))
+  }
+
+  val multimodalResizeSql: String =
+    """SELECT doc_id AS media_id,
+      |  CAST(4 AS INTEGER) AS resized_w,
+      |  CAST(4 AS INTEGER) AS resized_h,
+      |  CASE WHEN doc_id % 3 = 2 THEN NULL
+      |       ELSE CAST(list_sum(list_transform(
+      |              range(0, 16),
+      |              i -> (31 * doc_id
+      |                    + 7 * (((i % 4) * (8 + doc_id % 13)) // 4)
+      |                    + 13 * (((i // 4) * (8 + doc_id % 11)) // 4)) % 256)) AS BIGINT)
+      |  END AS resized_sum,
+      |  true AS has_payload
+      |FROM documents""".stripMargin
+
   /** REAL frame extraction — the keyframe-sampling shape of a video
     * pipeline over the multi-frame container the JDK actually decodes:
     * every image block of each animated-GIF fixture becomes its own row
@@ -2306,7 +2342,8 @@ object ExtQueries {
     "q_multimodal_decode" -> (multimodalDecode _),
     "q_multimodal_decode_real" -> (multimodalDecodeReal _),
     "q_multimodal_audio" -> (multimodalAudio _),
-    "q_multimodal_frames" -> (multimodalFrames _))
+    "q_multimodal_frames" -> (multimodalFrames _),
+    "q_multimodal_resize" -> (multimodalResize _))
 
   val oracleSql: Map[String, String] = Map(
     "q_chunk_documents" -> chunkDocumentsSql,
@@ -2345,6 +2382,7 @@ object ExtQueries {
     "q_multimodal_decode_real" -> multimodalDecodeRealSql,
     "q_multimodal_audio" -> multimodalAudioSql,
     "q_multimodal_frames" -> multimodalFramesSql,
+    "q_multimodal_resize" -> multimodalResizeSql,
     "q_bm25_search" -> bm25SearchSql,
     "q_hybrid_search_rrf" -> hybridSearchRrfSql,
     "q_regression_fit" -> regressionFitSql,

@@ -783,6 +783,31 @@ class SimilaritySpec extends SparkSpec {
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
+  test("resizeImages: resized PNG re-decodes to the sampled raster; junk bytes -> nulls") {
+    val ids = (1L to 25L).toDF("doc_id")
+    val enc = Multimodal.encodeSyntheticImages(spark, ids, "doc_id")
+    val out = Multimodal.resizeImages(spark, enc, "payload", 4, 4).collect()
+    assert(out.length == 25)
+    out.foreach { r =>
+      assert(r.getAs[Int]("resized_w") == 4 && r.getAs[Int]("resized_h") == 4)
+      // the emitted PNG must itself decode back to a 4x4 raster whose
+      // gray sum equals the reported resized_sum (PNG is lossless, so
+      // re-encode loses nothing) — the resize is a real raster op, not
+      // stats arithmetic
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("resized_png")))
+      assert(img.getWidth == 4 && img.getHeight == 4)
+      var sum = 0L
+      for (y <- 0 until 4; x <- 0 until 4) sum += (img.getRGB(x, y) >> 16) & 0xFF
+      assert(sum == r.getAs[Long]("resized_sum"),
+        s"media ${r.getAs[Long]("media_id")}: roundtrip sum $sum != ${r.getAs[Long]("resized_sum")}")
+    }
+    // undecodable payloads yield the null quadruple, not a crash
+    val junk = Seq((1L, "not an image at all".getBytes)).toDF("media_id", "payload")
+    val j = Multimodal.resizeImages(spark, junk, "payload", 4, 4).head()
+    assert(j.isNullAt(j.fieldIndex("resized_png")) && j.isNullAt(j.fieldIndex("resized_sum")))
+  }
+
   test("metadata sniffs magic bytes and decode stub is deterministic with declared schema") {
     val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1A, '\n', 1, 2)
     val wav = "RIFF1234WAVEfmt ".getBytes

@@ -490,6 +490,80 @@ object Multimodal {
     spark.createDataFrame(rows, outSchema)
   }
 
+  /** Windowed audio energy over REAL decoded PCM — the
+    * feature-extraction stage of an audio pipeline (energy/VAD-style
+    * framing): each 16-bit mono signed PCM clip is decoded by
+    * `javax.sound.sampled` and split into fixed `window`-sample frames;
+    * one output row per frame carries (window_idx, n_samples, energy =
+    * Σ sample² as an exact long). Integer arithmetic end to end, so the
+    * frame grid and energies replay exactly in any engine. Clips that
+    * are not decodable 16-bit mono PCM produce NO rows (honest skip,
+    * like undecodable images). flatMap one pass per partition — the
+    * same justified non-Catalyst row path as [[decodeImages]].
+    */
+  def audioWindowEnergy(
+      spark: SparkSession,
+      df: DataFrame,
+      binCol: String,
+      window: Int): DataFrame = {
+    require(df.columns.contains(binCol), s"missing $binCol")
+    require(window > 0, s"window must be positive: $window")
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("window_idx", IntegerType),
+      StructField("n_samples", IntegerType),
+      StructField("energy", LongType)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val rows = df.rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        val samples: Option[Array[Short]] =
+          if (bytes == null || bytes.isEmpty) None
+          else
+            try {
+              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(bytes))
+              try {
+                val fmt = ais.getFormat
+                val ok = fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+                  fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+                  !fmt.isBigEndian
+                if (!ok) None
+                else {
+                  val pcm = ais.readAllBytes()
+                  val n = pcm.length / 2
+                  val out = new Array[Short](n)
+                  var i = 0
+                  while (i < n) {
+                    out(i) = (((pcm(2 * i + 1) & 0xFF) << 8) | (pcm(2 * i) & 0xFF)).toShort
+                    i += 1
+                  }
+                  Some(out)
+                }
+              } finally ais.close()
+            } catch {
+              case _: javax.sound.sampled.UnsupportedAudioFileException => None
+              case _: java.io.IOException => None
+            }
+        samples match {
+          case None => Iterator.empty
+          case Some(s) =>
+            val nWin = (s.length + window - 1) / window
+            (0 until nWin).iterator.map { w =>
+              val from = w * window
+              val until = math.min(from + window, s.length)
+              var energy = 0L
+              var i = from
+              while (i < until) { energy += s(i).toLong * s(i); i += 1 }
+              // Seq[Any]: numeric widening would box the Int fields as
+              // Long to match `energy` (the decodeImages trap)
+              Row.fromSeq(r.toSeq ++ Seq[Any](w, until - from, energy))
+            }
+        }
+      }
+    }
+    spark.createDataFrame(rows, outSchema)
+  }
+
   /** Deterministic WAV fixture through the REAL encoder: for each id, a
     * mono 16-bit PCM clip at 8000 Hz with 64 + id%97 samples, sample i
     * valued ((211·id + 37·i) mod 4001) − 2000, written by

@@ -1110,6 +1110,35 @@ object ExtQueries {
     * params alone; a fake parse cannot match the sum of ((211·id + 37·i)
     * mod 4001) − 2000 over i < 64 + id%97.
     */
+  /** Windowed audio ENERGY over real decoded PCM
+    * ([[graft.ext.Multimodal.audioWindowEnergy]], 32-sample frames) —
+    * the framing/feature stage after [[multimodalAudio]]'s header
+    * decode. Per-frame Σ sample² is exact integer arithmetic over the
+    * fixture's closed-form samples, so the oracle replays every frame's
+    * energy — per-frame values differ (the 37·i term), so only a real
+    * sample-accurate PCM decode matches all rows.
+    */
+  def multimodalAudioEnergy(spark: SparkSession, sfDir: String): DataFrame = {
+    val enc = Multimodal.encodeSyntheticWavs(
+      spark, docs(spark, sfDir).select(col("doc_id")), "doc_id")
+    Multimodal.audioWindowEnergy(spark, enc, "payload", 32)
+      .select(col("media_id"), col("window_idx"), col("n_samples"), col("energy"))
+  }
+
+  val multimodalAudioEnergySql: String =
+    """WITH p AS (SELECT doc_id, 64 + doc_id % 97 AS n FROM documents),
+      |w AS (SELECT doc_id, n,
+      |             unnest(range(0, (n + 31) // 32)) AS widx
+      |      FROM p)
+      |SELECT doc_id AS media_id,
+      |       CAST(widx AS INTEGER) AS window_idx,
+      |       CAST(least(32, n - widx * 32) AS INTEGER) AS n_samples,
+      |       CAST(list_sum(list_transform(
+      |              range(widx * 32, least(widx * 32 + 32, n)),
+      |              i -> ((211 * doc_id + 37 * i) % 4001 - 2000)
+      |                   * ((211 * doc_id + 37 * i) % 4001 - 2000))) AS BIGINT) AS energy
+      |FROM w""".stripMargin
+
   def multimodalAudio(spark: SparkSession, sfDir: String): DataFrame = {
     val enc = Multimodal.encodeSyntheticWavs(
       spark, docs(spark, sfDir).select(col("doc_id")), "doc_id")
@@ -2343,7 +2372,8 @@ object ExtQueries {
     "q_multimodal_decode_real" -> (multimodalDecodeReal _),
     "q_multimodal_audio" -> (multimodalAudio _),
     "q_multimodal_frames" -> (multimodalFrames _),
-    "q_multimodal_resize" -> (multimodalResize _))
+    "q_multimodal_resize" -> (multimodalResize _),
+    "q_multimodal_audio_energy" -> (multimodalAudioEnergy _))
 
   val oracleSql: Map[String, String] = Map(
     "q_chunk_documents" -> chunkDocumentsSql,
@@ -2383,6 +2413,7 @@ object ExtQueries {
     "q_multimodal_audio" -> multimodalAudioSql,
     "q_multimodal_frames" -> multimodalFramesSql,
     "q_multimodal_resize" -> multimodalResizeSql,
+    "q_multimodal_audio_energy" -> multimodalAudioEnergySql,
     "q_bm25_search" -> bm25SearchSql,
     "q_hybrid_search_rrf" -> hybridSearchRrfSql,
     "q_regression_fit" -> regressionFitSql,

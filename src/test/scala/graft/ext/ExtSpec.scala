@@ -808,6 +808,32 @@ class MultimodalSpec extends SparkSpec {
     assert(j.isNullAt(j.fieldIndex("resized_png")) && j.isNullAt(j.fieldIndex("resized_sum")))
   }
 
+  test("audioWindowEnergy frames real PCM exactly; junk and wrong formats yield no rows") {
+    val ids = (1L to 20L).toDF("doc_id")
+    val enc = Multimodal.encodeSyntheticWavs(spark, ids, "doc_id")
+    val out = Multimodal.audioWindowEnergy(spark, enc, "payload", 32).collect()
+    val byClip = out.groupBy(_.getAs[Long]("media_id"))
+    (1L to 20L).foreach { id =>
+      val n = (64 + id % 97).toInt
+      val frames = byClip(id).sortBy(_.getAs[Int]("window_idx"))
+      assert(frames.length == (n + 31) / 32, s"clip $id frame count")
+      // frame grid: full windows then the remainder
+      assert(frames.map(_.getAs[Int]("n_samples")).sum == n)
+      // energies match the generator formula exactly
+      frames.foreach { f =>
+        val w = f.getAs[Int]("window_idx")
+        val expected = (w * 32 until math.min(w * 32 + 32, n)).map { i =>
+          val s = ((211L * id + 37L * i) % 4001L - 2000L)
+          s * s
+        }.sum
+        assert(f.getAs[Long]("energy") == expected, s"clip $id window $w")
+      }
+    }
+    // junk bytes: no rows, no crash
+    val junk = Seq((99L, "not audio".getBytes)).toDF("media_id", "payload")
+    assert(Multimodal.audioWindowEnergy(spark, junk, "payload", 32).count() == 0)
+  }
+
   test("metadata sniffs magic bytes and decode stub is deterministic with declared schema") {
     val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1A, '\n', 1, 2)
     val wav = "RIFF1234WAVEfmt ".getBytes

@@ -286,6 +286,108 @@ object Multimodal {
     spark.createDataFrame(rows, schema)
   }
 
+  /** Seeded variant of [[encodeSyntheticImages]] for the image-dedup
+    * path: the image CONTENT is a function of `id mod modulus` (so ids
+    * sharing a seed are pixel-identical — planted duplicate groups)
+    * while `media_id` stays the original id. Lossless formats only
+    * (PNG/BMP cycling on the seed) — perceptual hashing of a lossy
+    * decode would not replay closed-form.
+    */
+  def encodeSyntheticImagesSeeded(
+      spark: SparkSession,
+      ids: DataFrame,
+      idCol: String,
+      modulus: Long): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType)))
+    val rows = ids.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val id = r.getLong(0)
+        val seed = id % modulus
+        val w = (8 + seed % 13).toInt
+        val h = (8 + seed % 11).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = ((31L * seed + 7L * x + 13L * y) % 256L).toInt
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            x += 1
+          }
+          y += 1
+        }
+        val fmt = if (seed % 2 == 0) "png" else "bmp"
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, fmt, baos)
+        Row(id, baos.toByteArray)
+      }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** Difference hash (dHash) over the REAL decoded raster — the
+    * perceptual fingerprint behind image near-dup detection: decode,
+    * nearest-neighbor downsample to a 9×8 gray grid (integer sampling
+    * grid, engine-replayable), then one bit per adjacent-pixel
+    * horizontal gradient (64 bits as a '0'/'1' string in y·8+x order —
+    * a string, not a long, so bit 63 carries no sign-extension
+    * ambiguity across engines). Identical images hash identically
+    * regardless of container format; near-identical images differ in
+    * few bits (hamming distance on the string). NULL for undecodable
+    * bytes.
+    */
+  def imageDHash(spark: SparkSession, df: DataFrame, binCol: String): DataFrame = {
+    require(df.columns.contains(binCol), s"missing $binCol")
+    val outSchema = StructType(df.schema.fields :+ StructField("dhash", StringType))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val rows = df.rdd.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        val hash: Option[String] =
+          if (bytes == null || bytes.isEmpty) None
+          else
+            try {
+              val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+              if (img == null) None
+              else {
+                val w = img.getWidth
+                val h = img.getHeight
+                // 9-wide × 8-high NN grid: 8 horizontal gradients per row
+                val grid = Array.ofDim[Int](8, 9)
+                var y = 0
+                while (y < 8) {
+                  val sy = y * h / 8
+                  var x = 0
+                  while (x < 9) {
+                    grid(y)(x) = (img.getRGB(x * w / 9, sy) >> 16) & 0xFF
+                    x += 1
+                  }
+                  y += 1
+                }
+                val sb = new java.lang.StringBuilder(64)
+                y = 0
+                while (y < 8) {
+                  var x = 0
+                  while (x < 8) {
+                    sb.append(if (grid(y)(x + 1) > grid(y)(x)) '1' else '0')
+                    x += 1
+                  }
+                  y += 1
+                }
+                Some(sb.toString)
+              }
+            } catch { case _: java.io.IOException => None }
+        Row.fromSeq(r.toSeq :+ hash.orNull)
+      }
+    }
+    spark.createDataFrame(rows, outSchema)
+  }
+
   /** Deterministic MULTI-FRAME fixture through the real animated-GIF
     * encoder: for each input id, an animated GIF with 1 + id%5 frames of
     * width 8 + id%13 × height 8 + id%11, frame f's pixel (x, y) valued

@@ -1110,6 +1110,47 @@ object ExtQueries {
     * params alone; a fake parse cannot match the sum of ((211·id + 37·i)
     * mod 4001) − 2000 over i < 64 + id%97.
     */
+  /** Image DEDUP by perceptual hash over real rasters: the seeded
+    * fixture plants pixel-identical images under distinct media ids
+    * (content keyed on doc_id mod 100), each is decoded and
+    * dHash-fingerprinted ([[graft.ext.Multimodal.imageDHash]]), and
+    * hash-equal groups ≥ 2 come back — the image twin of
+    * `q_dedup_exact`, except equality is established on the DECODED
+    * raster (PNG and BMP containers of the same image collide, byte
+    * equality would not). Hash-groupBy on the 64-bit fingerprint —
+    * exact-dedup scaling, no pair joins. The oracle replays the NN
+    * grid + gradient bits closed-form from the seed.
+    */
+  def imageDedupPhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val enc = Multimodal.encodeSyntheticImagesSeeded(
+      spark, docs(spark, sfDir).select(col("doc_id")), "doc_id", 100L)
+    Multimodal.imageDHash(spark, enc, "payload")
+      .groupBy(col("dhash"))
+      .agg(count(lit(1)).as("n_images"), min(col("media_id")).as("min_media_id"))
+      .filter(col("n_images") >= 2)
+  }
+
+  val imageDedupPhashSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, doc_id % 100 AS seed,
+      |         8 + (doc_id % 100) % 13 AS w, 8 + (doc_id % 100) % 11 AS h
+      |  FROM documents),
+      |v AS (
+      |  SELECT doc_id,
+      |         list_transform(range(0, 72),
+      |           i -> (31 * seed + 7 * (((i % 9) * w) // 9)
+      |                 + 13 * (((i // 9) * h) // 8)) % 256) AS grid
+      |  FROM g),
+      |hashed AS (
+      |  SELECT doc_id,
+      |         list_aggregate(list_transform(range(0, 64),
+      |           i -> CASE WHEN grid[CAST((i // 8) * 9 + (i % 8) + 2 AS INTEGER)]
+      |                        > grid[CAST((i // 8) * 9 + (i % 8) + 1 AS INTEGER)]
+      |                     THEN '1' ELSE '0' END), 'string_agg', '') AS dhash
+      |  FROM v)
+      |SELECT dhash, count(*) AS n_images, min(doc_id) AS min_media_id
+      |FROM hashed GROUP BY dhash HAVING count(*) >= 2""".stripMargin
+
   /** Windowed audio ENERGY over real decoded PCM
     * ([[graft.ext.Multimodal.audioWindowEnergy]], 32-sample frames) —
     * the framing/feature stage after [[multimodalAudio]]'s header
@@ -2373,7 +2414,8 @@ object ExtQueries {
     "q_multimodal_audio" -> (multimodalAudio _),
     "q_multimodal_frames" -> (multimodalFrames _),
     "q_multimodal_resize" -> (multimodalResize _),
-    "q_multimodal_audio_energy" -> (multimodalAudioEnergy _))
+    "q_multimodal_audio_energy" -> (multimodalAudioEnergy _),
+    "q_image_dedup_phash" -> (imageDedupPhash _))
 
   val oracleSql: Map[String, String] = Map(
     "q_chunk_documents" -> chunkDocumentsSql,
@@ -2414,6 +2456,7 @@ object ExtQueries {
     "q_multimodal_frames" -> multimodalFramesSql,
     "q_multimodal_resize" -> multimodalResizeSql,
     "q_multimodal_audio_energy" -> multimodalAudioEnergySql,
+    "q_image_dedup_phash" -> imageDedupPhashSql,
     "q_bm25_search" -> bm25SearchSql,
     "q_hybrid_search_rrf" -> hybridSearchRrfSql,
     "q_regression_fit" -> regressionFitSql,

@@ -808,6 +808,41 @@ class MultimodalSpec extends SparkSpec {
     assert(j.isNullAt(j.fieldIndex("resized_png")) && j.isNullAt(j.fieldIndex("resized_sum")))
   }
 
+  test("imageDHash: container-independent (PNG==BMP of same raster), content-sensitive") {
+    // one raster (the seed-4 formula image), hand-encoded as BOTH png
+    // and bmp: the perceptual hash must collide across containers —
+    // byte-level dedup cannot do this
+    def raster(seed: Long): java.awt.image.BufferedImage = {
+      val w = (8 + seed % 13).toInt
+      val h = (8 + seed % 11).toInt
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = ((31L * seed + 7L * x + 13L * y) % 256L).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    def enc(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, baos)
+      baos.toByteArray
+    }
+    val df = Seq(
+      (1L, enc(raster(4), "png")),
+      (2L, enc(raster(4), "bmp")),  // same raster, different container
+      (3L, enc(raster(5), "png")),  // different content
+      (4L, "nope".getBytes)         // junk
+    ).toDF("media_id", "payload")
+    val out = Multimodal.imageDHash(spark, df, "payload")
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("dhash")).toMap
+    assert(out(1L) != null && out(1L) == out(2L),
+      "same raster must hash identically across PNG and BMP containers")
+    assert(out(3L) != out(1L), "different content must (here) hash differently")
+    assert(out(1L).length == 64 && out(1L).forall(c => c == '0' || c == '1'))
+    assert(out(4L) == null, "junk bytes must yield a null hash")
+  }
+
   test("audioWindowEnergy frames real PCM exactly; junk and wrong formats yield no rows") {
     val ids = (1L to 20L).toDF("doc_id")
     val enc = Multimodal.encodeSyntheticWavs(spark, ids, "doc_id")

@@ -783,6 +783,65 @@ object ExtQueries {
       |  WHERE q.vec_id % 100 = 0)
       |QUALIFY rank <= 5""".stripMargin
 
+  /** Truncated-dimension retrieval (the Matryoshka/MRL trade): cosine
+    * top-3 on only the FIRST 16 of 64 dimensions, with the full-64-dim
+    * cosine of each retrieved neighbor alongside — the cost/recall
+    * dial modern embedding stacks expose (a 4× cheaper scan and 4×
+    * smaller index against slightly degraded ranking). Truncation is a
+    * pure `slice` projection; cosine renormalizes internally, so no
+    * separate re-norm pass is needed. Same one-scan broadcast-query
+    * shape as [[similarityTopK]].
+    */
+  def similarityTruncated(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = embs(spark, sfDir)
+    val sliced = e.select(
+      col("vec_id"),
+      col("embedding"),
+      slice(col("embedding"), 1, 16).as("emb16"))
+    val q = sliced
+      .filter(col("vec_id") % 100 === 0)
+      .select(
+        col("vec_id").as("query_id"),
+        col("emb16").as("q16"),
+        col("embedding").as("qfull"))
+    val scored = sliced
+      .join(broadcast(q), col("query_id") =!= col("vec_id"))
+      .withColumn(
+        "cosine_16",
+        round(graft.functions.VectorExprs.arrayCosine(spark, col("q16"), col("emb16")), 6))
+      .withColumn(
+        "cosine_full",
+        round(
+          graft.functions.VectorExprs.arrayCosine(spark, col("qfull"), col("embedding")),
+          6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine_16").desc, col("vec_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(
+        col("query_id"),
+        col("vec_id").as("neighbor_id"),
+        col("cosine_16"),
+        col("cosine_full"),
+        col("rank"))
+  }
+
+  val similarityTruncatedSql: String =
+    """SELECT query_id, neighbor_id, cosine_16, cosine_full,
+      |       CAST(row_number() OVER (PARTITION BY query_id
+      |              ORDER BY cosine_16 DESC, neighbor_id) AS INTEGER) AS rank
+      |FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |         round(list_cosine_similarity(CAST(q.embedding[1:16] AS DOUBLE[]),
+      |                                      CAST(c.embedding[1:16] AS DOUBLE[])), 6) AS cosine_16,
+      |         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                      CAST(c.embedding AS DOUBLE[])), 6) AS cosine_full
+      |  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+      |  WHERE q.vec_id % 100 = 0)
+      |QUALIFY rank <= 3""".stripMargin
+
   /** LSH-bucketed ANN. The hyperplane matrix is a pure function of
     * (table, plane, dim) — xxhash64 of literal strings, no data
     * dependence — so the oracle bakes the identical matrix into the SQL
@@ -2406,6 +2465,7 @@ object ExtQueries {
     "q_kmeans" -> (kmeansClusters _),
     "q_dedup_semantic" -> (dedupSemantic _),
     "q_similarity_topk" -> (similarityTopK _),
+    "q_similarity_truncated" -> (similarityTruncated _),
     "q_similarity_ann" -> (similarityAnn _),
     "q_similarity_ivf" -> (similarityIvf _),
     "q_multimodal_meta" -> (multimodalMeta _),
@@ -2447,6 +2507,7 @@ object ExtQueries {
     "q_dedup_semantic" -> dedupSemanticSql,
     "q_dedup_embedding_lsh" -> dedupEmbeddingSql,
     "q_similarity_topk" -> similarityTopKSql,
+    "q_similarity_truncated" -> similarityTruncatedSql,
     "q_similarity_ann" -> similarityAnnSql,
     "q_similarity_ivf" -> similarityIvfSql,
     "q_multimodal_meta" -> multimodalMetaSql,

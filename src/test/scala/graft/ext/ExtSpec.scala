@@ -663,6 +663,26 @@ class SimilaritySpec extends SparkSpec {
       .toDF("id", "vec")
   }
 
+  test("truncated-dim retrieval: valid ranks, and full cosine bounds the truncated pick") {
+    val rows = graft.queries.ExtQueries
+      .similarityTruncated(spark, "/root/testdata/sf0.01")
+      .collect()
+    assert(rows.nonEmpty)
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    byQuery.foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to rs.length), s"query $q ranks")
+      // the list is ordered by TRUNCATED cosine...
+      val c16 = sorted.map(_.getAs[Double]("cosine_16")).toSeq
+      assert(c16 == c16.sorted.reverse, s"query $q not ordered by cosine_16")
+      // ...and both measures stay in [-1, 1]
+      rs.foreach { r =>
+        assert(math.abs(r.getAs[Double]("cosine_16")) <= 1.0 + 1e-9)
+        assert(math.abs(r.getAs[Double]("cosine_full")) <= 1.0 + 1e-9)
+      }
+    }
+  }
+
   test("lsh ANN reaches high recall@5 against the brute-force baseline") {
     val qs = vectors.filter(col("id") % 20 === 0)
     val exact = Similarity.bruteForceTopK(qs, vectors, "id", "vec", 5)

@@ -828,6 +828,48 @@ object ExtQueries {
         col("rank"))
   }
 
+  /** Contrastive hard-negative mining — the training-PAIR-construction
+    * pass of an embedding-model pipeline: for each anchor, the top-2
+    * most similar neighbors whose 6-dp cosine is UNDER the near-dup
+    * bar (0.9) — similar enough to be informative negatives, far
+    * enough to not be positives in disguise (mining from the band just
+    * below the duplicate threshold is the standard recipe). Same
+    * one-scan broadcast-anchor shape as [[similarityTopK]]; the band
+    * filter prunes before the rank window.
+    */
+  def hardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = embs(spark, sfDir)
+    val anchors = e
+      .filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("anchor_id"), col("embedding").as("a_vec"))
+    val scored = e
+      .join(broadcast(anchors), col("anchor_id") =!= col("vec_id"))
+      .withColumn(
+        "cosine",
+        round(graft.functions.VectorExprs.arrayCosine(spark, col("a_vec"), col("embedding")), 6))
+      .filter(col("cosine") < 0.9)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("anchor_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 2)
+      .select(col("anchor_id"), col("vec_id").as("negative_id"), col("cosine"), col("rank"))
+  }
+
+  val hardNegativesSql: String =
+    """SELECT anchor_id, negative_id, cosine,
+      |       CAST(row_number() OVER (PARTITION BY anchor_id
+      |              ORDER BY cosine DESC, negative_id) AS INTEGER) AS rank
+      |FROM (
+      |  SELECT a.vec_id AS anchor_id, c.vec_id AS negative_id,
+      |         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                                      CAST(c.embedding AS DOUBLE[])), 6) AS cosine
+      |  FROM embeddings a JOIN embeddings c ON a.vec_id != c.vec_id
+      |  WHERE a.vec_id % 100 = 0)
+      |WHERE cosine < 0.9
+      |QUALIFY rank <= 2""".stripMargin
+
   val similarityTruncatedSql: String =
     """SELECT query_id, neighbor_id, cosine_16, cosine_full,
       |       CAST(row_number() OVER (PARTITION BY query_id
@@ -2466,6 +2508,7 @@ object ExtQueries {
     "q_dedup_semantic" -> (dedupSemantic _),
     "q_similarity_topk" -> (similarityTopK _),
     "q_similarity_truncated" -> (similarityTruncated _),
+    "q_hard_negatives" -> (hardNegatives _),
     "q_similarity_ann" -> (similarityAnn _),
     "q_similarity_ivf" -> (similarityIvf _),
     "q_multimodal_meta" -> (multimodalMeta _),
@@ -2508,6 +2551,7 @@ object ExtQueries {
     "q_dedup_embedding_lsh" -> dedupEmbeddingSql,
     "q_similarity_topk" -> similarityTopKSql,
     "q_similarity_truncated" -> similarityTruncatedSql,
+    "q_hard_negatives" -> hardNegativesSql,
     "q_similarity_ann" -> similarityAnnSql,
     "q_similarity_ivf" -> similarityIvfSql,
     "q_multimodal_meta" -> multimodalMetaSql,

@@ -683,6 +683,31 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("hard negatives come from the band just under the dup bar") {
+    val rows = graft.queries.ExtQueries
+      .hardNegatives(spark, "/root/testdata/sf0.01")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("cosine") < 0.9, "a hard negative must be below the dup bar")
+      assert(r.getAs[Long]("anchor_id") != r.getAs[Long]("negative_id"))
+      assert(r.getAs[Int]("rank") <= 2)
+    }
+    // per anchor, the mined negatives are the TOP of the band (nothing
+    // admissible scores higher): re-check against the brute scan
+    val brute = graft.queries.ExtQueries.similarityTopK(spark, "/root/testdata/sf0.01")
+      .collect()
+      .groupBy(_.getAs[Long]("query_id"))
+    rows.groupBy(_.getAs[Long]("anchor_id")).foreach { case (a, negs) =>
+      val minedBest = negs.map(_.getAs[Double]("cosine")).max
+      // any brute top-5 neighbor under the bar must not beat the mined best
+      brute.get(a).foreach(_.foreach { b =>
+        val c = b.getAs[Double]("cosine")
+        if (c < 0.9) assert(c <= minedBest, s"anchor $a: brute $c beats mined $minedBest")
+      })
+    }
+  }
+
   test("lsh ANN reaches high recall@5 against the brute-force baseline") {
     val qs = vectors.filter(col("id") % 20 === 0)
     val exact = Similarity.bruteForceTopK(qs, vectors, "id", "vec", 5)

@@ -369,4 +369,51 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(!p.contains("ScalaUDF"), p)
   }
+
+  test("pagerank iterations are hash joins + partial aggs — no cartesian, no window") {
+    val p = plan(graft.queries.AnalyticsQueries.pagerankPurchases(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the per-round in-mass sum must combine map-side
+    assert(p.contains("partial_sum") || p.contains("Partial"), p)
+    // no whole-graph window funnel
+    assert(!p.contains("Window"), p)
+  }
+
+  test("hybrid RRF legs both end in driver-bounded top-k") {
+    val p = plan(graft.queries.ExtQueries.hybridSearchRrf(spark, sf))
+    // two TakeOrderedAndProject nodes: the lexical and vector top-20 cuts
+    assert(p.split("TakeOrderedAndProject").length >= 3, p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("ScalaUDF"), p)
+  }
+
+  test("regression fit is one corpus aggregation then scalar algebra") {
+    val p = plan(graft.queries.ExtQueries.regressionFit(spark, sf))
+    // one table, one aggregation: no join anywhere, and the only
+    // exchange is the single aggregate's partial->final boundary
+    assert(!p.contains("Join"), p)
+    assert(p.split("\\(\\d+\\) Exchange").length == 2, s"expected exactly one exchange:\n$p")
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("ScalaUDF"), p)
+  }
+
+  test("skew profile is two-level hash aggregation with map-side combine") {
+    val p = plan(graft.queries.ExtQueries.skewProfile(spark, sf))
+    assert(p.contains("partial_count") || p.contains("Partial"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("truncated retrieval and hard negatives broadcast the anchor side") {
+    for (df <- Seq(
+        graft.queries.ExtQueries.similarityTruncated(spark, sf),
+        graft.queries.ExtQueries.hardNegatives(spark, sf))) {
+      val p = plan(df)
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+      assert(!p.contains("SortMergeJoin"), p)
+      assert(!p.contains("ScalaUDF"), p)
+    }
+  }
 }

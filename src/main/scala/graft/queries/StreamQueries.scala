@@ -111,6 +111,68 @@ object StreamQueries {
       "event_type")
   }
 
+  /** SKETCHES IN STREAMING: per-type hourly approximate distinct users
+    * via the KMV aggregate ([[graft.functions.Sketches.KMinValues]])
+    * inside a watermarked streaming window — the unique-visitors-per-
+    * window shape every event pipeline runs. The sketch's bounded
+    * buffer IS the streaming state (≤ k longs per open window instead
+    * of one state row per distinct user — the same reason the shuffle
+    * stays bounded in batch), and because the k-min set is a
+    * deterministic function of the hashes, the streamed estimate
+    * hash-matches the batch DuckDB replay exactly — an oracle-checked
+    * approximate aggregate under micro-batch replay.
+    */
+  def streamApproxUsers(spark: SparkSession, sfDir: String): DataFrame = {
+    val wd = workDir("kmvusers")
+    val input = Testdata.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("event_type"), col("user_id"))
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", TimestampType),
+      StructField("event_type", StringType),
+      StructField("user_id", LongType)))
+    val h = conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10).cast("long")
+    StreamJobs
+      .runTwoHopStateful(
+        spark, input, schema, "ts", "event_id", "event_type", wd,
+        stream =>
+          stream
+            .withColumn("uh", h)
+            .groupBy(col("event_type"), window(col("ts"), "1 hour").as("w"))
+            .agg(
+              round(graft.functions.Sketches.kmvDistinct(spark, col("uh"), 64), 4)
+                .as("kmv_users"),
+              count(lit(1)).as("n_events")))
+      .select(
+        col("event_type"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("start_window"),
+        col("kmv_users"),
+        col("n_events"))
+  }
+
+  val streamApproxUsersSql: String =
+    """WITH b AS (
+      |  SELECT event_type, value, user_id,
+      |         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bucket
+      |  FROM events),
+      |h AS (
+      |  SELECT DISTINCT event_type, bucket,
+      |         CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+      |  FROM b WHERE user_id IS NOT NULL),
+      |r AS (SELECT event_type, bucket, hv,
+      |        row_number() OVER (PARTITION BY event_type, bucket ORDER BY hv) AS rn
+      |      FROM h),
+      |s AS (SELECT event_type, bucket, count(*) AS n, max(hv) AS kth
+      |      FROM r WHERE rn <= 64 GROUP BY event_type, bucket),
+      |c AS (SELECT event_type, bucket, count(*) AS n_events FROM b GROUP BY 1, 2)
+      |SELECT s.event_type,
+      |       strftime(make_timestamp(s.bucket * 3600 * 1000000), '%Y-%m-%d %H:%M:%S') AS start_window,
+      |       round(CASE WHEN s.n < 64 THEN CAST(s.n AS DOUBLE)
+      |             ELSE 63.0 / (CAST(s.kth AS DOUBLE) / 1152921504606846976.0)
+      |             END, 4) AS kmv_users,
+      |       c.n_events
+      |FROM s JOIN c USING (event_type, bucket)""".stripMargin
+
   /** Streaming session windows: per-user sessions (10-minute gap) over
     * the two-hop pipeline, flushed to the fixpoint — must equal the
     * batch session-window oracle exactly. The session key is the user
@@ -462,7 +524,8 @@ object StreamQueries {
     "q_batch_candles" -> (batchCandles _),
     "q_stream_ingest" -> (streamIngest _),
     "q_stream_candles" -> (streamCandles _),
-    "q_stream_sessions" -> (streamSessions _))
+    "q_stream_sessions" -> (streamSessions _),
+    "q_stream_approx_users" -> (streamApproxUsers _))
 
   val oracleSql: Map[String, String] = Map(
     "q_stream_quality_gate" -> streamQualityGateSql,
@@ -475,5 +538,6 @@ object StreamQueries {
     "q_batch_candles" -> candlesOracleSql,
     "q_stream_ingest" -> streamIngestSql,
     "q_stream_candles" -> candlesOracleSql,
-    "q_stream_sessions" -> streamSessionsSql)
+    "q_stream_sessions" -> streamSessionsSql,
+    "q_stream_approx_users" -> streamApproxUsersSql)
 }

@@ -535,6 +535,83 @@ object AnalyticsQueries {
       |FROM est e LEFT JOIN exact x USING (probe_key)
       |ORDER BY probe_key""".stripMargin
 
+  /** JOIN-SIZE ESTIMATION from two count-min sketches (Cormode &
+    * Muthukrishnan 2005 §4.2): |A ⋈_k B| = Σ_k c_A(k)·c_B(k) is
+    * estimated WITHOUT executing the join as min over hash rows i of
+    * Σ_b A[i,b]·B[i,b] — collisions only ADD mass, so the estimate is
+    * an overestimate, and taking the min row tightens it. This is the
+    * planner-style cardinality probe at 100 TB: each side reduces to a
+    * d×w counter matrix (one aggregation, map-side merged), and the
+    * inner product is array algebra on two 1-row frames — the join
+    * itself never runs. Here: click-user × purchase-user pair count.
+    * Everything is exact integer arithmetic → full oracle parity;
+    * the true join size rides along for the error-envelope check.
+    */
+  def joinSizeEstimate(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = 1024
+    val d = 3
+    def bucket(i: Int, key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      pmod(
+        conv(substring(md5(concat_ws(":", lit(i.toString), key.cast("string"))), 1, 15), 16, 10)
+          .cast("long"),
+        lit(w.toLong))
+    val ev = Testdata.events(spark, sfDir)
+    val sideA = ev.filter(col("event_type") === "click").select(col("user_id"))
+    val sideB = ev.filter(col("event_type") === "purchase").select(col("user_id"))
+    def sketchOf(df: DataFrame, alias: String): DataFrame =
+      df.agg(
+        graft.functions.Sketches
+          .cmsSketch(spark, (0 until d).map(i => bucket(i, col("user_id"))), w)
+          .as(alias))
+    // true pair count: sum over users of clicks(u) * purchases(u)
+    val exact = sideA
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("ca"))
+      .join(sideB.groupBy(col("user_id")).agg(count(lit(1)).as("cb")), Seq("user_id"))
+      .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("exact_size"))
+    // per hash row: dot product of the two w-wide slices; min over rows
+    val rowDots = (0 until d).map { i =>
+      aggregate(
+        zip_with(
+          slice(col("ska"), i * w + 1, w),
+          slice(col("skb"), i * w + 1, w),
+          (x, y) => x * y),
+        lit(0L),
+        (acc, v) => acc + v)
+    }
+    sketchOf(sideA, "ska")
+      .crossJoin(sketchOf(sideB, "skb"))
+      .crossJoin(broadcast(exact))
+      .select(least(rowDots: _*).as("est_size"), col("exact_size"))
+  }
+
+  val joinSizeEstimateSql: String =
+    """WITH ids AS (SELECT unnest(['0', '1', '2']) AS i),
+      |ca AS (
+      |  SELECT i, CAST(('0x' || substring(md5(i || ':' || CAST(user_id AS VARCHAR)), 1, 15))
+      |              AS BIGINT) % 1024 AS b,
+      |         count(*) AS c
+      |  FROM events CROSS JOIN ids WHERE event_type = 'click'
+      |  GROUP BY i, b),
+      |cb AS (
+      |  SELECT i, CAST(('0x' || substring(md5(i || ':' || CAST(user_id AS VARCHAR)), 1, 15))
+      |              AS BIGINT) % 1024 AS b,
+      |         count(*) AS c
+      |  FROM events CROSS JOIN ids WHERE event_type = 'purchase'
+      |  GROUP BY i, b),
+      |dots AS (
+      |  SELECT ca.i, sum(ca.c * cb.c) AS dot
+      |  FROM ca JOIN cb USING (i, b)
+      |  GROUP BY ca.i),
+      |est AS (SELECT min(dot) AS est_size FROM dots),
+      |exact AS (
+      |  SELECT coalesce(sum(a.n * b.n), 0) AS exact_size
+      |  FROM (SELECT user_id, count(*) AS n FROM events WHERE event_type = 'click' GROUP BY 1) a
+      |  JOIN (SELECT user_id, count(*) AS n FROM events WHERE event_type = 'purchase' GROUP BY 1) b
+      |    USING (user_id))
+      |SELECT CAST(est_size AS BIGINT) AS est_size, CAST(exact_size AS BIGINT) AS exact_size
+      |FROM est, exact""".stripMargin
+
   /** Discrete median (lower middle element) per group, built from an
     * explicit row_number construction so both engines pick the exact
     * same element — no interpolation-semantics mismatch.
@@ -1247,7 +1324,8 @@ object AnalyticsQueries {
     "q_outlier_mad" -> (outlierMad _),
     "q_kmv_difference" -> (kmvDifference _),
     "q_quantile_sketch" -> (quantileSketch _),
-    "q_pagerank" -> (pagerankPurchases _))
+    "q_pagerank" -> (pagerankPurchases _),
+    "q_join_size_estimate" -> (joinSizeEstimate _))
 
   val oracleSql: Map[String, String] = Map(
     "q_profile_table" -> profileTableSql,
@@ -1282,7 +1360,8 @@ object AnalyticsQueries {
     "q_outlier_mad" -> outlierMadSql,
     "q_kmv_difference" -> kmvDifferenceSql,
     "q_quantile_sketch" -> quantileSketchSql,
-    "q_pagerank" -> pagerankPurchasesSql)
+    "q_pagerank" -> pagerankPurchasesSql,
+    "q_join_size_estimate" -> joinSizeEstimateSql)
 }
 
 /** Narrow typed view of lineitem for the Dataset[T] pipeline. */

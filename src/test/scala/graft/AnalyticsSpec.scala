@@ -241,6 +241,20 @@ class AnalyticsSpec extends SparkSpec {
       s"diff_est=$est exact=$exact")
   }
 
+  test("CMS join-size estimate never underestimates and stays near the true size") {
+    val r = queries.AnalyticsQueries
+      .joinSizeEstimate(spark, "/root/testdata/sf0.01")
+      .head()
+    val est = r.getAs[Long]("est_size")
+    val exact = r.getAs[Long]("exact_size")
+    // collisions only add mass: the inner-product estimate is an
+    // overestimate of sum_k cA(k)*cB(k), never under
+    assert(est >= exact, s"est=$est under exact=$exact")
+    // error envelope: E[excess] <= |A|*|B|/w per row, min over d rows
+    // tightens; allow a loose 2x of exact as the sanity ceiling here
+    assert(exact == 0 || est <= 2 * exact, s"est=$est way over exact=$exact")
+  }
+
   test("fixed-point PageRank: hand-checkable star graph, partitioning-invariant ranks") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -1512,6 +1512,67 @@ object CoreQueries {
       |       '2020-01-01 00:00:00', NULL, 1
       |FROM customer WHERE c_custkey % 3 <> 0""".stripMargin
 
+  /** POINT-IN-TIME (temporal) join over the SCD2 dimension: for each
+    * probe instant, the version valid AT that instant
+    * (`start <= ts < end`, open end = +∞) — the canonical
+    * as-of-dimension lookup a warehouse runs against SCD2 history
+    * (distinct from [[graft.operators.Ops.asofJoin]], which carries a
+    * time-series payload at-or-before per key). Probes are a tiny
+    * literal frame, so the validity-range join is a broadcast
+    * nested-loop over the dimension — the right plan when the probe
+    * set is bounded; per-instant aggregates keep the oracle compact.
+    */
+  def scd2PointInTime(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val t1 = Timestamp.valueOf("2020-01-01 00:00:00")
+    val t2 = Timestamp.valueOf("2020-02-01 00:00:00")
+    val customer = spark.read
+      .parquet(p(sfDir, "customer"))
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val table = LakeTable(spark, scratch("scd2pit"))
+    Merge.mergeScd2(table, customer, Seq("c_custkey"), Seq("c_acctbal"), t1)
+    val batch2 = customer
+      .filter(col("c_custkey") % 3 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + 100)
+      .unionByName(customer.filter(col("c_custkey") % 3 === 1))
+    Merge.mergeScd2(table, batch2, Seq("c_custkey"), Seq("c_acctbal"), t2)
+    val probes = Seq("2020-01-15 00:00:00", "2020-02-15 00:00:00")
+      .toDF("probe_ts")
+      .withColumn("pts", to_timestamp(col("probe_ts")))
+    table
+      .read()
+      .join(
+        broadcast(probes),
+        col("start_timestamp") <= col("pts") &&
+          (col("end_timestamp").isNull || col("pts") < col("end_timestamp")))
+      .groupBy(col("probe_ts"))
+      .agg(
+        count(lit(1)).as("n_valid"),
+        round(sum(col("c_acctbal")), 4).as("sum_acctbal"))
+  }
+
+  val scd2PointInTimeSql: String =
+    """WITH v AS (
+      |  SELECT c_custkey, c_acctbal,
+      |         TIMESTAMP '2020-01-01 00:00:00' AS s, TIMESTAMP '2020-02-01 00:00:00' AS e
+      |  FROM customer WHERE c_custkey % 3 = 0
+      |  UNION ALL
+      |  SELECT c_custkey, c_acctbal + 100,
+      |         TIMESTAMP '2020-02-01 00:00:00', NULL
+      |  FROM customer WHERE c_custkey % 3 = 0
+      |  UNION ALL
+      |  SELECT c_custkey, c_acctbal,
+      |         TIMESTAMP '2020-01-01 00:00:00', NULL
+      |  FROM customer WHERE c_custkey % 3 <> 0),
+      |probes AS (
+      |  SELECT unnest(['2020-01-15 00:00:00', '2020-02-15 00:00:00']) AS probe_ts)
+      |SELECT probe_ts, count(*) AS n_valid,
+      |       round(sum(c_acctbal), 4) AS sum_acctbal
+      |FROM v JOIN probes
+      |  ON s <= CAST(probe_ts AS TIMESTAMP)
+      | AND (e IS NULL OR CAST(probe_ts AS TIMESTAMP) < e)
+      |GROUP BY probe_ts""".stripMargin
+
   /** SCD Type 1 merge (K7): upsert — custkey % 4 = 0 updated in place
     * (acctbal doubled), custkey % 7 = 0 re-inserted under a shifted new
     * key; everything else survives untouched.
@@ -1847,6 +1908,7 @@ object CoreQueries {
     "q_csv_roundtrip" -> (csvRoundtrip _),
     "q_csv_infer" -> (csvInfer _),
     "q_scd2_versions" -> (scd2Versions _),
+    "q_scd2_point_in_time" -> (scd2PointInTime _),
     "q_scd1_upsert" -> (scd1Upsert _),
     "q_merge_sql" -> (mergeSql _),
     "q_merge_sql_scd2" -> (mergeSqlScd2 _),
@@ -1902,6 +1964,7 @@ object CoreQueries {
     "q_csv_roundtrip" -> csvRoundtripSql,
     "q_csv_infer" -> csvInferSql,
     "q_scd2_versions" -> scd2VersionsSql,
+    "q_scd2_point_in_time" -> scd2PointInTimeSql,
     "q_scd1_upsert" -> scd1UpsertSql,
     "q_merge_sql" -> mergeSqlOracleSql,
     "q_merge_sql_scd2" -> mergeSqlScd2OracleSql,

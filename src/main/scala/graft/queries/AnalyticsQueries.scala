@@ -1068,15 +1068,26 @@ object AnalyticsQueries {
     val li = spark.read
       .parquet(tablePath(sfDir, "lineitem"))
       .select(col("l_orderkey"), col("l_suppkey"))
+    // persist the UNDIRECTED pair list, not the directed edge list: the
+    // union references `pairs` twice (both directions) and every
+    // iteration traverses edges twice more — an unpersisted pairs frame
+    // re-runs the lineitem⋈orders distinct up to 8 times (the
+    // containment-frame lesson). Blocks spill under pressure;
+    // ContextCleaner reclaims them on dereference.
     val pairs = li
       .join(orders, col("l_orderkey") === col("o_orderkey"))
       .select(
         (col("o_custkey") * 2).as("c_node"),
         (col("l_suppkey") * 2 + 1).as("s_node"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ...and persist the directed edge list too: nodes/deg/contrib
+    // reference it ~3× per iteration — cached pairs make the BUILD
+    // single-pass, cached edges make every iteration a cache scan
     val edges = pairs
       .select(col("c_node").as("src"), col("s_node").as("dst"))
       .unionByName(pairs.select(col("s_node").as("src"), col("c_node").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = edges.select(col("src").as("node")).distinct()
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
     val r0 = nodes.withColumn("rank", lit(micro))
@@ -1095,6 +1106,12 @@ object AnalyticsQueries {
         .select(
           col("node"),
           (lit(150000L) + expr("(mass * 17) div 20")).as("rank"))
+        // lineage truncation, the iterative-Spark discipline: each
+        // round's |V|-row rank frame is cached so round n+1 plans
+        // against a flat cached input instead of the whole history —
+        // without this the optimizer replans (and AQE re-shuffles) a
+        // tree that doubles per iteration
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
     ranked
       .orderBy(col("rank").desc, col("node").asc)

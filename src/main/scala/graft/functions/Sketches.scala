@@ -494,4 +494,194 @@ object Sketches {
       name, exprs => BottomKSample(exprs(0), exprs(1), k), "scala_udf")
     call_function(name, hash, value)
   }
+
+  /** Misra–Gries heavy-hitters summary (Misra & Gries 1982; merge rule
+    * from Agarwal et al., "Mergeable Summaries", PODS 2012) as a native
+    * aggregate: at most k (item, count) counters. Present item → count+1;
+    * room → new counter at 1; full → decrement ALL counters (dropping
+    * zeros), which charges the new item and k incumbents one occurrence
+    * each. Guarantee: true_freq − n/(k+1) ≤ est ≤ true_freq, so every
+    * item with frequency > n/(k+1) is guaranteed to survive.
+    *
+    * Merge adds counters pairwise, then restores the bound by
+    * subtracting the (k+1)-th largest count from all and dropping
+    * non-positives — the PODS'12 rule that keeps the summed error
+    * bounds additive, so map-side partials stay mergeable with no loss
+    * of guarantee.
+    *
+    * Scale shape: the shuffle carries ≤ k counters per (group,
+    * partition) regardless of input cardinality — the exact top-k
+    * alternative shuffles every distinct item. Below k distinct items
+    * NO decrement ever fires, counts are exact group-by counts and the
+    * summary is engine-replayable bit for bit (the oracle-parity
+    * discipline [[KMinValues]] set: `q_heavy_hitters` runs in that
+    * exact regime; HeavyHittersSpec proves the error bound in the
+    * lossy regime).
+    *
+    * Evaluates to `array<struct<item string, est bigint>>` sorted by
+    * (est DESC, item ASC) — a canonical order independent of hash-map
+    * iteration, so equal inputs give equal outputs.
+    */
+  case class MisraGries(
+      child: Expression,
+      k: Int,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[java.util.HashMap[String, java.lang.Long]]
+      with UnaryLike[Expression] {
+    require(k >= 1, s"misra-gries needs k >= 1, got $k")
+
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("item", org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("est", LongType, nullable = false))),
+        containsNull = false)
+    override def nullable: Boolean = false
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (child.dataType == org.apache.spark.sql.types.StringType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_mg expects a STRING item column, got ${child.dataType.catalogString}")
+
+    override def createAggregationBuffer(): java.util.HashMap[String, java.lang.Long] =
+      new java.util.HashMap[String, java.lang.Long]()
+
+    override def update(
+        buf: java.util.HashMap[String, java.lang.Long],
+        input: InternalRow): java.util.HashMap[String, java.lang.Long] = {
+      val v = child.eval(input)
+      if (v != null) offer(buf, v.toString, 1L)
+      buf
+    }
+
+    private def offer(
+        buf: java.util.HashMap[String, java.lang.Long],
+        item: String,
+        w: Long): Unit = {
+      val cur = buf.get(item)
+      if (cur != null) buf.put(item, cur + w)
+      else if (buf.size < k) buf.put(item, w)
+      else {
+        // decrement-all by min(w, smallest counter) repeatedly is the
+        // weighted generalization; for w == 1 (the update path) this is
+        // one classic decrement round
+        var rem = w
+        while (rem > 0 && !buf.containsKey(item)) {
+          var min = Long.MaxValue
+          val it = buf.values().iterator()
+          while (it.hasNext) { val c = it.next().longValue(); if (c < min) min = c }
+          val d = math.min(rem, min)
+          val eit = buf.entrySet().iterator()
+          while (eit.hasNext) {
+            val e = eit.next()
+            val nc = e.getValue - d
+            if (nc <= 0) eit.remove() else e.setValue(nc)
+          }
+          rem -= d
+          if (buf.size < k && rem > 0) buf.put(item, rem)
+        }
+      }
+    }
+
+    override def merge(
+        buf: java.util.HashMap[String, java.lang.Long],
+        other: java.util.HashMap[String, java.lang.Long]): java.util.HashMap[String, java.lang.Long] = {
+      val eit = other.entrySet().iterator()
+      while (eit.hasNext) {
+        val e = eit.next()
+        val cur = buf.get(e.getKey)
+        buf.put(e.getKey, if (cur == null) e.getValue else java.lang.Long.valueOf(cur + e.getValue))
+      }
+      if (buf.size > k) {
+        // subtract the (k+1)-th largest count, drop non-positives
+        val counts = new Array[Long](buf.size)
+        var i = 0
+        val vit = buf.values().iterator()
+        while (vit.hasNext) { counts(i) = vit.next().longValue(); i += 1 }
+        java.util.Arrays.sort(counts)
+        val cut = counts(buf.size - k - 1) // (k+1)-th largest
+        val bit = buf.entrySet().iterator()
+        while (bit.hasNext) {
+          val e = bit.next()
+          val nc = e.getValue - cut
+          if (nc <= 0) bit.remove() else e.setValue(nc)
+        }
+      }
+      buf
+    }
+
+    override def eval(buf: java.util.HashMap[String, java.lang.Long]): Any = {
+      val entries = new java.util.ArrayList[java.util.Map.Entry[String, java.lang.Long]](buf.entrySet())
+      entries.sort(new java.util.Comparator[java.util.Map.Entry[String, java.lang.Long]] {
+        override def compare(
+            a: java.util.Map.Entry[String, java.lang.Long],
+            b: java.util.Map.Entry[String, java.lang.Long]): Int = {
+          val byCount = java.lang.Long.compare(b.getValue, a.getValue)
+          if (byCount != 0) byCount else a.getKey.compareTo(b.getKey)
+        }
+      })
+      val rows = new Array[Any](entries.size())
+      var i = 0
+      while (i < entries.size()) {
+        val e = entries.get(i)
+        rows(i) = InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString(e.getKey),
+          e.getValue.longValue())
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+    }
+
+    override def serialize(buf: java.util.HashMap[String, java.lang.Long]): Array[Byte] = {
+      var bytes = 4
+      val eit0 = buf.entrySet().iterator()
+      val pairs = new java.util.ArrayList[(Array[Byte], Long)](buf.size)
+      while (eit0.hasNext) {
+        val e = eit0.next()
+        val b = e.getKey.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        pairs.add((b, e.getValue.longValue()))
+        bytes += 4 + b.length + 8
+      }
+      val bb = java.nio.ByteBuffer.allocate(bytes)
+      bb.putInt(pairs.size())
+      var i = 0
+      while (i < pairs.size()) {
+        val (b, c) = pairs.get(i)
+        bb.putInt(b.length); bb.put(b); bb.putLong(c)
+        i += 1
+      }
+      bb.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): java.util.HashMap[String, java.lang.Long] = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      val n = bb.getInt
+      val buf = new java.util.HashMap[String, java.lang.Long]()
+      var i = 0
+      while (i < n) {
+        val len = bb.getInt
+        val b = new Array[Byte](len)
+        bb.get(b)
+        buf.put(new String(b, java.nio.charset.StandardCharsets.UTF_8), bb.getLong)
+        i += 1
+      }
+      buf
+    }
+
+    override def withNewMutableAggBufferOffset(offset: Int): MisraGries =
+      copy(mutableAggBufferOffset = offset)
+    override def withNewInputAggBufferOffset(offset: Int): MisraGries =
+      copy(inputAggBufferOffset = offset)
+    override protected def withNewChildInternal(c: Expression): MisraGries = copy(child = c)
+  }
+
+  /** Column form of [[MisraGries]]. */
+  def mgTopK(spark: org.apache.spark.sql.SparkSession, item: Column, k: Int): Column = {
+    val name = s"graft_mg_$k"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => MisraGries(exprs.head, k), "scala_udf")
+    call_function(name, item)
+  }
 }

@@ -535,6 +535,44 @@ object AnalyticsQueries {
       |FROM est e LEFT JOIN exact x USING (probe_key)
       |ORDER BY probe_key""".stripMargin
 
+  /** Heavy-hitter terms per language via the native Misra–Gries summary
+    * ([[graft.functions.Sketches.MisraGries]], capacity 64): tokenize,
+    * one hash aggregation per language whose shuffle carries a ≤
+    * 64-counter summary per (lang, partition) — never the term
+    * universe — then the top 10 of each summary. This corpus has 31
+    * distinct terms per language, so capacity 64 puts the sketch in its
+    * EXACT regime (no decrement can fire) and the oracle replays it as
+    * exact counts; HeavyHittersSpec proves the n/(k+1) error bound in
+    * the lossy regime the oracle can't reach. The sketch twin of the
+    * exact [[ExtQueries.textTopTerms]] — the same pairing discipline as
+    * `q_approx_distinct_kmv` next to exact distinct counts.
+    */
+  def heavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+    val terms = spark.read.parquet(tablePath(sfDir, "documents"))
+      .select(col("lang"), explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+    terms
+      .groupBy(col("lang"))
+      .agg(graft.functions.Sketches.mgTopK(spark, col("term"), 64).as("mg"))
+      .select(col("lang"), posexplode(slice(col("mg"), 1, 10)))
+      .select(
+        col("lang"),
+        (col("pos") + 1).as("rank"),
+        col("col.item").as("term"),
+        col("col.est").as("freq"))
+  }
+
+  val heavyHittersSql: String =
+    """WITH t AS (
+      |  SELECT lang, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      |  FROM documents),
+      |c AS (SELECT lang, term, count(*) AS freq FROM t GROUP BY 1, 2),
+      |r AS (
+      |  SELECT lang, term, freq,
+      |         row_number() OVER (PARTITION BY lang ORDER BY freq DESC, term) AS rank
+      |  FROM c)
+      |SELECT lang, CAST(rank AS INTEGER) AS rank, term, freq
+      |FROM r WHERE rank <= 10""".stripMargin
+
   /** JOIN-SIZE ESTIMATION from two count-min sketches (Cormode &
     * Muthukrishnan 2005 §4.2): |A ⋈_k B| = Σ_k c_A(k)·c_B(k) is
     * estimated WITHOUT executing the join as min over hash rows i of
@@ -1168,6 +1206,99 @@ object AnalyticsQueries {
       |       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
       |FROM events GROUP BY user_id""".stripMargin
 
+  /** Ordered conversion FUNNEL (signup → click → purchase) in ONE
+    * shuffle: per user, collect the (t, type) events time-sorted and
+    * FOLD them left-to-right with `aggregate` — first signup, then the
+    * first click strictly after it, then the first purchase strictly
+    * after that — so stage detection is a single per-row array pass,
+    * not the three self-join-the-events-table passes the textbook SQL
+    * (and the oracle) spells. Per-user event counts are bounded
+    * (corpus-rate × session horizon), so the collected array is small;
+    * the global stage counts + median signup→purchase lag reduce in a
+    * scalar aggregate. Strict `>` comparisons against the accumulator
+    * (never "processed earlier in the sort") keep equal-timestamp
+    * semantics identical to the oracle's `t > s` / `t > c` joins.
+    */
+  def funnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val sent = 4102444800L // 2100-01-01, later than any event timestamp
+    val ev = Testdata.events(spark, sfDir)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("t"), col("event_type").as("et"))
+      .filter(col("et").isin("signup", "click", "purchase"))
+    val perUser = ev
+      .groupBy(col("user_id"))
+      .agg(array_sort(collect_list(struct(col("t"), col("et")))).as("evs"))
+      .select(expr(
+        s"""aggregate(
+           |  evs,
+           |  named_struct('s', ${sent}L, 'c', ${sent}L, 'p', ${sent}L),
+           |  (acc, x) -> CASE
+           |    WHEN x.et = 'signup' AND acc.s = ${sent}L
+           |      THEN named_struct('s', x.t, 'c', acc.c, 'p', acc.p)
+           |    WHEN x.et = 'click' AND acc.s < ${sent}L AND acc.c = ${sent}L AND x.t > acc.s
+           |      THEN named_struct('s', acc.s, 'c', x.t, 'p', acc.p)
+           |    WHEN x.et = 'purchase' AND acc.c < ${sent}L AND acc.p = ${sent}L AND x.t > acc.c
+           |      THEN named_struct('s', acc.s, 'c', acc.c, 'p', x.t)
+           |    ELSE acc END)""".stripMargin).as("f"))
+    perUser.agg(
+      count(lit(1)).as("n_users"),
+      count(when(col("f.s") < sent, lit(1))).as("n_signup"),
+      count(when(col("f.c") < sent, lit(1))).as("n_click"),
+      count(when(col("f.p") < sent, lit(1))).as("n_purchase"),
+      round(expr(s"percentile(CASE WHEN f.p < ${sent}L THEN f.p - f.s END, 0.5)"), 4)
+        .as("median_lag_sec"))
+  }
+
+  val funnelSql: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, event_type
+      |  FROM events WHERE event_type IN ('signup', 'click', 'purchase')),
+      |s AS (SELECT user_id, min(t) AS st FROM e WHERE event_type = 'signup' GROUP BY 1),
+      |c AS (SELECT e.user_id, min(t) AS ct
+      |      FROM e JOIN s USING (user_id)
+      |      WHERE event_type = 'click' AND t > st GROUP BY 1),
+      |p AS (SELECT e.user_id, min(t) AS pt
+      |      FROM e JOIN c USING (user_id)
+      |      WHERE event_type = 'purchase' AND t > ct GROUP BY 1)
+      |SELECT (SELECT count(DISTINCT user_id) FROM e) AS n_users,
+      |       (SELECT count(*) FROM s) AS n_signup,
+      |       (SELECT count(*) FROM c) AS n_click,
+      |       (SELECT count(*) FROM p) AS n_purchase,
+      |       (SELECT round(quantile_cont(pt - st, 0.5), 4)
+      |        FROM p JOIN s USING (user_id)) AS median_lag_sec""".stripMargin
+
+  /** Per-user exponentially-weighted moving average (α = 0.5) of the
+    * event value stream — the standard time-decayed feature an online
+    * signal pipeline maintains per entity. Sequential by nature, so the
+    * whole recurrence runs as ONE in-row `aggregate` fold over the
+    * time-sorted collected values (same single-shuffle shape as
+    * [[funnel]]): no window-function self-scan, no per-step shuffle.
+    * α = 0.5 on purpose: halving is exact in IEEE (exponent decrement),
+    * so both engines execute the identical rounding sequence and the
+    * fold is bit-reproducible, not just 4-dp-close. Ties in ts break on
+    * event_id in both engines.
+    */
+  def ewmaDecay(spark: SparkSession, sfDir: String): DataFrame =
+    Testdata.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        array_sort(collect_list(struct(col("ts"), col("event_id"), col("value")))).as("evs"))
+      .select(
+        col("user_id"),
+        col("n_events"),
+        round(
+          expr("""aggregate(
+                 |  slice(evs, 2, size(evs) - 1),
+                 |  element_at(evs, 1).value,
+                 |  (acc, x) -> 0.5D * x.value + 0.5D * acc)""".stripMargin), 4)
+          .as("ewma"))
+
+  val ewmaDecaySql: String =
+    """SELECT user_id, count(*) AS n_events,
+      |       round(list_reduce(list(value ORDER BY ts, event_id),
+      |                         (acc, x) -> 0.5 * x + 0.5 * acc), 4) AS ewma
+      |FROM events GROUP BY user_id""".stripMargin
+
   /** Per-group z-score outliers (3σ): group statistics via ONE hash
     * aggregation broadcast back to the fact rows — never a window over
     * whole groups (a `avg() OVER (PARTITION BY type)` funnels every
@@ -1328,6 +1459,9 @@ object AnalyticsQueries {
     "q_approx_distinct" -> (approxDistinct _),
     "q_approx_distinct_kmv" -> (approxDistinctKmv _),
     "q_freq_sketch_cms" -> (freqSketchCms _),
+    "q_heavy_hitters" -> (heavyHitters _),
+    "q_funnel" -> (funnel _),
+    "q_ewma_decay" -> (ewmaDecay _),
     "q_kmv_set_ops" -> (kmvSetOps _),
     "q_grouping_sets" -> (groupingSets _),
     "q_window_rank_stats" -> (windowRankStats _),
@@ -1364,6 +1498,9 @@ object AnalyticsQueries {
     "q_median_disc" -> medianDiscSql,
     "q_approx_distinct_kmv" -> approxDistinctKmvSql,
     "q_freq_sketch_cms" -> freqSketchCmsSql,
+    "q_heavy_hitters" -> heavyHittersSql,
+    "q_funnel" -> funnelSql,
+    "q_ewma_decay" -> ewmaDecaySql,
     "q_kmv_set_ops" -> kmvSetOpsSql,
     "q_grouping_sets" -> groupingSetsSql,
     "q_window_rank_stats" -> windowRankStatsSql,

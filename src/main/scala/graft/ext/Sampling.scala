@@ -113,4 +113,34 @@ object Sampling {
       .withColumn("shard", (col("shuffle_key") % nShards).cast("int"))
       .withColumn("pos", row_number().over(w).cast("long"))
   }
+
+  /** CURRICULUM sampling by score decile: rank every row into a decile
+    * of `scoreCol` and keep a deterministically-hashed fraction that
+    * RISES with the decile — rate (d+1)/10, so the top decile is kept
+    * whole and the bottom at 10% — the standard quality/length-biased
+    * mix a curriculum schedule draws from.
+    *
+    * Decile assignment uses EXACT global quantile boundaries (one tiny
+    * aggregate; `percentile` matches DuckDB `quantile_cont` bit for
+    * bit), broadcast as 9 plan literals: decile = #{boundaries strictly
+    * below score}. NOT `ntile()` — a global ntile is a single-partition
+    * window (one reducer owns the corpus), while boundary-compare is a
+    * map-only projection after a 9-double collect. Membership is the
+    * md5 [[hashBucket]] rule, so the sample is reproducible and
+    * auditable row-by-row like every sampler here.
+    */
+  def curriculumByDecile(
+      df: DataFrame,
+      idCol: String,
+      scoreCol: String): DataFrame = {
+    val probs = (1 to 9).map(_ / 10.0)
+    val bounds = df
+      .agg(expr(s"percentile($scoreCol, array(${probs.mkString(", ")}))"))
+      .head().getSeq[Double](0)
+    val decile = bounds
+      .map(b => when(col(scoreCol) > lit(b), 1).otherwise(0))
+      .reduceLeft(_ + _)
+    df.withColumn("decile", decile)
+      .filter(hashBucket(col(idCol)) < (col("decile") + 1) * 1000)
+  }
 }

@@ -500,6 +500,48 @@ object TextAnalysis {
       lit(0L),
       (acc, h) => pmod(acc * lit(31L) + h, lit(p)))
   }
+
+  /** Per-document character-level Shannon entropy over the 26 ASCII
+    * letters — the cheap information-density quality signal (low-entropy
+    * text is boilerplate/repetition; the CCNet/Gopher-family filters'
+    * compression-ratio cousin, expressed so any engine replays it):
+    * each letter count is `length(t) − length(replace(t, letter, ''))`
+    * — 26 vectorized string ops, NO per-character explode (an explode
+    * would shuffle corpus-length× rows; this stays a map-only pass) —
+    * and H = −Σ (c/n)·ln(c/n) over letters present. Terms are summed in
+    * fixed a→z order so the float reduction is order-deterministic and
+    * cross-engine reproducible at 4 dp.
+    *
+    * Appends `n_letters` (int) and `entropy` (double, 4 dp, 0.0 for
+    * letterless text).
+    */
+  def charEntropy(df: DataFrame, textCol: String): DataFrame = {
+    val t = lower(col(textCol))
+    val counts = ('a' to 'z').map(l => length(t) - length(replace(t, lit(l.toString), lit(""))))
+    val n = counts.reduceLeft(_ + _)
+    val nd = n.cast("double")
+    val terms = counts.map { c =>
+      when(c > 0, -(c.cast("double") / nd) * log(c.cast("double") / nd)).otherwise(lit(0.0))
+    }
+    df.withColumn("n_letters", n)
+      .withColumn("entropy", when(n === 0, 0.0).otherwise(round(terms.reduceLeft(_ + _), 4)))
+  }
+
+  /** DuckDB replay of [[charEntropy]] as a SELECT-list fragment pair:
+    * (letter-count CTE columns, entropy expression) — kept HERE so the
+    * Spark fold order and the SQL fold order can never drift apart.
+    */
+  def charEntropySqlParts: (String, String) = {
+    val letters = ('a' to 'z').map(_.toString)
+    val countCols = letters
+      .map(l => s"length(t) - length(replace(t, '$l', '')) AS c_$l")
+      .mkString(",\n         ")
+    val n = letters.map(l => s"c_$l").mkString(" + ")
+    val terms = letters
+      .map(l => s"CASE WHEN c_$l > 0 THEN -(CAST(c_$l AS DOUBLE) / nd) * ln(CAST(c_$l AS DOUBLE) / nd) ELSE 0.0 END")
+      .mkString("\n           + ")
+    (s"$countCols,\n         $n AS n_letters", terms)
+  }
 }
 
 /** Minimal stopword profiles (public common-word lists, truncated to

@@ -89,6 +89,38 @@ object ExtQueries {
        |    FROM documents))""".stripMargin
   }
 
+  /** Character-entropy quality signal
+    * ([[graft.ext.TextAnalysis.charEntropy]]): information density per
+    * document with a low-entropy verdict — map-only, no explode (see
+    * the function's scaladoc for the replace-trick). The SQL replay is
+    * generated from the SAME letter list and fold order
+    * ([[graft.ext.TextAnalysis.charEntropySqlParts]]).
+    */
+  def textEntropy(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.charEntropy(docs(spark, sfDir), "text")
+      .select(
+        col("doc_id"),
+        col("n_letters"),
+        col("entropy"),
+        when(col("entropy") < 2.8, lit("low")).otherwise(lit("ok")).as("verdict"))
+
+  val textEntropySql: String = {
+    val (countCols, terms) = TextAnalysis.charEntropySqlParts
+    s"""WITH raw AS (SELECT doc_id, lower(text) AS t FROM documents),
+       |c AS (
+       |  SELECT doc_id,
+       |         $countCols
+       |  FROM raw),
+       |e AS (SELECT c.*, CAST(n_letters AS DOUBLE) AS nd FROM c)
+       |SELECT doc_id, CAST(n_letters AS INTEGER) AS n_letters,
+       |       CASE WHEN n_letters = 0 THEN 0.0
+       |            ELSE round($terms, 4) END AS entropy,
+       |       CASE WHEN (CASE WHEN n_letters = 0 THEN 0.0
+       |                       ELSE round($terms, 4) END) < 2.8
+       |            THEN 'low' ELSE 'ok' END AS verdict
+       |FROM e""".stripMargin
+  }
+
   /** Gopher-style repetition filter features (within-document): the
     * quality signal dedup can't provide, over the same documents table.
     */
@@ -1311,6 +1343,31 @@ object ExtQueries {
 
   // ---- corpus construction -------------------------------------------------
 
+  /** Length-curriculum sample ([[graft.ext.Sampling.curriculumByDecile]]
+    * over `n_chars`): keep (d+1)/10 of decile d, so the mix tilts
+    * toward long documents while every decile stays represented.
+    * Decile boundaries are exact percentiles broadcast as plan
+    * literals; membership is the md5 hash rule — see the function
+    * scaladoc for why this beats a global `ntile()` at scale.
+    */
+  def curriculumSample(spark: SparkSession, sfDir: String): DataFrame =
+    Sampling
+      .curriculumByDecile(docs(spark, sfDir), "doc_id", "n_chars")
+      .select(col("doc_id"), col("n_chars"), col("decile"))
+
+  val curriculumSampleSql: String =
+    """WITH b AS (
+      |  SELECT quantile_cont(n_chars, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
+      |  FROM documents),
+      |d AS (
+      |  SELECT doc_id, n_chars,
+      |         CAST(len(list_filter((SELECT bs FROM b), x -> n_chars > x)) AS INTEGER) AS decile
+      |  FROM documents)
+      |SELECT doc_id, n_chars, decile
+      |FROM d
+      |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000
+      |      < (decile + 1) * 1000""".stripMargin
+
   /** Exact-count stratified sample: 50 documents per source,
     * deterministic (md5-hash order within stratum). The rank filter
     * plans as `WindowGroupLimit` so each map task pre-prunes to its
@@ -2482,6 +2539,8 @@ object ExtQueries {
     "q_dedup_canonical" -> (dedupCanonical _),
     "q_text_stats" -> (textStats _),
     "q_text_quality" -> (textQuality _),
+    "q_text_entropy" -> (textEntropy _),
+    "q_curriculum_sample" -> (curriculumSample _),
     "q_text_fingerprint" -> (textFingerprint _),
     "q_text_repetition" -> (textRepetition _),
     "q_text_langid" -> (textLangId _),
@@ -2532,6 +2591,8 @@ object ExtQueries {
     "q_dedup_canonical" -> dedupCanonicalSql,
     "q_text_stats" -> textStatsSql,
     "q_text_quality" -> textQualitySql,
+    "q_text_entropy" -> textEntropySql,
+    "q_curriculum_sample" -> curriculumSampleSql,
     "q_text_fingerprint" -> textFingerprintSql,
     "q_text_repetition" -> textRepetitionSql,
     "q_dedup_exact" -> dedupExactSql,

@@ -1354,6 +1354,49 @@ object CoreQueries {
       |WHERE ts BETWEEN TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-07 00:00:00'
       |GROUP BY event_type""".stripMargin
 
+  /** Hilbert-clustered rewrite — the space-filling-curve alternative to
+    * [[zorderScan]] (Delta Liquid-style clustering): consecutive
+    * Hilbert keys are always adjacent grid cells, so key-range files
+    * cover tighter (user, day) rectangles than a Morton walk, which
+    * jumps across the grid at power-of-two boundaries
+    * ([[graft.functions.ZOrder.hilbertKey]]; HilbertSpec proves
+    * key-correctness against an independent reference loop and
+    * measures the locality edge). Result is layout-invariant — the
+    * oracle is the two plain predicates; LakeTableSpec-style pruning is
+    * pinned in HilbertSpec.
+    */
+  def hilbertScan(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.ZOrder.hilbertKey
+    val events = Testdata.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    val table = graft.tables.LakeTable(spark, scratch("hilbert"))
+    table.append(events, statsCols = Seq("ts", "user_id"))
+    val day = datediff(col("ts").cast("date"), to_date(lit("1970-01-01")))
+    table.compactClusteredBy(
+      hilbertKey(col("user_id"), day.cast("long")), Seq("user_id", "ts"), numFiles = 16)
+    val byUser = table.readBetween("user_id", Some(30L), Some(40L))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"), round(sum(col("value")), 4).as("sum_value"))
+      .withColumn("dim", lit("user"))
+    val byTime = table.readBetween(
+      "ts",
+      Some(java.sql.Timestamp.valueOf("2024-01-20 00:00:00")),
+      Some(java.sql.Timestamp.valueOf("2024-01-22 00:00:00")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"), round(sum(col("value")), 4).as("sum_value"))
+      .withColumn("dim", lit("time"))
+    byUser.unionByName(byTime)
+  }
+
+  val hilbertScanSql: String =
+    """SELECT event_type, count(*) AS n_rows, round(sum(value), 4) AS sum_value, 'user' AS dim
+      |FROM events WHERE user_id BETWEEN 30 AND 40 GROUP BY event_type
+      |UNION ALL
+      |SELECT event_type, count(*), round(sum(value), 4), 'time'
+      |FROM events
+      |WHERE ts BETWEEN TIMESTAMP '2024-01-20 00:00:00' AND TIMESTAMP '2024-01-22 00:00:00'
+      |GROUP BY event_type""".stripMargin
+
   /** Incrementally-maintained aggregate view: three ingest waves, a
     * refresh after each — every refresh reads ONLY the new commit dirs
     * ([[graft.tables.LakeTable.readAddedSince]]; IncrementalViewSpec
@@ -1905,6 +1948,7 @@ object CoreQueries {
     "q_incremental_agg" -> (incrementalAgg _),
     "q_table_changes" -> (tableChanges _),
     "q_zorder_scan" -> (zorderScan _),
+    "q_hilbert_scan" -> (hilbertScan _),
     "q_csv_roundtrip" -> (csvRoundtrip _),
     "q_csv_infer" -> (csvInfer _),
     "q_scd2_versions" -> (scd2Versions _),
@@ -1961,6 +2005,7 @@ object CoreQueries {
     "q_incremental_agg" -> incrementalAggSql,
     "q_table_changes" -> tableChangesSql,
     "q_zorder_scan" -> zorderScanSql,
+    "q_hilbert_scan" -> hilbertScanSql,
     "q_csv_roundtrip" -> csvRoundtripSql,
     "q_csv_infer" -> csvInferSql,
     "q_scd2_versions" -> scd2VersionsSql,

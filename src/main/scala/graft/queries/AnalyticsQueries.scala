@@ -1299,6 +1299,43 @@ object AnalyticsQueries {
       |                         (acc, x) -> 0.5 * x + 0.5 * acc), 4) AS ewma
       |FROM events GROUP BY user_id""".stripMargin
 
+  /** Event-type TRANSITION matrix (first-order Markov counts): for each
+    * user's time-ordered stream, count each consecutive (from → to)
+    * event-type pair, with per-from probabilities. `lead()` over a
+    * window PARTITIONED BY user — keyed windows scale (each user's
+    * slice is one partition's work, never a global sort), unlike the
+    * global-ORDER-BY windows this repo avoids. Ties break on event_id
+    * in both engines.
+    */
+  def eventTransitions(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = Testdata.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("from_type")).agg(sum(col("n")).as("n_from"))
+    pairs
+      .join(broadcast(totals), Seq("from_type"))
+      .select(
+        col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("n_from"), 4).as("p"))
+  }
+
+  val eventTransitionsSql: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      |  FROM events),
+      |c AS (
+      |  SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+      |  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+      |t AS (SELECT from_type, sum(n) AS n_from FROM c GROUP BY 1)
+      |SELECT from_type, to_type, n, round(CAST(n AS DOUBLE) / n_from, 4) AS p
+      |FROM c JOIN t USING (from_type)""".stripMargin
+
   /** Per-group z-score outliers (3σ): group statistics via ONE hash
     * aggregation broadcast back to the fact rows — never a window over
     * whole groups (a `avg() OVER (PARTITION BY type)` funnels every
@@ -1462,6 +1499,7 @@ object AnalyticsQueries {
     "q_heavy_hitters" -> (heavyHitters _),
     "q_funnel" -> (funnel _),
     "q_ewma_decay" -> (ewmaDecay _),
+    "q_event_transitions" -> (eventTransitions _),
     "q_kmv_set_ops" -> (kmvSetOps _),
     "q_grouping_sets" -> (groupingSets _),
     "q_window_rank_stats" -> (windowRankStats _),
@@ -1501,6 +1539,7 @@ object AnalyticsQueries {
     "q_heavy_hitters" -> heavyHittersSql,
     "q_funnel" -> funnelSql,
     "q_ewma_decay" -> ewmaDecaySql,
+    "q_event_transitions" -> eventTransitionsSql,
     "q_kmv_set_ops" -> kmvSetOpsSql,
     "q_grouping_sets" -> groupingSetsSql,
     "q_window_rank_stats" -> windowRankStatsSql,

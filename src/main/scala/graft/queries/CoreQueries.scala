@@ -1644,6 +1644,43 @@ object CoreQueries {
       |SELECT c_custkey + 1000000, c_name, c_acctbal
       |FROM customer WHERE c_custkey % 7 = 0""".stripMargin
 
+  /** SCD1 merge under SCHEMA DRIFT ([[graft.tables.Merge.mergeScd1Evolve]]):
+    * the second wave's source DROPS `c_name` and ADDS `c_segment`. The
+    * merged table must (a) grow the new column, NULL for untouched
+    * rows; (b) keep `c_name` on matched rows (the source doesn't carry
+    * it) and NULL it on inserts; (c) upsert normally otherwise — the
+    * Delta autoMerge behavior, on the same update/insert waves as
+    * q_scd1_upsert so the two oracles diff only where drift semantics
+    * bite.
+    */
+  def mergeSchemaDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val customer = spark.read
+      .parquet(p(sfDir, "customer"))
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val table = LakeTable(spark, scratch("scd1drift"))
+    Merge.mergeScd1Evolve(table, customer, Seq("c_custkey"))
+    val drifted = spark.read
+      .parquet(p(sfDir, "customer"))
+      .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment").as("c_segment"))
+    val updates = drifted
+      .filter(col("c_custkey") % 4 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") * 2)
+    val inserts = drifted
+      .filter(col("c_custkey") % 7 === 0)
+      .withColumn("c_custkey", col("c_custkey") + 1000000)
+    Merge.mergeScd1Evolve(table, updates.unionByName(inserts), Seq("c_custkey"))
+    table.read()
+  }
+
+  val mergeSchemaDriftSql: String =
+    """SELECT c_custkey, c_name,
+      |       CASE WHEN c_custkey % 4 = 0 THEN c_acctbal * 2 ELSE c_acctbal END AS c_acctbal,
+      |       CASE WHEN c_custkey % 4 = 0 THEN c_mktsegment END AS c_segment
+      |FROM customer
+      |UNION ALL
+      |SELECT c_custkey + 1000000, NULL, c_acctbal, c_mktsegment
+      |FROM customer WHERE c_custkey % 7 = 0""".stripMargin
+
   /** MERGE INTO as SQL (SURVEY §7.4's v2 path, delivered via the
     * parser-level rewrite in [[graft.plans.GraftMergeParser]]): the
     * exact upsert scenario of q_scd1_upsert, but the second merge runs
@@ -1954,6 +1991,7 @@ object CoreQueries {
     "q_scd2_versions" -> (scd2Versions _),
     "q_scd2_point_in_time" -> (scd2PointInTime _),
     "q_scd1_upsert" -> (scd1Upsert _),
+    "q_merge_schema_drift" -> (mergeSchemaDrift _),
     "q_merge_sql" -> (mergeSql _),
     "q_merge_sql_scd2" -> (mergeSqlScd2 _),
     "q_delete_sql" -> (deleteSql _),
@@ -2011,6 +2049,7 @@ object CoreQueries {
     "q_scd2_versions" -> scd2VersionsSql,
     "q_scd2_point_in_time" -> scd2PointInTimeSql,
     "q_scd1_upsert" -> scd1UpsertSql,
+    "q_merge_schema_drift" -> mergeSchemaDriftSql,
     "q_merge_sql" -> mergeSqlOracleSql,
     "q_merge_sql_scd2" -> mergeSqlScd2OracleSql,
     "q_delete_sql" -> deleteSqlOracleSql,

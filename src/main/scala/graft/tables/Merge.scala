@@ -131,6 +131,60 @@ object Merge {
     table.overwrite(survivors.unionByName(src), statsCols = statsCols)
   }
 
+  /** SCD1 upsert WITH SCHEMA EVOLUTION — the Delta
+    * `mergeSchema`/autoMerge stance at the MERGE level (the plain
+    * [[mergeScd1]] selects the target's columns from the source and so
+    * rejects a drifted source):
+    *
+    *   - columns NEW in the source are added to the table; surviving
+    *     (unmatched) target rows take NULL for them;
+    *   - columns MISSING from the source keep their target value on
+    *     matched rows (`UPDATE SET *` updates only what the source
+    *     carries) and are NULL on inserted rows;
+    *   - matched rows take all source-carried columns, unmatched source
+    *     rows insert — [[mergeScd1]] semantics otherwise.
+    *
+    * One extra left join against the target's key+retained columns is
+    * the entire cost of retention; the join is on the merge keys the
+    * rewrite already shuffles on.
+    */
+  def mergeScd1Evolve(
+      table: LakeTable,
+      source: DataFrame,
+      keyCols: Seq[String],
+      statsCols: Seq[String] = Seq.empty): Long = {
+    if (!table.exists || table.isEmpty)
+      return table.append(source, statsCols = statsCols)
+    val target = table.read()
+    val tCols = target.columns.toSeq
+    val sCols = source.columns.toSeq
+    require(keyCols.forall(sCols.contains), s"source must carry merge keys $keyCols")
+    val addedCols = sCols.filterNot(tCols.contains)
+    val targetOnly = tCols.filterNot(sCols.contains)
+    val allCols = tCols ++ addedCols // stable order: target first, then drift
+    val survivors = target
+      .join(source.select(keyCols.map(col): _*), keyCols, "left_anti")
+      .select(allCols.map { c =>
+        if (tCols.contains(c)) col(c)
+        else lit(null).cast(source.schema(c).dataType).as(c)
+      }: _*)
+    val upserts =
+      if (targetOnly.isEmpty)
+        source.select(allCols.map(col): _*)
+      else
+        source.alias("s")
+          .join(
+            target.select((keyCols ++ targetOnly).map(col): _*).alias("t"),
+            keyCols,
+            "left")
+          .select(allCols.map { c =>
+            if (keyCols.contains(c)) col(c)
+            else if (sCols.contains(c)) col(s"s.$c").as(c)
+            else col(s"t.$c").as(c)
+          }: _*)
+    table.overwrite(survivors.unionByName(upserts), statsCols = statsCols)
+  }
+
   /** DELETE FROM semantics: atomically rewrite the table keeping only
     * rows where `condition` is not TRUE (Iceberg/Delta row-level delete
     * as a copy-on-write rewrite — right for dimension-sized targets).

@@ -416,4 +416,45 @@ class PlanAuditSpec extends SparkSpec {
       assert(!p.contains("ScalaUDF"), p)
     }
   }
+
+  test("funnel and ewma fold in-row: no window, no join, one keyed aggregation") {
+    for (df <- Seq(
+        graft.queries.AnalyticsQueries.funnel(spark, sf),
+        graft.queries.AnalyticsQueries.ewmaDecay(spark, sf))) {
+      val p = plan(df)
+      // the sequential logic lives in the collected-array fold — the
+      // plan must NOT contain a per-user window or an events self-join
+      assert(!p.contains("Window"), p)
+      assert(!p.contains("Join"), p)
+      assert(!p.contains("ScalaUDF"), p)
+      assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p)
+    }
+  }
+
+  test("heavy hitters shuffles bounded sketches, not the term universe") {
+    val p = plan(graft.queries.AnalyticsQueries.heavyHitters(spark, sf))
+    // partial MisraGries before the exchange: the shuffle carries one
+    // <=k-counter summary per (lang, partition), never per-term rows
+    assert(p.contains("graft_mg") || p.contains("misragries") || p.contains("MisraGries"),
+      s"native aggregate missing from plan:\n$p")
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("curriculum sample is a map-only projection after the boundary collect") {
+    val p = plan(graft.queries.ExtQueries.curriculumSample(spark, sf))
+    // boundaries are plan literals: no window (a global ntile would
+    // funnel the corpus through one task), no join, no exchange at all
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("event transitions: keyed window then partial-agg; totals broadcast back") {
+    val p = plan(graft.queries.AnalyticsQueries.eventTransitions(spark, sf))
+    assert(p.contains("Window"), p) // keyed by user — the scalable kind
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -57,4 +57,27 @@ class MergeSpec extends SparkSpec {
     val out = table.read().orderBy("key").collect().map(r => (r.getString(0), r.getInt(1))).toSeq
     assert(out == Seq(("a", 1), ("b", 99), ("c", 3)))
   }
+
+  test("SCD1 evolve: added columns NULL-fill survivors; dropped columns retained on matches, NULL on inserts") {
+    val table = LakeTable(spark, scratchDir("scd1evolve"))
+    Merge.mergeScd1Evolve(
+      table, Seq(("a", 1, "na"), ("b", 2, "nb")).toDF("key", "v", "name"), Seq("key"))
+    // drifted source: no `name`, new `tag`
+    Merge.mergeScd1Evolve(
+      table, Seq(("b", 99, "tb"), ("c", 3, "tc")).toDF("key", "v", "tag"), Seq("key"))
+    val out = table.read()
+      .select($"key", $"v", $"name", $"tag")
+      .as[(String, Int, Option[String], Option[String])]
+      .collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      ("a", 1, Some("na"), None), // untouched: keeps name, NULL new col
+      ("b", 99, Some("nb"), Some("tb")), // matched: source v+tag, retained name
+      ("c", 3, None, Some("tc")))) // inserted: no name to retain
+    // identical-schema second merge still behaves as plain SCD1
+    Merge.mergeScd1Evolve(
+      table, Seq(("a", 7, "NA", "ta")).toDF("key", "v", "name", "tag"), Seq("key"))
+    val a = table.read().filter($"key" === "a")
+      .select($"v", $"name", $"tag").as[(Int, String, String)].head()
+    assert(a == ((7, "NA", "ta")))
+  }
 }

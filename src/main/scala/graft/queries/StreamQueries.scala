@@ -346,6 +346,41 @@ object StreamQueries {
       |      FROM events)
       |WHERE rn = 1""".stripMargin
 
+  /** Streaming per-user EWMA on `transformWithState`
+    * ([[StreamJobs.runStreamingEwma]]): two event-time waves drain
+    * through the SAME checkpoint, the RocksDB value state carries the
+    * (n, ewma) fold across runs, and the final pick (max n per user)
+    * must hash-match the BATCH `q_ewma_decay` oracle exactly — the
+    * order-sensitive stateful-feature parity the running-max query
+    * can't test.
+    */
+  def streamEwma(spark: SparkSession, sfDir: String): DataFrame = {
+    val wd = workDir("sewma")
+    val src = s"$wd/src"
+    val checkpoint = s"$wd/checkpoint"
+    val events = Testdata.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    val out = s"$wd/out"
+    val cut = lit("2024-01-15 00:00:00").cast("timestamp")
+    events.filter(col("ts") < cut).write.mode("append").parquet(src)
+    StreamJobs.runStreamingEwma(spark, src, eventsSchemaNoProps, checkpoint, out)
+    events.filter(col("ts") >= cut).write.mode("append").parquet(src)
+    StreamJobs.runStreamingEwma(spark, src, eventsSchemaNoProps, checkpoint, out)
+    spark.read.parquet(out)
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("n_events"), col("ewma"))).as("s"))
+      .select(
+        col("user_id"),
+        col("s.n_events").as("n_events"),
+        round(col("s.ewma"), 4).as("ewma"))
+  }
+
+  val streamEwmaSql: String =
+    """SELECT user_id, count(*) AS n_events,
+      |       round(list_reduce(list(value ORDER BY ts, event_id),
+      |                         (acc, x) -> 0.5 * x + 0.5 * acc), 4) AS ewma
+      |FROM events GROUP BY user_id""".stripMargin
+
   /** Streaming corpus ingest with dedup against the lake corpus: two
     * waves of documents (each with planted copies) stream through
     * `foreachBatch`, where every batch is fingerprinted and
@@ -517,6 +552,7 @@ object StreamQueries {
     "q_stream_quality_gate" -> (streamQualityGate _),
     "q_stream_static_join" -> (streamStaticJoin _),
     "q_stream_upsert" -> (streamUpsert _),
+    "q_stream_ewma" -> (streamEwma _),
     "q_stream_txn_append" -> (streamTxnAppend _),
     "q_stream_dedup_ingest" -> (streamDedupIngest _),
     "q_stream_join_outer" -> (streamStreamJoinOuter _),
@@ -531,6 +567,7 @@ object StreamQueries {
     "q_stream_quality_gate" -> streamQualityGateSql,
     "q_stream_static_join" -> streamStaticJoinSql,
     "q_stream_upsert" -> streamUpsertSql,
+    "q_stream_ewma" -> streamEwmaSql,
     "q_stream_txn_append" -> streamTxnAppendSql,
     "q_stream_dedup_ingest" -> streamDedupIngestSql,
     "q_stream_join_outer" -> streamStreamJoinOuterSql,

@@ -547,6 +547,85 @@ object StreamJobs {
     spark.table(queryName)
   }
 
+  final case class EwmaEvent(user_id: Long, ts: java.sql.Timestamp, event_id: Long, value: Double)
+  final case class EwmaState(user_id: Long, n_events: Long, ewma: Double)
+
+  /** Streaming per-user EWMA (α = 0.5) on `transformWithState` — the
+    * ORDER-SENSITIVE stateful feature the running-max example dodges:
+    * a fold's result depends on event order, so correctness needs (a)
+    * event-time-sorted processing WITHIN each micro-batch (the iterator
+    * is sorted before folding; Spark guarantees no cross-row order) and
+    * (b) time-ordered arrival ACROSS batches, which the caller provides
+    * by staging event-time-ordered waves and running this job to drain
+    * AFTER each wave against the SAME checkpoint (the dedup-ingest
+    * contract — run boundaries order the waves, so no reliance on file
+    * mtime ordering). The incremental fold over wave concatenation then
+    * executes the IDENTICAL IEEE operation sequence as the batch fold
+    * over the whole sorted stream — so the streaming result
+    * hash-matches the batch `q_ewma_decay` oracle, not just
+    * approximates it.
+    *
+    * Each batch APPENDS the updated running state per touched user;
+    * the caller unions the runs' outputs and keeps the last emission
+    * per user (max `n_events` — strictly increasing, so the pick is
+    * deterministic).
+    */
+  def runStreamingEwma(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      checkpoint: String,
+      outDir: String): Unit = {
+    import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+    import spark.implicits._
+
+    class EwmaProcessor extends StatefulProcessor[Long, EwmaEvent, EwmaState] {
+      @transient private var state: ValueState[EwmaState] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        state = getHandle.getValueState[EwmaState](
+          "ewma", Encoders.product[EwmaState], TTLConfig.NONE)
+      override def handleInputRows(
+          key: Long,
+          rows: Iterator[EwmaEvent],
+          timerValues: TimerValues): Iterator[EwmaState] = {
+        val sorted = rows.toVector.sortBy(e => (e.ts.getTime, e.event_id))
+        val prev = Option(state.get())
+        val next = sorted.foldLeft(
+          prev.getOrElse(EwmaState(key, 0L, 0.0))) { (acc, e) =>
+          val ewma = if (acc.n_events == 0L) e.value else 0.5d * e.value + 0.5d * acc.ewma
+          EwmaState(key, acc.n_events + 1, ewma)
+        }
+        state.update(next)
+        Iterator.single(next)
+      }
+    }
+
+    val stream = spark.readStream
+      .schema(schema)
+      .parquet(sourceDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .as[EwmaEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new EwmaProcessor, TimeMode.None(), OutputMode.Append())
+
+    val q = withScopedConf(
+      spark,
+      Seq("spark.sql.streaming.stateStore.providerClass" -> rocksDbProvider)) {
+      // foreachBatch, not a memory sink: the second wave's run RESUMES
+      // from the checkpoint, which the memory sink refuses to do
+      stream.writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[EwmaState], _: Long) =>
+          batch.write.mode("append").parquet(outDir)
+        }
+        .option("checkpointLocation", checkpoint)
+        .start()
+    }
+    try q.processAllAvailable()
+    finally q.stop()
+  }
+
   /** Stream-stream LEFT OUTER join: like [[runStreamStreamJoin]] but
     * unmatched left rows must also emit — which can only happen once
     * the watermark proves no future right row can match, so the caller

@@ -1336,6 +1336,40 @@ object AnalyticsQueries {
       |SELECT from_type, to_type, n, round(CAST(n AS DOUBLE) / n_from, 4) AS p
       |FROM c JOIN t USING (from_type)""".stripMargin
 
+  /** Equi-width 20-bucket histogram of the event value: range from one
+    * tiny (min, max) aggregate folded into the plan as literals, then a
+    * map-only bucket projection + hash count — the profiling shape that
+    * never sorts and never windows. Bucket arithmetic is the identical
+    * IEEE expression on both engines, so edges land identically.
+    */
+  def histogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Testdata.events(spark, sfDir).select(col("value"))
+    val r = ev.agg(min(col("value")), max(col("value"))).head()
+    val (mn, mx) = (r.getDouble(0), r.getDouble(1))
+    val bucket = least(
+      floor((col("value") - lit(mn)) * 20.0 / (lit(mx) - lit(mn))).cast("int"),
+      lit(19))
+    ev.groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        col("bucket"),
+        round(lit(mn) + col("bucket") * (lit(mx) - lit(mn)) / 20.0, 4).as("lo"),
+        round(lit(mn) + (col("bucket") + 1) * (lit(mx) - lit(mn)) / 20.0, 4).as("hi"),
+        col("n"))
+  }
+
+  val histogramSql: String =
+    """WITH r AS (SELECT min(value) AS mn, max(value) AS mx FROM events),
+      |b AS (
+      |  SELECT least(CAST(floor((value - mn) * 20.0 / (mx - mn)) AS INTEGER), 19) AS bucket,
+      |         mn, mx
+      |  FROM events CROSS JOIN r)
+      |SELECT bucket,
+      |       round(mn + bucket * (mx - mn) / 20.0, 4) AS lo,
+      |       round(mn + (bucket + 1) * (mx - mn) / 20.0, 4) AS hi,
+      |       count(*) AS n
+      |FROM b GROUP BY bucket, mn, mx""".stripMargin
+
   /** Per-group z-score outliers (3σ): group statistics via ONE hash
     * aggregation broadcast back to the fact rows — never a window over
     * whole groups (a `avg() OVER (PARTITION BY type)` funnels every
@@ -1500,6 +1534,7 @@ object AnalyticsQueries {
     "q_funnel" -> (funnel _),
     "q_ewma_decay" -> (ewmaDecay _),
     "q_event_transitions" -> (eventTransitions _),
+    "q_histogram" -> (histogram _),
     "q_kmv_set_ops" -> (kmvSetOps _),
     "q_grouping_sets" -> (groupingSets _),
     "q_window_rank_stats" -> (windowRankStats _),
@@ -1540,6 +1575,7 @@ object AnalyticsQueries {
     "q_funnel" -> funnelSql,
     "q_ewma_decay" -> ewmaDecaySql,
     "q_event_transitions" -> eventTransitionsSql,
+    "q_histogram" -> histogramSql,
     "q_kmv_set_ops" -> kmvSetOpsSql,
     "q_grouping_sets" -> groupingSetsSql,
     "q_window_rank_stats" -> windowRankStatsSql,

@@ -1644,6 +1644,37 @@ object CoreQueries {
       |SELECT c_custkey + 1000000, c_name, c_acctbal
       |FROM customer WHERE c_custkey % 7 = 0""".stripMargin
 
+  /** PARTITION EVOLUTION (Iceberg spec §partition-evolution): the first
+    * wave lands partitioned by `event_type`, the second by `day` — each
+    * commit dir keeps its own hive layout, the manifest records the
+    * layout in force, and readers reconstruct partition columns per dir
+    * (PartitionEvolutionSpec pins the mechanics). A filter on the NEW
+    * layout's column still partition-prunes the new dirs while the old
+    * dirs scan under a plain data-column predicate — evolution never
+    * requires rewriting history, the property that matters when a
+    * 100 TB table outgrows its original layout.
+    */
+  def partitionEvolution(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Testdata.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    val table = LakeTable(spark, scratch("pevolve"))
+    val cut = lit("2024-01-15 00:00:00").cast("timestamp")
+    table.append(ev.filter(col("ts") < cut), partitionBy = Seq("event_type"))
+    table.append(ev.filter(col("ts") >= cut), partitionBy = Seq("day"))
+    table.read()
+      .filter(col("day").between("2024-01-10", "2024-01-20"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_rows"), round(sum(col("value")), 4).as("sum_value"))
+  }
+
+  val partitionEvolutionSql: String =
+    """SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+      |       count(*) AS n_rows, round(sum(value), 4) AS sum_value
+      |FROM events
+      |WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-10' AND '2024-01-20'
+      |GROUP BY 1, 2""".stripMargin
+
   /** SCD1 merge under SCHEMA DRIFT ([[graft.tables.Merge.mergeScd1Evolve]]):
     * the second wave's source DROPS `c_name` and ADDS `c_segment`. The
     * merged table must (a) grow the new column, NULL for untouched
@@ -1992,6 +2023,7 @@ object CoreQueries {
     "q_scd2_point_in_time" -> (scd2PointInTime _),
     "q_scd1_upsert" -> (scd1Upsert _),
     "q_merge_schema_drift" -> (mergeSchemaDrift _),
+    "q_partition_evolution" -> (partitionEvolution _),
     "q_merge_sql" -> (mergeSql _),
     "q_merge_sql_scd2" -> (mergeSqlScd2 _),
     "q_delete_sql" -> (deleteSql _),
@@ -2050,6 +2082,7 @@ object CoreQueries {
     "q_scd2_point_in_time" -> scd2PointInTimeSql,
     "q_scd1_upsert" -> scd1UpsertSql,
     "q_merge_schema_drift" -> mergeSchemaDriftSql,
+    "q_partition_evolution" -> partitionEvolutionSql,
     "q_merge_sql" -> mergeSqlOracleSql,
     "q_merge_sql_scd2" -> mergeSqlScd2OracleSql,
     "q_delete_sql" -> deleteSqlOracleSql,

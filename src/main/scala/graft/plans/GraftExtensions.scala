@@ -126,6 +126,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => HofDotStrengthReduction)
     ext.injectOptimizerRule(_ => LakeBroadcastHint)
+    ext.injectOptimizerRule(_ => MatViewRewrite)
     // MERGE INTO over lake tables: intercepted at the parser (see
     // MergeSql.scala for why analysis-time interception is too late)
     ext.injectParser((session, delegate) => new GraftMergeParser(session, delegate))

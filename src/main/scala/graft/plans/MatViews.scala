@@ -1,0 +1,148 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
+
+import graft.tables.{IncrementalAggView, LakeTable}
+import graft.tables.v2.GraftSqlTable
+
+/** Registry of incrementally-maintained aggregate views available for
+  * TRANSPARENT QUERY REWRITE (the Oracle/BigQuery/Databricks
+  * "materialized-view routing" feature): a query that aggregates the
+  * SOURCE table in a shape the view already stores is rerouted by
+  * [[MatViewRewrite]] to scan the (group-cardinality-sized) view
+  * instead of the raw table — at 100 TB the difference between a full
+  * fact scan and a metadata-sized read, with zero query changes.
+  *
+  * Keyed by the source table's normalized root path, which is what a
+  * DSv2 catalog scan ([[GraftSqlTable]]) exposes to the optimizer.
+  */
+object MatViews {
+
+  final case class Spec(
+      source: LakeTable,
+      view: IncrementalAggView,
+      keyCols: Seq[String],
+      minMaxCols: Seq[String])
+
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, Spec]()
+
+  def norm(root: String): String =
+    java.nio.file.Paths.get(root).toAbsolutePath.normalize.toString
+
+  def register(spec: Spec): Unit = registry.put(norm(spec.source.root), spec)
+  def deregister(sourceRoot: String): Unit = registry.remove(norm(sourceRoot))
+  def lookup(sourceRoot: String): Option[Spec] = Option(registry.get(norm(sourceRoot)))
+  def clear(): Unit = registry.clear()
+}
+
+/** Catalyst optimizer rule: reroute exact-match aggregates over a
+  * registered source table to its materialized aggregate view.
+  *
+  * A rewrite fires only when ALL of the following hold — each guard is
+  * a correctness condition, not an optimization choice:
+  *
+  *   - the aggregate's input is a bare scan of the registered source
+  *     (modulo aliases and column-pruning projections), NOT a
+  *     version-pinned time-travel scan (the view holds current state);
+  *   - the view is FRESH: its refresh high-watermark equals the
+  *     source's latest committed version — one manifest-metadata check,
+  *     no data read. A stale view silently serving old rows would be a
+  *     wrong answer, so staleness falls through to the raw scan;
+  *   - the grouping keys are exactly the view's key columns, and every
+  *     output is a group key, `count(*)` (the view's exact `n_rows`
+  *     long), or `min`/`max` of a declared min/max column (exact under
+  *     the view's least/greatest merge). Sums are deliberately NOT
+  *     rewritten: the view stores exact integer-scaled sums while a
+  *     raw `sum(double)` accumulates float error, so substituting one
+  *     for the other could change low-order bits — only
+  *     bit-preserving rewrites are admissible.
+  *
+  * The replacement is a Project over the view's scan that re-aliases
+  * view columns to the ORIGINAL output attribute ids, so parent
+  * operators resolve unchanged.
+  */
+object MatViewRewrite extends Rule[LogicalPlan] {
+
+  private def sourceTable(p: LogicalPlan): Option[GraftSqlTable] = p match {
+    case SubqueryAlias(_, c) => sourceTable(c)
+    case Project(projList, c) if projList.forall(_.isInstanceOf[AttributeReference]) =>
+      sourceTable(c)
+    case r: DataSourceV2Relation => r.table match {
+      case t: GraftSqlTable if !t.isVersionPinned => Some(t)
+      case _ => None
+    }
+    case s: DataSourceV2ScanRelation => s.relation.table match {
+      case t: GraftSqlTable if !t.isVersionPinned => Some(t)
+      case _ => None
+    }
+    case _ => None
+  }
+
+  private def isFresh(spec: MatViews.Spec): Boolean =
+    spec.view.refreshedThrough().exists(v => spec.source.latestVersion().contains(v))
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case agg @ Aggregate(_, _, child, _) =>
+      (for {
+        table <- sourceTable(child)
+        spec <- MatViews.lookup(table.root)
+        if isFresh(spec)
+        rewritten <- tryRewrite(agg, spec)
+      } yield rewritten).getOrElse(agg)
+  }
+
+  private def tryRewrite(agg: Aggregate, spec: MatViews.Spec): Option[LogicalPlan] = {
+    val groupAttrs = agg.groupingExpressions.map {
+      case a: AttributeReference => a
+      case _ => return None
+    }
+    if (groupAttrs.map(_.name).toSet != spec.keyCols.toSet) return None
+    // the view's RAW state table: key cols + n_rows + min_/max_ columns
+    val viewPlan = spec.view.view.read().queryExecution.analyzed
+    val vOut = viewPlan.output.map(a => a.name -> a).toMap
+    val groupNames = groupAttrs.map(_.name).toSet
+    val mapped: Seq[NamedExpression] = agg.aggregateExpressions.map { ne =>
+      mapExpr(ne, vOut, groupNames, spec) match {
+        case Some(e) => e
+        case None => return None
+      }
+    }
+    Some(Project(mapped, viewPlan))
+  }
+
+  private def mapExpr(
+      ne: NamedExpression,
+      vOut: Map[String, Attribute],
+      groupNames: Set[String],
+      spec: MatViews.Spec): Option[NamedExpression] = ne match {
+    case a: AttributeReference if groupNames(a.name) =>
+      vOut.get(a.name)
+        .filter(_.dataType == a.dataType)
+        .map(v => Alias(v, a.name)(exprId = a.exprId))
+    case al @ Alias(a: AttributeReference, name) if groupNames(a.name) =>
+      vOut.get(a.name)
+        .filter(_.dataType == a.dataType)
+        .map(v => Alias(v, name)(exprId = al.exprId))
+    case al @ Alias(
+          AggregateExpression(Count(Seq(Literal(1, _))), _, false, None, _), name) =>
+      vOut.get("n_rows").map(v => Alias(v, name)(exprId = al.exprId))
+    case al @ Alias(
+          AggregateExpression(Min(c: AttributeReference), _, false, None, _), name)
+        if spec.minMaxCols.contains(c.name) =>
+      vOut.get(s"min_${c.name}")
+        .filter(_.dataType == c.dataType)
+        .map(v => Alias(v, name)(exprId = al.exprId))
+    case al @ Alias(
+          AggregateExpression(Max(c: AttributeReference), _, false, None, _), name)
+        if spec.minMaxCols.contains(c.name) =>
+      vOut.get(s"max_${c.name}")
+        .filter(_.dataType == c.dataType)
+        .map(v => Alias(v, name)(exprId = al.exprId))
+    case _ => None
+  }
+}

@@ -17,6 +17,40 @@ import graft.tables.Catalog
   */
 object ScaleQueries {
 
+  /** TRANSPARENT MV ROUTING ([[graft.plans.MatViewRewrite]]): the SQL
+    * aggregate below is rewritten by the optimizer to scan the
+    * incrementally-maintained view instead of the raw events table —
+    * the rewrite is bit-preserving by construction (count/min/max only)
+    * so the result must hash-match the plain-SQL oracle regardless of
+    * which plan served it; MatViewRewriteSpec pins that the view scan
+    * actually serves and that staleness/time travel fall back.
+    */
+  def mvRewrite(spark: SparkSession, sfDir: String): DataFrame = {
+    val cat = Catalog(spark, graft.util.TempDirs.scratch("mvrw"))
+    cat.createSchema("gold")
+    val ev = Testdata.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val t = cat.table("gold", "ev")
+    t.append(ev.filter(col("event_id") % 2 === 0))
+    t.append(ev.filter(col("event_id") % 2 =!= 0))
+    val v = graft.tables.IncrementalAggView(
+      t, graft.util.TempDirs.scratch("mvrwview"), Seq("event_type"), Seq.empty,
+      minMaxCols = Seq("value"))
+    v.refresh()
+    graft.plans.MatViews.register(
+      graft.plans.MatViews.Spec(t, v, Seq("event_type"), Seq("value")))
+    cat.attachSqlCatalog("lake")
+    cat.sql(
+      """SELECT event_type, count(*) AS n_rows,
+        |       min(value) AS min_value, max(value) AS max_value
+        |FROM lake.gold.ev GROUP BY event_type""".stripMargin)
+  }
+
+  val mvRewriteSql: String =
+    """SELECT event_type, count(*) AS n_rows,
+      |       min(value) AS min_value, max(value) AS max_value
+      |FROM events GROUP BY event_type""".stripMargin
+
   /** Salted equi-join must be result-identical to the plain join (the
     * salt is an execution detail, not a semantic one).
     */
@@ -528,6 +562,7 @@ object ScaleQueries {
     "q_schema_evolution" -> (schemaEvolution _),
     "q_sql_catalog" -> (sqlOverCatalog _),
     "q_sql_catalog_v2" -> (sqlOverCatalogV2 _),
+    "q_mv_rewrite" -> (mvRewrite _),
     "q_sql_time_travel" -> (sqlTimeTravel _),
     "q_ctas_sql" -> (ctasSql _),
     "q_alter_sql" -> (alterSql _),
@@ -548,6 +583,7 @@ object ScaleQueries {
     "q_schema_evolution" -> schemaEvolutionSql,
     "q_sql_catalog" -> sqlOverCatalogSql,
     "q_sql_catalog_v2" -> sqlOverCatalogV2Sql,
+    "q_mv_rewrite" -> mvRewriteSql,
     "q_sql_time_travel" -> sqlTimeTravelSql,
     "q_ctas_sql" -> ctasSqlSql,
     "q_alter_sql" -> alterSqlSql,

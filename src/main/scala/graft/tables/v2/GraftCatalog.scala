@@ -392,6 +392,14 @@ object GraftCatalog {
 final class GraftSqlTable(rootPath: String, versionAsOf: Option[Long] = None)
   extends Table with SupportsRead {
 
+  /** Table root on disk (for registry lookups, e.g. the MV rewrite). */
+  def root: String = rootPath
+
+  /** Whether this scan is pinned to a historical snapshot — pinned
+    * reads must never be rerouted to a current-state materialization.
+    */
+  def isVersionPinned: Boolean = versionAsOf.isDefined
+
   override def name(): String =
     versionAsOf.fold(rootPath)(v => s"$rootPath@v$v")
 

@@ -1,0 +1,89 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.tables.{Catalog, IncrementalAggView}
+
+/** Transparent materialized-view routing: matching aggregates over the
+  * registered source reroute to the view scan; staleness, time-travel
+  * pins, and shape mismatches all fall through to the raw scan.
+  */
+class MatViewRewriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.optimizedPlan.toString
+
+  test("fresh view serves the aggregate; stale view falls back; refresh re-enables") {
+    MatViews.clear()
+    val cat = Catalog(spark, scratchDir("mvcat"))
+    cat.createSchema("gold")
+    val t = cat.table("gold", "ev")
+    val rows = (1 to 40).map(i => (i.toLong, s"t${i % 3}", i * 1.5))
+    t.append(rows.filter(_._1 % 2 == 0).toDF("id", "typ", "v"))
+    t.append(rows.filter(_._1 % 2 == 1).toDF("id", "typ", "v"))
+    val v = IncrementalAggView(
+      t, scratchDir("mvview"), Seq("typ"), Seq.empty, minMaxCols = Seq("v"))
+    v.refresh()
+    MatViews.register(MatViews.Spec(t, v, Seq("typ"), Seq("v")))
+    cat.attachSqlCatalog("lake")
+
+    val q = "SELECT typ, count(*) AS n, min(v) AS min_v, max(v) AS max_v " +
+      "FROM lake.gold.ev GROUP BY typ"
+    val served = spark.sql(q)
+    val expected = rows.groupBy(_._2).map { case (k, rs) =>
+      (k, rs.size.toLong, rs.map(_._3).min, rs.map(_._3).max)
+    }.toSet
+    assert(served.as[(String, Long, Double, Double)].collect().toSet == expected)
+    // the optimized plan must scan the VIEW's lake table, not the source
+    val p1 = planOf(served)
+    assert(!p1.toLowerCase.contains("aggregate"), s"aggregate should be gone:\n$p1")
+    assert(p1.contains("n_rows"), s"expected the view's state relation:\n$p1")
+    assert(served.queryExecution.executedPlan.toString.contains("mvview"),
+      s"executed scan must read the view files:\n${served.queryExecution.executedPlan}")
+
+    // staleness: a new source commit the view hasn't absorbed
+    t.append(Seq((100L, "t0", 999.0)).toDF("id", "typ", "v"))
+    val stale = spark.sql(q)
+    val p2 = planOf(stale)
+    assert(p2.toLowerCase.contains("aggregate"), s"stale view must not serve:\n$p2")
+    assert(stale.filter($"typ" === "t0").head().getDouble(3) == 999.0)
+
+    // refresh absorbs the commit; routing resumes WITH the new row
+    v.refresh()
+    val again = spark.sql(q)
+    assert(!planOf(again).toLowerCase.contains("aggregate"))
+    assert(again.filter($"typ" === "t0").head().getDouble(3) == 999.0)
+  }
+
+  test("non-matching shapes and version-pinned scans never reroute") {
+    MatViews.clear()
+    val cat = Catalog(spark, scratchDir("mvcat2"))
+    cat.createSchema("gold")
+    val t = cat.table("gold", "ev2")
+    t.append(Seq((1L, "a", 2.0), (2L, "b", 3.0)).toDF("id", "typ", "v"))
+    val v = IncrementalAggView(
+      t, scratchDir("mvview2"), Seq("typ"), Seq.empty, minMaxCols = Seq("v"))
+    v.refresh()
+    MatViews.register(MatViews.Spec(t, v, Seq("typ"), Seq("v")))
+    cat.attachSqlCatalog("lake")
+
+    // different group keys — no rewrite
+    val byId = spark.sql("SELECT id, count(*) AS n FROM lake.gold.ev2 GROUP BY id")
+    assert(planOf(byId).toLowerCase.contains("aggregate"))
+    // sum is deliberately not rewritable (float-sum vs exact-state bits)
+    val withSum = spark.sql(
+      "SELECT typ, count(*) AS n, sum(v) AS s FROM lake.gold.ev2 GROUP BY typ")
+    assert(planOf(withSum).toLowerCase.contains("aggregate"))
+    // min over a column the view doesn't track — no rewrite
+    val minId = spark.sql("SELECT typ, min(id) AS m FROM lake.gold.ev2 GROUP BY typ")
+    assert(planOf(minId).toLowerCase.contains("aggregate"))
+    // time travel must read ITS snapshot, never the current-state view
+    val pinned = spark.sql(
+      "SELECT typ, count(*) AS n FROM lake.gold.ev2 VERSION AS OF 0 GROUP BY typ")
+    assert(planOf(pinned).toLowerCase.contains("aggregate"))
+    assert(pinned.count() == 2)
+  }
+}

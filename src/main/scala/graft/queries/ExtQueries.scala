@@ -1343,6 +1343,57 @@ object ExtQueries {
 
   // ---- corpus construction -------------------------------------------------
 
+  /** BLOCKED FUZZY JOIN (record linkage): deterministic typo'd probes
+    * (one interior character deleted from every third part name) are
+    * matched back against the catalog under edit distance ≤ 1. The
+    * blocking key (first char, last char) — both survive an interior
+    * deletion, so recall of the planted match is exactly 1 — turns the
+    * O(N·M) all-pairs Levenshtein into Σ block², the standard
+    * blocking-then-verify linkage shape; the verify is Spark's builtin
+    * codegen'd `levenshtein`, which DuckDB's replays identically. At
+    * 100 TB the block key is the knob: tighter keys (length band,
+    * phonetic code, q-gram prefix) trade recall for block size.
+    */
+  def fuzzyJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val parts = spark.read.parquet(tablePath(sfDir, "part"))
+      .select(col("p_partkey"), lower(col("p_name")).as("name"))
+    val probes = parts
+      .filter(col("p_partkey") % 3 === 0 && length(col("name")) >= 4)
+      .withColumn("d", (col("p_partkey") % (length(col("name")) - 2) + 1).cast("int"))
+      .select(
+        col("p_partkey").as("probe_key"),
+        concat(
+          expr("substring(name, 1, d)"),
+          expr("substring(name, d + 2)")).as("probe"))
+    probes
+      .join(
+        parts,
+        substring(col("probe"), 1, 1) === substring(col("name"), 1, 1) &&
+          expr("right(probe, 1)") === expr("right(name, 1)"))
+      .filter(levenshtein(col("probe"), col("name")) <= 1)
+      .select(
+        col("probe_key"),
+        col("p_partkey").as("match_key"),
+        levenshtein(col("probe"), col("name")).as("dist"))
+  }
+
+  val fuzzyJoinSql: String =
+    """WITH parts AS (SELECT p_partkey, lower(p_name) AS name FROM part),
+      |pr AS (
+      |  SELECT p_partkey AS probe_key, name,
+      |         CAST(p_partkey % (length(name) - 2) + 1 AS INTEGER) AS d
+      |  FROM parts WHERE p_partkey % 3 = 0 AND length(name) >= 4),
+      |probes AS (
+      |  SELECT probe_key,
+      |         substring(name, 1, d) || substring(name, d + 2) AS probe
+      |  FROM pr)
+      |SELECT probe_key, p.p_partkey AS match_key,
+      |       CAST(levenshtein(probe, p.name) AS INTEGER) AS dist
+      |FROM probes JOIN parts p
+      |  ON substring(probe, 1, 1) = substring(p.name, 1, 1)
+      | AND right(probe, 1) = right(p.name, 1)
+      |WHERE levenshtein(probe, p.name) <= 1""".stripMargin
+
   /** Length-curriculum sample ([[graft.ext.Sampling.curriculumByDecile]]
     * over `n_chars`): keep (d+1)/10 of decile d, so the mix tilts
     * toward long documents while every decile stays represented.
@@ -2541,6 +2592,7 @@ object ExtQueries {
     "q_text_quality" -> (textQuality _),
     "q_text_entropy" -> (textEntropy _),
     "q_curriculum_sample" -> (curriculumSample _),
+    "q_fuzzy_join" -> (fuzzyJoin _),
     "q_text_fingerprint" -> (textFingerprint _),
     "q_text_repetition" -> (textRepetition _),
     "q_text_langid" -> (textLangId _),
@@ -2593,6 +2645,7 @@ object ExtQueries {
     "q_text_quality" -> textQualitySql,
     "q_text_entropy" -> textEntropySql,
     "q_curriculum_sample" -> curriculumSampleSql,
+    "q_fuzzy_join" -> fuzzyJoinSql,
     "q_text_fingerprint" -> textFingerprintSql,
     "q_text_repetition" -> textRepetitionSql,
     "q_dedup_exact" -> dedupExactSql,

@@ -250,4 +250,82 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
+
+  /** PERSIST the IVF build as two lake tables under `indexRoot` — the
+    * index-as-a-table pattern (FAISS write_index / Milvus segment
+    * persistence, lakehouse-style): `centroids` (nlist rows) and
+    * `postings` (the inverted corpus), the latter HIVE-PARTITIONED ON
+    * `list_id` so a later probe's partition filter reads only the
+    * probed lists' files from disk — the build cost is paid once and
+    * every consumer gets the (nprobe/nlist)·N scan for free.
+    * Training is [[Clustering.kmeansFit]]'s deterministic Lloyd, so a
+    * search over the reloaded index is bit-identical to [[ivfTopK]]
+    * over the live build — and therefore shares its SQL oracle.
+    */
+  def buildIvfIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      indexRoot: String,
+      nlist: Int = 16,
+      iters: Int = 2): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = Clustering.kmeansFit(corpus, idCol, vecCol, nlist, iters)
+    graft.tables.LakeTable(spark, s"$indexRoot/centroids")
+      .append(centroids.toDF("list_id", "centroid"))
+    def scoredV(vec: Column): Column = Clustering.scoredArray(centroids, spark, vec)
+    val inverted = corpus.select(
+      col(idCol).as("neighbor_id"),
+      col(vecCol).as("c_vec"),
+      (-array_max(scoredV(col(vecCol))).getField("nc")).cast("int").as("list_id"))
+    graft.tables.LakeTable(spark, s"$indexRoot/postings")
+      .append(inverted, partitionBy = Seq("list_id"))
+  }
+
+  /** Probe a persisted IVF index ([[buildIvfIndex]]): reload the nlist
+    * centroid rows (KBs), bake them into the plan as literals, and rank
+    * only the probed lists' postings. The postings join key IS the hive
+    * partition column, so the broadcast probe set prunes partitions of
+    * the persisted index (the q_dpp_join machinery applied to an ANN
+    * index). Result is bit-identical to [[ivfTopK]] on the same
+    * corpus/params.
+    */
+  def searchIvfIndex(
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      indexRoot: String,
+      k: Int,
+      nprobe: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    val centroids = graft.tables.LakeTable(spark, s"$indexRoot/centroids")
+      .read()
+      .select(col("list_id"), col("centroid"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+      .toSeq
+    def scoredV(vec: Column): Column = Clustering.scoredArray(centroids, spark, vec)
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"), scoredV(col(vecCol)).as("sc"))
+      .select(
+        col("query_id"),
+        col("q_vec"),
+        explode(slice(reverse(array_sort(col("sc"))), 1, nprobe)).as("p"))
+      .select(col("query_id"), col("q_vec"), (-col("p.nc")).cast("int").as("list_id"))
+    val postings = graft.tables.LakeTable(spark, s"$indexRoot/postings").read()
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    postings
+      .join(broadcast(probes), Seq("list_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn(
+        "cosine",
+        round(graft.functions.VectorExprs.arrayCosine(spark, col("q_vec"), col("c_vec")), 6))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
 }

@@ -1005,6 +1005,22 @@ object ExtQueries {
       nlist = 16, nprobe = 4, iters = 2)
   }
 
+  /** IVF index PERSISTED then probed ([[Similarity.buildIvfIndex]] /
+    * [[Similarity.searchIvfIndex]]): same corpus, params, and
+    * deterministic Lloyd as [[similarityIvf]], but the index round-trips
+    * through two lake tables (postings hive-partitioned on list_id)
+    * between build and search — so it shares q_similarity_ivf's oracle
+    * verbatim, and a hash match proves the persisted probe is
+    * bit-identical to the live build.
+    */
+  def similarityIvfPersisted(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = embs(spark, sfDir)
+    val root = graft.util.TempDirs.scratch("ivfidx")
+    Similarity.buildIvfIndex(e, "vec_id", "embedding", root, nlist = 16, iters = 2)
+    Similarity.searchIvfIndex(
+      e.filter(col("vec_id") % 100 === 0), "vec_id", "embedding", root, 5, nprobe = 4)
+  }
+
   /** Oracle for `q_similarity_ivf`: the [[kmeansClustersSql]] unrolled
     * two-iteration Lloyd fit at nlist=16 (seeds = vec_id &lt; 16, ids
     * being contiguous from 0 in the shipped testdata), then inversion
@@ -2622,6 +2638,7 @@ object ExtQueries {
     "q_hard_negatives" -> (hardNegatives _),
     "q_similarity_ann" -> (similarityAnn _),
     "q_similarity_ivf" -> (similarityIvf _),
+    "q_similarity_ivf_persisted" -> (similarityIvfPersisted _),
     "q_multimodal_meta" -> (multimodalMeta _),
     "q_multimodal_decode" -> (multimodalDecode _),
     "q_multimodal_decode_real" -> (multimodalDecodeReal _),
@@ -2668,6 +2685,7 @@ object ExtQueries {
     "q_hard_negatives" -> hardNegativesSql,
     "q_similarity_ann" -> similarityAnnSql,
     "q_similarity_ivf" -> similarityIvfSql,
+    "q_similarity_ivf_persisted" -> similarityIvfSql,
     "q_multimodal_meta" -> multimodalMetaSql,
     "q_multimodal_decode" -> multimodalDecodeSql,
     "q_multimodal_decode_real" -> multimodalDecodeRealSql,

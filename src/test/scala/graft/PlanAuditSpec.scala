@@ -450,6 +450,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("persisted IVF probe: broadcast probes dynamically prune index partitions") {
+    val p = plan(graft.queries.ExtQueries.similarityIvfPersisted(spark, sf))
+    // the postings scan must carry a dynamicpruning partition filter on
+    // list_id — a probe reads only its lists' files from the persisted
+    // index, never the whole postings table
+    assert(p.contains("dynamicpruning"), s"expected DPP on the postings scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("event transitions: keyed window then partial-agg; totals broadcast back") {
     val p = plan(graft.queries.AnalyticsQueries.eventTransitions(spark, sf))
     assert(p.contains("Window"), p) // keyed by user — the scalable kind

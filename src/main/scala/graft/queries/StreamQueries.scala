@@ -346,6 +346,75 @@ object StreamQueries {
       |      FROM events)
       |WHERE rn = 1""".stripMargin
 
+  /** Streaming QUANTILES via the bottom-k sample sketch
+    * ([[graft.functions.Sketches.BottomKSample]]) inside watermarked
+    * hourly windows — the per-window latency-percentile shape. The ≤
+    * k-pair buffer is the streaming state (bounded per open window, not
+    * per event), and because the hash-ordered survivor set is
+    * deterministic, the streamed p50 hash-matches the batch DuckDB
+    * replay (`ORDER BY hv, val LIMIT k` + quantile_cont) exactly — the
+    * third sketch family proven under micro-batch replay, after KMV
+    * distinct and the EWMA fold.
+    */
+  def streamQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val wd = workDir("bksq")
+    val input = Testdata.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", TimestampType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val h = conv(substring(md5(col("event_id").cast("string")), 1, 15), 16, 10).cast("long")
+    StreamJobs
+      .runTwoHopStateful(
+        spark, input, schema, "ts", "event_id", "event_type", wd,
+        stream =>
+          stream
+            .withColumn("hv", h)
+            .groupBy(col("event_type"), window(col("ts"), "1 hour").as("w"))
+            .agg(
+              graft.functions.Sketches
+                .bottomKSample(spark, col("hv"), col("value"), 32)
+                .as("sample"),
+              count(lit(1)).as("n_events")))
+      .select(
+        col("event_type"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("start_window"),
+        col("sample"),
+        col("n_events"))
+      .select(
+        col("event_type"), col("start_window"), col("n_events"),
+        explode(col("sample")).as("v"))
+      .groupBy(col("event_type"), col("start_window"), col("n_events"))
+      .agg(
+        round(expr("percentile(v, 0.5)"), 4).as("p50_sketch"),
+        count(lit(1)).as("sample_n"))
+  }
+
+  val streamQuantilesSql: String =
+    """WITH b AS (
+      |  SELECT event_type, value, event_id,
+      |         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bucket
+      |  FROM events),
+      |p AS (
+      |  SELECT DISTINCT event_type, bucket,
+      |         CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv,
+      |         value AS val
+      |  FROM b WHERE event_id IS NOT NULL AND value IS NOT NULL),
+      |r AS (SELECT event_type, bucket, val,
+      |        row_number() OVER (PARTITION BY event_type, bucket ORDER BY hv, val) AS rn
+      |      FROM p),
+      |s AS (SELECT event_type, bucket,
+      |        round(quantile_cont(val, 0.5), 4) AS p50_sketch,
+      |        count(*) AS sample_n
+      |      FROM r WHERE rn <= 32 GROUP BY event_type, bucket),
+      |c AS (SELECT event_type, bucket, count(*) AS n_events FROM b GROUP BY 1, 2)
+      |SELECT s.event_type,
+      |       strftime(make_timestamp(s.bucket * 3600 * 1000000), '%Y-%m-%d %H:%M:%S') AS start_window,
+      |       c.n_events, s.p50_sketch, s.sample_n
+      |FROM s JOIN c USING (event_type, bucket)""".stripMargin
+
   /** Streaming per-user EWMA on `transformWithState`
     * ([[StreamJobs.runStreamingEwma]]): two event-time waves drain
     * through the SAME checkpoint, the RocksDB value state carries the
@@ -553,6 +622,7 @@ object StreamQueries {
     "q_stream_static_join" -> (streamStaticJoin _),
     "q_stream_upsert" -> (streamUpsert _),
     "q_stream_ewma" -> (streamEwma _),
+    "q_stream_quantiles" -> (streamQuantiles _),
     "q_stream_txn_append" -> (streamTxnAppend _),
     "q_stream_dedup_ingest" -> (streamDedupIngest _),
     "q_stream_join_outer" -> (streamStreamJoinOuter _),
@@ -568,6 +638,7 @@ object StreamQueries {
     "q_stream_static_join" -> streamStaticJoinSql,
     "q_stream_upsert" -> streamUpsertSql,
     "q_stream_ewma" -> streamEwmaSql,
+    "q_stream_quantiles" -> streamQuantilesSql,
     "q_stream_txn_append" -> streamTxnAppendSql,
     "q_stream_dedup_ingest" -> streamDedupIngestSql,
     "q_stream_join_outer" -> streamStreamJoinOuterSql,

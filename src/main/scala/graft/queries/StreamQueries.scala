@@ -346,6 +346,38 @@ object StreamQueries {
       |      FROM events)
       |WHERE rn = 1""".stripMargin
 
+  /** Streaming funnel ([[StreamJobs.runStreamingFunnel]]): the batch
+    * funnel's stage chain as per-user RocksDB value state across two
+    * event-time waves; the final stage counts + median signup→purchase
+    * lag must hash-match the BATCH `q_funnel` oracle exactly (see the
+    * job scaladoc for the second-truncation argument that rules out
+    * sub-second divergence).
+    */
+  def streamFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val wd = workDir("sfunnel")
+    val src = s"$wd/src"
+    val checkpoint = s"$wd/checkpoint"
+    val out = s"$wd/out"
+    val events = Testdata.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    val cut = lit("2024-01-15 00:00:00").cast("timestamp")
+    events.filter(col("ts") < cut).write.mode("append").parquet(src)
+    StreamJobs.runStreamingFunnel(spark, src, eventsSchemaNoProps, checkpoint, out)
+    events.filter(col("ts") >= cut).write.mode("append").parquet(src)
+    StreamJobs.runStreamingFunnel(spark, src, eventsSchemaNoProps, checkpoint, out)
+    val sent = 4102444800L
+    val finalStates = spark.read.parquet(out)
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("n"), col("s"), col("c"), col("p"))).as("f"))
+    finalStates.agg(
+      count(lit(1)).as("n_users"),
+      count(when(col("f.s") < sent, lit(1))).as("n_signup"),
+      count(when(col("f.c") < sent, lit(1))).as("n_click"),
+      count(when(col("f.p") < sent, lit(1))).as("n_purchase"),
+      round(expr(s"percentile(CASE WHEN f.p < ${sent}L THEN f.p - f.s END, 0.5)"), 4)
+        .as("median_lag_sec"))
+  }
+
   /** Streaming QUANTILES via the bottom-k sample sketch
     * ([[graft.functions.Sketches.BottomKSample]]) inside watermarked
     * hourly windows — the per-window latency-percentile shape. The ≤
@@ -623,6 +655,7 @@ object StreamQueries {
     "q_stream_upsert" -> (streamUpsert _),
     "q_stream_ewma" -> (streamEwma _),
     "q_stream_quantiles" -> (streamQuantiles _),
+    "q_stream_funnel" -> (streamFunnel _),
     "q_stream_txn_append" -> (streamTxnAppend _),
     "q_stream_dedup_ingest" -> (streamDedupIngest _),
     "q_stream_join_outer" -> (streamStreamJoinOuter _),
@@ -639,6 +672,7 @@ object StreamQueries {
     "q_stream_upsert" -> streamUpsertSql,
     "q_stream_ewma" -> streamEwmaSql,
     "q_stream_quantiles" -> streamQuantilesSql,
+    "q_stream_funnel" -> AnalyticsQueries.funnelSql,
     "q_stream_txn_append" -> streamTxnAppendSql,
     "q_stream_dedup_ingest" -> streamDedupIngestSql,
     "q_stream_join_outer" -> streamStreamJoinOuterSql,

@@ -626,6 +626,83 @@ object StreamJobs {
     finally q.stop()
   }
 
+  final case class FunnelEvent(
+      user_id: Long, ts: java.sql.Timestamp, event_id: Long, event_type: String)
+  final case class FunnelState(user_id: Long, n: Long, s: Long, c: Long, p: Long)
+
+  /** Streaming conversion FUNNEL (signup → click → purchase) on
+    * `transformWithState` — the stage chain of
+    * [[graft.queries.AnalyticsQueries.funnel]] held as per-user value
+    * state across micro-batches, under the same ordering contract as
+    * [[runStreamingEwma]] (in-batch event-time sort + waves drained
+    * through one checkpoint). Stage times compare SECOND-truncated, the
+    * batch fold's granularity, so sub-second arrival order inside one
+    * second can never diverge from the batch result: with strict `>`
+    * chaining, equal-second processing order is provably outcome-free.
+    * Emits the running (n, s, c, p) per touched user each batch; the
+    * caller keeps the max-n emission.
+    */
+  def runStreamingFunnel(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      checkpoint: String,
+      outDir: String): Unit = {
+    import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+    import spark.implicits._
+    val sent = 4102444800L
+
+    class FunnelProcessor extends StatefulProcessor[Long, FunnelEvent, FunnelState] {
+      @transient private var state: ValueState[FunnelState] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        state = getHandle.getValueState[FunnelState](
+          "funnel", Encoders.product[FunnelState], TTLConfig.NONE)
+      override def handleInputRows(
+          key: Long,
+          rows: Iterator[FunnelEvent],
+          timerValues: TimerValues): Iterator[FunnelState] = {
+        val sorted = rows.toVector.sortBy(e => (e.ts.getTime, e.event_id))
+        val prev = Option(state.get()).getOrElse(FunnelState(key, 0L, sent, sent, sent))
+        val next = sorted.foldLeft(prev) { (acc, e) =>
+          val t = e.ts.getTime / 1000L // second truncation = the batch fold's unix_timestamp
+          val upd = e.event_type match {
+            case "signup" if acc.s == sent => acc.copy(s = t)
+            case "click" if acc.s < sent && acc.c == sent && t > acc.s => acc.copy(c = t)
+            case "purchase" if acc.c < sent && acc.p == sent && t > acc.c => acc.copy(p = t)
+            case _ => acc
+          }
+          upd.copy(n = acc.n + 1)
+        }
+        state.update(next)
+        Iterator.single(next)
+      }
+    }
+
+    val stream = spark.readStream
+      .schema(schema)
+      .parquet(sourceDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .filter(col("event_type").isin("signup", "click", "purchase"))
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new FunnelProcessor, TimeMode.None(), OutputMode.Append())
+
+    val q = withScopedConf(
+      spark,
+      Seq("spark.sql.streaming.stateStore.providerClass" -> rocksDbProvider)) {
+      stream.writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[FunnelState], _: Long) =>
+          batch.write.mode("append").parquet(outDir)
+        }
+        .option("checkpointLocation", checkpoint)
+        .start()
+    }
+    try q.processAllAvailable()
+    finally q.stop()
+  }
+
   /** Stream-stream LEFT OUTER join: like [[runStreamStreamJoin]] but
     * unmatched left rows must also emit — which can only happen once
     * the watermark proves no future right row can match, so the caller

@@ -51,6 +51,32 @@ object ScaleQueries {
       |       min(value) AS min_value, max(value) AS max_value
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** COUNT(*) AGGREGATE PUSHDOWN through the DSv2 catalog
+    * ([[graft.tables.v2.GraftSqlTable.metadataRowCount]]): both counts
+    * below — current snapshot and a VERSION AS OF pin — are served from
+    * parquet footer metadata without opening a single data page
+    * (CountPushdownSpec pins the plan and the DV/filter/group-by
+    * fallbacks). The Iceberg manifest-count behavior on the lake layer.
+    */
+  def countPushdown(spark: SparkSession, sfDir: String): DataFrame = {
+    val cat = Catalog(spark, graft.util.TempDirs.scratch("cntpd"))
+    cat.createSchema("gold")
+    val ev = Testdata.events(spark, sfDir).select(col("event_id"), col("event_type"))
+    val t = cat.table("gold", "ev")
+    t.append(ev.filter(col("event_id") % 2 === 0))
+    t.append(ev.filter(col("event_id") % 2 =!= 0))
+    cat.attachSqlCatalog("lake")
+    cat.sql(
+      """SELECT 'current' AS snap, count(*) AS n FROM lake.gold.ev
+        |UNION ALL
+        |SELECT 'v0' AS snap, count(*) AS n FROM lake.gold.ev VERSION AS OF 0""".stripMargin)
+  }
+
+  val countPushdownSql: String =
+    """SELECT 'current' AS snap, count(*) AS n FROM events
+      |UNION ALL
+      |SELECT 'v0' AS snap, count(*) AS n FROM events WHERE event_id % 2 = 0""".stripMargin
+
   /** Salted equi-join must be result-identical to the plain join (the
     * salt is an execution detail, not a semantic one).
     */
@@ -563,6 +589,7 @@ object ScaleQueries {
     "q_sql_catalog" -> (sqlOverCatalog _),
     "q_sql_catalog_v2" -> (sqlOverCatalogV2 _),
     "q_mv_rewrite" -> (mvRewrite _),
+    "q_count_pushdown" -> (countPushdown _),
     "q_sql_time_travel" -> (sqlTimeTravel _),
     "q_ctas_sql" -> (ctasSql _),
     "q_alter_sql" -> (alterSql _),
@@ -584,6 +611,7 @@ object ScaleQueries {
     "q_sql_catalog" -> sqlOverCatalogSql,
     "q_sql_catalog_v2" -> sqlOverCatalogV2Sql,
     "q_mv_rewrite" -> mvRewriteSql,
+    "q_count_pushdown" -> countPushdownSql,
     "q_sql_time_travel" -> sqlTimeTravelSql,
     "q_ctas_sql" -> ctasSqlSql,
     "q_alter_sql" -> alterSqlSql,

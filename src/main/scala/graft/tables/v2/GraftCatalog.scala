@@ -479,13 +479,86 @@ final class GraftSqlTable(rootPath: String, versionAsOf: Option[Long] = None)
 
   lazy val estimatedSizeInBytes: Long = sizeAtMost(Long.MaxValue)
 
+  /** Exact row count of the pinned snapshot from METADATA ONLY: parquet
+    * footer record counts summed over the live files (scoped dirs
+    * enumerate only their live `col=value` subdirs). The Iceberg
+    * "count(*) is a manifest read" behavior, one level down — footers
+    * instead of manifest-stored counts, so no manifest format change;
+    * at extreme file counts the upgrade path is recording counts at
+    * commit time. `None` (fall back to a real scan) whenever deletion
+    * vectors exist: DV sidecars may carry inert entries for rewritten
+    * files, so a driver-side subtraction is not provably exact. Cached
+    * per (root, version) — snapshots are immutable.
+    */
+  def metadataRowCount(): Option[Long] = {
+    if (manifest.dvFiles.nonEmpty) return None
+    val key = (rootPath, manifest.version)
+    GraftSqlTable.countCache.get(key) match {
+      case Some(v) => Some(v)
+      case None =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val p0 = manifest.partitionBy.headOption
+        var total = 0L
+        manifest.commitDirs.zip(manifest.effectiveScopes).foreach { case (d, scope) =>
+          val base = Paths.get(rootPath, "data").resolve(d)
+          val roots =
+            if (scope.isEmpty) Seq(base)
+            else scope.map(v => base.resolve(s"${p0.get}=$v"))
+          roots.filter(Files.isDirectory(_)).foreach { r =>
+            val walk = Files.walk(r)
+            try walk.iterator().asScala
+              .filter(f => f.toString.endsWith(".parquet") && Files.isRegularFile(f))
+              .foreach { f =>
+                val in = org.apache.parquet.hadoop.util.HadoopInputFile
+                  .fromPath(new org.apache.hadoop.fs.Path(f.toString), conf)
+                val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+                try total += reader.getRecordCount
+                finally reader.close()
+              }
+            finally walk.close()
+          }
+        }
+        if (GraftSqlTable.countCache.size > 4096) GraftSqlTable.countCache.clear()
+        GraftSqlTable.countCache.put(key, total)
+        Some(total)
+    }
+  }
+
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    new ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+      with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
       private var required: StructType = schema
       private var pushed: Array[sources.Filter] = Array.empty
+      private var filtersSeen = false
+      private var countPushed = false
+
+      /** COUNT(*) pushdown — the aggregate becomes a metadata read
+        * ([[metadataRowCount]]). Guards: global aggregation only, no
+        * filters anywhere on the scan (Spark offers aggregates only
+        * after filters, and we refuse if any were even seen — a
+        * residual-filtered count must count post-filter rows), and the
+        * metadata count must be available (no deletion vectors).
+        */
+      override def supportCompletePushDown(
+          agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+        canPushCount(agg)
+
+      override def pushAggregation(
+          agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+        if (!canPushCount(agg)) false
+        else { countPushed = true; true }
+      }
+
+      private def canPushCount(
+          agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+        !filtersSeen && agg.groupByExpressions.isEmpty &&
+          agg.aggregateExpressions.length == 1 &&
+          agg.aggregateExpressions()(0)
+            .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar] &&
+          metadataRowCount().isDefined
 
       override def pruneColumns(requiredSchema: StructType): Unit = {
         // empty pruning (count(*)) still needs ≥1 column to build rows
@@ -505,13 +578,37 @@ final class GraftSqlTable(rootPath: String, versionAsOf: Option[Long] = None)
         * on the translation.
         */
       override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
+        filtersSeen = filtersSeen || filters.nonEmpty
         pushed = filters.filter(f => GraftFilterTranslation.translate(f).isDefined)
         filters
       }
 
       override def pushedFilters(): Array[sources.Filter] = pushed
 
-      override def build(): Scan = new V1Scan with SupportsReportStatistics {
+      /** The metadata-only COUNT scan: one row from the manifest walk,
+        * no data file ever opened.
+        */
+      private def countScan(): Scan = new V1Scan {
+        private val out = StructType(Seq(
+          org.apache.spark.sql.types.StructField(
+            "count(*)", org.apache.spark.sql.types.LongType, nullable = false)))
+        override def readSchema(): StructType = out
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: SQLContext): T = {
+          val n = metadataRowCount().getOrElse(
+            throw new IllegalStateException(
+              s"metadata count vanished between planning and execution for $rootPath"))
+          val rel = new BaseRelation with TableScan {
+            override def sqlContext: SQLContext = context
+            override def schema: StructType = out
+            override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+              context.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(n)), 1)
+          }
+          rel.asInstanceOf[T]
+        }
+      }
+
+      override def build(): Scan = if (countPushed) countScan() else new V1Scan with SupportsReportStatistics {
         override def readSchema(): StructType = required
 
         // Honest but currently inert through the V1 bridge: Spark wraps
@@ -629,6 +726,9 @@ object GraftSqlTable {
   // are immutable so entries never go stale; bounded by periodic clear
   private[v2] val sizeCache =
     scala.collection.concurrent.TrieMap.empty[(String, Long, Long), Long]
+  // footer-summed row counts keyed by (root, version) — same immutability
+  private[v2] val countCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), Long]
 }
 
 /** `sources.Filter` → `Column` for the V1Scan bridge. Partial by

@@ -77,6 +77,29 @@ object ScaleQueries {
       |UNION ALL
       |SELECT 'v0' AS snap, count(*) AS n FROM events WHERE event_id % 2 = 0""".stripMargin
 
+  /** MIN/MAX + COUNT from MANIFEST STATS: the whole aggregate row below
+    * is served from dir-level zonemaps + footer counts — zero data
+    * pages opened (CountPushdownSpec pins the plan and the
+    * stats-coverage / narrowed-scope / DV fallbacks that keep it
+    * bit-exact). Iceberg's metadata-aggregate behavior on the lake
+    * layer.
+    */
+  def minmaxPushdown(spark: SparkSession, sfDir: String): DataFrame = {
+    val cat = Catalog(spark, graft.util.TempDirs.scratch("mmpd"))
+    cat.createSchema("gold")
+    val ev = Testdata.events(spark, sfDir).select(col("event_id"), col("value"))
+    val t = cat.table("gold", "ev")
+    t.append(ev.filter(col("event_id") % 2 === 0), statsCols = Seq("value"))
+    t.append(ev.filter(col("event_id") % 2 =!= 0), statsCols = Seq("value"))
+    cat.attachSqlCatalog("lake")
+    cat.sql(
+      """SELECT count(*) AS n, min(value) AS min_value, max(value) AS max_value
+        |FROM lake.gold.ev""".stripMargin)
+  }
+
+  val minmaxPushdownSql: String =
+    "SELECT count(*) AS n, min(value) AS min_value, max(value) AS max_value FROM events"
+
   /** Salted equi-join must be result-identical to the plain join (the
     * salt is an execution detail, not a semantic one).
     */
@@ -590,6 +613,7 @@ object ScaleQueries {
     "q_sql_catalog_v2" -> (sqlOverCatalogV2 _),
     "q_mv_rewrite" -> (mvRewrite _),
     "q_count_pushdown" -> (countPushdown _),
+    "q_minmax_pushdown" -> (minmaxPushdown _),
     "q_sql_time_travel" -> (sqlTimeTravel _),
     "q_ctas_sql" -> (ctasSql _),
     "q_alter_sql" -> (alterSql _),
@@ -612,6 +636,7 @@ object ScaleQueries {
     "q_sql_catalog_v2" -> sqlOverCatalogV2Sql,
     "q_mv_rewrite" -> mvRewriteSql,
     "q_count_pushdown" -> countPushdownSql,
+    "q_minmax_pushdown" -> minmaxPushdownSql,
     "q_sql_time_travel" -> sqlTimeTravelSql,
     "q_ctas_sql" -> ctasSqlSql,
     "q_alter_sql" -> alterSqlSql,

@@ -524,6 +524,29 @@ final class GraftSqlTable(rootPath: String, versionAsOf: Option[Long] = None)
     }
   }
 
+  /** Exact (min, max) of a column from the manifest's DIR-LEVEL stats —
+    * valid ONLY when the stats provably describe exactly the live rows:
+    * no deletion vectors, no scope-narrowed dirs (a partition-scoped
+    * replace leaves old dir stats WIDER than the surviving rows — safe
+    * for pruning, wrong for serving), and every live dir carries stats
+    * for the column. Dir stats are exact write-time min/max over
+    * non-null values, so under those guards this IS SQL min/max.
+    */
+  def metadataColRange(colName: String): Option[(Any, Any)] = {
+    val m = manifest
+    if (m.dvFiles.nonEmpty) return None
+    if (m.effectiveScopes.exists(_.nonEmpty)) return None
+    if (m.commitDirs.isEmpty) return None
+    if (!schema.fieldNames.contains(colName)) return None
+    val dt = schema(colName).dataType
+    val stats = m.effectiveDirStats
+    if (!stats.forall(_.contains(colName))) return None
+    import graft.tables.LakeTable.Stats
+    val mn = stats.map(_(colName)._1).reduceLeft((a, b) => if (Stats.geq(a, b, dt)) b else a)
+    val mx = stats.map(_(colName)._2).reduceLeft((a, b) => if (Stats.geq(a, b, dt)) a else b)
+    Some((Stats.fromStringValue(mn, dt), Stats.fromStringValue(mx, dt)))
+  }
+
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
 
@@ -533,32 +556,57 @@ final class GraftSqlTable(rootPath: String, versionAsOf: Option[Long] = None)
       private var required: StructType = schema
       private var pushed: Array[sources.Filter] = Array.empty
       private var filtersSeen = false
-      private var countPushed = false
+      // name, result type, value — one entry per pushed aggregate
+      private var aggValues: Option[Seq[(String, DataType, Any)]] = None
 
-      /** COUNT(*) pushdown — the aggregate becomes a metadata read
-        * ([[metadataRowCount]]). Guards: global aggregation only, no
-        * filters anywhere on the scan (Spark offers aggregates only
-        * after filters, and we refuse if any were even seen — a
-        * residual-filtered count must count post-filter rows), and the
-        * metadata count must be available (no deletion vectors).
+      /** Metadata-served aggregate pushdown: any combination of
+        * COUNT(*) ([[metadataRowCount]] — footer record counts) and
+        * MIN/MAX of stats-covered columns ([[metadataColRange]] — dir
+        * zonemaps). Guards: global aggregation only (no GROUP BY) and
+        * no filters anywhere on the scan (we refuse if any were even
+        * seen — a residual-filtered aggregate is post-filter); each
+        * helper carries its own exactness guards (DVs, narrowed scopes,
+        * stats coverage). Anything unresolvable falls back to the real
+        * scan — pushdown can change the plan, never the answer.
         */
-      override def supportCompletePushDown(
-          agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-        canPushCount(agg)
-
-      override def pushAggregation(
-          agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-        if (!canPushCount(agg)) false
-        else { countPushed = true; true }
+      private def resolveAggregation(
+          agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+          : Option[Seq[(String, DataType, Any)]] = {
+        import org.apache.spark.sql.connector.expressions.NamedReference
+        import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+        if (filtersSeen || agg.groupByExpressions.nonEmpty) return None
+        val exprs = agg.aggregateExpressions
+        if (exprs.isEmpty) return None
+        def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+          e match {
+            case r: NamedReference if r.fieldNames.length == 1 => Some(r.fieldNames()(0))
+            case _ => None
+          }
+        val resolved: Seq[Option[(String, DataType, Any)]] = exprs.toSeq.map {
+          case _: CountStar =>
+            metadataRowCount().map(n =>
+              ("count(*)", org.apache.spark.sql.types.LongType: DataType, n: Any))
+          case m: Min =>
+            fieldOf(m.column).flatMap(c =>
+              metadataColRange(c).map { case (mn, _) => (s"min($c)", schema(c).dataType, mn) })
+          case m: Max =>
+            fieldOf(m.column).flatMap(c =>
+              metadataColRange(c).map { case (_, mx) => (s"max($c)", schema(c).dataType, mx) })
+          case _ => None
+        }
+        if (resolved.forall(_.isDefined)) Some(resolved.map(_.get)) else None
       }
 
-      private def canPushCount(
+      override def supportCompletePushDown(
           agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-        !filtersSeen && agg.groupByExpressions.isEmpty &&
-          agg.aggregateExpressions.length == 1 &&
-          agg.aggregateExpressions()(0)
-            .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar] &&
-          metadataRowCount().isDefined
+        resolveAggregation(agg).isDefined
+
+      override def pushAggregation(
+          agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+        resolveAggregation(agg) match {
+          case some @ Some(_) => aggValues = some; true
+          case None => false
+        }
 
       override def pruneColumns(requiredSchema: StructType): Unit = {
         // empty pruning (count(*)) still needs ≥1 column to build rows
@@ -585,30 +633,33 @@ final class GraftSqlTable(rootPath: String, versionAsOf: Option[Long] = None)
 
       override def pushedFilters(): Array[sources.Filter] = pushed
 
-      /** The metadata-only COUNT scan: one row from the manifest walk,
-        * no data file ever opened.
+      /** The metadata-only aggregate scan: one row from the manifest
+        * walk, no data file ever opened.
         */
-      private def countScan(): Scan = new V1Scan {
-        private val out = StructType(Seq(
-          org.apache.spark.sql.types.StructField(
-            "count(*)", org.apache.spark.sql.types.LongType, nullable = false)))
+      private def aggScan(values: Seq[(String, DataType, Any)]): Scan = new V1Scan {
+        private val out = StructType(values.map { case (n, dt, _) =>
+          org.apache.spark.sql.types.StructField(n, dt, nullable = false)
+        })
+        private val row = org.apache.spark.sql.Row(values.map(_._3): _*)
         override def readSchema(): StructType = out
         override def toV1TableScan[T <: BaseRelation with TableScan](
             context: SQLContext): T = {
-          val n = metadataRowCount().getOrElse(
-            throw new IllegalStateException(
-              s"metadata count vanished between planning and execution for $rootPath"))
           val rel = new BaseRelation with TableScan {
             override def sqlContext: SQLContext = context
             override def schema: StructType = out
             override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
-              context.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(n)), 1)
+              context.sparkContext.parallelize(Seq(row), 1)
           }
           rel.asInstanceOf[T]
         }
       }
 
-      override def build(): Scan = if (countPushed) countScan() else new V1Scan with SupportsReportStatistics {
+      override def build(): Scan = aggValues match {
+        case Some(values) => aggScan(values)
+        case None => dataScan()
+      }
+
+      private def dataScan(): Scan = new V1Scan with SupportsReportStatistics {
         override def readSchema(): StructType = required
 
         // Honest but currently inert through the V1 bridge: Spark wraps

@@ -47,6 +47,37 @@ class CountPushdownSpec extends SparkSpec {
     assert(servedFromMetadata(pcount))
   }
 
+  test("min/max serve from dir stats; uncovered columns and narrowed scopes fall back") {
+    val cat = Catalog(spark, scratchDir("mmcat"))
+    cat.createSchema("gold")
+    val t = cat.table("gold", "mm")
+    t.append((1 to 30).map(i => (i, i * 1.5)).toDF("id", "v"), statsCols = Seq("v"))
+    t.append((31 to 40).map(i => (i, i * 1.5)).toDF("id", "v"), statsCols = Seq("v"))
+    cat.attachSqlCatalog("lake")
+    val mm = spark.sql("SELECT count(*) AS n, min(v) AS mn, max(v) AS mx FROM lake.gold.mm")
+    assert(mm.as[(Long, Double, Double)].head() == ((40L, 1.5, 60.0)))
+    val p = mm.queryExecution.executedPlan.toString
+    assert(p.contains("MIN(v)") && p.contains("MAX(v)") && p.contains("COUNT(*)"),
+      s"expected metadata-served aggregates:\n$p")
+
+    // id has no recorded stats -> whole aggregation falls back, stays right
+    val noStats = spark.sql("SELECT min(id) AS mn FROM lake.gold.mm")
+    assert(noStats.head().getInt(0) == 1)
+    assert(!noStats.queryExecution.executedPlan.toString.contains("MIN(id)"))
+
+    // partition-scoped replace narrows a dir: stats are now WIDER than
+    // the live rows, so serving them would be wrong — must fall back
+    val pt = cat.table("gold", "mmp")
+    pt.append(
+      (1 to 20).map(i => (i, s"p${i % 2}", i * 1.0)).toDF("id", "p", "v"),
+      partitionBy = Seq("p"), statsCols = Seq("v"))
+    graft.tables.Merge.deleteWherePartitioned(pt, col("p") === "p1", "p")
+    val narrowed = spark.sql("SELECT min(v) AS mn, max(v) AS mx FROM lake.gold.mmp")
+    assert(!narrowed.queryExecution.executedPlan.toString.contains("MIN(v)"))
+    // survivors are the even ids: min 2.0, max 20.0
+    assert(narrowed.as[(Double, Double)].head() == ((2.0, 20.0)))
+  }
+
   test("deletion vectors disable the metadata count but never the answer") {
     val cat = Catalog(spark, scratchDir("cntdv"))
     cat.createSchema("gold")

@@ -378,6 +378,54 @@ object StreamQueries {
         .as("median_lag_sec"))
   }
 
+  /** CONTINUOUS MV MAINTENANCE: a file stream drains into the source
+    * lake table via foreachBatch, and the SAME batch commit refreshes
+    * the incremental aggregate view ([[graft.tables.IncrementalAggView]])
+    * — the gold layer keeps pace with ingest, each refresh reading ONLY
+    * the new commit dirs. Additive integer-scaled state makes the
+    * N-refresh result bit-identical to one batch aggregation, so the
+    * streamed view hash-matches the plain-SQL oracle.
+    */
+  def streamMvRefresh(spark: SparkSession, sfDir: String): DataFrame = {
+    val wd = workDir("smv")
+    val src = s"$wd/src"
+    val table = graft.tables.LakeTable(spark, s"$wd/source_table")
+    val view = graft.tables.IncrementalAggView(
+      table, s"$wd/view", Seq("event_type"), Seq("value"), minMaxCols = Seq("value"))
+    val events = Testdata.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    val cut = lit("2024-01-15 00:00:00").cast("timestamp")
+    events.filter(col("ts") < cut).write.mode("append").parquet(src)
+    events.filter(col("ts") >= cut).write.mode("append").parquet(src)
+    val q = spark.readStream
+      .schema(eventsSchemaNoProps)
+      .option("maxFilesPerTrigger", "4")
+      .parquet(src)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        table.append(batch)
+        view.refresh()
+        ()
+      }
+      .option("checkpointLocation", s"$wd/checkpoint")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    view.read()
+      .select(
+        col("event_type"),
+        col("n_rows"),
+        col("sum_value"),
+        round(col("min_value"), 4).as("min_value"),
+        round(col("max_value"), 4).as("max_value"))
+  }
+
+  val streamMvRefreshSql: String =
+    """SELECT event_type, count(*) AS n_rows,
+      |       round(sum(CAST(round(value * 10000) AS BIGINT)) / 10000.0, 4) AS sum_value,
+      |       round(min(value), 4) AS min_value, round(max(value), 4) AS max_value
+      |FROM events GROUP BY event_type""".stripMargin
+
   /** Streaming QUANTILES via the bottom-k sample sketch
     * ([[graft.functions.Sketches.BottomKSample]]) inside watermarked
     * hourly windows — the per-window latency-percentile shape. The ≤
@@ -656,6 +704,7 @@ object StreamQueries {
     "q_stream_ewma" -> (streamEwma _),
     "q_stream_quantiles" -> (streamQuantiles _),
     "q_stream_funnel" -> (streamFunnel _),
+    "q_stream_mv_refresh" -> (streamMvRefresh _),
     "q_stream_txn_append" -> (streamTxnAppend _),
     "q_stream_dedup_ingest" -> (streamDedupIngest _),
     "q_stream_join_outer" -> (streamStreamJoinOuter _),
@@ -673,6 +722,7 @@ object StreamQueries {
     "q_stream_ewma" -> streamEwmaSql,
     "q_stream_quantiles" -> streamQuantilesSql,
     "q_stream_funnel" -> AnalyticsQueries.funnelSql,
+    "q_stream_mv_refresh" -> streamMvRefreshSql,
     "q_stream_txn_append" -> streamTxnAppendSql,
     "q_stream_dedup_ingest" -> streamDedupIngestSql,
     "q_stream_join_outer" -> streamStreamJoinOuterSql,

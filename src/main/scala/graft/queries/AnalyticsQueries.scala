@@ -819,6 +819,55 @@ object AnalyticsQueries {
   val jsonlRoundtripSql: String =
     "SELECT doc_id, lang, source, text FROM documents"
 
+  /** Gzip-compressed JSON-lines roundtrip — the compressed corpus
+    * interchange format (.jsonl.gz is how web-scale text corpora
+    * actually ship); same declared-schema read discipline as
+    * [[jsonlRoundtrip]], the codec rides the writer option.
+    */
+  def jsonlGzipRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = graft.util.TempDirs.scratch("jsonlgz")
+    val d = spark.read.parquet(tablePath(sfDir, "documents"))
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+    d.write.mode("overwrite").option("compression", "gzip").json(dir)
+    spark.read.schema(d.schema).json(dir)
+  }
+
+  val jsonlGzipRoundtripSql: String =
+    "SELECT doc_id, lang, source, text FROM documents"
+
+  /** PIPELINE OBSERVABILITY via the Observation API: quality metrics
+    * (row count, null-value count, integer-scaled value sum) ride the
+    * pipeline's OWN action as an `observe` side-channel — no second
+    * scan, the metrics the DLT/expectations pattern reports per run.
+    * The observed row IS the query result, so the oracle directly
+    * checks that observe-collected metrics equal a real aggregation.
+    */
+  def observeMetrics(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val obs = new org.apache.spark.sql.Observation(
+      s"pipe-metrics-${java.util.UUID.randomUUID()}")
+    val ev = Testdata.events(spark, sfDir)
+      .observe(
+        obs,
+        count(lit(1)).as("n_rows"),
+        count(when(col("value").isNull, lit(1))).as("n_null_value"),
+        sum(expr("cast(round(value * 10000) as bigint)")).as("sum_q"))
+    ev.write.mode("overwrite").format("noop").save()
+    val row = scala.concurrent.Await
+      .result(obs.future, scala.concurrent.duration.Duration(60, "seconds"))
+    Seq((
+      row.getAs[Long]("n_rows"),
+      row.getAs[Long]("n_null_value"),
+      math.floor(row.getAs[Long]("sum_q") / 10000.0 * 10000 + 0.5) / 10000.0))
+      .toDF("n_rows", "n_null_value", "sum_value")
+  }
+
+  val observeMetricsSql: String =
+    """SELECT count(*) AS n_rows,
+      |       count(CASE WHEN value IS NULL THEN 1 END) AS n_null_value,
+      |       floor(CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 * 10000 + 0.5) / 10000.0 AS sum_value
+      |FROM events""".stripMargin
+
   /** Calendar gap-filling: a generated date spine left-joined to the
     * facts so empty days surface as zero rows (Jan 31 has no events —
     * it must appear). `sequence` + `explode` generates the spine
@@ -1535,6 +1584,8 @@ object AnalyticsQueries {
     "q_ewma_decay" -> (ewmaDecay _),
     "q_event_transitions" -> (eventTransitions _),
     "q_histogram" -> (histogram _),
+    "q_jsonl_gzip" -> (jsonlGzipRoundtrip _),
+    "q_observe_metrics" -> (observeMetrics _),
     "q_kmv_set_ops" -> (kmvSetOps _),
     "q_grouping_sets" -> (groupingSets _),
     "q_window_rank_stats" -> (windowRankStats _),
@@ -1576,6 +1627,8 @@ object AnalyticsQueries {
     "q_ewma_decay" -> ewmaDecaySql,
     "q_event_transitions" -> eventTransitionsSql,
     "q_histogram" -> histogramSql,
+    "q_jsonl_gzip" -> jsonlGzipRoundtripSql,
+    "q_observe_metrics" -> observeMetricsSql,
     "q_kmv_set_ops" -> kmvSetOpsSql,
     "q_grouping_sets" -> groupingSetsSql,
     "q_window_rank_stats" -> windowRankStatsSql,

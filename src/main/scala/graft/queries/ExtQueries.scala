@@ -200,6 +200,23 @@ object ExtQueries {
       |       ELSE 'de' END AS lang_pred
       |FROM s""".stripMargin
 
+  /** Language-ID CONFUSION MATRIX — the eval loop for the heuristic
+    * classifier: predicted vs labeled language counts, one hash
+    * aggregation over the [[textLangId]] prediction projection. The
+    * oracle composes the full langid replay as a subquery, so the
+    * matrix is hash-checked end to end (prediction + tabulation).
+    */
+  def langidConfusion(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(col("lang"), TextAnalysis.langId(col("text")).as("lang_pred"))
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+
+  val langidConfusionSql: String =
+    s"""SELECT d.lang, p.lang_pred, count(*) AS n
+       |FROM documents d JOIN ($textLangIdSql) p USING (doc_id)
+       |GROUP BY 1, 2""".stripMargin
+
   /** Deterministic train/validation split: hash-bucket each doc id
     * (md5 → first 8 hex digits → mod 100) and assign 80/20. Unlike
     * `sample()`/`randomSplit()`, the assignment is a pure function of
@@ -2612,6 +2629,7 @@ object ExtQueries {
     "q_text_fingerprint" -> (textFingerprint _),
     "q_text_repetition" -> (textRepetition _),
     "q_text_langid" -> (textLangId _),
+    "q_langid_confusion" -> (langidConfusion _),
     "q_train_val_split" -> (trainValSplit _),
     "q_shard_shuffle" -> (shardShuffle _),
     "q_pack_sequences" -> (packSequences _),
@@ -2707,6 +2725,7 @@ object ExtQueries {
     "q_bpe_vocab" -> bpeVocabSql,
     "q_bpe_encode" -> bpeEncodeSql,
     "q_text_langid" -> textLangIdSql,
+    "q_langid_confusion" -> langidConfusionSql,
     "q_train_val_split" -> trainValSplitSql,
     "q_shard_shuffle" -> shardShuffleSql,
     "q_pack_sequences" -> packSequencesSql,

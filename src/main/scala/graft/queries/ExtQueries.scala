@@ -164,8 +164,9 @@ object ExtQueries {
       |       md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
       |FROM documents""".stripMargin
 
-  /** Language id — heuristic, not SQL-expressible cleanly; rows-only
-    * here, accuracy pinned on prose fixtures in TextAnalysisSpec.
+  /** Language id — the stopword/CJK heuristic, fully oracle-replayed
+    * (see [[textLangIdSql]]); accuracy additionally pinned on prose
+    * fixtures in TextAnalysisSpec.
     */
   def textLangId(spark: SparkSession, sfDir: String): DataFrame =
     docs(spark, sfDir).select(

@@ -1644,6 +1644,31 @@ object CoreQueries {
       |SELECT c_custkey + 1000000, c_name, c_acctbal
       |FROM customer WHERE c_custkey % 7 = 0""".stripMargin
 
+  /** RESTORE + snapshot TAG ([[graft.tables.LakeTable.restore]] /
+    * `createTag`): tag the raw load, run a destructive overwrite, then
+    * roll the table back to the tagged snapshot — a manifest-only
+    * publish, zero data copied, with the overwrite still
+    * time-travelable. The final read must equal the original load
+    * (RestoreTagSpec pins history survival, watermark revert, and
+    * retention pinning).
+    */
+  def restoreTag(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Testdata.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .filter(col("event_id") % 3 === 0)
+    val table = LakeTable(spark, scratch("restoretag"))
+    table.append(ev) // v0: the raw load
+    val tagged = table.createTag("raw")
+    table.overwrite(table.read().filter(col("event_type") =!= "error")) // v1: oops
+    table.restore(tagged) // v2 == v0 content
+    table.read()
+      .select(col("event_id"), col("event_type"), round(col("value"), 4).as("value_r"))
+  }
+
+  val restoreTagSql: String =
+    """SELECT event_id, event_type, round(value, 4) AS value_r
+      |FROM events WHERE event_id % 3 = 0""".stripMargin
+
   /** PARTITION EVOLUTION (Iceberg spec §partition-evolution): the first
     * wave lands partitioned by `event_type`, the second by `day` — each
     * commit dir keeps its own hive layout, the manifest records the
@@ -2024,6 +2049,7 @@ object CoreQueries {
     "q_scd1_upsert" -> (scd1Upsert _),
     "q_merge_schema_drift" -> (mergeSchemaDrift _),
     "q_partition_evolution" -> (partitionEvolution _),
+    "q_restore_tag" -> (restoreTag _),
     "q_merge_sql" -> (mergeSql _),
     "q_merge_sql_scd2" -> (mergeSqlScd2 _),
     "q_delete_sql" -> (deleteSql _),
@@ -2083,6 +2109,7 @@ object CoreQueries {
     "q_scd1_upsert" -> scd1UpsertSql,
     "q_merge_schema_drift" -> mergeSchemaDriftSql,
     "q_partition_evolution" -> partitionEvolutionSql,
+    "q_restore_tag" -> restoreTagSql,
     "q_merge_sql" -> mergeSqlOracleSql,
     "q_merge_sql_scd2" -> mergeSqlScd2OracleSql,
     "q_delete_sql" -> deleteSqlOracleSql,

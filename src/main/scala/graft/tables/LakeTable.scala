@@ -1084,11 +1084,100 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     * growth from append/merge churn; time travel remains available for
     * the kept versions only. Returns the number of commit dirs deleted.
     */
+  /** RESTORE the table to a historical snapshot (Delta `RESTORE TABLE
+    * ... TO VERSION AS OF` / Iceberg rollback): publishes a NEW version
+    * whose content references the target snapshot's commit dirs — a
+    * manifest-only operation, zero data copied, history preserved (the
+    * rolled-back versions remain time-travelable until expired).
+    * Bookkeeping choices, documented because they are semantic:
+    *
+    *   - idempotent-writer registry (`txns`) keeps the TIP's view
+    *     (merged max with the target's): a streaming writer replaying a
+    *     batch that committed before the restore stays a no-op —
+    *     restore rewinds DATA, not the exactly-once ledger;
+    *   - the incremental high-watermark (`colMax`) reverts to the
+    *     TARGET's: rows rolled away are no longer "seen", so a
+    *     downstream incremental consumer re-ingests them if they land
+    *     again — the choice that keeps silver→gold pipelines complete.
+    *
+    * Fails loudly if the target version was expired. Races surface as
+    * [[VersionConflictException]] like every snapshot op.
+    */
+  def restore(version: Long): Long = {
+    val target = readManifest(version) // throws if expired/absent
+    val tipV = latestVersion().getOrElse(
+      throw new IllegalStateException(s"table at $root has no commits"))
+    val tip = readManifest(tipV)
+    val txns = (tip.txns.keySet ++ target.txns.keySet).map { k =>
+      k -> math.max(tip.txns.getOrElse(k, Long.MinValue), target.txns.getOrElse(k, Long.MinValue))
+    }.toMap
+    val m = target.copy(
+      version = tipV + 1,
+      operation = s"restore(v$version)",
+      timestampMs = System.currentTimeMillis(),
+      txns = txns)
+    writeManifest(m)
+    m.version
+  }
+
+  // ---- snapshot tags (Iceberg refs) ---------------------------------------
+
+  private def tagsDir: Path = logDir.resolve("tags")
+
+  /** Name a snapshot (Iceberg tag): a durable pointer that survives
+    * table growth and — because [[expireSnapshots]] protects tagged
+    * versions — retention. Creation is atomic-exclusive; an existing
+    * tag must be deleted first (tags are immutable pointers, not
+    * branches).
+    */
+  def createTag(name: String, version: Option[Long] = None): Long = {
+    require(name.matches("[A-Za-z0-9._-]{1,64}"), s"unsafe tag name: $name")
+    val v = version.orElse(latestVersion()).getOrElse(
+      throw new IllegalStateException(s"table at $root has no commits"))
+    readManifest(v) // tag must point at a live snapshot
+    Files.createDirectories(tagsDir)
+    try Files.write(
+      tagsDir.resolve(name),
+      v.toString.getBytes(StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalStateException(s"tag $name already exists on $root")
+    }
+    v
+  }
+
+  def listTags(): Seq[(String, Long)] = {
+    if (!Files.isDirectory(tagsDir)) return Seq.empty
+    val s = Files.list(tagsDir)
+    try s.iterator().asScala.toSeq
+      .filter(Files.isRegularFile(_))
+      .map(p => p.getFileName.toString ->
+        new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toLong)
+      .sortBy(_._1)
+    finally s.close()
+  }
+
+  def deleteTag(name: String): Boolean =
+    Files.deleteIfExists(tagsDir.resolve(name))
+
+  /** Read the snapshot a tag names. */
+  def readTag(name: String): DataFrame = {
+    val v = listTags().collectFirst { case (n, ver) if n == name => ver }
+      .getOrElse(throw new IllegalStateException(s"no tag $name on $root"))
+    read(versionAsOf = Some(v))
+  }
+
   def expireSnapshots(keepLast: Int = 1): Int = {
     require(keepLast >= 1, "must keep at least the latest snapshot")
     val versions = listVersions()
     if (versions.length <= keepLast) return 0
-    val (expired, kept) = versions.splitAt(versions.length - keepLast)
+    // tagged snapshots are pinned: retention never expires a named ref
+    val tagged = listTags().map(_._2).toSet
+    val (candidates, keptTail) = versions.splitAt(versions.length - keepLast)
+    val (pinned, expired) = candidates.partition(p => tagged.contains(versionOf(p)))
+    val kept = pinned ++ keptTail
+    if (expired.isEmpty) return 0
     val keptManifests = kept.map(p => readManifest(versionOf(p)))
     val liveDirs = keptManifests.flatMap(_.commitDirs).toSet
     val deadDirs = expired

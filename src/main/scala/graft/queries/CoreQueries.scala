@@ -1644,6 +1644,41 @@ object CoreQueries {
       |SELECT c_custkey + 1000000, c_name, c_acctbal
       |FROM customer WHERE c_custkey % 7 = 0""".stripMargin
 
+  /** WRITE-AUDIT-PUBLISH ([[graft.tables.LakeTable.stageAppend]]): each
+    * batch lands as an INVISIBLE staged commit dir, is audited there
+    * with declarative expectations, and only then publishes — one
+    * atomic manifest CAS, no second data write. The clean batch
+    * publishes; the batch violating its audit (planted negative values)
+    * aborts and its rows must never surface. The Iceberg WAP pattern
+    * end to end.
+    */
+  def writeAuditPublish(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Expectations
+    val ev = Testdata.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val table = LakeTable(spark, scratch("wap"))
+    val expectations = Seq(
+      Expectations.Expectation("value_non_negative", col("value") >= 0, Expectations.Fail))
+    def wap(batch: org.apache.spark.sql.DataFrame): Unit = {
+      val staged = table.stageAppend(batch)
+      try {
+        Expectations.check(table.readStaged(staged), expectations)
+        table.publishStaged(staged)
+      } catch {
+        case _: IllegalStateException => table.abortStaged(staged)
+      }
+    }
+    wap(ev.filter(col("event_id") % 2 === 0)) // clean: publishes
+    wap(ev.filter(col("event_id") % 2 =!= 0)
+      .withColumn("value", -abs(col("value")) - 1)) // dirty: aborts
+    table.read()
+      .select(col("event_id"), col("event_type"), round(col("value"), 4).as("value_r"))
+  }
+
+  val writeAuditPublishSql: String =
+    """SELECT event_id, event_type, round(value, 4) AS value_r
+      |FROM events WHERE event_id % 2 = 0""".stripMargin
+
   /** RESTORE + snapshot TAG ([[graft.tables.LakeTable.restore]] /
     * `createTag`): tag the raw load, run a destructive overwrite, then
     * roll the table back to the tagged snapshot — a manifest-only
@@ -2050,6 +2085,7 @@ object CoreQueries {
     "q_merge_schema_drift" -> (mergeSchemaDrift _),
     "q_partition_evolution" -> (partitionEvolution _),
     "q_restore_tag" -> (restoreTag _),
+    "q_write_audit_publish" -> (writeAuditPublish _),
     "q_merge_sql" -> (mergeSql _),
     "q_merge_sql_scd2" -> (mergeSqlScd2 _),
     "q_delete_sql" -> (deleteSql _),
@@ -2110,6 +2146,7 @@ object CoreQueries {
     "q_merge_schema_drift" -> mergeSchemaDriftSql,
     "q_partition_evolution" -> partitionEvolutionSql,
     "q_restore_tag" -> restoreTagSql,
+    "q_write_audit_publish" -> writeAuditPublishSql,
     "q_merge_sql" -> mergeSqlOracleSql,
     "q_merge_sql_scd2" -> mergeSqlScd2OracleSql,
     "q_delete_sql" -> deleteSqlOracleSql,

@@ -354,6 +354,64 @@ final class LakeTable(val spark: SparkSession, val root: String) {
   def txnVersion(writerId: String): Option[Long] =
     latestVersion().map(readManifest).flatMap(_.txns.get(writerId))
 
+  // ---- write-audit-publish ------------------------------------------------
+
+  /** Handle for a staged (written, UNPUBLISHED) batch — the WAP unit. */
+  final case class Staged(
+      dir: String,
+      schemaJson: String,
+      partitionBy: Seq[String],
+      stats: Map[String, (String, String)])
+
+  /** WRITE half of write-audit-publish (the Iceberg WAP /
+    * `spark.wap.id` pattern): land the batch's parquet as an immutable
+    * commit dir WITHOUT publishing a manifest — readers cannot see it,
+    * time travel cannot reach it. Audit the staged data via
+    * [[readStaged]] (e.g. [[graft.operators.Expectations]]); then
+    * [[publishStaged]] makes it visible in one atomic manifest CAS — no
+    * second data write, audit-to-publish is metadata-only — or
+    * [[abortStaged]] deletes it. A crashed stage is an orphan dir that
+    * [[sweepOrphans]] reclaims after the grace window.
+    */
+  def stageAppend(
+      df: DataFrame,
+      partitionBy: Seq[String] = Seq.empty,
+      statsCols: Seq[String] = Seq.empty): Staged = {
+    val prev = latestVersion().map(readManifest)
+    val tableSchema = prev.flatMap(m =>
+      scala.util.Try(DataType.fromJson(m.schemaJson).asInstanceOf[StructType]).toOption)
+    val mergedSchema = mergeSchemas(tableSchema, df.schema, "evolve")
+    val tableParts = prev.map(_.partitionBy).getOrElse(Seq.empty)
+    val effParts = if (partitionBy.nonEmpty) partitionBy else tableParts
+    val effStats =
+      if (statsCols.nonEmpty) statsCols else prev.map(_.colMax.keys.toSeq).getOrElse(Seq.empty)
+    val (dirOpt, batchStats) = writeCommitDir(df, effParts, effStats)
+    Staged(dirOpt.get, mergedSchema.json, effParts, batchStats)
+  }
+
+  /** The staged batch exactly as a post-publish reader would see it. */
+  def readStaged(s: Staged): DataFrame = {
+    val base = dataDir.resolve(s.dir).toString
+    val schema = DataType.fromJson(s.schemaJson).asInstanceOf[StructType]
+    if (s.partitionBy.isEmpty) spark.read.schema(schema).parquet(base)
+    else spark.read.option("basePath", base).schema(schema).parquet(base)
+  }
+
+  /** AUDIT passed — publish atomically (append semantics, optimistic
+    * retry like any append; the data was already written once).
+    */
+  def publishStaged(s: Staged): Long = {
+    val schema = DataType.fromJson(s.schemaJson).asInstanceOf[StructType]
+    val batchMax = s.stats.map { case (c, (_, mx)) => c -> mx }
+    val prev = latestVersion().map(readManifest)
+    val merged = Stats.merge(prev.map(_.colMax).getOrElse(Map.empty), batchMax, schema)
+    commit("append", Seq(s.dir), keepExisting = true, schema, s.partitionBy, merged,
+      Seq(s.stats))
+  }
+
+  /** AUDIT failed — delete the staged dir; nothing was ever visible. */
+  def abortStaged(s: Staged): Unit = deleteDataDir(s.dir)
+
   /** Write-time schema contract. `evolve` (default, the Delta
     * `mergeSchema` stance): new columns are ADDED to the table schema
     * and older files read them as typed NULL; columns the batch omits

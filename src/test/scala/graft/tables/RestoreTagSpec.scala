@@ -38,6 +38,24 @@ class RestoreTagSpec extends SparkSpec {
     assert(t.incrementalFrom(feb, "ts").count() == 1)
   }
 
+  test("write-audit-publish: staged batches are invisible until the atomic publish") {
+    val t = LakeTable(spark, scratchDir("wap"))
+    t.append(Seq((1, 10.0)).toDF("id", "v"))
+    val staged = t.stageAppend(Seq((2, 20.0), (3, -1.0)).toDF("id", "v"))
+    // invisible to readers and to time travel while staged
+    assert(t.read().count() == 1)
+    assert(t.latestVersion().contains(0L))
+    // the audit sees exactly the would-be-published rows
+    assert(t.readStaged(staged).orderBy("id").collect().map(_.getInt(0)).toSeq == Seq(2, 3))
+    t.publishStaged(staged)
+    assert(t.read().count() == 3)
+    // an aborted stage leaves no trace
+    val bad = t.stageAppend(Seq((9, -9.0)).toDF("id", "v"))
+    t.abortStaged(bad)
+    assert(t.read().count() == 3)
+    assert(t.sweepOrphans(graceMs = 0L).isEmpty, "abort must have reclaimed the dir itself")
+  }
+
   test("tags pin snapshots through retention; deleting the tag releases them") {
     val t = LakeTable(spark, scratchDir("tags"))
     t.append(Seq((1, "a")).toDF("id", "v")) // v0

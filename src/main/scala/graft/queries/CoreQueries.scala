@@ -1644,6 +1644,32 @@ object CoreQueries {
       |SELECT c_custkey + 1000000, c_name, c_acctbal
       |FROM customer WHERE c_custkey % 7 = 0""".stripMargin
 
+  /** Table-level CHECK constraint
+    * ([[graft.tables.LakeTable.addCheckConstraint]], the Delta `ALTER
+    * TABLE ... ADD CONSTRAINT ... CHECK` semantics): enforcement rides
+    * every write's own observe pass, a violating batch leaves no trace,
+    * and the final table must contain exactly the conforming rows
+    * (CheckConstraintSpec pins the NULL-as-violation stance and every
+    * write path).
+    */
+  def checkConstraint(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Testdata.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val table = LakeTable(spark, scratch("checkcon"))
+    table.append(ev.filter(col("event_id") % 2 === 0))
+    table.addCheckConstraint("value_finite", "value IS NOT NULL AND abs(value) < 1e9")
+    table.append(ev.filter(col("event_id") % 2 =!= 0)) // conforming: lands
+    try table.append(
+      ev.filter(col("event_id") % 7 === 0)
+        .withColumn("value", col("value") + 2e9)) // violates: rejected
+    catch { case _: IllegalStateException => () }
+    table.read()
+      .select(col("event_id"), col("event_type"), round(col("value"), 4).as("value_r"))
+  }
+
+  val checkConstraintSql: String =
+    """SELECT event_id, event_type, round(value, 4) AS value_r FROM events""".stripMargin
+
   /** WRITE-AUDIT-PUBLISH ([[graft.tables.LakeTable.stageAppend]]): each
     * batch lands as an INVISIBLE staged commit dir, is audited there
     * with declarative expectations, and only then publishes — one
@@ -2086,6 +2112,7 @@ object CoreQueries {
     "q_partition_evolution" -> (partitionEvolution _),
     "q_restore_tag" -> (restoreTag _),
     "q_write_audit_publish" -> (writeAuditPublish _),
+    "q_check_constraint" -> (checkConstraint _),
     "q_merge_sql" -> (mergeSql _),
     "q_merge_sql_scd2" -> (mergeSqlScd2 _),
     "q_delete_sql" -> (deleteSql _),
@@ -2147,6 +2174,7 @@ object CoreQueries {
     "q_partition_evolution" -> partitionEvolutionSql,
     "q_restore_tag" -> restoreTagSql,
     "q_write_audit_publish" -> writeAuditPublishSql,
+    "q_check_constraint" -> checkConstraintSql,
     "q_merge_sql" -> mergeSqlOracleSql,
     "q_merge_sql_scd2" -> mergeSqlScd2OracleSql,
     "q_delete_sql" -> deleteSqlOracleSql,

@@ -144,46 +144,75 @@ final class LakeTable(val spark: SparkSession, val root: String) {
       df: DataFrame,
       partitionBy: Seq[String],
       statsCols: Seq[String] = Seq.empty,
-      writeOptions: Map[String, String] = Map.empty)
+      writeOptions: Map[String, String] = Map.empty,
+      constraints: Map[String, String] = Map.empty)
       : (Option[String], Map[String, (String, String)]) = {
     val commitName = s"commit-${UUID.randomUUID()}"
     val dest = dataDir.resolve(commitName)
     val present = statsCols.filter(df.columns.contains)
     present.foreach(c => Stats.requireSupported(df.schema(c).dataType, c))
+    // CHECK-constraint violation counts ride the SAME observe as the
+    // stats — enforcement costs zero extra scans; a NULL predicate is a
+    // violation (SQL CHECK stance, matching Expectations)
+    val consSeq = constraints.toSeq.sortBy(_._1)
+    val consAggs = consSeq.map { case (n, p) =>
+      sum(when(!coalesce(expr(p), lit(false)), 1L).otherwise(0L)).as(s"__viol_$n")
+    }
     val obs =
-      if (present.isEmpty) None else Some(new org.apache.spark.sql.Observation(commitName))
+      if (present.isEmpty && consSeq.isEmpty) None
+      else Some(new org.apache.spark.sql.Observation(commitName))
     val toWrite = obs match {
       case None => df
       case Some(o) =>
         val aggs = present.flatMap(c =>
-          Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c")))
+          Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c"))) ++ consAggs
         df.observe(o, aggs.head, aggs.tail: _*)
     }
     val writer = toWrite.write.mode("overwrite").options(writeOptions)
     val w = if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer
     w.parquet(dest.toString)
-    val stats: Map[String, (String, String)] = obs match {
-      case None => Map.empty
+    val (stats, violations): (Map[String, (String, String)], Seq[(String, Long)]) = obs match {
+      case None => (Map.empty, Seq.empty)
       case Some(o) =>
         try {
           val row = scala.concurrent.Await.result(
             o.future, scala.concurrent.duration.Duration(30, "seconds"))
-          present.flatMap { c =>
+          val st = present.flatMap { c =>
             val mn = Option(row.get(row.fieldIndex(s"__min_$c")))
             val mx = Option(row.get(row.fieldIndex(s"__max_$c")))
             mn.zip(mx).map { case (a, b) =>
               c -> ((Stats.toStringValue(a), Stats.toStringValue(b)))
             }
           }.toMap
+          val vi = consSeq.flatMap { case (n, _) =>
+            Option(row.get(row.fieldIndex(s"__viol_$n")))
+              .map(v => n -> v.asInstanceOf[Long])
+              .filter(_._2 > 0)
+          }
+          (st, vi)
         } catch {
           // NonFatal, not just TimeoutException: the parquet data is
           // already on disk at this point, so ANY await/listener failure
           // (interrupt wrappers, metric-delivery errors) must degrade to
-          // the footer-stats rescan rather than abort and orphan the
-          // commit dir.
+          // a rescan of the just-written dir rather than abort and
+          // orphan it — and constraints must still be CHECKED, never
+          // silently skipped.
           case scala.util.control.NonFatal(_) =>
-            statsOf(Seq(commitName), present)
+            val dir = spark.read.parquet(dest.toString)
+            val vi = consSeq.flatMap { case (n, p) =>
+              val bad = dir.filter(!coalesce(expr(p), lit(false))).count()
+              if (bad > 0) Some(n -> bad) else None
+            }
+            (statsOf(Seq(commitName), present), vi)
         }
+    }
+    if (violations.nonEmpty) {
+      // constraint enforcement: the written dir never reaches a
+      // manifest — delete it and fail the write loudly
+      deleteDataDir(commitName)
+      throw new IllegalStateException(
+        "CHECK constraint(s) violated by the batch: " +
+          violations.map { case (n, c) => s"$n ($c rows)" }.mkString(", "))
     }
     (Some(commitName), stats)
   }
@@ -267,7 +296,10 @@ final class LakeTable(val spark: SparkSession, val root: String) {
             dvs,
             // writer watermarks persist across every op (they track writer
             // progress, not data), updated by this commit's own txn if any
-            prevTxns ++ txn))
+            prevTxns ++ txn,
+            // CHECK constraints are table properties: they survive every
+            // op (add/drop go through their own dedicated commits)
+            prev.map(_.constraints).getOrElse(Map.empty)))
         result = version
         done = true
       } catch {
@@ -338,7 +370,8 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     val effParts = if (partitionBy.nonEmpty) partitionBy else tableParts
     val effStats =
       if (statsCols.nonEmpty) statsCols else prev.map(_.colMax.keys.toSeq).getOrElse(Seq.empty)
-    val (dirOpt, batchStats) = writeCommitDir(df, effParts, effStats, writeOptions)
+    val (dirOpt, batchStats) = writeCommitDir(
+      df, effParts, effStats, writeOptions, prev.map(_.constraints).getOrElse(Map.empty))
     val dirs = dirOpt.toSeq
     val batchMax = batchStats.map { case (c, (_, mx)) => c -> mx }
     val merged = Stats.merge(prev.map(_.colMax).getOrElse(Map.empty), batchMax, mergedSchema)
@@ -353,6 +386,57 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     */
   def txnVersion(writerId: String): Option[Long] =
     latestVersion().map(readManifest).flatMap(_.txns.get(writerId))
+
+  // ---- CHECK constraints --------------------------------------------------
+
+  /** Add a table-level CHECK constraint (Delta `ALTER TABLE ... ADD
+    * CONSTRAINT ... CHECK`): `predicate` is a SQL boolean expression
+    * over the table's columns. EXISTING data is validated first (one
+    * aggregation scan — a constraint the current table violates is
+    * rejected, never silently recorded), then the constraint lands as a
+    * metadata-only commit and every later write enforces it at zero
+    * extra cost — the violation counts ride the write's own `observe`
+    * pass, and a violating batch's commit dir is deleted before any
+    * manifest references it.
+    */
+  def addCheckConstraint(name: String, predicate: String): Long = {
+    require(name.matches("[A-Za-z0-9._-]{1,64}"), s"unsafe constraint name: $name")
+    val v = latestVersion().getOrElse(
+      throw new IllegalStateException(s"addCheckConstraint on empty table $root"))
+    val m = readManifest(v)
+    require(!m.constraints.contains(name), s"constraint $name already exists on $root")
+    val bad = read().filter(!coalesce(expr(predicate), lit(false))).count()
+    if (bad > 0)
+      throw new IllegalStateException(
+        s"cannot add CHECK $name: $bad existing rows violate ($predicate)")
+    val next = m.copy(
+      version = v + 1,
+      operation = s"add-constraint($name)",
+      timestampMs = System.currentTimeMillis(),
+      constraints = m.constraints + (name -> predicate))
+    writeManifest(next)
+    next.version
+  }
+
+  /** Drop a CHECK constraint (metadata-only commit; no-op version bump
+    * is avoided when the constraint doesn't exist).
+    */
+  def dropCheckConstraint(name: String): Long = {
+    val v = latestVersion().getOrElse(
+      throw new IllegalStateException(s"dropCheckConstraint on empty table $root"))
+    val m = readManifest(v)
+    if (!m.constraints.contains(name)) return v
+    val next = m.copy(
+      version = v + 1,
+      operation = s"drop-constraint($name)",
+      timestampMs = System.currentTimeMillis(),
+      constraints = m.constraints - name)
+    writeManifest(next)
+    next.version
+  }
+
+  def checkConstraints(): Map[String, String] =
+    latestVersion().map(readManifest).map(_.constraints).getOrElse(Map.empty)
 
   // ---- write-audit-publish ------------------------------------------------
 
@@ -385,7 +469,8 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     val effParts = if (partitionBy.nonEmpty) partitionBy else tableParts
     val effStats =
       if (statsCols.nonEmpty) statsCols else prev.map(_.colMax.keys.toSeq).getOrElse(Seq.empty)
-    val (dirOpt, batchStats) = writeCommitDir(df, effParts, effStats)
+    val (dirOpt, batchStats) = writeCommitDir(
+      df, effParts, effStats, constraints = prev.map(_.constraints).getOrElse(Map.empty))
     Staged(dirOpt.get, mergedSchema.json, effParts, batchStats)
   }
 
@@ -526,7 +611,8 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     // predates the declaration must still establish the watermark.
     val effStats =
       (statsCols ++ prev.map(_.colMax.keys.toSeq).getOrElse(Seq.empty)).distinct
-    val (dirOpt, batchStats) = writeCommitDir(df, effParts, effStats)
+    val (dirOpt, batchStats) = writeCommitDir(
+      df, effParts, effStats, constraints = prev.map(_.constraints).getOrElse(Map.empty))
     commit("overwrite", dirOpt.toSeq, keepExisting = false, df.schema, effParts,
       batchStats.map { case (c, (_, mx)) => c -> mx },
       dirOpt.toSeq.map(_ => batchStats), txn = txn)
@@ -574,7 +660,8 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     val affectedSet = affected.toSet
     val p0Name = prev.partitionBy.head
 
-    val (newDirOpt, newStats) = writeCommitDir(df, prev.partitionBy, prev.colMax.keys.toSeq)
+    val (newDirOpt, newStats) = writeCommitDir(
+      df, prev.partitionBy, prev.colMax.keys.toSeq, constraints = prev.constraints)
     val newDir = newDirOpt.get
     val oldStats = prev.commitDirs.zip(prev.effectiveDirStats).toMap
     val oldFileStats = prev.commitDirs.zip(prev.effectiveFileStats).toMap
@@ -997,7 +1084,8 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     writeDvSidecar(m, condition) match {
       case None => v
       case Some(dv) =>
-        val (dirOpt, batchStats) = writeCommitDir(updated, m.partitionBy, m.colMax.keys.toSeq)
+        val (dirOpt, batchStats) = writeCommitDir(
+          updated, m.partitionBy, m.colMax.keys.toSeq, constraints = m.constraints)
         commit("update", dirOpt.toSeq, keepExisting = true, schema, m.partitionBy,
           batchStats.map { case (c, (_, mx)) => c -> mx },
           dirOpt.toSeq.map(_ => batchStats), newDvFiles = Seq(dv))
@@ -1469,7 +1557,8 @@ object LakeTable {
       dirStats: Seq[Map[String, (String, String)]] = Seq.empty,
       fileStats: Seq[Map[String, Map[String, (String, String)]]] = Seq.empty,
       dvFiles: Seq[String] = Seq.empty,
-      txns: Map[String, Long] = Map.empty) {
+      txns: Map[String, Long] = Map.empty,
+      constraints: Map[String, String] = Map.empty) {
 
     /** Per-dir partition scope (leading partition column values); empty
       * seq = whole dir. Normalized to commitDirs length.
@@ -1535,6 +1624,7 @@ object LakeTable {
         s""""fileStats":$fileStatsJson,""" +
         s""""dvFiles":[${dvFiles.map(qs).mkString(",")}],""" +
         s""""txns":${txns.toSeq.sortBy(_._1).map { case (k, v) => s"${qs(k)}:$v" }.mkString("{", ",", "}")},""" +
+        s""""constraints":${constraints.toSeq.sortBy(_._1).map { case (k, v) => s"${qs(k)}:${qs(v)}" }.mkString("{", ",", "}")},""" +
         s""""schema":${qs(schemaJson)}}"""
     }
   }
@@ -1695,6 +1785,14 @@ object LakeTable {
           val it = obj.fieldNames()
           val b = Map.newBuilder[String, Long]
           while (it.hasNext) { val k = it.next(); b += k -> obj.get(k).asLong() }
+          b.result()
+        },
+        if (!node.has("constraints")) Map.empty[String, String]
+        else {
+          val obj = node.get("constraints")
+          val it = obj.fieldNames()
+          val b = Map.newBuilder[String, String]
+          while (it.hasNext) { val k = it.next(); b += k -> obj.get(k).asText() }
           b.result()
         })
     }

@@ -233,4 +233,78 @@ class PropertySpec extends SparkSpec {
       assert(got == Seq(trueMax + 1L), s"batches=$batches got=$got")
     }
   }
+
+  test("Misra-Gries: never over-counts, n/(k+1) under-bound, heavy items always survive") {
+    val streamGen: Gen[List[String]] = Gen.listOfN(
+      400, Gen.frequency(
+        5 -> Gen.const("hot"),
+        3 -> Gen.oneOf("w1", "w2", "w3"),
+        4 -> Gen.chooseNum(0, 200).map(i => s"t$i")))
+    forAllSeeded(Gen.zip(streamGen, Gen.chooseNum(4, 16)), 6) { case (items, k) =>
+      val got = items.toDF("item")
+        .repartition(5)
+        .agg(graft.functions.Sketches.mgTopK(spark, col("item"), k).as("mg"))
+        .select(explode(col("mg")))
+        .select(col("col.item"), col("col.est"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val n = items.size
+      assert(got.size <= k)
+      got.foreach { case (item, est) =>
+        val truth = items.count(_ == item).toLong
+        assert(est <= truth, s"k=$k $item over-counted: $est > $truth")
+        assert(est >= truth - n / (k + 1), s"k=$k $item under bound broken")
+      }
+      // guaranteed survivors: anything above the n/(k+1) threshold
+      val counts = items.groupBy(identity).view.mapValues(_.size.toLong)
+      counts.filter(_._2 > n / (k + 1)).keys.foreach { h =>
+        assert(got.contains(h), s"k=$k heavy $h (freq ${counts(h)}) evicted: $got")
+      }
+    }
+  }
+
+  test("Hilbert key: bijective and reference-equal on random orders; neighbors stay adjacent") {
+    forAllSeeded(Gen.chooseNum(2, 5), 4) { order =>
+      def ref(o: Int, xIn: Long, yIn: Long): Long = {
+        var (x, y, d) = (xIn, yIn, 0L)
+        var s = 1L << (o - 1)
+        while (s > 0) {
+          val rx = if ((x & s) > 0) 1L else 0L
+          val ry = if ((y & s) > 0) 1L else 0L
+          d += s * s * ((3 * rx) ^ ry)
+          if (ry == 0) {
+            if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+            val t = x; x = y; y = t
+          }
+          s >>= 1
+        }
+        d
+      }
+      val side = 1 << order
+      val cells = for { x <- 0L until side; y <- 0L until side } yield (x, y)
+      val got = cells.toDF("x", "y")
+        .select($"x", $"y", graft.functions.ZOrder.hilbertKey($"x", $"y", order).as("d"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      cells.foreach { case (x, y) => assert(got((x, y)) == ref(order, x, y)) }
+      assert(got.values.toSet == (0L until side.toLong * side).toSet, "must be a bijection")
+      val walk = got.toSeq.sortBy(_._2).map(_._1)
+      walk.sliding(2).foreach { case Seq((x1, y1), (x2, y2)) =>
+        assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1L, s"order=$order jumped")
+      }
+    }
+  }
+
+  test("EWMA fold: splitting the stream at any point and resuming is exact (streaming == batch)") {
+    val valsGen = Gen.listOfN(30, Gen.chooseNum(-1000, 1000).map(_ / 7.0))
+    forAllSeeded(Gen.zip(valsGen, Gen.chooseNum(1, 29)), 8) { case (vals, cut) =>
+      def fold(init: Option[Double], xs: Seq[Double]): Option[Double] =
+        xs.foldLeft(init) { (acc, v) => Some(acc.fold(v)(a => 0.5 * v + 0.5 * a)) }
+      val whole = fold(None, vals)
+      val (a, b) = vals.splitAt(cut)
+      val resumed = fold(fold(None, a), b)
+      // bit-exact, not approximately-equal: this is the identity that
+      // lets q_stream_ewma hash-match the batch oracle across waves
+      assert(whole.get == resumed.get,
+        s"cut=$cut whole=${whole.get} resumed=${resumed.get}")
+    }
+  }
 }

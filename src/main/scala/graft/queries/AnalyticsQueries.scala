@@ -786,6 +786,61 @@ object AnalyticsQueries {
     """SELECT l_returnflag, count(*) AS n_big, max(l_extendedprice) AS max_price
       |FROM lineitem WHERE l_quantity > 30 GROUP BY l_returnflag""".stripMargin
 
+  /** Typed COGROUP reconciliation — the `KeyValueGroupedDataset.cogroup`
+    * API surface: per order key, both sides' iterators arrive together
+    * and ONE row reports the match status + line totals, including keys
+    * present on only one side (the full-outer semantics a typed
+    * reconciler needs, here forced by sampling the two sides on
+    * different moduli). Line sums are integer cents: cogroup iterators
+    * carry no intra-group order, so a float sum would be
+    * partitioning-dependent — integer addition is not.
+    */
+  def cogroupReconcile(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val orders = spark.read.parquet(tablePath(sfDir, "orders"))
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .filter(col("o_orderkey") % 2 === 0)
+      .as[OrderSlim]
+    val lines = spark.read.parquet(tablePath(sfDir, "lineitem"))
+      .select(
+        col("l_orderkey"),
+        expr("cast(round(l_extendedprice * 100) as bigint)").as("cents"))
+      .filter(col("l_orderkey") % 3 === 0)
+      .as[LineCents]
+    orders
+      .groupByKey(_.o_orderkey)
+      .cogroup(lines.groupByKey(_.l_orderkey)) { (k, os, ls) =>
+        val hasOrder = os.nonEmpty
+        var n = 0L
+        var cents = 0L
+        ls.foreach { l => n += 1; cents += l.cents }
+        val status =
+          if (!hasOrder) "orphan_lines"
+          else if (n == 0) "no_lines"
+          else "matched"
+        Iterator.single((k, status, n, cents))
+      }
+      .toDF("orderkey", "status", "n_lines", "line_cents")
+      .select(
+        col("orderkey"), col("status"), col("n_lines"),
+        round(col("line_cents") / 100.0, 2).as("line_sum"))
+  }
+
+  val cogroupReconcileSql: String =
+    """WITH o AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0),
+      |l AS (SELECT l_orderkey,
+      |             CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
+      |      FROM lineitem WHERE l_orderkey % 3 = 0),
+      |la AS (SELECT l_orderkey AS k, count(*) AS n_lines, sum(pc) AS line_cents
+      |       FROM l GROUP BY 1)
+      |SELECT coalesce(o.o_orderkey, la.k) AS orderkey,
+      |       CASE WHEN o.o_orderkey IS NULL THEN 'orphan_lines'
+      |            WHEN la.k IS NULL THEN 'no_lines'
+      |            ELSE 'matched' END AS status,
+      |       coalesce(la.n_lines, 0) AS n_lines,
+      |       round(CAST(coalesce(la.line_cents, 0) AS DOUBLE) / 100.0, 2) AS line_sum
+      |FROM o FULL OUTER JOIN la ON o.o_orderkey = la.k""".stripMargin
+
   /** ORC round trip: same rows back through the other columnar format
     * (sources/sinks beyond parquet/CSV/JSON).
     */
@@ -1566,6 +1621,7 @@ object AnalyticsQueries {
     "q_collect_set" -> (collectSet _),
     "q_weighted_avg" -> (weightedAvg _),
     "q_typed_pipeline" -> (typedPipeline _),
+    "q_cogroup_reconcile" -> (cogroupReconcile _),
     "q_orc_roundtrip" -> (orcRoundtrip _),
     "q_jsonl_roundtrip" -> (jsonlRoundtrip _),
     "q_cube_agg" -> (cubeAgg _),
@@ -1610,6 +1666,7 @@ object AnalyticsQueries {
     "q_collect_set" -> collectSetSql,
     "q_weighted_avg" -> weightedAvgSql,
     "q_typed_pipeline" -> typedPipelineSql,
+    "q_cogroup_reconcile" -> cogroupReconcileSql,
     "q_orc_roundtrip" -> orcRoundtripSql,
     "q_jsonl_roundtrip" -> jsonlRoundtripSql,
     "q_cube_agg" -> cubeAggSql,
@@ -1652,3 +1709,7 @@ final case class LineitemSlim(
     l_quantity: Double,
     l_extendedprice: Double,
     l_returnflag: String)
+
+/** Typed views for the cogroup reconciliation. */
+final case class OrderSlim(o_orderkey: Long, o_totalprice: Double)
+final case class LineCents(l_orderkey: Long, cents: Long)

@@ -538,6 +538,36 @@ object ScaleQueries {
   val callMaintenanceSql: String =
     "SELECT n_nationkey, n_name, n_regionkey FROM nation"
 
+  /** GOVERNANCE as SQL (`CALL lake.system.*`, extending the Iceberg
+    * procedure surface to this round's snapshot ops): tag the raw
+    * load, add a CHECK constraint, append a second wave under
+    * enforcement, then `restore` back to the tagged snapshot — every
+    * step a one-statement SQL call. The final read must equal the raw
+    * load (restore is manifest-only; the oracle checks content, the
+    * specs pin the mechanics).
+    */
+  def callGovernance(spark: SparkSession, sfDir: String): DataFrame = {
+    val cat = Catalog(spark, graft.util.TempDirs.scratch("callgov"))
+    cat.createSchema("gold")
+    val ev = Testdata.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val t = cat.table("gold", "ev")
+    t.append(ev.filter(col("event_id") % 2 === 0)) // v0: the raw load
+    cat.attachSqlCatalog("lake")
+    cat.sql("CALL lake.system.create_tag(`table` => 'gold.ev', name => 'raw')")
+    cat.sql(
+      "CALL lake.system.add_check_constraint(`table` => 'gold.ev', " +
+        "name => 'value_present', predicate => 'value IS NOT NULL')")
+    t.append(ev.filter(col("event_id") % 2 =!= 0)) // enforced append
+    cat.sql("CALL lake.system.restore(`table` => 'gold.ev', version => 0)")
+    cat.sql(
+      "SELECT event_id, event_type, round(value, 4) AS value_r FROM lake.gold.ev")
+  }
+
+  val callGovernanceSql: String =
+    """SELECT event_id, event_type, round(value, 4) AS value_r
+      |FROM events WHERE event_id % 2 = 0""".stripMargin
+
   /** Predicate pushdown through the DSv2 read bridge, end-to-end: the
     * WHERE clause must both PRUNE (pushFilters → LakeTable.read().
     * filter → parquet row-group stats; plan shape pinned by
@@ -620,6 +650,7 @@ object ScaleQueries {
     "q_snapshots_sql" -> (snapshotsMetaSql _),
     "q_partitioned_ddl" -> (partitionedDdl _),
     "q_call_maintenance" -> (callMaintenance _),
+    "q_call_governance" -> (callGovernance _),
     "q_sql_pushdown" -> (sqlPushdown _),
     "q_stream_dedup" -> (streamDedup _))
 
@@ -643,6 +674,7 @@ object ScaleQueries {
     "q_snapshots_sql" -> snapshotsMetaSqlSql,
     "q_partitioned_ddl" -> partitionedDdlSql,
     "q_call_maintenance" -> callMaintenanceSql,
+    "q_call_governance" -> callGovernanceSql,
     "q_sql_pushdown" -> sqlPushdownSql,
     "q_stream_dedup" -> streamDedupSql)
 }

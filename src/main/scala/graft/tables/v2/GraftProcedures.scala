@@ -81,7 +81,9 @@ object GraftProcedures {
 
   val namespace: Array[String] = Array("system")
 
-  val names: Seq[String] = Seq("compact", "compact_clustered", "expire_snapshots", "sweep_orphans")
+  val names: Seq[String] = Seq(
+    "compact", "compact_clustered", "expire_snapshots", "sweep_orphans",
+    "restore", "create_tag", "drop_tag", "add_check_constraint", "drop_check_constraint")
 
   /** Resolve `lake.system.<name>`; unknown names fail loudly. */
   def load(root: String, name: String): UnboundProcedure = name.toLowerCase match {
@@ -143,6 +145,59 @@ object GraftProcedures {
           val removed = t.sweepOrphans(in.getLong(1))
           Array[Any](removed.length, UTF8String.fromString(removed.mkString(",")))
         },
+        root)
+    case "restore" =>
+      // Delta RESTORE TABLE ... TO VERSION AS OF / Iceberg rollback:
+      // manifest-only republish of a historical snapshot
+      new MaintenanceProcedure(
+        "restore",
+        Array(
+          tableParam,
+          ProcedureParameter.in("version", LongType)
+            .comment("snapshot version to roll the table back to").build()),
+        StructType(Seq(StructField("restored_as_version", LongType, nullable = false))),
+        (t, in) => Array[Any](t.restore(in.getLong(1))),
+        root)
+    case "create_tag" =>
+      new MaintenanceProcedure(
+        "create_tag",
+        Array(
+          tableParam,
+          ProcedureParameter.in("name", StringType).build(),
+          ProcedureParameter.in("version", LongType).defaultValue("-1")
+            .comment("snapshot to tag; -1 = latest").build()),
+        StructType(Seq(StructField("tagged_version", LongType, nullable = false))),
+        (t, in) => Array[Any](
+          t.createTag(
+            in.getUTF8String(1).toString,
+            Some(in.getLong(2)).filter(_ >= 0L))),
+        root)
+    case "drop_tag" =>
+      new MaintenanceProcedure(
+        "drop_tag",
+        Array(tableParam, ProcedureParameter.in("name", StringType).build()),
+        StructType(Seq(StructField("dropped", BooleanType, nullable = false))),
+        (t, in) => Array[Any](t.deleteTag(in.getUTF8String(1).toString)),
+        root)
+    case "add_check_constraint" =>
+      new MaintenanceProcedure(
+        "add_check_constraint",
+        Array(
+          tableParam,
+          ProcedureParameter.in("name", StringType).build(),
+          ProcedureParameter.in("predicate", StringType)
+            .comment("SQL boolean expression every row must satisfy").build()),
+        StructType(Seq(StructField("version", LongType, nullable = false))),
+        (t, in) => Array[Any](
+          t.addCheckConstraint(
+            in.getUTF8String(1).toString, in.getUTF8String(2).toString)),
+        root)
+    case "drop_check_constraint" =>
+      new MaintenanceProcedure(
+        "drop_check_constraint",
+        Array(tableParam, ProcedureParameter.in("name", StringType).build()),
+        StructType(Seq(StructField("version", LongType, nullable = false))),
+        (t, in) => Array[Any](t.dropCheckConstraint(in.getUTF8String(1).toString)),
         root)
     case other =>
       throw new RuntimeException(

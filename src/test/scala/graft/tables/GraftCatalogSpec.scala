@@ -386,5 +386,14 @@ class GraftCatalogSpec extends SparkSpec {
     intercept[Exception](spark.sql(s"CALL $name.system.nope()").collect())
     intercept[Exception](spark.sql(
       s"CALL $name.system.compact(`table` => '../escape')").collect())
+    // governance procedures: happy paths are oracle-gated
+    // (q_call_governance); the failure paths must be loud too
+    intercept[Exception](spark.sql(
+      s"CALL $name.system.restore(`table` => 'silver.facts', version => 999)").collect())
+    intercept[Exception](spark.sql(
+      s"CALL $name.system.add_check_constraint(`table` => 'silver.facts', " +
+        "name => 'impossible', predicate => '1 = 0')").collect())
+    intercept[Exception](spark.sql(
+      s"CALL $name.system.create_tag(`table` => 'silver.facts', name => 'x/../y')").collect())
   }
 }

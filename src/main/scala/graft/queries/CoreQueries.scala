@@ -1644,6 +1644,40 @@ object CoreQueries {
       |SELECT c_custkey + 1000000, c_name, c_acctbal
       |FROM customer WHERE c_custkey % 7 = 0""".stripMargin
 
+  /** DESCRIBE DETAIL-style table summary (Delta `DESCRIBE DETAIL` /
+    * Iceberg metadata tables): version, layout, governance state, and
+    * row count straight from the manifest + metadata machinery — the
+    * operational one-row view an admin queries before touching a
+    * table. Every field is a deterministic function of the
+    * construction, so the oracle is a VALUES literal.
+    */
+  def tableDetail(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Testdata.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val table = LakeTable(spark, scratch("detail"))
+    table.append(ev.filter(col("event_id") % 2 === 0), partitionBy = Seq("event_type"))
+    table.append(ev.filter(col("event_id") % 2 =!= 0))
+    table.createTag("raw")
+    table.addCheckConstraint("value_present", "value IS NOT NULL")
+    val m = table.snapshots().orderBy(col("version").desc).limit(1)
+      .select(col("version"), col("num_commit_dirs")).head()
+    Seq((
+      m.getLong(0),
+      m.getInt(1).toLong,
+      "event_type",
+      table.listTags().size.toLong,
+      table.checkConstraints().size.toLong,
+      table.read().count()))
+      .toDF("version", "n_commit_dirs", "partition_by", "n_tags", "n_constraints", "n_rows")
+  }
+
+  val tableDetailSql: String =
+    """SELECT CAST(2 AS BIGINT) AS version, CAST(2 AS BIGINT) AS n_commit_dirs,
+      |       'event_type' AS partition_by, CAST(1 AS BIGINT) AS n_tags,
+      |       CAST(1 AS BIGINT) AS n_constraints,
+      |       (SELECT count(*) FROM events) AS n_rows""".stripMargin
+
   /** Table-level CHECK constraint
     * ([[graft.tables.LakeTable.addCheckConstraint]], the Delta `ALTER
     * TABLE ... ADD CONSTRAINT ... CHECK` semantics): enforcement rides
@@ -2113,6 +2147,7 @@ object CoreQueries {
     "q_restore_tag" -> (restoreTag _),
     "q_write_audit_publish" -> (writeAuditPublish _),
     "q_check_constraint" -> (checkConstraint _),
+    "q_table_detail" -> (tableDetail _),
     "q_merge_sql" -> (mergeSql _),
     "q_merge_sql_scd2" -> (mergeSqlScd2 _),
     "q_delete_sql" -> (deleteSql _),
@@ -2175,6 +2210,7 @@ object CoreQueries {
     "q_restore_tag" -> restoreTagSql,
     "q_write_audit_publish" -> writeAuditPublishSql,
     "q_check_constraint" -> checkConstraintSql,
+    "q_table_detail" -> tableDetailSql,
     "q_merge_sql" -> mergeSqlOracleSql,
     "q_merge_sql_scd2" -> mergeSqlScd2OracleSql,
     "q_delete_sql" -> deleteSqlOracleSql,

@@ -1644,6 +1644,40 @@ object CoreQueries {
       |SELECT c_custkey + 1000000, c_name, c_acctbal
       |FROM customer WHERE c_custkey % 7 = 0""".stripMargin
 
+  /** TABLE DIFF — the migration-validation operator (the check a user
+    * runs after a rewrite/restore/backfill): symmetric MULTISET
+    * difference between two snapshots of the same table, one row per
+    * divergent tuple with its side and copy-count delta. `EXCEPT ALL`
+    * both ways (hash aggregation on the full row, never a sort), so a
+    * lost duplicate copy surfaces even when a DISTINCT diff would hide
+    * it. Here: current state vs the pre-update snapshot of a table
+    * that took one merge-on-read update — the diff must be exactly the
+    * updated row's before/after pair.
+    */
+  def tableDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Testdata.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .filter(col("event_id") % 5 === 0)
+    val table = LakeTable(spark, scratch("tdiff"))
+    table.append(ev)
+    table.updateWhere(col("event_id") === 100, Map("value" -> lit(123.5)))
+    val before = table.read(versionAsOf = Some(0L))
+    val after = table.read()
+    val gone = before.exceptAll(after).withColumn("side", lit("removed"))
+    val added = after.exceptAll(before).withColumn("side", lit("added"))
+    gone.unionByName(added)
+      .groupBy(col("side"), col("event_id"), col("event_type"), round(col("value"), 4).as("value_r"))
+      .agg(count(lit(1)).as("n_copies"))
+  }
+
+  val tableDiffSql: String =
+    """SELECT 'removed' AS side, event_id, event_type,
+      |       round(value, 4) AS value_r, CAST(1 AS BIGINT) AS n_copies
+      |FROM events WHERE event_id = 100
+      |UNION ALL
+      |SELECT 'added', 100, (SELECT event_type FROM events WHERE event_id = 100),
+      |       123.5, CAST(1 AS BIGINT)""".stripMargin
+
   /** DESCRIBE DETAIL-style table summary (Delta `DESCRIBE DETAIL` /
     * Iceberg metadata tables): version, layout, governance state, and
     * row count straight from the manifest + metadata machinery — the
@@ -2148,6 +2182,7 @@ object CoreQueries {
     "q_write_audit_publish" -> (writeAuditPublish _),
     "q_check_constraint" -> (checkConstraint _),
     "q_table_detail" -> (tableDetail _),
+    "q_table_diff" -> (tableDiff _),
     "q_merge_sql" -> (mergeSql _),
     "q_merge_sql_scd2" -> (mergeSqlScd2 _),
     "q_delete_sql" -> (deleteSql _),
@@ -2211,6 +2246,7 @@ object CoreQueries {
     "q_write_audit_publish" -> writeAuditPublishSql,
     "q_check_constraint" -> checkConstraintSql,
     "q_table_detail" -> tableDetailSql,
+    "q_table_diff" -> tableDiffSql,
     "q_merge_sql" -> mergeSqlOracleSql,
     "q_merge_sql_scd2" -> mergeSqlScd2OracleSql,
     "q_delete_sql" -> deleteSqlOracleSql,

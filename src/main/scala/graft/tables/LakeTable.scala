@@ -155,6 +155,7 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     // stats — enforcement costs zero extra scans; a NULL predicate is a
     // violation (SQL CHECK stance, matching Expectations)
     val consSeq = constraints.toSeq.sortBy(_._1)
+    requireConstraintColumns(consSeq, df.columns)
     val consAggs = consSeq.map { case (n, p) =>
       sum(when(!coalesce(expr(p), lit(false)), 1L).otherwise(0L)).as(s"__viol_$n")
     }
@@ -198,7 +199,14 @@ final class LakeTable(val spark: SparkSession, val root: String) {
           // orphan it — and constraints must still be CHECKED, never
           // silently skipped.
           case scala.util.control.NonFatal(_) =>
-            val dir = spark.read.parquet(dest.toString)
+            // declared schema, not inference: a partitioned commit's
+            // partition column would be re-inferred (string -> int),
+            // making typed constraint predicates throw inside this
+            // fallback and orphan the dir instead of degrading
+            val dir = spark.read
+              .option("basePath", dest.toString)
+              .schema(df.schema)
+              .parquet(dest.toString)
             val vi = consSeq.flatMap { case (n, p) =>
               val bad = dir.filter(!coalesce(expr(p), lit(false))).count()
               if (bad > 0) Some(n -> bad) else None
@@ -215,6 +223,28 @@ final class LakeTable(val spark: SparkSession, val root: String) {
           violations.map { case (n, c) => s"$n ($c rows)" }.mkString(", "))
     }
     (Some(commitName), stats)
+  }
+
+  /** A batch that omits a constrained column would read as NULL after
+    * schema evolution, and the documented NULL-as-violation CHECK stance
+    * rejects that — fail with the standard violation error up front
+    * instead of an opaque AnalysisException from `observe` construction.
+    */
+  private def requireConstraintColumns(
+      consSeq: Seq[(String, String)],
+      batchCols: Array[String]): Unit = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+    consSeq.foreach { case (n, p) =>
+      val missing = CatalystSqlParser.parseExpression(p).collect {
+        case ua: UnresolvedAttribute => ua.nameParts.head
+      }.distinct.filterNot(r => batchCols.exists(_.equalsIgnoreCase(r)))
+      if (missing.nonEmpty)
+        throw new IllegalStateException(
+          s"CHECK constraint(s) violated by the batch: $n (batch omits " +
+            s"constrained column(s) ${missing.mkString(", ")}; omitted columns " +
+            "read as NULL after evolution, and NULL fails CHECK)")
+    }
   }
 
   /** Commit with optimistic concurrency. An APPEND whose claimed
@@ -445,7 +475,11 @@ final class LakeTable(val spark: SparkSession, val root: String) {
       dir: String,
       schemaJson: String,
       partitionBy: Seq[String],
-      stats: Map[String, (String, String)])
+      stats: Map[String, (String, String)],
+      // constraints that were enforced at stage time — publishStaged
+      // re-validates only the DRIFT against these (constraints added or
+      // changed between stage and publish)
+      constraintsAtStage: Map[String, String] = Map.empty)
 
   /** WRITE half of write-audit-publish (the Iceberg WAP /
     * `spark.wap.id` pattern): land the batch's parquet as an immutable
@@ -469,9 +503,10 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     val effParts = if (partitionBy.nonEmpty) partitionBy else tableParts
     val effStats =
       if (statsCols.nonEmpty) statsCols else prev.map(_.colMax.keys.toSeq).getOrElse(Seq.empty)
+    val enforced = prev.map(_.constraints).getOrElse(Map.empty)
     val (dirOpt, batchStats) = writeCommitDir(
-      df, effParts, effStats, constraints = prev.map(_.constraints).getOrElse(Map.empty))
-    Staged(dirOpt.get, mergedSchema.json, effParts, batchStats)
+      df, effParts, effStats, constraints = enforced)
+    Staged(dirOpt.get, mergedSchema.json, effParts, batchStats, enforced)
   }
 
   /** The staged batch exactly as a post-publish reader would see it. */
@@ -489,6 +524,31 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     val schema = DataType.fromJson(s.schemaJson).asInstanceOf[StructType]
     val batchMax = s.stats.map { case (c, (_, mx)) => c -> mx }
     val prev = latestVersion().map(readManifest)
+    // constraints added or changed since stage time were never enforced
+    // against this batch (stageAppend checked the set visible THEN;
+    // addCheckConstraint validates only published data) — re-validate
+    // the drift before making the batch visible. One scan of the staged
+    // dir, and only in the drift case; unchanged constraints cost zero.
+    val drift = prev.map(_.constraints).getOrElse(Map.empty)
+      .filter { case (n, p) => !s.constraintsAtStage.get(n).contains(p) }
+      .toSeq.sortBy(_._1)
+    if (drift.nonEmpty) {
+      val staged = readStaged(s)
+      requireConstraintColumns(drift, staged.columns)
+      val aggs = drift.map { case (n, p) =>
+        sum(when(!coalesce(expr(p), lit(false)), 1L).otherwise(0L)).as(s"__viol_$n")
+      }
+      val row = staged.agg(aggs.head, aggs.tail: _*).head()
+      val violations = drift.flatMap { case (n, _) =>
+        Option(row.get(row.fieldIndex(s"__viol_$n")))
+          .map(v => n -> v.asInstanceOf[Long]).filter(_._2 > 0)
+      }
+      if (violations.nonEmpty)
+        throw new IllegalStateException(
+          "CHECK constraint(s) added since stage time violated by the staged batch: " +
+            violations.map { case (n, c) => s"$n ($c rows)" }.mkString(", ") +
+            " — abortStaged or drop the constraint")
+    }
     val merged = Stats.merge(prev.map(_.colMax).getOrElse(Map.empty), batchMax, schema)
     commit("append", Seq(s.dir), keepExisting = true, schema, s.partitionBy, merged,
       Seq(s.stats))
@@ -1042,7 +1102,11 @@ final class LakeTable(val spark: SparkSession, val root: String) {
         s" (data dir $dataDir) — _metadata.file_path rendering changed?")
     val name = s"dv-${UUID.randomUUID()}.parquet"
     Files.createDirectories(dvDir)
-    hits.coalesce(1).write.mode("overwrite").parquet(dvDir.resolve(name).toString)
+    // no coalesce(1): each scan task writes its own hit shard (empty
+    // tasks emit no file), so a mass delete's 10^9 hits never serialize
+    // through one writer; the read side already opens the sidecar as a
+    // directory, selective deletes still land a single small file
+    hits.write.mode("overwrite").parquet(dvDir.resolve(name).toString)
     Some(name)
   }
 
@@ -1084,11 +1148,21 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     writeDvSidecar(m, condition) match {
       case None => v
       case Some(dv) =>
-        val (dirOpt, batchStats) = writeCommitDir(
-          updated, m.partitionBy, m.colMax.keys.toSeq, constraints = m.constraints)
-        commit("update", dirOpt.toSeq, keepExisting = true, schema, m.partitionBy,
-          batchStats.map { case (c, (_, mx)) => c -> mx },
-          dirOpt.toSeq.map(_ => batchStats), newDvFiles = Seq(dv))
+        // the sidecar is unreferenced until the commit below lands — on
+        // ANY failure after it is written (constraint violation in
+        // writeCommitDir, version conflict) delete it instead of leaving
+        // an orphan that only a sweepOrphans pass would reclaim
+        try {
+          val (dirOpt, batchStats) = writeCommitDir(
+            updated, m.partitionBy, m.colMax.keys.toSeq, constraints = m.constraints)
+          commit("update", dirOpt.toSeq, keepExisting = true, schema, m.partitionBy,
+            batchStats.map { case (c, (_, mx)) => c -> mx },
+            dirOpt.toSeq.map(_ => batchStats), newDvFiles = Seq(dv))
+        } catch {
+          case t: Throwable =>
+            deleteRecursively(dvDir.resolve(dv))
+            throw t
+        }
     }
   }
 
@@ -1354,13 +1428,14 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     deadDirs.size
   }
 
-  private def deleteDataDir(d: String): Unit = {
-    val dir = dataDir.resolve(d)
+  private def deleteDataDir(d: String): Unit = deleteRecursively(dataDir.resolve(d))
+
+  private def deleteRecursively(dir: java.nio.file.Path): Unit = {
     if (Files.isDirectory(dir)) {
       val walk = Files.walk(dir)
       try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
       finally walk.close()
-    }
+    } else Files.deleteIfExists(dir)
   }
 
   /** Reclaim orphan commit dirs: data dirs referenced by NO existing
@@ -1678,7 +1753,11 @@ object LakeTable {
     }
 
     def geq(a: String, b: String, dt: DataType): Boolean = dt match {
-      case DoubleType | FloatType => a.toDouble >= b.toDouble
+      // Double.compare, not `>=`: IEEE comparisons against NaN are all
+      // false, which would let a NaN dir stat lose both the min and the
+      // max fold — serving a metadata MIN/MAX that differs from a real
+      // scan (Spark's min/max aggregates order NaN as the largest value).
+      case DoubleType | FloatType => java.lang.Double.compare(a.toDouble, b.toDouble) >= 0
       case _: DecimalType => new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b)) >= 0
       case _ => a.toLong >= b.toLong // micros / epoch days / integral
     }

@@ -62,10 +62,14 @@ object GenScale {
       val shifted = d.withColumn("vec_id", col("vec_id") + lit(i * Shift))
       if (i == 0) shifted
       else {
+        // Circular shift has period 64 in `i`; for >64 copies, copies i and
+        // i-64 would otherwise carry IDENTICAL vectors (cross-copy cosine 1.0,
+        // i.e. planted exact near-dups). Negating every second period keeps
+        // norms intact and pins that cross-copy cosine at -1 instead.
         val by = (i * 5) % 64
-        shifted.withColumn(
-          "embedding",
-          concat(slice(col("embedding"), by + 1, 64 - by), slice(col("embedding"), 1, by)))
+        val rotated = concat(slice(col("embedding"), by + 1, 64 - by), slice(col("embedding"), 1, by))
+        val decorrelated = if ((i / 64) % 2 == 1) transform(rotated, x => -x) else rotated
+        shifted.withColumn("embedding", decorrelated)
       }
     }
 

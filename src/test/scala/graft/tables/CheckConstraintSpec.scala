@@ -41,6 +41,16 @@ class CheckConstraintSpec extends SparkSpec {
       t.updateWhere($"id" === 1, Map("v" -> lit(-5.0)))
     }
     assert(t.read().filter($"v" <= 0).count() == 0)
+    // the violating update's already-written DV sidecar must not be
+    // left orphaned on disk (it was never referenced by a manifest)
+    val dvRoot = java.nio.file.Paths.get(t.root, "dv")
+    val orphanDvs =
+      if (!java.nio.file.Files.isDirectory(dvRoot)) 0L
+      else {
+        val s = java.nio.file.Files.list(dvRoot)
+        try s.count() finally s.close()
+      }
+    assert(orphanDvs == 0, s"violating update must clean its DV sidecar, found $orphanDvs")
 
     // a constraint the current data violates is rejected at add time
     intercept[IllegalStateException] { t.addCheckConstraint("v_gt_15", "v > 15") }
@@ -50,5 +60,41 @@ class CheckConstraintSpec extends SparkSpec {
     t.dropCheckConstraint("v_pos")
     t.append(Seq((6, -6.0)).toDF("id", "v"))
     assert(t.read().filter($"v" < 0).count() == 1)
+  }
+
+  test("publishStaged re-validates constraints added after stage time") {
+    val t = LakeTable(spark, scratchDir("checkwap"))
+    t.append(Seq((1, 10.0), (2, 20.0)).toDF("id", "v"))
+    // stage a batch that violates a constraint that does NOT exist yet —
+    // stageAppend enforces only the set visible at stage time
+    val staged = t.stageAppend(Seq((3, -3.0)).toDF("id", "v"))
+    // adding the constraint succeeds: it validates PUBLISHED data only
+    t.addCheckConstraint("v_pos", "v > 0")
+    // the publish must re-check the drift and refuse the staged batch
+    val e = intercept[IllegalStateException] { t.publishStaged(staged) }
+    assert(e.getMessage.contains("v_pos"), e.getMessage)
+    assert(t.read().count() == 2, "refused batch must stay invisible")
+    t.abortStaged(staged)
+
+    // a clean staged batch crosses the same drift without incident
+    val ok = t.stageAppend(Seq((4, 40.0)).toDF("id", "v"))
+    t.dropCheckConstraint("v_pos")
+    t.addCheckConstraint("v_pos2", "v > 1")
+    t.publishStaged(ok)
+    assert(t.read().count() == 3)
+  }
+
+  test("batch omitting a constrained column fails as a violation, not AnalysisException") {
+    val t = LakeTable(spark, scratchDir("checkomit"))
+    t.append(Seq((1, 10.0)).toDF("id", "v"))
+    t.addCheckConstraint("v_pos", "v > 0")
+    // evolve mode admits a batch without `v` — but post-evolution those
+    // rows read v as NULL, which the NULL-as-violation stance rejects
+    val e = intercept[IllegalStateException] {
+      t.append(Seq((2, "x")).toDF("id", "w"))
+    }
+    assert(e.getMessage.contains("v_pos") && e.getMessage.contains("omits"), e.getMessage)
+    assert(t.read().count() == 1)
+    assert(t.sweepOrphans(graceMs = 0L).isEmpty)
   }
 }

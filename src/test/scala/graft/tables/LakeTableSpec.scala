@@ -246,6 +246,34 @@ class LakeTableSpec extends SparkSpec {
     assert(liveDvs == 0, s"expired DV sidecars must be reclaimed, found $liveDvs")
   }
 
+  test("a mass delete writes the DV sidecar as parallel shards, not one task") {
+    import scala.jdk.CollectionConverters._
+    val root = scratchDir("dvshard")
+    val t = LakeTable(spark, root)
+    t.append((1 to 50).map(i => (i, s"r$i")).toDF("k", "v"))
+    t.append((51 to 100).map(i => (i, s"r$i")).toDF("k", "v"))
+    // force one scan partition per data file so the hit set arrives in
+    // >1 task — the shape a 100 TB mass delete has for free
+    val prevMax = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1")
+    try t.deleteWhereDV(col("k") % 2 === 0)
+    finally spark.conf.set("spark.sql.files.maxPartitionBytes", prevMax)
+    // sidecar is a directory read; here it must hold >= 2 part files
+    val dvRoot = java.nio.file.Paths.get(root, "dv")
+    val sidecars = {
+      val s = java.nio.file.Files.list(dvRoot)
+      try s.iterator().asScala.toSeq finally s.close()
+    }
+    assert(sidecars.size == 1)
+    val parts = {
+      val s = java.nio.file.Files.list(sidecars.head)
+      try s.iterator().asScala.count(_.getFileName.toString.endsWith(".parquet"))
+      finally s.close()
+    }
+    assert(parts >= 2, s"mass-delete DV sidecar must shard across tasks, got $parts file(s)")
+    assert(t.read().collect().map(_.getInt(0)).sorted.toSeq == (1 to 99 by 2))
+  }
+
   test("change feed surfaces deletion-vector deletes (DV commits are not additive)") {
     val t = LakeTable(spark, scratchDir("dvcdf"))
     t.append((1 to 6).map(i => (i, s"r$i")).toDF("k", "v"))

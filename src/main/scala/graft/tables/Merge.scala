@@ -202,7 +202,7 @@ object Merge {
   def deleteWherePartitioned(table: LakeTable, condition: Column, partCol: String): Long = {
     val target = table.read()
     val affectedRows = target.filter(condition).select(col(partCol).cast("string")).distinct()
-    val values = affectedRows.collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
+    val values = collectCapped(affectedRows, partCol, "deleteWherePartitioned")
     requireDirSafe(values, partCol)
     val affected = values.toSeq.sorted
     if (affected.isEmpty) return table.latestVersion().getOrElse(0L)
@@ -226,10 +226,32 @@ object Merge {
       .join(source.select(keyCols.map(col): _*).distinct(), keyCols, "left_semi")
       .select(col(partCol).cast("string"))
     val fromSource = source.select(col(partCol).cast("string"))
-    val values = fromTarget.union(fromSource).distinct().collect().map(row =>
-      if (row.isNullAt(0)) null else row.getString(0))
+    val values = collectCapped(fromTarget.union(fromSource).distinct(), partCol, "merge")
     requireDirSafe(values, partCol)
     values.toSeq.sorted
+  }
+
+  /** Conf key bounding the driver-side affected-partition list. */
+  val MaxAffectedPartitionsKey = "graft.merge.maxAffectedPartitions"
+  private val DefaultMaxAffectedPartitions = 10000
+
+  /** Materialize the affected-partition values with a LOUD bound: the
+    * list (and the `isin` filter built from it) lives on the driver, so
+    * a merge touching 10^5+ partitions would build a same-size driver
+    * array and predicate. Partition-scoped merging assumes the list is
+    * small; past the cap the whole-table path (`mergeScd1`/`mergeScd2`/
+    * `deleteWhere`) is the right tool — it never enumerates partitions.
+    */
+  private def collectCapped(df: DataFrame, partCol: String, op: String): Array[String] = {
+    val cap = df.sparkSession.conf
+      .getOption(MaxAffectedPartitionsKey).map(_.toInt)
+      .getOrElse(DefaultMaxAffectedPartitions)
+    val rows = df.limit(cap + 1).collect()
+    require(rows.length <= cap,
+      s"$op affects more than $cap values of partition column $partCol; " +
+        "a partition-scoped rewrite would enumerate them all on the driver. " +
+        s"Use the unpartitioned whole-table path instead, or raise $MaxAffectedPartitionsKey.")
+    rows.map(r => if (r.isNullAt(0)) null else r.getString(0))
   }
 
   /** Enforce what partition-scoped rewrites assume: NULL or any value

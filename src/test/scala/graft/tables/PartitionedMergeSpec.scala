@@ -156,4 +156,34 @@ class PartitionedMergeSpec extends SparkSpec {
       .groupBy("key").count().agg(max("count")).head().getLong(0)
     assert(maxCurrent == 1L)
   }
+
+  test("affected-partition enumeration is capped loudly at the boundary") {
+    val table = LakeTable(spark, scratchDir("pmergecap"))
+    Merge.mergeScd1Partitioned(table, seed, Seq("key"), "year") // 3 partitions
+    spark.conf.set(Merge.MaxAffectedPartitionsKey, "3")
+    try {
+      // exactly at the cap (3 distinct years) still merges fine
+      Merge.mergeScd1Partitioned(
+        table,
+        Seq(("k1", 11L, 2023), ("k3", 31L, 2024), ("k5", 51L, 2025)).toDF("key", "v", "year"),
+        Seq("key"), "year")
+      assert(table.read().filter($"v" % 10 === 1).count() == 3)
+      // one past the cap fails loudly, pointing at the whole-table path
+      val e = intercept[IllegalArgumentException] {
+        Merge.mergeScd1Partitioned(
+          table,
+          Seq(("k1", 12L, 2023), ("k3", 32L, 2024), ("k5", 52L, 2025), ("k9", 90L, 2026))
+            .toDF("key", "v", "year"),
+          Seq("key"), "year")
+      }
+      assert(e.getMessage.contains("whole-table"), e.getMessage)
+      assert(table.read().filter($"v" === 12L).count() == 0, "failed merge must not publish")
+      // deleteWherePartitioned shares the cap
+      val e2 = intercept[IllegalArgumentException] {
+        spark.conf.set(Merge.MaxAffectedPartitionsKey, "2")
+        Merge.deleteWherePartitioned(table, $"v" > 0, "year")
+      }
+      assert(e2.getMessage.contains(Merge.MaxAffectedPartitionsKey), e2.getMessage)
+    } finally spark.conf.unset(Merge.MaxAffectedPartitionsKey)
+  }
 }

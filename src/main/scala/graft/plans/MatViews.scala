@@ -1,7 +1,8 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.types.{ByteType, Decimal, DecimalType, IntegerType, LongType, ShortType}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
@@ -26,7 +27,11 @@ object MatViews {
       source: LakeTable,
       view: IncrementalAggView,
       keyCols: Seq[String],
-      minMaxCols: Seq[String])
+      minMaxCols: Seq[String],
+      // columns whose ×10⁴-scaled exact sums the view maintains; SUMs
+      // over these reroute only when bit-preserving (integral input, or
+      // decimal with scale ≤ 4 — see mapExpr)
+      sumCols: Seq[String] = Seq.empty)
 
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, Spec]()
@@ -55,12 +60,14 @@ object MatViews {
   *     wrong answer, so staleness falls through to the raw scan;
   *   - the grouping keys are exactly the view's key columns, and every
   *     output is a group key, `count(*)` (the view's exact `n_rows`
-  *     long), or `min`/`max` of a declared min/max column (exact under
-  *     the view's least/greatest merge). Sums are deliberately NOT
-  *     rewritten: the view stores exact integer-scaled sums while a
-  *     raw `sum(double)` accumulates float error, so substituting one
-  *     for the other could change low-order bits — only
-  *     bit-preserving rewrites are admissible.
+  *     long), `min`/`max` of a declared min/max column (exact under
+  *     the view's least/greatest merge), or `sum` of a declared sum
+  *     column whose input type makes reconstruction from the ×10⁴
+  *     integer state bit-preserving (integral, or decimal scale ≤ 4).
+  *     `sum(double)` is deliberately NOT rewritten: the view stores
+  *     exact integer-scaled sums while a raw `sum(double)` accumulates
+  *     float error, so substituting one for the other could change
+  *     low-order bits — only bit-preserving rewrites are admissible.
   *
   * The replacement is a Project over the view's scan that re-aliases
   * view columns to the ORIGINAL output attribute ids, so parent
@@ -143,6 +150,32 @@ object MatViewRewrite extends Rule[LogicalPlan] {
       vOut.get(s"max_${c.name}")
         .filter(_.dataType == c.dataType)
         .map(v => Alias(v, name)(exprId = al.exprId))
+    // SUM routes only when reconstruction from the ×10⁴ integer state is
+    // BIT-PRESERVING: integral inputs (the state is exactly 10⁴ × the true
+    // long sum, so one exact integral division recovers it) and decimals
+    // with scale ≤ 4 (every value ×10⁴ is an integer, so no rounding ever
+    // happened). sum(double)/sum(float) stay refused — the raw scan
+    // accumulates float error the exact state doesn't share, and a rewrite
+    // may change the plan, never the answer.
+    case al @ Alias(
+          AggregateExpression(s: Sum, _, false, None, _), name) =>
+      s.child match {
+        case c: AttributeReference if spec.sumCols.contains(c.name) =>
+          vOut.get(s"s_${c.name}_e4").flatMap { state =>
+            val tenK = Literal(Decimal(10000), DecimalType(5, 0))
+            c.dataType match {
+              case ByteType | ShortType | IntegerType | LongType =>
+                // Sum(integral) has LongType output, as does IntegralDivide
+                Some(Alias(IntegralDivide(state, tenK), name)(exprId = al.exprId))
+              case d: DecimalType if d.scale <= 4 =>
+                // exact decimal division (value needs ≤ 4 fraction digits,
+                // the quotient scale keeps ≥ 6), cast back to Sum's type
+                Some(Alias(Cast(Divide(state, tenK), s.dataType), name)(exprId = al.exprId))
+              case _ => None
+            }
+          }
+        case _ => None
+      }
     case _ => None
   }
 }

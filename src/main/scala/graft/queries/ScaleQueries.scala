@@ -51,6 +51,37 @@ object ScaleQueries {
       |       min(value) AS min_value, max(value) AS max_value
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** MV routing of an exact SUM: `sum(user_id)` (a LONG) is served from
+    * the view's ×10⁴-scaled integer state via one exact integral
+    * division — bit-preserving, unlike `sum(double)` which stays on the
+    * raw-scan path (MatViewRewriteSpec pins both the serve and the
+    * double-sum refusal).
+    */
+  def mvRewriteSum(spark: SparkSession, sfDir: String): DataFrame = {
+    val cat = Catalog(spark, graft.util.TempDirs.scratch("mvrs"))
+    cat.createSchema("gold")
+    val ev = Testdata.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("user_id"))
+    val t = cat.table("gold", "ev")
+    t.append(ev.filter(col("event_id") % 2 === 0))
+    t.append(ev.filter(col("event_id") % 2 =!= 0))
+    val v = graft.tables.IncrementalAggView(
+      t, graft.util.TempDirs.scratch("mvrsview"), Seq("event_type"),
+      sumCols = Seq("user_id"))
+    v.refresh()
+    graft.plans.MatViews.register(
+      graft.plans.MatViews.Spec(t, v, Seq("event_type"), Seq.empty,
+        sumCols = Seq("user_id")))
+    cat.attachSqlCatalog("lake")
+    cat.sql(
+      """SELECT event_type, count(*) AS n_rows, sum(user_id) AS sum_user
+        |FROM lake.gold.ev GROUP BY event_type""".stripMargin)
+  }
+
+  val mvRewriteSumSql: String =
+    """SELECT event_type, count(*) AS n_rows, sum(user_id) AS sum_user
+      |FROM events GROUP BY event_type""".stripMargin
+
   /** COUNT(*) AGGREGATE PUSHDOWN through the DSv2 catalog
     * ([[graft.tables.v2.GraftSqlTable.metadataRowCount]]): both counts
     * below — current snapshot and a VERSION AS OF pin — are served from
@@ -642,6 +673,7 @@ object ScaleQueries {
     "q_sql_catalog" -> (sqlOverCatalog _),
     "q_sql_catalog_v2" -> (sqlOverCatalogV2 _),
     "q_mv_rewrite" -> (mvRewrite _),
+    "q_mv_rewrite_sum" -> (mvRewriteSum _),
     "q_count_pushdown" -> (countPushdown _),
     "q_minmax_pushdown" -> (minmaxPushdown _),
     "q_sql_time_travel" -> (sqlTimeTravel _),
@@ -666,6 +698,7 @@ object ScaleQueries {
     "q_sql_catalog" -> sqlOverCatalogSql,
     "q_sql_catalog_v2" -> sqlOverCatalogV2Sql,
     "q_mv_rewrite" -> mvRewriteSql,
+    "q_mv_rewrite_sum" -> mvRewriteSumSql,
     "q_count_pushdown" -> countPushdownSql,
     "q_minmax_pushdown" -> minmaxPushdownSql,
     "q_sql_time_travel" -> sqlTimeTravelSql,

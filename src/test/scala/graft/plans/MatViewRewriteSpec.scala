@@ -86,4 +86,39 @@ class MatViewRewriteSpec extends SparkSpec {
     assert(planOf(pinned).toLowerCase.contains("aggregate"))
     assert(pinned.count() == 2)
   }
+
+  test("sum(long) is served bit-exactly from the view; sum(double) still refuses") {
+    MatViews.clear()
+    val cat = Catalog(spark, scratchDir("mvcat3"))
+    cat.createSchema("gold")
+    val t = cat.table("gold", "ev3")
+    val rows = (1 to 30).map(i => (i.toLong, s"t${i % 3}", i * 7L, i * 1.5))
+    t.append(rows.take(15).toDF("id", "typ", "amount", "v"))
+    t.append(rows.drop(15).toDF("id", "typ", "amount", "v"))
+    val v = IncrementalAggView(
+      t, scratchDir("mvview3"), Seq("typ"), Seq("amount", "v"))
+    v.refresh()
+    MatViews.register(
+      MatViews.Spec(t, v, Seq("typ"), Seq.empty, sumCols = Seq("amount", "v")))
+    cat.attachSqlCatalog("lake")
+
+    // LONG sum: routed to the view (no aggregate in the plan), exact value
+    val q = "SELECT typ, count(*) AS n, sum(amount) AS s FROM lake.gold.ev3 GROUP BY typ"
+    val served = spark.sql(q)
+    val p = planOf(served)
+    assert(!p.toLowerCase.contains("aggregate"), s"long sum should route:\n$p")
+    val expected = rows.groupBy(_._2).map { case (k, rs) =>
+      (k, rs.size.toLong, rs.map(_._3).sum)
+    }.toSet
+    assert(served.as[(String, Long, Long)].collect().toSet == expected)
+
+    // DOUBLE sum: declared on the view, but float-sum bits differ from
+    // the exact state — must stay on the raw-scan path
+    val dbl = spark.sql("SELECT typ, sum(v) AS s FROM lake.gold.ev3 GROUP BY typ")
+    assert(planOf(dbl).toLowerCase.contains("aggregate"),
+      s"double sum must NOT route:\n${planOf(dbl)}")
+    // and an undeclared column never routes even with a fresh view
+    val undeclared = spark.sql("SELECT typ, sum(id) AS s FROM lake.gold.ev3 GROUP BY typ")
+    assert(planOf(undeclared).toLowerCase.contains("aggregate"))
+  }
 }

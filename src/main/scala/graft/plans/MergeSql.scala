@@ -100,8 +100,44 @@ class GraftMergeParser(session: SparkSession, delegate: ParserInterface)
       case u: UpdateTable => rewriteUpdateIfRegistered(u)
       case c: CreateTableAsSelect => rewriteCtasIfRegistered(c)
       case t: TruncateTable => rewriteTruncateIfRegistered(t)
+      case a: AddCheckConstraint => rewriteAddConstraintIfRegistered(a)
+      case d: DropConstraint => rewriteDropConstraintIfRegistered(d)
       case other => other
     }
+
+  /** `ALTER TABLE t ADD CONSTRAINT name CHECK (pred)` — the Delta-style
+    * DDL twin of `CALL lake.system.add_check_constraint`: validates
+    * existing data, then records the predicate in the manifest so every
+    * later write path enforces it. Spark 4 parses the statement natively
+    * ([[AddCheckConstraint]]); only registered lake-table names are
+    * intercepted, everything else flows to the stock analyzer.
+    */
+  private def rewriteAddConstraintIfRegistered(a: AddCheckConstraint): LogicalPlan = {
+    val partsOpt = a.child.collectFirst { case UnresolvedRelation(parts, _, _) => parts }
+    partsOpt.flatMap(parts => MergeSqlTargets.rootFor(session, parts)) match {
+      case None => a
+      case Some(root) =>
+        val cc = a.checkConstraint
+        require(
+          cc.userProvidedCharacteristic == ConstraintCharacteristic(None, None),
+          "graft ADD CONSTRAINT supports no ENFORCED/RELY characteristic clause")
+        GraftAddConstraintCommand(root, cc.userProvidedName, cc.condition)
+    }
+  }
+
+  /** `ALTER TABLE t DROP CONSTRAINT [IF EXISTS] name`. */
+  private def rewriteDropConstraintIfRegistered(d: DropConstraint): LogicalPlan = {
+    val partsOpt = d.child match {
+      case org.apache.spark.sql.catalyst.analysis.UnresolvedTable(parts, _, _) => Some(parts)
+      case _ => None
+    }
+    partsOpt.flatMap(parts => MergeSqlTargets.rootFor(session, parts)) match {
+      case None => d
+      case Some(root) =>
+        require(!d.cascade, "graft DROP CONSTRAINT does not support CASCADE")
+        GraftDropConstraintCommand(root, d.name, d.ifExists)
+    }
+  }
 
   /** `TRUNCATE TABLE` on a registered lake-table name: one
     * empty-snapshot commit (the same shape as `DELETE FROM t` with no
@@ -339,6 +375,41 @@ private[plans] object RowLevelSql {
   * with no WHERE truncates via one empty overwrite commit instead of
   * enumerating every row id into a DV.
   */
+/** Executable `ALTER TABLE ... ADD CONSTRAINT ... CHECK`: one full-scan
+  * validation of existing data (the only data read DDL ever needs), then
+  * a metadata-only manifest commit. Enforcement from then on rides the
+  * write-side observe pass — zero extra scans per batch.
+  */
+final case class GraftAddConstraintCommand(
+    root: String,
+    name: String,
+    predicate: String) extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val table = graft.tables.LakeTable(spark, root)
+    require(table.exists, s"ALTER TABLE target at $root does not exist")
+    table.addCheckConstraint(name, predicate)
+    Seq.empty
+  }
+}
+
+/** Executable `ALTER TABLE ... DROP CONSTRAINT` (metadata-only). */
+final case class GraftDropConstraintCommand(
+    root: String,
+    name: String,
+    ifExists: Boolean) extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val table = graft.tables.LakeTable(spark, root)
+    require(table.exists, s"ALTER TABLE target at $root does not exist")
+    if (!ifExists) require(
+      table.checkConstraints().contains(name),
+      s"constraint $name does not exist on $root (use DROP CONSTRAINT IF EXISTS)")
+    table.dropCheckConstraint(name)
+    Seq.empty
+  }
+}
+
 final case class GraftDeleteFromCommand(
     root: String,
     targetAlias: String,

@@ -599,6 +599,39 @@ object ScaleQueries {
     """SELECT event_id, event_type, round(value, 4) AS value_r
       |FROM events WHERE event_id % 2 = 0""".stripMargin
 
+  /** CHECK-constraint governance through the Delta-style DDL form
+    * (`ALTER TABLE ... ADD/DROP CONSTRAINT`, parsed natively by Spark 4
+    * and intercepted at the parser seam — the SQL twin of the
+    * `CALL lake.system.*_check_constraint` procedures). The result
+    * encodes all three effects: the enforced append passes, a NULL
+    * batch is rejected while the constraint stands, and the post-DROP
+    * insert of that same row lands.
+    */
+  def constraintSql(spark: SparkSession, sfDir: String): DataFrame = {
+    val cat = Catalog(spark, graft.util.TempDirs.scratch("consql"))
+    cat.createSchema("gold")
+    val ev = Testdata.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val t = cat.table("gold", "ev")
+    t.append(ev.filter(col("event_id") % 2 === 0))
+    cat.attachSqlCatalog("lake")
+    cat.sql(
+      "ALTER TABLE lake.gold.ev ADD CONSTRAINT value_present CHECK (value IS NOT NULL)")
+    t.append(ev.filter(col("event_id") % 2 =!= 0)) // enforced append, passes
+    val rejected = scala.util.Try(
+      cat.sql("INSERT INTO lake.gold.ev VALUES (999999999, 'bad', CAST(NULL AS DOUBLE))"))
+    require(rejected.isFailure, "DDL-added constraint must reject a NULL batch")
+    cat.sql("ALTER TABLE lake.gold.ev DROP CONSTRAINT value_present")
+    cat.sql("INSERT INTO lake.gold.ev VALUES (999999999, 'bad', CAST(NULL AS DOUBLE))")
+    cat.sql(
+      "SELECT event_id, event_type, round(value, 4) AS value_r FROM lake.gold.ev")
+  }
+
+  val constraintSqlSql: String =
+    """SELECT event_id, event_type, round(value, 4) AS value_r FROM events
+      |UNION ALL
+      |SELECT 999999999 AS event_id, 'bad' AS event_type, CAST(NULL AS DOUBLE) AS value_r""".stripMargin
+
   /** Predicate pushdown through the DSv2 read bridge, end-to-end: the
     * WHERE clause must both PRUNE (pushFilters → LakeTable.read().
     * filter → parquet row-group stats; plan shape pinned by
@@ -683,6 +716,7 @@ object ScaleQueries {
     "q_partitioned_ddl" -> (partitionedDdl _),
     "q_call_maintenance" -> (callMaintenance _),
     "q_call_governance" -> (callGovernance _),
+    "q_constraint_sql" -> (constraintSql _),
     "q_sql_pushdown" -> (sqlPushdown _),
     "q_stream_dedup" -> (streamDedup _))
 
@@ -708,6 +742,7 @@ object ScaleQueries {
     "q_partitioned_ddl" -> partitionedDdlSql,
     "q_call_maintenance" -> callMaintenanceSql,
     "q_call_governance" -> callGovernanceSql,
+    "q_constraint_sql" -> constraintSqlSql,
     "q_sql_pushdown" -> sqlPushdownSql,
     "q_stream_dedup" -> streamDedupSql)
 }

@@ -62,6 +62,40 @@ class CheckConstraintSpec extends SparkSpec {
     assert(t.read().filter($"v" < 0).count() == 1)
   }
 
+  test("ALTER TABLE ADD/DROP CONSTRAINT DDL drives the same enforcement as CALL") {
+    val cat = Catalog(spark, scratchDir("checkddl"))
+    cat.createSchema("gold")
+    val t = cat.table("gold", "ev")
+    t.append(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v"))
+    cat.attachSqlCatalog("lakec")
+    spark.sql("ALTER TABLE lakec.gold.ev ADD CONSTRAINT v_pos CHECK (v > 0)")
+    assert(t.checkConstraints() == Map("v_pos" -> "v > 0"))
+    // enforcement identical to the API/CALL path
+    intercept[IllegalStateException] { t.append(Seq((3L, -1.0)).toDF("id", "v")) }
+    // adding over violating data is rejected at DDL time too
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE lakec.gold.ev ADD CONSTRAINT v_big CHECK (v > 15)")
+    }
+    assert(e.getMessage.contains("violate"), e.getMessage)
+    // characteristic clauses are refused loudly, not dropped
+    intercept[Exception] {
+      spark.sql("ALTER TABLE lakec.gold.ev ADD CONSTRAINT v2 CHECK (v > 0) ENFORCED")
+    }
+    // DROP without IF EXISTS on a missing name errors; IF EXISTS no-ops
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE lakec.gold.ev DROP CONSTRAINT nope")
+    }
+    assert(e2.getMessage.contains("does not exist"), e2.getMessage)
+    spark.sql("ALTER TABLE lakec.gold.ev DROP CONSTRAINT IF EXISTS nope")
+    spark.sql("ALTER TABLE lakec.gold.ev DROP CONSTRAINT v_pos")
+    t.append(Seq((4L, -4.0)).toDF("id", "v")) // enforcement released
+    assert(t.read().count() == 3)
+    // an UNREGISTERED table name passes through to Spark untouched
+    intercept[Exception] {
+      spark.sql("ALTER TABLE not_a_lake_table ADD CONSTRAINT c CHECK (x > 0)")
+    }
+  }
+
   test("publishStaged re-validates constraints added after stage time") {
     val t = LakeTable(spark, scratchDir("checkwap"))
     t.append(Seq((1, 10.0), (2, 20.0)).toDF("id", "v"))

@@ -131,6 +131,27 @@ object ScaleQueries {
   val minmaxPushdownSql: String =
     "SELECT count(*) AS n, min(value) AS min_value, max(value) AS max_value FROM events"
 
+  /** GROUP BY the partition column + COUNT(*) served entirely from
+    * per-value footer counts ([[graft.tables.v2.GraftSqlTable
+    * .metadataGroupCounts]]): the group is the directory layout, so the
+    * whole aggregate is a manifest walk — zero data pages at any scale
+    * (CountPushdownSpec pins the plan and the filter / non-partition-key
+    * / count(col) / DV fallbacks).
+    */
+  def groupbyPushdown(spark: SparkSession, sfDir: String): DataFrame = {
+    val cat = Catalog(spark, graft.util.TempDirs.scratch("gbypd"))
+    cat.createSchema("gold")
+    val ev = Testdata.events(spark, sfDir).select(col("event_id"), col("event_type"))
+    val t = cat.table("gold", "ev")
+    t.append(ev.filter(col("event_id") % 2 === 0), partitionBy = Seq("event_type"))
+    t.append(ev.filter(col("event_id") % 2 =!= 0), partitionBy = Seq("event_type"))
+    cat.attachSqlCatalog("lake")
+    cat.sql("SELECT event_type, count(*) AS n FROM lake.gold.ev GROUP BY event_type")
+  }
+
+  val groupbyPushdownSql: String =
+    "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
+
   /** Salted equi-join must be result-identical to the plain join (the
     * salt is an execution detail, not a semantic one).
     */
@@ -709,6 +730,7 @@ object ScaleQueries {
     "q_mv_rewrite_sum" -> (mvRewriteSum _),
     "q_count_pushdown" -> (countPushdown _),
     "q_minmax_pushdown" -> (minmaxPushdown _),
+    "q_groupby_pushdown" -> (groupbyPushdown _),
     "q_sql_time_travel" -> (sqlTimeTravel _),
     "q_ctas_sql" -> (ctasSql _),
     "q_alter_sql" -> (alterSql _),
@@ -735,6 +757,7 @@ object ScaleQueries {
     "q_mv_rewrite_sum" -> mvRewriteSumSql,
     "q_count_pushdown" -> countPushdownSql,
     "q_minmax_pushdown" -> minmaxPushdownSql,
+    "q_groupby_pushdown" -> groupbyPushdownSql,
     "q_sql_time_travel" -> sqlTimeTravelSql,
     "q_ctas_sql" -> ctasSqlSql,
     "q_alter_sql" -> alterSqlSql,

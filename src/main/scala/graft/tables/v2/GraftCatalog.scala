@@ -524,6 +524,71 @@ final class GraftSqlTable(rootPath: String, versionAsOf: Option[Long] = None)
     }
   }
 
+  /** Per-value footer counts for the LEADING partition column — serves
+    * `GROUP BY <p0>` + COUNT(*) from metadata, the per-partition twin of
+    * [[metadataRowCount]]. Values come from the `p0=value` subdir names
+    * (scoped dirs enumerate only their live values, matching the
+    * replace-partition semantics); counts are footer record sums under
+    * each value dir. Guards mirror the global path: no deletion vectors,
+    * and a NULL-partition dir (`__HIVE_DEFAULT_PARTITION__`) refuses the
+    * whole serve — pushdown can change the plan, never the answer.
+    * Returns dir-name-encoded values (Hive-unescaped); the caller owns
+    * the cast to the column type. Cached per (root, version).
+    */
+  def metadataGroupCounts(): Option[Seq[(String, Long)]] = {
+    val m = manifest
+    if (m.dvFiles.nonEmpty || m.partitionBy.isEmpty) return None
+    val key = (rootPath, m.version)
+    GraftSqlTable.groupCountCache.get(key) match {
+      case Some(v) => v
+      case None =>
+        val p0 = m.partitionBy.head
+        val prefix = s"$p0="
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val acc = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+        var servable = true
+        m.commitDirs.zip(m.effectiveScopes).foreach { case (d, scope) =>
+          val base = Paths.get(rootPath, "data").resolve(d)
+          if (servable && Files.isDirectory(base)) {
+            val valueDirs: Seq[(String, java.nio.file.Path)] =
+              if (scope.nonEmpty) scope.map(v => (v, base.resolve(s"$p0=$v")))
+              else {
+                val list = Files.list(base)
+                try list.iterator().asScala
+                  .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith(prefix))
+                  .map { p =>
+                    val raw = p.getFileName.toString.stripPrefix(prefix)
+                    (org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+                      .unescapePathName(raw), p)
+                  }.toSeq
+                finally list.close()
+              }
+            valueDirs.foreach { case (v, dir) =>
+              if (v == org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+                    .DEFAULT_PARTITION_NAME) servable = false
+              else if (Files.isDirectory(dir)) {
+                val walk = Files.walk(dir)
+                try walk.iterator().asScala
+                  .filter(f => f.toString.endsWith(".parquet") && Files.isRegularFile(f))
+                  .foreach { f =>
+                    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+                      .fromPath(new org.apache.hadoop.fs.Path(f.toString), conf)
+                    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+                    try acc(v) = acc.getOrElse(v, 0L) + reader.getRecordCount
+                    finally reader.close()
+                  }
+                finally walk.close()
+              }
+            }
+          }
+        }
+        val result = if (servable) Some(acc.toSeq) else None
+        if (GraftSqlTable.groupCountCache.size > 4096) GraftSqlTable.groupCountCache.clear()
+        GraftSqlTable.groupCountCache.put(key, result)
+        result
+    }
+  }
+
   /** Exact (min, max) of a column from the manifest's DIR-LEVEL stats —
     * valid ONLY when the stats provably describe exactly the live rows:
     * no deletion vectors, no scope-narrowed dirs (a partition-scoped
@@ -556,25 +621,28 @@ final class GraftSqlTable(rootPath: String, versionAsOf: Option[Long] = None)
       private var required: StructType = schema
       private var pushed: Array[sources.Filter] = Array.empty
       private var filtersSeen = false
-      // name, result type, value — one entry per pushed aggregate
-      private var aggValues: Option[Seq[(String, DataType, Any)]] = None
+      // fully-resolved pushed-aggregate result: output schema + rows
+      private var aggValues: Option[(StructType, Seq[org.apache.spark.sql.Row])] = None
 
       /** Metadata-served aggregate pushdown: any combination of
         * COUNT(*) ([[metadataRowCount]] — footer record counts) and
         * MIN/MAX of stats-covered columns ([[metadataColRange]] — dir
-        * zonemaps). Guards: global aggregation only (no GROUP BY) and
-        * no filters anywhere on the scan (we refuse if any were even
+        * zonemaps) for GLOBAL aggregates, plus
+        * `GROUP BY <leading partition col>` + COUNT(*) served from
+        * per-value footer counts ([[metadataGroupCounts]]). Guards: no
+        * filters anywhere on the scan (we refuse if any were even
         * seen — a residual-filtered aggregate is post-filter); each
         * helper carries its own exactness guards (DVs, narrowed scopes,
-        * stats coverage). Anything unresolvable falls back to the real
-        * scan — pushdown can change the plan, never the answer.
+        * stats coverage, NULL partitions). Anything unresolvable falls
+        * back to the real scan — pushdown can change the plan, never
+        * the answer.
         */
       private def resolveAggregation(
           agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-          : Option[Seq[(String, DataType, Any)]] = {
+          : Option[(StructType, Seq[org.apache.spark.sql.Row])] = {
         import org.apache.spark.sql.connector.expressions.NamedReference
         import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
-        if (filtersSeen || agg.groupByExpressions.nonEmpty) return None
+        if (filtersSeen) return None
         val exprs = agg.aggregateExpressions
         if (exprs.isEmpty) return None
         def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
@@ -582,19 +650,74 @@ final class GraftSqlTable(rootPath: String, versionAsOf: Option[Long] = None)
             case r: NamedReference if r.fieldNames.length == 1 => Some(r.fieldNames()(0))
             case _ => None
           }
-        val resolved: Seq[Option[(String, DataType, Any)]] = exprs.toSeq.map {
-          case _: CountStar =>
-            metadataRowCount().map(n =>
-              ("count(*)", org.apache.spark.sql.types.LongType: DataType, n: Any))
-          case m: Min =>
-            fieldOf(m.column).flatMap(c =>
-              metadataColRange(c).map { case (mn, _) => (s"min($c)", schema(c).dataType, mn) })
-          case m: Max =>
-            fieldOf(m.column).flatMap(c =>
-              metadataColRange(c).map { case (_, mx) => (s"max($c)", schema(c).dataType, mx) })
+        agg.groupByExpressions.toSeq match {
+          case Seq() =>
+            val resolved: Seq[Option[(String, DataType, Any)]] = exprs.toSeq.map {
+              case _: CountStar =>
+                metadataRowCount().map(n =>
+                  ("count(*)", org.apache.spark.sql.types.LongType: DataType, n: Any))
+              case m: Min =>
+                fieldOf(m.column).flatMap(c =>
+                  metadataColRange(c).map { case (mn, _) =>
+                    (s"min($c)", schema(c).dataType, mn) })
+              case m: Max =>
+                fieldOf(m.column).flatMap(c =>
+                  metadataColRange(c).map { case (_, mx) =>
+                    (s"max($c)", schema(c).dataType, mx) })
+              case _ => None
+            }
+            if (!resolved.forall(_.isDefined)) None
+            else {
+              val vals = resolved.map(_.get)
+              val out = StructType(vals.map { case (n, dt, _) =>
+                org.apache.spark.sql.types.StructField(n, dt, nullable = false)
+              })
+              Some((out, Seq(org.apache.spark.sql.Row(vals.map(_._3): _*))))
+            }
+          // GROUP BY the table's leading partition column: the per-value
+          // footer counts ARE the group counts (a value's rows live only
+          // under its own `p0=value` dirs, so grouping is directory
+          // layout, not computation)
+          case Seq(g) =>
+            for {
+              c <- fieldOf(g)
+              if manifest.partitionBy.headOption.contains(c)
+              if exprs.forall(_.isInstanceOf[CountStar])
+              counts <- metadataGroupCounts()
+              typed <- typedGroupValues(counts.map(_._1), schema(c).dataType)
+            } yield {
+              val out = StructType(
+                schema(c).copy(nullable = false) +:
+                  exprs.toSeq.map(_ =>
+                    org.apache.spark.sql.types.StructField(
+                      "count(*)", org.apache.spark.sql.types.LongType, nullable = false)))
+              val rows = counts.zip(typed).map { case ((_, n), v) =>
+                org.apache.spark.sql.Row.fromSeq(v +: exprs.toSeq.map(_ => n: Any))
+              }
+              (out, rows)
+            }
           case _ => None
         }
-        if (resolved.forall(_.isDefined)) Some(resolved.map(_.get)) else None
+      }
+
+      /** Dir-name partition values cast back to the column type — only
+        * types whose dir-name round trip is exact; anything else refuses
+        * the serve (None) rather than risking a lossy parse.
+        */
+      private def typedGroupValues(
+          raw: Seq[String], dt: DataType): Option[Seq[Any]] = {
+        import org.apache.spark.sql.types._
+        val conv: String => Any = dt match {
+          case StringType => identity
+          case IntegerType => _.toInt
+          case LongType => _.toLong
+          case ShortType => _.toShort
+          case ByteType => _.toByte
+          case BooleanType => _.toBoolean
+          case DateType => java.sql.Date.valueOf
+          case _ => return None
+        }
+        scala.util.Try(raw.map(conv)).toOption
       }
 
       override def supportCompletePushDown(
@@ -633,29 +756,27 @@ final class GraftSqlTable(rootPath: String, versionAsOf: Option[Long] = None)
 
       override def pushedFilters(): Array[sources.Filter] = pushed
 
-      /** The metadata-only aggregate scan: one row from the manifest
-        * walk, no data file ever opened.
+      /** The metadata-only aggregate scan: rows from the manifest walk
+        * (one for a global aggregate, one per partition value for a
+        * pushed GROUP BY), no data file ever opened.
         */
-      private def aggScan(values: Seq[(String, DataType, Any)]): Scan = new V1Scan {
-        private val out = StructType(values.map { case (n, dt, _) =>
-          org.apache.spark.sql.types.StructField(n, dt, nullable = false)
-        })
-        private val row = org.apache.spark.sql.Row(values.map(_._3): _*)
-        override def readSchema(): StructType = out
-        override def toV1TableScan[T <: BaseRelation with TableScan](
-            context: SQLContext): T = {
-          val rel = new BaseRelation with TableScan {
-            override def sqlContext: SQLContext = context
-            override def schema: StructType = out
-            override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
-              context.sparkContext.parallelize(Seq(row), 1)
+      private def aggScan(out: StructType, rows: Seq[org.apache.spark.sql.Row]): Scan =
+        new V1Scan {
+          override def readSchema(): StructType = out
+          override def toV1TableScan[T <: BaseRelation with TableScan](
+              context: SQLContext): T = {
+            val rel = new BaseRelation with TableScan {
+              override def sqlContext: SQLContext = context
+              override def schema: StructType = out
+              override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+                context.sparkContext.parallelize(rows, 1)
+            }
+            rel.asInstanceOf[T]
           }
-          rel.asInstanceOf[T]
         }
-      }
 
       override def build(): Scan = aggValues match {
-        case Some(values) => aggScan(values)
+        case Some((out, rows)) => aggScan(out, rows)
         case None => dataScan()
       }
 
@@ -780,6 +901,9 @@ object GraftSqlTable {
   // footer-summed row counts keyed by (root, version) — same immutability
   private[v2] val countCache =
     scala.collection.concurrent.TrieMap.empty[(String, Long), Long]
+  // per-partition-value footer counts (None caches a refused serve)
+  private[v2] val groupCountCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), Option[Seq[(String, Long)]]]
 }
 
 /** `sources.Filter` → `Column` for the V1Scan bridge. Partial by

@@ -90,6 +90,46 @@ class CountPushdownSpec extends SparkSpec {
     assert(!servedFromMetadata(c), "DV table must fall back to a real scan")
   }
 
+  test("GROUP BY the partition column serves per-dir footer counts; fallbacks stay exact") {
+    val cat = Catalog(spark, scratchDir("gbycat"))
+    cat.createSchema("gold")
+    val t = cat.table("gold", "gby")
+    // two commit dirs, int partition values, skewed group sizes
+    t.append((1 to 30).map(i => (i, i % 3, s"r$i")).toDF("id", "p", "s"),
+      partitionBy = Seq("p"))
+    t.append((31 to 40).map(i => (i, i % 2, s"r$i")).toDF("id", "p", "s"),
+      partitionBy = Seq("p"))
+    cat.attachSqlCatalog("lake")
+
+    val gby = spark.sql("SELECT p, count(*) AS n FROM lake.gold.gby GROUP BY p")
+    val plan = gby.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates: [COUNT(*)]"),
+      s"group-by-partition count must serve from metadata:\n$plan")
+    assert(gby.as[(Int, Long)].collect().toSet ==
+      Set((0, 15L), (1, 15L), (2, 10L)))
+
+    // a filter means per-group counts are post-filter — must scan
+    val filtered =
+      spark.sql("SELECT p, count(*) AS n FROM lake.gold.gby WHERE id > 35 GROUP BY p")
+    assert(!servedFromMetadata(filtered))
+    assert(filtered.as[(Int, Long)].collect().toSet == Set((0, 3L), (1, 2L)))
+
+    // grouping by a NON-partition key can't come from the dir layout
+    val byS = spark.sql("SELECT s, count(*) AS n FROM lake.gold.gby GROUP BY s")
+    assert(!servedFromMetadata(byS))
+    assert(byS.count() == 40)
+
+    // count(s) counts non-nulls, not rows — must scan
+    val countCol = spark.sql("SELECT p, count(s) AS n FROM lake.gold.gby GROUP BY p")
+    assert(!servedFromMetadata(countCol))
+
+    // deletion vectors invalidate footer counts — must scan, stay right
+    t.deleteWhereDV(col("id") <= 10)
+    val dv = spark.sql("SELECT p, count(*) AS n FROM lake.gold.gby GROUP BY p")
+    assert(!servedFromMetadata(dv))
+    assert(dv.as[(Int, Long)].collect().toMap.values.sum == 30L)
+  }
+
   test("time-traveled count reads the pinned snapshot's metadata") {
     val cat = Catalog(spark, scratchDir("cnttt"))
     cat.createSchema("gold")

@@ -1444,6 +1444,90 @@ object ExtQueries {
       | AND right(probe, 1) = right(f.name, 1)
       |WHERE levenshtein(probe, f.name) <= 1""".stripMargin
 
+  /** Q-GRAM-BLOCKED FUZZY JOIN — the opt-in alternative blocking key for
+    * [[fuzzyJoin]], for corpora where the (first, last, length) key
+    * leaves oversized blocks (short names, shared prefixes). Ed-Join's
+    * prefix filter: rank every 2-gram by global frequency (the gram
+    * table is alphabet²-bounded — ~1.4k entries here, a broadcast-sized
+    * LUT at ANY corpus scale), and block each string on its q·d+1 = 3
+    * RAREST grams. The q-gram lemma makes this LOSSLESS for edit
+    * distance ≤ 1 on distinct-gram sets (an edit destroys ≤ q·d = 2
+    * distinct grams, so two matching strings must share a gram inside
+    * both 3-gram prefixes) — so unlike the default key it is complete
+    * for the FULL ed≤1 relation, including first/last-character edits
+    * the (first, last, length) key deliberately gives up (its planted
+    * workload only needs interior edits). The oracle is therefore the
+    * BRUTE-FORCE levenshtein join, the strongest possible recall check.
+    * Block mass is Σ rare-gram-block², bounded by the frequency ranking
+    * rather than name structure; the ±1 length band still applies. The
+    * trade vs the default key: two extra projections and a pair-dedup
+    * exchange, in exchange for block sizes that track gram rarity
+    * instead of (first, last) skew — the caller picks per corpus shape.
+    */
+  def fuzzyJoinQGram(spark: SparkSession, sfDir: String): DataFrame = {
+    val parts = spark.read.parquet(tablePath(sfDir, "part"))
+      .select(col("p_partkey"), lower(col("p_name")).as("name"))
+    val probes = parts
+      .filter(col("p_partkey") % 3 === 0 && length(col("name")) >= 4)
+      .withColumn("d", (col("p_partkey") % (length(col("name")) - 2) + 1).cast("int"))
+      .select(
+        col("p_partkey").as("probe_key"),
+        concat(
+          expr("substring(name, 1, d)"),
+          expr("substring(name, d + 2)")).as("probe"))
+      .withColumn("plen", length(col("probe")))
+    def gramsOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      array_distinct(transform(sequence(lit(1), length(c) - 1), i => c.substr(i, lit(2))))
+    // global gram frequencies: bounded by alphabet² (driver-side LUT,
+    // same justification as the PQ codebooks — size is structural, not
+    // data-proportional)
+    val freqMap = typedLit(
+      parts.select(explode(gramsOf(col("name"))).as("g"))
+        .groupBy("g").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+    def prefixGrams(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = slice(
+      transform(
+        array_sort(transform(gramsOf(c), g =>
+          struct(element_at(freqMap, g).as("f"), g.as("g")))),
+        s => s.getField("g")),
+      1, 3)
+    val probeSide = probes.select(
+      col("probe_key"), col("probe"), col("plen"),
+      explode(prefixGrams(col("probe"))).as("g"))
+    val catSide = parts.select(
+      col("p_partkey"), col("name"), length(col("name")).as("nlen"),
+      explode(prefixGrams(col("name"))).as("g"))
+    probeSide
+      .join(catSide,
+        probeSide("g") === catSide("g") &&
+          abs(col("plen") - col("nlen")) <= 1)
+      .select(col("probe_key"), col("probe"), col("p_partkey"), col("name"))
+      .distinct() // a pair can share up to 3 prefix grams
+      .filter(levenshtein(col("probe"), col("name")) <= 1)
+      .select(
+        col("probe_key"),
+        col("p_partkey").as("match_key"),
+        levenshtein(col("probe"), col("name")).as("dist"))
+  }
+
+  /** Brute-force ed≤1 join — the blocking-free ground truth the q-gram
+    * prefix filter must reproduce exactly.
+    */
+  val fuzzyJoinQGramSql: String =
+    """WITH parts AS (SELECT p_partkey, lower(p_name) AS name FROM part),
+      |pr AS (
+      |  SELECT p_partkey AS probe_key, name,
+      |         CAST(p_partkey % (length(name) - 2) + 1 AS INTEGER) AS d
+      |  FROM parts WHERE p_partkey % 3 = 0 AND length(name) >= 4),
+      |probes AS (
+      |  SELECT probe_key,
+      |         substring(name, 1, d) || substring(name, d + 2) AS probe
+      |  FROM pr)
+      |SELECT probe_key, p.p_partkey AS match_key,
+      |       CAST(levenshtein(probe, p.name) AS INTEGER) AS dist
+      |FROM probes CROSS JOIN parts p
+      |WHERE levenshtein(probe, p.name) <= 1""".stripMargin
+
   /** Length-curriculum sample ([[graft.ext.Sampling.curriculumByDecile]]
     * over `n_chars`): keep (d+1)/10 of decile d, so the mix tilts
     * toward long documents while every decile stays represented.
@@ -2643,6 +2727,7 @@ object ExtQueries {
     "q_text_entropy" -> (textEntropy _),
     "q_curriculum_sample" -> (curriculumSample _),
     "q_fuzzy_join" -> (fuzzyJoin _),
+    "q_fuzzy_join_qgram" -> (fuzzyJoinQGram _),
     "q_text_fingerprint" -> (textFingerprint _),
     "q_text_repetition" -> (textRepetition _),
     "q_text_langid" -> (textLangId _),
@@ -2698,6 +2783,7 @@ object ExtQueries {
     "q_text_entropy" -> textEntropySql,
     "q_curriculum_sample" -> curriculumSampleSql,
     "q_fuzzy_join" -> fuzzyJoinSql,
+    "q_fuzzy_join_qgram" -> fuzzyJoinQGramSql,
     "q_text_fingerprint" -> textFingerprintSql,
     "q_text_repetition" -> textRepetitionSql,
     "q_dedup_exact" -> dedupExactSql,

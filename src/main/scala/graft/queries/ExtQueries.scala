@@ -1447,22 +1447,32 @@ object ExtQueries {
   /** Q-GRAM-BLOCKED FUZZY JOIN — the opt-in alternative blocking key for
     * [[fuzzyJoin]], for corpora where the (first, last, length) key
     * leaves oversized blocks (short names, shared prefixes). Ed-Join's
-    * prefix filter: rank every 2-gram by global frequency (the gram
-    * table is alphabet²-bounded — ~1.4k entries here, a broadcast-sized
-    * LUT at ANY corpus scale), and block each string on its q·d+1 = 3
-    * RAREST grams. The q-gram lemma makes this LOSSLESS for edit
-    * distance ≤ 1 on distinct-gram sets (an edit destroys ≤ q·d = 2
-    * distinct grams, so two matching strings must share a gram inside
-    * both 3-gram prefixes) — so unlike the default key it is complete
+    * prefix filter, with `xxhash64(gram)` as the global total order:
+    * each string blocks on its q·d+1 = 3 smallest-hash grams. Prefix-
+    * filter recall only needs a CONSISTENT total order across both
+    * sides, so the q-gram lemma still makes this LOSSLESS for edit
+    * distance ≤ 1 on distinct-gram sets (an edit destroys ≤ q·d = 3
+    * distinct 3-grams, so two matching strings must share a gram inside
+    * both 4-gram prefixes) — and unlike the default key it is complete
     * for the FULL ed≤1 relation, including first/last-character edits
     * the (first, last, length) key deliberately gives up (its planted
     * workload only needs interior edits). The oracle is therefore the
     * BRUTE-FORCE levenshtein join, the strongest possible recall check.
-    * Block mass is Σ rare-gram-block², bounded by the frequency ranking
-    * rather than name structure; the ±1 length band still applies. The
-    * trade vs the default key: two extra projections and a pair-dedup
-    * exchange, in exchange for block sizes that track gram rarity
-    * instead of (first, last) skew — the caller picks per corpus shape.
+    * The frequency order is load-bearing, not a tuning detail: a
+    * hash/random total order over a SMALL gram vocabulary (this corpus
+    * builds names from ~92 dictionary words) puts the globally-first
+    * grams into every signature containing them, recreating the giant
+    * blocks the filter exists to avoid (measured: 31 s vs 3 s at
+    * sf0.1). Frequencies are computed distributed — explode grams,
+    * one hash aggregation (the gram table is vocabulary-bounded, so
+    * the join back is a BROADCAST at any corpus scale), then each
+    * string's 4 rarest via a keyed window over its ~30 gram rows.
+    * q = 3 (not 2): 2-grams over dictionary words are shared across
+    * large catalog fractions; 3-grams buy an order of magnitude of
+    * block selectivity for one extra key per string. The ±1 length
+    * band rides INSIDE the equi-join key (catalog side fans to its
+    * three admissible lengths, like the default key does); the
+    * pair-dedup exchange is the one extra shuffle.
     */
   def fuzzyJoinQGram(spark: SparkSession, sfDir: String): DataFrame = {
     val parts = spark.read.parquet(tablePath(sfDir, "part"))
@@ -1477,32 +1487,34 @@ object ExtQueries {
           expr("substring(name, d + 2)")).as("probe"))
       .withColumn("plen", length(col("probe")))
     def gramsOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      array_distinct(transform(sequence(lit(1), length(c) - 1), i => c.substr(i, lit(2))))
-    // global gram frequencies: bounded by alphabet² (driver-side LUT,
-    // same justification as the PQ codebooks — size is structural, not
-    // data-proportional)
-    val freqMap = typedLit(
-      parts.select(explode(gramsOf(col("name"))).as("g"))
-        .groupBy("g").count()
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
-    def prefixGrams(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = slice(
-      transform(
-        array_sort(transform(gramsOf(c), g =>
-          struct(element_at(freqMap, g).as("f"), g.as("g")))),
-        s => s.getField("g")),
-      1, 3)
-    val probeSide = probes.select(
-      col("probe_key"), col("probe"), col("plen"),
-      explode(prefixGrams(col("probe"))).as("g"))
-    val catSide = parts.select(
-      col("p_partkey"), col("name"), length(col("name")).as("nlen"),
-      explode(prefixGrams(col("name"))).as("g"))
+      array_distinct(transform(sequence(lit(1), length(c) - 2), i => c.substr(i, lit(3))))
+    val gramFreq = parts
+      .select(explode(gramsOf(col("name"))).as("g"))
+      .groupBy("g").count()
+    // 4 rarest grams per string = the Ed-Join prefix; ~30 gram rows per
+    // window key, frequency table vocabulary-bounded => broadcast
+    import org.apache.spark.sql.expressions.Window
+    def signature(df: DataFrame, keyCol: String, strCol: String): DataFrame = {
+      val w = Window.partitionBy(col(keyCol)).orderBy(col("count"), col("g"))
+      df.select(col(keyCol), col(strCol), explode(gramsOf(col(strCol))).as("g"))
+        .join(broadcast(gramFreq), Seq("g"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 4)
+        .select(col(keyCol), col(strCol), col("g"))
+    }
+    val probeSide = signature(probes, "probe_key", "probe")
+      .withColumn("plen", length(col("probe")))
+    val catSide = signature(parts, "p_partkey", "name")
+      .select(
+        col("p_partkey"), col("name"), col("g"),
+        explode(array(
+          length(col("name")) - 1,
+          length(col("name")),
+          length(col("name")) + 1)).as("plen"))
     probeSide
-      .join(catSide,
-        probeSide("g") === catSide("g") &&
-          abs(col("plen") - col("nlen")) <= 1)
+      .join(catSide, Seq("g", "plen"))
       .select(col("probe_key"), col("probe"), col("p_partkey"), col("name"))
-      .distinct() // a pair can share up to 3 prefix grams
+      .distinct() // a pair can share up to 4 prefix grams
       .filter(levenshtein(col("probe"), col("name")) <= 1)
       .select(
         col("probe_key"),

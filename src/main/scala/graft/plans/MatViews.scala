@@ -93,17 +93,38 @@ object MatViewRewrite extends Rule[LogicalPlan] {
   private def isFresh(spec: MatViews.Spec): Boolean =
     spec.view.refreshedThrough().exists(v => spec.source.latestVersion().contains(v))
 
+  /** Peel alias/pruning layers and pull out at most the conjunction of
+    * the Filters sitting between the Aggregate and the scan. A filter
+    * over GROUP-KEY columns commutes with the group partition, so the
+    * aggregate-over-filtered-source equals filter-over-view exactly —
+    * still bit-preserving. Non-key filters refuse the rewrite (they
+    * select WITHIN groups, which the view state cannot replay).
+    */
+  private def peelFilters(p: LogicalPlan): (Option[Expression], LogicalPlan) = p match {
+    case SubqueryAlias(_, c) => peelFilters(c)
+    case Project(projList, c) if projList.forall(_.isInstanceOf[AttributeReference]) =>
+      peelFilters(c)
+    case org.apache.spark.sql.catalyst.plans.logical.Filter(cond, c) =>
+      val (inner, base) = peelFilters(c)
+      (inner.map(And(cond, _)).orElse(Some(cond)), base)
+    case other => (None, other)
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case agg @ Aggregate(_, _, child, _) =>
+      val (filterCond, base) = peelFilters(child)
       (for {
-        table <- sourceTable(child)
+        table <- sourceTable(base)
         spec <- MatViews.lookup(table.root)
         if isFresh(spec)
-        rewritten <- tryRewrite(agg, spec)
+        rewritten <- tryRewrite(agg, spec, filterCond)
       } yield rewritten).getOrElse(agg)
   }
 
-  private def tryRewrite(agg: Aggregate, spec: MatViews.Spec): Option[LogicalPlan] = {
+  private def tryRewrite(
+      agg: Aggregate,
+      spec: MatViews.Spec,
+      filterCond: Option[Expression]): Option[LogicalPlan] = {
     val groupAttrs = agg.groupingExpressions.map {
       case a: AttributeReference => a
       case _ => return None
@@ -113,13 +134,33 @@ object MatViewRewrite extends Rule[LogicalPlan] {
     val viewPlan = spec.view.view.read().queryExecution.analyzed
     val vOut = viewPlan.output.map(a => a.name -> a).toMap
     val groupNames = groupAttrs.map(_.name).toSet
+    // a WHERE is servable only when it is deterministic, subquery-free,
+    // and touches group-key columns exclusively — then it remaps 1:1
+    // onto the view's key attributes and filters view ROWS (= groups)
+    val viewChild: LogicalPlan = filterCond match {
+      case None => viewPlan
+      case Some(cond) =>
+        if (!cond.deterministic) return None
+        if (cond.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression]))
+          return None
+        var refused = false
+        val remapped = cond.transform {
+          case a: AttributeReference =>
+            vOut.get(a.name) match {
+              case Some(v) if spec.keyCols.contains(a.name) && v.dataType == a.dataType => v
+              case _ => refused = true; a
+            }
+        }
+        if (refused) return None
+        org.apache.spark.sql.catalyst.plans.logical.Filter(remapped, viewPlan)
+    }
     val mapped: Seq[NamedExpression] = agg.aggregateExpressions.map { ne =>
       mapExpr(ne, vOut, groupNames, spec) match {
         case Some(e) => e
         case None => return None
       }
     }
-    Some(Project(mapped, viewPlan))
+    Some(Project(mapped, viewChild))
   }
 
   private def mapExpr(
@@ -167,7 +208,10 @@ object MatViewRewrite extends Rule[LogicalPlan] {
               case ByteType | ShortType | IntegerType | LongType =>
                 // Sum(integral) has LongType output, as does IntegralDivide
                 Some(Alias(IntegralDivide(state, tenK), name)(exprId = al.exprId))
-              case d: DecimalType if d.scale <= 4 =>
+              case d: DecimalType if d.scale <= 4 && d.precision - d.scale <= 34 =>
+                // p-s ≤ 34 mirrors the view-state bound: wider integer
+                // parts can't be held exactly in the decimal(38,4) cast
+                // the state performs, so those columns never route
                 // exact decimal division (value needs ≤ 4 fraction digits,
                 // the quotient scale keeps ≥ 6), cast back to Sum's type
                 Some(Alias(Cast(Divide(state, tenK), s.dataType), name)(exprId = al.exprId))

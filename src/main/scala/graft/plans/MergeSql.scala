@@ -121,6 +121,14 @@ class GraftMergeParser(session: SparkSession, delegate: ParserInterface)
         require(
           cc.userProvidedCharacteristic == ConstraintCharacteristic(None, None),
           "graft ADD CONSTRAINT supports no ENFORCED/RELY characteristic clause")
+        // the grammar makes the constraint name optional (Spark invents
+        // one at resolution time, which never runs for this command) —
+        // a null name would register an unaddressable, undroppable
+        // constraint in the manifest, so require an explicit one
+        require(
+          cc.userProvidedName != null && cc.userProvidedName.nonEmpty,
+          "graft ADD CONSTRAINT requires an explicit constraint name " +
+            "(ALTER TABLE t ADD CONSTRAINT <name> CHECK (...))")
         GraftAddConstraintCommand(root, cc.userProvidedName, cc.condition)
     }
   }

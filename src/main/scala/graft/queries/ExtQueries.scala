@@ -1447,32 +1447,55 @@ object ExtQueries {
   /** Q-GRAM-BLOCKED FUZZY JOIN — the opt-in alternative blocking key for
     * [[fuzzyJoin]], for corpora where the (first, last, length) key
     * leaves oversized blocks (short names, shared prefixes). Ed-Join's
-    * prefix filter, with `xxhash64(gram)` as the global total order:
-    * each string blocks on its q·d+1 = 3 smallest-hash grams. Prefix-
-    * filter recall only needs a CONSISTENT total order across both
-    * sides, so the q-gram lemma still makes this LOSSLESS for edit
-    * distance ≤ 1 on distinct-gram sets (an edit destroys ≤ q·d = 3
-    * distinct 3-grams, so two matching strings must share a gram inside
-    * both 4-gram prefixes) — and unlike the default key it is complete
-    * for the FULL ed≤1 relation, including first/last-character edits
-    * the (first, last, length) key deliberately gives up (its planted
-    * workload only needs interior edits). The oracle is therefore the
-    * BRUTE-FORCE levenshtein join, the strongest possible recall check.
-    * The frequency order is load-bearing, not a tuning detail: a
-    * hash/random total order over a SMALL gram vocabulary (this corpus
-    * builds names from ~92 dictionary words) puts the globally-first
-    * grams into every signature containing them, recreating the giant
-    * blocks the filter exists to avoid (measured: 31 s vs 3 s at
-    * sf0.1). Frequencies are computed distributed — explode grams,
-    * one hash aggregation (the gram table is vocabulary-bounded, so
-    * the join back is a BROADCAST at any corpus scale), then each
-    * string's 4 rarest via a keyed window over its ~30 gram rows.
-    * q = 3 (not 2): 2-grams over dictionary words are shared across
-    * large catalog fractions; 3-grams buy an order of magnitude of
-    * block selectivity for one extra key per string. The ±1 length
-    * band rides INSIDE the equi-join key (catalog side fans to its
-    * three admissible lengths, like the default key does); the
-    * pair-dedup exchange is the one extra shuffle.
+    * prefix filter with GLOBAL GRAM FREQUENCY (rarest-first, gram text
+    * as tiebreak) as the total order: each string blocks on its
+    * q·d+1 = 4 rarest grams. Prefix-filter recall only needs a
+    * CONSISTENT total order across both sides, so the q-gram lemma
+    * still makes this LOSSLESS for edit distance ≤ 1 on distinct-gram
+    * sets (an edit destroys ≤ q·d = 3 distinct 3-grams, so two matching
+    * strings must share a gram inside both 4-gram prefixes) — and
+    * unlike the default key it is complete for the FULL ed≤1 relation,
+    * including first/last-character edits the (first, last, length) key
+    * deliberately gives up (its planted workload only needs interior
+    * edits). The oracle is therefore the BRUTE-FORCE levenshtein join,
+    * the strongest possible recall check. The frequency order is
+    * load-bearing, not a tuning detail: a hash/random total order over
+    * a SMALL gram vocabulary (this corpus builds names from ~92
+    * dictionary words) puts the globally-first grams into every
+    * signature containing them, recreating the giant blocks the filter
+    * exists to avoid.
+    *
+    * Plan shape — the signature stage is MAP-ONLY. Frequencies are one
+    * distributed hash aggregation over exploded grams, then COLLECTED:
+    * the 3-gram vocabulary is alphabet-bounded (≤ |Σ|³ independent of
+    * corpus size — same bounded-driver-structure argument as centroids
+    * and codebooks), so it rides into the plan as a map literal and
+    * each string's prefix is `transform(grams, g -> (freq[g], g))` →
+    * `array_sort` → `slice(.., 1, 4)` over its in-row grams — no
+    * per-gram rows, no keyed window, no signature shuffle (the r15
+    * version paid two `row_number` window exchanges here). Grams absent
+    * from the catalog vocabulary are dropped from the probe's candidate
+    * list before ranking (the map-literal equivalent of the former
+    * inner join against the freq table). q = 3 (not 2): 2-grams over
+    * dictionary words are shared across large catalog fractions. The ±1
+    * length band rides INSIDE the equi-join key (catalog side fans to
+    * its three admissible lengths, like the default key does). The
+    * levenshtein verify runs BEFORE the pair-dedup, so the one dedup
+    * exchange carries only true matches (≈|probes| rows), not every
+    * candidate pair.
+    *
+    * Honest selectivity note, measured at sf0.1: this corpus is SHORT
+    * two-word names (7–12 chars) over a 78-gram vocabulary where every
+    * gram hits 1.4–25% of the catalog, so even the 4-rarest prefix
+    * leaves ~24M candidate pairs vs 133M brute — only a 5.5× cut. The
+    * verify is therefore the bulk of the work, and because everything
+    * upstream of the join is map-only over one small parquet file, the
+    * plan would otherwise probe all 24M pairs on the file's ~1 input
+    * partition: the explicit `repartition(32)` before the join is what
+    * spreads the levenshtein work across cores (28.3 s → 4.1 s cold /
+    * 2.3 s warm at sf0.1). At 100 TB the same holds with the input's
+    * natural partitioning; the rebalance is only load-bearing when the
+    * source collapses to a handful of splits.
     */
   def fuzzyJoinQGram(spark: SparkSession, sfDir: String): DataFrame = {
     val parts = spark.read.parquet(tablePath(sfDir, "part"))
@@ -1488,22 +1511,33 @@ object ExtQueries {
       .withColumn("plen", length(col("probe")))
     def gramsOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       array_distinct(transform(sequence(lit(1), length(c) - 2), i => c.substr(i, lit(3))))
-    val gramFreq = parts
-      .select(explode(gramsOf(col("name"))).as("g"))
-      .groupBy("g").count()
-    // 4 rarest grams per string = the Ed-Join prefix; ~30 gram rows per
-    // window key, frequency table vocabulary-bounded => broadcast
-    import org.apache.spark.sql.expressions.Window
-    def signature(df: DataFrame, keyCol: String, strCol: String): DataFrame = {
-      val w = Window.partitionBy(col(keyCol)).orderBy(col("count"), col("g"))
-      df.select(col(keyCol), col(strCol), explode(gramsOf(col(strCol))).as("g"))
-        .join(broadcast(gramFreq), Seq("g"))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 4)
-        .select(col(keyCol), col(strCol), col("g"))
-    }
+    // alphabet-bounded collect (≤ |Σ|³ grams exist, whatever the corpus
+    // size) — the freq table becomes a plan-literal map, so the prefix
+    // computation below never leaves the scan's map stage
+    val freqMap = typedLit(
+      parts.select(explode(gramsOf(col("name"))).as("g"))
+        .groupBy("g").count()
+        .collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+        .toMap)
+    def signature(df: DataFrame, keyCol: String, strCol: String): DataFrame =
+      df.select(
+        col(keyCol), col(strCol),
+        explode(
+          transform(
+            slice(
+              array_sort(
+                filter(
+                  transform(
+                    gramsOf(col(strCol)),
+                    g => struct(
+                      element_at(freqMap, g).as("count"), g.as("g"))),
+                  s => s("count").isNotNull)),
+              1, 4),
+            s => s("g"))).as("g"))
     val probeSide = signature(probes, "probe_key", "probe")
       .withColumn("plen", length(col("probe")))
+      .repartition(32)
     val catSide = signature(parts, "p_partkey", "name")
       .select(
         col("p_partkey"), col("name"), col("g"),
@@ -1513,13 +1547,14 @@ object ExtQueries {
           length(col("name")) + 1)).as("plen"))
     probeSide
       .join(catSide, Seq("g", "plen"))
-      .select(col("probe_key"), col("probe"), col("p_partkey"), col("name"))
-      .distinct() // a pair can share up to 4 prefix grams
-      .filter(levenshtein(col("probe"), col("name")) <= 1)
+      .withColumn("dist", levenshtein(col("probe"), col("name")))
+      .filter(col("dist") <= 1)
       .select(
         col("probe_key"),
         col("p_partkey").as("match_key"),
-        levenshtein(col("probe"), col("name")).as("dist"))
+        col("dist"))
+      .distinct() // a pair can share up to 4 prefix grams; dist is
+                  // deterministic per pair, so this is exactly pair-dedup
   }
 
   /** Brute-force ed≤1 join — the blocking-free ground truth the q-gram

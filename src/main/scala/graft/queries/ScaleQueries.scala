@@ -79,8 +79,49 @@ object ScaleQueries {
   }
 
   val mvRewriteSumSql: String =
-    """SELECT event_type, count(*) AS n_rows, sum(user_id) AS sum_user
+    """SELECT event_type, count(*) AS n_rows,
+      |       CAST(sum(user_id) AS BIGINT) AS sum_user
       |FROM events GROUP BY event_type""".stripMargin
+
+  /** MV routing WITH a group-key WHERE and a HAVING: the key predicate
+    * commutes with the group partition, so the optimizer serves it by
+    * filtering view ROWS (still bit-preserving — no aggregate is
+    * recomputed); the HAVING lands as a Filter above the rewritten
+    * aggregate and needs no routing support at all. A filter over a
+    * NON-key column refuses the rewrite and falls back to the raw scan
+    * (MatViewRewriteSpec pins both the serve and that refusal).
+    */
+  def mvRewriteFiltered(spark: SparkSession, sfDir: String): DataFrame = {
+    val cat = Catalog(spark, graft.util.TempDirs.scratch("mvrf"))
+    cat.createSchema("gold")
+    val ev = Testdata.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("user_id"))
+    val t = cat.table("gold", "ev")
+    t.append(ev.filter(col("event_id") % 2 === 0))
+    t.append(ev.filter(col("event_id") % 2 =!= 0))
+    val v = graft.tables.IncrementalAggView(
+      t, graft.util.TempDirs.scratch("mvrfview"), Seq("event_type"),
+      sumCols = Seq("user_id"))
+    v.refresh()
+    graft.plans.MatViews.register(
+      graft.plans.MatViews.Spec(t, v, Seq("event_type"), Seq.empty,
+        sumCols = Seq("user_id")))
+    cat.attachSqlCatalog("lake")
+    cat.sql(
+      """SELECT event_type, count(*) AS n_rows, sum(user_id) AS sum_user
+        |FROM lake.gold.ev
+        |WHERE event_type <> 'view' AND length(event_type) >= 4
+        |GROUP BY event_type
+        |HAVING count(*) > 0""".stripMargin)
+  }
+
+  val mvRewriteFilteredSql: String =
+    """SELECT event_type, count(*) AS n_rows,
+      |       CAST(sum(user_id) AS BIGINT) AS sum_user
+      |FROM events
+      |WHERE event_type <> 'view' AND length(event_type) >= 4
+      |GROUP BY event_type
+      |HAVING count(*) > 0""".stripMargin
 
   /** COUNT(*) AGGREGATE PUSHDOWN through the DSv2 catalog
     * ([[graft.tables.v2.GraftSqlTable.metadataRowCount]]): both counts
@@ -728,6 +769,7 @@ object ScaleQueries {
     "q_sql_catalog_v2" -> (sqlOverCatalogV2 _),
     "q_mv_rewrite" -> (mvRewrite _),
     "q_mv_rewrite_sum" -> (mvRewriteSum _),
+    "q_mv_rewrite_filtered" -> (mvRewriteFiltered _),
     "q_count_pushdown" -> (countPushdown _),
     "q_minmax_pushdown" -> (minmaxPushdown _),
     "q_groupby_pushdown" -> (groupbyPushdown _),
@@ -755,6 +797,7 @@ object ScaleQueries {
     "q_sql_catalog_v2" -> sqlOverCatalogV2Sql,
     "q_mv_rewrite" -> mvRewriteSql,
     "q_mv_rewrite_sum" -> mvRewriteSumSql,
+    "q_mv_rewrite_filtered" -> mvRewriteFilteredSql,
     "q_count_pushdown" -> countPushdownSql,
     "q_minmax_pushdown" -> minmaxPushdownSql,
     "q_groupby_pushdown" -> groupbyPushdownSql,

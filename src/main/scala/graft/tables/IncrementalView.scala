@@ -63,15 +63,35 @@ final class IncrementalAggView(
     * batched refresh equals full recompute exactly (no subtraction ever
     * needed — deletes force the full-recompute path anyway).
     */
-  private def partial(df: DataFrame): DataFrame =
+  private def partial(df: DataFrame): DataFrame = {
+    // refuse up front what decimal(38,4) cannot hold exactly: a
+    // decimal(p,s) with p-s > 34 has integer digits the state cast would
+    // overflow on (ANSI throw / silent null), turning refresh into a
+    // data-dependent failure. Fail loudly at refresh instead.
+    sumCols.foreach { c =>
+      df.schema(c).dataType match {
+        case d: org.apache.spark.sql.types.DecimalType if d.precision - d.scale > 34 =>
+          throw new IllegalArgumentException(
+            s"sum column `$c` is decimal(${d.precision},${d.scale}); " +
+              "integer digits > 34 cannot be represented in the exact " +
+              "x10^4 view state — drop the column or reduce precision")
+        case _ => ()
+      }
+    }
     df.groupBy(keyCols.map(col): _*)
       .agg(
         count(lit(1)).as("n_rows"),
+        // scale in DECIMAL, never the column's native type: `intCol *
+        // 10000` would wrap int at |v| > 214,748 (or throw under ANSI).
+        // cast(x as decimal(38,4)) rounds half-up at 4 fraction digits —
+        // the same value round(x * 10000) produced — and decimal(38,4) *
+        // 10⁴ cannot overflow (|x| < 10³⁴ by the cast, so |x|·10⁴ < 10³⁸).
         sumCols.map(c =>
-          sum(expr(s"cast(round(`$c` * 10000) as bigint)").cast("decimal(38,0)"))
+          sum(expr(s"cast(cast(`$c` as decimal(38,4)) * 10000 as decimal(38,0))"))
             .as(stateCol(c))) ++
           minMaxCols.flatMap(c =>
             Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))): _*)
+  }
 
   /** Bring the view up to the source's current snapshot. Reads only the
     * commits added since the last refresh when the history is provably

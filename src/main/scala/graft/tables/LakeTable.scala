@@ -234,11 +234,28 @@ final class LakeTable(val spark: SparkSession, val root: String) {
       consSeq: Seq[(String, String)],
       batchCols: Array[String]): Unit = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{Expression, LambdaFunction, NamedLambdaVariable, UnresolvedNamedLambdaVariable}
     import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+    // free column references only: a lambda-bound variable (e.g. `t` in
+    // `exists(tags, t -> t > 0)`) parses as UnresolvedAttribute before
+    // ResolveLambdaVariables runs, and must not be read as a missing
+    // batch column
+    def freeRefs(e: Expression, bound: Set[String]): Seq[String] = e match {
+      case lf: LambdaFunction =>
+        val argNames = lf.arguments.flatMap {
+          case v: UnresolvedNamedLambdaVariable => v.nameParts.headOption
+          case v: NamedLambdaVariable => Seq(v.name)
+          case other => Seq(other.name)
+        }.map(_.toLowerCase)
+        freeRefs(lf.function, bound ++ argNames)
+      case ua: UnresolvedAttribute =>
+        if (bound.contains(ua.nameParts.head.toLowerCase)) Seq.empty
+        else Seq(ua.nameParts.head)
+      case other => other.children.flatMap(freeRefs(_, bound))
+    }
     consSeq.foreach { case (n, p) =>
-      val missing = CatalystSqlParser.parseExpression(p).collect {
-        case ua: UnresolvedAttribute => ua.nameParts.head
-      }.distinct.filterNot(r => batchCols.exists(_.equalsIgnoreCase(r)))
+      val missing = freeRefs(CatalystSqlParser.parseExpression(p), Set.empty)
+        .distinct.filterNot(r => batchCols.exists(_.equalsIgnoreCase(r)))
       if (missing.nonEmpty)
         throw new IllegalStateException(
           s"CHECK constraint(s) violated by the batch: $n (batch omits " +

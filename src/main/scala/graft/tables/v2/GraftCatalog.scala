@@ -547,9 +547,25 @@ final class GraftSqlTable(rootPath: String, versionAsOf: Option[Long] = None)
         val conf = new org.apache.hadoop.conf.Configuration()
         val acc = scala.collection.mutable.LinkedHashMap.empty[String, Long]
         var servable = true
+        // a commit dir is only countable per-value if EVERY parquet file
+        // in it sits under a `p0=value` subdir of the CURRENT leading
+        // partition column. commit() legally lets a table flip from
+        // unpartitioned to partitioned (or change partition column)
+        // mid-history; those older dirs have no/other `col=` layout and
+        // would silently contribute zero rows — refuse the whole serve
+        // instead (pushdown can change the plan, never the answer).
+        def layoutOk(base: java.nio.file.Path): Boolean = {
+          val list = Files.list(base)
+          try list.iterator().asScala.forall { p =>
+            if (Files.isDirectory(p)) p.getFileName.toString.startsWith(prefix)
+            else !p.getFileName.toString.endsWith(".parquet")
+          } finally list.close()
+        }
         m.commitDirs.zip(m.effectiveScopes).foreach { case (d, scope) =>
           val base = Paths.get(rootPath, "data").resolve(d)
           if (servable && Files.isDirectory(base)) {
+            if (!layoutOk(base)) servable = false
+            else {
             val valueDirs: Seq[(String, java.nio.file.Path)] =
               if (scope.nonEmpty) scope.map(v => (v, base.resolve(s"$p0=$v")))
               else {
@@ -579,6 +595,7 @@ final class GraftSqlTable(rootPath: String, versionAsOf: Option[Long] = None)
                   }
                 finally walk.close()
               }
+            }
             }
           }
         }

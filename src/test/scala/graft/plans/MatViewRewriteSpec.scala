@@ -121,4 +121,57 @@ class MatViewRewriteSpec extends SparkSpec {
     val undeclared = spark.sql("SELECT typ, sum(id) AS s FROM lake.gold.ev3 GROUP BY typ")
     assert(planOf(undeclared).toLowerCase.contains("aggregate"))
   }
+
+  test("group-key WHERE routes as a view-row filter; non-key WHERE refuses") {
+    MatViews.clear()
+    val cat = Catalog(spark, scratchDir("mvcat4"))
+    cat.createSchema("gold")
+    val t = cat.table("gold", "ev4")
+    val rows = (1 to 40).map(i => (i.toLong, s"t${i % 4}", i * 3L))
+    t.append(rows.take(20).toDF("id", "typ", "amount"))
+    t.append(rows.drop(20).toDF("id", "typ", "amount"))
+    val v = IncrementalAggView(
+      t, scratchDir("mvview4"), Seq("typ"), Seq("amount"))
+    v.refresh()
+    MatViews.register(
+      MatViews.Spec(t, v, Seq("typ"), Seq.empty, sumCols = Seq("amount")))
+    cat.attachSqlCatalog("lake")
+
+    // WHERE over the group key commutes with the group partition —
+    // served by FILTERING VIEW ROWS, no aggregate left in the plan
+    val keyed = spark.sql(
+      "SELECT typ, count(*) AS n, sum(amount) AS s FROM lake.gold.ev4 " +
+        "WHERE typ <> 't0' GROUP BY typ")
+    val p1 = planOf(keyed)
+    assert(!p1.toLowerCase.contains("aggregate"), s"key-filter should route:\n$p1")
+    val expected = rows.filter(_._2 != "t0").groupBy(_._2).map { case (k, rs) =>
+      (k, rs.size.toLong, rs.map(_._3).sum)
+    }.toSet
+    assert(keyed.as[(String, Long, Long)].collect().toSet == expected)
+
+    // HAVING lands as a Filter above the rewritten aggregate — still routed
+    val having = spark.sql(
+      "SELECT typ, count(*) AS n FROM lake.gold.ev4 " +
+        "WHERE typ >= 't1' GROUP BY typ HAVING count(*) >= 10")
+    assert(!planOf(having).toLowerCase.contains("aggregate"))
+    assert(having.as[(String, Long)].collect().toSet ==
+      rows.filter(_._2 >= "t1").groupBy(_._2).map { case (k, rs) => (k, rs.size.toLong) }
+        .filter(_._2 >= 10).toSet)
+
+    // a NON-key filter selects within groups — the view cannot replay
+    // it, so the raw-scan aggregate must survive
+    val nonKey = spark.sql(
+      "SELECT typ, count(*) AS n FROM lake.gold.ev4 WHERE id > 10 GROUP BY typ")
+    val p2 = planOf(nonKey)
+    assert(p2.toLowerCase.contains("aggregate"), s"non-key filter must refuse:\n$p2")
+    assert(nonKey.as[(String, Long)].collect().toSet ==
+      rows.filter(_._1 > 10).groupBy(_._2).map { case (k, rs) => (k, rs.size.toLong) }.toSet)
+
+    // a non-deterministic key predicate must also refuse (rand() bounds
+    // get folded by the optimizer, so probe with an unfoldable one)
+    val nondet = spark.sql(
+      "SELECT typ, count(*) AS n FROM lake.gold.ev4 " +
+        "WHERE typ <> 't9' AND monotonically_increasing_id() >= 0 GROUP BY typ")
+    assert(planOf(nondet).toLowerCase.contains("aggregate"))
+  }
 }

@@ -131,4 +131,36 @@ class CheckConstraintSpec extends SparkSpec {
     assert(t.read().count() == 1)
     assert(t.sweepOrphans(graceMs = 0L).isEmpty)
   }
+
+  test("lambda-bound variables in a constraint are not read as missing columns") {
+    val t = LakeTable(spark, scratchDir("checklambda"))
+    t.append(Seq((1, Seq(1, 2))).toDF("id", "tags"))
+    // `x` is lambda-bound — only `tags` is a real column reference; the
+    // r15 free-ref collector reported `x` missing and rejected every batch
+    t.addCheckConstraint("tags_pos", "exists(tags, x -> x > 0)")
+    t.append(Seq((2, Seq(3))).toDF("id", "tags"))
+    assert(t.read().count() == 2)
+    // enforcement itself still works through the lambda
+    intercept[IllegalStateException] {
+      t.append(Seq((3, Seq(-1, -2))).toDF("id", "tags"))
+    }
+    // and a batch genuinely omitting `tags` is still caught up front
+    val e = intercept[IllegalStateException] {
+      t.append(Seq((4, "w")).toDF("id", "other"))
+    }
+    assert(e.getMessage.contains("tags"), e.getMessage)
+  }
+
+  test("unnamed ADD CHECK is refused loudly (no null-named manifest constraint)") {
+    val cat = Catalog(spark, scratchDir("checknoname"))
+    cat.createSchema("gold")
+    val t = cat.table("gold", "evn")
+    t.append(Seq((1L, 10.0)).toDF("id", "v"))
+    cat.attachSqlCatalog("laken")
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE laken.gold.evn ADD CHECK (v > 0)")
+    }
+    assert(e.getMessage.contains("explicit constraint name"), e.getMessage)
+    assert(t.checkConstraints().isEmpty)
+  }
 }

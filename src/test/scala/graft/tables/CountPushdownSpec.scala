@@ -130,6 +130,26 @@ class CountPushdownSpec extends SparkSpec {
     assert(dv.as[(Int, Long)].collect().toMap.values.sum == 30L)
   }
 
+  test("partition-layout flip mid-history refuses the grouped serve, never the answer") {
+    val cat = Catalog(spark, scratchDir("gbyflip"))
+    cat.createSchema("gold")
+    val t = cat.table("gold", "flip")
+    // commit 0: UNPARTITIONED (no p0= layout); commit 1: partitioned.
+    // The grouped metadata serve would silently count zero rows for the
+    // first dir — it must fall back to a scan instead
+    t.append((1 to 10).map(i => (i, i % 2, s"r$i")).toDF("id", "p", "s"))
+    t.append((11 to 20).map(i => (i, i % 2, s"r$i")).toDF("id", "p", "s"),
+      partitionBy = Seq("p"))
+    cat.attachSqlCatalog("lake")
+    val gby = spark.sql("SELECT p, count(*) AS n FROM lake.gold.flip GROUP BY p")
+    assert(!servedFromMetadata(gby),
+      s"mixed-layout history must not serve from dir names:\n${gby.queryExecution.executedPlan}")
+    assert(gby.as[(Int, Long)].collect().toSet == Set((0, 10L), (1, 10L)))
+    // global count(*) walks every file, so it still serves from metadata
+    val cnt = spark.sql("SELECT count(*) AS n FROM lake.gold.flip")
+    assert(cnt.head().getLong(0) == 20L)
+  }
+
   test("time-traveled count reads the pinned snapshot's metadata") {
     val cat = Catalog(spark, scratchDir("cnttt"))
     cat.createSchema("gold")

@@ -49,6 +49,38 @@ class IncrementalViewSpec extends SparkSpec {
     assert(a == b, s"stepwise refresh diverged from full recompute:\n$a\nvs\n$b")
   }
 
+  test("int sums beyond int-range ×10⁴ stay exact (state scales in decimal, not native type)") {
+    // 500_000 * 10_000 = 5e9 overflows Int; the r15 state computed
+    // `round(c * 10000)` in the column's NATIVE type and wrapped (or
+    // threw under ANSI) — the decimal-scaled state must not
+    val src = LakeTable(spark, scratchDir("ivovf"))
+    src.append(Seq(("a", 500000), ("a", 500001), ("b", -300000)).toDF("k", "v"))
+    val view = IncrementalAggView(src, scratchDir("ivovfview"), Seq("k"), Seq("v"))
+    view.refresh()
+    val got = view.read().select($"k", $"n_rows", $"sum_v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(got.toSeq == Seq(("a", 2L, 1000001.0), ("b", 1L, -300000.0)))
+    // and LongType beyond long/1e4 headroom at the sum level still adds
+    // exactly in the decimal(38,0) state across two refreshes
+    val src2 = LakeTable(spark, scratchDir("ivovf2"))
+    src2.append(Seq(("a", 4L * 1000 * 1000 * 1000)).toDF("k", "v"))
+    val view2 = IncrementalAggView(src2, scratchDir("ivovf2view"), Seq("k"), Seq("v"))
+    view2.refresh()
+    src2.append(Seq(("a", 4L * 1000 * 1000 * 1000)).toDF("k", "v"))
+    view2.refresh()
+    val got2 = view2.read().select($"n_rows", $"sum_v").head()
+    assert((got2.getLong(0), got2.getDouble(1)) == ((2L, 8.0e9)))
+  }
+
+  test("decimal sum column with >34 integer digits is refused loudly at refresh") {
+    val src = LakeTable(spark, scratchDir("ivdec"))
+    val df = spark.sql("SELECT 'a' AS k, CAST(1 AS DECIMAL(38,0)) AS v")
+    src.append(df)
+    val view = IncrementalAggView(src, scratchDir("ivdecview"), Seq("k"), Seq("v"))
+    val e = intercept[IllegalArgumentException](view.refresh())
+    assert(e.getMessage.contains("decimal(38,0)"))
+  }
+
   test("non-additive source change (overwrite) degrades to a correct full recompute") {
     val src = LakeTable(spark, scratchDir("ivsrc3"))
     src.append(Seq(("a", 1.0), ("b", 2.0)).toDF("k", "v"))

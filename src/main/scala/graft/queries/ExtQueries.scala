@@ -1410,6 +1410,12 @@ object ExtQueries {
         length(col("name")),
         length(col("name")) + 1)).as("plen"))
     probes
+      // blocked-join verify work is Σ block², but everything upstream is
+      // map-only over one small parquet split — rebalance so the
+      // levenshtein probe runs on every core, not the file's one
+      // partition (same fix as the q-gram variant; at 100 TB the input's
+      // natural splits already provide this)
+      .repartition(32)
       .join(
         fanned,
         probes("plen") === fanned("plen") &&

@@ -172,26 +172,38 @@ object ScaleQueries {
   val minmaxPushdownSql: String =
     "SELECT count(*) AS n, min(value) AS min_value, max(value) AS max_value FROM events"
 
-  /** GROUP BY the partition column + COUNT(*) served entirely from
-    * per-value footer counts ([[graft.tables.v2.GraftSqlTable
-    * .metadataGroupCounts]]): the group is the directory layout, so the
-    * whole aggregate is a manifest walk — zero data pages at any scale
-    * (CountPushdownSpec pins the plan and the filter / non-partition-key
-    * / count(col) / DV fallbacks).
+  /** GROUP BY the partition column with COUNT(*) AND grouped MIN/MAX
+    * served entirely from per-value footer counts + column statistics
+    * ([[graft.tables.v2.GraftSqlTable.metadataGroupStats]]): the group
+    * is the directory layout and footer stats over integral/date
+    * columns are exact SQL min/max, so the whole aggregate is a
+    * manifest walk — zero data pages at any scale (CountPushdownSpec
+    * pins the plan, the all-NULL-group NULL, and the string / double /
+    * sum / filter / non-partition-key / count(col) / DV / layout-flip
+    * fallbacks).
     */
   def groupbyPushdown(spark: SparkSession, sfDir: String): DataFrame = {
     val cat = Catalog(spark, graft.util.TempDirs.scratch("gbypd"))
     cat.createSchema("gold")
-    val ev = Testdata.events(spark, sfDir).select(col("event_id"), col("event_type"))
+    val ev = Testdata.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("user_id"))
     val t = cat.table("gold", "ev")
     t.append(ev.filter(col("event_id") % 2 === 0), partitionBy = Seq("event_type"))
     t.append(ev.filter(col("event_id") % 2 =!= 0), partitionBy = Seq("event_type"))
     cat.attachSqlCatalog("lake")
-    cat.sql("SELECT event_type, count(*) AS n FROM lake.gold.ev GROUP BY event_type")
+    // count + grouped MIN/MAX in one serve: the counts come from footer
+    // record counts, the ranges from footer column statistics — same
+    // walk, zero data pages (CountPushdownSpec pins the plan)
+    cat.sql(
+      """SELECT event_type, count(*) AS n,
+        |       min(user_id) AS min_user, max(user_id) AS max_user
+        |FROM lake.gold.ev GROUP BY event_type""".stripMargin)
   }
 
   val groupbyPushdownSql: String =
-    "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
+    """SELECT event_type, count(*) AS n,
+      |       min(user_id) AS min_user, max(user_id) AS max_user
+      |FROM events GROUP BY event_type""".stripMargin
 
   /** Salted equi-join must be result-identical to the plain join (the
     * salt is an execution detail, not a semantic one).

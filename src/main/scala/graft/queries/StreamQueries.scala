@@ -618,6 +618,52 @@ object StreamQueries {
       |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
       |FROM events""".stripMargin
 
+  /** CHANGE-DATA-FEED STREAM → SCD1 REPLICA
+    * ([[graft.streaming.ChangeFeed]]): the lake table's change feed
+    * replayed as checkpointed micro-batches (offsets = manifest
+    * versions) into a by-key mirror table. Four micro-batches exercise
+    * every tag path:
+    *
+    *   1. bootstrap — full snapshot as inserts (evens);
+    *   2. additive commit — pure insert tags (odds), read as the added
+    *      commit dirs only, no diff;
+    *   3. DV delete — pure delete tags via the exact multiset diff;
+    *   4. SCD1 rewrite upstream — update = delete+insert PAIR, which
+    *      the apply nets to the new row.
+    *
+    * The replica must equal the source's final snapshot — deletes
+    * visible by absence, updates by changed values — which is exactly
+    * what the oracle recomputes from the raw events.
+    */
+  def streamChanges(spark: SparkSession, sfDir: String): DataFrame = {
+    val wd = workDir("scdc")
+    val src = graft.tables.LakeTable(spark, s"$wd/src")
+    val tgt = graft.tables.LakeTable(spark, s"$wd/tgt")
+    val feed = graft.streaming.ChangeFeed(src, s"$wd/checkpoint-cdc")
+    val apply = graft.streaming.ChangeFeed.applyScd1(tgt, Seq("event_id")) _
+    val ev = Testdata.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("user_id"))
+    src.append(ev.filter(col("event_id") % 2 === 0))
+    feed.processAvailable(apply) // bootstrap: snapshot as inserts
+    src.append(ev.filter(col("event_id") % 2 =!= 0))
+    feed.processAvailable(apply) // additive: insert tags only
+    src.deleteWhereDV(col("event_id") % 10 === 3)
+    feed.processAvailable(apply) // delete tags via multiset diff
+    graft.tables.Merge.mergeScd1(
+      src,
+      ev.filter(col("event_id") % 100 === 0)
+        .withColumn("user_id", col("user_id") + 1000000L),
+      Seq("event_id"))
+    feed.processAvailable(apply) // update = delete+insert pair
+    tgt.read()
+  }
+
+  val streamChangesSql: String =
+    """SELECT event_id, event_type,
+      |       CASE WHEN event_id % 100 = 0 THEN user_id + 1000000
+      |            ELSE user_id END AS user_id
+      |FROM events WHERE event_id % 10 <> 3""".stripMargin
+
   /** Stream-static enrichment: the event stream joined to a broadcast
     * in-memory dimension (type → code/weight); stateless append, no
     * watermark. Oracle = the equivalent batch join.
@@ -706,6 +752,7 @@ object StreamQueries {
     "q_stream_funnel" -> (streamFunnel _),
     "q_stream_mv_refresh" -> (streamMvRefresh _),
     "q_stream_txn_append" -> (streamTxnAppend _),
+    "q_stream_changes" -> (streamChanges _),
     "q_stream_dedup_ingest" -> (streamDedupIngest _),
     "q_stream_join_outer" -> (streamStreamJoinOuter _),
     "q_stream_stream_join" -> (streamStreamJoin _),
@@ -724,6 +771,7 @@ object StreamQueries {
     "q_stream_funnel" -> AnalyticsQueries.funnelSql,
     "q_stream_mv_refresh" -> streamMvRefreshSql,
     "q_stream_txn_append" -> streamTxnAppendSql,
+    "q_stream_changes" -> streamChangesSql,
     "q_stream_dedup_ingest" -> streamDedupIngestSql,
     "q_stream_join_outer" -> streamStreamJoinOuterSql,
     "q_stream_stream_join" -> streamStreamJoinSql,

@@ -535,10 +535,36 @@ final class GraftSqlTable(rootPath: String, versionAsOf: Option[Long] = None)
     * Returns dir-name-encoded values (Hive-unescaped); the caller owns
     * the cast to the column type. Cached per (root, version).
     */
-  def metadataGroupCounts(): Option[Seq[(String, Long)]] = {
+  def metadataGroupCounts(): Option[Seq[(String, Long)]] =
+    metadataGroupStats(Seq.empty).map(_.map { case (v, n, _) => (v, n) })
+
+  /** Parquet footer statistics types whose min/max round-trip is exact:
+    * integral and date physical INT32/INT64 stats. Strings are excluded
+    * (parquet-mr may truncate binary stats), floats/doubles are excluded
+    * (NaN handling makes footer min/max unreliable as SQL min/max).
+    */
+  private def footerStatsExact(dt: DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+        org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
+        org.apache.spark.sql.types.DateType => true
+    case _ => false
+  }
+
+  /** Per-value footer stats with exact grouped MIN/MAX alongside the
+    * counts — one footer pass serves `GROUP BY p0` with any mix of
+    * `count(*) / min(c) / max(c)` over [[footerStatsExact]] columns.
+    * Footer min/max ignore nulls exactly like SQL min/max; a value
+    * whose rows are all-null for `c` serves NULL. A file missing usable
+    * statistics for any requested column refuses the whole serve.
+    */
+  def metadataGroupStats(statCols: Seq[String])
+      : Option[Seq[(String, Long, Map[String, Option[(Any, Any)]])]] = {
     val m = manifest
     if (m.dvFiles.nonEmpty || m.partitionBy.isEmpty) return None
-    val key = (rootPath, m.version)
+    statCols.foreach { c =>
+      if (!schema.fieldNames.contains(c) || !footerStatsExact(schema(c).dataType)) return None
+    }
+    val key = (rootPath, m.version, statCols.sorted.mkString(","))
     GraftSqlTable.groupCountCache.get(key) match {
       case Some(v) => v
       case None =>
@@ -546,6 +572,12 @@ final class GraftSqlTable(rootPath: String, versionAsOf: Option[Long] = None)
         val prefix = s"$p0="
         val conf = new org.apache.hadoop.conf.Configuration()
         val acc = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+        // per (value, col): running (min, max) over files' footer stats,
+        // as the parquet-reported Comparable (Integer days for dates,
+        // Integer for byte/short) — converted to the external type at
+        // the end. None = no non-null value seen yet for that pair.
+        val ranges = scala.collection.mutable.HashMap
+          .empty[(String, String), (Comparable[Any], Comparable[Any])]
         var servable = true
         // a commit dir is only countable per-value if EVERY parquet file
         // in it sits under a `p0=value` subdir of the CURRENT leading
@@ -590,8 +622,34 @@ final class GraftSqlTable(rootPath: String, versionAsOf: Option[Long] = None)
                     val in = org.apache.parquet.hadoop.util.HadoopInputFile
                       .fromPath(new org.apache.hadoop.fs.Path(f.toString), conf)
                     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-                    try acc(v) = acc.getOrElse(v, 0L) + reader.getRecordCount
-                    finally reader.close()
+                    try {
+                      acc(v) = acc.getOrElse(v, 0L) + reader.getRecordCount
+                      if (statCols.nonEmpty) {
+                        reader.getFooter.getBlocks.asScala.foreach { block =>
+                          val byName = block.getColumns.asScala
+                            .map(c => c.getPath.toDotString -> c).toMap
+                          statCols.foreach { c =>
+                            byName.get(c) match {
+                              case None => servable = false // col absent in this file
+                              case Some(chunk) =>
+                                val st = chunk.getStatistics
+                                if (st == null || st.isEmpty) servable = false
+                                else if (st.hasNonNullValue) {
+                                  val mn = st.genericGetMin.asInstanceOf[Comparable[Any]]
+                                  val mx = st.genericGetMax.asInstanceOf[Comparable[Any]]
+                                  ranges.get((v, c)) match {
+                                    case None => ranges((v, c)) = (mn, mx)
+                                    case Some((omn, omx)) =>
+                                      ranges((v, c)) = (
+                                        if (mn.compareTo(omn) < 0) mn else omn,
+                                        if (mx.compareTo(omx) > 0) mx else omx)
+                                  }
+                                } // else: all-null chunk contributes nothing
+                            }
+                          }
+                        }
+                      }
+                    } finally reader.close()
                   }
                 finally walk.close()
               }
@@ -599,7 +657,24 @@ final class GraftSqlTable(rootPath: String, versionAsOf: Option[Long] = None)
             }
           }
         }
-        val result = if (servable) Some(acc.toSeq) else None
+        def toExternal(raw: Any, dt: DataType): Any = dt match {
+          case org.apache.spark.sql.types.ShortType => raw.asInstanceOf[Int].toShort
+          case org.apache.spark.sql.types.ByteType => raw.asInstanceOf[Int].toByte
+          case org.apache.spark.sql.types.DateType =>
+            java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(raw.asInstanceOf[Int].toLong))
+          case _ => raw
+        }
+        val result =
+          if (!servable) None
+          else Some(acc.toSeq.map { case (v, n) =>
+            val colRanges = statCols.map { c =>
+              c -> ranges.get((v, c)).map { case (mn, mx) =>
+                val dt = schema(c).dataType
+                (toExternal(mn, dt), toExternal(mx, dt))
+              }
+            }.toMap
+            (v, n, colRanges)
+          })
         if (GraftSqlTable.groupCountCache.size > 4096) GraftSqlTable.groupCountCache.clear()
         GraftSqlTable.groupCountCache.put(key, result)
         result
@@ -645,8 +720,9 @@ final class GraftSqlTable(rootPath: String, versionAsOf: Option[Long] = None)
         * COUNT(*) ([[metadataRowCount]] — footer record counts) and
         * MIN/MAX of stats-covered columns ([[metadataColRange]] — dir
         * zonemaps) for GLOBAL aggregates, plus
-        * `GROUP BY <leading partition col>` + COUNT(*) served from
-        * per-value footer counts ([[metadataGroupCounts]]). Guards: no
+        * `GROUP BY <leading partition col>` with any mix of COUNT(*) and
+        * MIN/MAX of footer-stats-exact columns served from per-value
+        * footer counts + statistics ([[metadataGroupStats]]). Guards: no
         * filters anywhere on the scan (we refuse if any were even
         * seen — a residual-filtered aggregate is post-filter); each
         * helper carries its own exactness guards (DVs, narrowed scopes,
@@ -694,22 +770,48 @@ final class GraftSqlTable(rootPath: String, versionAsOf: Option[Long] = None)
           // GROUP BY the table's leading partition column: the per-value
           // footer counts ARE the group counts (a value's rows live only
           // under its own `p0=value` dirs, so grouping is directory
-          // layout, not computation)
+          // layout, not computation), and per-value footer min/max over
+          // stats-exact columns serve grouped MIN/MAX in the same walk.
+          // min/max OF the partition column itself is the group value.
           case Seq(g) =>
+            // per output expr: Left(()) = count(*), Right(isMin, col)
+            val specs: Seq[Option[Either[Unit, (Boolean, String)]]] = exprs.toSeq.map {
+              case _: CountStar => Some(Left(()))
+              case m: Min => fieldOf(m.column).map(c2 => Right((true, c2)))
+              case m: Max => fieldOf(m.column).map(c2 => Right((false, c2)))
+              case _ => None
+            }
             for {
               c <- fieldOf(g)
               if manifest.partitionBy.headOption.contains(c)
-              if exprs.forall(_.isInstanceOf[CountStar])
-              counts <- metadataGroupCounts()
-              typed <- typedGroupValues(counts.map(_._1), schema(c).dataType)
+              if specs.forall(_.isDefined)
+              statCols = specs.flatMap(_.get.toOption.map(_._2)).filter(_ != c).distinct
+              stats <- metadataGroupStats(statCols)
+              typed <- typedGroupValues(stats.map(_._1), schema(c).dataType)
             } yield {
               val out = StructType(
                 schema(c).copy(nullable = false) +:
-                  exprs.toSeq.map(_ =>
-                    org.apache.spark.sql.types.StructField(
-                      "count(*)", org.apache.spark.sql.types.LongType, nullable = false)))
-              val rows = counts.zip(typed).map { case ((_, n), v) =>
-                org.apache.spark.sql.Row.fromSeq(v +: exprs.toSeq.map(_ => n: Any))
+                  specs.map(_.get).map {
+                    case Left(()) =>
+                      org.apache.spark.sql.types.StructField(
+                        "count(*)", org.apache.spark.sql.types.LongType, nullable = false)
+                    case Right((isMin, c2)) =>
+                      // nullable: an all-null group legitimately serves
+                      // NULL min/max
+                      org.apache.spark.sql.types.StructField(
+                        s"${if (isMin) "min" else "max"}($c2)",
+                        schema(c2).dataType, nullable = true)
+                  })
+              val rows = stats.zip(typed).map { case ((_, n, colRanges), v) =>
+                org.apache.spark.sql.Row.fromSeq(v +: specs.map(_.get).map {
+                  case Left(()) => n: Any
+                  case Right((isMin, c2)) =>
+                    if (c2 == c) v // min/max of the group col IS the value
+                    else colRanges(c2) match {
+                      case Some((mn, mx)) => if (isMin) mn else mx
+                      case None => null // all rows null for this value
+                    }
+                })
               }
               (out, rows)
             }
@@ -918,9 +1020,13 @@ object GraftSqlTable {
   // footer-summed row counts keyed by (root, version) — same immutability
   private[v2] val countCache =
     scala.collection.concurrent.TrieMap.empty[(String, Long), Long]
-  // per-partition-value footer counts (None caches a refused serve)
+  // per-partition-value footer counts + exact grouped min/max ranges,
+  // keyed by (root, version, requested stat cols); None caches a
+  // refused serve
   private[v2] val groupCountCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Long), Option[Seq[(String, Long)]]]
+    scala.collection.concurrent.TrieMap.empty[
+      (String, Long, String),
+      Option[Seq[(String, Long, Map[String, Option[(Any, Any)]])]]]
 }
 
 /** `sources.Filter` → `Column` for the V1Scan bridge. Partial by

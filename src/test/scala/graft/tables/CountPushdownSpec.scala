@@ -130,6 +130,54 @@ class CountPushdownSpec extends SparkSpec {
     assert(dv.as[(Int, Long)].collect().toMap.values.sum == 30L)
   }
 
+  test("grouped MIN/MAX serve from footer stats with the counts; fallbacks stay exact") {
+    val cat = Catalog(spark, scratchDir("gbymm"))
+    cat.createSchema("gold")
+    val t = cat.table("gold", "mm")
+    // string col `s` must refuse (binary stats may truncate); long col
+    // serves; group 2's `v` is ALL NULL and must serve NULL
+    val rows = (1 to 30).map { i =>
+      val v: java.lang.Long = if (i % 3 == 2) null else java.lang.Long.valueOf(i * 10L)
+      (i, i % 3, v, s"r$i")
+    }
+    t.append(rows.take(20).toDF("id", "p", "v", "s"), partitionBy = Seq("p"))
+    t.append(rows.drop(20).toDF("id", "p", "v", "s"), partitionBy = Seq("p"))
+    cat.attachSqlCatalog("lake")
+
+    val gby = spark.sql(
+      "SELECT p, count(*) AS n, min(v) AS mn, max(v) AS mx, min(p) AS mp " +
+        "FROM lake.gold.mm GROUP BY p")
+    val plan = gby.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates"),
+      s"grouped count+min/max must serve from metadata:\n$plan")
+    val expected = rows.groupBy(_._2).map { case (k, rs) =>
+      val vs = rs.flatMap(r => Option(r._3).map(_.longValue))
+      (k, rs.size.toLong,
+        if (vs.isEmpty) null else java.lang.Long.valueOf(vs.min),
+        if (vs.isEmpty) null else java.lang.Long.valueOf(vs.max),
+        k)
+    }.toSet
+    assert(gby.collect().map(r => (r.getInt(0), r.getLong(1),
+      if (r.isNullAt(2)) null else java.lang.Long.valueOf(r.getLong(2)),
+      if (r.isNullAt(3)) null else java.lang.Long.valueOf(r.getLong(3)),
+      r.getInt(4))).toSet == expected)
+
+    // a string column refuses the serve (possible stats truncation)
+    val str = spark.sql("SELECT p, min(s) AS mn FROM lake.gold.mm GROUP BY p")
+    assert(!servedFromMetadata(str))
+    assert(str.count() == 3)
+    // a double column refuses too (NaN-unsafe footer stats)... via a
+    // fresh table since mm has no double col
+    val t2 = cat.table("gold", "mmd")
+    t2.append(Seq((1, 0, 1.5), (2, 1, 2.5)).toDF("id", "p", "d"), partitionBy = Seq("p"))
+    val dbl = spark.sql("SELECT p, max(d) AS mx FROM lake.gold.mmd GROUP BY p")
+    assert(!servedFromMetadata(dbl))
+    assert(dbl.count() == 2)
+    // avg/sum can't come from footer stats — whole serve refuses
+    val sum = spark.sql("SELECT p, count(*) AS n, sum(v) AS s FROM lake.gold.mm GROUP BY p")
+    assert(!servedFromMetadata(sum))
+  }
+
   test("partition-layout flip mid-history refuses the grouped serve, never the answer") {
     val cat = Catalog(spark, scratchDir("gbyflip"))
     cat.createSchema("gold")

@@ -135,6 +135,30 @@ object Similarity {
     * never repartitioned; seed selection is a TakeOrdered top-nlist,
     * not a full sort.
     */
+  /** Corpus-adaptive list count. nlist must GROW with the corpus or the
+    * probe degenerates: with a query set proportional to the corpus
+    * (the workload every rehearsal runs), fixed nlist makes candidate
+    * pairs = |queries|·nprobe·N/nlist ∝ N² — measured 50× on 10× data
+    * at sf1→sf10 before this was adaptive. ~1000 vectors per list keeps
+    * per-probe work flat; the 256 cap bounds the literal-centroid
+    * expression (past it, assignment should become a broadcast-join
+    * argmin over a centroid table — the >10⁷-vector upgrade path).
+    */
+  def nlistFor(corpusCount: Long, perList: Int = 1000): Int =
+    math.max(16, math.min(256, (corpusCount / perList).toInt))
+
+  /** Deterministic training subsample: Lloyd quality needs a
+    * representative sample, not the corpus — past `trainCap` vectors,
+    * train on every step-th id (exact replay: the rule is a pure
+    * function of ids). A no-op at oracle scale, which is what keeps the
+    * unrolled-SQL oracle valid.
+    */
+  private def trainSet(
+      corpus: DataFrame, idCol: String, corpusCount: Long, trainCap: Long): DataFrame = {
+    val step = math.max(1L, corpusCount / trainCap)
+    if (step <= 1L) corpus else corpus.filter(pmod(col(idCol), lit(step)) === lit(0L))
+  }
+
   def ivfTopK(
       queries: DataFrame,
       corpus: DataFrame,
@@ -143,11 +167,13 @@ object Similarity {
       k: Int,
       nlist: Int = 16,
       nprobe: Int = 4,
-      iters: Int = 2): DataFrame = {
+      iters: Int = 2,
+      trainCap: Long = 20000L): DataFrame = {
     val spark = corpus.sparkSession
     val cos = (a: Column, b: Column) => graft.functions.VectorExprs.arrayCosine(spark, a, b)
 
-    val centroids = Clustering.kmeansFit(corpus, idCol, vecCol, nlist, iters)
+    val centroids = Clustering.kmeansFit(
+      trainSet(corpus, idCol, corpus.count(), trainCap), idCol, vecCol, nlist, iters)
 
     // scored literal-centroid array: struct(sim6, -list_id) so array_max's
     // lexicographic compare IS "max rounded sim, ties -> min list_id"
@@ -268,10 +294,12 @@ object Similarity {
       vecCol: String,
       indexRoot: String,
       nlist: Int = 16,
-      iters: Int = 2): Unit = {
+      iters: Int = 2,
+      trainCap: Long = 20000L): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val centroids = Clustering.kmeansFit(corpus, idCol, vecCol, nlist, iters)
+    val centroids = Clustering.kmeansFit(
+      trainSet(corpus, idCol, corpus.count(), trainCap), idCol, vecCol, nlist, iters)
     graft.tables.LakeTable(spark, s"$indexRoot/centroids")
       .append(centroids.toDF("list_id", "centroid"))
     def scoredV(vec: Column): Column = Clustering.scoredArray(centroids, spark, vec)

@@ -1018,9 +1018,13 @@ object ExtQueries {
     */
   def similarityIvf(spark: SparkSession, sfDir: String): DataFrame = {
     val e = embs(spark, sfDir)
+    // nlist grows with the corpus (≈1000 vectors/list, min 16): at the
+    // oracle SFs this IS 16, so the unrolled-SQL replay stays valid; at
+    // rehearsal scale it is what keeps probe work per query flat
+    // (fixed nlist=16 measured 50× on 10× data at sf1→sf10)
     Similarity.ivfTopK(
       e.filter(col("vec_id") % 100 === 0), e, "vec_id", "embedding", 5,
-      nlist = 16, nprobe = 4, iters = 2)
+      nlist = Similarity.nlistFor(e.count()), nprobe = 4, iters = 2)
   }
 
   /** IVF index PERSISTED then probed ([[Similarity.buildIvfIndex]] /
@@ -1034,7 +1038,9 @@ object ExtQueries {
   def similarityIvfPersisted(spark: SparkSession, sfDir: String): DataFrame = {
     val e = embs(spark, sfDir)
     val root = graft.util.TempDirs.scratch("ivfidx")
-    Similarity.buildIvfIndex(e, "vec_id", "embedding", root, nlist = 16, iters = 2)
+    Similarity.buildIvfIndex(
+      e, "vec_id", "embedding", root,
+      nlist = Similarity.nlistFor(e.count()), iters = 2)
     Similarity.searchIvfIndex(
       e.filter(col("vec_id") % 100 === 0), "vec_id", "embedding", root, 5, nprobe = 4)
   }
@@ -1502,6 +1508,17 @@ object ExtQueries {
     * 2.3 s warm at sf0.1). At 100 TB the same holds with the input's
     * natural partitioning; the rebalance is only load-bearing when the
     * source collapses to a handful of splits.
+    *
+    * SCALE LIMIT, measured: the 5.5× cut does not hold a decade up —
+    * at sf1 (10× rows, same vocabulary) blocks grow linearly per gram,
+    * candidates quadratically: 372 s standalone, 46× on 10× data. That
+    * is a property of the CORPUS (dense tiny vocabulary), not of the
+    * plan — on such corpora use [[fuzzyJoinDeletes]], whose deletion-
+    * neighborhood keys track name multiplicity instead of gram
+    * frequency and scale with the true match count. The prefix filter
+    * remains the right tool where it classically wins: long strings,
+    * large sparse gram vocabularies, and thresholds d ≥ 2 where
+    * deletion neighborhoods blow up combinatorially.
     */
   def fuzzyJoinQGram(spark: SparkSession, sfDir: String): DataFrame = {
     val parts = spark.read.parquet(tablePath(sfDir, "part"))
@@ -1561,6 +1578,69 @@ object ExtQueries {
         col("dist"))
       .distinct() // a pair can share up to 4 prefix grams; dist is
                   // deterministic per pair, so this is exactly pair-dedup
+  }
+
+  /** DELETION-NEIGHBORHOOD FUZZY JOIN (FastSS / SymSpell blocking) —
+    * the SCALE PATH for ed ≤ 1, and the fix for the measured quadratic
+    * blowup of the q-gram prefix filter on this corpus (46× on 10×
+    * data at sf0.1→sf1: short names over a 78-gram vocabulary where
+    * every gram hits 1.4–25% of the catalog leave the prefix filter
+    * with ~N²-growing blocks). Each string blocks on
+    * K(x) = {x} ∪ del1(x) (every single-character deletion, len+1 keys
+    * of ~len chars). LOSSLESS for the FULL ed≤1 relation:
+    *
+    *   - x = y           → x ∈ K(x) ∩ K(y);
+    *   - substitution @i → deleting i from both sides yields the same
+    *     string in both neighborhoods;
+    *   - insertion/deletion → the shorter string IS a member of the
+    *     longer one's neighborhood (and of its own).
+    *
+    * Keys are near-unique strings, so block sizes track NAME
+    * MULTIPLICITY (how many catalog rows share a near-identical name),
+    * not vocabulary density — candidate pairs stay proportional to the
+    * true match count, which is the floor any join must pay. The
+    * trade-off against the prefix filter is threshold growth: del-
+    * neighborhoods scale C(len, d) keys at distance d (prohibitive
+    * past d ≈ 2 on long strings), while prefix filters scale q·d+1 —
+    * which is why both variants exist and the scaladocs cross-point.
+    * Shares the brute-force levenshtein oracle with the q-gram variant
+    * (the strongest recall check); same verify-before-dedup and
+    * probe-repartition plan shape.
+    */
+  def fuzzyJoinDeletes(spark: SparkSession, sfDir: String): DataFrame = {
+    val parts = spark.read.parquet(tablePath(sfDir, "part"))
+      .select(col("p_partkey"), lower(col("p_name")).as("name"))
+    val probes = parts
+      .filter(col("p_partkey") % 3 === 0 && length(col("name")) >= 4)
+      .withColumn("d", (col("p_partkey") % (length(col("name")) - 2) + 1).cast("int"))
+      .select(
+        col("p_partkey").as("probe_key"),
+        concat(
+          expr("substring(name, 1, d)"),
+          expr("substring(name, d + 2)")).as("probe"))
+    // {x} ∪ del1(x): the string itself plus every one-char deletion
+    def delKeys(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      array_distinct(concat(
+        array(c),
+        transform(
+          sequence(lit(1), length(c)),
+          i => concat(c.substr(lit(1), i - 1), c.substr(i + 1, length(c))))))
+    val probeSide = probes
+      .select(col("probe_key"), col("probe"), explode(delKeys(col("probe"))).as("k"))
+      .repartition(32)
+    val catSide = parts
+      .select(col("p_partkey"), col("name"), explode(delKeys(col("name"))).as("k"))
+    probeSide
+      .join(catSide, Seq("k"))
+      // sharing a deletion variant only bounds ed ≤ 2 — the levenshtein
+      // verify is still load-bearing, but runs on ~match-count rows
+      .withColumn("dist", levenshtein(col("probe"), col("name")))
+      .filter(col("dist") <= 1)
+      .select(
+        col("probe_key"),
+        col("p_partkey").as("match_key"),
+        col("dist"))
+      .distinct() // a pair can share several deletion keys
   }
 
   /** Brute-force ed≤1 join — the blocking-free ground truth the q-gram
@@ -2781,6 +2861,7 @@ object ExtQueries {
     "q_curriculum_sample" -> (curriculumSample _),
     "q_fuzzy_join" -> (fuzzyJoin _),
     "q_fuzzy_join_qgram" -> (fuzzyJoinQGram _),
+    "q_fuzzy_join_deletes" -> (fuzzyJoinDeletes _),
     "q_text_fingerprint" -> (textFingerprint _),
     "q_text_repetition" -> (textRepetition _),
     "q_text_langid" -> (textLangId _),
@@ -2837,6 +2918,7 @@ object ExtQueries {
     "q_curriculum_sample" -> curriculumSampleSql,
     "q_fuzzy_join" -> fuzzyJoinSql,
     "q_fuzzy_join_qgram" -> fuzzyJoinQGramSql,
+    "q_fuzzy_join_deletes" -> fuzzyJoinQGramSql,
     "q_text_fingerprint" -> textFingerprintSql,
     "q_text_repetition" -> textRepetitionSql,
     "q_dedup_exact" -> dedupExactSql,

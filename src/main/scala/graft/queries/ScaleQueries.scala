@@ -246,17 +246,24 @@ object ScaleQueries {
     // repartition on the bucket key first: task partitioning aligns with
     // bucket hashing, so each task writes one file per bucket instead of
     // every task writing a sliver of every bucket (N_tasks × N_buckets
-    // small files — the classic bucketed-write mistake at scale)
+    // small files — the classic bucketed-write mistake at scale).
+    // Bucket count SCALES with the fact side (~1M rows/bucket, both
+    // sides equal so the join stays exchange-free): a fixed count makes
+    // the bucketed write itself the bottleneck — 8 buckets measured 17×
+    // on 10× data at sf1→sf10 because 60M rows sort through 8 tasks.
+    // The count probe is parquet-metadata-only.
+    val liRows = spark.read.parquet(tablePath(sfDir, "lineitem")).count()
+    val buckets = math.max(8L, math.min(256L, liRows / 1000000L * 8L)).toInt
     spark.read.parquet(tablePath(sfDir, "lineitem"))
       .select(col("l_orderkey"), col("l_extendedprice"))
-      .repartition(8, col("l_orderkey"))
-      .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .repartition(buckets, col("l_orderkey"))
+      .write.mode("overwrite").bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
       .option("path", graft.util.TempDirs.scratch(s"bkt-li-$tag"))
       .saveAsTable(t1)
     spark.read.parquet(tablePath(sfDir, "orders"))
       .select(col("o_orderkey"), col("o_orderpriority"))
-      .repartition(8, col("o_orderkey"))
-      .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .repartition(buckets, col("o_orderkey"))
+      .write.mode("overwrite").bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
       .option("path", graft.util.TempDirs.scratch(s"bkt-ord-$tag"))
       .saveAsTable(t2)
     spark.table(t1).hint("merge")

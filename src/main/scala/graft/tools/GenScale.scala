@@ -27,7 +27,10 @@ object GenScale {
   private val Shift = 10000000L
 
   def main(args: Array[String]): Unit = {
-    val Array(src, dst, copiesStr) = args
+    val (src, dst, copiesStr, onlyTables) = args match {
+      case Array(s, d, c) => (s, d, c, None)
+      case Array(s, d, c, t) => (s, d, c, Some(t.split(",").toSet))
+    }
     val copies = copiesStr.toInt
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -38,6 +41,7 @@ object GenScale {
     spark.sparkContext.setLogLevel("WARN")
 
     def replicate(table: String)(mutate: (DataFrame, Int) => DataFrame): Unit = {
+      if (onlyTables.exists(!_.contains(table))) return
       val base = spark.read.parquet(s"$src/$table.parquet")
       val out = (0 until copies).map(i => mutate(base, i)).reduce(_ unionByName _)
       out.write.mode("overwrite").parquet(s"$dst/$table.parquet")
@@ -45,7 +49,7 @@ object GenScale {
     }
 
     // dims: verbatim single copy (fact copies reference the same keys)
-    Seq("nation", "region").foreach { t =>
+    Seq("nation", "region").filter(t => onlyTables.forall(_.contains(t))).foreach { t =>
       spark.read.parquet(s"$src/$t.parquet")
         .write.mode("overwrite").parquet(s"$dst/$t.parquet")
     }
@@ -75,7 +79,26 @@ object GenScale {
 
     replicate("customer")((d, i) => d.withColumn("c_custkey", col("c_custkey") + lit(i * Shift)))
     replicate("supplier")((d, i) => d.withColumn("s_suppkey", col("s_suppkey") + lit(i * Shift)))
-    replicate("part")((d, i) => d.withColumn("p_partkey", col("p_partkey") + lit(i * Shift)))
+    replicate("part") { (d, i) =>
+      val shifted = d.withColumn("p_partkey", col("p_partkey") + lit(i * Shift))
+      // decorrelate NAMES too (same reasoning as document text): the
+      // base corpus draws names from a small fixed space, so clone
+      // copies multiply name multiplicity and make the ed≤1 fuzzy-join
+      // relation itself Ω(N²) — a real 100× catalog has ~100× distinct
+      // names instead. Copy 0 stays verbatim; copy i gets the suffix
+      // " L…L" with letter L = 'a'+(i%26) repeated 2+2·(i/26) times:
+      // every copy pair then differs in the LAST character (same length
+      // band ⇒ different letter) or in length by ≥ 2 — so cross-copy
+      // edit distance is always ≥ 2, cross-copy ed≤1 matches vanish,
+      // and (first, last, length)-style blocking stays copy-local (no
+      // cross-copy candidate leakage either).
+      if (i == 0) shifted
+      else {
+        val letter = ('a' + (i % 26)).toChar.toString
+        shifted.withColumn(
+          "p_name", concat(col("p_name"), lit(" " + letter * (2 + 2 * (i / 26)))))
+      }
+    }
     replicate("orders") { (d, i) =>
       d.withColumn("o_orderkey", col("o_orderkey") + lit(i * Shift))
         .withColumn("o_custkey", col("o_custkey") + lit(i * Shift))

@@ -1230,8 +1230,15 @@ object AnalyticsQueries {
       .select(col("c_node").as("src"), col("s_node").as("dst"))
       .unionByName(pairs.select(col("s_node").as("src"), col("c_node").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // nodes and deg are referenced in EVERY iteration (the contrib join
+    // and the left-join rebase): uncached they re-run a 2|E|-row
+    // distinct / groupBy per round — 6 extra full edge shuffles across
+    // 3 iterations at sf10. Both are |V|-row frames; cache them like
+    // the rank frames.
     val nodes = edges.select(col("src").as("node")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val r0 = nodes.withColumn("rank", lit(micro))
     val ranked = (1 to 3).foldLeft(r0) { (r, _) =>
       val contrib = edges

@@ -300,6 +300,50 @@ class AnalyticsSpec extends SparkSpec {
     assert(a.exists(_._1 % 2 == 1), "no supplier in the top-20")
   }
 
+  test("triangle count: orientation agrees with the brute-force triple join") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val row = queries.AnalyticsQueries.triangleCount(spark, sf).head()
+    val (nNodes, nEdges, nTri) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    assert(nNodes > 0 && nEdges > 0)
+    // structural bounds: a simple graph has at most C(n,2) edges and
+    // every triangle needs 3 distinct edges
+    assert(nEdges <= nNodes * (nNodes - 1) / 2)
+    assert(nTri * 3 >= 0 && nTri <= nEdges * nNodes)
+    // brute force: canonical p1<p2 edges, count a<b<c triples with all
+    // three edges present — the textbook O(E^1.5)-less definition the
+    // oriented plan must reproduce exactly
+    val po = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val e = po.select(col("o"), col("p").as("p1"))
+      .join(po.select(col("o"), col("p").as("p2")), Seq("o"))
+      .where(col("p1") < col("p2")).select("p1", "p2").distinct()
+    e.createOrReplaceTempView("tri_e")
+    val brute = spark.sql(
+      """SELECT count(*) FROM tri_e e1
+        |JOIN tri_e e2 ON e1.p2 = e2.p1
+        |JOIN tri_e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2""".stripMargin)
+      .head().getLong(0)
+    assert(nTri == brute, s"oriented=$nTri brute=$brute")
+  }
+
+  test("BFS hops: hop-0 is exactly the seed set; frontiers are disjoint minima") {
+    val rows = queries.AnalyticsQueries.bfsHops(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.contains(0L), "seed hop missing")
+    val (n0, sum0) = rows(0L)
+    // seeds are the even nodes <= 10 (customers 0..5): count <= 6 and
+    // the node-id sum of k such seeds is bounded by 0+2+..+10
+    assert(n0 >= 1 && n0 <= 6 && sum0 <= 30 && sum0 % 2 == 0, s"($n0, $sum0)")
+    // bipartite graph: odd hops land on supplier (odd) nodes, so a
+    // frontier of k nodes at hop 1 has an odd-parity sum iff k is odd
+    rows.get(1L).foreach { case (n1, s1) => assert((s1 % 2 == 1) == (n1 % 2 == 1)) }
+    // hop counts are minima over a finite graph: every hop present is
+    // contiguous from 0 (a non-empty hop h needs a non-empty h-1)
+    val hops = rows.keySet
+    assert(hops == (0L until hops.size).toSet, s"non-contiguous: $hops")
+  }
+
   test("MAD outliers: robust stats flag fewer-or-equal rows than a zero-MAD degenerate") {
     val rows = queries.AnalyticsQueries
       .outlierMad(spark, "/root/testdata/sf0.01")

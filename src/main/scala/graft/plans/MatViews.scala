@@ -208,10 +208,13 @@ object MatViewRewrite extends Rule[LogicalPlan] {
               case ByteType | ShortType | IntegerType | LongType =>
                 // Sum(integral) has LongType output, as does IntegralDivide
                 Some(Alias(IntegralDivide(state, tenK), name)(exprId = al.exprId))
-              case d: DecimalType if d.scale <= 4 && d.precision - d.scale <= 34 =>
-                // p-s ≤ 34 mirrors the view-state bound: wider integer
-                // parts can't be held exactly in the decimal(38,4) cast
-                // the state performs, so those columns never route
+              case d: DecimalType
+                  if d.scale <= 4 &&
+                    d.precision - d.scale <=
+                      graft.tables.IncrementalAggView.MaxSumIntDigits =>
+                // the shared MaxSumIntDigits bound keeps routing in
+                // lockstep with the refresh guard: a column the view-state
+                // ×10⁴ product could have overflowed on never routes
                 // exact decimal division (value needs ≤ 4 fraction digits,
                 // the quotient scale keeps ≥ 6), cast back to Sum's type
                 Some(Alias(Cast(Divide(state, tenK), s.dataType), name)(exprId = al.exprId))

@@ -1239,8 +1239,16 @@ object AnalyticsQueries {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize the shared frames ONCE, then drop the pair list: it
+    // only exists to build `edges`, and once edges/nodes/deg are in
+    // cache its |E|/2-row blocks are dead weight the iterations would
+    // otherwise GC around for the rest of the query (the cache-residency
+    // discipline the sf10 rehearsal showed dominates iteration cost —
+    // partitioning was ruled out at shuffle=96/256)
+    nodes.count(); deg.count()
+    pairs.unpersist(blocking = false)
     val r0 = nodes.withColumn("rank", lit(micro))
-    val ranked = (1 to 3).foldLeft(r0) { (r, _) =>
+    val ranked = (1 to 3).foldLeft(r0) { (r, i) =>
       val contrib = edges
         .join(r.withColumnRenamed("node", "src"), Seq("src"))
         .join(deg, Seq("src"))
@@ -1249,7 +1257,7 @@ object AnalyticsQueries {
         // double error exceeds 1/out_deg at large rank magnitudes
         .select(col("dst"), expr("rank div out_deg").as("c"))
       val inMass = contrib.groupBy(col("dst")).agg(sum(col("c")).as("mass"))
-      nodes
+      val next = nodes
         .join(inMass.withColumnRenamed("dst", "node"), Seq("node"), "left")
         .select(col("node"), coalesce(col("mass"), lit(0L)).as("mass"))
         .select(
@@ -1261,6 +1269,12 @@ object AnalyticsQueries {
         // without this the optimizer replans (and AQE re-shuffles) a
         // tree that doubles per iteration
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // materialize the new rank frame, then retire the previous one:
+      // cached frames the loop will never read again are pure GC
+      // pressure (r0 is a projection over `nodes`, never persisted)
+      next.count()
+      if (i > 1) r.unpersist(blocking = false)
+      next
     }
     ranked
       .orderBy(col("rank").desc, col("node").asc)
@@ -1318,10 +1332,12 @@ object AnalyticsQueries {
     * not quadratically with parts (measured: 116k edges / 414k
     * triangles at sf0.01 → 1.2M / 1.9M at sf0.1 — both ~10×). |V|
     * and |E| are needed for the output row anyway, so their counts
-    * double as join-strategy stats: the |V|-sized deg/adjacency
-    * frames broadcast only when |V| is genuinely small (≤ 2M here);
-    * past that every join degrades to shuffle-on-node-key, which is
-    * the correct 10⁹-vertex plan.
+    * double as join-strategy stats: deg broadcasts on the node gate
+    * (|V| ≤ 2M — its payload is |V| rows of two longs), the adjacency
+    * frames on node AND edge gates (their payload is Σ|nbr| = |E|
+    * entries, unbounded by |V| on dense graphs); past either gate the
+    * join degrades to shuffle-on-node-key, which is the correct
+    * 10⁹-vertex plan.
     */
   def triangleCount(spark: SparkSession, sfDir: String): DataFrame = {
     val po = spark.read
@@ -1344,6 +1360,12 @@ object AnalyticsQueries {
     val nNodes = deg.count()
     def vSized(df: DataFrame): DataFrame =
       if (nNodes <= 2000000L) broadcast(df) else df
+    // the adjacency frames are |V| ROWS but |E| ENTRIES (Σ|nbr list|) —
+    // on dense graphs a node-count gate alone could force-broadcast an
+    // edge-sized payload past driver/broadcast limits, so adj gates on
+    // BOTH counts (deg stays on the node gate: |V| rows of two longs)
+    def eSized(df: DataFrame): DataFrame =
+      if (nNodes <= 2000000L && nEdges <= 8000000L) broadcast(df) else df
     // acyclic orientation by the (degree, id) total order
     val lowFirst = col("d1") < col("d2") ||
       (col("d1") === col("d2") && col("p1") < col("p2"))
@@ -1354,11 +1376,17 @@ object AnalyticsQueries {
         when(lowFirst, col("p1")).otherwise(col("p2")).as("src"),
         when(lowFirst, col("p2")).otherwise(col("p1")).as("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the intersect stage only reads `oriented` — materialize it and
+    // retire the raw edge/degree caches so the heavy stage runs against
+    // a minimal cached working set (same discipline as pagerank)
+    oriented.count()
+    edges.unpersist(blocking = false)
+    deg.unpersist(blocking = false)
     val adj = oriented.groupBy(col("src"))
       .agg(collect_list(col("dst")).as("nbr"))
     val tri = oriented
-      .join(vSized(adj.select(col("src"), col("nbr").as("na"))), Seq("src"))
-      .join(vSized(adj.select(col("src").as("dst"), col("nbr").as("nb"))), Seq("dst"))
+      .join(eSized(adj.select(col("src"), col("nbr").as("na"))), Seq("src"))
+      .join(eSized(adj.select(col("src").as("dst"), col("nbr").as("nb"))), Seq("dst"))
       .select(size(array_intersect(col("na"), col("nb"))).as("t"))
       .agg(sum(col("t")).as("t"))
     tri.select(
@@ -1390,12 +1418,23 @@ object AnalyticsQueries {
     * (Pregel's BFS special case) with the same lineage-truncation
     * discipline as the pagerank loop. At real scale the per-round
     * cost is O(edges incident to the frontier) + one anti-join
-    * against the visited frame; the anti-join is the |V|-sized term
-    * and would take a bloom-filter pre-prune or bucketed visited
-    * layout at 10⁹ vertices (same knob as the incremental-dedup
-    * index). Seeds: customer nodes with key ≤ 5; 3 hops.
+    * against the visited frame; the anti-join is the |V|-sized term,
+    * so past `bloomPruneAt` visited rows it is BLOOM-PRE-PRUNED
+    * ([[graft.functions.Bloom]], Spark's own runtime-filter expression
+    * pair): candidates the visited-set bloom says were NEVER seen skip
+    * the anti-join entirely, and only the maybe-seen sliver (true
+    * hits + fpp) pays the |V|-sized shuffle — the 10⁹-vertex knob
+    * (same as the incremental-dedup index), correctness-neutral
+    * because `might_contain = false` is exact and positives still
+    * verify through the real anti-join. Retired frames (previous
+    * rounds' visited/frontier) are unpersisted once their successor
+    * materializes — cached frames the loop will never read again are
+    * pure GC pressure. Seeds: customer nodes with key ≤ 5; 3 hops.
     */
-  def bfsHops(spark: SparkSession, sfDir: String): DataFrame = {
+  def bfsHops(
+      spark: SparkSession,
+      sfDir: String,
+      bloomPruneAt: Long = 4000000L): DataFrame = {
     val orders = spark.read
       .parquet(tablePath(sfDir, "orders"))
       .select(col("o_orderkey"), col("o_custkey"))
@@ -1428,18 +1467,47 @@ object AnalyticsQueries {
     // shuffle join. Spark can't infer either from lineage — the
     // frontier is a loop-carried cached frame with no stats.
     var frontierRows = frontier.count()
+    var visitedRows = frontierRows
+    var prevRound: Option[DataFrame] = None
     var h = 1
     while (h <= 3 && frontierRows > 0) {
       val probe = frontier.withColumnRenamed("node", "src")
-      val next = edges
+      val expanded = edges
         .join(if (frontierRows <= 1000000L) broadcast(probe) else probe, Seq("src"))
         .select(col("dst").as("node")).distinct()
-        .join(visited, Seq("node"), "left_anti")
+      var scratch: Option[DataFrame] = None
+      val fresh =
+        if (visitedRows > bloomPruneAt) {
+          // bloom pre-prune: one |visited| pass builds the filter (a
+          // driver-held blob, ~10 bits/node), then candidates split into
+          // definitely-new (no anti-join at all) and maybe-seen (the
+          // true-hit + fpp sliver, which alone pays the |V| anti-join).
+          // `expanded` feeds both branches — persist it for the round.
+          val cand = expanded
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          scratch = Some(cand)
+          val blob = visited
+            .agg(graft.functions.Bloom
+              .bloomAgg(spark, xxhash64(col("node")), visitedRows).as("bf"))
+            .head.getAs[Array[Byte]](0)
+          val maybeSeen = graft.functions.Bloom
+            .mightContain(spark, lit(blob), xxhash64(col("node")))
+          cand.filter(!maybeSeen)
+            .unionByName(cand.filter(maybeSeen).join(visited, Seq("node"), "left_anti"))
+        } else expanded.join(visited, Seq("node"), "left_anti")
+      val next = fresh
         .withColumn("hop", lit(h))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       frontierRows = next.count()
+      scratch.foreach(_.unpersist(blocking = false))
+      visitedRows += frontierRows
+      val prevVisited = visited
       visited = visited.unionByName(next)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      visited.count() // materialize before retiring its inputs
+      prevVisited.unpersist(blocking = false)
+      prevRound.foreach(_.unpersist(blocking = false))
+      prevRound = Some(next)
       frontier = next.select(col("node"))
       h += 1
     }
@@ -1839,7 +1907,7 @@ object AnalyticsQueries {
     "q_quantile_sketch" -> (quantileSketch _),
     "q_pagerank" -> (pagerankPurchases _),
     "q_triangle_count" -> (triangleCount _),
-    "q_shortest_paths" -> (bfsHops _),
+    "q_shortest_paths" -> ((s: SparkSession, d: String) => bfsHops(s, d)),
     "q_join_size_estimate" -> (joinSizeEstimate _))
 
   val oracleSql: Map[String, String] = Map(

@@ -1420,8 +1420,10 @@ object ExtQueries {
       // map-only over one small parquet split — rebalance so the
       // levenshtein probe runs on every core, not the file's one
       // partition (same fix as the q-gram variant; at 100 TB the input's
-      // natural splits already provide this)
-      .repartition(32)
+      // natural splits already provide this). Sized from the session,
+      // not a literal: the bench contract is 32 cores today, a cluster
+      // session isn't.
+      .repartition(spark.sparkContext.defaultParallelism)
       .join(
         fanned,
         probes("plen") === fanned("plen") &&
@@ -1503,7 +1505,7 @@ object ExtQueries {
     * verify is therefore the bulk of the work, and because everything
     * upstream of the join is map-only over one small parquet file, the
     * plan would otherwise probe all 24M pairs on the file's ~1 input
-    * partition: the explicit `repartition(32)` before the join is what
+    * partition: the explicit `repartition(defaultParallelism)` before the join is what
     * spreads the levenshtein work across cores (28.3 s → 4.1 s cold /
     * 2.3 s warm at sf0.1). At 100 TB the same holds with the input's
     * natural partitioning; the rebalance is only load-bearing when the
@@ -1560,7 +1562,7 @@ object ExtQueries {
             s => s("g"))).as("g"))
     val probeSide = signature(probes, "probe_key", "probe")
       .withColumn("plen", length(col("probe")))
-      .repartition(32)
+      .repartition(spark.sparkContext.defaultParallelism)
     val catSide = signature(parts, "p_partkey", "name")
       .select(
         col("p_partkey"), col("name"), col("g"),
@@ -1627,7 +1629,7 @@ object ExtQueries {
           i => concat(c.substr(lit(1), i - 1), c.substr(i + 1, length(c))))))
     val probeSide = probes
       .select(col("probe_key"), col("probe"), explode(delKeys(col("probe"))).as("k"))
-      .repartition(32)
+      .repartition(spark.sparkContext.defaultParallelism)
     val catSide = parts
       .select(col("p_partkey"), col("name"), explode(delKeys(col("name"))).as("k"))
     probeSide

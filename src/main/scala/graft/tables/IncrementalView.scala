@@ -64,17 +64,20 @@ final class IncrementalAggView(
     * needed — deletes force the full-recompute path anyway).
     */
   private def partial(df: DataFrame): DataFrame = {
-    // refuse up front what decimal(38,4) cannot hold exactly: a
-    // decimal(p,s) with p-s > 34 has integer digits the state cast would
-    // overflow on (ANSI throw / silent null), turning refresh into a
+    // refuse up front what the state expression cannot hold exactly: the
+    // ×10⁴ product is typed decimal(38,4) (34 integer digits), so a
+    // decimal(p,s) with p-s > 30 can make |x·10⁴| ≥ 10³⁴ overflow the
+    // product (ANSI throw / silent null), turning refresh into a
     // data-dependent failure. Fail loudly at refresh instead.
     sumCols.foreach { c =>
       df.schema(c).dataType match {
-        case d: org.apache.spark.sql.types.DecimalType if d.precision - d.scale > 34 =>
+        case d: org.apache.spark.sql.types.DecimalType
+            if d.precision - d.scale > IncrementalAggView.MaxSumIntDigits =>
           throw new IllegalArgumentException(
             s"sum column `$c` is decimal(${d.precision},${d.scale}); " +
-              "integer digits > 34 cannot be represented in the exact " +
-              "x10^4 view state — drop the column or reduce precision")
+              s"integer digits > ${IncrementalAggView.MaxSumIntDigits} cannot be " +
+              "represented in the exact x10^4 view state — drop the column " +
+              "or reduce precision")
         case _ => ()
       }
     }
@@ -84,8 +87,10 @@ final class IncrementalAggView(
         // scale in DECIMAL, never the column's native type: `intCol *
         // 10000` would wrap int at |v| > 214,748 (or throw under ANSI).
         // cast(x as decimal(38,4)) rounds half-up at 4 fraction digits —
-        // the same value round(x * 10000) produced — and decimal(38,4) *
-        // 10⁴ cannot overflow (|x| < 10³⁴ by the cast, so |x|·10⁴ < 10³⁸).
+        // the same value round(x * 10000) produced — and the product is
+        // typed decimal(38,4) again, which holds |x·10⁴| < 10³⁴ exactly;
+        // the MaxSumIntDigits guard above (|x| < 10³⁰) is what makes
+        // that bound unconditional.
         sumCols.map(c =>
           sum(expr(s"cast(cast(`$c` as decimal(38,4)) * 10000 as decimal(38,0))"))
             .as(stateCol(c))) ++
@@ -150,6 +155,20 @@ final class IncrementalAggView(
 }
 
 object IncrementalAggView {
+
+  /** Widest integer-digit count (precision − scale) a decimal sum column
+    * may have and still refresh exactly. The state expression is
+    * `cast(cast(c as decimal(38,4)) * 10000 as decimal(38,0))`: Spark
+    * types the product decimal(38,4) (34 integer digits), so any |x| ≥
+    * 10³⁰ makes |x·10⁴| ≥ 10³⁴ and the PRODUCT overflows — throwing
+    * under ANSI, silently NULLing (corrupting the sum) without. 30 is
+    * the widest bound the product representation actually holds for;
+    * [[graft.plans.MatViews]] keys its sum-routing admissibility off
+    * this same constant so no query can route to a state that refused
+    * (or corrupted) its refresh.
+    */
+  val MaxSumIntDigits: Int = 30
+
   def apply(
       source: LakeTable,
       viewRoot: String,

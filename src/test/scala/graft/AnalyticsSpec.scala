@@ -344,6 +344,18 @@ class AnalyticsSpec extends SparkSpec {
     assert(hops == (0L until hops.size).toSet, s"non-contiguous: $hops")
   }
 
+  test("BFS bloom pre-prune (forced) is result-identical to the plain anti-join") {
+    // bloomPruneAt = 0 forces the bloom path from round 1 — `false` from
+    // might_contain must be exact and positives still anti-join, so the
+    // two plans are semantically the same query
+    val plain = queries.AnalyticsQueries.bfsHops(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val bloomed = queries.AnalyticsQueries
+      .bfsHops(spark, "/root/testdata/sf0.001", bloomPruneAt = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(bloomed == plain, s"bloom path diverged: $bloomed vs $plain")
+  }
+
   test("MAD outliers: robust stats flag fewer-or-equal rows than a zero-MAD degenerate") {
     val rows = queries.AnalyticsQueries
       .outlierMad(spark, "/root/testdata/sf0.01")

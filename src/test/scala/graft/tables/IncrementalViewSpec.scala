@@ -72,13 +72,28 @@ class IncrementalViewSpec extends SparkSpec {
     assert((got2.getLong(0), got2.getDouble(1)) == ((2L, 8.0e9)))
   }
 
-  test("decimal sum column with >34 integer digits is refused loudly at refresh") {
+  test("decimal sum column with >30 integer digits is refused loudly at refresh") {
     val src = LakeTable(spark, scratchDir("ivdec"))
     val df = spark.sql("SELECT 'a' AS k, CAST(1 AS DECIMAL(38,0)) AS v")
     src.append(df)
     val view = IncrementalAggView(src, scratchDir("ivdecview"), Seq("k"), Seq("v"))
     val e = intercept[IllegalArgumentException](view.refresh())
     assert(e.getMessage.contains("decimal(38,0)"))
+    // the exact failure band the r16 bound admitted: p-s in (30, 34] can
+    // overflow the decimal(38,4)-typed ×10⁴ product (|x| ≥ 1e30 throws
+    // under ANSI, silently NULLs without) — refused up front now
+    val src34 = LakeTable(spark, scratchDir("ivdec34"))
+    src34.append(spark.sql("SELECT 'a' AS k, CAST(1e31 AS DECIMAL(34,0)) AS v"))
+    val view34 = IncrementalAggView(src34, scratchDir("ivdec34view"), Seq("k"), Seq("v"))
+    val e34 = intercept[IllegalArgumentException](view34.refresh())
+    assert(e34.getMessage.contains("decimal(34,0)"))
+    // …while p-s = 30 (the widest the product representation holds for)
+    // still refreshes exactly
+    val src30 = LakeTable(spark, scratchDir("ivdec30"))
+    src30.append(spark.sql("SELECT 'a' AS k, CAST(1.25 AS DECIMAL(32,2)) AS v"))
+    val view30 = IncrementalAggView(src30, scratchDir("ivdec30view"), Seq("k"), Seq("v"))
+    view30.refresh()
+    assert(view30.read().select($"sum_v").head().getDouble(0) == 1.25)
   }
 
   test("non-additive source change (overwrite) degrades to a correct full recompute") {

@@ -16,9 +16,17 @@ cd /tmp   # graft.Bench overwrites bench_detail.json in cwd
 for sf in /root/testdata/sf0.1 /root/repo/target/sfgen/sf1 /root/repo/target/sfgen/sf10; do
   for q in "${QUERIES[@]}"; do
     line=$(SPARK_GRAFT_ONLY="$q" SPARK_GRAFT_SF_DIR="$sf" \
-      java -cp "/opt/spark/jars/*:/root/repo/target/scala-2.13/classes" -Xmx48g \
-      graft.Bench 2>/dev/null | grep '"metric"')
-    echo "{\"sf\":\"$sf\",\"q\":\"$q\",\"r\":$line}" >> "$OUT"
-    echo "done $sf $q" >&2
+      java -cp "/opt/spark/jars/*:/root/repo/target/scala-2.13/classes" \
+      "-Xmx${GRAFT_XMX:-48g}" graft.Bench 2>/dev/null | grep '"metric"')
+    rc=$?
+    if [ -z "$line" ]; then
+      # a dead JVM / missing metric line must not poison the log with
+      # malformed JSON ("r":}) — record an explicit error object instead
+      echo "WARN: no metric line for $sf $q (exit $rc)" >&2
+      echo "{\"sf\":\"$sf\",\"q\":\"$q\",\"error\":\"no metric line\",\"exit\":$rc}" >> "$OUT"
+    else
+      echo "{\"sf\":\"$sf\",\"q\":\"$q\",\"r\":$line}" >> "$OUT"
+      echo "done $sf $q" >&2
+    fi
   done
 done

@@ -36,7 +36,11 @@ import graft.tables.LakeTable
   */
 final class ChangeFeedStream(
     val source: LakeTable,
-    checkpointDir: String) {
+    checkpointDir: String,
+    maxVersionsPerBatch: Option[Int] = None) {
+
+  maxVersionsPerBatch.foreach(k =>
+    require(k >= 1, s"maxVersionsPerBatch must be >= 1, got $k"))
 
   private val offsetPath = Paths.get(checkpointDir, "_cdc_offset.json")
 
@@ -58,27 +62,60 @@ final class ChangeFeedStream(
     Files.move(tmp, offsetPath, StandardCopyOption.ATOMIC_MOVE)
   }
 
-  /** Run ONE micro-batch (the `Trigger.AvailableNow` shape): feed every
-    * change between the committed offset and the source's current
-    * version to `applyBatch`, then commit the new offset. The FIRST
-    * batch replays the full current snapshot as inserts (the
+  /** Run the available work (the `Trigger.AvailableNow` shape): feed
+    * every change between the committed offset and the source's current
+    * version to `applyBatch`, committing the offset after each batch.
+    * The FIRST run replays a snapshot as inserts (the
     * `startingVersion = 0` bootstrap every CDC consumer needs). No new
     * commits → `applyBatch` is not invoked at all. Returns the version
     * the sink now reflects.
+    *
+    * Without `maxVersionsPerBatch` everything available is ONE batch —
+    * including the bootstrap, which at 100 TB means one O(table)
+    * micro-batch. With it (the `maxOffsetsPerTrigger` analog of the
+    * file/Kafka sources), the walk is CHUNKED on manifest versions:
+    * the bootstrap anchors at the EARLIEST still-readable snapshot
+    * (under additive history that is the first, smallest commit; after
+    * retention expiry, the oldest survivor — never the whole current
+    * table), then each batch advances at most `k` versions with its own
+    * offset commit, so a crash resumes mid-walk instead of replaying
+    * the bootstrap, and peak batch size is bounded by what those `k`
+    * commits changed.
     */
   def processAvailable(applyBatch: DataFrame => Unit): Long = {
     val cur = source.latestVersion().getOrElse {
       throw new IllegalStateException(s"table at ${source.root} has no commits")
     }
-    lastProcessed() match {
-      case Some(v) if v == cur => cur // offset current: zero work, no commit
-      case Some(v) =>
+    (lastProcessed(), maxVersionsPerBatch) match {
+      case (Some(v), _) if v == cur => cur // offset current: zero work, no commit
+      case (Some(v), None) =>
         applyBatch(source.changes(v, Some(cur)))
         commitOffset(cur)
         cur
-      case None =>
+      case (None, None) =>
         applyBatch(source.read().withColumn("_change_type", lit("insert")))
         commitOffset(cur)
+        cur
+      case (committed, Some(k)) =>
+        var from = committed match {
+          case Some(v) => v
+          case None =>
+            val anchor = source.availableVersions().head
+            applyBatch(
+              source.read(Some(anchor)).withColumn("_change_type", lit("insert")))
+            commitOffset(anchor)
+            anchor
+        }
+        while (from < cur) {
+          // chunk boundaries must be versions whose manifests still
+          // exist — step over the surviving version list, not from+k
+          val to = source.availableVersions()
+            .filter(v => v > from && v <= cur)
+            .take(k).lastOption.getOrElse(cur)
+          applyBatch(source.changes(from, Some(to)))
+          commitOffset(to)
+          from = to
+        }
         cur
     }
   }
@@ -86,8 +123,11 @@ final class ChangeFeedStream(
 
 object ChangeFeed {
 
-  def apply(source: LakeTable, checkpointDir: String): ChangeFeedStream =
-    new ChangeFeedStream(source, checkpointDir)
+  def apply(
+      source: LakeTable,
+      checkpointDir: String,
+      maxVersionsPerBatch: Option[Int] = None): ChangeFeedStream =
+    new ChangeFeedStream(source, checkpointDir, maxVersionsPerBatch)
 
   /** SCD1 replication apply for a tagged CDC batch: the target mirrors
     * the source BY KEY. One key-touched rewrite per batch:

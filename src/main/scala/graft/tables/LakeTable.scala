@@ -93,6 +93,12 @@ final class LakeTable(val spark: SparkSession, val root: String) {
 
   def latestVersion(): Option[Long] = listVersions().lastOption.map(versionOf)
 
+  /** All manifest versions still on disk, ascending — the replayable
+    * offset range a CDC consumer may chunk over ([[snapshots]] is the
+    * DataFrame ops surface; this is the driver-side primitive).
+    */
+  def availableVersions(): Seq[Long] = listVersions().map(versionOf)
+
   private def readManifest(version: Long): Manifest = {
     val p = logDir.resolve(f"v$version%020d.json")
     Manifest.fromJson(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))

@@ -69,4 +69,53 @@ class ChangeFeedSpec extends SparkSpec {
     feed.processAvailable(apply)
     assert(tgt.latestVersion() == tgtVersionAfter)
   }
+
+  test("chunked bootstrap walks versions in bounded batches to the same mirror") {
+    val src = LakeTable(spark, scratchDir("cdcsrc3"))
+    src.append(Seq((1L, "a")).toDF("id", "v"))
+    src.append(Seq((2L, "b")).toDF("id", "v"))
+    src.append(Seq((3L, "c")).toDF("id", "v"))
+    Merge.mergeScd1(src, Seq((2L, "b2")).toDF("id", "v"), Seq("id")) // a rewrite mid-history
+    src.append(Seq((4L, "d")).toDF("id", "v"))
+
+    // unchunked reference: one O(table) bootstrap batch
+    val tgtRef = LakeTable(spark, scratchDir("cdctgtref"))
+    ChangeFeed(src, scratchDir("cdcckptref"))
+      .processAvailable(ChangeFeed.applyScd1(tgtRef, Seq("id")))
+
+    // chunked: anchor snapshot + ≤1-version steps, each with its own
+    // offset commit — count the batches and track offset monotonicity
+    val tgtChunk = LakeTable(spark, scratchDir("cdctgtchunk"))
+    val feed = ChangeFeed(src, scratchDir("cdcckptchunk"), maxVersionsPerBatch = Some(1))
+    var batches = 0
+    var offsets = List.empty[Long]
+    feed.processAvailable { b =>
+      batches += 1
+      ChangeFeed.applyScd1(tgtChunk, Seq("id"))(b)
+      offsets = feed.lastProcessed().toList ::: offsets // offset BEFORE this batch commits
+    }
+    assert(mirror(tgtChunk) == mirror(tgtRef))
+    val versions = src.availableVersions()
+    assert(batches == versions.size,
+      s"expected one batch per version (${versions.size}), got $batches")
+    assert(feed.lastProcessed().contains(src.latestVersion().get))
+    // each batch committed before the next ran → a crash resumes mid-walk:
+    // the offset seen DURING batch i is batch i-1's commit, so the
+    // observed sequence is strictly increasing surviving versions
+    // the anchor batch sees the pre-bootstrap empty offset (contributes
+    // nothing via toList); batches 2..N each observe their predecessor's
+    val seen = offsets.reverse
+    assert(seen == seen.sorted && seen.distinct == seen, s"non-monotonic offsets: $seen")
+    assert(seen.forall(versions.contains), s"offset not a surviving version: $seen")
+
+    // a fresh chunked feed over an already-bootstrapped checkpoint does
+    // only the remaining versions
+    src.append(Seq((5L, "e")).toDF("id", "v"))
+    var tail = 0
+    feed.processAvailable { b =>
+      tail += 1; ChangeFeed.applyScd1(tgtChunk, Seq("id"))(b)
+    }
+    assert(tail == 1)
+    assert(mirror(tgtChunk) == Set((1L, "a"), (2L, "b2"), (3L, "c"), (4L, "d"), (5L, "e")))
+  }
 }

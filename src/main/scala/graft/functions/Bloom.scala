@@ -43,16 +43,20 @@ object Bloom {
   def bloomAgg(spark: SparkSession, hashed: Column, estItems: Long): Column = {
     val est = math.max(1L, estItems)
     val bits = numBitsFor(est)
-    val name = s"graft_bloom_agg_${est}_$bits"
+    // One fixed registry name with est/bits passed as (foldable) argument
+    // literals — re-registering per distinct (est, bits) pair would grow
+    // the session FunctionRegistry without bound across repeated
+    // bfsHops/incremental-dedup calls.
+    val name = "graft_bloom_agg"
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name,
-      exprs =>
-        new BloomFilterAggregate(
-          exprs.head,
-          org.apache.spark.sql.catalyst.expressions.Literal(est),
-          org.apache.spark.sql.catalyst.expressions.Literal(bits)),
+      exprs => new BloomFilterAggregate(exprs(0), exprs(1), exprs(2)),
       "scala_udf")
-    call_function(name, hashed)
+    call_function(
+      name,
+      hashed,
+      org.apache.spark.sql.functions.lit(est),
+      org.apache.spark.sql.functions.lit(bits))
   }
 
   /** Probe: `might_contain(bloomBlob, xxhash64(v))`. `bloom` must be

@@ -44,11 +44,43 @@ object Bench {
           failed += name -> s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}"
       }
       val elapsed = (System.nanoTime() - t0) / 1e9
-      try resetSharedState(spark) catch { case _: Throwable => () }
+      // NonFatal only: an OOM/VM error during reset means every later
+      // measurement runs on a contaminated heap — that must crash the
+      // bench run, not silently poison it. Recoverable reset failures
+      // still get logged so a no-op reset can't hide.
+      try resetSharedState(spark) catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"WARN: resetSharedState failed after $name: $e")
+      }
       name -> elapsed
     }
     (results, failed.toSeq)
   }
+
+  /** External-contamination sentinel: time a fixed probe (the nation
+    * scan+count — small, constant work, cache cleared between queries so
+    * every probe does the same IO) so a contended box self-reports
+    * instead of reading as a per-query regression. Run at suite
+    * start/middle/end; drift = max/min over the three. A >2× drift means
+    * the BOX slowed down mid-run (the probe's own code never changes
+    * within a run), so the whole run is flagged `contaminated`.
+    */
+  def calibrate(spark: SparkSession, sfDir: String): Double = {
+    // median of 3 back-to-back probes: a single sub-second count is noisy
+    // enough (scheduler jitter) to trip a 2× drift on a quiet box; real
+    // contention slows all three.
+    val times = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      spark.read.parquet(s"$sfDir/nation.parquet").count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    times.sorted.apply(1)
+  }
+
+  def loadavg(): String =
+    try new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/loadavg")), "UTF-8").trim.split(" ").take(3).mkString(" ")
+    catch { case scala.util.control.NonFatal(_) => "unavailable" }
 
   /** JSON string literal with control/quote/backslash escaping (error
     * messages routinely carry quotes and newlines).
@@ -103,7 +135,19 @@ object Bench {
     val selected = SparkEntry.queries.filter { case (n, _) =>
       only.forall(_.contains(n)) && !skipped.contains(n)
     }
-    val (results, failed) = measure(spark, sfDir, selected.toSeq.sortBy(_._1))
+    val ordered = selected.toSeq.sortBy(_._1)
+    val loadStart = loadavg()
+    val calStart = calibrate(spark, sfDir)
+    val (firstHalf, secondHalf) = ordered.splitAt(ordered.size / 2)
+    val (resA, failA) = measure(spark, sfDir, firstHalf)
+    val calMid = calibrate(spark, sfDir)
+    val (resB, failB) = measure(spark, sfDir, secondHalf)
+    val calEnd = calibrate(spark, sfDir)
+    val loadEnd = loadavg()
+    val (results, failed) = (resA ++ resB, failA ++ failB)
+    val cals = Seq(calStart, calMid, calEnd)
+    val calDrift = if (cals.min > 0) cals.max / cals.min else 0.0
+    val contaminated = calDrift > 2.0
     val total = results.map(_._2).sum
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -117,9 +161,11 @@ object Bench {
     val failedDetailJson = failed
       .map { case (q, err) => s"""{"query":${jsonStr(q)},"error":${jsonStr(err)}}""" }
       .mkString("[", ",", "]")
+    val calJson =
+      s""""calibration":{"probe_sec":[${cals.map(fmt).mkString(",")}],"drift":${fmt(calDrift)},"contaminated":$contaminated,"loadavg_start":${jsonStr(loadStart)},"loadavg_end":${jsonStr(loadEnd)}}"""
     java.nio.file.Files.write(
       detailPath,
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"skipped":$skippedJson,"failed":$failedDetailJson,"sf":"$sfDir"}""".getBytes("UTF-8"))
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"skipped":$skippedJson,"failed":$failedDetailJson,$calJson,"sf":"$sfDir"}""".getBytes("UTF-8"))
     // The single stdout JSON line keeps the slowest queries (they dominate
     // the total) up to a byte budget that fits the tail window; failed
     // NAMES always make the line (errors live in the detail file).
@@ -127,13 +173,13 @@ object Bench {
     val failedJson = failed.map(f => jsonStr(f._1)).mkString("[", ",", "]")
     val slowestFirst = results.sortBy(-_._2)
     val kept = scala.collection.mutable.ListBuffer.empty[String]
-    var used = 140 + failedJson.length // envelope overhead
+    var used = 140 + failedJson.length + calJson.length // envelope overhead
     slowestFirst.foreach { case (k, v) =>
       val ent = s"\"" + k + "\":" + fmt(v)
       if (used + ent.length + 1 <= budget) { kept += ent; used += ent.length + 1 }
     }
     val qs = kept.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"skipped":$skippedJson,"failed":$failedJson,"sf":"$sfDir","detail":"bench_detail.json"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"skipped":$skippedJson,"failed":$failedJson,$calJson,"sf":"$sfDir","detail":"bench_detail.json"}""")
     spark.stop()
   }
 }

@@ -86,6 +86,17 @@ final class ChangeFeedStream(
     val cur = source.latestVersion().getOrElse {
       throw new IllegalStateException(s"table at ${source.root} has no commits")
     }
+    // A committed offset AHEAD of the source's current version means the
+    // table was recreated or rolled back under this checkpoint — silently
+    // treating the sink as current would hide divergence forever (the
+    // unchunked path already fails loudly via changes()'s from<=to guard;
+    // chunked mode must match, not skip its while loop).
+    lastProcessed().foreach(v =>
+      require(
+        v <= cur,
+        s"committed CDC offset $v is ahead of source version $cur at " +
+          s"${source.root}: table recreated or rolled back under checkpoint " +
+          s"$checkpointDir — delete the checkpoint to re-bootstrap"))
     (lastProcessed(), maxVersionsPerBatch) match {
       case (Some(v), _) if v == cur => cur // offset current: zero work, no commit
       case (Some(v), None) =>
@@ -97,19 +108,25 @@ final class ChangeFeedStream(
         commitOffset(cur)
         cur
       case (committed, Some(k)) =>
+        // ONE version listing for the whole walk (anchor + every chunk
+        // boundary): a listing per chunk would be O(versions²/k) log-dir
+        // scans over a long history. Versions expired DURING the walk only
+        // matter if they'd been chosen as a boundary, and changes() fails
+        // loudly on a missing manifest in that case.
+        val survivors = source.availableVersions()
         var from = committed match {
           case Some(v) => v
           case None =>
-            val anchor = source.availableVersions().head
+            val anchor = survivors.head
             applyBatch(
               source.read(Some(anchor)).withColumn("_change_type", lit("insert")))
             commitOffset(anchor)
             anchor
         }
+        // chunk boundaries must be versions whose manifests still
+        // exist — step over the surviving version list, not from+k
         while (from < cur) {
-          // chunk boundaries must be versions whose manifests still
-          // exist — step over the surviving version list, not from+k
-          val to = source.availableVersions()
+          val to = survivors
             .filter(v => v > from && v <= cur)
             .take(k).lastOption.getOrElse(cur)
           applyBatch(source.changes(from, Some(to)))

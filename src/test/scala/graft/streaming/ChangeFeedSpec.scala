@@ -118,4 +118,33 @@ class ChangeFeedSpec extends SparkSpec {
     assert(tail == 1)
     assert(mirror(tgtChunk) == Set((1L, "a"), (2L, "b2"), (3L, "c"), (4L, "d"), (5L, "e")))
   }
+
+  test("a committed offset ahead of the source fails loudly in both modes") {
+    // table recreated/rolled back under the same checkpoint: the
+    // committed offset points past the source's current version. The
+    // unchunked path fails via changes()'s from<=to guard; chunked mode
+    // must fail equally loudly, never silently skip its walk and report
+    // the sink current.
+    val ckpt = scratchDir("cdcckpt4")
+    val src1 = LakeTable(spark, scratchDir("cdcsrc4a"))
+    src1.append(Seq((1L, "a")).toDF("id", "v"))
+    src1.append(Seq((2L, "b")).toDF("id", "v"))
+    src1.append(Seq((3L, "c")).toDF("id", "v"))
+    val tgt = LakeTable(spark, scratchDir("cdctgt4"))
+    ChangeFeed(src1, ckpt).processAvailable(ChangeFeed.applyScd1(tgt, Seq("id")))
+    val committed = ChangeFeed(src1, ckpt).lastProcessed().get
+
+    // "recreate" the table: a fresh root with a shorter history
+    val src2 = LakeTable(spark, scratchDir("cdcsrc4b"))
+    src2.append(Seq((9L, "z")).toDF("id", "v"))
+    assert(src2.latestVersion().get < committed)
+
+    for (chunk <- Seq(None, Some(1))) {
+      val e = intercept[IllegalArgumentException] {
+        ChangeFeed(src2, ckpt, maxVersionsPerBatch = chunk)
+          .processAvailable(_ => fail("applyBatch must not run on a diverged checkpoint"))
+      }
+      assert(e.getMessage.contains("ahead of source version"), s"chunk=$chunk: ${e.getMessage}")
+    }
+  }
 }

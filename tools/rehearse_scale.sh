@@ -17,8 +17,9 @@ for sf in /root/testdata/sf0.1 /root/repo/target/sfgen/sf1 /root/repo/target/sfg
   for q in "${QUERIES[@]}"; do
     line=$(SPARK_GRAFT_ONLY="$q" SPARK_GRAFT_SF_DIR="$sf" \
       java -cp "/opt/spark/jars/*:/root/repo/target/scala-2.13/classes" \
-      "-Xmx${GRAFT_XMX:-48g}" graft.Bench 2>/dev/null | grep '"metric"')
-    rc=$?
+      "-Xmx${GRAFT_XMX:-48g}" graft.Bench 2>/dev/null | grep '"metric"'; \
+      exit "${PIPESTATUS[0]}")
+    rc=$?   # the JVM's exit status, not grep's — a dead JVM must log as such
     if [ -z "$line" ]; then
       # a dead JVM / missing metric line must not poison the log with
       # malformed JSON ("r":}) — record an explicit error object instead

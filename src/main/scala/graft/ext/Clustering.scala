@@ -49,9 +49,12 @@ object Clustering {
       .toSeq
 
     (1 to iters).foreach { _ =>
-      val assigned = corpus.select(
-        (-bestOf(centroids, corpus, col(vecCol)).getField("nc")).cast("int").as("cluster"),
-        col(vecCol))
+      val assigned =
+        if (centroids.size <= LiteralCentroidCap)
+          corpus.select(
+            (-bestOf(centroids, corpus, col(vecCol)).getField("nc")).cast("int").as("cluster"),
+            col(vecCol))
+        else assignByJoin(corpus, idCol, vecCol, centroids).select(col("cluster"), col(vecCol))
       centroids = Embeddings
         .groupCentroidComponents(assigned, "cluster", vecCol)
         .groupBy(col("cluster"))
@@ -93,6 +96,88 @@ object Clustering {
       vec: Column): Column =
     array_max(scoredArray(centroids, corpus.sparkSession, vec))
 
+  /** Up to this many centroids, assignment/probing is a pure projection
+    * over literal centroid structs (zero shuffle, zero join — the plan
+    * every probe-heavy workload wants). Past it the literal array stops
+    * scaling — nlist separate codegen'd cosine expressions bloat the
+    * plan and blow the 64 KB method limit — so assignment switches to
+    * [[assignByJoin]]: a broadcast join against the centroid table. The
+    * cap is a dispatch point, not a ceiling on nlist.
+    */
+  val LiteralCentroidCap: Int = 256
+
+  private[ext] def centroidTable(
+      spark: org.apache.spark.sql.SparkSession,
+      centroids: Seq[(Int, Seq[Double])]): DataFrame = {
+    import spark.implicits._
+    centroids.map { case (cid, v) => (cid, v) }.toDF("_cid", "_centroid")
+  }
+
+  /** Past-cap nearest-centroid assignment (the >LiteralCentroidCap
+    * upgrade path): broadcast the nlist-row centroid table (nlist × dim
+    * doubles — MBs at worst), nested-loop every input row against it,
+    * and reduce back to one row per input with
+    * `max(struct(sim6, -cid))` — the same deterministic "max rounded
+    * sim, ties → min cluster id" rule as the literal path, so the two
+    * paths are bit-identical (pinned by SimilaritySpec parity). The
+    * per-row fan-out of nlist candidate rows collapses map-side
+    * (partial HashAggregate in the same task that produced them); the
+    * one shuffle carries exactly one pre-combined row per input id —
+    * O(N) rows regardless of nlist, vs the literal path's zero.
+    */
+  private[ext] def assignByJoin(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Seq[(Int, Seq[Double])]): DataFrame = {
+    val spark = df.sparkSession
+    // _centroid stays array<double> — the literal path's typedlit(cv) is
+    // array<double> too, and ArrayCosine's mixed float/double loop makes
+    // the two paths arithmetic-identical (parity is bit-exact, not
+    // approximate)
+    val cos = graft.functions.VectorExprs.arrayCosine(spark, col(vecCol), col("_centroid"))
+    df.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(centroidTable(spark, centroids)))
+      .groupBy(col(idCol))
+      .agg(
+        max(struct(round(cos, 6).as("s"), (-col("_cid")).as("nc"))).as("best"),
+        first(col(vecCol)).as(vecCol))
+      .select(
+        col(idCol),
+        (-col("best.nc")).cast("int").as("cluster"),
+        col("best.s").as("cosine"),
+        col(vecCol))
+  }
+
+  /** Past-cap probe selection: each query's nprobe nearest lists via the
+    * same broadcast nested-loop, ranked per query (the query set is the
+    * small side — this window is tiny). Descending rounded sim, ties →
+    * min list id: exactly the literal path's
+    * `reverse(array_sort(scored))` order.
+    */
+  private[ext] def probeByJoin(
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Seq[(Int, Seq[Double])],
+      nprobe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    // _centroid stays array<double> — the literal path's typedlit(cv) is
+    // array<double> too, and ArrayCosine's mixed float/double loop makes
+    // the two paths arithmetic-identical (parity is bit-exact, not
+    // approximate)
+    val cos = graft.functions.VectorExprs.arrayCosine(spark, col(vecCol), col("_centroid"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("_s").desc, col("_cid").asc)
+    queries.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(centroidTable(spark, centroids)))
+      .withColumn("_s", round(cos, 6))
+      .withColumn("_pr", row_number().over(w))
+      .filter(col("_pr") <= nprobe)
+      .select(col(idCol), col(vecCol), col("_cid").as("list_id"))
+  }
+
   /** Run `iters` Lloyd iterations and return the final assignment:
     * one row per input vector — (idCol, cluster, cosine), where
     * `cosine` is the 6-dp similarity to the winning centroid.
@@ -103,11 +188,16 @@ object Clustering {
       vecCol: String,
       k: Int,
       iters: Int): DataFrame = {
-    val b = bestOf(kmeansFit(corpus, idCol, vecCol, k, iters), corpus, col(vecCol))
-    corpus.select(
-      col(idCol),
-      (-b.getField("nc")).cast("int").as("cluster"),
-      b.getField("s").as("cosine"))
+    val centroids = kmeansFit(corpus, idCol, vecCol, k, iters)
+    if (centroids.size <= LiteralCentroidCap) {
+      val b = bestOf(centroids, corpus, col(vecCol))
+      corpus.select(
+        col(idCol),
+        (-b.getField("nc")).cast("int").as("cluster"),
+        b.getField("s").as("cosine"))
+    } else
+      assignByJoin(corpus, idCol, vecCol, centroids)
+        .select(col(idCol), col("cluster"), col("cosine"))
   }
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv

@@ -140,12 +140,17 @@ object Similarity {
     * (the workload every rehearsal runs), fixed nlist makes candidate
     * pairs = |queries|·nprobe·N/nlist ∝ N² — measured 50× on 10× data
     * at sf1→sf10 before this was adaptive. ~1000 vectors per list keeps
-    * per-probe work flat; the 256 cap bounds the literal-centroid
-    * expression (past it, assignment should become a broadcast-join
-    * argmin over a centroid table — the >10⁷-vector upgrade path).
+    * per-probe work flat. Past [[Clustering.LiteralCentroidCap]] lists
+    * (>~2.5×10⁵ vectors) assignment automatically switches from the
+    * literal-centroid projection to the broadcast-join argmin
+    * ([[Clustering.assignByJoin]], parity-pinned) — that dispatch is
+    * invisible here. `cap` bounds only the broadcast centroid table
+    * (65536 × 64-dim doubles ≈ 32 MB — a normal broadcast); a corpus
+    * past ~6×10⁷ vectors wants a coarser first-level quantizer
+    * (IVF-PQ, [[ProductQuant]]) rather than ever-more flat lists.
     */
-  def nlistFor(corpusCount: Long, perList: Int = 1000): Int =
-    math.max(16, math.min(256, (corpusCount / perList).toInt))
+  def nlistFor(corpusCount: Long, perList: Int = 1000, cap: Int = 65536): Int =
+    math.max(16, math.min(cap, (corpusCount / perList).toInt))
 
   /** Deterministic training subsample: Lloyd quality needs a
     * representative sample, not the corpus — past `trainCap` vectors,
@@ -157,6 +162,62 @@ object Similarity {
       corpus: DataFrame, idCol: String, corpusCount: Long, trainCap: Long): DataFrame = {
     val step = math.max(1L, corpusCount / trainCap)
     if (step <= 1L) corpus else corpus.filter(pmod(col(idCol), lit(step)) === lit(0L))
+  }
+
+  /** Corpus inversion `(neighbor_id, c_vec, list_id)` with the
+    * literal/broadcast-join dispatch: at or under
+    * [[Clustering.LiteralCentroidCap]] lists, one narrow projection
+    * over the corpus — NO exchange; past it, the broadcast-join argmin
+    * (identical assignment rule, one O(N)-row map-side-combined
+    * shuffle) — the cap is where the plan changes shape, not where
+    * nlist stops.
+    */
+  private def invertedIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Seq[(Int, Seq[Double])]): DataFrame = {
+    val spark = corpus.sparkSession
+    if (centroids.size <= Clustering.LiteralCentroidCap) {
+      // scored literal-centroid array: struct(sim6, -list_id) so array_max's
+      // lexicographic compare IS "max rounded sim, ties -> min list_id"
+      def scored(vec: Column): Column = Clustering.scoredArray(centroids, spark, vec)
+      corpus.select(
+        col(idCol).as("neighbor_id"),
+        col(vecCol).as("c_vec"),
+        (-array_max(scored(col(vecCol))).getField("nc")).cast("int").as("list_id"))
+    } else
+      Clustering.assignByJoin(corpus, idCol, vecCol, centroids)
+        .select(
+          col(idCol).as("neighbor_id"),
+          col(vecCol).as("c_vec"),
+          col("cluster").as("list_id"))
+  }
+
+  /** Each query's nprobe nearest lists `(query_id, q_vec, list_id)`,
+    * same dispatch: literal scored-array sort/slice/explode
+    * (projection-only) vs the broadcast-join rank over the small query
+    * side. Both orders are "descending rounded sim, ties → min list id".
+    */
+  private def probeSet(
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Seq[(Int, Seq[Double])],
+      nprobe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    if (centroids.size <= Clustering.LiteralCentroidCap) {
+      def scored(vec: Column): Column = Clustering.scoredArray(centroids, spark, vec)
+      queries
+        .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"), scored(col(vecCol)).as("sc"))
+        .select(
+          col("query_id"),
+          col("q_vec"),
+          explode(slice(reverse(array_sort(col("sc"))), 1, nprobe)).as("p"))
+        .select(col("query_id"), col("q_vec"), (-col("p.nc")).cast("int").as("list_id"))
+    } else
+      Clustering.probeByJoin(queries, idCol, vecCol, centroids, nprobe)
+        .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"), col("list_id"))
   }
 
   def ivfTopK(
@@ -174,28 +235,8 @@ object Similarity {
 
     val centroids = Clustering.kmeansFit(
       trainSet(corpus, idCol, corpus.count(), trainCap), idCol, vecCol, nlist, iters)
-
-    // scored literal-centroid array: struct(sim6, -list_id) so array_max's
-    // lexicographic compare IS "max rounded sim, ties -> min list_id"
-    def scored(vec: Column): Column = Clustering.scoredArray(centroids, spark, vec)
-    def nearestListId(vec: Column): Column =
-      (-array_max(scored(vec)).getField("nc")).cast("int")
-
-    // invert: one narrow projection over the corpus — NO exchange
-    val inverted = corpus.select(
-      col(idCol).as("neighbor_id"),
-      col(vecCol).as("c_vec"),
-      nearestListId(col(vecCol)).as("list_id"))
-
-    // each query probes its nprobe nearest lists: sort the scored array
-    // descending, slice, explode — again projection-only
-    val probes = queries
-      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"), scored(col(vecCol)).as("sc"))
-      .select(
-        col("query_id"),
-        col("q_vec"),
-        explode(slice(reverse(array_sort(col("sc"))), 1, nprobe)).as("p"))
-      .select(col("query_id"), col("q_vec"), (-col("p.nc")).cast("int").as("list_id"))
+    val inverted = invertedIndex(corpus, idCol, vecCol, centroids)
+    val probes = probeSet(queries, idCol, vecCol, centroids, nprobe)
 
     val rankW = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
@@ -302,13 +343,8 @@ object Similarity {
       trainSet(corpus, idCol, corpus.count(), trainCap), idCol, vecCol, nlist, iters)
     graft.tables.LakeTable(spark, s"$indexRoot/centroids")
       .append(centroids.toDF("list_id", "centroid"))
-    def scoredV(vec: Column): Column = Clustering.scoredArray(centroids, spark, vec)
-    val inverted = corpus.select(
-      col(idCol).as("neighbor_id"),
-      col(vecCol).as("c_vec"),
-      (-array_max(scoredV(col(vecCol))).getField("nc")).cast("int").as("list_id"))
     graft.tables.LakeTable(spark, s"$indexRoot/postings")
-      .append(inverted, partitionBy = Seq("list_id"))
+      .append(invertedIndex(corpus, idCol, vecCol, centroids), partitionBy = Seq("list_id"))
   }
 
   /** Probe a persisted IVF index ([[buildIvfIndex]]): reload the nlist
@@ -334,14 +370,7 @@ object Similarity {
       .map(r => (r.getInt(0), r.getSeq[Double](1)))
       .sortBy(_._1)
       .toSeq
-    def scoredV(vec: Column): Column = Clustering.scoredArray(centroids, spark, vec)
-    val probes = queries
-      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"), scoredV(col(vecCol)).as("sc"))
-      .select(
-        col("query_id"),
-        col("q_vec"),
-        explode(slice(reverse(array_sort(col("sc"))), 1, nprobe)).as("p"))
-      .select(col("query_id"), col("q_vec"), (-col("p.nc")).cast("int").as("list_id"))
+    val probes = probeSet(queries, idCol, vecCol, centroids, nprobe)
     val postings = graft.tables.LakeTable(spark, s"$indexRoot/postings").read()
     val rankW = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))

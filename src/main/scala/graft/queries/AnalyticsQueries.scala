@@ -1907,7 +1907,16 @@ object AnalyticsQueries {
     "q_quantile_sketch" -> (quantileSketch _),
     "q_pagerank" -> (pagerankPurchases _),
     "q_triangle_count" -> (triangleCount _),
-    "q_shortest_paths" -> ((s: SparkSession, d: String) => bfsHops(s, d)),
+    // GRAFT_BFS_BLOOM_AT lowers the bloom-prune threshold for scale
+    // rehearsals: the shipped corpus tops out at ~16k reachable nodes
+    // (GenScale copies are disconnected components, seeds live in copy
+    // 0), so the 4M default would never trip below ~sf250 — the knob
+    // lets the rehearsal run the REAL workload through the bloom path
+    // at sf1/sf10 and diff it against the plain anti-join run,
+    // hash-checked by the same oracle. Absent env → the 4M default.
+    "q_shortest_paths" -> ((s: SparkSession, d: String) =>
+      bfsHops(s, d,
+        sys.env.get("GRAFT_BFS_BLOOM_AT").map(_.toLong).getOrElse(4000000L))),
     "q_join_size_estimate" -> (joinSizeEstimate _))
 
   val oracleSql: Map[String, String] = Map(

@@ -1511,18 +1511,48 @@ object ExtQueries {
     * natural partitioning; the rebalance is only load-bearing when the
     * source collapses to a handful of splits.
     *
-    * SCALE LIMIT, measured: the 5.5× cut does not hold a decade up —
-    * at sf1 (10× rows, same vocabulary) blocks grow linearly per gram,
-    * candidates quadratically: 372 s standalone, 46× on 10× data. That
-    * is a property of the CORPUS (dense tiny vocabulary), not of the
-    * plan — on such corpora use [[fuzzyJoinDeletes]], whose deletion-
-    * neighborhood keys track name multiplicity instead of gram
-    * frequency and scale with the true match count. The prefix filter
-    * remains the right tool where it classically wins: long strings,
-    * large sparse gram vocabularies, and thresholds d ≥ 2 where
-    * deletion neighborhoods blow up combinatorially.
+    * SCALE LIMIT, measured, and the DISPATCH that retires it: the 5.5×
+    * cut does not hold a decade up — at sf1 (10× rows, same vocabulary)
+    * blocks grow linearly per gram, candidates quadratically: 372 s
+    * standalone, 46× on 10× data. That is a property of the CORPUS
+    * (dense tiny vocabulary), not of the plan — so this operator now
+    * measures that density from the freq map it already collects (avg
+    * block mass of a string's 4-gram prefix) and COST-DISPATCHES to
+    * [[fuzzyJoinDeletes]]'s deletion-neighborhood core past
+    * [[QGramDispatchBlock]], where candidate volume tracks name
+    * multiplicity instead of vocabulary density. Both blockings are
+    * lossless for ed ≤ 1, so the dispatch never changes the result
+    * (spec-pinned at a forced threshold; the brute oracle still
+    * hash-matches either way). The prefix filter remains the plan on
+    * corpora where it classically wins — long strings, large sparse
+    * gram vocabularies, thresholds d ≥ 2 where deletion neighborhoods
+    * blow up combinatorially — and keeps running at oracle scale here,
+    * so the correctness gate exercises the real filter, not the
+    * fallback.
     */
-  def fuzzyJoinQGram(spark: SparkSession, sfDir: String): DataFrame = {
+  def fuzzyJoinQGram(spark: SparkSession, sfDir: String): DataFrame =
+    fuzzyJoinQGram(spark, sfDir, QGramDispatchBlock)
+
+  /** Average per-string prefix-block mass above which the prefix filter
+    * is COST-DISPATCHED to the deletion-neighborhood plan: an effective
+    * prefix filter leaves O(1) candidates per probe; once the 4 rarest
+    * grams of an average string already cover hundreds of catalog rows,
+    * verify work is block-bound and grows ~N² (the measured 46× on 10×
+    * data), while deletion-neighborhood keys stay match-bound. Measured
+    * densities on this corpus: sf0.001 = 83, sf0.01 = 840, sf0.1 =
+    * 8433, sf1 = 60k, sf10 = 313k — 2000 keeps the genuine
+    * prefix-filter plan on sparse corpora and through the oracle scales
+    * (the sf0.01 correctness gate verifies the real filter), and flips
+    * the dense sf ≥ 0.1 replicas to the scale path. Both plans are
+    * lossless for ed ≤ 1, so the dispatch is invisible to the
+    * brute-force oracle — a cost-based physical choice, not a semantic
+    * one (the Ed-Join vs FastSS pick every record-linkage engine makes
+    * by hand, made from the measured gram-frequency map instead).
+    */
+  val QGramDispatchBlock: Double = 2000.0
+
+  private[graft] def fuzzyJoinQGram(
+      spark: SparkSession, sfDir: String, dispatchAt: Double): DataFrame = {
     val parts = spark.read.parquet(tablePath(sfDir, "part"))
       .select(col("p_partkey"), lower(col("p_name")).as("name"))
     val probes = parts
@@ -1539,12 +1569,29 @@ object ExtQueries {
     // alphabet-bounded collect (≤ |Σ|³ grams exist, whatever the corpus
     // size) — the freq table becomes a plan-literal map, so the prefix
     // computation below never leaves the scan's map stage
-    val freqMap = typedLit(
-      parts.select(explode(gramsOf(col("name"))).as("g"))
-        .groupBy("g").count()
-        .collect()
-        .map(r => r.getString(0) -> r.getLong(1))
-        .toMap)
+    val freqs = parts.select(explode(gramsOf(col("name"))).as("g"))
+      .groupBy("g").count()
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    val freqMap = typedLit(freqs)
+    // DENSITY PROBE, then dispatch: avg over catalog strings of the
+    // total frequency of their 4 rarest grams = the expected block mass
+    // an average probe's prefix joins against. One map+avg over the
+    // small string column (the freq map is already in hand), decided on
+    // the driver before any join is planned.
+    val prefixMass = aggregate(
+      slice(
+        array_sort(
+          filter(
+            transform(gramsOf(col("name")), g => struct(element_at(freqMap, g).as("count"), g.as("g"))),
+            s => s("count").isNotNull)),
+        1, 4),
+      lit(0L),
+      (acc, s) => acc + s("count"))
+    val avgBlock = parts.select(avg(prefixMass)).head().getDouble(0)
+    if (avgBlock > dispatchAt)
+      return deletesJoinCore(spark, parts, probes.drop("plen"))
     def signature(df: DataFrame, keyCol: String, strCol: String): DataFrame =
       df.select(
         col(keyCol), col(strCol),
@@ -1620,6 +1667,15 @@ object ExtQueries {
         concat(
           expr("substring(name, 1, d)"),
           expr("substring(name, d + 2)")).as("probe"))
+    deletesJoinCore(spark, parts, probes)
+  }
+
+  /** The deletion-neighborhood join itself, shared between
+    * [[fuzzyJoinDeletes]] and [[fuzzyJoinQGram]]'s density dispatch.
+    * `parts` = (p_partkey, name); `probes` = (probe_key, probe).
+    */
+  private def deletesJoinCore(
+      spark: SparkSession, parts: DataFrame, probes: DataFrame): DataFrame = {
     // {x} ∪ del1(x): the string itself plus every one-char deletion
     def delKeys(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       array_distinct(concat(

@@ -770,6 +770,56 @@ class SimilaritySpec extends SparkSpec {
       s"IVF returned pairs outside brute top-$kPrime: ${(ivf -- exactWide).take(5)}")
   }
 
+  test("past-cap IVF: broadcast-join argmin is bit-identical to the literal-centroid rule") {
+    // Forces nlist > LiteralCentroidCap (256): the fit, the corpus
+    // inversion, and the probe selection all take the broadcast-join
+    // path. Parity oracle = the literal rule itself, recomputed here
+    // via scoredArray — the cap must be where the PLAN changes shape,
+    // never where the RESULT changes.
+    val rnd = new scala.util.Random(11)
+    val corpus = (0 until 320)
+      .map(i => (i.toLong, Array.fill(8)(rnd.nextFloat() * 2 - 1).toSeq))
+      .toDF("id", "vec")
+    val nlist = 280
+    val centroids = Clustering.kmeansFit(corpus, "id", "vec", nlist, 1)
+    assert(centroids.size > Clustering.LiteralCentroidCap,
+      s"fixture must exceed the cap, got ${centroids.size}")
+
+    def scored = Clustering.scoredArray(centroids, spark, col("vec"))
+
+    // assignment parity: (cluster, cosine) per id, bit-exact
+    val lit = corpus.select(
+        col("id"),
+        (-array_max(scored).getField("nc")).cast("int").as("cluster"),
+        array_max(scored).getField("s").as("cosine"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    val joined = Clustering.assignByJoin(corpus, "id", "vec", centroids)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    assert(joined == lit, "broadcast-join assignment diverged from the literal rule")
+
+    // probe parity: each query's top-nprobe list set, same tie rule
+    val qs = corpus.filter(col("id") % 40 === 0)
+    val litProbe = qs
+      .select(col("id"), explode(slice(reverse(array_sort(scored)), 1, 4)).as("p"))
+      .select(col("id"), (-col("p.nc")).cast("int").as("list_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val joinProbe = Clustering.probeByJoin(qs, "id", "vec", centroids, 4)
+      .select("id", "list_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(joinProbe == litProbe, "broadcast-join probe set diverged from the literal rule")
+
+    // end-to-end past-cap search: well-formed ranked results, and every
+    // returned pair is a genuine neighbor under the exact cosine
+    val ivf = Similarity.ivfTopK(qs, corpus, "id", "vec", 3, nlist = nlist, nprobe = 8, iters = 1)
+      .collect()
+    assert(ivf.nonEmpty)
+    val exactWide = Similarity.bruteForceTopK(qs, corpus, "id", "vec", 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = ivf.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((got -- exactWide).isEmpty,
+      s"past-cap IVF returned pairs outside brute top-40: ${(got -- exactWide).take(5)}")
+  }
+
   test("kmeans assignment is partitioning-independent and SemDeDup recovers planted dups") {
     val sfDir = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$sfDir/embeddings.parquet").exists())
@@ -1044,5 +1094,40 @@ class MultimodalSpec extends SparkSpec {
         yield (31L * id + 7L * x + 13L * y) % 256L).sum
       assert(r.getAs[Long]("gray_sum") == expect, s"frame-0 pixel sum for id=$id")
     }
+  }
+}
+
+/** The q-gram fuzzy join's density dispatch: past QGramDispatchBlock the
+  * prefix filter hands off to the deletion-neighborhood core. Both
+  * blockings are lossless for ed<=1, so forcing either side of the
+  * threshold must produce the identical match set.
+  */
+class FuzzyJoinDispatchSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("forced prefix-filter and forced dispatch produce the identical ed<=1 match set") {
+    assume(new java.io.File(s"$sfDir/part.parquet").exists())
+    def asSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] =
+      df.collect()
+        .map(r => (
+          r.getAs[Long]("probe_key"),
+          r.getAs[Long]("match_key"),
+          r.getAs[Int]("dist")))
+        .toSet
+    val prefix = graft.queries.ExtQueries.fuzzyJoinQGram(spark, sfDir, Double.MaxValue)
+    val dispatched = graft.queries.ExtQueries.fuzzyJoinQGram(spark, sfDir, 0.0)
+    // the dispatch is observable in the plan: only the prefix path joins
+    // through the freq-map literal (element_at); the deletes core has none
+    assert(prefix.queryExecution.analyzed.toString.contains("element_at"),
+      "forced prefix path must carry the freq-map signature")
+    assert(!dispatched.queryExecution.analyzed.toString.contains("element_at"),
+      "forced dispatch must plan the deletion-neighborhood core, not the prefix filter")
+    val p = asSet(prefix)
+    val d = asSet(dispatched)
+    assert(p == d, s"dispatch changed the result: only-prefix=${(p -- d).take(5)} only-dispatch=${(d -- p).take(5)}")
+    assert(p.nonEmpty, "fixture produced no ed<=1 matches - the parity check would be vacuous")
+    // and the dispatched plan is exactly the standalone deletes operator
+    assert(d == asSet(graft.queries.ExtQueries.fuzzyJoinDeletes(spark, sfDir)))
   }
 }

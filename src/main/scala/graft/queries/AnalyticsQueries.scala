@@ -1195,12 +1195,23 @@ object AnalyticsQueries {
     * for bit and the query is fully hash-checkable — the same
     * fixed-point discipline every float mean in this repo follows.
     *
-    * Scale shape: per iteration one edges⋈ranks hash join keyed on the
-    * source node and one map-side-combined sum keyed on the
+    * Scale shape: per iteration one edges⋈weights hash join keyed on
+    * the source node and one map-side-combined sum keyed on the
     * destination — the standard Pregel round as Catalyst operators;
     * the rank frame stays |V| rows, edges |E|, and nothing iterates on
-    * the driver. Dangling mass is dropped (both engines identically) —
-    * acceptable for a relative-importance ranking.
+    * the driver. The |V|-sized frames (per-edge contribution weights,
+    * in-mass) are BROADCAST under the same explicit |V| ≤ 2M gate as
+    * [[triangleCount]]'s degree frames: their payload is two longs per
+    * node, but past the 10 MB autobroadcast threshold (~600k nodes)
+    * Catalyst silently flips the edges-side join to sort-merge, which
+    * re-sorts all 2|E| cached edge rows twice per iteration — the
+    * measured sf10 cliff (330 s → the gated-broadcast plan keeps every
+    * iteration a single cached-edge scan). Past the gate the join
+    * degrades to shuffle-on-node-key, the correct 10⁹-vertex plan (a
+    * real cluster would pre-partition edges by src and let every
+    * iteration reuse that exchange). Dangling mass is dropped (both
+    * engines identically) — acceptable for a relative-importance
+    * ranking.
     */
   def pagerankPurchases(spark: SparkSession, sfDir: String): DataFrame = {
     val micro = 1000000L
@@ -1230,35 +1241,45 @@ object AnalyticsQueries {
       .select(col("c_node").as("src"), col("s_node").as("dst"))
       .unionByName(pairs.select(col("s_node").as("src"), col("c_node").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // nodes and deg are referenced in EVERY iteration (the contrib join
-    // and the left-join rebase): uncached they re-run a 2|E|-row
-    // distinct / groupBy per round — 6 extra full edge shuffles across
-    // 3 iterations at sf10. Both are |V|-row frames; cache them like
-    // the rank frames.
-    val nodes = edges.select(col("src").as("node")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // deg is referenced in EVERY iteration (the contrib join and the
+    // left-join rebase): uncached it re-runs a 2|E|-row groupBy per
+    // round — extra full edge shuffles across 3 iterations at sf10.
+    // nodes is a PROJECTION of deg (every node of the undirected-
+    // doubled edge list appears as a src), so deriving it from the
+    // cached deg frame saves a second full 2|E|-row distinct shuffle
+    // and a second |V| cache (r19 build-phase fix).
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = deg.select(col("src").as("node"))
     // materialize the shared frames ONCE, then drop the pair list: it
-    // only exists to build `edges`, and once edges/nodes/deg are in
-    // cache its |E|/2-row blocks are dead weight the iterations would
-    // otherwise GC around for the rest of the query (the cache-residency
+    // only exists to build `edges`, and once edges/deg are in cache its
+    // |E|/2-row blocks are dead weight the iterations would otherwise
+    // GC around for the rest of the query (the cache-residency
     // discipline the sf10 rehearsal showed dominates iteration cost —
     // partitioning was ruled out at shuffle=96/256)
-    nodes.count(); deg.count()
+    val nV = deg.count()
     pairs.unpersist(blocking = false)
+    // |V|-gated broadcast (payload: two longs per node) — same gate and
+    // fallback story as triangleCount's vSized
+    def vSized(df: DataFrame): DataFrame =
+      if (nV <= 2000000L) broadcast(df) else df
     val r0 = nodes.withColumn("rank", lit(micro))
     val ranked = (1 to 3).foldLeft(r0) { (r, i) =>
+      // fold rank and degree into ONE |V|-row weight frame first (a
+      // |V|⋈|V| join with deg broadcast), so the |E|-sized join carries
+      // a single broadcast build side per iteration
+      // `div` is Spark's INTEGRAL division on longs (≙ DuckDB `//` for
+      // non-negatives) — a double `/` + cast could misround when the
+      // double error exceeds 1/out_deg at large rank magnitudes
+      val weights = r.withColumnRenamed("node", "src")
+        .join(vSized(deg), Seq("src"))
+        .select(col("src"), expr("rank div out_deg").as("c"))
       val contrib = edges
-        .join(r.withColumnRenamed("node", "src"), Seq("src"))
-        .join(deg, Seq("src"))
-        // `div` is Spark's INTEGRAL division on longs (≙ DuckDB `//` for
-        // non-negatives) — a double `/` + cast could misround when the
-        // double error exceeds 1/out_deg at large rank magnitudes
-        .select(col("dst"), expr("rank div out_deg").as("c"))
+        .join(vSized(weights), Seq("src"))
+        .select(col("dst"), col("c"))
       val inMass = contrib.groupBy(col("dst")).agg(sum(col("c")).as("mass"))
       val next = nodes
-        .join(inMass.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .join(vSized(inMass.withColumnRenamed("dst", "node")), Seq("node"), "left")
         .select(col("node"), coalesce(col("mass"), lit(0L)).as("mass"))
         .select(
           col("node"),

@@ -1394,8 +1394,16 @@ object ExtQueries {
     * Σ (first,last)-block² to Σ (first,last,len)-block² — the length
     * term is what keeps block growth sub-quadratic as the corpus
     * scales (measured: the coarser key ran 6.2× on 10× data; this one
-    * ~2×). Verify is Spark's builtin codegen'd `levenshtein`, which
-    * DuckDB replays identically.
+    * ~2×). Verify is Spark's builtin codegen'd BOUNDED `levenshtein`
+    * (threshold = 1): the banded DP costs O(len·1) per candidate
+    * instead of the full O(len²) matrix, and -1 ("past the bound") is
+    * exact, so the kept rows and their distances are identical to the
+    * unbounded verify — the r19 rehearsal measured 2.06B candidates at
+    * sf10 (avg 1091/probe: 4.1 → 32 → 313 → 647 → 1091 across
+    * sf0.001→sf10, sub-linear once the decorrelation suffixes split
+    * the (first,last) space), so the verify band is the dominant
+    * constant at scale. DuckDB replays the same relation with its
+    * unbounded `levenshtein` under the same ≤ 1 predicate.
     */
   def fuzzyJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val parts = spark.read.parquet(tablePath(sfDir, "part"))
@@ -1409,31 +1417,49 @@ object ExtQueries {
           expr("substring(name, 1, d)"),
           expr("substring(name, d + 2)")).as("probe"))
       .withColumn("plen", length(col("probe")))
-    val fanned = parts.select(
-      col("p_partkey"), col("name"),
+    // CLASS-LEVEL blocking + verify, KEY-LEVEL expansion (same scale
+    // design as [[fuzzyJoinDeletes]]'s core, r19): ed(x, y) depends
+    // only on the string VALUES, so the Σ block² verify runs once per
+    // DISTINCT string pair and the (multiplicity²-sized) output is
+    // produced by two exact equi-joins afterwards. On the profiled
+    // sf10 corpus (64 base names, multiplicity ~320) this collapses
+    // the 2.06B key-level verifies to the ~38k distinct class pairs;
+    // a multiplicity-1 corpus degenerates to the direct plan.
+    val probeClasses = probes.select(col("probe"), col("plen")).distinct()
+      // blocked-join verify work is Σ block², but everything upstream
+      // is map-only over one small parquet split — rebalance so the
+      // levenshtein probe runs on every core, not the file's one
+      // partition (same fix as the q-gram variant; at 100 TB the
+      // input's natural splits already provide this). Sized from the
+      // session, not a literal: the bench contract is 32 cores today,
+      // a cluster session isn't.
+      .repartition(spark.sparkContext.defaultParallelism)
+    val fanned = parts.select(col("name")).distinct().select(
+      col("name"),
       explode(array(
         length(col("name")) - 1,
         length(col("name")),
-        length(col("name")) + 1)).as("plen"))
-    probes
-      // blocked-join verify work is Σ block², but everything upstream is
-      // map-only over one small parquet split — rebalance so the
-      // levenshtein probe runs on every core, not the file's one
-      // partition (same fix as the q-gram variant; at 100 TB the input's
-      // natural splits already provide this). Sized from the session,
-      // not a literal: the bench contract is 32 cores today, a cluster
-      // session isn't.
-      .repartition(spark.sparkContext.defaultParallelism)
+        length(col("name")) + 1)).as("flen"))
+    // a (probe, name) class pair matches at most ONE fan row (the one
+    // with flen = plen), so classPairs is distinct by construction and
+    // the expansion emits each (probe_key, match_key) exactly once
+    val classPairs = probeClasses
       .join(
         fanned,
-        probes("plen") === fanned("plen") &&
+        col("plen") === col("flen") &&
           substring(col("probe"), 1, 1) === substring(col("name"), 1, 1) &&
           expr("right(probe, 1)") === expr("right(name, 1)"))
-      .filter(levenshtein(col("probe"), col("name")) <= 1)
+      .withColumn("dist", levenshtein(col("probe"), col("name"), 1))
+      .filter(col("dist") >= 0)
+      .select(col("probe"), col("name"), col("dist"))
+    probes
+      .drop("plen")
+      .join(classPairs, Seq("probe"))
+      .join(parts, Seq("name"))
       .select(
         col("probe_key"),
         col("p_partkey").as("match_key"),
-        levenshtein(col("probe"), col("name")).as("dist"))
+        col("dist"))
   }
 
   val fuzzyJoinSql: String =
@@ -1619,8 +1645,10 @@ object ExtQueries {
           length(col("name")) + 1)).as("plen"))
     probeSide
       .join(catSide, Seq("g", "plen"))
-      .withColumn("dist", levenshtein(col("probe"), col("name")))
-      .filter(col("dist") <= 1)
+      // bounded banded-DP verify (see [[fuzzyJoin]]): -1 = past the
+      // bound, exact; survivors keep their true distance
+      .withColumn("dist", levenshtein(col("probe"), col("name"), 1))
+      .filter(col("dist") >= 0)
       .select(
         col("probe_key"),
         col("p_partkey").as("match_key"),
@@ -1647,7 +1675,11 @@ object ExtQueries {
     * Keys are near-unique strings, so block sizes track NAME
     * MULTIPLICITY (how many catalog rows share a near-identical name),
     * not vocabulary density — candidate pairs stay proportional to the
-    * true match count, which is the floor any join must pay. The
+    * true match count, which is the floor any join must pay. Measured
+    * at sf10 (r19, 64-distinct-name corpus, multiplicity ~320): 290M
+    * candidates against a 261M-row true ed≤1 relation — 11% waste,
+    * i.e. the blocking is output-optimal and the query is output-bound
+    * (the workload's own size, not a plan artifact, sets the runtime). The
     * trade-off against the prefix filter is threshold growth: del-
     * neighborhoods scale C(len, d) keys at distance d (prohibitive
     * past d ≈ 2 on long strings), while prefix filters scale q·d+1 —
@@ -1683,22 +1715,52 @@ object ExtQueries {
         transform(
           sequence(lit(1), length(c)),
           i => concat(c.substr(lit(1), i - 1), c.substr(i + 1, length(c))))))
-    val probeSide = probes
-      .select(col("probe_key"), col("probe"), explode(delKeys(col("probe"))).as("k"))
-      .repartition(spark.sparkContext.defaultParallelism)
-    val catSide = parts
-      .select(col("p_partkey"), col("name"), explode(delKeys(col("name"))).as("k"))
-    probeSide
-      .join(catSide, Seq("k"))
+    // CLASS-LEVEL blocking + verify, KEY-LEVEL expansion — the
+    // high-multiplicity scale design. ed(x, y) depends only on the
+    // string VALUES, so block and verify once per DISTINCT string pair
+    // and only then expand back to keys. On the r19-profiled sf10
+    // corpus (64 base names, multiplicity ~320) the direct key-level
+    // join verified 290M candidate rows that collapse to ~38k distinct
+    // string pairs and then paid a 261M-row distinct — everything
+    // between the two groupBys below is now proportional to DISTINCT
+    // strings, and on a multiplicity-1 corpus the plan degenerates to
+    // the direct join (the groupBys are no-op-sized, same asymptotics).
+    val nameClasses = parts.select(col("name")).distinct()
+    val probeClasses = probes.select(col("probe")).distinct()
+    // join on xxhash64 of the deletion key, not the ~len-char string
+    // itself: an 8-byte long halves the shuffled bytes and makes every
+    // sort/hash comparison a single long compare. A hash collision
+    // only ADDS a candidate pair, and the levenshtein verify below is
+    // load-bearing anyway (key-sharing only bounds ed ≤ 2), so the
+    // result is exactly the string-keyed join's.
+    val probeSide = probeClasses
+      .select(col("probe"), explode(delKeys(col("probe"))).as("k"))
+      .select(col("probe"), xxhash64(col("k")).as("kh"))
+    val catSide = nameClasses
+      .select(col("name"), explode(delKeys(col("name"))).as("k"))
+      .select(col("name"), xxhash64(col("k")).as("kh"))
+    val classPairs = probeSide
+      .join(catSide, Seq("kh"))
       // sharing a deletion variant only bounds ed ≤ 2 — the levenshtein
-      // verify is still load-bearing, but runs on ~match-count rows
-      .withColumn("dist", levenshtein(col("probe"), col("name")))
-      .filter(col("dist") <= 1)
+      // verify is still load-bearing; bounded banded DP (see
+      // [[fuzzyJoin]]): -1 = past the bound, exact
+      .withColumn("dist", levenshtein(col("probe"), col("name"), 1))
+      .filter(col("dist") >= 0)
+      .select(col("probe"), col("name"), col("dist"))
+      .distinct() // a class pair can share several deletion keys
+    // expansion: probe_key is unique per probe row and p_partkey per
+    // part row, and classPairs is distinct on (probe, name), so each
+    // output (probe_key, match_key) appears EXACTLY once — no final
+    // distinct over the (multiplicity²-sized) output. AQE broadcasts
+    // classPairs when it is small; on low-multiplicity corpora the
+    // joins fall back to shuffles sized like the direct plan's.
+    probes
+      .join(classPairs, Seq("probe"))
+      .join(parts, Seq("name"))
       .select(
         col("probe_key"),
         col("p_partkey").as("match_key"),
         col("dist"))
-      .distinct() // a pair can share several deletion keys
   }
 
   /** Brute-force ed≤1 join — the blocking-free ground truth the q-gram

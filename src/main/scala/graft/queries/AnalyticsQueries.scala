@@ -1221,25 +1221,24 @@ object AnalyticsQueries {
     val li = spark.read
       .parquet(tablePath(sfDir, "lineitem"))
       .select(col("l_orderkey"), col("l_suppkey"))
-    // persist the UNDIRECTED pair list, not the directed edge list: the
-    // union references `pairs` twice (both directions) and every
-    // iteration traverses edges twice more — an unpersisted pairs frame
-    // re-runs the lineitem⋈orders distinct up to 8 times (the
-    // containment-frame lesson). Blocks spill under pressure;
-    // ContextCleaner reclaims them on dereference.
-    val pairs = li
+    // build the directed edge list in ONE pass: each distinct
+    // undirected pair explodes into both directions inline, so the
+    // fact-table join + distinct run exactly once and only the final
+    // 2·|pairs|-row edge list is cached (the earlier two-frame build —
+    // pairs cached, then a two-branch union cached again — wrote 1.5×
+    // the rows to cache and re-read the pair blocks twice; the r19
+    // phase profile put 91 of sf10's ~130 s in that build). Blocks
+    // spill under pressure; ContextCleaner reclaims on dereference.
+    val edges = li
       .join(orders, col("l_orderkey") === col("o_orderkey"))
       .select(
         (col("o_custkey") * 2).as("c_node"),
         (col("l_suppkey") * 2 + 1).as("s_node"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // ...and persist the directed edge list too: nodes/deg/contrib
-    // reference it ~3× per iteration — cached pairs make the BUILD
-    // single-pass, cached edges make every iteration a cache scan
-    val edges = pairs
-      .select(col("c_node").as("src"), col("s_node").as("dst"))
-      .unionByName(pairs.select(col("s_node").as("src"), col("c_node").as("dst")))
+      .select(explode(array(
+        struct(col("c_node").as("src"), col("s_node").as("dst")),
+        struct(col("s_node").as("src"), col("c_node").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // deg is referenced in EVERY iteration (the contrib join and the
     // left-join rebase): uncached it re-runs a 2|E|-row groupBy per
@@ -1251,14 +1250,9 @@ object AnalyticsQueries {
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = deg.select(col("src").as("node"))
-    // materialize the shared frames ONCE, then drop the pair list: it
-    // only exists to build `edges`, and once edges/deg are in cache its
-    // |E|/2-row blocks are dead weight the iterations would otherwise
-    // GC around for the rest of the query (the cache-residency
-    // discipline the sf10 rehearsal showed dominates iteration cost —
-    // partitioning was ruled out at shuffle=96/256)
+    // materialize the shared frames ONCE (edges via deg's build pass),
+    // so every iteration runs against flat cached inputs
     val nV = deg.count()
-    pairs.unpersist(blocking = false)
     // |V|-gated broadcast (payload: two longs per node) — same gate and
     // fallback story as triangleCount's vSized
     def vSized(df: DataFrame): DataFrame =

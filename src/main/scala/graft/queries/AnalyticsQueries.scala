@@ -1467,16 +1467,21 @@ object AnalyticsQueries {
     val li = spark.read
       .parquet(tablePath(sfDir, "lineitem"))
       .select(col("l_orderkey"), col("l_suppkey"))
-    val pairs = li
+    // single-pass edge build (same r19 fix as pagerankPurchases): each
+    // distinct undirected pair explodes into both directions inline,
+    // so the fact-table join + distinct run once and only the final
+    // edge list is cached — the two-frame build (pairs cached, union
+    // cached again) wrote 1.5× the rows to cache
+    val edges = li
       .join(orders, col("l_orderkey") === col("o_orderkey"))
       .select(
         (col("o_custkey") * 2).as("c_node"),
         (col("l_suppkey") * 2 + 1).as("s_node"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val edges = pairs
-      .select(col("c_node").as("src"), col("s_node").as("dst"))
-      .unionByName(pairs.select(col("s_node").as("src"), col("c_node").as("dst")))
+      .select(explode(array(
+        struct(col("c_node").as("src"), col("s_node").as("dst")),
+        struct(col("s_node").as("src"), col("c_node").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val seeds = edges
       .select(col("src").as("node")).distinct()

@@ -468,4 +468,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("deletes fuzzy join verifies string CLASSES — no output-sized distinct") {
+    val p = plan(graft.queries.ExtQueries.fuzzyJoinDeletes(spark, sf))
+    // the verify must run once per distinct string pair; if the plan
+    // regresses to key level, the pair-dedup reappears as an aggregate
+    // keyed on the OUTPUT columns (multiplicity²-sized at scale)
+    assert(p.contains("levenshtein"), p)
+    assert(!p.contains("keys=[probe_key"), s"output-sized distinct is back:\n$p")
+    // deletion keys join as longs, never as the raw variant strings
+    assert(p.contains("xxhash64"), p)
+  }
+
+  test("prefix fuzzy join verifies string CLASSES — verify below the expansion joins") {
+    val p = plan(graft.queries.ExtQueries.fuzzyJoin(spark, sf))
+    assert(p.contains("levenshtein"), p)
+    assert(!p.contains("keys=[probe_key"), s"output-sized re-aggregation is back:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -203,6 +203,115 @@ object Ops {
       .select((leftCols ++ payloadCols).map(col): _*)
   }
 
+  /** Directional as-of join — the full pandas-`merge_asof` surface over
+    * the same one-shuffle composition as [[asofJoin]]:
+    *
+    *   - `backward` (default): latest right row at-or-before left.ts —
+    *     identical semantics to [[asofJoin]];
+    *   - `forward`: earliest right row at-or-after left.ts (inclusive,
+    *     mirrored carry: `first(…, ignoreNulls)` over
+    *     current..unbounded-following with right rows ordered AFTER a
+    *     left row at equal ts);
+    *   - `nearest`: whichever of the two is closer in time; exact ties
+    *     resolve BACKWARD (the earlier right row) — deterministic, so
+    *     the result stays hash-checkable.
+    *
+    * `toleranceSeconds` (any direction) nulls the payload when the
+    * matched right timestamp is farther than the bound — pandas'
+    * `tolerance`, applied AFTER the match so it never changes which
+    * row matches, only whether it qualifies.
+    *
+    * Scale shape: same as [[asofJoin]] — ONE shuffle on the key; the
+    * `nearest` variant adds a second window ordering (opposite
+    * tie-break) over the SAME partitioning, which plans as an extra
+    * in-partition sort, never an extra exchange. The matched right
+    * timestamp rides the union as one extra carried column; the
+    * nearest pick and the tolerance mask are plain row-local
+    * projections.
+    */
+  def asofJoinDirected(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTs: String,
+      rightTs: String,
+      payloadCols: Seq[String],
+      direction: String = "backward",
+      toleranceSeconds: Option[Double] = None): DataFrame = {
+    require(
+      Set("backward", "forward", "nearest")(direction),
+      s"direction must be backward|forward|nearest, got $direction")
+    val leftCols = left.columns.toSeq
+    require(
+      payloadCols.intersect(leftCols).isEmpty,
+      s"payload columns collide with left columns: ${payloadCols.intersect(leftCols)}")
+    val carriedCols = payloadCols :+ "__rts"
+    val l = carriedCols
+      .foldLeft(
+        left
+          .withColumn("__ts", col(leftTs))
+          .withColumn("__tag", lit(1))) { (df, p) =>
+        df.withColumn(p, lit(null))
+      }
+    val r = leftCols
+      .filterNot(c => c == keyCol)
+      .foldLeft(
+        right
+          .withColumn("__ts", col(rightTs))
+          .withColumn("__rts", col(rightTs))
+          .withColumn("__tag", lit(0))) { (df, c) =>
+        df.withColumn(c, lit(null))
+      }
+      .drop(rightTs)
+    val unioned = l.unionByName(r.select(l.columns.map(col): _*))
+    // backward: right row at equal ts sorts BEFORE the left row, so the
+    // trailing carry includes it (inclusive >=); forward mirrors with
+    // the right row sorting AFTER, so the leading carry includes it
+    val wB = Window
+      .partitionBy(col(keyCol))
+      .orderBy(col("__ts").asc, col("__tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window
+      .partitionBy(col(keyCol))
+      .orderBy(col("__ts").asc, col("__tag").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    def carry(df: DataFrame, cols: Seq[String], suffix: String, back: Boolean): DataFrame =
+      cols.foldLeft(df) { (d, p) =>
+        d.withColumn(
+          s"$p$suffix",
+          if (back) last(col(p), ignoreNulls = true).over(wB)
+          else first(col(p), ignoreNulls = true).over(wF))
+      }
+    val picked = direction match {
+      case "backward" =>
+        carry(unioned, carriedCols, "", back = true)
+      case "forward" =>
+        carry(unioned, carriedCols, "", back = false)
+      case "nearest" =>
+        val both = carry(carry(unioned, carriedCols, "__b", back = true), carriedCols, "__f", back = false)
+        // timestamp casts to double = epoch seconds (sub-second exact);
+        // tie (equal distance) → backward, the earlier right row
+        val db = abs(col("__ts").cast("double") - col("__rts__b").cast("double"))
+        val df_ = abs(col("__rts__f").cast("double") - col("__ts").cast("double"))
+        val chooseB = col("__rts__b").isNotNull && (col("__rts__f").isNull || db <= df_)
+        carriedCols.foldLeft(both) { (d, p) =>
+          d.withColumn(p, when(chooseB, col(p + "__b")).otherwise(col(p + "__f")))
+        }
+    }
+    val masked = toleranceSeconds match {
+      case Some(tol) =>
+        val within = col("__rts").isNotNull &&
+          abs(col("__ts").cast("double") - col("__rts").cast("double")) <= tol
+        payloadCols.foldLeft(picked) { (d, p) =>
+          d.withColumn(p, when(within, col(p)).otherwise(lit(null)))
+        }
+      case None => picked
+    }
+    masked
+      .filter(col("__tag") === 1)
+      .select((leftCols ++ payloadCols).map(col): _*)
+  }
+
   /** Iterated broadcast left equi-join: fold a (small, broadcast) dim
     * onto the fact once per level, renaming the payload column each round
     * and dropping the used code column — the reference's 4-level

@@ -131,6 +131,93 @@ object AnalyticsQueries {
       |FROM events e ASOF LEFT JOIN candles c
       |  ON e.event_type = c.event_type AND e.ts >= c.start_window""".stripMargin
 
+  /** Forward as-of join: each event picks up the close of the EARLIEST
+    * 15-minute candle that started at-or-after it, per event type —
+    * [[graft.operators.Ops.asofJoinDirected]] with direction=forward.
+    * Oracle is DuckDB's native ASOF JOIN with the inequality flipped.
+    */
+  def asofForward(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = Testdata.events(spark, sfDir)
+    val candles = graft.streaming.Candles
+      .candles(events, "ts", "event_id", "event_type", "value")
+      .select(
+        col("event_type"),
+        col("start_window"),
+        col("close").as("candle_close"))
+    graft.operators.Ops
+      .asofJoinDirected(
+        events.select(col("event_id"), col("event_type"), col("ts"), col("value")),
+        candles,
+        "event_type",
+        "ts",
+        "start_window",
+        Seq("candle_close"),
+        direction = "forward")
+      .select(col("event_id"), col("event_type"), col("value"), col("candle_close"))
+  }
+
+  val asofForwardSql: String =
+    """WITH candles AS (
+      |  SELECT event_type,
+      |         make_timestamp(bucket * 900 * 1000000) AS start_window,
+      |         struct_extract(max((ts, event_id, value)), 3) AS candle_close
+      |  FROM (SELECT *, CAST(floor(epoch(ts) / 900) AS BIGINT) AS bucket FROM events)
+      |  GROUP BY event_type, bucket)
+      |SELECT e.event_id, e.event_type, e.value, c.candle_close
+      |FROM events e ASOF LEFT JOIN candles c
+      |  ON e.event_type = c.event_type AND e.ts <= c.start_window""".stripMargin
+
+  /** Nearest as-of join with tolerance: each event picks the close of
+    * the CLOSEST candle start within ±450 s (half a candle), exact
+    * ties resolving backward — the remaining pandas-merge_asof
+    * direction, deterministic so the brute-force DuckDB oracle
+    * hash-matches.
+    */
+  def asofNearest(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = Testdata.events(spark, sfDir)
+    val candles = graft.streaming.Candles
+      .candles(events, "ts", "event_id", "event_type", "value")
+      .select(
+        col("event_type"),
+        col("start_window"),
+        col("close").as("candle_close"))
+    graft.operators.Ops
+      .asofJoinDirected(
+        events.select(col("event_id"), col("event_type"), col("ts"), col("value")),
+        candles,
+        "event_type",
+        "ts",
+        "start_window",
+        Seq("candle_close"),
+        direction = "nearest",
+        toleranceSeconds = Some(450.0))
+      .select(col("event_id"), col("event_type"), col("value"), col("candle_close"))
+  }
+
+  /** Brute-force nearest-within-tolerance oracle: all (event, candle)
+    * pairs within 450 s, argmin on (distance, start_window) — the
+    * (d, rts) ascending order makes the exact-tie pick the BACKWARD
+    * row, matching the Spark side's rule.
+    */
+  val asofNearestSql: String =
+    """WITH candles AS (
+      |  SELECT event_type,
+      |         make_timestamp(bucket * 900 * 1000000) AS start_window,
+      |         struct_extract(max((ts, event_id, value)), 3) AS candle_close
+      |  FROM (SELECT *, CAST(floor(epoch(ts) / 900) AS BIGINT) AS bucket FROM events)
+      |  GROUP BY event_type, bucket),
+      |pairs AS (
+      |  SELECT e.event_id, c.candle_close,
+      |         abs(epoch(e.ts) - epoch(c.start_window)) AS d,
+      |         epoch(c.start_window) AS rts
+      |  FROM events e JOIN candles c ON e.event_type = c.event_type
+      |  WHERE abs(epoch(e.ts) - epoch(c.start_window)) <= 450),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY d ASC, rts ASC) AS rn
+      |  FROM pairs)
+      |SELECT e.event_id, e.event_type, e.value, r.candle_close
+      |FROM events e LEFT JOIN ranked r ON e.event_id = r.event_id AND r.rn = 1""".stripMargin
+
   /** TF-IDF keyword extraction: top-3 terms per document by
     * tf·ln(N/df), ranked on the rounded score with lexicographic
     * tie-break (deterministic across engines).
@@ -1927,6 +2014,8 @@ object AnalyticsQueries {
     "q_grouping_sets" -> (groupingSets _),
     "q_window_rank_stats" -> (windowRankStats _),
     "q_asof_join" -> (asofJoin _),
+    "q_asof_forward" -> (asofForward _),
+    "q_asof_nearest" -> (asofNearest _),
     "q_sliding_window" -> (slidingWindow _),
     "q_session_window" -> (sessionWindow _),
     "q_distinct_agg" -> (distinctAgg _),
@@ -1982,6 +2071,8 @@ object AnalyticsQueries {
     "q_grouping_sets" -> groupingSetsSql,
     "q_window_rank_stats" -> windowRankStatsSql,
     "q_asof_join" -> asofJoinSql,
+    "q_asof_forward" -> asofForwardSql,
+    "q_asof_nearest" -> asofNearestSql,
     "q_sliding_window" -> slidingWindowSql,
     "q_session_window" -> sessionWindowSql,
     "q_distinct_agg" -> distinctAggSql,

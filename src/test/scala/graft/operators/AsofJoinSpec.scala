@@ -38,4 +38,72 @@ class AsofJoinSpec extends SparkSpec {
       Ops.asofJoin(l, r, "v", "ts", "rts", Seq("v"))
     }
   }
+
+  private def directedFixture = {
+    val trades = Seq(
+      (1L, "A", mk("2024-01-01 10:00:00")), // exactly at a quote -> both directions match it
+      (2L, "A", mk("2024-01-01 10:01:00")), // 60s after q1, 240s before q2 -> nearest = q1
+      (3L, "A", mk("2024-01-01 10:04:00")), // 240s after q1, 60s before q2 -> nearest = q2
+      (4L, "A", mk("2024-01-01 10:02:30")), // exact midpoint -> tie resolves BACKWARD (q1)
+      (5L, "A", mk("2024-01-01 09:00:00")), // before any quote -> forward q1, backward NULL
+      (6L, "A", mk("2024-01-01 11:00:00"))) // after all quotes -> forward NULL, backward q2
+      .toDF("trade_id", "sym", "ts")
+    val quotes = Seq(
+      ("A", mk("2024-01-01 10:00:00"), 100.0),
+      ("A", mk("2024-01-01 10:05:00"), 101.0))
+      .toDF("sym", "qts", "price")
+    (trades, quotes)
+  }
+
+  test("directed backward reproduces asofJoin exactly") {
+    val (trades, quotes) = directedFixture
+    val a = Ops.asofJoin(trades, quotes, "sym", "ts", "qts", Seq("price"))
+      .orderBy("trade_id").collect().toSeq
+    val b = Ops.asofJoinDirected(trades, quotes, "sym", "ts", "qts", Seq("price"))
+      .orderBy("trade_id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("directed forward picks the earliest at-or-after, inclusive at ties") {
+    val (trades, quotes) = directedFixture
+    val out = Ops.asofJoinDirected(
+      trades, quotes, "sym", "ts", "qts", Seq("price"), direction = "forward")
+      .orderBy("trade_id").collect()
+    def price(i: Int) = out(i).getAs[java.lang.Double]("price")
+    assert(price(0) == 100.0) // inclusive at equal ts
+    assert(price(1) == 101.0)
+    assert(price(2) == 101.0)
+    assert(price(3) == 101.0)
+    assert(price(4) == 100.0) // before all -> first quote
+    assert(out(5).isNullAt(out(5).fieldIndex("price"))) // after all -> none
+  }
+
+  test("directed nearest picks the closer side; exact tie resolves backward") {
+    val (trades, quotes) = directedFixture
+    val out = Ops.asofJoinDirected(
+      trades, quotes, "sym", "ts", "qts", Seq("price"), direction = "nearest")
+      .orderBy("trade_id").collect()
+    def price(i: Int) = out(i).getAs[java.lang.Double]("price")
+    assert(price(0) == 100.0) // distance 0 both ways -> backward
+    assert(price(1) == 100.0) // 60s back vs 240s forward
+    assert(price(2) == 101.0) // 240s back vs 60s forward
+    assert(price(3) == 100.0) // exact 150s tie -> BACKWARD
+    assert(price(4) == 100.0) // only forward exists
+    assert(price(5) == 101.0) // only backward exists
+  }
+
+  test("tolerance nulls matches farther than the bound, in any direction") {
+    val (trades, quotes) = directedFixture
+    val out = Ops.asofJoinDirected(
+      trades, quotes, "sym", "ts", "qts", Seq("price"),
+      direction = "nearest", toleranceSeconds = Some(90.0))
+      .orderBy("trade_id").collect()
+    def isNull(i: Int) = out(i).isNullAt(out(i).fieldIndex("price"))
+    assert(!isNull(0)) // d=0
+    assert(!isNull(1)) // d=60
+    assert(!isNull(2)) // d=60
+    assert(isNull(3))  // d=150 > 90
+    assert(isNull(4))  // d=3600
+    assert(isNull(5))  // d=3300
+  }
 }

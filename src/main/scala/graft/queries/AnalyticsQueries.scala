@@ -1490,16 +1490,24 @@ object AnalyticsQueries {
     val adj = oriented.groupBy(col("src"))
       .agg(collect_list(col("dst")).as("nbr"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // shuffle_hash on the adj build sides: past the broadcast gate a
-    // plain join plans sort-merge, and the second SMJ re-SORTS the
-    // array-carrying intermediate (12M rows × ~0.5 KB adjacency
-    // payload at sf1 — measured 1.5× slower than hashing the \|V\|-row
-    // adj partitions). The hint is ignored whenever eSized already
-    // broadcasts, so oracle/bench scales are untouched; shuffle volume
-    // is identical either way — only the sorts go (r19).
+    // shuffle_hash on the adj build sides, GATED BY |E|: past the
+    // broadcast gate a plain join plans sort-merge, and the second SMJ
+    // re-SORTS the array-carrying intermediate — at sf1 (12M edges)
+    // hashing the |V|-row adj partitions instead measured 1.5× faster
+    // (84.4 → 55.3 s A/B). But the build maps hold the ARRAY payload
+    // (Σ|nbr| = |E| entries split across partitions), and past ~32M
+    // entries the hash-build memory pressure inverts the trade: at
+    // 120M edges the same A/B measured SHJ 2× SLOWER than SMJ's
+    // sequential merge (426 vs 217 s), so large graphs keep sort-merge
+    // — the spill-free plan — which is also the correct 10⁹-edge
+    // choice. The hint is ignored whenever eSized already broadcasts,
+    // so oracle/bench scales are untouched; shuffle volume is
+    // identical on every path (r19).
+    def hSized(df: DataFrame): DataFrame =
+      if (nEdges <= 32000000L) df.hint("shuffle_hash") else df
     val tri = oriented
-      .join(eSized(adj.select(col("src"), col("nbr").as("na"))).hint("shuffle_hash"), Seq("src"))
-      .join(eSized(adj.select(col("src").as("dst"), col("nbr").as("nb"))).hint("shuffle_hash"), Seq("dst"))
+      .join(hSized(eSized(adj.select(col("src"), col("nbr").as("na")))), Seq("src"))
+      .join(hSized(eSized(adj.select(col("src").as("dst"), col("nbr").as("nb")))), Seq("dst"))
       .select(size(array_intersect(col("na"), col("nb"))).as("t"))
       .agg(sum(col("t")).as("t"))
     tri.select(

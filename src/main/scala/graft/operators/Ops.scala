@@ -225,9 +225,13 @@ object Ops {
     * `nearest` variant adds a second window ordering (opposite
     * tie-break) over the SAME partitioning, which plans as an extra
     * in-partition sort, never an extra exchange. The matched right
-    * timestamp rides the union as one extra carried column; the
-    * nearest pick and the tolerance mask are plain row-local
-    * projections.
+    * row rides the union as ONE carried struct (matched ts +
+    * payload), so every carried field comes from the SAME right row —
+    * a right row with a null payload value carries that null, exactly
+    * pandas `merge_asof` (per-column ignoreNulls carries would pull a
+    * null field from an older/farther row and judge it against the
+    * wrong matched timestamp). The nearest pick and the tolerance
+    * mask are plain row-local projections.
     */
   def asofJoinDirected(
       left: DataFrame,
@@ -245,21 +249,22 @@ object Ops {
     require(
       payloadCols.intersect(leftCols).isEmpty,
       s"payload columns collide with left columns: ${payloadCols.intersect(leftCols)}")
-    val carriedCols = payloadCols :+ "__rts"
-    val l = carriedCols
-      .foldLeft(
-        left
-          .withColumn("__ts", col(leftTs))
-          .withColumn("__tag", lit(1))) { (df, p) =>
-        df.withColumn(p, lit(null))
-      }
+    val carryType = StructType(
+      StructField("__rts", right.schema(rightTs).dataType) +:
+        payloadCols.map(pc => StructField(pc, right.schema(pc).dataType)))
+    val l = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__tag", lit(1))
+      .withColumn("__carry", lit(null).cast(carryType))
     val r = leftCols
       .filterNot(c => c == keyCol)
       .foldLeft(
         right
           .withColumn("__ts", col(rightTs))
-          .withColumn("__rts", col(rightTs))
-          .withColumn("__tag", lit(0))) { (df, c) =>
+          .withColumn("__tag", lit(0))
+          .withColumn(
+            "__carry",
+            struct(col(rightTs).as("__rts") +: payloadCols.map(col): _*))) { (df, c) =>
         df.withColumn(c, lit(null))
       }
       .drop(rightTs)
@@ -275,37 +280,35 @@ object Ops {
       .partitionBy(col(keyCol))
       .orderBy(col("__ts").asc, col("__tag").desc)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    def carry(df: DataFrame, cols: Seq[String], suffix: String, back: Boolean): DataFrame =
-      cols.foldLeft(df) { (d, p) =>
-        d.withColumn(
-          s"$p$suffix",
-          if (back) last(col(p), ignoreNulls = true).over(wB)
-          else first(col(p), ignoreNulls = true).over(wF))
-      }
+    def carry(back: Boolean): Column =
+      if (back) last(col("__carry"), ignoreNulls = true).over(wB)
+      else first(col("__carry"), ignoreNulls = true).over(wF)
     val picked = direction match {
-      case "backward" =>
-        carry(unioned, carriedCols, "", back = true)
-      case "forward" =>
-        carry(unioned, carriedCols, "", back = false)
+      case "backward" => unioned.withColumn("__c", carry(back = true))
+      case "forward" => unioned.withColumn("__c", carry(back = false))
       case "nearest" =>
-        val both = carry(carry(unioned, carriedCols, "__b", back = true), carriedCols, "__f", back = false)
+        val both = unioned
+          .withColumn("__cb", carry(back = true))
+          .withColumn("__cf", carry(back = false))
         // timestamp casts to double = epoch seconds (sub-second exact);
         // tie (equal distance) → backward, the earlier right row
-        val db = abs(col("__ts").cast("double") - col("__rts__b").cast("double"))
-        val df_ = abs(col("__rts__f").cast("double") - col("__ts").cast("double"))
-        val chooseB = col("__rts__b").isNotNull && (col("__rts__f").isNull || db <= df_)
-        carriedCols.foldLeft(both) { (d, p) =>
-          d.withColumn(p, when(chooseB, col(p + "__b")).otherwise(col(p + "__f")))
-        }
+        val db = abs(col("__ts").cast("double") - col("__cb")("__rts").cast("double"))
+        val df_ = abs(col("__cf")("__rts").cast("double") - col("__ts").cast("double"))
+        val chooseB = col("__cb").isNotNull && (col("__cf").isNull || db <= df_)
+        both.withColumn("__c", when(chooseB, col("__cb")).otherwise(col("__cf")))
+    }
+    // unpack the matched row's fields — all from the same right row
+    val unpacked = ("__rts" +: payloadCols).foldLeft(picked) { (d, p) =>
+      d.withColumn(p, col("__c")(p))
     }
     val masked = toleranceSeconds match {
       case Some(tol) =>
         val within = col("__rts").isNotNull &&
           abs(col("__ts").cast("double") - col("__rts").cast("double")) <= tol
-        payloadCols.foldLeft(picked) { (d, p) =>
+        payloadCols.foldLeft(unpacked) { (d, p) =>
           d.withColumn(p, when(within, col(p)).otherwise(lit(null)))
         }
-      case None => picked
+      case None => unpacked
     }
     masked
       .filter(col("__tag") === 1)

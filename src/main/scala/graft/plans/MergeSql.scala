@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedId
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.Count
 import org.apache.spark.sql.catalyst.parser.{ParseException, ParserInterface}
-import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftOuter}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftOuter, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.functions.col
@@ -31,8 +31,16 @@ import org.apache.spark.sql.types.StructType
   *     assignments / `DELETE`, first-match-wins across clauses;
   *   - `WHEN NOT MATCHED [AND cond] THEN INSERT *` / explicit
   *     assignments (unassigned columns become NULL);
+  *   - `WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE` explicit
+  *     assignments / `DELETE` — the full-sync surface (delete or
+  *     deactivate target rows absent from the source; the reference's
+  *     SCD2 close pass, `_silver_utils.py:136-142`, is the degenerate
+  *     form). By-source clauses see ONLY the target: they rewrite over
+  *     a target-anti-source join where source columns are not in
+  *     scope, so a source reference fails resolution loudly — the
+  *     Delta/SQL-standard rule, enforced by plan shape;
   *   - arbitrary `ON` condition.
-  * `WHEN NOT MATCHED BY SOURCE` and schema evolution are rejected
+  * Schema evolution is rejected
   * loudly. A target row matching multiple source rows is an error
   * (the SQL-standard / Delta / Iceberg cardinality rule), enforced
   * with one inner-join probe before the rewrite.
@@ -275,11 +283,13 @@ class GraftMergeParser(session: SparkSession, delegate: ParserInterface)
       case None => m // not ours: Spark's own (DSv2) path / error applies
       case Some(root) =>
         require(
-          m.notMatchedBySourceActions.isEmpty,
-          "graft MERGE INTO does not support WHEN NOT MATCHED BY SOURCE")
-        require(
           !m.withSchemaEvolution,
           "graft MERGE INTO does not support WITH SCHEMA EVOLUTION")
+        // `UPDATE SET *` is meaningless without a source row to copy
+        // from — reject at parse, like Delta (the grammar admits it)
+        require(
+          !m.notMatchedBySourceActions.exists(_.isInstanceOf[UpdateStarAction]),
+          "WHEN NOT MATCHED BY SOURCE cannot UPDATE SET * (no source row to copy)")
         // normalize the source under a known qualifier for SET * / INSERT *
         val (source, sourceAlias) = m.sourceTable match {
           case s @ SubqueryAlias(id, _) => (s: LogicalPlan, id.name)
@@ -288,7 +298,9 @@ class GraftMergeParser(session: SparkSession, delegate: ParserInterface)
         }
         GraftMergeIntoCommand(
           root, targetAlias, sourceAlias,
-          new MergeSqlPayload(source, m.mergeCondition, m.matchedActions, m.notMatchedActions))
+          new MergeSqlPayload(
+            source, m.mergeCondition, m.matchedActions, m.notMatchedActions,
+            m.notMatchedBySourceActions))
     }
   }
 
@@ -318,7 +330,8 @@ final class MergeSqlPayload(
     val source: LogicalPlan,
     val condition: Expression,
     val matchedActions: Seq[MergeAction],
-    val notMatchedActions: Seq[MergeAction]) extends Serializable
+    val notMatchedActions: Seq[MergeAction],
+    val notMatchedBySourceActions: Seq[MergeAction] = Seq.empty) extends Serializable
 
 /** Same opacity trick for a single plan (see [[MergeSqlPayload]]). */
 final class SqlPlanPayload(val plan: LogicalPlan) extends Serializable
@@ -642,50 +655,95 @@ final case class GraftMergeIntoCommand(
           "(ambiguous merge — the SQL cardinality rule Iceberg/Delta also enforce)")
     }
 
-    // ---- matched side: target LEFT OUTER source, clause-indexed ----
+    // ---- matched side: target vs source, clause-indexed ----
+    val bySourceActions = payload.notMatchedBySourceActions
+
+    def passthroughAll(p: LogicalPlan): LogicalPlan =
+      Project(targetSchema.fields.map(f => Alias(tAttr(f.name), f.name)()).toSeq, p)
+
+    // the clause machinery one action family shares: first-match-wins
+    // CASE index (optionally guarded, for the matched marker), DELETE
+    // rows filtered, then a per-column projection where every assigned
+    // value is cast to the DECLARED column type (store-assignment, as
+    // in GraftUpdateCommand / Delta / Iceberg): a widening expression
+    // like `t.k + 1` on an INT column must store as INT, not coerce
+    // the CASE output and drift the schema. `starFor` supplies the
+    // SET * value per column (None for by-source, which has no source
+    // row — rejected at parse anyway).
+    def clauseRewrite(
+        base: LogicalPlan,
+        actions: Seq[MergeAction],
+        guard: Option[Expression],
+        starFor: Option[String => Expression]): LogicalPlan = {
+      val clauseIdx = CaseWhen(
+        actions.zipWithIndex.map { case (a, i) =>
+          val cond = a.condition.getOrElse(Literal(true))
+          (guard.map(g => And(g, cond): Expression).getOrElse(cond), Literal(i))
+            : (Expression, Expression)
+        },
+        Some(Literal(-1)))
+      val withClause = Project(
+        Seq(UnresolvedStar(None), Alias(clauseIdx, ClauseCol)()),
+        base)
+      val deleteIdxs = actions.zipWithIndex.collect { case (_: DeleteAction, i) => i }
+      val filtered = deleteIdxs.foldLeft[LogicalPlan](withClause) { (p, i) =>
+        Filter(Not(EqualTo(clauseRef, Literal(i))), p)
+      }
+      val cols = targetSchema.fields.map { f =>
+        val branches = actions.zipWithIndex.flatMap {
+          case (_: UpdateStarAction, i) =>
+            starFor.map(s => (EqualTo(clauseRef, Literal(i)): Expression,
+              Cast(s(f.name), f.dataType): Expression))
+          case (UpdateAction(_, assigns, _), i) =>
+            assignmentFor(assigns, f.name)
+              .map(v => (EqualTo(clauseRef, Literal(i)): Expression,
+                Cast(v, f.dataType): Expression))
+          case _ => None
+        }
+        val e =
+          if (branches.isEmpty) tAttr(f.name): Expression
+          else CaseWhen(branches, Some(tAttr(f.name)))
+        Alias(e, f.name)()
+      }
+      Project(cols.toSeq, filtered)
+    }
+
     val updatedPart: LogicalPlan =
-      if (matchedActions.isEmpty) {
-        Project(targetSchema.fields.map(f => Alias(tAttr(f.name), f.name)()).toSeq, aliasT)
+      if (bySourceActions.isEmpty) {
+        if (matchedActions.isEmpty) passthroughAll(aliasT)
+        else {
+          // one LEFT OUTER join carries both matched rows (clauses
+          // apply, marker-guarded) and unmatched ones (passthrough)
+          val sourceAug = Project(
+            Seq(UnresolvedStar(None), Alias(Literal(true), MatchedCol)()),
+            source)
+          clauseRewrite(
+            Join(aliasT, sourceAug, LeftOuter, Some(condition), JoinHint.NONE),
+            matchedActions,
+            guard = Some(EqualNullSafe(UnresolvedAttribute(Seq(MatchedCol)), Literal(true))),
+            starFor = Some(sAttr))
+        }
       } else {
-        val matchedRef = UnresolvedAttribute(Seq(MatchedCol))
-        val sourceAug = Project(
-          Seq(UnresolvedStar(None), Alias(Literal(true), MatchedCol)()),
-          source)
-        val joined = Join(aliasT, sourceAug, LeftOuter, Some(condition), JoinHint.NONE)
-        val clauseIdx = CaseWhen(
-          matchedActions.zipWithIndex.map { case (a, i) =>
-            (And(EqualNullSafe(matchedRef, Literal(true)),
-              a.condition.getOrElse(Literal(true))), Literal(i)): (Expression, Expression)
-          },
-          Some(Literal(-1)))
-        val withClause = Project(
-          Seq(UnresolvedStar(None), Alias(clauseIdx, ClauseCol)()),
-          joined)
-        val deleteIdxs = matchedActions.zipWithIndex.collect { case (_: DeleteAction, i) => i }
-        val filtered = deleteIdxs.foldLeft[LogicalPlan](withClause) { (p, i) =>
-          Filter(Not(EqualTo(clauseRef, Literal(i))), p)
-        }
-        // every assigned value is cast to the DECLARED column type
-        // (store-assignment, as in GraftUpdateCommand / Delta / Iceberg):
-        // a widening expression like `t.k + 1` on an INT column must
-        // store as INT, not coerce the CASE output and drift the schema
-        val cols = targetSchema.fields.map { f =>
-          val branches = matchedActions.zipWithIndex.flatMap {
-            case (_: UpdateStarAction, i) =>
-              Some((EqualTo(clauseRef, Literal(i)): Expression,
-                Cast(sAttr(f.name), f.dataType): Expression))
-            case (UpdateAction(_, assigns, _), i) =>
-              assignmentFor(assigns, f.name)
-                .map(v => (EqualTo(clauseRef, Literal(i)): Expression,
-                  Cast(v, f.dataType): Expression))
-            case _ => None
-          }
-          val e =
-            if (branches.isEmpty) tAttr(f.name): Expression
-            else CaseWhen(branches, Some(tAttr(f.name)))
-          Alias(e, f.name)()
-        }
-        Project(cols.toSeq, filtered)
+        // by-source clauses split the matched side in two over the SAME
+        // join keys: matched rows (inner join — the cardinality probe
+        // above guarantees ≤1 source match — or semi when no matched
+        // action exists, which is duplicate-proof without a probe) and
+        // target-only rows (anti join). The anti branch's output has no
+        // source columns AT ALL, so a by-source clause referencing the
+        // source fails resolution loudly — the Delta/SQL rule enforced
+        // by plan shape. At scale: two joins sharing one shuffle key
+        // set (or one broadcast source), each side scanned once.
+        val matchedBranch: LogicalPlan =
+          if (matchedActions.isEmpty)
+            passthroughAll(Join(aliasT, source, LeftSemi, Some(condition), JoinHint.NONE))
+          else
+            clauseRewrite(
+              Join(aliasT, source, Inner, Some(condition), JoinHint.NONE),
+              matchedActions, guard = None, starFor = Some(sAttr))
+        val bySourceBranch = clauseRewrite(
+          Join(aliasT, source, LeftAnti, Some(condition), JoinHint.NONE),
+          bySourceActions, guard = None, starFor = None)
+        Union(matchedBranch, bySourceBranch)
       }
 
     // ---- insert side: source LEFT ANTI target ----

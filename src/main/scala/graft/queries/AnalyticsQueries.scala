@@ -1500,14 +1500,17 @@ object AnalyticsQueries {
     // 120M edges the same A/B measured SHJ 2× SLOWER than SMJ's
     // sequential merge (426 vs 217 s), so large graphs keep sort-merge
     // — the spill-free plan — which is also the correct 10⁹-edge
-    // choice. The hint is ignored whenever eSized already broadcasts,
-    // so oracle/bench scales are untouched; shuffle volume is
-    // identical on every path (r19).
+    // choice. NESTING MATTERS: on hint merge the OUTERMOST strategy
+    // hint wins (broadcast(df).hint("shuffle_hash") plans SHJ, not
+    // BHJ — verified on Spark 4.1.2), so broadcast must wrap the
+    // shuffle-hash hint, making the hint a no-op whenever eSized
+    // broadcasts; oracle/bench scales keep BHJ (PlanAuditSpec pins
+    // this), and shuffle volume is identical on every path (r19/r20).
     def hSized(df: DataFrame): DataFrame =
       if (nEdges <= 32000000L) df.hint("shuffle_hash") else df
     val tri = oriented
-      .join(hSized(eSized(adj.select(col("src"), col("nbr").as("na")))), Seq("src"))
-      .join(hSized(eSized(adj.select(col("src").as("dst"), col("nbr").as("nb")))), Seq("dst"))
+      .join(eSized(hSized(adj.select(col("src"), col("nbr").as("na")))), Seq("src"))
+      .join(eSized(hSized(adj.select(col("src").as("dst"), col("nbr").as("nb")))), Seq("dst"))
       .select(size(array_intersect(col("na"), col("nb"))).as("t"))
       .agg(sum(col("t")).as("t"))
     tri.select(

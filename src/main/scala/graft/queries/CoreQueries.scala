@@ -1957,6 +1957,55 @@ object CoreQueries {
 
   val mergeSqlScd2OracleSql: String = scd2VersionsSql
 
+  /** `WHEN NOT MATCHED BY SOURCE` — the FULL-SYNC statement (one MERGE
+    * makes the target an exact function of the source: update present
+    * rows, insert new ones, delete/deactivate the rest), the clause
+    * Delta/Iceberg users reach for in mirror loads and the general form
+    * of the reference's SCD2 close pass
+    * (/root/reference/src/silver/_silver_utils.py:136-142). The
+    * scenario exercises all three families plus by-source
+    * first-match-wins: absent rows with negative balance DELETE, the
+    * remainder deactivate via a by-source UPDATE. Scale shape: the
+    * rewrite is two joins over the same key set (inner for matched,
+    * anti for by-source) plus the insert anti-join — each broadcastable
+    * when the source is small, one shuffle partitioning otherwise.
+    */
+  def mergeSqlFullSync(spark: SparkSession, sfDir: String): DataFrame = {
+    val customer = spark.read
+      .parquet(p(sfDir, "customer"))
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val table = LakeTable(spark, scratch("mergefullsync"))
+    table.append(customer)
+    graft.plans.MergeSqlTargets.register(spark, "fullsync_target", table.root)
+    val present = customer
+      .filter(col("c_custkey") % 2 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") * 2)
+    val fresh = customer
+      .filter(col("c_custkey") % 7 === 0)
+      .withColumn("c_custkey", col("c_custkey") + 1000000)
+    present.unionByName(fresh).createOrReplaceTempView("fullsync_source")
+    spark.sql(
+      """MERGE INTO fullsync_target t
+        |USING fullsync_source s
+        |ON t.c_custkey = s.c_custkey
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *
+        |WHEN NOT MATCHED BY SOURCE AND t.c_acctbal < 0 THEN DELETE
+        |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET c_name = 'inactive'
+        |""".stripMargin)
+    table.read()
+  }
+
+  val mergeSqlFullSyncOracleSql: String =
+    """SELECT c_custkey, c_name, c_acctbal * 2 AS c_acctbal
+      |FROM customer WHERE c_custkey % 2 = 0
+      |UNION ALL
+      |SELECT c_custkey, 'inactive' AS c_name, c_acctbal
+      |FROM customer WHERE c_custkey % 2 = 1 AND c_acctbal >= 0
+      |UNION ALL
+      |SELECT c_custkey + 1000000 AS c_custkey, c_name, c_acctbal
+      |FROM customer WHERE c_custkey % 7 = 0""".stripMargin
+
   /** `DELETE FROM` as SQL (the row-level-SQL surface next to MERGE /
     * INSERT, [[graft.plans.GraftDeleteFromCommand]]): first-load via
     * INSERT, then one conditional DELETE routed through the
@@ -2185,6 +2234,7 @@ object CoreQueries {
     "q_table_diff" -> (tableDiff _),
     "q_merge_sql" -> (mergeSql _),
     "q_merge_sql_scd2" -> (mergeSqlScd2 _),
+    "q_merge_sql_full_sync" -> (mergeSqlFullSync _),
     "q_delete_sql" -> (deleteSql _),
     "q_update_sql" -> (updateSql _),
     "q_time_travel" -> (timeTravel _),
@@ -2249,6 +2299,7 @@ object CoreQueries {
     "q_table_diff" -> tableDiffSql,
     "q_merge_sql" -> mergeSqlOracleSql,
     "q_merge_sql_scd2" -> mergeSqlScd2OracleSql,
+    "q_merge_sql_full_sync" -> mergeSqlFullSyncOracleSql,
     "q_delete_sql" -> deleteSqlOracleSql,
     "q_update_sql" -> updateSqlOracleSql,
     "q_time_travel" -> timeTravelSql,

@@ -1577,6 +1577,13 @@ object ExtQueries {
     */
   val QGramDispatchBlock: Double = 2000.0
 
+  /** Driver-side bound on the collected gram-frequency map (top-K most
+    * frequent grams; absent = rare). 64k entries ≈ a few MB as a plan
+    * literal — comfortably past any alphabet-bounded domain, fixed cost
+    * on open-vocabulary corpora where the full vocabulary is unbounded.
+    */
+  val QGramFreqCap: Int = 65536
+
   private[graft] def fuzzyJoinQGram(
       spark: SparkSession, sfDir: String, dispatchAt: Double): DataFrame = {
     val parts = spark.read.parquet(tablePath(sfDir, "part"))
@@ -1589,50 +1596,66 @@ object ExtQueries {
         concat(
           expr("substring(name, 1, d)"),
           expr("substring(name, d + 2)")).as("probe"))
-      .withColumn("plen", length(col("probe")))
+    fuzzyJoinQGramCore(spark, parts, probes, dispatchAt, QGramFreqCap)
+  }
+
+  /** The q-gram core over explicit frames — `parts(p_partkey, name)`,
+    * `probes(probe_key, probe)` — with the freq-map cap a parameter so
+    * the cap's recall-safety is spec-testable on a planted
+    * high-cardinality vocabulary (FuzzyJoinDispatchSpec).
+    */
+  private[graft] def fuzzyJoinQGramCore(
+      spark: SparkSession,
+      parts: DataFrame,
+      probes: DataFrame,
+      dispatchAt: Double,
+      freqCap: Int): DataFrame = {
     def gramsOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       array_distinct(transform(sequence(lit(1), length(c) - 2), i => c.substr(i, lit(3))))
-    // alphabet-bounded collect (≤ |Σ|³ grams exist, whatever the corpus
-    // size) — the freq table becomes a plan-literal map, so the prefix
-    // computation below never leaves the scan's map stage
+    // BOUNDED collect: only the top-K most frequent grams ride to the
+    // driver and into the plan-literal map (deterministic order:
+    // count desc, gram asc). On an alphabet-bounded domain (lowercase
+    // p_name: ≤ |Σ|³ grams) the cap is never hit and the map is exact;
+    // on open-vocabulary text (unicode/CJK 3-gram vocabularies run
+    // 10⁸+) the collect stays K entries no matter the corpus. A gram
+    // absent from the map is treated as RARE (count 0, rarest rank) —
+    // recall-safe: the prefix-filter lemma holds for ANY total order
+    // on grams applied consistently to both sides, and (count, gram)
+    // with absent→0 is exactly such an order. The prefix computation
+    // below never leaves the scan's map stage either way.
     val freqs = parts.select(explode(gramsOf(col("name"))).as("g"))
       .groupBy("g").count()
+      .orderBy(col("count").desc, col("g").asc)
+      .limit(freqCap)
       .collect()
       .map(r => r.getString(0) -> r.getLong(1))
       .toMap
     val freqMap = typedLit(freqs)
+    def rankedGrams(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      array_sort(
+        transform(
+          gramsOf(c),
+          g => struct(coalesce(element_at(freqMap, g), lit(0L)).as("count"), g.as("g"))))
     // DENSITY PROBE, then dispatch: avg over catalog strings of the
     // total frequency of their 4 rarest grams = the expected block mass
-    // an average probe's prefix joins against. One map+avg over the
-    // small string column (the freq map is already in hand), decided on
-    // the driver before any join is planned.
+    // an average probe's prefix joins against. Computed over a BOUNDED
+    // row sample (the scalar only steers a physical-plan choice; 100k
+    // strings estimate it fine at any corpus size), decided on the
+    // driver before any join is planned. An empty catalog yields a
+    // null avg → 0.0 → prefix path, which correctly returns no pairs.
     val prefixMass = aggregate(
-      slice(
-        array_sort(
-          filter(
-            transform(gramsOf(col("name")), g => struct(element_at(freqMap, g).as("count"), g.as("g"))),
-            s => s("count").isNotNull)),
-        1, 4),
+      slice(rankedGrams(col("name")), 1, 4),
       lit(0L),
       (acc, s) => acc + s("count"))
-    val avgBlock = parts.select(avg(prefixMass)).head().getDouble(0)
+    val avgBlock = Option(parts.limit(100000).select(avg(prefixMass)).head().get(0))
+      .map(_.asInstanceOf[Double]).getOrElse(0.0)
     if (avgBlock > dispatchAt)
-      return deletesJoinCore(spark, parts, probes.drop("plen"))
+      return deletesJoinCore(spark, parts, probes)
     def signature(df: DataFrame, keyCol: String, strCol: String): DataFrame =
       df.select(
         col(keyCol), col(strCol),
         explode(
-          transform(
-            slice(
-              array_sort(
-                filter(
-                  transform(
-                    gramsOf(col(strCol)),
-                    g => struct(
-                      element_at(freqMap, g).as("count"), g.as("g"))),
-                  s => s("count").isNotNull)),
-              1, 4),
-            s => s("g"))).as("g"))
+          transform(slice(rankedGrams(col(strCol)), 1, 4), s => s("g"))).as("g"))
     val probeSide = signature(probes, "probe_key", "probe")
       .withColumn("plen", length(col("probe")))
       .repartition(spark.sparkContext.defaultParallelism)

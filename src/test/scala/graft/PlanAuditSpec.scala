@@ -480,6 +480,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("xxhash64"), p)
   }
 
+  test("triangle intersect joins BROADCAST at oracle scale — the shuffle-hash hint stays inside") {
+    val p = plan(graft.queries.AnalyticsQueries.triangleCount(spark, sf))
+    // both adjacency gates hold at sf0.001, so eSized(broadcast) must be
+    // the OUTERMOST hint: on merge the outer strategy hint wins, and the
+    // r19 nesting (hint outside broadcast) silently flipped both
+    // intersect joins to ShuffledHashJoin, re-shuffling the oriented
+    // edge list twice (ADVICE r19)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("ShuffledHashJoin"), s"shuffle_hash hint overrode broadcast:\n$p")
+  }
+
   test("prefix fuzzy join verifies string CLASSES — verify below the expansion joins") {
     val p = plan(graft.queries.ExtQueries.fuzzyJoin(spark, sf))
     assert(p.contains("levenshtein"), p)

@@ -1130,4 +1130,47 @@ class FuzzyJoinDispatchSpec extends SparkSpec {
     // and the dispatched plan is exactly the standalone deletes operator
     assert(d == asSet(graft.queries.ExtQueries.fuzzyJoinDeletes(spark, sfDir)))
   }
+
+  test("freq-map cap is recall-safe: a vocabulary far past the cap still finds every ed<=1 pair") {
+    import spark.implicits._
+    // planted corpus whose 3-gram vocabulary (≫ the forced cap of 48)
+    // models open-vocabulary text: base-36 blocks make most grams
+    // near-unique, shared prefixes make a few grams frequent
+    val names = (0 until 400).map { i =>
+      val rare = java.lang.Long.toString((i.toLong * 2654435761L) % 78364164096L, 36)
+      s"doc $rare tail${i % 7}"
+    }
+    val parts = names.zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }
+      .toDF("p_partkey", "name")
+    // probes: every 3rd string with one char deleted (true ed=1 pairs),
+    // plus a handful of exact copies (ed=0)
+    val probes = names.zipWithIndex.collect {
+      case (s, i) if i % 3 == 0 =>
+        val d = 1 + (i % (s.length - 2))
+        (i.toLong, s.substring(0, d) + s.substring(d + 1))
+      case (s, i) if i % 7 == 1 => (i.toLong, s)
+    }.toDF("probe_key", "probe")
+    val vocab = parts
+      .select(explode(array_distinct(
+        transform(sequence(lit(1), length(col("name")) - 2),
+          k => col("name").substr(k, lit(3))))).as("g"))
+      .distinct().count()
+    assert(vocab > 480, s"fixture vocabulary too small to exercise the cap: $vocab grams")
+    val got = graft.queries.ExtQueries
+      .fuzzyJoinQGramCore(spark, parts, probes, dispatchAt = Double.MaxValue, freqCap = 48)
+      .collect()
+      .map(r => (r.getAs[Long]("probe_key"), r.getAs[Long]("match_key"), r.getAs[Int]("dist")))
+      .toSet
+    // blocking-free brute-force oracle over the full cross product
+    val brute = probes.crossJoin(parts)
+      .withColumn("dist", levenshtein(col("probe"), col("name")))
+      .filter(col("dist") <= 1)
+      .collect()
+      .map(r => (r.getAs[Long]("probe_key"), r.getAs[Long]("p_partkey"), r.getAs[Int]("dist")))
+      .toSet
+    assert(got == brute,
+      s"cap lost matches: missing=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
+    assert(brute.nonEmpty, "fixture produced no ed<=1 pairs - the check would be vacuous")
+  }
 }

@@ -92,6 +92,38 @@ class AsofJoinSpec extends SparkSpec {
     assert(price(5) == 101.0) // only backward exists
   }
 
+  test("a matched right row with NULL payload carries that null — never an older row's value") {
+    // pandas merge_asof carries the MATCHED row's values, nulls
+    // included; per-column ignoreNulls carries (pre-r20) pulled the
+    // null field from the previous quote and then judged it against
+    // the wrong matched timestamp (ADVICE r19)
+    val trades = Seq(
+      (1L, "A", mk("2024-01-01 10:06:00")), // after q2 (null price) -> must carry NULL, not q1's 100.0
+      (2L, "A", mk("2024-01-01 10:01:00"))) // between q1 and q2 -> q1's 100.0
+      .toDF("trade_id", "sym", "ts")
+    val quotes = Seq(
+      ("A", mk("2024-01-01 10:00:00"), Some(100.0), "m1"),
+      ("A", mk("2024-01-01 10:05:00"), None, "m2"))
+      .toDF("sym", "qts", "price", "mark")
+    val out = Ops.asofJoinDirected(trades, quotes, "sym", "ts", "qts", Seq("price", "mark"))
+      .orderBy("trade_id").collect()
+    // trade 1 matches q2: price NULL (q2's), mark m2 — both from q2
+    assert(out(0).isNullAt(out(0).fieldIndex("price")), out(0).toString)
+    assert(out(0).getAs[String]("mark") == "m2")
+    assert(out(1).getAs[Double]("price") == 100.0)
+    assert(out(1).getAs[String]("mark") == "m1")
+    // and with a tolerance tighter than the q1 gap, trade 1 still
+    // matches q2 (60s away): the null payload must NOT be masked in
+    // by q1's timestamp, nor the match judged against q1's distance
+    val tol = Ops.asofJoinDirected(
+      trades, quotes, "sym", "ts", "qts", Seq("price", "mark"),
+      toleranceSeconds = Some(90.0))
+      .orderBy("trade_id").collect()
+    assert(tol(0).isNullAt(tol(0).fieldIndex("price")))
+    assert(tol(0).getAs[String]("mark") == "m2") // within 60s -> kept
+    assert(tol(1).getAs[Double]("price") == 100.0)
+  }
+
   test("tolerance nulls matches farther than the bound, in any direction") {
     val (trades, quotes) = directedFixture
     val out = Ops.asofJoinDirected(

@@ -185,7 +185,7 @@ class GraftMergeParser(session: SparkSession, delegate: ParserInterface)
     MergeSqlTargets.rootFor(session, nameParts) match {
       case None => c
       case Some(root) =>
-        val partCols = graft.tables.v2.GraftCatalog.identityPartitionCols(c.partitioning)
+        val partCols = graft.tables.v2.GraftCatalog.partitionSpecs(c.partitioning)
         // unsupported spec clauses fail LOUDLY —
         // silently dropping TBLPROPERTIES/LOCATION would let the user
         // believe they took effect
@@ -575,10 +575,12 @@ final case class GraftCtasCommand(
   override def run(spark: SparkSession): Seq[Row] = {
     val table = graft.tables.LakeTable(spark, root)
     val df = GraftSqlInternals.ofRows(spark, payload.plan) // analysis only here
-    val partCols = partitionBy.map { c =>
-      df.schema.fieldNames.find(_.equalsIgnoreCase(c)).getOrElse(
+    val partCols = partitionBy.map { s =>
+      val p = graft.tables.PartitionSpec.parse(s)
+      val canonical = df.schema.fieldNames.find(_.equalsIgnoreCase(p.source)).getOrElse(
         throw new IllegalArgumentException(
-          s"PARTITIONED BY column $c is not in the query output"))
+          s"PARTITIONED BY column ${p.source} is not in the query output"))
+      graft.tables.PartitionSpec.withSource(p, canonical).spec
     }
     if (!table.createIfAbsent(df.schema, partCols)) {
       if (ignoreIfExists) return Seq.empty

@@ -624,6 +624,49 @@ object ScaleQueries {
     """SELECT o_orderkey, round(o_totalprice, 4) AS o_totalprice, o_orderstatus
       |FROM orders WHERE o_totalprice > 200000.0 AND o_orderstatus = 'F'""".stripMargin
 
+  /** HIDDEN-PARTITIONING transforms in DDL, end-to-end
+    * ([[graft.tables.PartitionSpec]]): `PARTITIONED BY (days(ts))`
+    * derives `ts__day=...` Hive subdirs at write — the dir column
+    * never enters the schema, so users filter the raw `ts` and the
+    * engine prunes whole day dirs through the transform
+    * (PartitionTransformSpec proves the dir-level skipping via
+    * inputFiles); the CTAS carries `bucket(8, event_id)` onto the
+    * derived table, bounding file counts per commit and spreading
+    * writes — the Iceberg partition-spec model the reference's catalog
+    * advertises (docker/init/lakehouse_init.sql declares identity
+    * layouts; the transforms are the 100 TB growth path: a table
+    * partitioned hourly/daily evolves without rewriting history).
+    */
+  def partitionedTransform(spark: SparkSession, sfDir: String): DataFrame = {
+    val cat = Catalog(spark, graft.util.TempDirs.scratch("ptrans"))
+    cat.createSchema("silver")
+    cat.attachSqlCatalog("lake")
+    Testdata.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      .createOrReplaceTempView("ptrans_src")
+    cat.sql(
+      """CREATE TABLE lake.silver.events_by_day
+        |(event_id BIGINT, ts TIMESTAMP, event_type STRING, value DOUBLE)
+        |PARTITIONED BY (days(ts))""".stripMargin)
+    cat.sql("INSERT INTO lake.silver.events_by_day SELECT * FROM ptrans_src")
+    cat.sql(
+      """CREATE TABLE lake.silver.events_bucketed PARTITIONED BY (bucket(8, event_id)) AS
+        |SELECT event_id, ts, event_type, value FROM lake.silver.events_by_day
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts <  TIMESTAMP '2024-01-20 00:00:00'""".stripMargin)
+    cat.sql(
+      """SELECT event_id, event_type, round(value, 4) AS value_r
+        |FROM lake.silver.events_bucketed
+        |WHERE event_type <> 'error'""".stripMargin)
+  }
+
+  val partitionedTransformSql: String =
+    """SELECT event_id, event_type, round(value, 4) AS value_r
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      |  AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+      |  AND event_type <> 'error'""".stripMargin
+
   /** Table maintenance as SQL (`CALL lake.system.*`, the Iceberg
     * `CALL <cat>.system.rewrite_data_files / expire_snapshots /
     * remove_orphan_files` surface the reference's catalog advertises):
@@ -797,6 +840,7 @@ object ScaleQueries {
     "q_alter_sql" -> (alterSql _),
     "q_snapshots_sql" -> (snapshotsMetaSql _),
     "q_partitioned_ddl" -> (partitionedDdl _),
+    "q_partitioned_transform" -> (partitionedTransform _),
     "q_call_maintenance" -> (callMaintenance _),
     "q_call_governance" -> (callGovernance _),
     "q_constraint_sql" -> (constraintSql _),
@@ -825,6 +869,7 @@ object ScaleQueries {
     "q_alter_sql" -> alterSqlSql,
     "q_snapshots_sql" -> snapshotsMetaSqlSql,
     "q_partitioned_ddl" -> partitionedDdlSql,
+    "q_partitioned_transform" -> partitionedTransformSql,
     "q_call_maintenance" -> callMaintenanceSql,
     "q_call_governance" -> callGovernanceSql,
     "q_constraint_sql" -> constraintSqlSql,

@@ -175,8 +175,19 @@ final class LakeTable(val spark: SparkSession, val root: String) {
           Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c"))) ++ consAggs
         df.observe(o, aggs.head, aggs.tail: _*)
     }
-    val writer = toWrite.write.mode("overwrite").options(writeOptions)
-    val w = if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer
+    // hidden-partitioning: transform specs derive their physical dir
+    // column here (never part of the declared schema); identity writes
+    // are byte-identical to the pre-transform behavior
+    val pspecs = partitionBy.map(PartitionSpec.parse)
+    val withDirCols = pspecs.filterNot(_.isIdentity).foldLeft(toWrite) { (d, p) =>
+      require(d.columns.contains(p.source),
+        s"partition transform ${p.spec}: source column ${p.source} is not in the batch")
+      require(!d.columns.contains(p.dirCol),
+        s"partition transform ${p.spec}: derived dir column ${p.dirCol} collides with a data column")
+      d.withColumn(p.dirCol, p.derive(col(p.source)))
+    }
+    val writer = withDirCols.write.mode("overwrite").options(writeOptions)
+    val w = if (pspecs.nonEmpty) writer.partitionBy(pspecs.map(_.dirCol): _*) else writer
     w.parquet(dest.toString)
     val (stats, violations): (Map[String, (String, String)], Seq[(String, Long)]) = obs match {
       case None => (Map.empty, Seq.empty)
@@ -538,6 +549,7 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     val schema = DataType.fromJson(s.schemaJson).asInstanceOf[StructType]
     if (s.partitionBy.isEmpty) spark.read.schema(schema).parquet(base)
     else spark.read.option("basePath", base).schema(schema).parquet(base)
+      .select(schema.fieldNames.map(col): _*) // drop any derived dir column
   }
 
   /** AUDIT passed — publish atomically (append semantics, optimistic
@@ -665,9 +677,9 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     */
   def createIfAbsent(schema: StructType, partitionBy: Seq[String] = Seq.empty): Boolean = {
     if (exists) return false
-    partitionBy.foreach { c =>
-      require(schema.fieldNames.contains(c),
-        s"partition column $c is not in the declared schema")
+    partitionBy.map(PartitionSpec.parse).foreach { p =>
+      require(schema.fieldNames.contains(p.source),
+        s"partition source column ${p.source} (of ${p.spec}) is not in the declared schema")
     }
     val m = Manifest(0L, "create", System.currentTimeMillis(), Seq.empty, schema.json, partitionBy)
     try { writeManifest(m); true }
@@ -741,7 +753,7 @@ final class LakeTable(val spark: SparkSession, val root: String) {
       .getOrElse(throw new IllegalStateException(s"replacePartitions on empty table $root"))
     require(prev.partitionBy.nonEmpty, "replacePartitions requires a partitioned table")
     val affectedSet = affected.toSet
-    val p0Name = prev.partitionBy.head
+    val p0Name = PartitionSpec.parse(prev.partitionBy.head).dirCol
 
     val (newDirOpt, newStats) = writeCommitDir(
       df, prev.partitionBy, prev.colMax.keys.toSeq, constraints = prev.constraints)
@@ -879,7 +891,12 @@ final class LakeTable(val spark: SparkSession, val root: String) {
         // partition-scoped merge) reads only its live `col=value` subdirs;
         // a dir with an explicit file selection reads only those files
         // (partition columns still resolve relative to the basePath).
-        val p0 = m.partitionBy.headOption
+        val p0 = m.partitionBy.headOption.map(s => PartitionSpec.parse(s).dirCol)
+        // a transform layout's derived dir column (ts__day=...) is NOT
+        // part of the declared schema: project back to it so readers
+        // see source columns only (identity layouts: exact no-op)
+        val projCols = schema.fieldNames.map(col) ++
+          (if (needMeta) Seq(col("__dv_file"), col("__dv_idx")) else Nil)
         live
           .map { case (d, scope, files) =>
             val base = dataDir.resolve(d).toString
@@ -890,6 +907,7 @@ final class LakeTable(val spark: SparkSession, val root: String) {
                 else scope.map(v => s"$base/${p0.get}=$v")
             }
             withMeta(spark.read.option("basePath", base).schema(schema).parquet(paths: _*))
+              .select(projCols: _*)
           }
           .reduce(_ unionByName _)
       }
@@ -983,12 +1001,50 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     val entries = m.commitDirs.zip(m.effectiveScopes).zip(m.effectiveDirStats)
       .zip(m.effectiveFileStats)
       .map { case (((d, scope), ds), fs) => (d, scope, ds, fs) }
-    val (kept, skipped) = entries.partition { case (_, _, stats, _) =>
-      stats.get(colName) match {
-        case Some((mn, mx)) => overlaps(mn, mx)
-        case None => true // no range recorded — must scan
+    // PRUNING THROUGH THE TRANSFORM: when the leading partition spec is
+    // a time transform OF THE PROBED COLUMN (days(ts) etc.), narrow
+    // each dir's scope to the `ts__day=...` subdir values covering
+    // [lower, upper] — dir values are fixed-width ISO prefixes, so the
+    // cover is a string-range filter and rows outside it cannot satisfy
+    // the predicate (NULL time values land in the Hive default dir,
+    // which sorts past every ISO value and is correctly excluded
+    // whenever an upper bound exists; NULL never matches a range
+    // anyway). A dir whose cover is empty is skipped whole; a dir with
+    // no Hive layout info scans conservatively. An unmappable bound
+    // type simply contributes no constraint.
+    val timeNarrow: Option[(Option[String], Option[String])] =
+      m.partitionBy.headOption
+        .map(PartitionSpec.parse)
+        .collect {
+          case t: TimePart if t.source == colName =>
+            val zone = java.time.ZoneId.of(spark.conf.get("spark.sql.session.timeZone"))
+            (lower.flatMap(b => PartitionSpec.timeDirValue(t, b, zone)),
+              upper.flatMap(b => PartitionSpec.timeDirValue(t, b, zone)))
+        }
+        .filter { case (lo, hi) => lo.nonEmpty || hi.nonEmpty }
+    val narrowed = entries.map { case (d, scope, ds, fs) =>
+      timeNarrow match {
+        case None => (d, Some(scope), ds, fs)
+        case Some((lo, hi)) =>
+          val eff = if (scope.nonEmpty) scope else listPartitionValues(d)
+          if (eff.isEmpty) (d, Some(scope), ds, fs)
+          else {
+            val cover = eff.filter(v => lo.forall(v >= _) && hi.forall(v <= _))
+            (d, if (cover.isEmpty) None else Some(cover), ds, fs)
+          }
       }
     }
+    val (liveDirs, dirPruned) = narrowed.partition(_._2.nonEmpty)
+    val (kept, skippedZone) = liveDirs
+      .map { case (d, so, ds, fs) => (d, so.get, ds, fs) }
+      .partition { case (_, _, stats, _) =>
+        stats.get(colName) match {
+          case Some((mn, mx)) => overlaps(mn, mx)
+          case None => true // no range recorded — must scan
+        }
+      }
+    val skipped = skippedZone.map(e => (e._1, e._2, e._3, e._4)) ++
+      dirPruned.map { case (d, _, ds, fs) => (d, Seq.empty[String], ds, fs) }
     // file-granularity pass over the surviving dirs: a dir's file map
     // enumerates every parquet file written to it (dirs are immutable),
     // so selecting from the map is a complete, conservative refinement.
@@ -1000,7 +1056,7 @@ final class LakeTable(val spark: SparkSession, val root: String) {
         val inScope =
           if (scope.isEmpty) fs
           else {
-            val p0 = m.partitionBy.head
+            val p0 = PartitionSpec.parse(m.partitionBy.head).dirCol
             fs.filter { case (rel, _) => scope.exists(s => rel.startsWith(s"$p0=$s/")) }
           }
         val surviving = inScope.filter { case (_, cols) =>
@@ -1048,7 +1104,7 @@ final class LakeTable(val spark: SparkSession, val root: String) {
       else {
         // single traversal: the visitor receives each file's attributes
         // (incl. size) during the walk — no second stat per file
-        val p0 = m.partitionBy.headOption
+        val p0 = m.partitionBy.headOption.map(s => PartitionSpec.parse(s).dirCol)
         val acc = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
         Files.walkFileTree(
           base,
@@ -1266,8 +1322,14 @@ final class LakeTable(val spark: SparkSession, val root: String) {
 
     val commitName = s"commit-${UUID.randomUUID()}"
     val dest = dataDir.resolve(commitName)
-    val writer = df.repartitionByRange(numFiles, key).write.mode("overwrite")
-    val w = if (prev.partitionBy.nonEmpty) writer.partitionBy(prev.partitionBy: _*) else writer
+    // same hidden-partitioning derivation as writeCommitDir: transform
+    // specs re-derive their dir column for the rewritten files
+    val pspecs = prev.partitionBy.map(PartitionSpec.parse)
+    val withDirCols = pspecs.filterNot(_.isIdentity).foldLeft(df) { (d, p) =>
+      d.withColumn(p.dirCol, p.derive(col(p.source)))
+    }
+    val writer = withDirCols.repartitionByRange(numFiles, key).write.mode("overwrite")
+    val w = if (pspecs.nonEmpty) writer.partitionBy(pspecs.map(_.dirCol): _*) else writer
     w.parquet(dest.toString)
 
     // one pass over the fresh files, pruned to the stats columns: per-file

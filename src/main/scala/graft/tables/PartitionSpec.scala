@@ -1,0 +1,147 @@
+package graft.tables
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Hidden-partitioning transforms (the Iceberg partition-spec model —
+  * spec §Partition Transforms; the reference's Iceberg catalog
+  * advertises them even though its init SQL uses identity only,
+  * /root/reference/docker/init/lakehouse_init.sql). A manifest
+  * `partitionBy` entry is a SPEC string: a bare column name (identity —
+  * the only form before r20, so every existing manifest parses
+  * unchanged) or `days(col)` / `months(col)` / `years(col)` /
+  * `bucket(n,col)`.
+  *
+  * The physical Hive directory column (`col__day=2024-01-03`,
+  * `col__bucket=7`) is DERIVED from the source column at write time and
+  * never enters the declared schema — users query the SOURCE column
+  * only, exactly Iceberg's hidden-partitioning contract. Reads project
+  * back to the declared schema; range reads on a time-transformed
+  * leading spec prune whole `col__day=...` subdirs through the
+  * transform ([[LakeTable.readBetween]]).
+  *
+  * Time transforms derive via `date_format`, which renders in the
+  * SESSION time zone — the same zone [[timeDirValue]] uses to map a
+  * read-side bound to a dir value, so write and prune can never
+  * disagree. Bucket derives `pmod(xxhash64(col), n)`; it spreads writes
+  * and bounds file counts per commit (not wire-compatible with
+  * Iceberg's murmur3 bucket — self-consistent within graft tables).
+  * NULL time values land in Hive's default-partition dir, which a range
+  * prune correctly never selects (NULL satisfies no range predicate);
+  * null bucket keys hash to the seed's bucket.
+  */
+sealed trait PartitionSpec {
+  /** Source data column (in the declared schema). */
+  def source: String
+  /** Physical Hive directory column name. */
+  def dirCol: String
+  /** Directory value derived from the source column. */
+  def derive(c: Column): Column
+  /** Canonical spec string as stored in the manifest. */
+  def spec: String
+  def isIdentity: Boolean = false
+}
+
+final case class IdentityPart(source: String) extends PartitionSpec {
+  def dirCol: String = source
+  def derive(c: Column): Column = c
+  def spec: String = source
+  override def isIdentity: Boolean = true
+}
+
+/** Shared shape of the time transforms: the dir value is a fixed-width
+  * prefix of the ISO rendering, so LEXICOGRAPHIC order on dir values IS
+  * chronological order and a time-range prune is a string-range filter
+  * over subdir names.
+  */
+sealed trait TimePart extends PartitionSpec {
+  def pattern: String
+  final def derive(c: Column): Column = date_format(c, pattern)
+}
+
+final case class DaysPart(source: String) extends TimePart {
+  def dirCol: String = s"${source}__day"
+  def pattern: String = "yyyy-MM-dd"
+  def spec: String = s"days($source)"
+}
+
+final case class MonthsPart(source: String) extends TimePart {
+  def dirCol: String = s"${source}__month"
+  def pattern: String = "yyyy-MM"
+  def spec: String = s"months($source)"
+}
+
+final case class YearsPart(source: String) extends TimePart {
+  def dirCol: String = s"${source}__year"
+  def pattern: String = "yyyy"
+  def spec: String = s"years($source)"
+}
+
+final case class BucketPart(n: Int, source: String) extends PartitionSpec {
+  require(n >= 2, s"bucket($n, $source): bucket count must be >= 2")
+  def dirCol: String = s"${source}__bucket"
+  def derive(c: Column): Column = pmod(xxhash64(c), lit(n.toLong)).cast("int")
+  def spec: String = s"bucket($n,$source)"
+}
+
+object PartitionSpec {
+
+  private val DaysRe = """days\(\s*([^()\s]+)\s*\)""".r
+  private val MonthsRe = """months\(\s*([^()\s]+)\s*\)""".r
+  private val YearsRe = """years\(\s*([^()\s]+)\s*\)""".r
+  private val BucketRe = """bucket\(\s*(\d+)\s*,\s*([^()\s]+)\s*\)""".r
+
+  /** Parse a manifest spec string. Anything that is not a recognized
+    * transform call is an identity column name — the pre-r20 format.
+    * An unrecognized TRANSFORM (e.g. `hours(ts)`) fails loudly rather
+    * than silently becoming an identity column named `hours(ts)`.
+    */
+  def parse(s: String): PartitionSpec = s.trim match {
+    case DaysRe(c) => DaysPart(c)
+    case MonthsRe(c) => MonthsPart(c)
+    case YearsRe(c) => YearsPart(c)
+    case BucketRe(n, c) => BucketPart(n.toInt, c)
+    case other =>
+      require(
+        !other.contains("(") && !other.contains(")"),
+        s"unsupported partition transform: $other " +
+          "(supported: identity, days(col), months(col), years(col), bucket(n,col))")
+      IdentityPart(other)
+  }
+
+  /** The same transform over a different (e.g. case-canonicalized)
+    * source column.
+    */
+  def withSource(p: PartitionSpec, src: String): PartitionSpec = p match {
+    case _: IdentityPart => IdentityPart(src)
+    case _: DaysPart => DaysPart(src)
+    case _: MonthsPart => MonthsPart(src)
+    case _: YearsPart => YearsPart(src)
+    case b: BucketPart => BucketPart(b.n, src)
+  }
+
+  /** The dir value a time-transformed bound maps to, in the session
+    * time zone — `None` when the bound's type cannot be mapped (the
+    * caller must then scan conservatively). String bounds must already
+    * be ISO-prefixed (`yyyy-MM-dd...`).
+    */
+  def timeDirValue(t: TimePart, bound: Any, sessionZone: java.time.ZoneId): Option[String] = {
+    val localDate: Option[java.time.LocalDate] = bound match {
+      case ts: java.sql.Timestamp => Some(ts.toInstant.atZone(sessionZone).toLocalDate)
+      case d: java.sql.Date => Some(d.toLocalDate)
+      case d: java.time.LocalDate => Some(d)
+      case i: java.time.Instant => Some(i.atZone(sessionZone).toLocalDate)
+      case ldt: java.time.LocalDateTime => Some(ldt.toLocalDate)
+      case s: String if s.matches("""\d{4}-\d{2}-\d{2}.*""") =>
+        Some(java.time.LocalDate.parse(s.take(10)))
+      case _ => None
+    }
+    localDate.map { ld =>
+      t match {
+        case _: DaysPart => f"${ld.getYear}%04d-${ld.getMonthValue}%02d-${ld.getDayOfMonth}%02d"
+        case _: MonthsPart => f"${ld.getYear}%04d-${ld.getMonthValue}%02d"
+        case _: YearsPart => f"${ld.getYear}%04d"
+      }
+    }
+  }
+}

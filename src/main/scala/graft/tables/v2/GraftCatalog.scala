@@ -156,10 +156,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    val partCols = GraftCatalog.identityPartitionCols(partitions.toSeq).map { c =>
-      schema.fieldNames.find(_.equalsIgnoreCase(c)).getOrElse(
+    val partCols = GraftCatalog.partitionSpecs(partitions.toSeq).map { s =>
+      val p = graft.tables.PartitionSpec.parse(s)
+      val canonical = schema.fieldNames.find(_.equalsIgnoreCase(p.source)).getOrElse(
         throw new IllegalArgumentException(
-          s"PARTITIONED BY column $c is not in the column list"))
+          s"PARTITIONED BY column ${p.source} is not in the column list"))
+      graft.tables.PartitionSpec.withSource(p, canonical).spec
     }
     val p = dirOf(ident.namespace() :+ ident.name())
     if (isLakeTable(p)) throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
@@ -318,19 +320,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
 
 object GraftCatalog {
 
-  /** DSv2 partition transforms → Hive partition column names. Graft
-    * tables partition by directory on plain column values, so only
-    * top-level identity transforms are accepted; `bucket(...)`,
-    * `days(ts)` etc. are rejected loudly rather than silently flattened
-    * to something with different pruning semantics.
+  /** DSv2 partition transforms → manifest partition-spec strings
+    * ([[graft.tables.PartitionSpec]]): top-level identity columns plus
+    * the hidden-partitioning transforms `days/months/years(col)` and
+    * `bucket(n, col)`. Anything else (`hours`, `truncate`, nested
+    * references) is rejected loudly rather than silently flattened to
+    * something with different pruning semantics.
     */
-  def identityPartitionCols(partitions: Seq[Transform]): Seq[String] =
+  def partitionSpecs(partitions: Seq[Transform]): Seq[String] =
     partitions.map { t =>
       require(
-        t.name == "identity" && t.references.length == 1 &&
-          t.references.head.fieldNames.length == 1,
-        s"only top-level identity partitioning is supported, got ${t.describe}")
-      t.references.head.fieldNames.head
+        t.references.length == 1 && t.references.head.fieldNames.length == 1,
+        s"partitioning transform must reference one top-level column, got ${t.describe}")
+      val col = t.references.head.fieldNames.head
+      t.name match {
+        case "identity" => col
+        case "days" | "months" | "years" => s"${t.name}($col)"
+        case "bucket" =>
+          val n = t.arguments.collectFirst {
+            case l: org.apache.spark.sql.connector.expressions.Literal[_]
+                if l.value.isInstanceOf[Int] => l.value.asInstanceOf[Int]
+          }.getOrElse(throw new IllegalArgumentException(
+            s"bucket transform without a literal bucket count: ${t.describe}"))
+          s"bucket($n,$col)"
+        case other =>
+          throw new IllegalArgumentException(
+            s"unsupported partitioning transform $other(${col}) " +
+              "(supported: identity, days, months, years, bucket)")
+      }
     }
 
   /** Identifier parts → filesystem path, shared by the catalog and the
@@ -428,12 +445,19 @@ final class GraftSqlTable(rootPath: String, versionAsOf: Option[Long] = None)
   override lazy val schema: StructType =
     DataType.fromJson(manifest.schemaJson).asInstanceOf[StructType]
 
-  /** The manifest's declared Hive layout, reported as identity
+  /** The manifest's declared layout, reported as the matching DSv2
     * transforms (DESCRIBE TABLE's "Partitioning" section).
     */
-  override def partitioning(): Array[Transform] =
-    manifest.partitionBy.map(c =>
-      org.apache.spark.sql.connector.expressions.Expressions.identity(c)).toArray
+  override def partitioning(): Array[Transform] = {
+    import org.apache.spark.sql.connector.expressions.{Expressions => E}
+    manifest.partitionBy.map(s => graft.tables.PartitionSpec.parse(s) match {
+      case graft.tables.IdentityPart(c) => E.identity(c)
+      case graft.tables.DaysPart(c) => E.days(c)
+      case graft.tables.MonthsPart(c) => E.months(c)
+      case graft.tables.YearsPart(c) => E.years(c)
+      case graft.tables.BucketPart(n, c) => E.bucket(n, c)
+    }).toArray
+  }
 
   /** On-disk bytes of the pinned snapshot's live commit dirs, walked
     * only UNTIL `limit` is exceeded: exact when the result is ≤ limit,
@@ -498,6 +522,7 @@ final class GraftSqlTable(rootPath: String, versionAsOf: Option[Long] = None)
       case None =>
         val conf = new org.apache.hadoop.conf.Configuration()
         val p0 = manifest.partitionBy.headOption
+          .map(s => graft.tables.PartitionSpec.parse(s).dirCol)
         var total = 0L
         manifest.commitDirs.zip(manifest.effectiveScopes).foreach { case (d, scope) =>
           val base = Paths.get(rootPath, "data").resolve(d)
@@ -561,6 +586,9 @@ final class GraftSqlTable(rootPath: String, versionAsOf: Option[Long] = None)
       : Option[Seq[(String, Long, Map[String, Option[(Any, Any)]])]] = {
     val m = manifest
     if (m.dvFiles.nonEmpty || m.partitionBy.isEmpty) return None
+    // a transform layout's dir column (ts__day) is not a user column —
+    // GROUP BY can never name it, so the metadata serve does not apply
+    if (!graft.tables.PartitionSpec.parse(m.partitionBy.head).isIdentity) return None
     statCols.foreach { c =>
       if (!schema.fieldNames.contains(c) || !footerStatsExact(schema(c).dataType)) return None
     }

@@ -328,9 +328,25 @@ class GraftCatalogSpec extends SparkSpec {
     val one = spark.sql(
       s"SELECT sym FROM $name.silver.events WHERE yr = 2024 AND mo = 2").collect()
     assert(one.map(_.getString(0)).toSeq == Seq("BBB"), one.mkString(","))
-    // non-identity transforms and unknown partition columns fail loudly
+    // days(ts) is HIDDEN partitioning since r20: the table accepts it,
+    // derives ts__day=... dirs at write, and hides the dir column
+    spark.sql(
+      s"CREATE TABLE $name.silver.byday (k INT, ts TIMESTAMP) PARTITIONED BY (days(ts))")
+    Seq((1, java.sql.Timestamp.valueOf("2024-05-01 10:00:00")))
+      .toDF("k", "ts").createOrReplaceTempView("v2part_day")
+    spark.sql(s"INSERT INTO $name.silver.byday SELECT * FROM v2part_day")
+    val dayDirs = java.nio.file.Files
+      .walk(java.nio.file.Paths.get(cat.root, "silver", "byday", "data"))
+      .iterator().asScala
+      .filter(java.nio.file.Files.isDirectory(_)).map(_.getFileName.toString).toSet
+    assert(dayDirs.contains("ts__day=2024-05-01"), dayDirs.mkString(","))
+    assert(spark.sql(s"SELECT * FROM $name.silver.byday").columns.toSeq == Seq("k", "ts"))
+    val descDay = spark.sql(s"DESCRIBE TABLE $name.silver.byday")
+      .collect().map(_.toString).mkString
+    assert(descDay.contains("days(ts)"), descDay)
+    // unsupported transforms and unknown partition columns fail loudly
     intercept[Exception](spark.sql(
-      s"CREATE TABLE $name.silver.bad (k INT, ts TIMESTAMP) PARTITIONED BY (days(ts))"))
+      s"CREATE TABLE $name.silver.bad (k INT, ts TIMESTAMP) PARTITIONED BY (hours(ts))"))
     intercept[Exception](spark.sql(
       s"CREATE TABLE $name.silver.bad2 (k INT) PARTITIONED BY (zz)"))
     // CTAS with PARTITIONED BY: created table carries the layout for later inserts

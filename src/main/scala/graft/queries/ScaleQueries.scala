@@ -558,13 +558,24 @@ object ScaleQueries {
       .createOrReplaceTempView("alter_sql_src")
     cat.sql("INSERT INTO lake.gold.nation SELECT * FROM alter_sql_src")
     cat.sql("ALTER TABLE lake.gold.nation RENAME TO gold.nation_wide")
-    cat.sql("SELECT n_nationkey, n_name, population FROM lake.gold.nation_wide")
+    // r20: column mapping — RENAME COLUMN is metadata-only (old files
+    // keep the physical name `population` and stay readable as `pop`);
+    // DROP then re-ADD of n_regionkey must read NULL, never resurface
+    // the dropped file data (fresh physical name in the mapping)
+    cat.sql("ALTER TABLE lake.gold.nation_wide RENAME COLUMN population TO pop")
+    cat.sql("ALTER TABLE lake.gold.nation_wide DROP COLUMN n_regionkey")
+    cat.sql("ALTER TABLE lake.gold.nation_wide ADD COLUMNS (n_regionkey BIGINT)")
+    cat.sql("SELECT n_nationkey, n_name, pop, n_regionkey FROM lake.gold.nation_wide")
   }
 
   val alterSqlSql: String =
-    """SELECT n_nationkey, n_name, CAST(NULL AS BIGINT) AS population FROM nation
+    """SELECT n_nationkey, n_name, CAST(NULL AS BIGINT) AS pop,
+      |       CAST(NULL AS BIGINT) AS n_regionkey
+      |FROM nation
       |UNION ALL
-      |SELECT n_nationkey + 100, n_name, CAST(n_nationkey AS BIGINT) * 1000 FROM nation""".stripMargin
+      |SELECT n_nationkey + 100, n_name, CAST(n_nationkey AS BIGINT) * 1000,
+      |       CAST(NULL AS BIGINT)
+      |FROM nation""".stripMargin
 
   /** The snapshots METADATA TABLE through SQL (`lake.ns.t.snapshots`) —
     * the reference's Trino `"t$snapshots"` / Iceberg `t.snapshots`

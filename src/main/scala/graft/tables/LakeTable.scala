@@ -151,7 +151,8 @@ final class LakeTable(val spark: SparkSession, val root: String) {
       partitionBy: Seq[String],
       statsCols: Seq[String] = Seq.empty,
       writeOptions: Map[String, String] = Map.empty,
-      constraints: Map[String, String] = Map.empty)
+      constraints: Map[String, String] = Map.empty,
+      colMapping: Map[String, String] = Map.empty)
       : (Option[String], Map[String, (String, String)]) = {
     val commitName = s"commit-${UUID.randomUUID()}"
     val dest = dataDir.resolve(commitName)
@@ -186,7 +187,13 @@ final class LakeTable(val spark: SparkSession, val root: String) {
         s"partition transform ${p.spec}: derived dir column ${p.dirCol} collides with a data column")
       d.withColumn(p.dirCol, p.derive(col(p.source)))
     }
-    val writer = withDirCols.write.mode("overwrite").options(writeOptions)
+    // column mapping: files store PHYSICAL names, uniformly across every
+    // commit era (observe/stats/constraints above ran on logical names;
+    // partition sources can never be renamed, so dir layout is stable)
+    val physDf = colMapping.foldLeft(withDirCols) { case (d, (log, phys)) =>
+      if (log != phys && d.columns.contains(log)) d.withColumnRenamed(log, phys) else d
+    }
+    val writer = physDf.write.mode("overwrite").options(writeOptions)
     val w = if (pspecs.nonEmpty) writer.partitionBy(pspecs.map(_.dirCol): _*) else writer
     w.parquet(dest.toString)
     val (stats, violations): (Map[String, (String, String)], Seq[(String, Long)]) = obs match {
@@ -220,15 +227,21 @@ final class LakeTable(val spark: SparkSession, val root: String) {
             // partition column would be re-inferred (string -> int),
             // making typed constraint predicates throw inside this
             // fallback and orphan the dir instead of degrading
+            // the files store PHYSICAL names — read them as such, then
+            // project back to logical so constraint predicates resolve
+            val physSchema = StructType(df.schema.fields.map(f =>
+              f.copy(name = colMapping.getOrElse(f.name, f.name))))
             val dir = spark.read
               .option("basePath", dest.toString)
-              .schema(df.schema)
+              .schema(physSchema)
               .parquet(dest.toString)
+              .select(df.schema.fieldNames.map(n =>
+                col(colMapping.getOrElse(n, n)).as(n)): _*)
             val vi = consSeq.flatMap { case (n, p) =>
               val bad = dir.filter(!coalesce(expr(p), lit(false))).count()
               if (bad > 0) Some(n -> bad) else None
             }
-            (statsOf(Seq(commitName), present), vi)
+            (statsOf(Seq(commitName), present, colMapping), vi)
         }
     }
     if (violations.nonEmpty) {
@@ -363,7 +376,11 @@ final class LakeTable(val spark: SparkSession, val root: String) {
             prevTxns ++ txn,
             // CHECK constraints are table properties: they survive every
             // op (add/drop go through their own dedicated commits)
-            prev.map(_.constraints).getOrElse(Map.empty)))
+            prev.map(_.constraints).getOrElse(Map.empty),
+            // column mapping/drop history is schema metadata: every op
+            // carries it (files keep physical names forever)
+            prev.map(_.colMapping).getOrElse(Map.empty),
+            prev.map(_.droppedCols).getOrElse(Seq.empty)))
         result = version
         done = true
       } catch {
@@ -381,10 +398,15 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     */
   private def statsOf(
       newDirs: Seq[String],
-      statsCols: Seq[String]): Map[String, (String, String)] = {
+      statsCols: Seq[String],
+      colMapping: Map[String, String] = Map.empty): Map[String, (String, String)] = {
     if (statsCols.isEmpty || newDirs.isEmpty) return Map.empty
     val paths = newDirs.map(d => dataDir.resolve(d).toString)
-    val batch = spark.read.option("basePath", paths.head).parquet(paths: _*)
+    val batch0 = spark.read.option("basePath", paths.head).parquet(paths: _*)
+    // files store physical names — restore the logical view for the agg
+    val batch = colMapping.foldLeft(batch0) { case (d, (log, phys)) =>
+      if (log != phys && d.columns.contains(phys)) d.withColumnRenamed(phys, log) else d
+    }
     val present = statsCols.filter(batch.columns.contains)
     if (present.isEmpty) return Map.empty
     present.foreach(c => Stats.requireSupported(batch.schema(c).dataType, c))
@@ -435,7 +457,8 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     val effStats =
       if (statsCols.nonEmpty) statsCols else prev.map(_.colMax.keys.toSeq).getOrElse(Seq.empty)
     val (dirOpt, batchStats) = writeCommitDir(
-      df, effParts, effStats, writeOptions, prev.map(_.constraints).getOrElse(Map.empty))
+      df, effParts, effStats, writeOptions, prev.map(_.constraints).getOrElse(Map.empty),
+      prev.map(_.colMapping).getOrElse(Map.empty))
     val dirs = dirOpt.toSeq
     val batchMax = batchStats.map { case (c, (_, mx)) => c -> mx }
     val merged = Stats.merge(prev.map(_.colMax).getOrElse(Map.empty), batchMax, mergedSchema)
@@ -539,7 +562,8 @@ final class LakeTable(val spark: SparkSession, val root: String) {
       if (statsCols.nonEmpty) statsCols else prev.map(_.colMax.keys.toSeq).getOrElse(Seq.empty)
     val enforced = prev.map(_.constraints).getOrElse(Map.empty)
     val (dirOpt, batchStats) = writeCommitDir(
-      df, effParts, effStats, constraints = enforced)
+      df, effParts, effStats, constraints = enforced,
+      colMapping = prev.map(_.colMapping).getOrElse(Map.empty))
     Staged(dirOpt.get, mergedSchema.json, effParts, batchStats, enforced)
   }
 
@@ -659,11 +683,135 @@ final class LakeTable(val spark: SparkSession, val root: String) {
           s"ALTER TABLE ADD COLUMNS: column ${f.name} already exists in $root")
       }
       val evolved = StructType(schema.fields ++ newFields.map(_.copy(nullable = true)))
+      // a new column whose name matches a PHYSICAL name already used by
+      // old files (a dropped column, or a renamed column's original
+      // name) gets a FRESH physical name — otherwise existing file data
+      // would silently resurface under the new logical column
+      val usedPhysical =
+        (schema.fieldNames.map(n => prev.colMapping.getOrElse(n, n)) ++ prev.droppedCols)
+          .map(_.toLowerCase).toSet
+      val freshMap = newFields.collect {
+        case f if usedPhysical.contains(f.name.toLowerCase) =>
+          f.name -> s"${f.name}__g${prev.version + 1}"
+      }.toMap
       val m = prev.copy(
         version = prev.version + 1,
         operation = "alter",
         timestampMs = System.currentTimeMillis(),
-        schemaJson = evolved.json)
+        schemaJson = evolved.json,
+        colMapping = prev.colMapping ++ freshMap)
+      try { writeManifest(m); out = m.version; done = true }
+      catch { case _: VersionConflictException => () }
+    }
+    out
+  }
+
+  /** Column names a CHECK predicate references (free attributes, last
+    * name part, lowercased) — conservative: lambda-bound variables may
+    * appear too, which only makes rename/drop stricter, never unsafe.
+    */
+  private def constraintReferences(pred: String): Set[String] =
+    org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(pred)
+      .collect { case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        a.nameParts.last.toLowerCase
+      }
+      .toSet
+
+  private def requireNotPartitionSource(m: Manifest, colName: String, what: String): Unit =
+    m.partitionBy.map(PartitionSpec.parse).foreach { p =>
+      require(!p.source.equalsIgnoreCase(colName),
+        s"$what: $colName is the partition source of ${p.spec} " +
+          "(directory layouts record the name; repartition via overwrite first)")
+    }
+
+  private def requireNotConstrained(m: Manifest, colName: String, what: String): Unit =
+    m.constraints.foreach { case (n, pred) =>
+      require(!constraintReferences(pred).contains(colName.toLowerCase),
+        s"$what: CHECK constraint $n references $colName; drop the constraint first")
+    }
+
+  /** `ALTER TABLE ... RENAME COLUMN old TO new` — metadata-only column
+    * mapping (Delta name-mapping / the role Iceberg field IDs play):
+    * the logical schema renames, `colMapping` records logical→physical,
+    * and every immutable parquet file keeps its original column name —
+    * old files stay readable under the new name with ZERO data rewrite
+    * at any table size. Writes after the rename store the PHYSICAL name
+    * too, so the file format stays uniform across commit eras. Stats
+    * keys (colMax / dir / file zonemaps) follow the logical name, so
+    * watermarks and range pruning survive the rename. Partition sources
+    * and constraint-referenced columns are rejected loudly (both are
+    * recorded by name). CAS-retried like every metadata commit.
+    */
+  def alterRenameColumn(oldName: String, newName: String): Long = {
+    require(exists, s"table at $root does not exist")
+    require(
+      newName.nonEmpty && !newName.exists(c => c == '(' || c == ')' || c == '='),
+      s"RENAME COLUMN: unsafe new name $newName")
+    var out = -1L
+    var done = false
+    while (!done) {
+      val prev = readManifest(latestVersion().get)
+      val schema = DataType.fromJson(prev.schemaJson).asInstanceOf[StructType]
+      val f = schema.fields.find(_.name.equalsIgnoreCase(oldName)).getOrElse(
+        throw new IllegalArgumentException(s"RENAME COLUMN: no column $oldName in $root"))
+      require(
+        !schema.fieldNames.exists(_.equalsIgnoreCase(newName)),
+        s"RENAME COLUMN: column $newName already exists in $root")
+      requireNotPartitionSource(prev, f.name, "RENAME COLUMN")
+      requireNotConstrained(prev, f.name, "RENAME COLUMN")
+      val phys = prev.colMapping.getOrElse(f.name, f.name)
+      val newSchema = StructType(
+        schema.fields.map(x => if (x.name == f.name) x.copy(name = newName) else x))
+      def rekey[V](mp: Map[String, V]): Map[String, V] =
+        mp.map { case (k, v) => (if (k == f.name) newName else k) -> v }
+      val m = prev.copy(
+        version = prev.version + 1,
+        operation = s"rename-column(${f.name}->$newName)",
+        timestampMs = System.currentTimeMillis(),
+        schemaJson = newSchema.json,
+        colMax = rekey(prev.colMax),
+        dirStats = prev.dirStats.map(rekey),
+        fileStats = prev.fileStats.map(_.map { case (file, cols) => file -> rekey(cols) }),
+        colMapping =
+          (prev.colMapping - f.name) ++
+            (if (phys != newName) Map(newName -> phys) else Map.empty))
+      try { writeManifest(m); out = m.version; done = true }
+      catch { case _: VersionConflictException => () }
+    }
+    out
+  }
+
+  /** `ALTER TABLE ... DROP COLUMN` — metadata-only: the logical schema
+    * narrows and the column's PHYSICAL name is recorded in
+    * `droppedCols` so a later ADD COLUMN of the same name cannot
+    * resurface the old file data (it gets a fresh physical name and
+    * reads NULL from history — the Delta/Iceberg drop semantics).
+    * Time travel before the drop still reads the column. Partition
+    * sources and constraint-referenced columns are rejected loudly.
+    */
+  def alterDropColumn(name: String): Long = {
+    require(exists, s"table at $root does not exist")
+    var out = -1L
+    var done = false
+    while (!done) {
+      val prev = readManifest(latestVersion().get)
+      val schema = DataType.fromJson(prev.schemaJson).asInstanceOf[StructType]
+      val f = schema.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+        throw new IllegalArgumentException(s"DROP COLUMN: no column $name in $root"))
+      require(schema.fields.length > 1, s"DROP COLUMN: cannot drop the only column of $root")
+      requireNotPartitionSource(prev, f.name, "DROP COLUMN")
+      requireNotConstrained(prev, f.name, "DROP COLUMN")
+      val phys = prev.colMapping.getOrElse(f.name, f.name)
+      val m = prev.copy(
+        version = prev.version + 1,
+        operation = s"drop-column(${f.name})",
+        timestampMs = System.currentTimeMillis(),
+        schemaJson = StructType(schema.fields.filterNot(_.name == f.name)).json,
+        colMax = prev.colMax - f.name,
+        dirStats = prev.dirStats.map(_ - f.name),
+        fileStats = prev.fileStats.map(_.map { case (file, cols) => file -> (cols - f.name) }),
+        colMapping = prev.colMapping - f.name,
+        droppedCols = (prev.droppedCols :+ phys).distinct)
       try { writeManifest(m); out = m.version; done = true }
       catch { case _: VersionConflictException => () }
     }
@@ -707,7 +855,8 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     val effStats =
       (statsCols ++ prev.map(_.colMax.keys.toSeq).getOrElse(Seq.empty)).distinct
     val (dirOpt, batchStats) = writeCommitDir(
-      df, effParts, effStats, constraints = prev.map(_.constraints).getOrElse(Map.empty))
+      df, effParts, effStats, constraints = prev.map(_.constraints).getOrElse(Map.empty),
+      colMapping = prev.map(_.colMapping).getOrElse(Map.empty))
     commit("overwrite", dirOpt.toSeq, keepExisting = false, df.schema, effParts,
       batchStats.map { case (c, (_, mx)) => c -> mx },
       dirOpt.toSeq.map(_ => batchStats), txn = txn)
@@ -756,7 +905,8 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     val p0Name = PartitionSpec.parse(prev.partitionBy.head).dirCol
 
     val (newDirOpt, newStats) = writeCommitDir(
-      df, prev.partitionBy, prev.colMax.keys.toSeq, constraints = prev.constraints)
+      df, prev.partitionBy, prev.colMax.keys.toSeq, constraints = prev.constraints,
+      colMapping = prev.colMapping)
     val newDir = newDirOpt.get
     val oldStats = prev.commitDirs.zip(prev.effectiveDirStats).toMap
     val oldFileStats = prev.commitDirs.zip(prev.effectiveFileStats).toMap
@@ -815,7 +965,10 @@ final class LakeTable(val spark: SparkSession, val root: String) {
         // kept (un-rewritten) dirs keep their deletion vectors; entries
         // pointing at the replaced dirs' files become inert (never match)
         prev.dvFiles,
-        prev.txns))
+        prev.txns,
+        prev.constraints,
+        prev.colMapping,
+        prev.droppedCols))
     version
   }
 
@@ -863,6 +1016,14 @@ final class LakeTable(val spark: SparkSession, val root: String) {
       entries: Seq[(String, Seq[String], Option[Seq[String]])],
       keepRowMeta: Boolean = false): DataFrame = {
     val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    // column mapping: scan by PHYSICAL name, project back to logical —
+    // renamed columns read their original file data, dropped-then-
+    // re-added columns read NULL (their fresh physical name is in no
+    // old file). Identity mapping compiles to the exact pre-mapping plan.
+    val mapping = m.colMapping
+    val physSchema =
+      if (mapping.isEmpty) schema
+      else StructType(schema.fields.map(f => f.copy(name = mapping.getOrElse(f.name, f.name))))
     val live = entries.filter(_._3.forall(_.nonEmpty))
     // deletion vectors join on (table-relative file, row index), so the
     // scan must surface the parquet metadata columns whenever DVs exist
@@ -883,7 +1044,10 @@ final class LakeTable(val spark: SparkSession, val root: String) {
           .withColumn("__dv_idx", lit(null).cast("long"))
       } else if (m.partitionBy.isEmpty && live.forall(_._3.isEmpty)) {
         val paths = live.map { case (d, _, _) => dataDir.resolve(d).toString }
-        withMeta(spark.read.schema(schema).parquet(paths: _*))
+        val raw = withMeta(spark.read.schema(physSchema).parquet(paths: _*))
+        if (mapping.isEmpty) raw
+        else raw.select(schema.fieldNames.map(n => col(mapping.getOrElse(n, n)).as(n)) ++
+          (if (needMeta) Seq(col("__dv_file"), col("__dv_idx")) else Nil): _*)
       } else {
         // Hive-partitioned commits: each commit dir is its own partition
         // root (basePath), so partition columns resolve per commit and the
@@ -894,8 +1058,9 @@ final class LakeTable(val spark: SparkSession, val root: String) {
         val p0 = m.partitionBy.headOption.map(s => PartitionSpec.parse(s).dirCol)
         // a transform layout's derived dir column (ts__day=...) is NOT
         // part of the declared schema: project back to it so readers
-        // see source columns only (identity layouts: exact no-op)
-        val projCols = schema.fieldNames.map(col) ++
+        // see source columns only (identity layouts + identity mapping:
+        // exact no-op projection)
+        val projCols = schema.fieldNames.map(n => col(mapping.getOrElse(n, n)).as(n)) ++
           (if (needMeta) Seq(col("__dv_file"), col("__dv_idx")) else Nil)
         live
           .map { case (d, scope, files) =>
@@ -906,7 +1071,7 @@ final class LakeTable(val spark: SparkSession, val root: String) {
                 if (scope.isEmpty) Seq(base)
                 else scope.map(v => s"$base/${p0.get}=$v")
             }
-            withMeta(spark.read.option("basePath", base).schema(schema).parquet(paths: _*))
+            withMeta(spark.read.option("basePath", base).schema(physSchema).parquet(paths: _*))
               .select(projCols: _*)
           }
           .reduce(_ unionByName _)
@@ -1233,7 +1398,8 @@ final class LakeTable(val spark: SparkSession, val root: String) {
         // an orphan that only a sweepOrphans pass would reclaim
         try {
           val (dirOpt, batchStats) = writeCommitDir(
-            updated, m.partitionBy, m.colMax.keys.toSeq, constraints = m.constraints)
+            updated, m.partitionBy, m.colMax.keys.toSeq, constraints = m.constraints,
+            colMapping = m.colMapping)
           commit("update", dirOpt.toSeq, keepExisting = true, schema, m.partitionBy,
             batchStats.map { case (c, (_, mx)) => c -> mx },
             dirOpt.toSeq.map(_ => batchStats), newDvFiles = Seq(dv))
@@ -1379,7 +1545,9 @@ final class LakeTable(val spark: SparkSession, val root: String) {
       Manifest(
         version, "compactClustered", System.currentTimeMillis(), Seq(commitName),
         df.schema.json, prev.partitionBy, Seq(Seq.empty), newColMax,
-        Seq(dirStatsMap), Seq(fileStatsMap), txns = prev.txns))
+        Seq(dirStatsMap), Seq(fileStatsMap), txns = prev.txns,
+        constraints = prev.constraints,
+        colMapping = prev.colMapping, droppedCols = prev.droppedCols))
     version
   }
 
@@ -1718,7 +1886,16 @@ object LakeTable {
       fileStats: Seq[Map[String, Map[String, (String, String)]]] = Seq.empty,
       dvFiles: Seq[String] = Seq.empty,
       txns: Map[String, Long] = Map.empty,
-      constraints: Map[String, String] = Map.empty) {
+      constraints: Map[String, String] = Map.empty,
+      // column mapping (Delta name-mapping / Iceberg field-ID shape):
+      // logical column → PHYSICAL parquet column name. Absent = same.
+      // Renames/drops are manifest-only; files are immutable and read
+      // by physical name forever.
+      colMapping: Map[String, String] = Map.empty,
+      // physical names of dropped columns: still present in old files,
+      // never resurfaced — a later ADD COLUMN of the same name gets a
+      // fresh physical name instead
+      droppedCols: Seq[String] = Seq.empty) {
 
     /** Per-dir partition scope (leading partition column values); empty
       * seq = whole dir. Normalized to commitDirs length.
@@ -1785,6 +1962,8 @@ object LakeTable {
         s""""dvFiles":[${dvFiles.map(qs).mkString(",")}],""" +
         s""""txns":${txns.toSeq.sortBy(_._1).map { case (k, v) => s"${qs(k)}:$v" }.mkString("{", ",", "}")},""" +
         s""""constraints":${constraints.toSeq.sortBy(_._1).map { case (k, v) => s"${qs(k)}:${qs(v)}" }.mkString("{", ",", "}")},""" +
+        s""""colMapping":${colMapping.toSeq.sortBy(_._1).map { case (k, v) => s"${qs(k)}:${qs(v)}" }.mkString("{", ",", "}")},""" +
+        s""""droppedCols":[${droppedCols.map(qs).mkString(",")}],""" +
         s""""schema":${qs(schemaJson)}}"""
     }
   }
@@ -1958,7 +2137,16 @@ object LakeTable {
           val b = Map.newBuilder[String, String]
           while (it.hasNext) { val k = it.next(); b += k -> obj.get(k).asText() }
           b.result()
-        })
+        },
+        if (!node.has("colMapping")) Map.empty[String, String]
+        else {
+          val obj = node.get("colMapping")
+          val it = obj.fieldNames()
+          val b = Map.newBuilder[String, String]
+          while (it.hasNext) { val k = it.next(); b += k -> obj.get(k).asText() }
+          b.result()
+        },
+        if (node.has("droppedCols")) strings("droppedCols") else Seq.empty)
     }
   }
 }

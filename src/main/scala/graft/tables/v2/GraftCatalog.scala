@@ -180,18 +180,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     new GraftSqlTable(p.toString)
   }
 
-  /** `ALTER TABLE lake.<ns>.<t> ADD COLUMNS (c TYPE, ...)` — a
-    * manifest-only schema widening ([[graft.tables.LakeTable.alterAddColumns]]);
-    * existing rows read NULL for the new columns. Every other change
-    * class (rename/drop/retype column, properties) is rejected loudly:
-    * renames and drops would silently orphan the data already written
-    * under the old names (parquet files are immutable and read by
-    * name), which is data loss dressed as DDL.
+  /** `ALTER TABLE lake.<ns>.<t>` — the metadata-only DDL surface:
+    *   - `ADD COLUMNS (c TYPE, ...)` widens the schema; existing rows
+    *     read NULL ([[graft.tables.LakeTable.alterAddColumns]]);
+    *   - `RENAME COLUMN old TO new` / `DROP COLUMN c` go through the
+    *     manifest column mapping (Delta name-mapping shape): files are
+    *     immutable and keep their physical names, the logical schema
+    *     changes, zero data rewrite
+    *     ([[graft.tables.LakeTable.alterRenameColumn]] /
+    *     [[graft.tables.LakeTable.alterDropColumn]]).
+    * Every other change class (retype, properties, positions) is
+    * rejected loudly.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val p = dirOf(ident.namespace() :+ ident.name())
     if (!isLakeTable(p)) throw new NoSuchTableException(ident)
-    val fields = changes.map {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val table = graft.tables.LakeTable(spark, p.toString)
+    val adds = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.types.StructField]
+    changes.foreach {
       case a: TableChange.AddColumn =>
         require(a.fieldNames.length == 1,
           s"ALTER TABLE ADD COLUMNS: nested column ${a.fieldNames.mkString(".")} is not supported")
@@ -200,13 +207,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         require(a.isNullable,
           "ALTER TABLE ADD COLUMNS: new columns must be nullable " +
             "(existing rows have no value for them)")
-        org.apache.spark.sql.types.StructField(a.fieldNames.head, a.dataType, nullable = true)
+        adds += org.apache.spark.sql.types.StructField(a.fieldNames.head, a.dataType, nullable = true)
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames.length == 1,
+          s"ALTER TABLE RENAME COLUMN: nested column ${r.fieldNames.mkString(".")} is not supported")
+        table.alterRenameColumn(r.fieldNames.head, r.newName)
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames.length == 1,
+          s"ALTER TABLE DROP COLUMN: nested column ${d.fieldNames.mkString(".")} is not supported")
+        table.alterDropColumn(d.fieldNames.head)
       case other =>
         throw new UnsupportedOperationException(
-          s"ALTER TABLE: only ADD COLUMNS is supported on graft tables, got $other")
+          s"ALTER TABLE: only ADD COLUMNS / RENAME COLUMN / DROP COLUMN are supported " +
+            s"on graft tables, got $other")
     }
-    val spark = org.apache.spark.sql.SparkSession.active
-    graft.tables.LakeTable(spark, p.toString).alterAddColumns(fields.toSeq)
+    if (adds.nonEmpty) table.alterAddColumns(adds.toSeq)
     new GraftSqlTable(p.toString)
   }
 

@@ -1,0 +1,117 @@
+package graft.tables
+
+import org.apache.spark.sql.functions.col
+
+import graft.SparkSpec
+
+/** Manifest-level column mapping ([[LakeTable.alterRenameColumn]] /
+  * [[LakeTable.alterDropColumn]]): renames and drops are metadata-only
+  * — immutable files keep their physical column names, old files stay
+  * readable, re-added columns never resurface dropped data.
+  */
+class ColumnMappingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("RENAME COLUMN: old files readable under the new name; later writes interleave") {
+    val t = LakeTable(spark, scratchDir("cm-rename"))
+    t.append(Seq((1, "a", 10.0), (2, "b", 20.0)).toDF("k", "name", "bal"))
+    val filesBefore = t.files().select("commit_dir", "relative_path").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    t.alterRenameColumn("bal", "balance")
+    // the old files were NOT rewritten...
+    val filesAfter = t.files().select("commit_dir", "relative_path").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(filesAfter == filesBefore, "rename must be metadata-only")
+    // ...yet reads serve its data under the new logical name
+    assert(t.read().columns.toSeq == Seq("k", "name", "balance"))
+    val got = t.read().collect().map(r => (r.getInt(0), r.getDouble(2))).toSet
+    assert(got == Set((1, 10.0), (2, 20.0)), s"got $got")
+    // a post-rename append reads back seamlessly (files store the
+    // PHYSICAL name uniformly)
+    t.append(Seq((3, "c", 30.0)).toDF("k", "name", "balance"))
+    val all = t.read().collect().map(r => (r.getInt(0), r.getDouble(2))).toSet
+    assert(all == Set((1, 10.0), (2, 20.0), (3, 30.0)), s"got $all")
+    // the physical column name persists in BOTH eras' files
+    val physNames = t.files().collect().map(_.getString(0)).distinct.flatMap { d =>
+      spark.read.parquet(s"${t.root}/data/$d").columns
+    }.toSet
+    assert(physNames == Set("k", "name", "bal"), physNames.toString)
+    // time travel BEFORE the rename still shows the old name
+    assert(t.read(versionAsOf = Some(0L)).columns.toSeq == Seq("k", "name", "bal"))
+  }
+
+  test("rename chains and rename-back resolve to the original physical name") {
+    val t = LakeTable(spark, scratchDir("cm-chain"))
+    t.append(Seq((1, 5.0)).toDF("k", "v"))
+    t.alterRenameColumn("v", "v2")
+    t.alterRenameColumn("v2", "v3")
+    assert(t.read().columns.toSeq == Seq("k", "v3"))
+    assert(t.read().head().getDouble(1) == 5.0)
+    t.alterRenameColumn("v3", "v") // back to the original: mapping collapses
+    assert(t.read().columns.toSeq == Seq("k", "v"))
+    assert(t.read().head().getDouble(1) == 5.0)
+  }
+
+  test("DROP COLUMN then ADD COLUMNS of the same name reads NULL — dropped data never resurfaces") {
+    val t = LakeTable(spark, scratchDir("cm-drop"))
+    t.append(Seq((1, "secret", 1.0), (2, "hidden", 2.0)).toDF("k", "note", "bal"))
+    t.alterDropColumn("note")
+    assert(t.read().columns.toSeq == Seq("k", "bal"))
+    // time travel before the drop still reads it
+    assert(t.read(versionAsOf = Some(0L)).select("note").collect().map(_.getString(0)).toSet ==
+      Set("secret", "hidden"))
+    t.alterAddColumns(Seq(org.apache.spark.sql.types.StructField(
+      "note", org.apache.spark.sql.types.StringType)))
+    val notes = t.read().select("note").collect().map(r => Option(r.getString(0)))
+    assert(notes.forall(_.isEmpty), s"dropped data resurfaced: ${notes.toSeq}")
+    // and a new write round-trips the re-added column
+    t.append(Seq((3, 3.0, "fresh")).toDF("k", "bal", "note"))
+    val got = t.read().collect().map(r => (r.getInt(0), Option(r.getString(2)))).toSet
+    assert(got == Set((1, None), (2, None), (3, Some("fresh"))), s"got $got")
+  }
+
+  test("renamed watermark column keeps pruning: stats keys follow the logical name") {
+    val t = LakeTable(spark, scratchDir("cm-stats"))
+    t.append((1L to 100L).map(i => (i, i * 2.0)).toDF("seq", "v"), statsCols = Seq("seq"))
+    t.append((101L to 200L).map(i => (i, i * 2.0)).toDF("seq", "v"))
+    t.alterRenameColumn("seq", "offset")
+    val (df, kept, skipped) = t.readBetweenWithPruneInfo("offset", Some(150L), Some(160L))
+    assert(df.count() == 11)
+    assert(kept.size == 1 && skipped.size == 1, s"kept=$kept skipped=$skipped")
+    // and the incremental watermark survived the rename
+    assert(t.read().count() == 200)
+  }
+
+  test("partition sources and constraint-referenced columns reject rename/drop loudly") {
+    val t = LakeTable(spark, scratchDir("cm-guard"))
+    t.append(Seq((1, "x", "2024")).toDF("k", "v", "yr"), partitionBy = Seq("yr"))
+    val e1 = intercept[IllegalArgumentException](t.alterRenameColumn("yr", "year"))
+    assert(e1.getMessage.contains("partition source"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](t.alterDropColumn("yr"))
+    assert(e2.getMessage.contains("partition source"), e2.getMessage)
+    t.addCheckConstraint("k_pos", "k > 0")
+    val e3 = intercept[IllegalArgumentException](t.alterRenameColumn("k", "id"))
+    assert(e3.getMessage.contains("k_pos"), e3.getMessage)
+    val e4 = intercept[IllegalArgumentException](t.alterDropColumn("k"))
+    assert(e4.getMessage.contains("k_pos"), e4.getMessage)
+    // unknown column / duplicate target still fail
+    intercept[IllegalArgumentException](t.alterRenameColumn("nope", "x"))
+    intercept[IllegalArgumentException](t.alterRenameColumn("v", "yr"))
+  }
+
+  test("mapping survives merge, delete-DV, update and compaction") {
+    val t = LakeTable(spark, scratchDir("cm-ops"))
+    t.append(Seq((1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)).toDF("k", "name", "bal"))
+    t.alterRenameColumn("bal", "balance")
+    Merge.mergeScd1(t, Seq((2, "b2", 99.0), (9, "i", 1.0)).toDF("k", "name", "balance"), Seq("k"))
+    assert(t.read().filter(col("k") === 2).head().getDouble(2) == 99.0)
+    t.deleteWhereDV(col("k") === 3)
+    assert(t.read().collect().map(_.getInt(0)).toSet == Set(1, 2, 9))
+    t.updateWhere(col("k") === 1, Map("balance" -> org.apache.spark.sql.functions.lit(11.0)))
+    assert(t.read().filter(col("k") === 1).head().getDouble(2) == 11.0)
+    t.compact()
+    val got = t.read().collect().map(r => (r.getInt(0), r.getDouble(2))).toSet
+    assert(got == Set((1, 11.0), (2, 99.0), (9, 1.0)), s"got $got")
+    assert(t.read().columns.toSeq == Seq("k", "name", "balance"))
+  }
+}

@@ -215,10 +215,15 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql(s"INSERT INTO $name.gold.dim SELECT * FROM v2alter_src")
     assert(spark.sql(s"SELECT count(*) AS c FROM $name.gold.dim WHERE score IS NOT NULL")
       .head().getLong(0) == 1)
-    // duplicate column (case-insensitive) and non-ADD changes fail loudly
+    // duplicate column (case-insensitive) and retype changes fail loudly
     intercept[Exception](spark.sql(s"ALTER TABLE $name.gold.dim ADD COLUMNS (V INT)"))
-    intercept[Exception](spark.sql(s"ALTER TABLE $name.gold.dim DROP COLUMN v"))
-    intercept[Exception](spark.sql(s"ALTER TABLE $name.gold.dim RENAME COLUMN v TO w"))
+    intercept[Exception](spark.sql(s"ALTER TABLE $name.gold.dim ALTER COLUMN k TYPE BIGINT"))
+    // r20: RENAME COLUMN / DROP COLUMN are metadata-only column mapping
+    // (ColumnMappingSpec covers the mechanics; here: the SQL surface)
+    spark.sql(s"ALTER TABLE $name.gold.dim RENAME COLUMN tag TO label")
+    assert(spark.sql(s"SELECT label FROM $name.gold.dim WHERE k = 2").head().getString(0) == "x")
+    spark.sql(s"ALTER TABLE $name.gold.dim DROP COLUMN score")
+    assert(!spark.sql(s"SELECT * FROM $name.gold.dim").columns.contains("score"))
     // RENAME TO: data AND time-travel history follow the new name
     // the RENAME TO target is catalog-relative (namespace.table)
     spark.sql(s"ALTER TABLE $name.gold.dim RENAME TO gold.dim2")

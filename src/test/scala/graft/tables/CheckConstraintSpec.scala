@@ -62,6 +62,28 @@ class CheckConstraintSpec extends SparkSpec {
     assert(t.read().filter($"v" < 0).count() == 1)
   }
 
+  test("constraints survive clustered compaction and partition-scoped replace (r20 fix)") {
+    // both ops publish the manifest with an explicit constructor and
+    // silently DROPPED constraints before r20 — enforcement vanished
+    // after routine maintenance
+    val t = LakeTable(spark, scratchDir("check-compact"))
+    t.append((1 to 20).map(i => (i, i * 1.0)).toDF("id", "v"))
+    t.addCheckConstraint("v_pos", "v > 0")
+    t.compactClusteredBy(col("id"), Seq("id"), numFiles = 2)
+    assert(t.checkConstraints() == Map("v_pos" -> "v > 0"),
+      "compactClustered must carry constraints forward")
+    intercept[IllegalStateException] { t.append(Seq((99, -1.0)).toDF("id", "v")) }
+
+    val p = LakeTable(spark, scratchDir("check-replace"))
+    p.append(Seq((1, "a", 1.0), (2, "b", 2.0)).toDF("id", "part", "v"),
+      partitionBy = Seq("part"))
+    p.addCheckConstraint("v_pos", "v > 0")
+    p.replacePartitions(Seq((1, "a", 9.0)).toDF("id", "part", "v"), Seq("a"))
+    assert(p.checkConstraints() == Map("v_pos" -> "v > 0"),
+      "replacePartitions must carry constraints forward")
+    intercept[IllegalStateException] { p.append(Seq((3, "c", -1.0)).toDF("id", "part", "v")) }
+  }
+
   test("ALTER TABLE ADD/DROP CONSTRAINT DDL drives the same enforcement as CALL") {
     val cat = Catalog(spark, scratchDir("checkddl"))
     cat.createSchema("gold")

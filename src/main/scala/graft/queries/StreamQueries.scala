@@ -697,6 +697,40 @@ object StreamQueries {
       |  AS dim(event_type, type_code, weight)
       |  ON e.event_type = dim.event_type""".stripMargin
 
+  /** STREAMING AS-OF enrichment: events stream through `foreachBatch`
+    * and each micro-batch as-of joins (backward, per event type) a
+    * static candle dimension — the late-arriving-dimension pattern
+    * (enrich a stream against a slowly-changing reference table where
+    * only the latest-at-or-before version applies). The as-of is
+    * per-row independent of batching, so the streamed result equals
+    * the batch [[AnalyticsQueries.asofJoin]] run exactly — the two
+    * queries SHARE the DuckDB native-ASOF oracle. Scale: per batch,
+    * one shuffle of the batch against the (cached, broadcastable) dim;
+    * zero streaming state.
+    */
+  def streamAsof(spark: SparkSession, sfDir: String): DataFrame = {
+    val wd = workDir("sasof")
+    val src = s"$wd/src"
+    stageEvents(spark, sfDir, src)
+    val events = Testdata.events(spark, sfDir)
+    val candles = graft.streaming.Candles
+      .candles(events, "ts", "event_id", "event_type", "value")
+      .select(col("event_type"), col("start_window"), col("close").as("candle_close"))
+      .persist()
+    candles.count() // materialize once; every micro-batch reuses the cache
+    try {
+      StreamJobs
+        .runForeachBatchTransform(
+          spark, src, eventsSchemaNoProps,
+          batch =>
+            graft.operators.Ops.asofJoinDirected(
+              batch.select(col("event_id"), col("event_type"), col("ts"), col("value")),
+              candles, "event_type", "ts", "start_window", Seq("candle_close")),
+          wd)
+        .select(col("event_id"), col("event_type"), col("value"), col("candle_close"))
+    } finally candles.unpersist(blocking = false)
+  }
+
   /** Streaming quality gate: the ext quality scorer applied at INGEST
     * time — documents stream through `qualityFeatures` and only rows at
     * or above the score threshold pass. Stateless, so the streaming
@@ -745,6 +779,7 @@ object StreamQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_quality_gate" -> (streamQualityGate _),
+    "q_stream_asof" -> (streamAsof _),
     "q_stream_static_join" -> (streamStaticJoin _),
     "q_stream_upsert" -> (streamUpsert _),
     "q_stream_ewma" -> (streamEwma _),
@@ -764,6 +799,8 @@ object StreamQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q_stream_quality_gate" -> streamQualityGateSql,
+    // streamed as-of must converge to the batch as-of: same oracle
+    "q_stream_asof" -> AnalyticsQueries.asofJoinSql,
     "q_stream_static_join" -> streamStaticJoinSql,
     "q_stream_upsert" -> streamUpsertSql,
     "q_stream_ewma" -> streamEwmaSql,

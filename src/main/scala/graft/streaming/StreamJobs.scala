@@ -266,6 +266,39 @@ object StreamJobs {
     spark.table(queryName)
   }
 
+  /** foreachBatch transform sink: apply an arbitrary BATCH transform —
+    * window functions, as-of joins, anything a streaming plan cannot
+    * host — to each micro-batch and append the result to a parquet
+    * sink. The standard late-arriving-dimension enrichment shape: per
+    * micro-batch the transform shuffles the BATCH (never the stream's
+    * history) against its (static or slowly-changing) right side, so
+    * state is zero and cost scales with batch size. A transform that is
+    * per-row independent of batching (as-of against a static dim is:
+    * each left row's match depends only on that row and the dim)
+    * converges to the batch run of the same transform — which is what
+    * the shared oracle checks.
+    */
+  def runForeachBatchTransform(
+      spark: SparkSession,
+      sourceDir: String,
+      sourceSchema: StructType,
+      transform: DataFrame => DataFrame,
+      workDir: String): DataFrame = {
+    val checkpoint = dir(workDir, s"checkpoint-febt-${java.util.UUID.randomUUID()}")
+    val out = dir(workDir, s"febt-out-${java.util.UUID.randomUUID()}")
+    val stream = spark.readStream.schema(sourceSchema).parquet(sourceDir)
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        transform(batch).write.mode("append").parquet(out)
+        ()
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.read.parquet(out)
+  }
+
   /** Stateless streaming transform: stream the source, apply a pure
     * row-level `transform` (filters/projections/scoring — anything
     * shuffle-free), collect through a memory sink. The streaming analog

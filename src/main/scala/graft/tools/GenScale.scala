@@ -21,13 +21,24 @@ import org.apache.spark.sql.functions._
   *     because every fact copy references the dim keys verbatim).
   *
   * Usage: runMain graft.tools.GenScale <srcSfDir> <dstDir> <copies>
+  *          [tables] [--share-suppliers]
+  *
+  * `--share-suppliers` keeps `l_suppkey` (and the supplier table)
+  * UNSHIFTED across copies: every copy's customers reference the same
+  * supplier pool, so the bipartite customer–supplier purchase graph
+  * becomes ONE connected component of |copies|·|customers| vertices —
+  * the regime that exercises graph queries' large-|V| paths (the BFS
+  * bloom prune fires un-forced past 4 M visited rows) which plain
+  * decorrelated copies can never reach (each copy is its own
+  * component, and a fixed seed set only explores one of them).
   */
 object GenScale {
 
   private val Shift = 10000000L
 
   def main(args: Array[String]): Unit = {
-    val (src, dst, copiesStr, onlyTables) = args match {
+    val shareSuppliers = args.contains("--share-suppliers")
+    val (src, dst, copiesStr, onlyTables) = args.filterNot(_ == "--share-suppliers") match {
       case Array(s, d, c) => (s, d, c, None)
       case Array(s, d, c, t) => (s, d, c, Some(t.split(",").toSet))
     }
@@ -78,7 +89,9 @@ object GenScale {
     }
 
     replicate("customer")((d, i) => d.withColumn("c_custkey", col("c_custkey") + lit(i * Shift)))
-    replicate("supplier")((d, i) => d.withColumn("s_suppkey", col("s_suppkey") + lit(i * Shift)))
+    replicate("supplier")((d, i) =>
+      if (shareSuppliers) { if (i == 0) d else d.limit(0) }
+      else d.withColumn("s_suppkey", col("s_suppkey") + lit(i * Shift)))
     replicate("part") { (d, i) =>
       val shifted = d.withColumn("p_partkey", col("p_partkey") + lit(i * Shift))
       // decorrelate NAMES too (same reasoning as document text): the
@@ -104,9 +117,10 @@ object GenScale {
         .withColumn("o_custkey", col("o_custkey") + lit(i * Shift))
     }
     replicate("lineitem") { (d, i) =>
-      d.withColumn("l_orderkey", col("l_orderkey") + lit(i * Shift))
+      val base = d.withColumn("l_orderkey", col("l_orderkey") + lit(i * Shift))
         .withColumn("l_partkey", col("l_partkey") + lit(i * Shift))
-        .withColumn("l_suppkey", col("l_suppkey") + lit(i * Shift))
+      if (shareSuppliers) base
+      else base.withColumn("l_suppkey", col("l_suppkey") + lit(i * Shift))
     }
     replicate("events") { (d, i) =>
       val keyed = d.schema.fieldNames.foldLeft(d) { (acc, f) =>

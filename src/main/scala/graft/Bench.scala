@@ -66,18 +66,32 @@ object Bench {
     * probe is ≥2× slower than the fastest one — the box slowed down
     * mid-run — because the start probe carries JIT/page-cache warm-up
     * and a speed-up over the run is the healthy cold-start pattern.
+    *
+    * Probe table: `nation` when present, else the first table the SF
+    * dir actually has — single-query rehearsal datasets (GenScale
+    * `--share-suppliers` writes only orders+lineitem) must still get a
+    * sentinel rather than a hard FileNotFound before the first query.
     */
-  def calibrate(spark: SparkSession, sfDir: String): Double = {
-    // median of 3 back-to-back probes: a single sub-second count is noisy
-    // enough (scheduler jitter) to trip a 2× drift on a quiet box; real
-    // contention slows all three.
-    val times = (1 to 3).map { _ =>
-      val t0 = System.nanoTime()
-      spark.read.parquet(s"$sfDir/nation.parquet").count()
-      (System.nanoTime() - t0) / 1e9
-    }
-    times.sorted.apply(1)
+  def probeTable(sfDir: String): Option[String] = {
+    val candidates = Seq("nation", "region", "supplier", "customer",
+      "part", "documents", "events", "orders", "lineitem")
+    candidates.find(t => new java.io.File(s"$sfDir/$t.parquet").exists())
   }
+
+  def calibrate(spark: SparkSession, sfDir: String): Double =
+    probeTable(sfDir) match {
+      case None => 0.0
+      case Some(t) =>
+        // median of 3 back-to-back probes: a single sub-second count is
+        // noisy enough (scheduler jitter) to trip a 2× drift on a quiet
+        // box; real contention slows all three.
+        val times = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          spark.read.parquet(s"$sfDir/$t.parquet").count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        times.sorted.apply(1)
+    }
 
   def loadavg(): String =
     try new String(java.nio.file.Files.readAllBytes(
@@ -121,7 +135,7 @@ object Bench {
     graft.plans.GraftExtensions.install(spark)
     // JVM/session warm-up so the first measured query isn't charged for
     // codegen + executor spin-up
-    spark.read.parquet(s"$sfDir/nation.parquet").count()
+    probeTable(sfDir).foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
     // optional comma-separated query filter for profiling single operators
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     // Brute-force oracle baselines are excluded at sf >= 0.1 (their role

@@ -38,6 +38,18 @@ object CoreQueries {
 
   private val fmt = "yyyy-MM-dd HH:mm:ss"
 
+  /** Shift `keyCol` PAST the live key domain of `base` (max+1), never by
+    * a fixed constant: a `+1M` literal collides with real keys once the
+    * table outgrows it (true TPCH sf ≥ ~6.7 for custkey), and a
+    * colliding "fresh" key gives two source rows for one target key —
+    * an ambiguous merge. One broadcast 1-row agg, zero driver collect;
+    * SQL oracles mirror it as `+ (SELECT max(key) + 1 FROM base)`.
+    */
+  private def shiftPastMax(df: DataFrame, keyCol: String, base: DataFrame): DataFrame =
+    df.crossJoin(broadcast(base.agg(max(col(keyCol)).as("__max_key"))))
+      .withColumn(keyCol, col(keyCol) + col("__max_key") + 1)
+      .drop("__max_key")
+
   // ---- A: aggregation -----------------------------------------------------
 
   /** TPC-H Q1-style pricing summary: the groupBy/agg surface (A1 shape,
@@ -1629,9 +1641,8 @@ object CoreQueries {
     val updates = customer
       .filter(col("c_custkey") % 4 === 0)
       .withColumn("c_acctbal", col("c_acctbal") * 2)
-    val inserts = customer
-      .filter(col("c_custkey") % 7 === 0)
-      .withColumn("c_custkey", col("c_custkey") + 1000000)
+    val inserts = shiftPastMax(
+      customer.filter(col("c_custkey") % 7 === 0), "c_custkey", customer)
     Merge.mergeScd1(table, updates.unionByName(inserts), Seq("c_custkey"))
     table.read()
   }
@@ -1641,7 +1652,7 @@ object CoreQueries {
       |       CASE WHEN c_custkey % 4 = 0 THEN c_acctbal * 2 ELSE c_acctbal END AS c_acctbal
       |FROM customer
       |UNION ALL
-      |SELECT c_custkey + 1000000, c_name, c_acctbal
+      |SELECT c_custkey + (SELECT max(c_custkey) + 1 FROM customer), c_name, c_acctbal
       |FROM customer WHERE c_custkey % 7 = 0""".stripMargin
 
   /** TABLE DIFF — the migration-validation operator (the check a user
@@ -1850,9 +1861,8 @@ object CoreQueries {
     val updates = drifted
       .filter(col("c_custkey") % 4 === 0)
       .withColumn("c_acctbal", col("c_acctbal") * 2)
-    val inserts = drifted
-      .filter(col("c_custkey") % 7 === 0)
-      .withColumn("c_custkey", col("c_custkey") + 1000000)
+    val inserts = shiftPastMax(
+      drifted.filter(col("c_custkey") % 7 === 0), "c_custkey", drifted)
     Merge.mergeScd1Evolve(table, updates.unionByName(inserts), Seq("c_custkey"))
     table.read()
   }
@@ -1863,7 +1873,7 @@ object CoreQueries {
       |       CASE WHEN c_custkey % 4 = 0 THEN c_mktsegment END AS c_segment
       |FROM customer
       |UNION ALL
-      |SELECT c_custkey + 1000000, NULL, c_acctbal, c_mktsegment
+      |SELECT c_custkey + (SELECT max(c_custkey) + 1 FROM customer), NULL, c_acctbal, c_mktsegment
       |FROM customer WHERE c_custkey % 7 = 0""".stripMargin
 
   /** MERGE INTO as SQL (SURVEY §7.4's v2 path, delivered via the
@@ -1889,9 +1899,8 @@ object CoreQueries {
     val updates = customer
       .filter(col("c_custkey") % 4 === 0)
       .withColumn("c_acctbal", col("c_acctbal") * 2)
-    val inserts = customer
-      .filter(col("c_custkey") % 7 === 0)
-      .withColumn("c_custkey", col("c_custkey") + 1000000)
+    val inserts = shiftPastMax(
+      customer.filter(col("c_custkey") % 7 === 0), "c_custkey", customer)
     updates.unionByName(inserts).createOrReplaceTempView("merge_updates")
     spark.sql(
       """MERGE INTO merge_target t
@@ -1980,9 +1989,17 @@ object CoreQueries {
     val present = customer
       .filter(col("c_custkey") % 2 === 0)
       .withColumn("c_acctbal", col("c_acctbal") * 2)
+    // fresh keys shift PAST the live key domain (max+1), never by a
+    // fixed constant: a +1M literal collides with real custkeys once
+    // |customer| > 1M (true TPCH sf ≥ ~6.7), and a colliding source key
+    // means two source rows match one target row — the cardinality
+    // probe would abort the MERGE. One broadcast 1-row agg, zero
+    // driver-side collect.
     val fresh = customer
       .filter(col("c_custkey") % 7 === 0)
-      .withColumn("c_custkey", col("c_custkey") + 1000000)
+      .crossJoin(broadcast(customer.agg(max(col("c_custkey")).as("__max_key"))))
+      .withColumn("c_custkey", col("c_custkey") + col("__max_key") + 1)
+      .drop("__max_key")
     present.unionByName(fresh).createOrReplaceTempView("fullsync_source")
     spark.sql(
       """MERGE INTO fullsync_target t
@@ -2003,7 +2020,8 @@ object CoreQueries {
       |SELECT c_custkey, 'inactive' AS c_name, c_acctbal
       |FROM customer WHERE c_custkey % 2 = 1 AND c_acctbal >= 0
       |UNION ALL
-      |SELECT c_custkey + 1000000 AS c_custkey, c_name, c_acctbal
+      |SELECT c_custkey + (SELECT max(c_custkey) + 1 FROM customer) AS c_custkey,
+      |       c_name, c_acctbal
       |FROM customer WHERE c_custkey % 7 = 0""".stripMargin
 
   /** `DELETE FROM` as SQL (the row-level-SQL surface next to MERGE /
@@ -2087,9 +2105,8 @@ object CoreQueries {
     val updates = customer
       .filter(col("c_custkey") % 4 === 0)
       .withColumn("c_acctbal", col("c_acctbal") * 2)
-    val inserts = customer
-      .filter(col("c_custkey") % 7 === 0)
-      .withColumn("c_custkey", col("c_custkey") + 1000000)
+    val inserts = shiftPastMax(
+      customer.filter(col("c_custkey") % 7 === 0), "c_custkey", customer)
     Merge.mergeScd1Partitioned(table, updates.unionByName(inserts), Seq("c_custkey"), "bucket")
     table.read()
   }
@@ -2100,7 +2117,7 @@ object CoreQueries {
       |       c_nationkey % 5 AS bucket
       |FROM customer
       |UNION ALL
-      |SELECT c_custkey + 1000000, c_name, c_acctbal, c_nationkey % 5
+      |SELECT c_custkey + (SELECT max(c_custkey) + 1 FROM customer), c_name, c_acctbal, c_nationkey % 5
       |FROM customer WHERE c_custkey % 7 = 0""".stripMargin
 
   /** Partition-scoped SCD2 merge (the 100 TB versioned-merge path):

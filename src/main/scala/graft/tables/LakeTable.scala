@@ -180,6 +180,7 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     // column here (never part of the declared schema); identity writes
     // are byte-identical to the pre-transform behavior
     val pspecs = partitionBy.map(PartitionSpec.parse)
+    PartitionSpec.requireUtcSession(spark, pspecs)
     val withDirCols = pspecs.filterNot(_.isIdentity).foldLeft(toWrite) { (d, p) =>
       require(d.columns.contains(p.source),
         s"partition transform ${p.spec}: source column ${p.source} is not in the batch")
@@ -189,10 +190,19 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     }
     // column mapping: files store PHYSICAL names, uniformly across every
     // commit era (observe/stats/constraints above ran on logical names;
-    // partition sources can never be renamed, so dir layout is stable)
-    val physDf = colMapping.foldLeft(withDirCols) { case (d, (log, phys)) =>
-      if (log != phys && d.columns.contains(log)) d.withColumnRenamed(log, phys) else d
-    }
+    // partition sources can never be renamed, so dir layout is stable).
+    // ONE projection, not sequential renames: with a mapping like
+    // {c→a, a→a__g2} (rename a→c, then re-add a) a rename fold first
+    // creates a duplicate `a` mid-fold and the write throws; mapping
+    // every column to its target in a single select is order-free, and
+    // targets are distinct because live physical names are unique by
+    // construction (the alter path suffixes collisions).
+    val physDf =
+      if (colMapping.forall { case (log, phys) =>
+          log == phys || !withDirCols.columns.contains(log) })
+        withDirCols
+      else withDirCols.select(withDirCols.columns.map(n =>
+        withDirCols(n).as(colMapping.getOrElse(n, n))): _*)
     val writer = physDf.write.mode("overwrite").options(writeOptions)
     val w = if (pspecs.nonEmpty) writer.partitionBy(pspecs.map(_.dirCol): _*) else writer
     w.parquet(dest.toString)
@@ -403,12 +413,15 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     if (statsCols.isEmpty || newDirs.isEmpty) return Map.empty
     val paths = newDirs.map(d => dataDir.resolve(d).toString)
     val batch0 = spark.read.option("basePath", paths.head).parquet(paths: _*)
-    // files store physical names — restore the logical view for the agg
-    val batch = colMapping.foldLeft(batch0) { case (d, (log, phys)) =>
-      if (log != phys && d.columns.contains(phys)) d.withColumnRenamed(phys, log) else d
-    }
-    val present = statsCols.filter(batch.columns.contains)
+    // files store physical names — project ONLY the probed columns back
+    // to their logical names (never a blanket phys→log rename fold: a
+    // mapping like {c→a, a→a__g2} collides mid-fold, and an old file
+    // still carrying a DROPPED physical column must not resurface under
+    // a live logical name)
+    val present = statsCols.filter(c => batch0.columns.contains(colMapping.getOrElse(c, c)))
     if (present.isEmpty) return Map.empty
+    val batch = batch0.select(present.map(c =>
+      batch0(colMapping.getOrElse(c, c)).as(c)): _*)
     present.foreach(c => Stats.requireSupported(batch.schema(c).dataType, c))
     val aggs = present.flatMap(c => Seq(min(col(c)), max(col(c))))
     val row = batch.agg(aggs.head, aggs.tail: _*).head()
@@ -1182,9 +1195,11 @@ final class LakeTable(val spark: SparkSession, val root: String) {
         .map(PartitionSpec.parse)
         .collect {
           case t: TimePart if t.source == colName =>
-            val zone = java.time.ZoneId.of(spark.conf.get("spark.sql.session.timeZone"))
-            (lower.flatMap(b => PartitionSpec.timeDirValue(t, b, zone)),
-              upper.flatMap(b => PartitionSpec.timeDirValue(t, b, zone)))
+            // bounds map in UTC unconditionally — the layout zone is
+            // pinned at write (PartitionSpec.requireUtcSession), so a
+            // non-UTC reading session still selects the right subdirs
+            (lower.flatMap(b => PartitionSpec.timeDirValue(t, b)),
+              upper.flatMap(b => PartitionSpec.timeDirValue(t, b)))
         }
         .filter { case (lo, hi) => lo.nonEmpty || hi.nonEmpty }
     val narrowed = entries.map { case (d, scope, ds, fs) =>
@@ -1491,30 +1506,48 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     // same hidden-partitioning derivation as writeCommitDir: transform
     // specs re-derive their dir column for the rewritten files
     val pspecs = prev.partitionBy.map(PartitionSpec.parse)
+    PartitionSpec.requireUtcSession(spark, pspecs)
     val withDirCols = pspecs.filterNot(_.isIdentity).foldLeft(df) { (d, p) =>
       d.withColumn(p.dirCol, p.derive(col(p.source)))
     }
-    val writer = withDirCols.repartitionByRange(numFiles, key).write.mode("overwrite")
+    // range-partition while names are still LOGICAL (`key` references the
+    // declared schema), then rename to PHYSICAL for the write — files
+    // store physical names in every commit era (writeCommitDir's
+    // invariant; the read path asks the parquet for physical names and
+    // projects back, so a logical-named compacted file would silently
+    // read as NULL for every renamed column). The rename is a
+    // projection, so the range partitioning survives it.
+    val parted = withDirCols.repartitionByRange(numFiles, key)
+    val physDf =
+      if (prev.colMapping.forall { case (log, phys) =>
+          log == phys || !parted.columns.contains(log) })
+        parted
+      else parted.select(parted.columns.map(n =>
+        parted(n).as(prev.colMapping.getOrElse(n, n))): _*)
+    val writer = physDf.write.mode("overwrite")
     val w = if (pspecs.nonEmpty) writer.partitionBy(pspecs.map(_.dirCol): _*) else writer
     w.parquet(dest.toString)
 
     // one pass over the fresh files, pruned to the stats columns: per-file
     // (min, max) plus the dir-level fold and the table colMax all come out
-    // of the same job
+    // of the same job. The files carry physical names; stats stay keyed
+    // by LOGICAL name (the readBetween probe key).
+    def physOf(c: String): String = prev.colMapping.getOrElse(c, c)
     val written = spark.read.option("basePath", dest.toString).parquet(dest.toString)
-    val present = statsCols.filter(written.columns.contains)
+    val present = statsCols.filter(c => written.columns.contains(physOf(c)))
     val destAbs = dest.toAbsolutePath
     val fileRows: Array[org.apache.spark.sql.Row] =
       if (present.isEmpty) Array.empty
       else {
-        val aggs = present.flatMap(c => Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c")))
+        val aggs = present.flatMap(c =>
+          Seq(min(col(physOf(c))).as(s"__mn_$c"), max(col(physOf(c))).as(s"__mx_$c")))
         written
-          .select((input_file_name().as("__file") +: present.map(col(_))): _*)
+          .select((input_file_name().as("__file") +: present.map(c => col(physOf(c)))): _*)
           .groupBy(col("__file"))
           .agg(aggs.head, aggs.tail: _*)
           .collect() // bounded: one row per output file (~numFiles · partitions)
       }
-    val types = present.map(c => c -> written.schema(c).dataType).toMap
+    val types = present.map(c => c -> written.schema(physOf(c)).dataType).toMap
     val fileStatsMap: Map[String, Map[String, (String, String)]] = fileRows.map { r =>
       val raw = r.getString(0)
       val abs = Paths.get(new java.net.URI(raw).getPath).toAbsolutePath

@@ -20,10 +20,17 @@ import org.apache.spark.sql.functions._
   * leading spec prune whole `col__day=...` subdirs through the
   * transform ([[LakeTable.readBetween]]).
   *
-  * Time transforms derive via `date_format`, which renders in the
-  * SESSION time zone — the same zone [[timeDirValue]] uses to map a
-  * read-side bound to a dir value, so write and prune can never
-  * disagree. Bucket derives `pmod(xxhash64(col), n)`; it spreads writes
+  * Time transforms are pinned to UTC (the Iceberg stance): a
+  * partition LAYOUT is persistent state, so two sessions with
+  * different `spark.sql.session.timeZone` must agree on which subdir
+  * an instant lives in or range pruning silently loses rows.
+  * `date_format` renders in the session zone, so the write path
+  * REQUIRES a UTC session when a time transform is present
+  * ([[requireUtcSession]], loud error instead of a zone-skewed
+  * layout), and [[timeDirValue]] maps read-side bounds in UTC
+  * unconditionally — a non-UTC reader still prunes correctly against
+  * the UTC-written dirs. Bucket derives `pmod(xxhash64(col), n)`;
+  * it is zone-free and spreads writes
   * and bounds file counts per commit (not wire-compatible with
   * Iceberg's murmur3 bucket — self-consistent within graft tables).
   * NULL time values land in Hive's default-partition dir, which a range
@@ -109,6 +116,22 @@ object PartitionSpec {
       IdentityPart(other)
   }
 
+  /** Writes deriving a time-transform dir column must run under a UTC
+    * session: the dir value is rendered by `date_format` in the session
+    * zone, and the persisted layout (plus every reader's prune, which
+    * maps bounds in UTC) is defined as the UTC rendering. Failing
+    * loudly here converts a cross-session zone skew — rows silently
+    * missing from range reads — into an immediate, actionable error.
+    */
+  def requireUtcSession(spark: org.apache.spark.sql.SparkSession, specs: Seq[PartitionSpec]): Unit =
+    if (specs.exists(_.isInstanceOf[TimePart])) {
+      val z = spark.conf.get("spark.sql.session.timeZone")
+      require(
+        java.time.ZoneId.of(z).normalized() == java.time.ZoneOffset.UTC,
+        s"time-transform partitioning (days/months/years) requires spark.sql.session.timeZone=UTC " +
+          s"(got $z): the dir layout is pinned to UTC so every session prunes the same subdirs")
+    }
+
   /** The same transform over a different (e.g. case-canonicalized)
     * source column.
     */
@@ -120,17 +143,19 @@ object PartitionSpec {
     case b: BucketPart => BucketPart(b.n, src)
   }
 
-  /** The dir value a time-transformed bound maps to, in the session
-    * time zone — `None` when the bound's type cannot be mapped (the
-    * caller must then scan conservatively). String bounds must already
-    * be ISO-prefixed (`yyyy-MM-dd...`).
+  /** The dir value a time-transformed bound maps to, in UTC (the
+    * pinned layout zone — see [[requireUtcSession]]) — `None` when the
+    * bound's type cannot be mapped (the caller must then scan
+    * conservatively). String bounds must already be ISO-prefixed
+    * (`yyyy-MM-dd...`).
     */
-  def timeDirValue(t: TimePart, bound: Any, sessionZone: java.time.ZoneId): Option[String] = {
+  def timeDirValue(t: TimePart, bound: Any): Option[String] = {
+    val zone = java.time.ZoneOffset.UTC
     val localDate: Option[java.time.LocalDate] = bound match {
-      case ts: java.sql.Timestamp => Some(ts.toInstant.atZone(sessionZone).toLocalDate)
+      case ts: java.sql.Timestamp => Some(ts.toInstant.atZone(zone).toLocalDate)
       case d: java.sql.Date => Some(d.toLocalDate)
       case d: java.time.LocalDate => Some(d)
-      case i: java.time.Instant => Some(i.atZone(sessionZone).toLocalDate)
+      case i: java.time.Instant => Some(i.atZone(zone).toLocalDate)
       case ldt: java.time.LocalDateTime => Some(ldt.toLocalDate)
       case s: String if s.matches("""\d{4}-\d{2}-\d{2}.*""") =>
         Some(java.time.LocalDate.parse(s.take(10)))

@@ -114,4 +114,46 @@ class ColumnMappingSpec extends SparkSpec {
     assert(got == Set((1, 11.0), (2, 99.0), (9, 1.0)), s"got $got")
     assert(t.read().columns.toSeq == Seq("k", "name", "balance"))
   }
+
+  test("renamed column survives CLUSTERED compaction (files keep physical names)") {
+    val t = LakeTable(spark, scratchDir("cm-cluster"))
+    t.append(Seq((1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)).toDF("k", "name", "bal"))
+    t.alterRenameColumn("bal", "balance")
+    t.compactClusteredBy(col("k"), Seq("k"), numFiles = 2)
+    // the rewritten files must store the PHYSICAL name — a logical-named
+    // compacted file would read back NULL for every renamed column
+    val got = t.read().collect().map(r => (r.getInt(0), r.getDouble(2))).toSet
+    assert(got == Set((1, 10.0), (2, 20.0), (3, 30.0)), s"got $got")
+    val physNames = t.files().collect().map(_.getString(0)).distinct.flatMap { d =>
+      spark.read.parquet(s"${t.root}/data/$d").columns
+    }.toSet
+    assert(physNames == Set("k", "name", "bal"), physNames.toString)
+    // and the per-file zonemaps stayed keyed by the LOGICAL probe name
+    val (_, _, _, (scanned, skipped)) =
+      t.readBetweenWithFilePruneInfo("k", Some(1), Some(1))
+    assert(scanned >= 1 && skipped >= 1, s"scanned=$scanned skipped=$skipped")
+  }
+
+  test("rename then re-add the old name: writes are order-free, no duplicate columns") {
+    val t = LakeTable(spark, scratchDir("cm-readd"))
+    t.append(Seq((1, 10.0)).toDF("k", "a"))
+    t.alterRenameColumn("a", "c") // mapping: c -> a
+    t.alterAddColumns(Seq(org.apache.spark.sql.types.StructField(
+      "a", org.apache.spark.sql.types.DoubleType))) // mapping: c -> a, a -> a__gN
+    // a sequential rename fold would create a duplicate `a` mid-fold
+    // (c->a while the batch's own `a` is still present) and the write
+    // would throw; the single projection must route each column to its
+    // own physical target
+    t.append(Seq((2, 20.0, 200.0)).toDF("k", "c", "a"))
+    val rows = t.read().orderBy("k").collect()
+    assert(t.read().columns.toSeq == Seq("k", "c", "a"))
+    // old row: c carries the pre-rename value, re-added a reads NULL
+    assert(rows(0).getDouble(1) == 10.0 && rows(0).isNullAt(2), rows(0).toString)
+    assert(rows(1).getDouble(1) == 20.0 && rows(1).getDouble(2) == 200.0, rows(1).toString)
+    // clustered compaction over the same mapping stays collision-free too
+    t.compactClusteredBy(col("k"), Seq("k"), numFiles = 1)
+    val after = t.read().orderBy("k").collect()
+    assert(after(0).getDouble(1) == 10.0 && after(0).isNullAt(2), after(0).toString)
+    assert(after(1).getDouble(1) == 20.0 && after(1).getDouble(2) == 200.0, after(1).toString)
+  }
 }

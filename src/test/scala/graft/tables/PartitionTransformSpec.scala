@@ -113,4 +113,27 @@ class PartitionTransformSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("nope"), e.getMessage)
   }
+
+  test("time-transform layout is UTC-pinned: a non-UTC write session fails loudly") {
+    // the layout is persistent state — a PST session deriving
+    // ts__day=... dirs would disagree with every UTC reader's prune and
+    // silently lose rows from range reads; the write must reject instead
+    val t = LakeTable(spark, scratchDir("pt-utc"))
+    t.append(dayRows(Seq(1)).toDF("id", "ts", "payload"), partitionBy = Seq("days(ts)"))
+    val saved = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+      val e = intercept[IllegalArgumentException] {
+        t.append(dayRows(Seq(2)).toDF("id", "ts", "payload"))
+      }
+      assert(e.getMessage.contains("UTC"), e.getMessage)
+      // bucket transforms are zone-free — unaffected by the session zone
+      val b = LakeTable(spark, scratchDir("pt-utc-bucket"))
+      b.append(Seq((1, "x")).toDF("k", "v"), partitionBy = Seq("bucket(4,k)"))
+      assert(b.read().count() == 1)
+    } finally spark.conf.set("spark.sql.session.timeZone", saved)
+    // back under UTC the append goes through
+    t.append(dayRows(Seq(2)).toDF("id", "ts", "payload"))
+    assert(t.read().count() == 2)
+  }
 }

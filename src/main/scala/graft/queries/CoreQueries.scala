@@ -1989,17 +1989,11 @@ object CoreQueries {
     val present = customer
       .filter(col("c_custkey") % 2 === 0)
       .withColumn("c_acctbal", col("c_acctbal") * 2)
-    // fresh keys shift PAST the live key domain (max+1), never by a
-    // fixed constant: a +1M literal collides with real custkeys once
-    // |customer| > 1M (true TPCH sf ≥ ~6.7), and a colliding source key
-    // means two source rows match one target row — the cardinality
-    // probe would abort the MERGE. One broadcast 1-row agg, zero
-    // driver-side collect.
-    val fresh = customer
-      .filter(col("c_custkey") % 7 === 0)
-      .crossJoin(broadcast(customer.agg(max(col("c_custkey")).as("__max_key"))))
-      .withColumn("c_custkey", col("c_custkey") + col("__max_key") + 1)
-      .drop("__max_key")
+    // fresh keys shift PAST the live key domain (see shiftPastMax): a
+    // colliding source key means two source rows match one target row —
+    // the cardinality probe would abort the MERGE
+    val fresh = shiftPastMax(
+      customer.filter(col("c_custkey") % 7 === 0), "c_custkey", customer)
     present.unionByName(fresh).createOrReplaceTempView("fullsync_source")
     spark.sql(
       """MERGE INTO fullsync_target t

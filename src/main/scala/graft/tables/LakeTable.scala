@@ -323,7 +323,8 @@ final class LakeTable(val spark: SparkSession, val root: String) {
       newDirStats: Seq[Map[String, (String, String)]],
       newDvFiles: Seq[String] = Seq.empty,
       schemaMode: String = "evolve",
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None,
+      newColMapping: Map[String, String] = Map.empty): Long = {
     val maxRetries = if (op == "append" && keepExisting) 20 else 1
     var attempt = 0
     var result = -1L
@@ -388,8 +389,10 @@ final class LakeTable(val spark: SparkSession, val root: String) {
             // op (add/drop go through their own dedicated commits)
             prev.map(_.constraints).getOrElse(Map.empty),
             // column mapping/drop history is schema metadata: every op
-            // carries it (files keep physical names forever)
-            prev.map(_.colMapping).getOrElse(Map.empty),
+            // carries it (files keep physical names forever); an
+            // evolve-append re-introducing a dropped/renamed physical
+            // name contributes its fresh-physical entries here
+            prev.map(_.colMapping).getOrElse(Map.empty) ++ newColMapping,
             prev.map(_.droppedCols).getOrElse(Seq.empty)))
         result = version
         done = true
@@ -469,14 +472,23 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     val effParts = if (partitionBy.nonEmpty) partitionBy else tableParts
     val effStats =
       if (statsCols.nonEmpty) statsCols else prev.map(_.colMax.keys.toSeq).getOrElse(Seq.empty)
+    // an evolve-append can INTRODUCE columns just like ALTER ADD — a new
+    // name that collides with a dropped/renamed PHYSICAL name needs a
+    // fresh physical too, or old file data resurfaces under it
+    val freshMap = (prev, tableSchema) match {
+      case (Some(m), Some(t)) =>
+        freshPhysicalFor(m, t, df.schema.fieldNames.filterNot(t.fieldNames.contains).toSeq)
+      case _ => Map.empty[String, String]
+    }
     val (dirOpt, batchStats) = writeCommitDir(
       df, effParts, effStats, writeOptions, prev.map(_.constraints).getOrElse(Map.empty),
-      prev.map(_.colMapping).getOrElse(Map.empty))
+      prev.map(_.colMapping).getOrElse(Map.empty) ++ freshMap)
     val dirs = dirOpt.toSeq
     val batchMax = batchStats.map { case (c, (_, mx)) => c -> mx }
     val merged = Stats.merge(prev.map(_.colMax).getOrElse(Map.empty), batchMax, mergedSchema)
     commit("append", dirs, keepExisting = true, mergedSchema, effParts, merged,
-      dirs.map(_ => batchStats), schemaMode = schemaMode, txn = txn)
+      dirs.map(_ => batchStats), schemaMode = schemaMode, txn = txn,
+      newColMapping = freshMap)
   }
 
   /** Highest committed epoch for an idempotent writer id (Delta's
@@ -549,7 +561,14 @@ final class LakeTable(val spark: SparkSession, val root: String) {
       // constraints that were enforced at stage time — publishStaged
       // re-validates only the DRIFT against these (constraints added or
       // changed between stage and publish)
-      constraintsAtStage: Map[String, String] = Map.empty)
+      constraintsAtStage: Map[String, String] = Map.empty,
+      // the staged files store PHYSICAL names (writeCommitDir invariant)
+      // — readStaged needs the stage-time logical→physical mapping to
+      // audit what a post-publish reader would actually see
+      colMappingAtStage: Map[String, String] = Map.empty,
+      // fresh-physical entries this batch introduced (evolve re-adding a
+      // dropped/renamed name) — publishStaged folds them into the manifest
+      freshColMapping: Map[String, String] = Map.empty)
 
   /** WRITE half of write-audit-publish (the Iceberg WAP /
     * `spark.wap.id` pattern): land the batch's parquet as an immutable
@@ -574,19 +593,34 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     val effStats =
       if (statsCols.nonEmpty) statsCols else prev.map(_.colMax.keys.toSeq).getOrElse(Seq.empty)
     val enforced = prev.map(_.constraints).getOrElse(Map.empty)
+    val freshMap = (prev, tableSchema) match {
+      case (Some(m), Some(t)) =>
+        freshPhysicalFor(m, t, df.schema.fieldNames.filterNot(t.fieldNames.contains).toSeq)
+      case _ => Map.empty[String, String]
+    }
+    val effMapping = prev.map(_.colMapping).getOrElse(Map.empty) ++ freshMap
     val (dirOpt, batchStats) = writeCommitDir(
-      df, effParts, effStats, constraints = enforced,
-      colMapping = prev.map(_.colMapping).getOrElse(Map.empty))
-    Staged(dirOpt.get, mergedSchema.json, effParts, batchStats, enforced)
+      df, effParts, effStats, constraints = enforced, colMapping = effMapping)
+    Staged(dirOpt.get, mergedSchema.json, effParts, batchStats, enforced,
+      colMappingAtStage = effMapping, freshColMapping = freshMap)
   }
 
   /** The staged batch exactly as a post-publish reader would see it. */
   def readStaged(s: Staged): DataFrame = {
     val base = dataDir.resolve(s.dir).toString
     val schema = DataType.fromJson(s.schemaJson).asInstanceOf[StructType]
-    if (s.partitionBy.isEmpty) spark.read.schema(schema).parquet(base)
-    else spark.read.option("basePath", base).schema(schema).parquet(base)
-      .select(schema.fieldNames.map(col): _*) // drop any derived dir column
+    // the staged files store PHYSICAL names — scan by them and project
+    // back to logical, exactly like readSelected, or every renamed
+    // column audits as all-NULL
+    val mapping = s.colMappingAtStage
+    val physSchema =
+      if (mapping.isEmpty) schema
+      else StructType(schema.fields.map(f => f.copy(name = mapping.getOrElse(f.name, f.name))))
+    val raw =
+      if (s.partitionBy.isEmpty) spark.read.schema(physSchema).parquet(base)
+      else spark.read.option("basePath", base).schema(physSchema).parquet(base)
+    raw.select(schema.fieldNames.map(n =>
+      col(mapping.getOrElse(n, n)).as(n)): _*) // also drops any derived dir column
   }
 
   /** AUDIT passed — publish atomically (append semantics, optimistic
@@ -623,7 +657,7 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     }
     val merged = Stats.merge(prev.map(_.colMax).getOrElse(Map.empty), batchMax, schema)
     commit("append", Seq(s.dir), keepExisting = true, schema, s.partitionBy, merged,
-      Seq(s.stats))
+      Seq(s.stats), newColMapping = s.freshColMapping)
   }
 
   /** AUDIT failed — delete the staged dir; nothing was ever visible. */
@@ -696,17 +730,7 @@ final class LakeTable(val spark: SparkSession, val root: String) {
           s"ALTER TABLE ADD COLUMNS: column ${f.name} already exists in $root")
       }
       val evolved = StructType(schema.fields ++ newFields.map(_.copy(nullable = true)))
-      // a new column whose name matches a PHYSICAL name already used by
-      // old files (a dropped column, or a renamed column's original
-      // name) gets a FRESH physical name — otherwise existing file data
-      // would silently resurface under the new logical column
-      val usedPhysical =
-        (schema.fieldNames.map(n => prev.colMapping.getOrElse(n, n)) ++ prev.droppedCols)
-          .map(_.toLowerCase).toSet
-      val freshMap = newFields.collect {
-        case f if usedPhysical.contains(f.name.toLowerCase) =>
-          f.name -> s"${f.name}__g${prev.version + 1}"
-      }.toMap
+      val freshMap = freshPhysicalFor(prev, schema, newFields.map(_.name))
       val m = prev.copy(
         version = prev.version + 1,
         operation = "alter",
@@ -717,6 +741,27 @@ final class LakeTable(val spark: SparkSession, val root: String) {
       catch { case _: VersionConflictException => () }
     }
     out
+  }
+
+  /** Fresh physical names for logical columns a schema change
+    * introduces: a new column whose name matches a PHYSICAL name
+    * already used by old files (a dropped column, or a renamed
+    * column's original name) gets a FRESH physical name — otherwise
+    * existing file data would silently resurface under the new
+    * logical column. Shared by `ALTER TABLE ADD COLUMNS` and the
+    * evolve-append path (a batch can introduce columns too).
+    */
+  private def freshPhysicalFor(
+      prev: Manifest,
+      tableSchema: StructType,
+      newNames: Seq[String]): Map[String, String] = {
+    val usedPhysical =
+      (tableSchema.fieldNames.map(n => prev.colMapping.getOrElse(n, n)) ++ prev.droppedCols)
+        .map(_.toLowerCase).toSet
+    newNames.collect {
+      case n if usedPhysical.contains(n.toLowerCase) =>
+        n -> s"${n}__g${prev.version + 1}"
+    }.toMap
   }
 
   /** Column names a CHECK predicate references (free attributes, last
@@ -878,7 +923,15 @@ final class LakeTable(val spark: SparkSession, val root: String) {
   /** Hive-style partition values (`col=value` subdir names) present in
     * a commit dir for the leading partition column.
     */
-  private def listPartitionValues(dirName: String): Seq[String] = {
+  private def listPartitionValues(dirName: String): Seq[String] =
+    listPartitionEntries(dirName).map(_._2).sorted
+
+  /** Hive-style `(column, value)` subdir pairs of a commit dir — the
+    * column half matters when the table's layout changed mid-history:
+    * a value compared against the WRONG column's domain (region names
+    * vs `ts__day` dates) would prune dirs that hold live rows.
+    */
+  private def listPartitionEntries(dirName: String): Seq[(String, String)] = {
     val d = dataDir.resolve(dirName)
     if (!Files.isDirectory(d)) Seq.empty
     else {
@@ -886,7 +939,7 @@ final class LakeTable(val spark: SparkSession, val root: String) {
       try s.iterator().asScala
         .map(_.getFileName.toString)
         .filter(_.contains("="))
-        .map(_.split("=", 2)(1))
+        .map { n => val a = n.split("=", 2); (a(0), a(1)) }
         .toSeq
         .sorted
       finally s.close()
@@ -1190,7 +1243,7 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     // anyway). A dir whose cover is empty is skipped whole; a dir with
     // no Hive layout info scans conservatively. An unmappable bound
     // type simply contributes no constraint.
-    val timeNarrow: Option[(Option[String], Option[String])] =
+    val timeNarrow: Option[(Option[String], Option[String], String)] =
       m.partitionBy.headOption
         .map(PartitionSpec.parse)
         .collect {
@@ -1199,17 +1252,26 @@ final class LakeTable(val spark: SparkSession, val root: String) {
             // pinned at write (PartitionSpec.requireUtcSession), so a
             // non-UTC reading session still selects the right subdirs
             (lower.flatMap(b => PartitionSpec.timeDirValue(t, b)),
-              upper.flatMap(b => PartitionSpec.timeDirValue(t, b)))
+              upper.flatMap(b => PartitionSpec.timeDirValue(t, b)),
+              t.dirCol)
         }
-        .filter { case (lo, hi) => lo.nonEmpty || hi.nonEmpty }
+        .filter { case (lo, hi, _) => lo.nonEmpty || hi.nonEmpty }
     val narrowed = entries.map { case (d, scope, ds, fs) =>
       timeNarrow match {
         case None => (d, Some(scope), ds, fs)
-        case Some((lo, hi)) =>
-          val eff = if (scope.nonEmpty) scope else listPartitionValues(d)
-          if (eff.isEmpty) (d, Some(scope), ds, fs)
+        case Some((lo, hi, dirCol)) =>
+          // cover ONLY subdirs laid out under the CURRENT transform's
+          // dir column: a dir written under an older layout (identity
+          // or a different transform — layouts may legally change
+          // mid-history) has no `dirCol=` subdirs, and string-ranging
+          // its unrelated values (region names vs ISO dates) would
+          // prune live rows — such dirs scan conservatively instead
+          val matching = listPartitionEntries(d)
+            .collect { case (c, v) if c == dirCol => v }
+          if (matching.isEmpty) (d, Some(scope), ds, fs)
           else {
-            val cover = eff.filter(v => lo.forall(v >= _) && hi.forall(v <= _))
+            val base = if (scope.nonEmpty) matching.filter(scope.contains) else matching
+            val cover = base.filter(v => lo.forall(v >= _) && hi.forall(v <= _))
             (d, if (cover.isEmpty) None else Some(cover), ds, fs)
           }
       }
@@ -1223,7 +1285,7 @@ final class LakeTable(val spark: SparkSession, val root: String) {
           case None => true // no range recorded — must scan
         }
       }
-    val skipped = skippedZone.map(e => (e._1, e._2, e._3, e._4)) ++
+    val skipped = skippedZone ++
       dirPruned.map { case (d, _, ds, fs) => (d, Seq.empty[String], ds, fs) }
     // file-granularity pass over the surviving dirs: a dir's file map
     // enumerates every parquet file written to it (dirs are immutable),

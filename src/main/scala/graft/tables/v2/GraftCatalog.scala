@@ -672,7 +672,14 @@ final class GraftSqlTable(rootPath: String, versionAsOf: Option[Long] = None)
                           val byName = block.getColumns.asScala
                             .map(c => c.getPath.toDotString -> c).toMap
                           statCols.foreach { c =>
-                            byName.get(c) match {
+                            // footers store PHYSICAL names: look up the
+                            // mapped name, never the logical one — a
+                            // renamed column's old physical chunk holds a
+                            // DIFFERENT logical column's data, and a
+                            // re-added column's fresh physical is absent
+                            // from old files (→ refuse, fall back to the
+                            // scan, which correctly serves NULL)
+                            byName.get(m.colMapping.getOrElse(c, c)) match {
                               case None => servable = false // col absent in this file
                               case Some(chunk) =>
                                 val st = chunk.getStatistics

@@ -156,4 +156,62 @@ class ColumnMappingSpec extends SparkSpec {
     assert(after(0).getDouble(1) == 10.0 && after(0).isNullAt(2), after(0).toString)
     assert(after(1).getDouble(1) == 20.0 && after(1).getDouble(2) == 200.0, after(1).toString)
   }
+
+  test("evolve-append re-introducing a renamed column's original name never resurfaces old data") {
+    val t = LakeTable(spark, scratchDir("cm-evolve"))
+    t.append(Seq((1, "secret", 1.0)).toDF("k", "note", "bal"))
+    t.alterDropColumn("note")
+    // evolve-append re-introduces 'note' as a data column (no ALTER):
+    // the dropped physical 'note' in the old file must stay buried
+    t.append(Seq((2, 2.0, "fresh")).toDF("k", "bal", "note"))
+    val rows = t.read().orderBy("k").collect()
+    assert(t.read().columns.toSeq == Seq("k", "bal", "note"))
+    assert(rows(0).isNullAt(2), s"dropped data resurfaced: ${rows(0)}")
+    assert(rows(1).getString(2) == "fresh", rows(1).toString)
+    // renamed variant: a batch introducing a NEW column named like the
+    // renamed column's ORIGINAL physical name must not alias onto the
+    // old file data (and the write must not produce duplicate columns)
+    t.alterRenameColumn("bal", "balance") // mapping: balance -> bal
+    t.append(Seq((3, 3.0, "n3", "clash")).toDF("k", "balance", "note", "bal"))
+    val r2 = t.read().orderBy("k").collect()
+    assert(t.read().columns.toSeq == Seq("k", "balance", "note", "bal"))
+    assert(r2(0).getDouble(1) == 1.0 && r2(0).isNullAt(3),
+      s"new 'bal' must read NULL on old rows, balance must keep its data: ${r2(0)}")
+    assert(r2(2).getDouble(1) == 3.0 && r2(2).getString(3) == "clash", r2(2).toString)
+  }
+
+  test("WAP: readStaged and publish audit the PHYSICAL-named staged files correctly") {
+    val t = LakeTable(spark, scratchDir("cm-wap"))
+    t.append(Seq((1, 10.0)).toDF("k", "bal"))
+    t.alterRenameColumn("bal", "balance")
+    val s = t.stageAppend(Seq((2, 20.0)).toDF("k", "balance"))
+    // the staged file stores physical 'bal' — the audit view must still
+    // serve the value under the logical name, not all-NULL
+    val audit = t.readStaged(s).collect()
+    assert(audit.length == 1 && audit(0).getDouble(1) == 20.0, audit.toSeq.toString)
+    // a constraint added between stage and publish re-validates against
+    // the drift via readStaged — NULL-reading renamed columns would
+    // wrongly reject (NULL fails CHECK)
+    t.addCheckConstraint("bal_pos", "balance > 0")
+    t.publishStaged(s)
+    assert(t.read().orderBy("k").collect().map(_.getDouble(1)).toSeq == Seq(10.0, 20.0))
+  }
+
+  test("footer-stats group serve maps logical names to physical, refuses stale re-adds") {
+    val t = LakeTable(spark, scratchDir("cm-pushdown"))
+    t.append(Seq(("A", 5L), ("A", 7L), ("B", 3L)).toDF("g", "v"), partitionBy = Seq("g"))
+    t.alterRenameColumn("v", "amount")
+    val st = new graft.tables.v2.GraftSqlTable(t.root).metadataGroupStats(Seq("amount"))
+    assert(st.isDefined, "rename must not break the serve — footers hold the physical chunk")
+    val byG = st.get.map { case (g, n, r) => g -> ((n, r("amount"))) }.toMap
+    assert(byG("A") == ((2L, Some((5L, 7L)))), byG.toString)
+    assert(byG("B") == ((1L, Some((3L, 3L)))), byG.toString)
+    // drop + evolve re-add: old files hold the ORIGINAL physical data —
+    // the serve must refuse (fall back to the scan, which reads NULL),
+    // never serve the stale chunk under the re-added logical name
+    t.alterDropColumn("amount")
+    t.append(Seq(("A", 9L)).toDF("g", "amount"))
+    val st2 = new graft.tables.v2.GraftSqlTable(t.root).metadataGroupStats(Seq("amount"))
+    assert(st2.isEmpty, "stale physical data must not be served for a re-added column")
+  }
 }

@@ -136,4 +136,26 @@ class PartitionTransformSpec extends SparkSpec {
     t.append(dayRows(Seq(2)).toDF("id", "ts", "payload"))
     assert(t.read().count() == 2)
   }
+
+  test("a mid-history layout change never lets the transform prune skip old-layout dirs") {
+    val t = LakeTable(spark, scratchDir("pt-relayout"))
+    // era 1: identity layout on a string column — subdirs are
+    // region=..., whose values string-compare ABOVE any ISO date
+    t.append(
+      Seq((1, ts("2024-03-01 10:00:00"), "EUROPE")).toDF("id", "ts", "region"),
+      partitionBy = Seq("region"))
+    // era 2: the layout legally flips to days(ts)
+    t.append(
+      Seq((2, ts("2024-03-05 10:00:00"), "ASIA")).toDF("id", "ts", "region"),
+      partitionBy = Seq("days(ts)"))
+    // a ts-range covering only era 1's row: the era-1 dir has no
+    // ts__day= subdirs, so it must scan conservatively — string-ranging
+    // 'EUROPE' against '2024-03-02' would prune the dir whole and the
+    // row would silently vanish
+    val (df, kept, skipped) = t.readBetweenWithPruneInfo(
+      "ts", Some(ts("2024-03-01 00:00:00")), Some(ts("2024-03-02 00:00:00")))
+    assert(df.collect().map(_.getInt(0)).toSeq == Seq(1), df.collect().toSeq.toString)
+    // and the era-2 dir (out of range) still prunes through the transform
+    assert(skipped.size == 1, s"kept=$kept skipped=$skipped")
+  }
 }

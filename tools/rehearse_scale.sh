@@ -36,9 +36,16 @@ for sf in /root/testdata/sf0.1 /root/repo/target/sfgen/sf1 /root/repo/target/sfg
         echo "{\"sf\":\"$sf\",\"q\":\"$q\",\"leg\":$leg,\"error\":\"no metric line\",\"exit\":$rc}" >> "$OUT"
       else
         echo "{\"sf\":\"$sf\",\"q\":\"$q\",\"leg\":$leg,\"r\":$line}" >> "$OUT"
-        v=$(printf '%s' "$line" | python3 -c 'import json,sys; print(json.load(sys.stdin)["value"])')
-        vals+=("$v")
-        echo "done $sf $q leg $leg: ${v}s" >&2
+        # an unparseable metric line must not poison vals with an empty
+        # string — the summary's float('') would crash and silently drop
+        # the min-max line the range discipline depends on
+        v=$(printf '%s' "$line" | python3 -c 'import json,sys; print(json.load(sys.stdin)["value"])' 2>/dev/null)
+        if [ -n "$v" ]; then
+          vals+=("$v")
+          echo "done $sf $q leg $leg: ${v}s" >&2
+        else
+          echo "WARN: unparseable metric line for $sf $q leg $leg" >&2
+        fi
       fi
     done
     if [ ${#vals[@]} -gt 0 ]; then

@@ -59,7 +59,11 @@ final class ChangeFeedStream(
     Files.createDirectories(offsetPath.getParent)
     val tmp = offsetPath.getParent.resolve(s".tmp-cdc-${UUID.randomUUID()}.json")
     Files.write(tmp, s"""{"version":$version}""".getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, offsetPath, StandardCopyOption.ATOMIC_MOVE)
+    // REPLACE_EXISTING alongside ATOMIC_MOVE: with ATOMIC_MOVE alone,
+    // replacing an existing target is implementation-specific (POSIX
+    // rename replaces; Windows throws on every commit after the first)
+    Files.move(tmp, offsetPath,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** Run the available work (the `Trigger.AvailableNow` shape): feed
@@ -91,20 +95,26 @@ final class ChangeFeedStream(
     // treating the sink as current would hide divergence forever (the
     // unchunked path already fails loudly via changes()'s from<=to guard;
     // chunked mode must match, not skip its while loop).
-    lastProcessed().foreach(v =>
+    val committedOffset = lastProcessed() // one offset-file read per invocation
+    committedOffset.foreach(v =>
       require(
         v <= cur,
         s"committed CDC offset $v is ahead of source version $cur at " +
           s"${source.root}: table recreated or rolled back under checkpoint " +
           s"$checkpointDir — delete the checkpoint to re-bootstrap"))
-    (lastProcessed(), maxVersionsPerBatch) match {
+    (committedOffset, maxVersionsPerBatch) match {
       case (Some(v), _) if v == cur => cur // offset current: zero work, no commit
       case (Some(v), None) =>
         applyBatch(source.changes(v, Some(cur)))
         commitOffset(cur)
         cur
       case (None, None) =>
-        applyBatch(source.read().withColumn("_change_type", lit("insert")))
+        // PIN the bootstrap to the captured offset: an unpinned read()
+        // would serve a snapshot a concurrent writer committed AFTER
+        // `cur` was captured, so the applied data and the committed
+        // offset could disagree — the next run would re-apply the
+        // cur→tip delta on top of data that already contains it
+        applyBatch(source.read(Some(cur)).withColumn("_change_type", lit("insert")))
         commitOffset(cur)
         cur
       case (committed, Some(k)) =>
@@ -171,8 +181,9 @@ object ChangeFeed {
       return
     }
     val touchedKeys = batch.select(keyCols.map(col): _*).distinct()
-    val survivors = target.read().join(touchedKeys, keyCols, "left_anti")
-    target.overwrite(survivors.unionByName(inserts.select(target.read().columns.map(col): _*)))
+    val snapshot = target.read() // one manifest resolution for both uses
+    val survivors = snapshot.join(touchedKeys, keyCols, "left_anti")
+    target.overwrite(survivors.unionByName(inserts.select(snapshot.columns.map(col): _*)))
     ()
   }
 }

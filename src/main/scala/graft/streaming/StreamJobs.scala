@@ -296,7 +296,15 @@ object StreamJobs {
       .start()
     try q.processAllAvailable()
     finally q.stop()
-    spark.read.parquet(out)
+    // empty source → foreachBatch never fired → the pre-created out dir
+    // has no parquet files and schema inference would throw; derive the
+    // result schema by applying the transform to an empty batch instead
+    // (the sibling memory-sink runners return empty tables the same way)
+    val wrote = new java.io.File(out).listFiles() != null &&
+      new java.io.File(out).listFiles().exists(_.getName.endsWith(".parquet"))
+    if (wrote) spark.read.parquet(out)
+    else transform(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sourceSchema)).limit(0)
   }
 
   /** Stateless streaming transform: stream the source, apply a pure
@@ -410,7 +418,10 @@ object StreamJobs {
       q.processAllAvailable()
     } finally q.stop()
 
-    spark.table(queryName).filter(col(sentinelFilterCol) =!= sentinelKey)
+    // null-safe inequality: `=!=` is null-killing, so a NULL group key
+    // would silently vanish from the result while the batch oracle
+    // keeps the null-key group — only the literal sentinel row drops
+    spark.table(queryName).filter(!(col(sentinelFilterCol) <=> lit(sentinelKey)))
   }
 
   /** Stream-stream inner join with event-time bounds: two streams over
@@ -433,9 +444,35 @@ object StreamJobs {
       rangeCondition: (DataFrame, DataFrame) => org.apache.spark.sql.Column,
       project: DataFrame => DataFrame,
       workDir: String,
-      watermarkDelay: String = "1 minutes"): DataFrame = {
-    val checkpoint = dir(workDir, s"checkpoint-ssjoin-${java.util.UUID.randomUUID()}")
-    val queryName = s"ssjoin_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      watermarkDelay: String = "1 minutes"): DataFrame =
+    runStreamStreamJoinImpl(
+      spark, sourceDir, schema, tsCol, leftFilter, rightFilter, keyCol,
+      rangeCondition, project, workDir, watermarkDelay,
+      joinType = "inner", sentinel = None)
+
+  /** The one stream-stream join driver both public shapes share: the
+    * side builder, watermarking, qualifier-scoped projection and
+    * memory-sink plumbing differ only in join type and the outer
+    * variant's sentinel pass (watermark advancement so unmatched left
+    * rows EMIT — see [[runStreamStreamJoinOuter]]).
+    */
+  private def runStreamStreamJoinImpl(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      tsCol: String,
+      leftFilter: org.apache.spark.sql.Column,
+      rightFilter: org.apache.spark.sql.Column,
+      keyCol: String,
+      rangeCondition: (DataFrame, DataFrame) => org.apache.spark.sql.Column,
+      project: DataFrame => DataFrame,
+      workDir: String,
+      watermarkDelay: String,
+      joinType: String,
+      sentinel: Option[(() => Unit, org.apache.spark.sql.Column)]): DataFrame = {
+    val tag = if (joinType == "inner") "ssjoin" else "ssouter"
+    val checkpoint = dir(workDir, s"checkpoint-$tag-${java.util.UUID.randomUUID()}")
+    val queryName = s"${tag}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
 
     def side(f: org.apache.spark.sql.Column, alias: String): DataFrame =
       spark.readStream
@@ -450,12 +487,19 @@ object StreamJobs {
     // project while the l/r qualifiers are still resolvable — the memory
     // sink flattens the join output into positional duplicate columns
     val joined = project(
-      l.join(r, col(s"l.$keyCol") === col(s"r.$keyCol") && rangeCondition(l, r)))
+      l.join(r, col(s"l.$keyCol") === col(s"r.$keyCol") && rangeCondition(l, r), joinType))
 
     val q = startMemorySink(spark, joined, queryName, checkpoint, statePartitions = 8)
-    try q.processAllAvailable()
-    finally q.stop()
-    spark.table(queryName)
+    try {
+      q.processAllAvailable()
+      sentinel.foreach { case (push, _) =>
+        push() // advance both watermarks past every real row
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    sentinel.fold(spark.table(queryName)) { case (_, pred) =>
+      spark.table(queryName).filter(!pred)
+    }
   }
 
   /** Typed row for the custom-state demo pipeline. */
@@ -509,12 +553,17 @@ object StreamJobs {
       .groupByKey(_.k)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
 
-    val q = stream.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(queryName)
-      .option("checkpointLocation", checkpoint)
-      .start()
+    // state-partition policy (see runStatefulAgg): stateful shuffles
+    // size to key cardinality, not core count — 200 default stores per
+    // micro-batch is pure commit overhead for a handful of keys
+    val q = withScopedConf(spark, Seq("spark.sql.shuffle.partitions" -> "8")) {
+      stream.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    }
     try q.processAllAvailable()
     finally q.stop()
     spark.table(queryName)
@@ -567,7 +616,10 @@ object StreamJobs {
 
     val q = withScopedConf(
       spark,
-      Seq("spark.sql.streaming.stateStore.providerClass" -> rocksDbProvider)) {
+      Seq(
+        // state-partition policy (see runStatefulAgg): 8 stores, not 200
+        "spark.sql.shuffle.partitions" -> "8",
+        "spark.sql.streaming.stateStore.providerClass" -> rocksDbProvider)) {
       stream.writeStream
         .outputMode("append")
         .format("memory")
@@ -622,7 +674,15 @@ object StreamJobs {
           key: Long,
           rows: Iterator[EwmaEvent],
           timerValues: TimerValues): Iterator[EwmaState] = {
-        val sorted = rows.toVector.sortBy(e => (e.ts.getTime, e.event_id))
+        // FULL-precision time order: getTime truncates to milliseconds,
+        // but the batch oracles sort struct(ts, …) at microsecond
+        // precision (Testdata events carry micros) — same-millisecond
+        // events must fold in the same order or order-sensitive state
+        // (EWMA) diverges from the batch hash. getNanos carries the
+        // full sub-second fraction, so (getTime, getNanos, id) is total
+        // and consistent with Spark's timestamp ordering.
+        val sorted = rows.toVector
+          .sortBy(e => (e.ts.getTime, e.ts.getNanos.toLong, e.event_id))
         val prev = Option(state.get())
         val next = sorted.foldLeft(
           prev.getOrElse(EwmaState(key, 0L, 0.0))) { (acc, e) =>
@@ -644,7 +704,10 @@ object StreamJobs {
 
     val q = withScopedConf(
       spark,
-      Seq("spark.sql.streaming.stateStore.providerClass" -> rocksDbProvider)) {
+      Seq(
+        // state-partition policy (see runStatefulAgg): 8 stores, not 200
+        "spark.sql.shuffle.partitions" -> "8",
+        "spark.sql.streaming.stateStore.providerClass" -> rocksDbProvider)) {
       // foreachBatch, not a memory sink: the second wave's run RESUMES
       // from the checkpoint, which the memory sink refuses to do
       stream.writeStream
@@ -695,7 +758,15 @@ object StreamJobs {
           key: Long,
           rows: Iterator[FunnelEvent],
           timerValues: TimerValues): Iterator[FunnelState] = {
-        val sorted = rows.toVector.sortBy(e => (e.ts.getTime, e.event_id))
+        // FULL-precision time order: getTime truncates to milliseconds,
+        // but the batch oracles sort struct(ts, …) at microsecond
+        // precision (Testdata events carry micros) — same-millisecond
+        // events must fold in the same order or order-sensitive state
+        // (EWMA) diverges from the batch hash. getNanos carries the
+        // full sub-second fraction, so (getTime, getNanos, id) is total
+        // and consistent with Spark's timestamp ordering.
+        val sorted = rows.toVector
+          .sortBy(e => (e.ts.getTime, e.ts.getNanos.toLong, e.event_id))
         val prev = Option(state.get()).getOrElse(FunnelState(key, 0L, sent, sent, sent))
         val next = sorted.foldLeft(prev) { (acc, e) =>
           val t = e.ts.getTime / 1000L // second truncation = the batch fold's unix_timestamp
@@ -723,7 +794,10 @@ object StreamJobs {
 
     val q = withScopedConf(
       spark,
-      Seq("spark.sql.streaming.stateStore.providerClass" -> rocksDbProvider)) {
+      Seq(
+        // state-partition policy (see runStatefulAgg): 8 stores, not 200
+        "spark.sql.shuffle.partitions" -> "8",
+        "spark.sql.streaming.stateStore.providerClass" -> rocksDbProvider)) {
       stream.writeStream
         .outputMode("append")
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[FunnelState], _: Long) =>
@@ -756,34 +830,11 @@ object StreamJobs {
       pushSentinels: () => Unit,
       sentinelPred: org.apache.spark.sql.Column,
       workDir: String,
-      watermarkDelay: String = "1 minutes"): DataFrame = {
-    val checkpoint = dir(workDir, s"checkpoint-ssouter-${java.util.UUID.randomUUID()}")
-    val queryName = s"ssouter_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-
-    def side(f: org.apache.spark.sql.Column, alias: String): DataFrame =
-      spark.readStream
-        .schema(schema)
-        .parquet(sourceDir)
-        .filter(f)
-        .withWatermark(tsCol, watermarkDelay)
-        .alias(alias)
-
-    val l = side(leftFilter, "l")
-    val r = side(rightFilter, "r")
-    val joined = project(
-      l.join(
-        r,
-        col(s"l.$keyCol") === col(s"r.$keyCol") && rangeCondition(l, r),
-        "left_outer"))
-
-    val q = startMemorySink(spark, joined, queryName, checkpoint, statePartitions = 8)
-    try {
-      q.processAllAvailable()
-      pushSentinels() // advance both watermarks past every real row
-      q.processAllAvailable()
-    } finally q.stop()
-    spark.table(queryName).filter(!sentinelPred)
-  }
+      watermarkDelay: String = "1 minutes"): DataFrame =
+    runStreamStreamJoinImpl(
+      spark, sourceDir, schema, tsCol, leftFilter, rightFilter, keyCol,
+      rangeCondition, project, workDir, watermarkDelay,
+      joinType = "left_outer", sentinel = Some((pushSentinels, sentinelPred)))
 
   /** Streaming exact dedup (training-data pipeline on a stream): drop
     * duplicate keys arriving within the watermark horizon —
@@ -863,7 +914,12 @@ object StreamJobs {
           if (table.exists)
             withFp.join(table.read().select(col("fp")), Seq("fp"), "left_anti")
           else withFp
-        if (!fresh.isEmpty) { table.append(fresh); () }
+        // persist across the emptiness probe + append: without it the
+        // O(index) corpus anti-join and the batch fingerprinting run
+        // TWICE per micro-batch (once for isEmpty, once inside append)
+        fresh.persist()
+        try { if (!fresh.isEmpty) { table.append(fresh); () } }
+        finally { fresh.unpersist(blocking = false); () }
         ()
       }
       .trigger(Trigger.AvailableNow())

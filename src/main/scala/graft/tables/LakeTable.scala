@@ -146,6 +146,37 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     * did not fire (defensive: metrics are delivered by a listener), fall
     * back to the footer-stats rescan.
     */
+  /** The ONE write-side transform every data-writing path shares —
+    * derive the hidden-partitioning dir columns (with the source /
+    * collision requires and the UTC pin), then project logical column
+    * names to PHYSICAL in a single order-free select. Sequential
+    * renames would collide on mappings like {c→a, a→a__g2} (rename
+    * a→c, then re-add a): the fold creates a duplicate `a` mid-way and
+    * the write throws. Targets are distinct because live physical
+    * names are unique by construction (the alter path suffixes
+    * collisions). Single-sourcing this is what keeps the
+    * files-store-physical-names invariant from drifting between
+    * writeCommitDir and the compaction rewrite.
+    */
+  private def deriveDirColsAndProjectPhysical(
+      df: DataFrame,
+      pspecs: Seq[PartitionSpec],
+      colMapping: Map[String, String]): DataFrame = {
+    PartitionSpec.requireUtcSession(spark, pspecs)
+    val withDirCols = pspecs.filterNot(_.isIdentity).foldLeft(df) { (d, p) =>
+      require(d.columns.contains(p.source),
+        s"partition transform ${p.spec}: source column ${p.source} is not in the batch")
+      require(!d.columns.contains(p.dirCol),
+        s"partition transform ${p.spec}: derived dir column ${p.dirCol} collides with a data column")
+      d.withColumn(p.dirCol, p.derive(col(p.source)))
+    }
+    if (colMapping.forall { case (log, phys) =>
+        log == phys || !withDirCols.columns.contains(log) })
+      withDirCols
+    else withDirCols.select(withDirCols.columns.map(n =>
+      withDirCols(n).as(colMapping.getOrElse(n, n))): _*)
+  }
+
   private def writeCommitDir(
       df: DataFrame,
       partitionBy: Seq[String],
@@ -180,29 +211,7 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     // column here (never part of the declared schema); identity writes
     // are byte-identical to the pre-transform behavior
     val pspecs = partitionBy.map(PartitionSpec.parse)
-    PartitionSpec.requireUtcSession(spark, pspecs)
-    val withDirCols = pspecs.filterNot(_.isIdentity).foldLeft(toWrite) { (d, p) =>
-      require(d.columns.contains(p.source),
-        s"partition transform ${p.spec}: source column ${p.source} is not in the batch")
-      require(!d.columns.contains(p.dirCol),
-        s"partition transform ${p.spec}: derived dir column ${p.dirCol} collides with a data column")
-      d.withColumn(p.dirCol, p.derive(col(p.source)))
-    }
-    // column mapping: files store PHYSICAL names, uniformly across every
-    // commit era (observe/stats/constraints above ran on logical names;
-    // partition sources can never be renamed, so dir layout is stable).
-    // ONE projection, not sequential renames: with a mapping like
-    // {c→a, a→a__g2} (rename a→c, then re-add a) a rename fold first
-    // creates a duplicate `a` mid-fold and the write throws; mapping
-    // every column to its target in a single select is order-free, and
-    // targets are distinct because live physical names are unique by
-    // construction (the alter path suffixes collisions).
-    val physDf =
-      if (colMapping.forall { case (log, phys) =>
-          log == phys || !withDirCols.columns.contains(log) })
-        withDirCols
-      else withDirCols.select(withDirCols.columns.map(n =>
-        withDirCols(n).as(colMapping.getOrElse(n, n))): _*)
+    val physDf = deriveDirColsAndProjectPhysical(toWrite, pspecs, colMapping)
     val writer = physDf.write.mode("overwrite").options(writeOptions)
     val w = if (pspecs.nonEmpty) writer.partitionBy(pspecs.map(_.dirCol): _*) else writer
     w.parquet(dest.toString)
@@ -366,6 +375,33 @@ final class LakeTable(val spark: SparkSession, val root: String) {
             schema,
             schemaMode)
         else schema
+      // an append racing a column DROP/RENAME: the retry's re-merge
+      // would re-add the batch's copy of the column as a "new" field
+      // with NO fresh physical entry — the dropped/renamed physical
+      // data in every old file would resurface under it. The batch's
+      // files are already written under the pre-race mapping, so a
+      // fresh physical can't be assigned retroactively either: fail
+      // LOUDLY (terminally — a plain VersionConflictException would be
+      // swallowed by this very retry loop) and let the writer re-run
+      // the append against the new schema.
+      if (op == "append" && keepExisting) prev.foreach { m =>
+        scala.util.Try(DataType.fromJson(m.schemaJson).asInstanceOf[StructType]).toOption
+          .foreach { tip =>
+            val tipNames = tip.fieldNames.map(_.toLowerCase).toSet
+            val used = (tip.fieldNames.map(n => m.colMapping.getOrElse(n, n)) ++ m.droppedCols)
+              .map(_.toLowerCase).toSet
+            val resurrected = effSchema.fieldNames
+              .filterNot(n => tipNames.contains(n.toLowerCase))
+              .filterNot(newColMapping.contains)
+              .filter(n => used.contains(n.toLowerCase))
+            if (resurrected.nonEmpty)
+              throw new IllegalStateException(
+                s"append to $root raced a column drop/rename: column(s) " +
+                  s"${resurrected.mkString(", ")} were dropped or renamed concurrently " +
+                  "(re-adding them without a fresh physical name would resurface old " +
+                  "file data) — re-run the append against the current schema")
+          }
+      }
       val mergedMax = Stats.merge(prev.map(_.colMax).getOrElse(Map.empty), colMax, effSchema)
       try {
         // deletion vectors: an op that keeps the existing dirs keeps their
@@ -728,6 +764,7 @@ final class LakeTable(val spark: SparkSession, val root: String) {
         require(
           !schema.fieldNames.exists(_.equalsIgnoreCase(f.name)),
           s"ALTER TABLE ADD COLUMNS: column ${f.name} already exists in $root")
+        requireNotDerivedDirCol(prev, f.name, "ALTER TABLE ADD COLUMNS")
       }
       val evolved = StructType(schema.fields ++ newFields.map(_.copy(nullable = true)))
       val freshMap = freshPhysicalFor(prev, schema, newFields.map(_.name))
@@ -758,9 +795,21 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     val usedPhysical =
       (tableSchema.fieldNames.map(n => prev.colMapping.getOrElse(n, n)) ++ prev.droppedCols)
         .map(_.toLowerCase).toSet
+    // the generated name must itself be unused — a live column literally
+    // named `a__gN` (or a dropped one) would otherwise alias two logical
+    // columns onto one physical and fail every later write with a
+    // duplicate-column error. Taken set grows as names are assigned so
+    // two new columns can never receive the same fresh physical.
+    val taken = scala.collection.mutable.Set.empty[String]
+    taken ++= usedPhysical
+    taken ++= tableSchema.fieldNames.map(_.toLowerCase)
     newNames.collect {
       case n if usedPhysical.contains(n.toLowerCase) =>
-        n -> s"${n}__g${prev.version + 1}"
+        var i = prev.version + 1
+        var cand = s"${n}__g$i"
+        while (taken.contains(cand.toLowerCase)) { i += 1; cand = s"${n}__g$i" }
+        taken += cand.toLowerCase
+        n -> cand
     }.toMap
   }
 
@@ -780,6 +829,19 @@ final class LakeTable(val spark: SparkSession, val root: String) {
       require(!p.source.equalsIgnoreCase(colName),
         s"$what: $colName is the partition source of ${p.spec} " +
           "(directory layouts record the name; repartition via overwrite first)")
+    }
+
+  /** A transform's DERIVED dir column (ts__day, k__bucket) lives in the
+    * Hive paths, not the schema — a user column taking that name would
+    * read dir values instead of NULL on old rows and collide with the
+    * derivation on every later write. Rejected for ADD and RENAME
+    * targets (and new fields an evolve-append introduces).
+    */
+  private def requireNotDerivedDirCol(m: Manifest, colName: String, what: String): Unit =
+    m.partitionBy.map(PartitionSpec.parse).filterNot(_.isIdentity).foreach { p =>
+      require(!p.dirCol.equalsIgnoreCase(colName),
+        s"$what: $colName collides with the derived dir column of ${p.spec} " +
+          "(hidden-partitioning paths already use that name)")
     }
 
   private def requireNotConstrained(m: Manifest, colName: String, what: String): Unit =
@@ -817,6 +879,7 @@ final class LakeTable(val spark: SparkSession, val root: String) {
         s"RENAME COLUMN: column $newName already exists in $root")
       requireNotPartitionSource(prev, f.name, "RENAME COLUMN")
       requireNotConstrained(prev, f.name, "RENAME COLUMN")
+      requireNotDerivedDirCol(prev, newName, "RENAME COLUMN")
       val phys = prev.colMapping.getOrElse(f.name, f.name)
       val newSchema = StructType(
         schema.fields.map(x => if (x.name == f.name) x.copy(name = newName) else x))
@@ -967,12 +1030,35 @@ final class LakeTable(val spark: SparkSession, val root: String) {
       .map(readManifest)
       .getOrElse(throw new IllegalStateException(s"replacePartitions on empty table $root"))
     require(prev.partitionBy.nonEmpty, "replacePartitions requires a partitioned table")
+    // transform layouts are rejected LOUDLY: `affected` carries
+    // source-column values, but the dirs are keyed by DERIVED values
+    // (ts__day=2024-01, k__bucket=7) — comparing the two domains would
+    // leave old dirs un-narrowed (deleted rows stay live) while the new
+    // survivors dir scoped empty, silently duplicating every surviving
+    // row. Scoping by derived value is a future surface; until then the
+    // whole-table merge/overwrite paths are the correct route.
+    val p0 = PartitionSpec.parse(prev.partitionBy.head)
+    require(p0.isIdentity,
+      s"replacePartitions on a transform-partitioned table (${p0.spec}): " +
+        "affected values are source-column values but the dir layout is derived — " +
+        "use the whole-table merge/overwrite instead")
     val affectedSet = affected.toSet
-    val p0Name = PartitionSpec.parse(prev.partitionBy.head).dirCol
+    val p0Name = p0.dirCol
+
+    // a replace batch can INTRODUCE columns (the manifest takes
+    // df.schema) — a new name colliding with a dropped/renamed PHYSICAL
+    // name needs a fresh physical, exactly like append/stage/alter, or
+    // the KEPT dirs' immutable files resurface old data under it
+    val prevSchema = scala.util.Try(
+      DataType.fromJson(prev.schemaJson).asInstanceOf[StructType]).toOption
+    val freshMap = prevSchema
+      .map(t => freshPhysicalFor(prev, t, df.schema.fieldNames.filterNot(t.fieldNames.contains).toSeq))
+      .getOrElse(Map.empty)
+    val effMapping = prev.colMapping ++ freshMap
 
     val (newDirOpt, newStats) = writeCommitDir(
       df, prev.partitionBy, prev.colMax.keys.toSeq, constraints = prev.constraints,
-      colMapping = prev.colMapping)
+      colMapping = effMapping)
     val newDir = newDirOpt.get
     val oldStats = prev.commitDirs.zip(prev.effectiveDirStats).toMap
     val oldFileStats = prev.commitDirs.zip(prev.effectiveFileStats).toMap
@@ -1033,7 +1119,7 @@ final class LakeTable(val spark: SparkSession, val root: String) {
         prev.dvFiles,
         prev.txns,
         prev.constraints,
-        prev.colMapping,
+        effMapping,
         prev.droppedCols))
     version
   }
@@ -1565,27 +1651,14 @@ final class LakeTable(val spark: SparkSession, val root: String) {
 
     val commitName = s"commit-${UUID.randomUUID()}"
     val dest = dataDir.resolve(commitName)
-    // same hidden-partitioning derivation as writeCommitDir: transform
-    // specs re-derive their dir column for the rewritten files
+    // same write-side transform as writeCommitDir (shared helper: dir
+    // derivation incl. collision requires + logical→physical rename) —
+    // range-partition FIRST while names are still LOGICAL (`key`
+    // references the declared schema); the helper's rename is a
+    // projection, so the range partitioning survives it
     val pspecs = prev.partitionBy.map(PartitionSpec.parse)
-    PartitionSpec.requireUtcSession(spark, pspecs)
-    val withDirCols = pspecs.filterNot(_.isIdentity).foldLeft(df) { (d, p) =>
-      d.withColumn(p.dirCol, p.derive(col(p.source)))
-    }
-    // range-partition while names are still LOGICAL (`key` references the
-    // declared schema), then rename to PHYSICAL for the write — files
-    // store physical names in every commit era (writeCommitDir's
-    // invariant; the read path asks the parquet for physical names and
-    // projects back, so a logical-named compacted file would silently
-    // read as NULL for every renamed column). The rename is a
-    // projection, so the range partitioning survives it.
-    val parted = withDirCols.repartitionByRange(numFiles, key)
-    val physDf =
-      if (prev.colMapping.forall { case (log, phys) =>
-          log == phys || !parted.columns.contains(log) })
-        parted
-      else parted.select(parted.columns.map(n =>
-        parted(n).as(prev.colMapping.getOrElse(n, n))): _*)
+    val physDf = deriveDirColsAndProjectPhysical(
+      df.repartitionByRange(numFiles, key), pspecs, prev.colMapping)
     val writer = physDf.write.mode("overwrite")
     val w = if (pspecs.nonEmpty) writer.partitionBy(pspecs.map(_.dirCol): _*) else writer
     w.parquet(dest.toString)

@@ -98,10 +98,17 @@ object PartitionSpec {
   private val YearsRe = """years\(\s*([^()\s]+)\s*\)""".r
   private val BucketRe = """bucket\(\s*(\d+)\s*,\s*([^()\s]+)\s*\)""".r
 
+  private val KnownTransformRe =
+    """(?i)(identity|bucket|truncate|void|years?|months?|days?|hours?|date(?:_trunc)?)\(.*\)""".r
+
   /** Parse a manifest spec string. Anything that is not a recognized
     * transform call is an identity column name — the pre-r20 format.
-    * An unrecognized TRANSFORM (e.g. `hours(ts)`) fails loudly rather
-    * than silently becoming an identity column named `hours(ts)`.
+    * A KNOWN-but-unsupported transform keyword (e.g. `hours(ts)`,
+    * `truncate(4,c)`) fails loudly rather than silently becoming an
+    * identity column named `hours(ts)`; an arbitrary paren-bearing
+    * name that matches no transform keyword stays an identity column,
+    * so a legacy manifest whose partition column happened to contain
+    * parentheses keeps parsing unchanged.
     */
   def parse(s: String): PartitionSpec = s.trim match {
     case DaysRe(c) => DaysPart(c)
@@ -110,7 +117,7 @@ object PartitionSpec {
     case BucketRe(n, c) => BucketPart(n.toInt, c)
     case other =>
       require(
-        !other.contains("(") && !other.contains(")"),
+        !KnownTransformRe.pattern.matcher(other).matches(),
         s"unsupported partition transform: $other " +
           "(supported: identity, days(col), months(col), years(col), bucket(n,col))")
       IdentityPart(other)

@@ -197,31 +197,45 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     if (!isLakeTable(p)) throw new NoSuchTableException(ident)
     val spark = org.apache.spark.sql.SparkSession.active
     val table = graft.tables.LakeTable(spark, p.toString)
-    val adds = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.types.StructField]
-    changes.foreach {
-      case a: TableChange.AddColumn =>
-        require(a.fieldNames.length == 1,
-          s"ALTER TABLE ADD COLUMNS: nested column ${a.fieldNames.mkString(".")} is not supported")
-        require(a.position() == null,
-          "ALTER TABLE ADD COLUMNS: FIRST/AFTER positions are not supported")
-        require(a.isNullable,
-          "ALTER TABLE ADD COLUMNS: new columns must be nullable " +
-            "(existing rows have no value for them)")
-        adds += org.apache.spark.sql.types.StructField(a.fieldNames.head, a.dataType, nullable = true)
-      case r: TableChange.RenameColumn =>
-        require(r.fieldNames.length == 1,
-          s"ALTER TABLE RENAME COLUMN: nested column ${r.fieldNames.mkString(".")} is not supported")
-        table.alterRenameColumn(r.fieldNames.head, r.newName)
-      case d: TableChange.DeleteColumn =>
-        require(d.fieldNames.length == 1,
-          s"ALTER TABLE DROP COLUMN: nested column ${d.fieldNames.mkString(".")} is not supported")
-        table.alterDropColumn(d.fieldNames.head)
-      case other =>
-        throw new UnsupportedOperationException(
-          s"ALTER TABLE: only ADD COLUMNS / RENAME COLUMN / DROP COLUMN are supported " +
-            s"on graft tables, got $other")
+    // VALIDATE every change before applying ANY (the TableCatalog
+    // contract is all-or-nothing; an unsupported change must not land
+    // after a rename already committed a manifest version), then apply
+    // IN DECLARED ORDER — batching consecutive adds preserves order
+    // while keeping the common multi-add a single manifest commit, and
+    // AddColumn(x) followed by RenameColumn(x→y) works as written
+    // instead of the rename racing ahead of a deferred add.
+    val validated: Seq[Either[org.apache.spark.sql.types.StructField, () => Unit]] =
+      changes.map {
+        case a: TableChange.AddColumn =>
+          require(a.fieldNames.length == 1,
+            s"ALTER TABLE ADD COLUMNS: nested column ${a.fieldNames.mkString(".")} is not supported")
+          require(a.position() == null,
+            "ALTER TABLE ADD COLUMNS: FIRST/AFTER positions are not supported")
+          require(a.isNullable,
+            "ALTER TABLE ADD COLUMNS: new columns must be nullable " +
+              "(existing rows have no value for them)")
+          Left(org.apache.spark.sql.types.StructField(a.fieldNames.head, a.dataType, nullable = true))
+        case r: TableChange.RenameColumn =>
+          require(r.fieldNames.length == 1,
+            s"ALTER TABLE RENAME COLUMN: nested column ${r.fieldNames.mkString(".")} is not supported")
+          Right(() => { table.alterRenameColumn(r.fieldNames.head, r.newName); () })
+        case d: TableChange.DeleteColumn =>
+          require(d.fieldNames.length == 1,
+            s"ALTER TABLE DROP COLUMN: nested column ${d.fieldNames.mkString(".")} is not supported")
+          Right(() => { table.alterDropColumn(d.fieldNames.head); () })
+        case other =>
+          throw new UnsupportedOperationException(
+            s"ALTER TABLE: only ADD COLUMNS / RENAME COLUMN / DROP COLUMN are supported " +
+              s"on graft tables, got $other")
+      }
+    val pendingAdds = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.types.StructField]
+    def flushAdds(): Unit =
+      if (pendingAdds.nonEmpty) { table.alterAddColumns(pendingAdds.toSeq); pendingAdds.clear() }
+    validated.foreach {
+      case Left(f) => pendingAdds += f
+      case Right(apply) => flushAdds(); apply()
     }
-    if (adds.nonEmpty) table.alterAddColumns(adds.toSeq)
+    flushAdds()
     new GraftSqlTable(p.toString)
   }
 

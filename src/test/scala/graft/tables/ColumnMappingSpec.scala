@@ -214,4 +214,39 @@ class ColumnMappingSpec extends SparkSpec {
     val st2 = new graft.tables.v2.GraftSqlTable(t.root).metadataGroupStats(Seq("amount"))
     assert(st2.isEmpty, "stale physical data must not be served for a re-added column")
   }
+
+  test("partition-scoped replace assigns a fresh physical when its batch re-adds a dropped name") {
+    val t = LakeTable(spark, scratchDir("cm-replace"))
+    t.append(
+      Seq((1, "p1", "secret"), (2, "p2", "hidden")).toDF("k", "part", "note"),
+      partitionBy = Seq("part"))
+    t.alterDropColumn("note")
+    // the replace batch re-introduces 'note': the KEPT dir (part=p2)
+    // still physically stores the dropped data — it must read NULL
+    t.replacePartitions(
+      Seq((1, "p1", "fresh")).toDF("k", "part", "note"), Seq("p1"))
+    val byK = t.read().collect().map(r => r.getInt(0) ->
+      (if (r.isNullAt(2)) null else r.getString(2))).toMap
+    assert(byK == Map(1 -> "fresh", 2 -> null), byK.toString)
+  }
+
+  test("fresh physical names skip over live columns that already carry the suffix") {
+    val t = LakeTable(spark, scratchDir("cm-suffix"))
+    // v0 append: live columns k, a, a__g2 — after dropping `a` at v1,
+    // a re-add at prev.version=1 would generate candidate a__g2, which
+    // COLLIDES with the live a__g2; the generator must skip to a__g3
+    t.append(Seq((1, "orig", "keep")).toDF("k", "a", "a__g2"))
+    t.alterDropColumn("a")
+    t.alterAddColumns(Seq(org.apache.spark.sql.types.StructField(
+      "a", org.apache.spark.sql.types.StringType)))
+    // old row: re-added a reads NULL, a__g2 keeps its own data
+    val r0 = t.read().head()
+    val cols = t.read().columns.toSeq
+    assert(cols == Seq("k", "a__g2", "a"), cols.toString)
+    assert(r0.getString(1) == "keep" && r0.isNullAt(2), r0.toString)
+    // and writes still work (no duplicate-physical projection)
+    t.append(Seq((2, "two", "second")).toDF("k", "a__g2", "a"))
+    val r2 = t.read().orderBy("k").collect()(1)
+    assert(r2.getString(1) == "two" && r2.getString(2) == "second", r2.toString)
+  }
 }

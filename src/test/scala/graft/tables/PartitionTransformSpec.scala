@@ -106,6 +106,10 @@ class PartitionTransformSpec extends SparkSpec {
     assert(PartitionSpec.parse("bucket(16,user_id)") == BucketPart(16, "user_id"))
     intercept[IllegalArgumentException](PartitionSpec.parse("hours(ts)"))
     intercept[IllegalArgumentException](PartitionSpec.parse("truncate(4,name)"))
+    // a legacy identity column whose NAME carries parens keeps parsing
+    // (pre-r20 manifests treated partitionBy entries as opaque names);
+    // only KNOWN transform keywords reject
+    assert(PartitionSpec.parse("sum(x)") == IdentityPart("sum(x)"))
     val t = LakeTable(spark, scratchDir("pt-bad"))
     val e = intercept[IllegalArgumentException] {
       t.createIfAbsent(
@@ -157,5 +161,25 @@ class PartitionTransformSpec extends SparkSpec {
     assert(df.collect().map(_.getInt(0)).toSeq == Seq(1), df.collect().toSeq.toString)
     // and the era-2 dir (out of range) still prunes through the transform
     assert(skipped.size == 1, s"kept=$kept skipped=$skipped")
+  }
+
+  test("transform layouts reject partition-scoped replace and dir-col name collisions") {
+    val t = LakeTable(spark, scratchDir("pt-guards"))
+    t.append(dayRows(Seq(1, 2)).toDF("id", "ts", "payload"), partitionBy = Seq("days(ts)"))
+    // replacePartitions compares source-domain `affected` values against
+    // DERIVED dir values — silently a no-op-with-duplicates if allowed
+    val e1 = intercept[IllegalArgumentException] {
+      t.replacePartitions(dayRows(Seq(1)).toDF("id", "ts", "payload"), Seq("2024-03-01"))
+    }
+    assert(e1.getMessage.contains("transform-partitioned"), e1.getMessage)
+    // a user column named like the derived dir column would read dir
+    // values instead of NULL and collide with every later derivation
+    val e2 = intercept[IllegalArgumentException] {
+      t.alterAddColumns(Seq(org.apache.spark.sql.types.StructField(
+        "ts__day", org.apache.spark.sql.types.StringType)))
+    }
+    assert(e2.getMessage.contains("ts__day"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException](t.alterRenameColumn("payload", "ts__day"))
+    assert(e3.getMessage.contains("ts__day"), e3.getMessage)
   }
 }

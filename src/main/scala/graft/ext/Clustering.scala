@@ -8,15 +8,21 @@ import org.apache.spark.sql.functions._
   * dedup, IVF index training, topic-balanced sampling all start here).
   *
   * Scale shape (the same contract as [[Similarity.ivfTopK]]'s internal
-  * Lloyd step): centroids live on the driver as plan literals (k × dim
-  * doubles — KBs), so per-iteration assignment is a PURE PROJECTION over
-  * the corpus — an argmax fold over the literal centroid array, no
-  * shuffle, no join. The only shuffle per iteration is the centroid
-  * update: a (cluster, dim)-keyed aggregation, map-side combined, whose
-  * shuffle carries at most k·dim partial rows per task. The corpus is
-  * never repartitioned, cached, or collected; each iteration is one
-  * scan. k is a model parameter (pick ~N/target_cluster_size at scale),
-  * NOT a partition count.
+  * Lloyd step): centroids live on the driver (k × dim doubles — KBs to
+  * a few MB). Up to [[LiteralCentroidCap]] they enter the plan as
+  * literals and per-iteration assignment is a PURE PROJECTION over the
+  * corpus — an argmax fold over the literal centroid array, no
+  * shuffle, no join; PAST the cap assignment dispatches to
+  * [[assignByJoin]] — a broadcast nested-loop against the centroid
+  * table whose per-row fan-out collapses map-side, one O(N)-row
+  * shuffle per iteration (the correct large-k plan; the literal array
+  * would blow the 64 KB codegen method limit). The other shuffle per
+  * iteration is the centroid update: a (cluster, dim)-keyed
+  * aggregation, map-side combined, whose shuffle carries at most
+  * k·dim partial rows per task. The corpus is never repartitioned,
+  * cached, or collected; each iteration is one scan. k is a model
+  * parameter (pick ~N/target_cluster_size at scale), NOT a partition
+  * count.
   *
   * Determinism (what makes the result oracle-checkable in another
   * engine): seeds are the k lowest-id vectors; assignment ranks by
@@ -110,7 +116,7 @@ object Clustering {
       spark: org.apache.spark.sql.SparkSession,
       centroids: Seq[(Int, Seq[Double])]): DataFrame = {
     import spark.implicits._
-    centroids.map { case (cid, v) => (cid, v) }.toDF("_cid", "_centroid")
+    centroids.toDF("_cid", "_centroid")
   }
 
   /** Past-cap nearest-centroid assignment (the >LiteralCentroidCap
@@ -136,10 +142,15 @@ object Clustering {
     // the two paths arithmetic-identical (parity is bit-exact, not
     // approximate)
     val cos = graft.functions.VectorExprs.arrayCosine(spark, col(vecCol), col("_centroid"))
+    // surrogate ROW key, not idCol: grouping on idCol would collapse
+    // duplicate (or null) ids into one synthetic row — the literal path
+    // assigns per ROW, and the two paths must stay row-equivalent
     df.select(col(idCol), col(vecCol))
+      .withColumn("_rid", monotonically_increasing_id())
       .crossJoin(broadcast(centroidTable(spark, centroids)))
-      .groupBy(col(idCol))
+      .groupBy(col("_rid"))
       .agg(
+        first(col(idCol)).as(idCol),
         max(struct(round(cos, 6).as("s"), (-col("_cid")).as("nc"))).as("best"),
         first(col(vecCol)).as(vecCol))
       .select(
@@ -167,10 +178,14 @@ object Clustering {
     // the two paths arithmetic-identical (parity is bit-exact, not
     // approximate)
     val cos = graft.functions.VectorExprs.arrayCosine(spark, col(vecCol), col("_centroid"))
+    // surrogate ROW key (see assignByJoin): duplicate/null query ids
+    // must each keep their own nprobe lists, exactly like the literal
+    // per-row path
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol))
+      .partitionBy(col("_rid"))
       .orderBy(col("_s").desc, col("_cid").asc)
     queries.select(col(idCol), col(vecCol))
+      .withColumn("_rid", monotonically_increasing_id())
       .crossJoin(broadcast(centroidTable(spark, centroids)))
       .withColumn("_s", round(cos, 6))
       .withColumn("_pr", row_number().over(w))
@@ -229,10 +244,19 @@ object Clustering {
     // feeds both sides from the same shuffle files (PlanAuditSpec pins the
     // ReusedExchange node). Distinct column names per side (the previous
     // shape) defeat canonicalization and double the heaviest stage.
-    val assigned = corpus.select(
-      (-bestOf(centroids, corpus, col(vecCol)).getField("nc")).cast("int").as("cluster"),
-      col(idCol).as("id"),
-      col(vecCol).as("vec"))
+    // same past-cap dispatch as kmeansAssign: past LiteralCentroidCap
+    // the literal scored-array would inline k codegen'd cosines (the
+    // 64 KB method-limit blowup the cap exists to avoid) — SemDeDup
+    // sizes k ~ N/target_cluster_size, so large k is the NORMAL regime
+    val assigned =
+      if (centroids.size <= LiteralCentroidCap)
+        corpus.select(
+          (-bestOf(centroids, corpus, col(vecCol)).getField("nc")).cast("int").as("cluster"),
+          col(idCol).as("id"),
+          col(vecCol).as("vec"))
+      else
+        assignByJoin(corpus, idCol, vecCol, centroids).select(
+          col("cluster"), col(idCol).as("id"), col(vecCol).as("vec"))
     assigned
       .alias("a")
       // merge hint: broadcasting a corpus-sized side is never right at

@@ -150,7 +150,10 @@ object Similarity {
     * (IVF-PQ, [[ProductQuant]]) rather than ever-more flat lists.
     */
   def nlistFor(corpusCount: Long, perList: Int = 1000, cap: Int = 65536): Int =
-    math.max(16, math.min(cap, (corpusCount / perList).toInt))
+    // clamp in Long BEFORE narrowing: at extreme corpus sizes
+    // (corpusCount/perList > Int.MaxValue) a .toInt-first wraps
+    // negative and the min/max fold collapses nlist to the floor
+    math.max(16L, math.min(cap.toLong, corpusCount / perList)).toInt
 
   /** Deterministic training subsample: Lloyd quality needs a
     * representative sample, not the corpus — past `trainCap` vectors,
@@ -234,7 +237,12 @@ object Similarity {
     val cos = (a: Column, b: Column) => graft.functions.VectorExprs.arrayCosine(spark, a, b)
 
     val centroids = Clustering.kmeansFit(
-      trainSet(corpus, idCol, corpus.count(), trainCap), idCol, vecCol, nlist, iters)
+      // the sample must hold comfortably more rows than nlist or the
+      // seed step caps the EFFECTIVE list count at the sample size
+      // (Lloyd degenerating to a sample quantizer) — ~32 vectors per
+      // centroid is the usual floor; a no-op at oracle scale
+      trainSet(corpus, idCol, corpus.count(), math.max(trainCap, 32L * nlist)),
+      idCol, vecCol, nlist, iters)
     val inverted = invertedIndex(corpus, idCol, vecCol, centroids)
     val probes = probeSet(queries, idCol, vecCol, centroids, nprobe)
 
@@ -340,7 +348,12 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     val centroids = Clustering.kmeansFit(
-      trainSet(corpus, idCol, corpus.count(), trainCap), idCol, vecCol, nlist, iters)
+      // the sample must hold comfortably more rows than nlist or the
+      // seed step caps the EFFECTIVE list count at the sample size
+      // (Lloyd degenerating to a sample quantizer) — ~32 vectors per
+      // centroid is the usual floor; a no-op at oracle scale
+      trainSet(corpus, idCol, corpus.count(), math.max(trainCap, 32L * nlist)),
+      idCol, vecCol, nlist, iters)
     graft.tables.LakeTable(spark, s"$indexRoot/centroids")
       .append(centroids.toDF("list_id", "centroid"))
     graft.tables.LakeTable(spark, s"$indexRoot/postings")

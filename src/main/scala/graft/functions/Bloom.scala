@@ -63,7 +63,12 @@ object Bloom {
     * foldable (a `lit(blob)`); false ⇒ v was definitely never inserted.
     */
   def mightContain(spark: SparkSession, bloom: Column, hashed: Column): Column = {
-    val name = "graft_bloom_might_contain"
+    // DISTINCT registry name from VectorExprs.bloomMightContain's
+    // graft_bloom_might_contain: the two builders have different key
+    // contracts (pre-hashed BIGINT, NULL->NULL here vs raw key,
+    // NULL->false there) and a shared name means whichever registered
+    // last silently wins for any column analyzed afterward
+    val name = "graft_bloom_might_contain_hashed"
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, exprs => BloomFilterMightContain(exprs(0), exprs(1)), "scala_udf")
     call_function(name, bloom, hashed)

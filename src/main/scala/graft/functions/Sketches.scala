@@ -619,7 +619,14 @@ object Sketches {
             a: java.util.Map.Entry[String, java.lang.Long],
             b: java.util.Map.Entry[String, java.lang.Long]): Int = {
           val byCount = java.lang.Long.compare(b.getValue, a.getValue)
-          if (byCount != 0) byCount else a.getKey.compareTo(b.getKey)
+          // UTF-8 BYTE order on ties, not Java's UTF-16 code-unit
+          // order: the DuckDB oracle's ORDER BY term compares UTF-8
+          // bytes, and the two orders disagree for supplementary-plane
+          // characters vs [U+E000, U+FFFF] — a divergent tie order
+          // changes which term survives a top-k cut
+          if (byCount != 0) byCount
+          else org.apache.spark.unsafe.types.UTF8String.fromString(a.getKey)
+            .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b.getKey))
         }
       })
       val rows = new Array[Any](entries.size())

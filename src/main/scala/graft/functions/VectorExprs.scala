@@ -48,6 +48,25 @@ object VectorExprs {
     bad.map(TypeCheckResult.TypeCheckFailure).getOrElse(TypeCheckResult.TypeCheckSuccess)
   }
 
+  /** Exact-element-type array check: these expressions read elements by
+    * fixed stride (`getLong`) or exact class (`UTF8String`), so an
+    * int-element array would read mis-strided garbage SILENTLY and a
+    * wrong string type would ClassCastException at execution — both
+    * must be rejected at analysis time instead.
+    */
+  private def checkElementType(name: String, exprs: Seq[Expression], elem: DataType)
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    val bad = exprs.zipWithIndex.collectFirst {
+      case (e, i) if (e.dataType match {
+            case ArrayType(t, _) if t == elem => false
+            case _ => true
+          }) =>
+        s"argument ${i + 1} of $name must be array<${elem.simpleString}>, got ${e.dataType.sql}"
+    }
+    bad.map(TypeCheckResult.TypeCheckFailure).getOrElse(TypeCheckResult.TypeCheckSuccess)
+  }
+
   /** Cosine similarity over two numeric arrays — identical operation
     * order to the `zip_with`/`aggregate` formulation in
     * [[graft.ext.Similarity.cosine]] (sequential dot, then norms), so
@@ -65,8 +84,16 @@ object VectorExprs {
   case class ArrayCosine(left: Expression, right: Expression)
       extends BinaryExpression {
     override def dataType: DataType = DoubleType
+    // NULL on unequal lengths or NULL elements (the declarative
+    // zip_with/aggregate form's semantics), so the expression is
+    // nullable even over non-null array children
+    override def nullable: Boolean = true
     override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
       checkFractionalArrays("graft_array_cosine", Seq(left, right))
+    @transient private lazy val lMayNull =
+      left.dataType.asInstanceOf[ArrayType].containsNull
+    @transient private lazy val rMayNull =
+      right.dataType.asInstanceOf[ArrayType].containsNull
     // per-side element types: array<float> · array<double> (e.g. a raw
     // embedding against a double centroid literal) must not mis-stride;
     // resolved once per expression instance, specialized loops below
@@ -79,7 +106,20 @@ object VectorExprs {
     override def nullSafeEval(a: Any, b: Any): Any = {
       val xs = a.asInstanceOf[ArrayData]
       val ys = b.asInstanceOf[ArrayData]
-      val n = math.min(xs.numElements(), ys.numElements())
+      // declarative parity (Similarity.cosine): zip_with pads unequal
+      // lengths with NULL and a NULL element poisons the fold -> NULL;
+      // reading past a null slot would NPE interpreted and silently
+      // read 0.0 under codegen (divergent results)
+      if (xs.numElements() != ys.numElements()) return null
+      if ((lMayNull || rMayNull) && {
+          var j = 0; var hasNull = false
+          val m = xs.numElements()
+          while (j < m && !hasNull) {
+            hasNull = (lMayNull && xs.isNullAt(j)) || (rMayNull && ys.isNullAt(j)); j += 1
+          }
+          hasNull
+        }) return null
+      val n = xs.numElements()
       var dot = 0.0
       var sa = 0.0
       var sb = 0.0
@@ -125,21 +165,36 @@ object VectorExprs {
         // resolved input types — same strides as the interpreted loops
         val getX = if (lFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
         val getY = if (rFloat) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
+        // same NULL semantics as the interpreted path; the per-element
+        // null test compiles away when neither child may hold nulls
+        val nullElemCheck =
+          if (lMayNull || rMayNull) {
+            val lc = if (lMayNull) s"$a.isNullAt($i)" else "false"
+            val rc = if (rMayNull) s"$b.isNullAt($i)" else "false"
+            s"if ($lc || $rc) { ${ev.isNull} = true; break; }"
+          } else ""
         s"""
-           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-           |double $dot = 0.0;
-           |double $sa = 0.0;
-           |double $sb = 0.0;
-           |for (int $i = 0; $i < $n; $i++) {
-           |  double $x = $getX;
-           |  double $y = $getY;
-           |  $dot += $x * $y;
-           |  $sa += $x * $x;
-           |  $sb += $y * $y;
+           |if ($a.numElements() != $b.numElements()) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  int $n = $a.numElements();
+           |  double $dot = 0.0;
+           |  double $sa = 0.0;
+           |  double $sb = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    $nullElemCheck
+           |    double $x = $getX;
+           |    double $y = $getY;
+           |    $dot += $x * $y;
+           |    $sa += $x * $x;
+           |    $sb += $y * $y;
+           |  }
+           |  if (!${ev.isNull}) {
+           |    double $na = java.lang.Math.sqrt($sa);
+           |    double $nb = java.lang.Math.sqrt($sb);
+           |    ${ev.value} = ($na == 0.0 || $nb == 0.0) ? 0.0 : $dot / ($na * $nb);
+           |  }
            |}
-           |double $na = java.lang.Math.sqrt($sa);
-           |double $nb = java.lang.Math.sqrt($sb);
-           |${ev.value} = ($na == 0.0 || $nb == 0.0) ? 0.0 : $dot / ($na * $nb);
            |""".stripMargin
       })
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
@@ -188,7 +243,10 @@ object VectorExprs {
       }
       val xa = (toL(a) & 0xFFFFFFFFL) ^ 0x80000000L // signed -> unsigned order
       val xb = (toL(b) & 0xFFFFFFFFL) ^ 0x80000000L
-      (spread(xa) | (spread(xb) << 1)) ^ Long.MinValue // monotone under signed compare
+      // LEFT input takes the odd (higher) bit positions — the same
+      // operand convention as ZOrder.zorderKey, so the repo's two
+      // Morton-key APIs produce interchangeable curves for (a, b)
+      ((spread(xa) << 1) | spread(xb)) ^ Long.MinValue // monotone under signed compare
     }
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
       copy(left = l, right = r)
@@ -214,21 +272,24 @@ object VectorExprs {
     override def nullable: Boolean = true
     override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
       checkFractionalArrays("graft_array_dot", Seq(left, right))
-    private def elemT(e: Expression): DataType =
-      e.dataType.asInstanceOf[ArrayType].elementType
+    // resolved once per expression instance, not per row — this sits on
+    // the strength-reduced similarity hot path (same pattern as
+    // ArrayCosine's lFloat/rFloat)
+    @transient private lazy val lFloat =
+      left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    @transient private lazy val rFloat =
+      right.dataType.asInstanceOf[ArrayType].elementType == FloatType
     override def nullSafeEval(a: Any, b: Any): Any = {
       val xs = a.asInstanceOf[ArrayData]
       val ys = b.asInstanceOf[ArrayData]
       if (xs.numElements() != ys.numElements()) return null
       val n = xs.numElements()
-      val lt = elemT(left)
-      val rt = elemT(right)
       var dot = 0.0
       var i = 0
       while (i < n) {
         if (xs.isNullAt(i) || ys.isNullAt(i)) return null
-        val x = if (lt == FloatType) xs.getFloat(i).toDouble else xs.getDouble(i)
-        val y = if (rt == FloatType) ys.getFloat(i).toDouble else ys.getDouble(i)
+        val x = if (lFloat) xs.getFloat(i).toDouble else xs.getDouble(i)
+        val y = if (rFloat) ys.getFloat(i).toDouble else ys.getDouble(i)
         dot += x * y
         i += 1
       }
@@ -247,6 +308,8 @@ object VectorExprs {
   case class MinHashSig(child: Expression, as: Seq[Long], bs: Seq[Long], p: Long)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      checkElementType("graft_minhash_sig", Seq(child), LongType)
     private val k = as.length
     override def nullSafeEval(input: Any): Any = {
       val hashes = input.asInstanceOf[ArrayData]
@@ -268,6 +331,8 @@ object VectorExprs {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  private val ShingleSep: UTF8String = UTF8String.fromString(" ")
+
   /** Distinct word-n-gram shingle hashes from a token-string array:
     * joins each n-token window with single spaces, hashes with Spark's
     * seed-42 XXH64, reduces mod p, de-duplicates — the compiled
@@ -278,6 +343,8 @@ object VectorExprs {
   case class ShingleHashes(child: Expression, n: Int, p: Long)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      checkElementType("graft_shingle_hashes", Seq(child), StringType)
     override def nullSafeEval(input: Any): Any = {
       val toks = input.asInstanceOf[ArrayData]
       val len = toks.numElements()
@@ -290,14 +357,22 @@ object VectorExprs {
         // verification sets); the ((h%p)+p)%p form would overflow there
         seen.add(if (p == Long.MaxValue) h else ((h % p) + p) % p)
       }
+      // hoisted separator + reusable window buffer: this loop runs once
+      // per document in the dedup hot path, so two fresh objects per
+      // shingle window (separator + Range-mapped Seq) are churn the
+      // expression exists to remove
       if (len < n) {
-        val parts = (0 until len).map(tok)
-        add(UTF8String.concatWs(UTF8String.fromString(" "), parts: _*))
+        val parts = new Array[UTF8String](len)
+        var i = 0
+        while (i < len) { parts(i) = tok(i); i += 1 }
+        add(UTF8String.concatWs(ShingleSep, parts.toIndexedSeq: _*))
       } else {
+        val window = new Array[UTF8String](n)
         var j = 0
         while (j <= len - n) {
-          val parts = (j until j + n).map(tok)
-          add(UTF8String.concatWs(UTF8String.fromString(" "), parts: _*))
+          var i = 0
+          while (i < n) { window(i) = tok(j + i); i += 1 }
+          add(UTF8String.concatWs(ShingleSep, window.toIndexedSeq: _*))
           j += 1
         }
       }
@@ -317,6 +392,8 @@ object VectorExprs {
   case class JaccardLongs(left: Expression, right: Expression)
       extends BinaryExpression {
     override def dataType: DataType = DoubleType
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      checkElementType("graft_jaccard_longs", Seq(left, right), LongType)
     override def nullSafeEval(a: Any, b: Any): Any = {
       val xs = a.asInstanceOf[ArrayData]
       val ys = b.asInstanceOf[ArrayData]
@@ -375,6 +452,8 @@ object VectorExprs {
     */
   case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = LongType
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      checkElementType("graft_simhash64", Seq(child), StringType)
     override def nullSafeEval(input: Any): Any = {
       val toks = input.asInstanceOf[ArrayData]
       val n = toks.numElements()
@@ -411,6 +490,8 @@ object VectorExprs {
     */
   case class SimHashMd5(child: Expression) extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = LongType
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      checkElementType("graft_simhash_md5", Seq(child), StringType)
     @transient private lazy val mdLocal =
       ThreadLocal.withInitial[java.security.MessageDigest](() =>
         java.security.MessageDigest.getInstance("MD5"))
@@ -463,8 +544,11 @@ object VectorExprs {
     override def dataType: DataType = LongType
     override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
       checkFractionalArrays("graft_hyperplane_sig", Seq(child))
+    override def nullable: Boolean = true
     @transient private lazy val isFloat =
       child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    @transient private lazy val mayNull =
+      child.dataType.asInstanceOf[ArrayType].containsNull
     // plane weights per observed dimensionality (corpora are fixed-dim;
     // the map handles ragged inputs correctly anyway)
     @transient private lazy val planesByDim =
@@ -485,6 +569,12 @@ object VectorExprs {
     override def nullSafeEval(input: Any): Any = {
       val xs = input.asInstanceOf[ArrayData]
       val n = xs.numElements()
+      // a NULL component has no sign contribution — NULL out rather
+      // than NPE (interpreted) / silently read 0.0 (unsafe rows)
+      if (mayNull) {
+        var j = 0
+        while (j < n) { if (xs.isNullAt(j)) return null; j += 1 }
+      }
       val w = planes(n)
       var sig = 0L
       var p = 0
@@ -593,16 +683,32 @@ object VectorExprs {
   case class ArrayL2Sq(left: Expression, right: Expression)
       extends BinaryExpression with CodegenFallback {
     override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
     override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
       checkFractionalArrays("graft_array_l2sq", Seq(left, right))
     @transient private lazy val lFloat =
       left.dataType.asInstanceOf[ArrayType].elementType == FloatType
     @transient private lazy val rFloat =
       right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    @transient private lazy val lMayNull =
+      left.dataType.asInstanceOf[ArrayType].containsNull
+    @transient private lazy val rMayNull =
+      right.dataType.asInstanceOf[ArrayType].containsNull
     override def nullSafeEval(a: Any, b: Any): Any = {
       val xs = a.asInstanceOf[ArrayData]
       val ys = b.asInstanceOf[ArrayData]
-      val n = math.min(xs.numElements(), ys.numElements())
+      // NULL on unequal lengths / NULL elements — the zip_with fold's
+      // semantics, and the only safe answer (a truncated distance
+      // silently mis-ranks candidates)
+      if (xs.numElements() != ys.numElements()) return null
+      val n = xs.numElements()
+      if (lMayNull || rMayNull) {
+        var j = 0
+        while (j < n) {
+          if ((lMayNull && xs.isNullAt(j)) || (rMayNull && ys.isNullAt(j))) return null
+          j += 1
+        }
+      }
       var s = 0.0
       var i = 0
       while (i < n) {

@@ -59,13 +59,14 @@ class SkewSpec extends SparkSpec {
   }
 
   test("zorder2 interleaves bits; z-clustering tightens per-partition ranges on BOTH dims") {
-    // exact interleave relative to the origin: z(0b11,0)-z0 = 0b0101,
-    // z(0,0b11)-z0 = 0b1010 (sign-bias shifts all keys by a constant)
+    // exact interleave relative to the origin: left operand takes the odd
+    // (higher) bit positions, matching ZOrder.zorderKey — z(0b11,0)-z0 =
+    // 0b1010, z(0,0b11)-z0 = 0b0101 (sign-bias shifts all keys by a constant)
     val z = graft.functions.VectorExprs.zorder2(spark, col("a").cast("long"), col("b").cast("long"))
     val vals = Seq((0L, 0L), (3L, 0L), (0L, 3L), (1L, 1L), (-1L, 0L), (Int.MaxValue.toLong, 0L))
       .toDF("a", "b").select(z.as("z")).collect().map(_.getLong(0)).toSeq
     val z0 = vals(0)
-    assert(vals(1) - z0 == 5L && vals(2) - z0 == 10L && vals(3) - z0 == 3L, vals)
+    assert(vals(1) - z0 == 10L && vals(2) - z0 == 5L && vals(3) - z0 == 3L, vals)
     // signed monotonicity across the former wrap point: -1 < 0 < Int.MaxValue
     assert(vals(4) < z0, s"z(-1,0)=${vals(4)} must sort before z(0,0)=$z0")
     assert(vals(5) > z0, s"z(IntMax,0)=${vals(5)} must sort after z(0,0)=$z0")

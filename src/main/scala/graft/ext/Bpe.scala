@@ -67,7 +67,10 @@ object Bpe {
     * PREVIOUS round's checkpoint blocks are released as soon as the new
     * one materializes, so executor storage stays O(word-type table), not
     * O(merges × word-type table) — the difference between merges=6 and a
-    * realistic 30k-merge vocabulary.
+    * realistic 30k-merge vocabulary. (r21 A/B: batching checkpoints to
+    * every 8th round re-evaluates up to 8 interpreted fold layers under
+    * every round's pair-count aggregation and measured 2.2× SLOWER at
+    * sf0.1 — the eager per-round checkpoint IS the cheap shape.)
     */
   def fit(corpus: DataFrame, textCol: String, merges: Int): Seq[MergeRule] = {
     val words = wordTypes(corpus, textCol).persist()

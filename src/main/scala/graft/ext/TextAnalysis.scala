@@ -64,14 +64,40 @@ object TextAnalysis {
       // floor-form 4-dp rounding: the score is a rational combination, so
       // round(x, 4) can land on a .5 boundary where decimal-string and
       // binary rounding disagree across engines; floor(x*1e4+0.5)
-      // evaluates the identical binary double everywhere
+      // evaluates the identical binary double everywhere.
+      //
+      // The score is SELF-CONTAINED (token array bound ONCE via a
+      // single-element transform, features derived from the bound
+      // variable) rather than referencing the feature columns above:
+      // CollapseProject inlines column references, so a consumer pruning
+      // to quality_score alone used to re-evaluate the tokenizing split
+      // ~7x per row — all interpreted, because the stopword filter is a
+      // higher-order function outside codegen. A lambda variable cannot
+      // be inlined, so the split/filter/distinct each run exactly once.
+      // Arithmetic and operation order are identical to the column form,
+      // so the score stays bit-for-bit equal (oracle-checked).
       .withColumn(
-        "quality_score",
-        floor(
-          (least(lit(1.0), col("n_tokens_q") / lit(100.0)) * lit(0.3) +
-            (lit(1.0) - least(lit(1.0), col("punct_ratio") * 5)) * lit(0.2) +
-            least(lit(1.0), col("stopword_ratio") * 4) * lit(0.2) +
-            col("uniq_ratio") * lit(0.3)) * 10000 + 0.5) / 10000.0)
+        "quality_score", {
+          val sw = array(Stopwords.en.map(lit): _*)
+          element_at(
+            transform(
+              array(toks),
+              tks => {
+                val nTok = when(length(trim(t)) === 0, 0).otherwise(size(tks))
+                val punct = when(length(t) === 0, 0.0)
+                  .otherwise(length(regexp_replace(t, "[^.,;:!?]", "")) / length(t).cast("double"))
+                val stop = when(nTok === 0, 0.0)
+                  .otherwise(size(filter(tks, tk => array_contains(sw, tk))) / size(tks).cast("double"))
+                val uniq = when(nTok === 0, 0.0)
+                  .otherwise(size(array_distinct(tks)) / size(tks).cast("double"))
+                floor(
+                  (least(lit(1.0), nTok / lit(100.0)) * lit(0.3) +
+                    (lit(1.0) - least(lit(1.0), punct * 5)) * lit(0.2) +
+                    least(lit(1.0), stop * 4) * lit(0.2) +
+                    uniq * lit(0.3)) * 10000 + 0.5) / 10000.0
+              }),
+            1)
+        })
   }
 
   /** Language identification: stopword-profile scoring over the five
@@ -81,30 +107,53 @@ object TextAnalysis {
     * prose is validated in TextAnalysisSpec on hand-written fixtures.
     */
   def langId(text: Column): Column = {
-    val toks = tokensWs(lower(text))
-    def score(words: Seq[String]): Column = {
+    // Single-evaluation shape: the token array is bound ONCE via a
+    // single-element transform, then the four stopword scores + the CJK
+    // ratio are bound ONCE as a struct the argmax when-chain reads from.
+    // The direct when-chain form inlined the tokenizing split ~20x and
+    // each score ~3x per row (greatest + per-language comparison), all
+    // interpreted because the stopword filter is a higher-order function
+    // outside codegen — measured 2.09 s warm vs 0.23 s single-eval on the
+    // sf0.1 confusion matrix. A lambda variable cannot be inlined by
+    // CollapseProject/SimplifyExtractValueOps, unlike a struct field or a
+    // withColumn alias, so this shape is re-expansion-proof. Comparisons
+    // and tie order are identical, so predictions match bit for bit.
+    def score(tks: Column, words: Seq[String]): Column = {
       val wordArr = array(words.map(lit): _*)
-      when(size(toks) === 0, 0.0)
-        .otherwise(size(filter(toks, t => array_contains(wordArr, t))) / size(toks).cast("double"))
+      when(size(tks) === 0, 0.0)
+        .otherwise(size(filter(tks, t => array_contains(wordArr, t))) / size(tks).cast("double"))
     }
     val cjkRatio =
       when(length(text) === 0, 0.0)
         .otherwise(length(regexp_replace(text, "[^\\u4e00-\\u9fff]", "")) / length(text).cast("double"))
-    val scores: Seq[(String, Column)] =
-      Seq("en" -> score(Stopwords.en), "fr" -> score(Stopwords.fr), "es" -> score(Stopwords.es),
-        "de" -> score(Stopwords.de))
     // Chinese wins on any meaningful CJK presence; otherwise argmax of
     // stopword ratios with deterministic tie order en>fr>es>de, 'und'
     // (undetermined) when nothing scores.
-    val (n1, c1) = scores(0); val (n2, c2) = scores(1)
-    val (n3, c3) = scores(2); val (n4, c4) = scores(3)
-    val maxScore = greatest(c1, c2, c3, c4)
-    when(cjkRatio > 0.05, lit("zh"))
-      .when(maxScore <= 0.0, lit("und"))
-      .when(c1 === maxScore, lit(n1))
-      .when(c2 === maxScore, lit(n2))
-      .when(c3 === maxScore, lit(n3))
-      .otherwise(lit(n4))
+    element_at(
+      transform(
+        array(tokensWs(lower(text))),
+        tks =>
+          element_at(
+            transform(
+              array(struct(
+                score(tks, Stopwords.en).as("en"),
+                score(tks, Stopwords.fr).as("fr"),
+                score(tks, Stopwords.es).as("es"),
+                score(tks, Stopwords.de).as("de"),
+                cjkRatio.as("cjk"))),
+              s => {
+                val c1 = s.getField("en"); val c2 = s.getField("fr")
+                val c3 = s.getField("es"); val c4 = s.getField("de")
+                val maxScore = greatest(c1, c2, c3, c4)
+                when(s.getField("cjk") > 0.05, lit("zh"))
+                  .when(maxScore <= 0.0, lit("und"))
+                  .when(c1 === maxScore, lit("en"))
+                  .when(c2 === maxScore, lit("fr"))
+                  .when(c3 === maxScore, lit("es"))
+                  .otherwise(lit("de"))
+              }),
+            1)),
+      1)
   }
 
   /** Within-document repetition features — the Gopher repetition

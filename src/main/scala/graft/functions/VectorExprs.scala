@@ -258,6 +258,70 @@ object VectorExprs {
     call_function("graft_zorder2", a, b)
   }
 
+  /** Hilbert curve index of two non-negative dimensions on a
+    * 2^order × 2^order grid — the compiled form of the `aggregate`-fold
+    * column formulation [[graft.functions.ZOrder.hilbertKey]] wraps:
+    * the identical Hamilton-convention rotate-and-accumulate loop
+    * (HilbertSpec pins both against an independent reference
+    * transcription), evaluated as ONE tight JVM loop per row instead of
+    * `order` interpreted fold steps each allocating a struct
+    * accumulator. The clustered rewrite evaluates the key twice per row
+    * (range-partitioner sample pass + real pass), which made the
+    * interpreted fold the dominant cost of the Hilbert compaction.
+    * Inputs are masked to the low `order` bits exactly like the fold's
+    * initial accumulator.
+    */
+  case class Hilbert2(left: Expression, right: Expression, order: Int)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      val ok = Seq(left, right).forall(e =>
+        e.dataType == LongType || e.dataType == IntegerType)
+      if (ok) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"graft_hilbert2 expects integral arguments, got ${left.dataType.sql}, ${right.dataType.sql}")
+    }
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      def toL(v: Any): Long = v match {
+        case i: java.lang.Integer => i.toLong
+        case l: java.lang.Long => l
+      }
+      val mask = (1L << order) - 1
+      var x = toL(a) & mask
+      var y = toL(b) & mask
+      var d = 0L
+      var s = 1L << (order - 1)
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1L else 0L
+        val ry = if ((y & s) > 0) 1L else 0L
+        d += s * s * ((3 * rx) ^ ry)
+        // Hamilton rotation — negate-if-rx then swap, skipped when ry=1:
+        // exactly the fold's nx/ny when-chains
+        if (ry == 0L) {
+          if (rx == 1L) { x = s - 1 - x; y = s - 1 - y }
+          val t = x; x = y; y = t
+        }
+        s >>= 1
+      }
+      d
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** Compiled Hilbert key with `order` baked into the registration. */
+  def hilbert2(
+      spark: org.apache.spark.sql.SparkSession,
+      a: Column,
+      b: Column,
+      order: Int): Column = {
+    val name = s"graft_hilbert2_$order"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => Hilbert2(exprs(0), exprs(1), order), "scala_udf")
+    call_function(name, a, b)
+  }
+
   /** Dot product over two numeric arrays with the EXACT null/length
     * semantics of the declarative
     * `aggregate(zip_with(a, b, _ * _), 0.0, _ + _)` it replaces (see

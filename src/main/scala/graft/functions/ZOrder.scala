@@ -51,36 +51,19 @@ object ZOrder {
     * The classic xy→d loop (rotate-and-accumulate per bit level,
     * Hamilton's convention) is data-dependent per level, so unrolling it
     * into plain column algebra would duplicate the x/y subtrees ~3× per
-    * level — an exponentially-sized plan. Instead the whole loop is ONE
-    * `aggregate` fold over the literal level sequence with a
-    * struct(d, x, y) accumulator: plan size linear in `order`, evaluated
-    * iteratively per row. A higher-order function sits outside
-    * whole-stage codegen, but 16 fold steps per row is noise next to
-    * the shuffle the clustered rewrite performs anyway.
+    * level — an exponentially-sized plan. The loop therefore runs as the
+    * compiled expression [[graft.functions.VectorExprs.Hilbert2]]: one
+    * tight JVM loop per row. (The earlier `aggregate`-fold column form
+    * computed the same Hamilton loop but interpreted — `order` fold
+    * steps per row, each allocating a struct accumulator and evaluating
+    * ~15 sub-expressions; the clustered rewrite evaluates the key twice
+    * per row — range-partitioner sample + real pass — which made the
+    * fold ~3 s of q_hilbert_scan at sf0.1. HilbertSpec pins both forms
+    * against an independent reference transcription.)
     */
   def hilbertKey(a: Column, b: Column, order: Int = 16): Column = {
     require(order >= 1 && order <= 31, s"hilbert order must be in [1,31], got $order")
-    val mask = (1L << order) - 1
-    // fold over the literal per-level cell sizes s = 2^(order-1) … 1, so
-    // the lambda needs no variable-amount shift at all
-    val levels = array(((order - 1) to 0 by -1).map(i => lit(1L << i)): _*)
-    aggregate(
-      levels,
-      struct(
-        lit(0L).as("d"),
-        a.cast("long").bitwiseAND(lit(mask)).as("x"),
-        b.cast("long").bitwiseAND(lit(mask)).as("y")),
-      (acc, s) => {
-        val x = acc.getField("x")
-        val y = acc.getField("y")
-        val rx = when(x.bitwiseAND(s) > 0, lit(1L)).otherwise(lit(0L))
-        val ry = when(y.bitwiseAND(s) > 0, lit(1L)).otherwise(lit(0L))
-        val nd = acc.getField("d") + s * s * (rx * 3).bitwiseXOR(ry)
-        // Hamilton rotation: negate-if-rx then swap, skipped when ry=1
-        val nx = when(ry > 0, x).otherwise(when(rx > 0, s - 1 - y).otherwise(y))
-        val ny = when(ry > 0, y).otherwise(when(rx > 0, s - 1 - x).otherwise(x))
-        struct(nd.as("d"), nx.as("x"), ny.as("y"))
-      },
-      acc => acc.getField("d"))
+    VectorExprs.hilbert2(
+      org.apache.spark.sql.SparkSession.active, a.cast("long"), b.cast("long"), order)
   }
 }

@@ -604,7 +604,7 @@ final case class GraftCtasCommand(
   * source LEFT ANTI JOIN target, its own clause index/filter and
   * projection; UNION of both replaces the table. At scale the join is
   * the standard MERGE shuffle (broadcastable small source), and the
-  * cardinality probe is one inner join over the same keys.
+  * cardinality probe shares the matched-side join's persisted output.
   */
 final case class GraftMergeIntoCommand(
     root: String,
@@ -640,10 +640,42 @@ final case class GraftMergeIntoCommand(
       }
 
     // ---- cardinality rule: no target row may match >1 source row ----
-    if (matchedActions.nonEmpty) {
-      val tWithId = Project(
-        Seq(UnresolvedStar(None), Alias(MonotonicallyIncreasingID(), TidCol)()),
-        aliasT)
+    // Two enforcement shapes, picked by SOURCE SIZE (the scale knob):
+    //
+    //  - Broadcast-sized source (the overwhelmingly common OLTP-ish
+    //    merge): a separate eager probe join. Both probe and rewrite
+    //    broadcast the source and stream the target, so the "extra" join
+    //    costs one more broadcast build of an already-small side —
+    //    measured cheaper at bench scale than any sharing machinery
+    //    (persisting the joined frame regressed q_merge_sql 1.0 → 2.5 s:
+    //    cache write + columnar encode + an extra shuffle-agg job dwarf a
+    //    second broadcast join over 10k rows).
+    //
+    //  - Past the broadcast threshold (the 100 TB shape, where the
+    //    matched join is a full shuffle of both sides): the matched-side
+    //    join is built ONCE with a synthetic target row id, PERSISTED,
+    //    the probe counts rows per id over the cached frame (a left-outer
+    //    join emits exactly one row per unmatched target row, so >1 rows
+    //    per id ⟺ multiple source matches), and the clause rewrite then
+    //    consumes the SAME cached frame — Delta's discipline of deriving
+    //    the rule from the merge join itself, removing the second full
+    //    scan+shuffle of both sides. MergeSqlSpec pins the shared join.
+    def requireUnambiguous(joined: org.apache.spark.sql.DataFrame): Unit = {
+      val ambiguous = joined
+        .groupBy(col(TidCol))
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("__graft_cnt"))
+        .filter(col("__graft_cnt") > 1)
+        .limit(1)
+      require(
+        ambiguous.isEmpty,
+        "MERGE INTO: a target row matches multiple source rows " +
+          "(ambiguous merge — the SQL cardinality rule Iceberg/Delta also enforce)")
+    }
+    def tWithId = Project(
+      Seq(UnresolvedStar(None), Alias(MonotonicallyIncreasingID(), TidCol)()),
+      aliasT)
+    def eagerProbe(): Unit = {
       val probe = Aggregate(
         Seq(UnresolvedAttribute(Seq(TidCol))),
         Seq(Alias(Count(Seq(Literal(1))).toAggregateExpression(), "cnt")()),
@@ -656,6 +688,16 @@ final case class GraftMergeIntoCommand(
         "MERGE INTO: a target row matches multiple source rows " +
           "(ambiguous merge — the SQL cardinality rule Iceberg/Delta also enforce)")
     }
+    // size gate from the optimizer's own estimate of the source subtree
+    // (no execution): exactly the stat the planner will use to pick the
+    // join strategy, so "probe re-joins cheaply" and "the join would
+    // broadcast" coincide
+    val sourceBroadcastable: Boolean = {
+      val thr = org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+      thr > 0 && GraftSqlInternals.ofRows(spark, source)
+        .queryExecution.optimizedPlan.stats.sizeInBytes <= thr
+    }
+    val sharedJoins = scala.collection.mutable.ListBuffer.empty[org.apache.spark.sql.DataFrame]
 
     // ---- matched side: target vs source, clause-indexed ----
     val bySourceActions = payload.notMatchedBySourceActions
@@ -715,20 +757,34 @@ final case class GraftMergeIntoCommand(
         if (matchedActions.isEmpty) passthroughAll(aliasT)
         else {
           // one LEFT OUTER join carries both matched rows (clauses
-          // apply, marker-guarded) and unmatched ones (passthrough)
+          // apply, marker-guarded) and unmatched ones (passthrough);
+          // broadcast-sized sources probe eagerly and re-join (cheap),
+          // larger sources build the join once, persist, probe, rewrite
           val sourceAug = Project(
             Seq(UnresolvedStar(None), Alias(Literal(true), MatchedCol)()),
             source)
-          clauseRewrite(
-            Join(aliasT, sourceAug, LeftOuter, Some(condition), JoinHint.NONE),
-            matchedActions,
-            guard = Some(EqualNullSafe(UnresolvedAttribute(Seq(MatchedCol)), Literal(true))),
-            starFor = Some(sAttr))
+          val guard = Some(
+            EqualNullSafe(UnresolvedAttribute(Seq(MatchedCol)), Literal(true)): Expression)
+          if (sourceBroadcastable) {
+            eagerProbe()
+            clauseRewrite(
+              Join(aliasT, sourceAug, LeftOuter, Some(condition), JoinHint.NONE),
+              matchedActions, guard = guard, starFor = Some(sAttr))
+          } else {
+            val joined = GraftSqlInternals.ofRows(
+              spark,
+              Join(tWithId, sourceAug, LeftOuter, Some(condition), JoinHint.NONE)).persist()
+            sharedJoins += joined
+            requireUnambiguous(joined)
+            clauseRewrite(
+              joined.queryExecution.analyzed,
+              matchedActions, guard = guard, starFor = Some(sAttr))
+          }
         }
       } else {
         // by-source clauses split the matched side in two over the SAME
-        // join keys: matched rows (inner join — the cardinality probe
-        // above guarantees ≤1 source match — or semi when no matched
+        // join keys: matched rows (inner join — probed for ≤1 source
+        // match over its own persisted output — or semi when no matched
         // action exists, which is duplicate-proof without a probe) and
         // target-only rows (anti join). The anti branch's output has no
         // source columns AT ALL, so a by-source clause referencing the
@@ -738,10 +794,21 @@ final case class GraftMergeIntoCommand(
         val matchedBranch: LogicalPlan =
           if (matchedActions.isEmpty)
             passthroughAll(Join(aliasT, source, LeftSemi, Some(condition), JoinHint.NONE))
-          else
+          else if (sourceBroadcastable) {
+            eagerProbe()
             clauseRewrite(
               Join(aliasT, source, Inner, Some(condition), JoinHint.NONE),
               matchedActions, guard = None, starFor = Some(sAttr))
+          } else {
+            val joined = GraftSqlInternals.ofRows(
+              spark,
+              Join(tWithId, source, Inner, Some(condition), JoinHint.NONE)).persist()
+            sharedJoins += joined
+            requireUnambiguous(joined)
+            clauseRewrite(
+              joined.queryExecution.analyzed,
+              matchedActions, guard = None, starFor = Some(sAttr))
+          }
         val bySourceBranch = clauseRewrite(
           Join(aliasT, source, LeftAnti, Some(condition), JoinHint.NONE),
           bySourceActions, guard = None, starFor = None)
@@ -783,7 +850,8 @@ final case class GraftMergeIntoCommand(
       case Some(ins) => Union(updatedPart, ins)
       case None => updatedPart
     }
-    table.overwrite(GraftSqlInternals.ofRows(spark, result))
+    try table.overwrite(GraftSqlInternals.ofRows(spark, result))
+    finally sharedJoins.foreach(_.unpersist(blocking = false))
     Seq.empty
   }
 }

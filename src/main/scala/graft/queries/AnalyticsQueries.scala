@@ -1584,9 +1584,17 @@ object AnalyticsQueries {
     val seeds = edges
       .select(col("src").as("node")).distinct()
       .where(col("node") % 2 === 0 && col("node") <= 10)
+    // `visited` is a UNION OF THE CACHED PER-ROUND FRAMES, not a frame
+    // re-persisted (and re-counted) every round: each round's `next` is
+    // already cached for the frontier, so visited_h = seeds ∪ next_1 ∪ …
+    // ∪ next_h reads h+1 cached frames with no new materialization job —
+    // the per-round persist+count+unpersist of a growing visited copy
+    // was ~3 extra jobs/round of pure bookkeeping (and double-cached
+    // every visited row). The union plan grows linearly in the hop
+    // bound, which is a constant (3) here and small for any BFS.
     var visited = seeds.withColumn("hop", lit(0))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var frontier: DataFrame = seeds
+    var frontier: DataFrame = visited.select(col("node"))
     // the per-round count is load-bearing twice: it's the Pregel-style
     // convergence check (stop when the frontier drains — a fixed hop
     // bound on an already-exhausted graph would still pay the joins),
@@ -1597,7 +1605,6 @@ object AnalyticsQueries {
     // frontier is a loop-carried cached frame with no stats.
     var frontierRows = frontier.count()
     var visitedRows = frontierRows
-    var prevRound: Option[DataFrame] = None
     var h = 1
     while (h <= 3 && frontierRows > 0) {
       val probe = frontier.withColumnRenamed("node", "src")
@@ -1630,13 +1637,10 @@ object AnalyticsQueries {
       frontierRows = next.count()
       scratch.foreach(_.unpersist(blocking = false))
       visitedRows += frontierRows
-      val prevVisited = visited
+      // every round frame stays cached (it IS part of visited); total
+      // cached rows = |V|, the same bound the old re-persisted visited
+      // copy held on top of the round frames
       visited = visited.unionByName(next)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      visited.count() // materialize before retiring its inputs
-      prevVisited.unpersist(blocking = false)
-      prevRound.foreach(_.unpersist(blocking = false))
-      prevRound = Some(next)
       frontier = next.select(col("node"))
       h += 1
     }

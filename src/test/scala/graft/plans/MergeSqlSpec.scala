@@ -187,6 +187,58 @@ class MergeSqlSpec extends SparkSpec {
     assert(got == Set((1, "a9", 180.0), (2, "bx", 10.0), (9, "i", 2.0)), s"got $got")
   }
 
+  test("MERGE matched rewrite consumes the probe's persisted join, not a second target×source join") {
+    val t = freshTarget("mshare", Seq((1, "a", 1.0), (2, "b", 2.0)))
+    MergeSqlTargets.register(spark, "t_mshare", t.root)
+    Seq((1, "a2", 9.0), (3, "c", 3.0)).toDF("k", "name", "bal")
+      .createOrReplaceTempView("s_mshare")
+    val plans = java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(
+          funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = plans.add(qe.executedPlan.toString)
+      override def onFailure(
+          funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    // force the past-broadcast-threshold path: small sources keep the
+    // cheap eager probe (re-joining a broadcast side twice beats cache
+    // machinery), large sources must share ONE persisted matched join
+    val prevThr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      spark.sql(
+        """MERGE INTO t_mshare t USING s_mshare s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      // listener delivery is async — poll for the overwrite's plan: the
+      // UNION of (matched rewrite, insert anti). Its matched branch must
+      // read the cardinality probe's cached join (InMemoryTableScan),
+      // never re-run the target×source LEFT OUTER join a second time.
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      def rewrite(): Option[String] = {
+        import scala.jdk.CollectionConverters._
+        plans.asScala.toSeq.find(p => p.contains("LeftAnti") && p.contains("Union"))
+      }
+      var found = rewrite()
+      while (found.isEmpty && System.nanoTime() < deadline) {
+        Thread.sleep(100); found = rewrite()
+      }
+      assert(found.nonEmpty, "no overwrite execution captured")
+      assert(
+        found.get.contains("InMemoryTableScan"),
+        s"matched rewrite must reuse the probe's persisted join:\n${found.get.take(4000)}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
+      spark.listenerManager.unregister(listener)
+    }
+    val got = t.read().collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got == Set((1, "a2", 9.0), (2, "b", 2.0), (3, "c", 3.0)), s"got $got")
+  }
+
   test("MERGE INTO enforces the source-cardinality rule") {
     val t = freshTarget("msql3", Seq((1, "a", 1.0)))
     MergeSqlTargets.register(spark, "t_msql3", t.root)

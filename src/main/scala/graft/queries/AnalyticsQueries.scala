@@ -1442,16 +1442,23 @@ object AnalyticsQueries {
     * 10⁹-vertex plan.
     */
   def triangleCount(spark: SparkSession, sfDir: String): DataFrame = {
-    val po = spark.read
+    // canonical undirected edges (p1 < p2); referenced 3× (degrees,
+    // orientation, scalar count) — persist like pagerank's edge list.
+    // ORDER-LOCAL pair generation: one groupBy(order) collects the
+    // sorted distinct part array and expands its C(k,2) pairs map-side
+    // (sorted array ⇒ p1 < p2 by construction), replacing the previous
+    // distinct + self-join + where shape — identical edge set, one less
+    // full shuffle of the part-order table (r21 A/B at sf0.1: 5.8 → 2.9 s
+    // for the edge build, TriProf). The per-order array is bounded by
+    // items/order exactly like the join fan-out was, so the shape is
+    // unchanged at scale.
+    val edges = spark.read
       .parquet(tablePath(sfDir, "lineitem"))
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
-    // canonical undirected edges (p1 < p2); referenced 3× (degrees,
-    // orientation, scalar count) — persist like pagerank's edge list
-    val edges = po.select(col("o"), col("p").as("p1"))
-      .join(po.select(col("o"), col("p").as("p2")), Seq("o"))
-      .where(col("p1") < col("p2"))
-      .select(col("p1"), col("p2"))
+      .groupBy(col("o")).agg(array_sort(array_distinct(collect_list(col("p")))).as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> transform(slice(ps, i + 2, size(ps) - i - 1), y -> struct(x AS p1, y AS p2))))")).as("e"))
+      .select(col("e.p1").as("p1"), col("e.p2").as("p2"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nEdges = edges.count()

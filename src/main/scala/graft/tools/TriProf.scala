@@ -24,13 +24,26 @@ object TriProf {
     val po = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .distinct()
-    val edges = po.select(col("o"), col("p").as("p1"))
+    val edgesJoin = po.select(col("o"), col("p").as("p1"))
       .join(po.select(col("o"), col("p").as("p2")), Seq("o"))
       .where(col("p1") < col("p2"))
       .select(col("p1"), col("p2"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nEdges = t("edges")(edges.count())
+    t("edges-join")(edgesJoin.count())
+    edgesJoin.unpersist(blocking = false)
+    // variant: order-local pair generation — one groupBy(o) instead of
+    // distinct + self-join; pairs expand map-side from the sorted
+    // per-order part array
+    val edges = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .groupBy(col("o")).agg(array_sort(array_distinct(collect_list(col("p")))).as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> transform(slice(ps, i + 2, size(ps) - i - 1), y -> struct(x AS p1, y AS p2))))")).as("e"))
+      .select(col("e.p1").as("p1"), col("e.p2").as("p2"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nEdges = t("edges-grouped")(edges.count())
     val deg = edges.select(col("p1").as("n"))
       .unionByName(edges.select(col("p2").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))

@@ -253,8 +253,12 @@ object Dedup {
           .select(col("shingle"))
         sets.join(heavy, Seq("shingle"), "left_anti")
       }
-    val a = bounded.select(col("shingle").as("sh_a"), col("id").as("id_a"), col("set_size").as("size_a"))
-    val b = bounded.select(col("shingle").as("sh_b"), col("id").as("id_b"), col("set_size").as("size_b"))
+    // the bounded posting list feeds BOTH self-join sides (and the heavy
+    // filter re-derives the shingle pass a third time) — persist it so
+    // the compiled shingle hashing and the heavy anti-join run once
+    val boundedP = bounded.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = boundedP.select(col("shingle").as("sh_a"), col("id").as("id_a"), col("set_size").as("size_a"))
+    val b = boundedP.select(col("shingle").as("sh_b"), col("id").as("id_b"), col("set_size").as("size_b"))
     a.join(
         b,
         col("sh_a") === col("sh_b") && col("id_a") < col("id_b") &&

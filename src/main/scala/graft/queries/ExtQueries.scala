@@ -1958,6 +1958,8 @@ object ExtQueries {
     * negative log-likelihood with add-0.5 smoothing. High = garbled.
     */
   def bigramLm(spark: SparkSession, sfDir: String): DataFrame =
+    // NOT widened (r21 A/B 4.1 → 4.5 s): the three model broadcast
+    // builds run concurrently, so the 1-task map stages already overlap
     LanguageModel.bigramNll(docs(spark, sfDir), "doc_id", "text", 0.5)
 
   val bigramLmSql: String =

@@ -287,22 +287,34 @@ object StreamJobs {
     val checkpoint = dir(workDir, s"checkpoint-febt-${java.util.UUID.randomUUID()}")
     val out = dir(workDir, s"febt-out-${java.util.UUID.randomUUID()}")
     val stream = spark.readStream.schema(sourceSchema).parquet(sourceDir)
+    // foreachBatch is AT-LEAST-ONCE: a micro-batch that fails after a
+    // partial write is re-delivered on restart, and a plain append sink
+    // would duplicate its rows. Each batch therefore lands in its own
+    // batchId-named subdir — overwrite replaces a partial earlier
+    // attempt, and a batch whose _SUCCESS marker already exists is a
+    // committed replay and is skipped (the same idempotence the memory-
+    // sink runners get from the sink itself).
     val q = stream.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        transform(batch).write.mode("append").parquet(out)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val dest = new java.io.File(out, s"b$batchId")
+        if (!new java.io.File(dest, "_SUCCESS").exists()) {
+          transform(batch).write.mode("overwrite").parquet(dest.toString)
+        }
         ()
       }
       .start()
     try q.processAllAvailable()
     finally q.stop()
-    // empty source → foreachBatch never fired → the pre-created out dir
-    // has no parquet files and schema inference would throw; derive the
-    // result schema by applying the transform to an empty batch instead
-    // (the sibling memory-sink runners return empty tables the same way)
-    val wrote = new java.io.File(out).listFiles() != null &&
-      new java.io.File(out).listFiles().exists(_.getName.endsWith(".parquet"))
-    if (wrote) spark.read.parquet(out)
+    // empty source → foreachBatch never fired → no committed batch dirs
+    // and schema inference would throw; derive the result schema by
+    // applying the transform to an empty batch instead (the sibling
+    // memory-sink runners return empty tables the same way). Reading the
+    // committed leaf dirs as explicit roots keeps the batch dir name out
+    // of the schema (no partition-column inference).
+    val batchDirs = Option(new java.io.File(out).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && new java.io.File(f, "_SUCCESS").exists())
+    if (batchDirs.nonEmpty) spark.read.parquet(batchDirs.map(_.toString): _*)
     else transform(spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sourceSchema)).limit(0)
   }

@@ -402,6 +402,28 @@ final class LakeTable(val spark: SparkSession, val root: String) {
                   "file data) — re-run the append against the current schema")
           }
       }
+      // sibling race to the resurrect check: a concurrent evolve-append
+      // re-introduced the SAME previously dropped/renamed column from a
+      // different prev version and committed its own fresh physical name.
+      // This batch's files are already written under OUR fresh physical,
+      // so folding our entry over the re-read tip's colMapping would
+      // silently orphan the winner's column data (its reads turn NULL).
+      // Terminal, like the resurrect check — the retry loop must not
+      // swallow it; the writer re-runs against the current schema. Equal
+      // names (both writers derived the same fresh suffix from the same
+      // tip) are consistent and commit fine.
+      if (op == "append" && keepExisting) prev.foreach { m =>
+        val clashed = newColMapping.collect {
+          case (logical, phys) if m.colMapping.get(logical).exists(_ != phys) =>
+            s"$logical (this batch: $phys, committed: ${m.colMapping(logical)})"
+        }
+        if (clashed.nonEmpty)
+          throw new IllegalStateException(
+            s"append to $root raced a concurrent evolve-append re-introducing " +
+              s"column(s) ${clashed.mkString(", ")} under a different fresh " +
+              "physical name — committing would orphan the earlier batch's " +
+              "column data; re-run the append against the current schema")
+      }
       val mergedMax = Stats.merge(prev.map(_.colMax).getOrElse(Map.empty), colMax, effSchema)
       try {
         // deletion vectors: an op that keeps the existing dirs keeps their
@@ -1333,7 +1355,10 @@ final class LakeTable(val spark: SparkSession, val root: String) {
       m.partitionBy.headOption
         .map(PartitionSpec.parse)
         .collect {
-          case t: TimePart if t.source == colName =>
+          // case-insensitive like requireNotPartitionSource and the
+          // schema lookups: readBetween("TS") on a days(ts) layout must
+          // not silently lose dir-level pruning (correct, full scan)
+          case t: TimePart if t.source.equalsIgnoreCase(colName) =>
             // bounds map in UTC unconditionally — the layout zone is
             // pinned at write (PartitionSpec.requireUtcSession), so a
             // non-UTC reading session still selects the right subdirs

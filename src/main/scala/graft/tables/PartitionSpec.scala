@@ -163,6 +163,11 @@ object PartitionSpec {
       case d: java.sql.Date => Some(d.toLocalDate)
       case d: java.time.LocalDate => Some(d)
       case i: java.time.Instant => Some(i.atZone(zone).toLocalDate)
+      // LocalDateTime bounds are interpreted as UTC WALL TIME (the
+      // layout's pinned zone): a caller holding a non-UTC local time
+      // must convert to Instant/Timestamp first — taking the LocalDate
+      // of a zoned wall time near midnight could otherwise select the
+      // adjacent day's dir and prune live rows
       case ldt: java.time.LocalDateTime => Some(ldt.toLocalDate)
       case s: String if s.matches("""\d{4}-\d{2}-\d{2}.*""") =>
         Some(java.time.LocalDate.parse(s.take(10)))

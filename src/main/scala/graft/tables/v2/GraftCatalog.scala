@@ -197,13 +197,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     if (!isLakeTable(p)) throw new NoSuchTableException(ident)
     val spark = org.apache.spark.sql.SparkSession.active
     val table = graft.tables.LakeTable(spark, p.toString)
-    // VALIDATE every change before applying ANY (the TableCatalog
-    // contract is all-or-nothing; an unsupported change must not land
-    // after a rename already committed a manifest version), then apply
-    // IN DECLARED ORDER — batching consecutive adds preserves order
-    // while keeping the common multi-add a single manifest commit, and
-    // AddColumn(x) followed by RenameColumn(x→y) works as written
-    // instead of the rename racing ahead of a deferred add.
+    // VALIDATE change KINDS before applying ANY (an unsupported change
+    // class must not land after a rename already committed a manifest
+    // version), then apply IN DECLARED ORDER — batching consecutive adds
+    // preserves order while keeping the common multi-add a single
+    // manifest commit, and AddColumn(x) followed by RenameColumn(x→y)
+    // works as written instead of the rename racing ahead of a deferred
+    // add. NOTE the atomicity contract this actually provides: each
+    // sub-change is individually atomic (one manifest commit), but
+    // VALUE-level validation of renames/drops (target exists, not a
+    // constrained/partition-source column) runs when the deferred thunk
+    // applies — a failing rename/drop leaves earlier adds in the same
+    // statement committed, like sequential ALTER statements. Full
+    // all-or-nothing would need a dry-run resolution of the whole
+    // sequence against a projected schema before the first commit.
     val validated: Seq[Either[org.apache.spark.sql.types.StructField, () => Unit]] =
       changes.map {
         case a: TableChange.AddColumn =>

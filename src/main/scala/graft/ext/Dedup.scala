@@ -476,6 +476,10 @@ object Dedup {
       graft.functions.VectorExprs
         .shingleHashes(spark, split(trim(lower(col(textCol))), "\\s+"), shingleN, Long.MaxValue)
         .as("sh"))
+      // feeds BOTH verify joins — persist so the corpus-sized compiled
+      // shingle pass runs once (same discipline as the ngram posting
+      // list; blocks spill under pressure, ContextCleaner reclaims)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cands
       .join(hashed.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(hashed.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")

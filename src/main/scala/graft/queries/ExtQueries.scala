@@ -1355,8 +1355,11 @@ object ExtQueries {
     * sample-accurate PCM decode matches all rows.
     */
   def multimodalAudioEnergy(spark: SparkSession, sfDir: String): DataFrame = {
+    // NOT widened (r21 A/B 0.67 -> 1.7-1.8 s): WAV encode/decode of tiny
+    // PCM clips is cheap per row, so the widen shuffle + 32-task overhead
+    // dominates — unlike the ImageIO paths, which win 2x
     val enc = Multimodal.encodeSyntheticWavs(
-      spark, widen(spark, docs(spark, sfDir).select(col("doc_id"))), "doc_id")
+      spark, docs(spark, sfDir).select(col("doc_id")), "doc_id")
     Multimodal.audioWindowEnergy(spark, enc, "payload", 32)
       .select(col("media_id"), col("window_idx"), col("n_samples"), col("energy"))
   }
@@ -1376,8 +1379,9 @@ object ExtQueries {
       |FROM w""".stripMargin
 
   def multimodalAudio(spark: SparkSession, sfDir: String): DataFrame = {
+    // NOT widened — same A/B as multimodalAudioEnergy (0.94 -> 2.0-2.4 s)
     val enc = Multimodal.encodeSyntheticWavs(
-      spark, widen(spark, docs(spark, sfDir).select(col("doc_id"))), "doc_id")
+      spark, docs(spark, sfDir).select(col("doc_id")), "doc_id")
     val sniffed = Multimodal
       .attachMetadata(enc, "payload")
       .select(col("media_id"), col("media_kind"), col("payload"))

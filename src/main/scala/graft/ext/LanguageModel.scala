@@ -77,12 +77,22 @@ object LanguageModel {
       .crossJoin(broadcast(vocab))
       .select(col("w"), (col("c1") + col("v") * k).as("denom"))
 
+    // Fold the smoothed NLL into the MODEL first: bigrams ⋈ histories is
+    // a |distinct bigrams|-row join of two already-aggregated tables
+    // (each bigram has exactly one count row and w1 exactly one history
+    // row, so this is row-preserving), and the corpus-sized gram stream
+    // then probes ONE model table instead of two — the second full-gram
+    // join pass (every occurrence re-probed against the unigram side)
+    // is gone, and the nll expression is evaluated once per DISTINCT
+    // bigram instead of once per occurrence. Same expression tree on
+    // the same values, so the doubles are bit-identical.
+    val model = bigrams
+      .join(histories, bigrams("w1") === histories("w"))
+      .select(col("w1"), col("w2"), (-log((col("c12") + k) / col("denom"))).as("nll"))
+
     grams
-      .join(bigrams, Seq("w1", "w2"))
-      .join(histories, grams("w1") === histories("w"))
-      .select(
-        col(idCol),
-        (-log((col("c12") + k) / col("denom"))).as("nll"))
+      .join(model, Seq("w1", "w2"))
+      .select(col(idCol), col("nll"))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_bigrams"), round(avg(col("nll")), 4).as("avg_nll"))
   }

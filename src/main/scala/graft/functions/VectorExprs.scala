@@ -449,6 +449,76 @@ object VectorExprs {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** All ordered pairs (elems[i], elems[j]), i &lt; j, of an array as an
+    * array of two-field structs — the compiled equivalent of the nested
+    * `flatten(transform(a, (x, i) -> transform(slice(a, i + 2, …), …)))`
+    * higher-order formulation (identical pair set and order). That form
+    * is interpreted per ELEMENT — each outer step allocates a slice copy
+    * and an expression-tree evaluation per inner element — and it sits
+    * in two hot paths: the triangle count's per-order C(k,2) edge
+    * expansion and the LSH in-bucket candidate expansion, both of which
+    * run once per (group, pair). One JVM loop per row instead. Element
+    * type is taken from the input array (longs in both current callers);
+    * `f1`/`f2` name the output struct fields so call sites keep their
+    * column names. Caller contract unchanged from the HOF form: the
+    * input is a sorted distinct array, so i &lt; j ⇒ elems[i] &lt;
+    * elems[j].
+    */
+  case class SortedPairs(child: Expression, f1: String, f2: String)
+      extends UnaryExpression with CodegenFallback {
+    @transient private lazy val elemType =
+      child.dataType.asInstanceOf[ArrayType].elementType
+    override def dataType: DataType = {
+      val e = child.dataType.asInstanceOf[ArrayType]
+      ArrayType(
+        StructType(Seq(
+          StructField(f1, e.elementType, e.containsNull),
+          StructField(f2, e.elementType, e.containsNull))),
+        containsNull = false)
+    }
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      child.dataType match {
+        case _: ArrayType => TypeCheckResult.TypeCheckSuccess
+        case t => TypeCheckResult.TypeCheckFailure(
+          s"graft_sorted_pairs expects an array argument, got ${t.sql}")
+      }
+    }
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      if (n < 2) return new GenericArrayData(Array.empty[Any])
+      val elems = arr.toObjectArray(elemType)
+      val out = new Array[Any](n * (n - 1) / 2)
+      var k = 0
+      var i = 0
+      while (i < n - 1) {
+        val a = elems(i)
+        var j = i + 1
+        while (j < n) {
+          out(k) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](a, elems(j)))
+          k += 1
+          j += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def sortedPairs(
+      spark: org.apache.spark.sql.SparkSession,
+      sorted: Column,
+      f1: String,
+      f2: String): Column = {
+    val name = s"graft_sorted_pairs_${f1}_$f2"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => SortedPairs(exprs.head, f1, f2), "scala_udf")
+    call_function(name, sorted)
+  }
+
   /** Exact Jaccard over two long-array SETS (distinct elements assumed,
     * as [[ShingleHashes]] emits): |A∩B| / |A∪B| via one hash-set probe
     * — the compiled verification step for candidate near-dup pairs.

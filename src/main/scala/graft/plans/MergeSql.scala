@@ -698,160 +698,166 @@ final case class GraftMergeIntoCommand(
         .queryExecution.optimizedPlan.stats.sizeInBytes <= thr
     }
     val sharedJoins = scala.collection.mutable.ListBuffer.empty[org.apache.spark.sql.DataFrame]
+    // one try/finally covers EVERY exit from the first persist() to the
+    // overwrite: requireUnambiguous throws on ambiguous merges AFTER the
+    // join is persisted (and any failure building the rest of the plan
+    // lands here too) — without this the cached target×source join leaked
+    // in the CacheManager for the session lifetime on those paths
+    try {
 
-    // ---- matched side: target vs source, clause-indexed ----
-    val bySourceActions = payload.notMatchedBySourceActions
+      // ---- matched side: target vs source, clause-indexed ----
+      val bySourceActions = payload.notMatchedBySourceActions
 
-    def passthroughAll(p: LogicalPlan): LogicalPlan =
-      Project(targetSchema.fields.map(f => Alias(tAttr(f.name), f.name)()).toSeq, p)
+      def passthroughAll(p: LogicalPlan): LogicalPlan =
+        Project(targetSchema.fields.map(f => Alias(tAttr(f.name), f.name)()).toSeq, p)
 
-    // the clause machinery one action family shares: first-match-wins
-    // CASE index (optionally guarded, for the matched marker), DELETE
-    // rows filtered, then a per-column projection where every assigned
-    // value is cast to the DECLARED column type (store-assignment, as
-    // in GraftUpdateCommand / Delta / Iceberg): a widening expression
-    // like `t.k + 1` on an INT column must store as INT, not coerce
-    // the CASE output and drift the schema. `starFor` supplies the
-    // SET * value per column (None for by-source, which has no source
-    // row — rejected at parse anyway).
-    def clauseRewrite(
-        base: LogicalPlan,
-        actions: Seq[MergeAction],
-        guard: Option[Expression],
-        starFor: Option[String => Expression]): LogicalPlan = {
-      val clauseIdx = CaseWhen(
-        actions.zipWithIndex.map { case (a, i) =>
-          val cond = a.condition.getOrElse(Literal(true))
-          (guard.map(g => And(g, cond): Expression).getOrElse(cond), Literal(i))
-            : (Expression, Expression)
-        },
-        Some(Literal(-1)))
-      val withClause = Project(
-        Seq(UnresolvedStar(None), Alias(clauseIdx, ClauseCol)()),
-        base)
-      val deleteIdxs = actions.zipWithIndex.collect { case (_: DeleteAction, i) => i }
-      val filtered = deleteIdxs.foldLeft[LogicalPlan](withClause) { (p, i) =>
-        Filter(Not(EqualTo(clauseRef, Literal(i))), p)
-      }
-      val cols = targetSchema.fields.map { f =>
-        val branches = actions.zipWithIndex.flatMap {
-          case (_: UpdateStarAction, i) =>
-            starFor.map(s => (EqualTo(clauseRef, Literal(i)): Expression,
-              Cast(s(f.name), f.dataType): Expression))
-          case (UpdateAction(_, assigns, _), i) =>
-            assignmentFor(assigns, f.name)
-              .map(v => (EqualTo(clauseRef, Literal(i)): Expression,
-                Cast(v, f.dataType): Expression))
-          case _ => None
-        }
-        val e =
-          if (branches.isEmpty) tAttr(f.name): Expression
-          else CaseWhen(branches, Some(tAttr(f.name)))
-        Alias(e, f.name)()
-      }
-      Project(cols.toSeq, filtered)
-    }
-
-    val updatedPart: LogicalPlan =
-      if (bySourceActions.isEmpty) {
-        if (matchedActions.isEmpty) passthroughAll(aliasT)
-        else {
-          // one LEFT OUTER join carries both matched rows (clauses
-          // apply, marker-guarded) and unmatched ones (passthrough);
-          // broadcast-sized sources probe eagerly and re-join (cheap),
-          // larger sources build the join once, persist, probe, rewrite
-          val sourceAug = Project(
-            Seq(UnresolvedStar(None), Alias(Literal(true), MatchedCol)()),
-            source)
-          val guard = Some(
-            EqualNullSafe(UnresolvedAttribute(Seq(MatchedCol)), Literal(true)): Expression)
-          if (sourceBroadcastable) {
-            eagerProbe()
-            clauseRewrite(
-              Join(aliasT, sourceAug, LeftOuter, Some(condition), JoinHint.NONE),
-              matchedActions, guard = guard, starFor = Some(sAttr))
-          } else {
-            val joined = GraftSqlInternals.ofRows(
-              spark,
-              Join(tWithId, sourceAug, LeftOuter, Some(condition), JoinHint.NONE)).persist()
-            sharedJoins += joined
-            requireUnambiguous(joined)
-            clauseRewrite(
-              joined.queryExecution.analyzed,
-              matchedActions, guard = guard, starFor = Some(sAttr))
-          }
-        }
-      } else {
-        // by-source clauses split the matched side in two over the SAME
-        // join keys: matched rows (inner join — probed for ≤1 source
-        // match over its own persisted output — or semi when no matched
-        // action exists, which is duplicate-proof without a probe) and
-        // target-only rows (anti join). The anti branch's output has no
-        // source columns AT ALL, so a by-source clause referencing the
-        // source fails resolution loudly — the Delta/SQL rule enforced
-        // by plan shape. At scale: two joins sharing one shuffle key
-        // set (or one broadcast source), each side scanned once.
-        val matchedBranch: LogicalPlan =
-          if (matchedActions.isEmpty)
-            passthroughAll(Join(aliasT, source, LeftSemi, Some(condition), JoinHint.NONE))
-          else if (sourceBroadcastable) {
-            eagerProbe()
-            clauseRewrite(
-              Join(aliasT, source, Inner, Some(condition), JoinHint.NONE),
-              matchedActions, guard = None, starFor = Some(sAttr))
-          } else {
-            val joined = GraftSqlInternals.ofRows(
-              spark,
-              Join(tWithId, source, Inner, Some(condition), JoinHint.NONE)).persist()
-            sharedJoins += joined
-            requireUnambiguous(joined)
-            clauseRewrite(
-              joined.queryExecution.analyzed,
-              matchedActions, guard = None, starFor = Some(sAttr))
-          }
-        val bySourceBranch = clauseRewrite(
-          Join(aliasT, source, LeftAnti, Some(condition), JoinHint.NONE),
-          bySourceActions, guard = None, starFor = None)
-        Union(matchedBranch, bySourceBranch)
-      }
-
-    // ---- insert side: source LEFT ANTI target ----
-    val insertPart: Option[LogicalPlan] =
-      if (notMatchedActions.isEmpty) None
-      else {
-        val anti = Join(source, aliasT, LeftAnti, Some(condition), JoinHint.NONE)
-        val insIdx = CaseWhen(
-          notMatchedActions.zipWithIndex.map { case (a, i) =>
-            (a.condition.getOrElse(Literal(true)): Expression, Literal(i): Expression)
+      // the clause machinery one action family shares: first-match-wins
+      // CASE index (optionally guarded, for the matched marker), DELETE
+      // rows filtered, then a per-column projection where every assigned
+      // value is cast to the DECLARED column type (store-assignment, as
+      // in GraftUpdateCommand / Delta / Iceberg): a widening expression
+      // like `t.k + 1` on an INT column must store as INT, not coerce
+      // the CASE output and drift the schema. `starFor` supplies the
+      // SET * value per column (None for by-source, which has no source
+      // row — rejected at parse anyway).
+      def clauseRewrite(
+          base: LogicalPlan,
+          actions: Seq[MergeAction],
+          guard: Option[Expression],
+          starFor: Option[String => Expression]): LogicalPlan = {
+        val clauseIdx = CaseWhen(
+          actions.zipWithIndex.map { case (a, i) =>
+            val cond = a.condition.getOrElse(Literal(true))
+            (guard.map(g => And(g, cond): Expression).getOrElse(cond), Literal(i))
+              : (Expression, Expression)
           },
           Some(Literal(-1)))
         val withClause = Project(
-          Seq(UnresolvedStar(None), Alias(insIdx, ClauseCol)()),
-          anti)
-        val filtered = Filter(GreaterThanOrEqual(clauseRef, Literal(0)), withClause)
+          Seq(UnresolvedStar(None), Alias(clauseIdx, ClauseCol)()),
+          base)
+        val deleteIdxs = actions.zipWithIndex.collect { case (_: DeleteAction, i) => i }
+        val filtered = deleteIdxs.foldLeft[LogicalPlan](withClause) { (p, i) =>
+          Filter(Not(EqualTo(clauseRef, Literal(i))), p)
+        }
         val cols = targetSchema.fields.map { f =>
-          val branches = notMatchedActions.zipWithIndex.flatMap {
-            case (_: InsertStarAction, i) =>
-              Some((EqualTo(clauseRef, Literal(i)): Expression,
-                Cast(sAttr(f.name), f.dataType): Expression))
-            case (InsertAction(_, assigns), i) =>
-              Some((EqualTo(clauseRef, Literal(i)): Expression,
-                assignmentFor(assigns, f.name)
-                  .map(v => Cast(v, f.dataType): Expression)
-                  .getOrElse(Literal.create(null, f.dataType))))
+          val branches = actions.zipWithIndex.flatMap {
+            case (_: UpdateStarAction, i) =>
+              starFor.map(s => (EqualTo(clauseRef, Literal(i)): Expression,
+                Cast(s(f.name), f.dataType): Expression))
+            case (UpdateAction(_, assigns, _), i) =>
+              assignmentFor(assigns, f.name)
+                .map(v => (EqualTo(clauseRef, Literal(i)): Expression,
+                  Cast(v, f.dataType): Expression))
             case _ => None
           }
-          Alias(CaseWhen(branches, Some(Literal.create(null, f.dataType))), f.name)()
+          val e =
+            if (branches.isEmpty) tAttr(f.name): Expression
+            else CaseWhen(branches, Some(tAttr(f.name)))
+          Alias(e, f.name)()
         }
-        Some(Project(cols.toSeq, filtered))
+        Project(cols.toSeq, filtered)
       }
 
-    val result = insertPart match {
-      case Some(ins) => Union(updatedPart, ins)
-      case None => updatedPart
-    }
-    try table.overwrite(GraftSqlInternals.ofRows(spark, result))
-    finally sharedJoins.foreach(_.unpersist(blocking = false))
+      val updatedPart: LogicalPlan =
+        if (bySourceActions.isEmpty) {
+          if (matchedActions.isEmpty) passthroughAll(aliasT)
+          else {
+            // one LEFT OUTER join carries both matched rows (clauses
+            // apply, marker-guarded) and unmatched ones (passthrough);
+            // broadcast-sized sources probe eagerly and re-join (cheap),
+            // larger sources build the join once, persist, probe, rewrite
+            val sourceAug = Project(
+              Seq(UnresolvedStar(None), Alias(Literal(true), MatchedCol)()),
+              source)
+            val guard = Some(
+              EqualNullSafe(UnresolvedAttribute(Seq(MatchedCol)), Literal(true)): Expression)
+            if (sourceBroadcastable) {
+              eagerProbe()
+              clauseRewrite(
+                Join(aliasT, sourceAug, LeftOuter, Some(condition), JoinHint.NONE),
+                matchedActions, guard = guard, starFor = Some(sAttr))
+            } else {
+              val joined = GraftSqlInternals.ofRows(
+                spark,
+                Join(tWithId, sourceAug, LeftOuter, Some(condition), JoinHint.NONE)).persist()
+              sharedJoins += joined
+              requireUnambiguous(joined)
+              clauseRewrite(
+                joined.queryExecution.analyzed,
+                matchedActions, guard = guard, starFor = Some(sAttr))
+            }
+          }
+        } else {
+          // by-source clauses split the matched side in two over the SAME
+          // join keys: matched rows (inner join — probed for ≤1 source
+          // match over its own persisted output — or semi when no matched
+          // action exists, which is duplicate-proof without a probe) and
+          // target-only rows (anti join). The anti branch's output has no
+          // source columns AT ALL, so a by-source clause referencing the
+          // source fails resolution loudly — the Delta/SQL rule enforced
+          // by plan shape. At scale: two joins sharing one shuffle key
+          // set (or one broadcast source), each side scanned once.
+          val matchedBranch: LogicalPlan =
+            if (matchedActions.isEmpty)
+              passthroughAll(Join(aliasT, source, LeftSemi, Some(condition), JoinHint.NONE))
+            else if (sourceBroadcastable) {
+              eagerProbe()
+              clauseRewrite(
+                Join(aliasT, source, Inner, Some(condition), JoinHint.NONE),
+                matchedActions, guard = None, starFor = Some(sAttr))
+            } else {
+              val joined = GraftSqlInternals.ofRows(
+                spark,
+                Join(tWithId, source, Inner, Some(condition), JoinHint.NONE)).persist()
+              sharedJoins += joined
+              requireUnambiguous(joined)
+              clauseRewrite(
+                joined.queryExecution.analyzed,
+                matchedActions, guard = None, starFor = Some(sAttr))
+            }
+          val bySourceBranch = clauseRewrite(
+            Join(aliasT, source, LeftAnti, Some(condition), JoinHint.NONE),
+            bySourceActions, guard = None, starFor = None)
+          Union(matchedBranch, bySourceBranch)
+        }
+
+      // ---- insert side: source LEFT ANTI target ----
+      val insertPart: Option[LogicalPlan] =
+        if (notMatchedActions.isEmpty) None
+        else {
+          val anti = Join(source, aliasT, LeftAnti, Some(condition), JoinHint.NONE)
+          val insIdx = CaseWhen(
+            notMatchedActions.zipWithIndex.map { case (a, i) =>
+              (a.condition.getOrElse(Literal(true)): Expression, Literal(i): Expression)
+            },
+            Some(Literal(-1)))
+          val withClause = Project(
+            Seq(UnresolvedStar(None), Alias(insIdx, ClauseCol)()),
+            anti)
+          val filtered = Filter(GreaterThanOrEqual(clauseRef, Literal(0)), withClause)
+          val cols = targetSchema.fields.map { f =>
+            val branches = notMatchedActions.zipWithIndex.flatMap {
+              case (_: InsertStarAction, i) =>
+                Some((EqualTo(clauseRef, Literal(i)): Expression,
+                  Cast(sAttr(f.name), f.dataType): Expression))
+              case (InsertAction(_, assigns), i) =>
+                Some((EqualTo(clauseRef, Literal(i)): Expression,
+                  assignmentFor(assigns, f.name)
+                    .map(v => Cast(v, f.dataType): Expression)
+                    .getOrElse(Literal.create(null, f.dataType))))
+              case _ => None
+            }
+            Alias(CaseWhen(branches, Some(Literal.create(null, f.dataType))), f.name)()
+          }
+          Some(Project(cols.toSeq, filtered))
+        }
+
+      val result = insertPart match {
+        case Some(ins) => Union(updatedPart, ins)
+        case None => updatedPart
+      }
+      table.overwrite(GraftSqlInternals.ofRows(spark, result))
+    } finally sharedJoins.foreach(_.unpersist(blocking = false))
     Seq.empty
   }
 }

@@ -1330,13 +1330,12 @@ object AnalyticsQueries {
     // deg is referenced in EVERY iteration (the contrib join and the
     // left-join rebase): uncached it re-runs a 2|E|-row groupBy per
     // round — extra full edge shuffles across 3 iterations at sf10.
-    // nodes is a PROJECTION of deg (every node of the undirected-
-    // doubled edge list appears as a src), so deriving it from the
-    // cached deg frame saves a second full 2|E|-row distinct shuffle
-    // and a second |V| cache (r19 build-phase fix).
+    // The node set is a PROJECTION of deg (every node of the undirected-
+    // doubled edge list appears as a src), so the rebase joins the
+    // cached deg frame directly instead of a second full 2|E|-row
+    // distinct shuffle and a second |V| cache (r19 build-phase fix).
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nodes = deg.select(col("src").as("node"))
     // materialize the shared frames ONCE (edges via deg's build pass),
     // so every iteration runs against flat cached inputs
     val nV = deg.count()
@@ -1344,27 +1343,29 @@ object AnalyticsQueries {
     // fallback story as triangleCount's vSized
     def vSized(df: DataFrame): DataFrame =
       if (nV <= 2000000L) broadcast(df) else df
-    val r0 = nodes.withColumn("rank", lit(micro))
+    // the loop frame CARRIES (src, out_deg, rank): rank/out_deg is then a
+    // pure projection over the cached round frame, so the per-iteration
+    // |V|⋈|V| weights join (and its broadcast build job) is gone — one
+    // join + one broadcast + one job fewer per round (r22, VERDICT item 2:
+    // the iterative operators' per-round fixed cost is what anti-scales
+    // at high core counts, guide §2.2/§1.5). The carried out_deg is one
+    // long per node, the same payload the retired broadcast shipped.
+    val r0 = deg.select(col("src"), col("out_deg"), lit(micro).as("rank"))
     val ranked = (1 to 3).foldLeft(r0) { (r, i) =>
-      // fold rank and degree into ONE |V|-row weight frame first (a
-      // |V|⋈|V| join with deg broadcast), so the |E|-sized join carries
-      // a single broadcast build side per iteration
       // `div` is Spark's INTEGRAL division on longs (≙ DuckDB `//` for
       // non-negatives) — a double `/` + cast could misround when the
       // double error exceeds 1/out_deg at large rank magnitudes
-      val weights = r.withColumnRenamed("node", "src")
-        .join(vSized(deg), Seq("src"))
-        .select(col("src"), expr("rank div out_deg").as("c"))
+      val weights = r.select(col("src"), expr("rank div out_deg").as("c"))
       val contrib = edges
         .join(vSized(weights), Seq("src"))
         .select(col("dst"), col("c"))
       val inMass = contrib.groupBy(col("dst")).agg(sum(col("c")).as("mass"))
-      val next = nodes
-        .join(vSized(inMass.withColumnRenamed("dst", "node")), Seq("node"), "left")
-        .select(col("node"), coalesce(col("mass"), lit(0L)).as("mass"))
+      val next = deg
+        .join(vSized(inMass.withColumnRenamed("dst", "src")), Seq("src"), "left")
         .select(
-          col("node"),
-          (lit(150000L) + expr("(mass * 17) div 20")).as("rank"))
+          col("src"),
+          col("out_deg"),
+          (lit(150000L) + expr("(coalesce(mass, 0L) * 17) div 20")).as("rank"))
         // lineage truncation, the iterative-Spark discipline: each
         // round's |V|-row rank frame is cached so round n+1 plans
         // against a flat cached input instead of the whole history —
@@ -1373,15 +1374,15 @@ object AnalyticsQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // materialize the new rank frame, then retire the previous one:
       // cached frames the loop will never read again are pure GC
-      // pressure (r0 is a projection over `nodes`, never persisted)
+      // pressure (r0 is a projection over `deg`, never persisted)
       next.count()
       if (i > 1) r.unpersist(blocking = false)
       next
     }
     ranked
-      .orderBy(col("rank").desc, col("node").asc)
+      .orderBy(col("rank").desc, col("src").asc)
       .limit(20)
-      .select(col("node"), col("rank"))
+      .select(col("src").as("node"), col("rank"))
   }
 
   val pagerankPurchasesSql: String =
@@ -1456,8 +1457,13 @@ object AnalyticsQueries {
       .parquet(tablePath(sfDir, "lineitem"))
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .groupBy(col("o")).agg(array_sort(array_distinct(collect_list(col("p")))).as("ps"))
-      .select(explode(expr(
-        "flatten(transform(ps, (x, i) -> transform(slice(ps, i + 2, size(ps) - i - 1), y -> struct(x AS p1, y AS p2))))")).as("e"))
+      // C(k,2) expansion as ONE compiled loop per order
+      // ([[graft.functions.VectorExprs.SortedPairs]]): the nested
+      // transform/slice HOF form computed the identical pair set but
+      // interpreted per element, allocating a slice copy + expression
+      // walk per inner step (r22 A/B at sf0.1: see OPTIMIZATION_r22.md)
+      .select(explode(
+        graft.functions.VectorExprs.sortedPairs(spark, col("ps"), "p1", "p2")).as("e"))
       .select(col("e.p1").as("p1"), col("e.p2").as("p2"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1615,9 +1621,9 @@ object AnalyticsQueries {
     var h = 1
     while (h <= 3 && frontierRows > 0) {
       val probe = frontier.withColumnRenamed("node", "src")
-      val expanded = edges
+      val candidates = edges
         .join(if (frontierRows <= 1000000L) broadcast(probe) else probe, Seq("src"))
-        .select(col("dst").as("node")).distinct()
+        .select(col("dst").as("node"))
       var scratch: Option[DataFrame] = None
       val fresh =
         if (visitedRows > bloomPruneAt) {
@@ -1626,7 +1632,7 @@ object AnalyticsQueries {
           // definitely-new (no anti-join at all) and maybe-seen (the
           // true-hit + fpp sliver, which alone pays the |V| anti-join).
           // `expanded` feeds both branches — persist it for the round.
-          val cand = expanded
+          val cand = candidates.distinct()
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           scratch = Some(cand)
           val blob = visited
@@ -1637,7 +1643,22 @@ object AnalyticsQueries {
             .mightContain(spark, lit(blob), xxhash64(col("node")))
           cand.filter(!maybeSeen)
             .unionByName(cand.filter(maybeSeen).join(visited, Seq("node"), "left_anti"))
-        } else expanded.join(visited, Seq("node"), "left_anti")
+        } else if (visitedRows <= 1000000L) {
+          // broadcast-sized visited set: anti-join FIRST (a map-side
+          // broadcast filter over the raw expansion), distinct after —
+          // in late rounds most candidate endpoints are already visited,
+          // so the distinct exchange then shuffles only the novel sliver
+          // instead of every endpoint incident to the frontier (§2.3
+          // shuffle fewer bytes; anti-join and distinct commute). Past
+          // the broadcast gate the old order stays: a shuffled anti-join
+          // keys on the same `node` the distinct exchanges, so
+          // distinct-first rides one exchange of the full candidate set
+          // and feeds the anti-join already-partitioned, while
+          // anti-first would shuffle the larger pre-distinct set.
+          candidates
+            .join(broadcast(visited.select(col("node"))), Seq("node"), "left_anti")
+            .distinct()
+        } else candidates.distinct().join(visited, Seq("node"), "left_anti")
       val next = fresh
         .withColumn("hop", lit(h))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -34,7 +34,33 @@ object ExtQueries {
     */
   private def widen(spark: SparkSession, df: DataFrame): DataFrame = {
     val target = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 4 <= target) df.repartition(target) else df
+    if (scanPartitionEstimate(spark, df) * 4 <= target) df.repartition(target) else df
+  }
+
+  /** Plan-cheap estimate of a parquet scan's partition count — the same
+    * packing arithmetic `FilePartition.maxSplitBytes` applies (files
+    * charged size + openCost, chopped at the split size, split size
+    * floored by bytes-per-core), computed from the file listing alone.
+    * The previous gate read `df.rdd.getNumPartitions`, which forces a
+    * full physical planning + RDD DAG build of the scan per call site
+    * (and reads the pre-AQE count) — all to make a 1-bit decision
+    * (r21 ADVICE). Falls back to `target` (= never widen) when a file's
+    * size is unreadable, the conservative no-shuffle default.
+    */
+  private def scanPartitionEstimate(spark: SparkSession, df: DataFrame): Long = {
+    val conf = spark.sessionState.conf
+    val openCost = conf.filesOpenCostInBytes
+    val sizes = df.inputFiles.map { f =>
+      val p = java.nio.file.Paths.get(new java.net.URI(f))
+      try java.nio.file.Files.size(p) catch { case _: java.io.IOException => -1L }
+    }
+    if (sizes.isEmpty || sizes.exists(_ < 0)) spark.sparkContext.defaultParallelism.toLong
+    else {
+      val total = sizes.map(_ + openCost).sum
+      val bytesPerCore = total / math.max(1, spark.sparkContext.defaultParallelism)
+      val maxSplit = math.min(conf.filesMaxPartitionBytes, math.max(openCost, bytesPerCore))
+      math.max(1L, (total + maxSplit - 1) / maxSplit)
+    }
   }
 
   private def docs(spark: SparkSession, sfDir: String): DataFrame =

@@ -122,4 +122,23 @@ class ParitySpec extends SparkSpec {
       assert(r.getSeq[Long](0).sorted == r.getSeq[Long](1).sorted)
     }
   }
+
+  test("compiled SortedPairs matches the nested transform/slice HOF, pairs and order") {
+    val rnd = new scala.util.Random(51)
+    val data = (1 to 30).map(_ =>
+      Tuple1(Array.fill(rnd.nextInt(12))(rnd.nextLong() % 500).distinct.sorted.toSeq)) :+
+      Tuple1(Seq.empty[Long]) :+ Tuple1(Seq(7L)) // n<2 -> empty pair set
+    val df = data.toDF("ps")
+    val hof = expr(
+      "flatten(transform(ps, (x, i) -> transform(slice(ps, i + 2, size(ps) - i - 1), " +
+        "y -> struct(x AS p1, y AS p2))))")
+    val out = df.select(
+      hof.as("hof"),
+      VectorExprs.sortedPairs(spark, col("ps"), "p1", "p2").as("compiled"))
+    out.collect().foreach { r =>
+      val a = r.getSeq[org.apache.spark.sql.Row](0).map(p => (p.getLong(0), p.getLong(1)))
+      val b = r.getSeq[org.apache.spark.sql.Row](1).map(p => (p.getLong(0), p.getLong(1)))
+      assert(a == b, "pair sets or order diverge")
+    }
+  }
 }

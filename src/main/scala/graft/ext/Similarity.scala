@@ -356,8 +356,17 @@ object Similarity {
       idCol, vecCol, nlist, iters)
     graft.tables.LakeTable(spark, s"$indexRoot/centroids")
       .append(centroids.toDF("list_id", "centroid"))
+    // cluster the postings by list BEFORE the hive-partitioned write:
+    // each list then lands wholly in one task → exactly one file per
+    // list, written in parallel across lists (guide §6 output sizing).
+    // Unclustered, every input task fans out one file per list it
+    // touches (tasks × nlist small files at scale), and a 1-split
+    // corpus writes all lists single-threaded (JobProf: a 0.79 s 1-task
+    // write at 32 cores).
     graft.tables.LakeTable(spark, s"$indexRoot/postings")
-      .append(invertedIndex(corpus, idCol, vecCol, centroids), partitionBy = Seq("list_id"))
+      .append(
+        invertedIndex(corpus, idCol, vecCol, centroids).repartition(col("list_id")),
+        partitionBy = Seq("list_id"))
   }
 
   /** Probe a persisted IVF index ([[buildIvfIndex]]): reload the nlist

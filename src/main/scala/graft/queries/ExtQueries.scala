@@ -76,6 +76,12 @@ object ExtQueries {
 
   /** documents ∪ near-copies (doc_id%5=0, shifted id, last 2 tokens
     * dropped): near-dup input with known planted pairs.
+    *
+    * NOT widened here: only the shingle-set consumers (minhash, ngram,
+    * canonical) recoup the repartition — the cheap consumers (exact,
+    * simhash, substring) measured 0.76-0.83× with a blanket widen in
+    * this helper (r22 A/B, 3 alternating legs), so those three widen at
+    * their own entry points instead.
     */
   private def corpusNearDups(d: DataFrame): DataFrame = {
     val toks = split(trim(col("text")), "\\s+")
@@ -416,7 +422,13 @@ object ExtQueries {
     * b=16 has ~1-3e-8 recall at the planted ~0.95 similarity level).
     */
   def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame =
-    Dedup.minhashDedupPairs(corpusNearDups(docs(spark, sfDir)), "doc_id", "text", 0.5)
+    // widened: the compiled shingle+signature pass is CPU-dense per doc
+    // and the documents scan is 1-2 splits at bench scale, so unwidened
+    // it runs on 1-2 of N cores (JobProf: two ~2 s 2-task stages at 32
+    // cores; widened A/B 1.30×, guide §2.5/§2.6). No-op once the corpus
+    // scan is as wide as the session.
+    Dedup.minhashDedupPairs(
+      widen(spark, corpusNearDups(docs(spark, sfDir))), "doc_id", "text", 0.5)
 
   val dedupMinhashSql: String =
     """WITH corpus AS (
@@ -449,8 +461,9 @@ object ExtQueries {
     * counts over kept shingles, full set sizes in the denominator.
     */
   def dedupNgram(spark: SparkSession, sfDir: String): DataFrame =
+    // widened for the same reason as dedupMinhash (A/B 1.28×)
     Dedup.ngramJaccardPairs(
-      corpusNearDups(docs(spark, sfDir)), "doc_id", "text", 0.5,
+      widen(spark, corpusNearDups(docs(spark, sfDir))), "doc_id", "text", 0.5,
       maxPostings = NgramMaxPostings)
 
   /** Stop-shingle cap for `q_dedup_ngram` (docs sharing a 3-gram above
@@ -630,6 +643,8 @@ object ExtQueries {
     * `q_similarity_ann`.
     */
   def dedupEmbeddingLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    // NOT widened: measured 0.90× with the input widen (r22 A/B) — the
+    // bucket join dominates, not the signature pass
     val e = embs(spark, sfDir)
     val corpus = e.unionByName(
       e.filter(col("vec_id") % 10 === 0).withColumn("vec_id", col("vec_id") + 100000))
@@ -695,6 +710,9 @@ object ExtQueries {
     * cluster-split recall loss cannot occur).
     */
   def dedupSemantic(spark: SparkSession, sfDir: String): DataFrame = {
+    // NOT widened: measured 0.77× with the input widen (r22 A/B, 3
+    // alternating legs) — the cluster-scoped pair join dominates and the
+    // widen's extra exchange only delays it
     val e = embs(spark, sfDir)
     val corpus = e.unionByName(
       e.filter(col("vec_id") % 10 === 0).withColumn("vec_id", col("vec_id") + 100000))
@@ -1065,7 +1083,13 @@ object ExtQueries {
     * unrolled SQL and must land on the identical result set.
     */
   def similarityIvf(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = embs(spark, sfDir)
+    // widened: Lloyd assignment and the final cosine ranking are
+    // CPU-dense per vector and the embeddings scan is a single split at
+    // bench scale — unwidened they run on 1 core (JobProf: the 1.26 s
+    // ranked-join job and the ~1 s per-iteration jobs were 1-task
+    // stages at 32 cores; guide §2.5/§2.6). No-op on an already-wide
+    // scan.
+    val e = widen(spark, embs(spark, sfDir))
     // nlist grows with the corpus (≈1000 vectors/list, min 16): at the
     // oracle SFs this IS 16, so the unrolled-SQL replay stays valid; at
     // rehearsal scale it is what keeps probe work per query flat
@@ -1084,6 +1108,10 @@ object ExtQueries {
     * bit-identical to the live build.
     */
   def similarityIvfPersisted(spark: SparkSession, sfDir: String): DataFrame = {
+    // NOT widened: 0.88× with the widen in the r22 A/B — the lake
+    // round-trip (manifest commits + postings write/read) dominates, so
+    // the extra exchange never pays; the postings write parallelism fix
+    // lives in buildIvfIndex's list_id clustering instead
     val e = embs(spark, sfDir)
     val root = graft.util.TempDirs.scratch("ivfidx")
     Similarity.buildIvfIndex(
@@ -2014,7 +2042,9 @@ object ExtQueries {
     * dup detection: which copy survives into the training set.
     */
   def dedupCanonical(spark: SparkSession, sfDir: String): DataFrame = {
-    val corpus = corpusNearDups(docs(spark, sfDir))
+    // widened for the same reason as dedupMinhash (A/B 1.13×); feeds
+    // both the pair detection and the quality scoring
+    val corpus = widen(spark, corpusNearDups(docs(spark, sfDir)))
     val pairs = Dedup
       .minhashDedupPairs(corpus, "doc_id", "text", 0.5)
       .select(col("id_a"), col("id_b"))
@@ -2208,8 +2238,12 @@ object ExtQueries {
     */
   def qualityThreshold(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // widened: qualityFeatures is a per-doc CPU pass (split + distinct +
+    // entropy) over the 1-split documents scan, and this query runs it
+    // twice (cutoff build + final filter) — same §2.5/§2.6 rationale as
+    // dedupMinhash
     val q = TextAnalysis
-      .qualityFeatures(docs(spark, sfDir), "text")
+      .qualityFeatures(widen(spark, docs(spark, sfDir)), "text")
       .select(
         col("doc_id"),
         col("source"),
@@ -2474,7 +2508,9 @@ object ExtQueries {
     * spec-pinned in ProductQuantSpec.
     */
   def similarityAdc(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = embs(spark, sfDir)
+    // widened like similarityIvf (PQ encode + ADC scan are per-vector
+    // CPU passes over the 1-split scan)
+    val e = widen(spark, embs(spark, sfDir))
     val books = pqBooks(e)
     val encoded = graft.ext.ProductQuant.pqEncode(e, "vec_id", "embedding", books, pqK)
     val qs = e
@@ -2639,6 +2675,8 @@ object ExtQueries {
     * determinism are additionally spec-pinned in ProductQuantSpec.
     */
   def similarityIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
+    // NOT widened: flat-to-negative (0.96×) in the r22 A/B — the
+    // codebook fits and probed-list ADC don't recoup the extra exchange
     val e = embs(spark, sfDir)
     val qs = e
       .orderBy(col("vec_id"))

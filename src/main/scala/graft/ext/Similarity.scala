@@ -356,16 +356,25 @@ object Similarity {
       idCol, vecCol, nlist, iters)
     graft.tables.LakeTable(spark, s"$indexRoot/centroids")
       .append(centroids.toDF("list_id", "centroid"))
-    // cluster the postings by list BEFORE the hive-partitioned write:
-    // each list then lands wholly in one task → exactly one file per
-    // list, written in parallel across lists (guide §6 output sizing).
-    // Unclustered, every input task fans out one file per list it
-    // touches (tasks × nlist small files at scale), and a 1-split
-    // corpus writes all lists single-threaded (JobProf: a 0.79 s 1-task
-    // write at 32 cores).
+    // SIZE-GATED list clustering before the hive-partitioned write.
+    // At scale, every input task fans out one file per list it touches
+    // (tasks × nlist small files — the classic small-files explosion,
+    // guide §6), so past one write-partition's worth of bytes the
+    // postings are clustered on list_id first: each list lands wholly
+    // in one task → exactly one file per list, written in parallel
+    // across lists. Below that size a single writer already produces
+    // nlist right-sized files and the clustering exchange (a full
+    // SerDe round-trip of the embedding arrays) is pure cost — an
+    // unconditional repartition measured 0.79× on q_similarity_ivf_
+    // persisted (r22 A/B, 5 alternating legs, outside the ±10%
+    // identical-code control band). The gate reads the optimizer's own
+    // size estimate — no job runs.
+    val inverted = invertedIndex(corpus, idCol, vecCol, centroids)
+    val clusteringPays = inverted.queryExecution.optimizedPlan.stats.sizeInBytes >
+      spark.sessionState.conf.filesMaxPartitionBytes
     graft.tables.LakeTable(spark, s"$indexRoot/postings")
       .append(
-        invertedIndex(corpus, idCol, vecCol, centroids).repartition(col("list_id")),
+        if (clusteringPays) inverted.repartition(col("list_id")) else inverted,
         partitionBy = Seq("list_id"))
   }
 

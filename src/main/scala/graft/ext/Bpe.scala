@@ -72,9 +72,36 @@ object Bpe {
     * every round's pair-count aggregation and measured 2.2× SLOWER at
     * sf0.1 — the eager per-round checkpoint IS the cheap shape.)
     */
-  def fit(corpus: DataFrame, textCol: String, merges: Int): Seq[MergeRule] = {
+  def fit(
+      corpus: DataFrame,
+      textCol: String,
+      merges: Int,
+      driverFitCap: Long = DriverFitTypeCap): Seq[MergeRule] = {
     val words = wordTypes(corpus, textCol).persist()
     try {
+      // DRIVER-SIDE FAST PATH (the connected-components union-find
+      // precedent applied to tokenizer training): BPE is inherently
+      // sequential per rule — each round is an aggregation + a 1-row
+      // collect + a fold projection + a checkpoint, ~4 engine jobs of
+      // pure fixed cost over a table that is Zipf-BOUNDED (word types,
+      // not tokens; the corpus-scale pass already happened in
+      // wordTypes). When that table fits the driver bound, run the
+      // whole merge loop locally in one collect — zero per-round jobs,
+      // zero checkpoint churn (JobProf: the engine loop was ~20 jobs /
+      // several seconds of submission+planning overhead at merges=6;
+      // every real tokenizer trainer fits driver-side for this
+      // reason). Oversized type tables keep the engine loop, which
+      // remains the scale path. The local loop replays the engine
+      // rules EXACTLY: code-point symbols, pair counts weighted by
+      // type frequency, winner = (count DESC, lhs ASC, rhs ASC) in
+      // UTF-8 binary order (Spark's string ordering — Java's
+      // String.compareTo is UTF-16 code-unit order and DIVERGES on
+      // supplementary characters), leftmost-greedy non-overlapping
+      // merge. BpeSpec pins rule-for-rule parity of the two paths.
+      if (words.count() <= driverFitCap) {
+        return fitLocal(
+          words.collect().map(r => (r.getString(0), r.getLong(1))), merges)
+      }
       var seqs = words
         .select(
           col("word"),
@@ -162,6 +189,87 @@ object Bpe {
           floor(
             col("n_bpe_tokens").cast("double") / col("n_words").cast("double")
               * 10000 + 0.5) / 10000.0).as("subwords_per_word"))
+  }
+
+  /** Word-type bound for the driver-side [[fit]] fast path: 1M types ×
+    * (word + symbol array) is tens of MB on the driver — the same
+    * order as the CC union-find bound. Past it the engine loop runs.
+    */
+  val DriverFitTypeCap: Long = 1L << 20
+
+  /** Unsigned byte-wise UTF-8 comparison — Spark's binary string
+    * order, which the engine path's ORDER BY lhs, rhs uses. (Java's
+    * String.compareTo orders by UTF-16 code units and disagrees with
+    * UTF-8 byte order on supplementary characters.)
+    */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** The engine merge loop, replayed locally over a collected word-type
+    * table (see [[fit]]'s gate). Symbols start as single CODE POINTS
+    * (the engine's `substring(word, i, 1)` counts characters, not
+    * UTF-16 units); each round counts adjacent pairs weighted by type
+    * frequency, picks (max count, ties to UTF-8-least lhs then rhs),
+    * and applies the leftmost-greedy non-overlapping merge — the same
+    * fold as [[foldMerge]]: a symbol just produced by this round's
+    * merge can never re-match as the pair's left (lhs+rhs != lhs).
+    */
+  private def fitLocal(types: Array[(String, Long)], merges: Int): Seq[MergeRule] = {
+    var seqs: Array[(Array[String], Long)] = types.map { case (w, cnt) =>
+      val syms = w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+      (syms, cnt)
+    }
+    val rules = scala.collection.mutable.ListBuffer.empty[MergeRule]
+    var step = 1
+    var exhausted = false
+    while (step <= merges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      seqs.foreach { case (s, cnt) =>
+        var i = 0
+        while (i < s.length - 1) {
+          val p = (s(i), s(i + 1))
+          counts.update(p, counts.getOrElse(p, 0L) + cnt)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        var best: ((String, String), Long) = null
+        counts.foreach { case (p, c) =>
+          if (best == null || c > best._2 ||
+            (c == best._2 && (utf8Lt(p._1, best._1._1) ||
+              (p._1 == best._1._1 && utf8Lt(p._2, best._1._2)))))
+            best = (p, c)
+        }
+        val ((a, b), c) = best
+        rules += MergeRule(step, a, b, c)
+        val ab = a + b
+        seqs = seqs.map { case (s, cnt) =>
+          if (s.length < 2) (s, cnt)
+          else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            s.foreach { x =>
+              if (out.nonEmpty && out.last == a && x == b)
+                out(out.length - 1) = ab
+              else out += x
+            }
+            (out.toArray, cnt)
+          }
+        }
+        step += 1
+      }
+    }
+    rules.toSeq
   }
 
   /** The merge table as a DataFrame — (step, lhs, rhs, pair_count). */

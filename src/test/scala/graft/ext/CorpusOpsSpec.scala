@@ -363,6 +363,23 @@ class BpeSpec extends SparkSpec {
     assert(rules.map(r => (r.lhs, r.rhs, r.pairCount)) ==
       Seq(("a", "a", 3L), ("aa", "aa", 1L)), rules)
   }
+
+  test("bpe driver-side and engine fit paths produce identical rules") {
+    // overlapping runs, count ties broken on lhs then rhs, multi-char
+    // winners in later rounds, a word that exhausts, and a multi-byte
+    // (2-byte UTF-8) symbol competing in a tie — everything the two
+    // paths must agree on, rule for rule
+    val docs = Seq(
+      (1L, "aaab aaab xy"),
+      (2L, "aab xy bé"),
+      (3L, "bé bé aaaa"),
+      (4L, "z")).toDF("id", "text")
+    for (m <- Seq(1, 2, 3, 8)) {
+      val engine = Bpe.fit(docs, "text", merges = m, driverFitCap = -1L)
+      val driver = Bpe.fit(docs, "text", merges = m) // under the cap -> local
+      assert(engine == driver, s"merges=$m: engine $engine vs driver $driver")
+    }
+  }
 }
 
 class ChunkingSpec extends SparkSpec {
